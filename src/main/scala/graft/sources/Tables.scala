@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the driver test data (TESTDATA.md).
   *
@@ -23,8 +24,17 @@ object Tables {
   /** The `events` stream table stands in for the reference's sensor fact
     * stream in oracle-checked batch queries (SURVEY.md §7.1 item 6):
     * ts → timestamp, value → measure, event_type/user_id → keys.
+    *
+    * The parquet files store `ts` as TIMESTAMP(NANOS), which Spark's reader
+    * does not support natively; read it as a long (legacy nanosAsLong) and
+    * truncate to microsecond precision — the same truncation DuckDB applies
+    * on `CAST(ts AS TIMESTAMP)`, keeping the oracle comparable.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
