@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.WindowedAgg
+import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Trend, WindowedAgg}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,10 +11,28 @@ import graft.sources.Tables
   * Every operator from SURVEY.md §2 is registered here as a named query over
   * the driver test tables, with a DuckDB oracle in [[oracleSql]]. Column
   * names and ordering are aligned pair-wise (the driver hash-compares after
-  * sorting columns by name). Doubles produced by summation are rounded to
-  * stay stable across summation orders; raw min/max/values are left exact.
+  * sorting columns by name, and sorts rows, so row order only matters for
+  * LIMIT queries). Doubles produced by aggregation are rounded to 6 decimals
+  * on BOTH sides to stay stable across summation orders; raw values and
+  * min/max are left exact.
+  *
+  * The `events` table stands in for the reference's sensor fact stream
+  * (ts → timestamp, value → measure, event_type → sensor/location key), so
+  * every sensor-analytics operator is exercised against DuckDB on real data.
   */
 object SparkEntry {
+
+  /** Alert thresholds for the `events.value` measure, playing the role of
+    * the reference's temperature/humidity cut points
+    * (reference/streamlit_dashboard.py:49-51,268-297). Chosen against the
+    * test data distribution so each class is populated but selective.
+    */
+  private val EventThresholds = Alerts.Thresholds(
+    high = 200.0, low = 1.0, criticalHigh = 300.0, criticalLow = 0.1)
+
+  /** Status cut points on per-type mean value (reference P8 analog). */
+  private val StatusHi = 55.0
+  private val StatusLo = 45.0
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference pipeline's core computation: 5-minute tumbling windowed
@@ -23,6 +41,21 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame =
     queries("q_windowed_agg")(spark, "/root/testdata/sf0.001")
+
+  /** The event-type "site" dimension used by q_geo_rollup — the analog of
+    * the reference's 10-row coordinates dict
+    * (reference/streamlit_dashboard.py:746-757). `error` is intentionally
+    * absent so the left-join default path (F15 `coalesce`) is exercised.
+    */
+  private def siteDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("click", "web_frontend", 40.7128, -74.0060),
+      ("view", "web_frontend", 40.7260, -73.9897),
+      ("purchase", "checkout", 40.7489, -73.9680),
+      ("signup", "onboarding", 40.7549, -73.9840))
+      .toDF("event_type", "site", "lat", "lon")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -67,12 +100,132 @@ object SparkEntry {
 
     // ---- S13/W4/O1/O2: latest-N scan (orderBy desc + limit) ----
     "q_topn_recent" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .orderBy(col("ts").desc, col("event_id"))
-        .limit(100)
+      Scans.latestN(Tables.events(s, dir), "ts", "event_id", 100)
         .select(
           col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))),
+
+    // ---- S9/P1/P4: time-range scan anchored to max(ts) ----
+    "q_time_range_scan" -> ((s, dir) =>
+      Scans.timeRangeFromMax(Tables.events(s, dir), "ts", "1 DAY")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))),
+
+    // ---- S10/S11/S12/A6: one-row health metrics block ----
+    "q_scan_metrics" -> ((s, dir) =>
+      Scans.scanMetrics(Tables.events(s, dir), "ts",
+        Seq("user_id", "event_type"), "1 HOUR")),
+
+    // ---- A7/O3: sorted distinct dimension values ----
+    "q_distinct_dims" -> ((s, dir) =>
+      Scans.distinctSorted(Tables.events(s, dir), "event_type")),
+
+    // ---- A3: per-group mean ----
+    "q_group_mean" -> ((s, dir) =>
+      Rollups.groupMean(Tables.events(s, dir), "event_type", "value")),
+
+    // ---- A4: per-group multi-agg + deterministic first ----
+    "q_group_multi_agg" -> ((s, dir) =>
+      Rollups.groupMultiAgg(Tables.events(s, dir), "event_type", "value",
+        "user_id", "event_id")),
+
+    // ---- A5/A9/A10: global descriptive stats + CV + range ----
+    "q_global_stats" -> ((s, dir) =>
+      Rollups.globalStats(Tables.events(s, dir), "value")),
+
+    // ---- A8: exact interpolated quartiles per group ----
+    "q_quantiles" -> ((s, dir) =>
+      Rollups.quantiles(Tables.events(s, dir), "event_type", "value")),
+
+    // ---- A12: 30-bin equi-width histogram ----
+    "q_histogram" -> ((s, dir) =>
+      Rollups.histogram(Tables.events(s, dir), "value", 30)),
+
+    // ---- A11/ML6: pairwise Pearson correlations ----
+    "q_corr" -> ((s, dir) =>
+      Rollups.corrPairs(Tables.lineitem(s, dir), Seq(
+        ("l_quantity", "l_extendedprice"),
+        ("l_extendedprice", "l_discount"),
+        ("l_quantity", "l_discount")))),
+
+    // ---- ML1: global-IQR anomaly detection, per-group tally ----
+    "q_iqr_anomaly" -> ((s, dir) =>
+      Anomaly.rollup(Tables.events(s, dir), "value", "event_type")),
+
+    // ---- ML3/P5/P6/P7: row-level threshold alerts ----
+    "q_alerts" -> ((s, dir) =>
+      Alerts.extract(Tables.events(s, dir), "value", EventThresholds)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+          col("alert_type"), col("severity"))),
+
+    // ---- ML4/A14: single-pass severity rollup ----
+    "q_alert_severity_rollup" -> ((s, dir) =>
+      Alerts.severityRollup(Tables.events(s, dir), "value", EventThresholds,
+        "event_type")),
+
+    // ---- P8: per-group status classification ----
+    "q_status_classify" -> ((s, dir) =>
+      Alerts.statusClassify(Tables.events(s, dir), "event_type", "value",
+        StatusHi, StatusLo)),
+
+    // ---- J1/ML7/F15: broadcast left-join to site dim + defaults ----
+    "q_geo_rollup" -> ((s, dir) =>
+      Geo.rollup(Tables.events(s, dir), siteDim(s), "event_type", "value",
+        StatusHi, StatusLo)),
+
+    // ---- P2/F1: derived clean label ----
+    "q_derived_string" -> ((s, dir) =>
+      Cleanse.cleanLabel(
+        Scans.distinctSorted(Tables.events(s, dir), "event_type")
+          .withColumn("label_raw", concat(col("event_type"), lit("_zone"))),
+        "label_raw", "label_clean")),
+
+    // ---- P10/F2/F5/F7: row-formatting projections ----
+    "q_format_project" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso"),
+        format_string("%.2f", col("value")).as("value_str"),
+        concat(lit("U"), format_string("%05d", col("user_id"))).as("user_code"))),
+
+    // ---- F14: JSON field extraction + rollup ----
+    "q_json_extract" -> ((s, dir) =>
+      Cleanse.jsonField(Tables.events(s, dir), "props", "k", "k")
+        .groupBy(col("event_type"))
+        .agg(round(avg("k"), 6).as("avg_k"), max("k").as("max_k"),
+          count(lit(1)).as("n"))),
+
+    // ---- F6: per-group elapsed time (exact microseconds) ----
+    "q_elapsed" -> ((s, dir) =>
+      Cleanse.elapsedMicros(Tables.events(s, dir), "ts", "event_type")
+        .select(col("event_id"), col("event_type"), col("elapsed_us"))),
+
+    // ---- F4/F5: interval arithmetic + truncation ----
+    "q_interval_arith" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"), col("ts"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("ts_plus_1h"),
+        (col("ts") - expr("INTERVAL 30 MINUTE")).as("ts_minus_30m"),
+        date_trunc("day", col("ts")).as("day_start"),
+        expr("unix_micros(ts) DIV 1000000").as("epoch_sec"))),
+
+    // ---- W1/W2: 20-row trailing moving average + first difference ----
+    "q_moving_avg" -> ((s, dir) =>
+      Trend.movingAvg(Tables.events(s, dir), "event_type",
+        Seq("ts", "event_id"), "value")
+        .select(col("event_id"), col("event_type"), col("value"), col("ma"),
+          col("diff1"))),
+
+    // ---- ML5: trend slope + classification ----
+    "q_trend" -> ((s, dir) =>
+      Trend.classify(Tables.events(s, dir), "event_type",
+        Seq("ts", "event_id"), "value")),
+
+    // ---- ML2/F13: per-group OLS forecast via regr_* aggregates ----
+    "q_forecast" -> ((s, dir) =>
+      Forecast.ols(Tables.events(s, dir), "event_type", "ts", "value",
+        "event_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,7 +267,190 @@ object SparkEntry {
     "q_topn_recent" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
         |FROM events
-        |ORDER BY ts DESC, event_id
+        |ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id
         |LIMIT 100""".stripMargin,
+    "q_time_range_scan" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >=
+        |  (SELECT CAST(max(ts) AS TIMESTAMP) - INTERVAL 1 DAY FROM events)""".stripMargin,
+    "q_scan_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(ts) AS TIMESTAMP) AS min_ts,
+        |  CAST(max(ts) AS TIMESTAMP) AS max_ts,
+        |  CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >=
+        |    (SELECT CAST(max(ts) AS TIMESTAMP) - INTERVAL 1 HOUR FROM events)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS recent_n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_event_type
+        |FROM events""".stripMargin,
+    "q_distinct_dims" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q_group_mean" ->
+      """SELECT event_type, round(avg(value), 6) AS avg_value,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_group_multi_agg" ->
+      """SELECT event_type,
+        |  round(avg(value), 6) AS avg_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  arg_min(user_id, event_id) AS first_user_id
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_global_stats" ->
+      """SELECT round(avg(value), 6) AS mean_value,
+        |  round(stddev_samp(value), 6) AS std_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(stddev_samp(value) / avg(value) * 100, 6) AS cv_pct,
+        |  round(max(value) - min(value), 6) AS range_value
+        |FROM events""".stripMargin,
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS q1,
+        |  round(quantile_cont(value, 0.5), 6) AS median,
+        |  round(quantile_cont(value, 0.75), 6) AS q3,
+        |  round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT CAST(least(floor((value - lo) / ((hi - lo) / 30)), 29) AS BIGINT) AS bin,
+        |  round(lo + CAST(least(floor((value - lo) / ((hi - lo) / 30)), 29) AS BIGINT)
+        |    * (hi - lo) / 30, 6) AS bin_start,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events, b GROUP BY 1, 2""".stripMargin,
+    "q_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_l_quantity_l_extendedprice,
+        |  round(corr(l_extendedprice, l_discount), 6) AS corr_l_extendedprice_l_discount,
+        |  round(corr(l_quantity, l_discount), 6) AS corr_l_quantity_l_discount
+        |FROM lineitem""".stripMargin,
+    "q_iqr_anomaly" ->
+      """WITH q AS (SELECT quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3 FROM events),
+        |b AS (SELECT q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  round(min(lo), 6) AS lo_bound,
+        |  round(max(hi), 6) AS hi_bound
+        |FROM events, b GROUP BY 1""".stripMargin,
+    "q_alerts" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |  CASE WHEN value > 200 THEN 'high_value' ELSE 'low_value' END AS alert_type,
+        |  CASE WHEN value > 300 OR value < 0.1 THEN 'critical' ELSE 'warning' END AS severity
+        |FROM events WHERE value > 200 OR value < 1""".stripMargin,
+    "q_alert_severity_rollup" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN (value > 200 OR value < 1) AND (value > 300 OR value < 0.1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+        |  CAST(sum(CASE WHEN (value > 200 OR value < 1) AND NOT (value > 300 OR value < 0.1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_warning,
+        |  CAST(sum(CASE WHEN value > 200 OR value < 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_status_classify" ->
+      """SELECT event_type, round(avg(value), 6) AS avg_value,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CASE WHEN round(avg(value), 6) > 55.0 THEN 'High'
+        |       WHEN round(avg(value), 6) < 45.0 THEN 'Low'
+        |       ELSE 'Normal' END AS status,
+        |  CASE WHEN round(avg(value), 6) > 55.0 THEN 'red'
+        |       WHEN round(avg(value), 6) < 45.0 THEN 'blue'
+        |       ELSE 'green' END AS color
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_geo_rollup" ->
+      """WITH dim AS (SELECT event_type, site, CAST(lat AS DOUBLE) AS lat,
+        |    CAST(lon AS DOUBLE) AS lon
+        |  FROM (VALUES
+        |    ('click', 'web_frontend', 40.7128, -74.0060),
+        |    ('view', 'web_frontend', 40.7260, -73.9897),
+        |    ('purchase', 'checkout', 40.7489, -73.9680),
+        |    ('signup', 'onboarding', 40.7549, -73.9840)) v(event_type, site, lat, lon)),
+        |a AS (SELECT event_type, round(avg(value), 6) AS avg_value,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT a.event_type, a.avg_value, a.n,
+        |  coalesce(lat, 0.0) AS lat,
+        |  coalesce(lon, 0.0) AS lon,
+        |  coalesce(site, 'unknown') AS site,
+        |  CASE WHEN avg_value > 55.0 THEN 'High'
+        |       WHEN avg_value < 45.0 THEN 'Low'
+        |       ELSE 'Normal' END AS status
+        |FROM a LEFT JOIN dim USING (event_type)""".stripMargin,
+    "q_derived_string" ->
+      """SELECT DISTINCT event_type, event_type || '_zone' AS label_raw,
+        |  array_to_string(list_transform(
+        |    string_split(replace(event_type || '_zone', '_', ' '), ' '),
+        |    w -> upper(w[1]) || lower(w[2:])), ' ') AS label_clean
+        |FROM events ORDER BY event_type""".stripMargin,
+    "q_format_project" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+        |  printf('%.2f', value) AS value_str,
+        |  'U' || printf('%05d', user_id) AS user_code
+        |FROM events""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_elapsed" ->
+      """WITH t0 AS (SELECT event_type,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  epoch_us(CAST(e.ts AS TIMESTAMP)) - t0.t0 AS elapsed_us
+        |FROM events e JOIN t0 USING (event_type)""".stripMargin,
+    "q_interval_arith" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts_plus_1h,
+        |  CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE AS ts_minus_30m,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_sec
+        |FROM events""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT event_id, event_type, value,
+        |  round(avg(value) OVER (PARTITION BY event_type
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS ma,
+        |  value - lag(value) OVER (PARTITION BY event_type
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS diff1
+        |FROM events""".stripMargin,
+    "q_trend" ->
+      """WITH ma AS (
+        |  SELECT event_type,
+        |    avg(value) OVER (PARTITION BY event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ma,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |s AS (SELECT event_type,
+        |    (max(CASE WHEN rn = 1 THEN ma END)
+        |      - max(CASE WHEN rn = 20 THEN ma END)) / 19 AS slope
+        |  FROM ma WHERE rn = 1 OR rn = 20 GROUP BY 1)
+        |SELECT event_type, round(slope, 6) AS slope,
+        |  CASE WHEN slope > 0.01 THEN 'rising'
+        |       WHEN slope < -0.01 THEN 'falling'
+        |       ELSE 'stable' END AS trend
+        |FROM s""".stripMargin,
+    "q_forecast" ->
+      """WITH t0 AS (SELECT event_type,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT e.event_type, e.event_id, e.value,
+        |    (epoch_us(CAST(e.ts AS TIMESTAMP)) - t0.t0) / 1e6 AS x
+        |  FROM events e JOIN t0 USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(regr_slope(value, x), 9) AS slope,
+        |  round(regr_intercept(value, x), 6) AS intercept,
+        |  round(regr_r2(value, x), 6) AS r2,
+        |  round(regr_intercept(value, x)
+        |    + regr_slope(value, x) * (max(x) + 3600.0), 6) AS forecast,
+        |  arg_max(value, event_id) AS current_value
+        |FROM x GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
   )
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Group-by and global statistical aggregations (SURVEY.md §2.4 A3-A12).
+  *
+  * All are single-pass hash aggregations: Spark plans partial (map-side)
+  * + final aggregation around one shuffle on the grouping key, so the
+  * full fact table never moves — only per-group partial states do. That
+  * is the property that keeps these correct-and-fast at 100 TB.
+  *
+  * Mirrors the pandas analytics layer of the reference
+  * (reference/streamlit_dashboard.py:450-456,555-558,632-665;
+  * reference/app.py:404,465-483).
+  */
+object Rollups {
+
+  /** Per-group mean + count (reference/streamlit_dashboard.py:555-558). */
+  def groupMean(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(round(avg(valueCol), 6).as(s"avg_$valueCol"),
+        count(lit(1)).as("n"))
+
+  /** Per-group multi-aggregate with a deterministic "first" — the
+    * reference uses pandas `first` on constant-per-group columns
+    * (reference/app.py:541-549); here `min_by` over a unique order column
+    * keeps it deterministic under any partitioning.
+    */
+  def groupMultiAgg(df: DataFrame, key: String, valueCol: String,
+      firstCol: String, orderCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        round(avg(valueCol), 6).as(s"avg_$valueCol"),
+        min(valueCol).as(s"min_$valueCol"),
+        max(valueCol).as(s"max_$valueCol"),
+        count(lit(1)).as("n"),
+        min_by(col(firstCol), col(orderCol)).as(s"first_$firstCol"))
+
+  /** Global descriptive stats: mean/std/min/max/count plus coefficient of
+    * variation and range (reference/streamlit_dashboard.py:632-637;
+    * pandas `std` is sample std, ddof=1 → stddev_samp).
+    */
+  def globalStats(df: DataFrame, c: String): DataFrame =
+    df.agg(
+        avg(c).as("__mean"),
+        stddev_samp(c).as("__std"),
+        min(c).as(s"min_$c"),
+        max(c).as(s"max_$c"),
+        count(lit(1)).as("n"))
+      .select(
+        round(col("__mean"), 6).as(s"mean_$c"),
+        round(col("__std"), 6).as(s"std_$c"),
+        col(s"min_$c"), col(s"max_$c"), col("n"),
+        round(col("__std") / col("__mean") * 100, 6).as("cv_pct"),
+        round(col(s"max_$c") - col(s"min_$c"), 6).as(s"range_$c"))
+
+  /** Exact interpolated quartiles per group (reference IQR inputs,
+    * reference/streamlit_dashboard.py:191-201). Exact `percentile` (not
+    * approx) matches pandas/DuckDB linear interpolation; swap to
+    * `percentile_approx` at scales where an exact sort-based quantile is
+    * too expensive and approximation is acceptable.
+    */
+  def quantiles(df: DataFrame, key: String, c: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("__q"))
+      .select(
+        col(key),
+        round(element_at(col("__q"), 1), 6).as("q1"),
+        round(element_at(col("__q"), 2), 6).as("median"),
+        round(element_at(col("__q"), 3), 6).as("q3"),
+        round(element_at(col("__q"), 3) - element_at(col("__q"), 1), 6).as("iqr"))
+
+  /** Equi-width histogram (reference/streamlit_dashboard.py:648-650,
+    * 30 bins). Two-phase: 1-row min/max bounds broadcast onto the scan,
+    * then a hash agg on the bin index — never a collect to the driver.
+    */
+  def histogram(df: DataFrame, c: String, nBins: Int): DataFrame = {
+    val bounds = df.agg(min(col(c)).as("__lo"), max(col(c)).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .select(
+        least(floor((col(c) - col("__lo")) / ((col("__hi") - col("__lo")) / nBins)),
+          lit(nBins - 1)).cast("long").as("bin"),
+        col("__lo"), col("__hi"))
+      .groupBy("bin", "__lo", "__hi")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bin"),
+        round(col("__lo") + col("bin") * (col("__hi") - col("__lo")) / nBins, 6)
+          .as("bin_start"),
+        col("n"))
+  }
+
+  /** Pairwise Pearson correlations in one aggregation pass
+    * (reference/streamlit_dashboard.py:657,664 — the 3×3 matrix's
+    * distinct off-diagonal cells).
+    */
+  def corrPairs(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val aggs: Seq[Column] = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"corr_${a}_$b")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dashboard-style scan operators (SURVEY.md §2.1 S9-S13).
+  *
+  * The reference issues these as SQL against PostgreSQL B-tree indexes
+  * (reference/streamlit_dashboard.py:74-79,107-112,130-171,
+  * reference/verify_data.py:17); here each is a declarative plan over the
+  * Parquet scan so Catalyst pushes the time predicate and projection into
+  * the scan (PushedFilters + ReadSchema) — the distributed analog of the
+  * reference's index scans.
+  *
+  * "Now"-relative predicates (`NOW() - INTERVAL …`,
+  * reference/streamlit_dashboard.py:151) are anchored to `max(ts)` of the
+  * input instead of the wall clock so results are deterministic and
+  * oracle-checkable. The 1-row bound is broadcast — no shuffle of the fact
+  * table, scale-safe at any input size.
+  */
+object Scans {
+
+  /** Time-range scan relative to the dataset's own high-water mark:
+    * rows with `tsCol >= max(tsCol) - lookback`
+    * (reference/streamlit_dashboard.py:107-112).
+    */
+  def timeRangeFromMax(df: DataFrame, tsCol: String, lookback: String): DataFrame = {
+    val bound = df.agg(max(col(tsCol)).as("__max_ts"))
+    df.crossJoin(broadcast(bound))
+      .filter(col(tsCol) >= col("__max_ts") - expr(s"INTERVAL $lookback"))
+      .drop("__max_ts")
+  }
+
+  /** One-row health metrics block: total rows, per-dim distinct counts,
+    * time span, and a recent-row count over a trailing interval — the
+    * reference's metrics header in one pass
+    * (reference/streamlit_dashboard.py:130-171: S10 count, S11 recent
+    * count, S12 max-timestamp freshness; A6 distinct counts :454-456).
+    */
+  def scanMetrics(df: DataFrame, tsCol: String, distinctCols: Seq[String],
+      recentInterval: String): DataFrame = {
+    val m = df.agg(max(col(tsCol)).as("__max_ts"))
+    val distinctAggs: Seq[Column] =
+      distinctCols.map(c => countDistinct(col(c)).as(s"n_distinct_$c"))
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("n_rows"),
+      min(col(tsCol)).as("min_ts"),
+      max(col(tsCol)).as("max_ts"),
+      sum(when(col(tsCol) >= col("__max_ts") - expr(s"INTERVAL $recentInterval"), 1L)
+        .otherwise(0L)).as("recent_n")) ++ distinctAggs
+    df.crossJoin(broadcast(m)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sorted distinct values of a dimension column — the reference's filter
+    * dropdowns (reference/streamlit_dashboard.py:392-395; A7/O3).
+    */
+  def distinctSorted(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).distinct().orderBy(col(c))
+
+  /** Latest-N scan: ORDER BY ts DESC LIMIT n
+    * (reference/verify_data.py:17; streamlit_dashboard.py:590-598).
+    * Plans as TakeOrderedAndProject — per-partition top-N then a driver
+    * merge of N×partitions rows; no global sort is materialized.
+    */
+  def latestN(df: DataFrame, tsCol: String, tiebreak: String, n: Int): DataFrame =
+    df.orderBy(col(tsCol).desc, col(tiebreak)).limit(n)
+}

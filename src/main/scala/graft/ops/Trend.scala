@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic window operators: trailing moving average, first difference,
+  * and trend classification (SURVEY.md §2.5 W1/W2, §2.9 ML5).
+  *
+  * Semantics of reference/streamlit_dashboard.py:676-696:
+  *   - 20-row trailing mean with `min_periods=1` — pandas' shrinking
+  *     leading frame is exactly Spark's `rowsBetween(-19, 0)`;
+  *   - first difference via `lag`;
+  *   - trend = mean of the last 20 first-differences of the MA series,
+  *     which telescopes to (MA_last − MA_20th-from-last) / 19, classified
+  *     rising / falling / stable at ±0.01.
+  *
+  * Windows are ALWAYS partitioned by the series key — an unpartitioned
+  * `orderBy` window would pull the whole table through one task and is a
+  * scale-killer. With low-cardinality keys the per-key partition is still
+  * one task; at 100 TB the key is expected to be high-cardinality
+  * (sensor/device id), which is the layout this operator is designed for.
+  */
+object Trend {
+
+  /** Adds `ma` (n-row trailing mean) and `diff1` (x − lag(x)) per key,
+    * ordered by `order` (include a unique tiebreaker for determinism).
+    */
+  def movingAvg(df: DataFrame, key: String, order: Seq[String],
+      valueCol: String, n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+    df.withColumn("ma",
+        round(avg(col(valueCol)).over(w.rowsBetween(-(n - 1), 0)), 6))
+      .withColumn("diff1", col(valueCol) - lag(col(valueCol), 1).over(w))
+  }
+
+  /** Per-key trend slope + classification
+    * (reference/streamlit_dashboard.py:688-696): slope is the mean of the
+    * last n first-differences of the n-row MA = (MA@last − MA@last−(n−1))/(n−1).
+    */
+  def classify(df: DataFrame, key: String, order: Seq[String],
+      valueCol: String, n: Int = 20, eps: Double = 0.01): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+    val wDesc = Window.partitionBy(col(key))
+      .orderBy(order.map(c => col(c).desc): _*)
+    val withMa = df
+      .withColumn("__ma", avg(col(valueCol)).over(w.rowsBetween(-(n - 1), 0)))
+      .withColumn("__rn", row_number().over(wDesc))
+      .filter(col("__rn") === 1 || col("__rn") === n)
+    withMa.groupBy(col(key))
+      .agg(((max(when(col("__rn") === 1, col("__ma")))
+          - max(when(col("__rn") === n, col("__ma")))) / (n - 1)).as("__slope"))
+      .select(
+        col(key),
+        round(col("__slope"), 6).as("slope"),
+        when(col("__slope") > eps, "rising")
+          .when(col("__slope") < -eps, "falling")
+          .otherwise("stable").as("trend"))
+  }
+}
