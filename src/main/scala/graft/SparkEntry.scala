@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
 import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Trend, WindowedAgg}
 import graft.sources.Tables
 
@@ -226,6 +227,77 @@ object SparkEntry {
     "q_forecast" -> ((s, dir) =>
       Forecast.ols(Tables.events(s, dir), "event_type", "ts", "value",
         "event_id")),
+
+    // ==== LLM-pipeline extension operators (documents / embeddings) ====
+
+    // ---- text stats rollup per language ----
+    "q_text_stats" -> ((s, dir) =>
+      TextStats.langRollup(Tables.documents(s, dir), "text", "lang")),
+
+    // ---- per-document quality scoring ----
+    "q_text_quality" -> ((s, dir) =>
+      TextStats.withQuality(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("avg_word_len"),
+          col("stop_ratio"), col("quality_score"))),
+
+    // ---- language-ID heuristic vs labeled lang ----
+    "q_lang_id" -> ((s, dir) =>
+      TextStats.langId(Tables.documents(s, dir), "text")
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- normalized-content fingerprint ----
+    "q_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprint(Tables.documents(s, dir), "text", "fp")
+        .select(col("doc_id"), col("fp"), col("n_chars"))),
+
+    // ---- exact dedup summary (SHA-256 content hash) ----
+    "q_dedup_docs" -> ((s, dir) =>
+      Dedup.exactSummary(Tables.documents(s, dir), "text")),
+
+    // ---- key-based dedup over events ----
+    "q_dedup_keys" -> ((s, dir) =>
+      Dedup.byKeys(Tables.events(s, dir), Seq("user_id", "event_type"),
+        "event_id")),
+
+    // ---- exact n-gram Jaccard near-dup pairs (shingle-share candidates) ----
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 8)),
+
+    // ---- brute-force cosine top-k vs query vector ----
+    "q_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryId = 0L, k = 10)),
+
+    // ---- embedding corpus stats per label ----
+    "q_embed_stats" -> ((s, dir) =>
+      Similarity.stats(Tables.embeddings(s, dir), "label", "embedding")),
+
+    // ---- multimodal payload metadata (binary column plumbing) ----
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.attach(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_bytes"), col("mime"), col("source"))),
+
+    // ---- MinHash signatures (no SQL oracle: engine-specific hash) ----
+    "q_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, nPerms = 16)
+        .select(col("doc_id"), col("sig_0"), col("sig_1"), col("sig_2"),
+          col("sig_3"))),
+
+    // ---- SimHash signatures (no SQL oracle: engine-specific hash) ----
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- IVF-style approximate NN (no oracle: approximate by design) ----
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", queryId = 0L, k = 10, nProbe = 2)),
+
+    // ---- multimodal feature extraction (stubbed decode, mapPartitions) ----
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.records(s, Tables.documents(s, dir))).toDF()),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -452,5 +524,77 @@ object SparkEntry {
         |    + regr_slope(value, x) * (max(x) + 3600.0), 6) AS forecast,
         |  arg_max(value, event_id) AS current_value
         |FROM x GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  round(avg(length(text)), 6) AS avg_len,
+        |  round(avg(length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |  round(length(replace(text, ' ', ''))
+        |    / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_word_len,
+        |  round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+        |    / (length(text) - length(replace(text, ' ', '')) + 1), 6) AS stop_ratio,
+        |  round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
+        |    * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+        |      / (length(text) - length(replace(text, ' ', '')) + 1)), 6) AS quality_score
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """SELECT lang,
+        |  CASE WHEN len(list_filter(string_split(text, ' '),
+        |    w -> w IN ('the', 'a'))) > 0 THEN 'en' ELSE 'other' END AS predicted_lang,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  n_chars
+        |FROM documents""".stripMargin,
+    "q_dedup_docs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+        |  CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_dup_rows
+        |FROM documents""".stripMargin,
+    "q_dedup_keys" ->
+      """SELECT user_id, event_type, min(event_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT p.d1, p.d2, p.shared, c1.n_sh AS n1, c2.n_sh AS n2,
+        |  round(p.shared / (c1.n_sh + c2.n_sh - p.shared), 6) AS jaccard
+        |FROM pairs p
+        |JOIN cnt c1 ON p.d1 = c1.doc_id
+        |JOIN cnt c2 ON p.d2 = c2.doc_id""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+        |    / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        |         * list_dot_product(qe, qe)), 6) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+        |    / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        |         * list_dot_product(qe, qe)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    "q_embed_stats" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+        |  round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_c0
+        |FROM embeddings GROUP BY 1""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  'text/plain' AS mime, source
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash),
+  * key-based, exact n-gram Jaccard on shingle-share candidates, MinHash
+  * signatures with LSH banding, and SimHash with chunk-based banding.
+  *
+  * Scale posture: every variant avoids the all-pairs O(n²) comparison.
+  * Candidates come from equality joins on content keys (hash / shingle /
+  * band / chunk), so the only shuffles are hash-partitioned on those keys
+  * and the pair set is proportional to true collisions, not n².
+  */
+object Dedup {
+
+  /** One-row exact-duplication summary over a content hash
+    * (SHA-256 of the raw text).
+    */
+  def exactSummary(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(sha2(col(textCol), 256)).as("n_unique"),
+      (count(lit(1)) - countDistinct(sha2(col(textCol), 256))).as("n_dup_rows"))
+
+  /** Key-based dedup: one surviving row id per key group + group size —
+    * `groupBy(keys).agg(min(id), count)` is the scalable form of
+    * `dropDuplicates` that also reports what was collapsed.
+    */
+  def byKeys(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct k-token shingles per document: (id, shingle) pairs.
+    * Shingling is a generate-and-explode projection; `distinct` collapses
+    * within-document repeats before the join so hot shingles don't
+    * multiply.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .select(col(idCol), explode(expr(
+        s"""CASE WHEN size(__t) >= $k
+           |THEN transform(sequence(1, size(__t) - ${k - 1}),
+           |  i -> concat_ws(' ', slice(__t, i, $k)))
+           |ELSE array() END""".stripMargin)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard over candidate pairs that share ≥1 k-shingle.
+    * Self-equi-join on the shingle key (shuffle on shingle, never n²),
+    * then |∩| / (|A| + |B| − |∩|) from per-doc shingle counts.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.withColumnRenamed(idCol, "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(counts.withColumnRenamed(idCol, "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 6)
+          .as("jaccard"))
+  }
+
+  /** MinHash signature: `nPerms` permutation minima over the document's
+    * k-shingle set, all in ONE grouped aggregation pass (each "permutation"
+    * is the same 64-bit hash salted with the permutation index). Output:
+    * id + sig_0..sig_{n−1} columns.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, nPerms: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val aggs: Seq[Column] = (0 until nPerms)
+      .map(p => min(xxhash64(col("shingle"), lit(p))).as(s"sig_$p"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over MinHash signatures: hash `rowsPerBand` consecutive
+    * signature components per band; docs sharing any (band, bandHash)
+    * bucket are near-dup candidates. Returns candidate pairs (d1 < d2)
+    * with the number of colliding bands.
+    */
+  def minhashCandidates(signatures: DataFrame, idCol: String,
+      nPerms: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = nPerms / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val comps = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(comps: _*).as("band_hash"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band")
+          && col("a.band_hash") === col("b.band_hash")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 64-bit SimHash over the token set: per-token 64-bit hash, bit-wise
+    * ±1 vote, sign → bit. One grouped aggregation with 64 conditional
+    * sums — no row explosion.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+    val bitAggs: Seq[Column] = (0 until 64).map { b =>
+      sum(when(expr(s"(__h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"__b$b")
+    }
+    val votes = toks.groupBy(col(idCol)).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"__b$b") > 0, expr(s"CAST(1 AS BIGINT) << $b"))
+        .otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit signature into four
+    * 16-bit chunks; Hamming distance ≤ 3 guarantees ≥1 identical chunk
+    * (pigeonhole), so chunk-equality buckets are a complete candidate set
+    * for distance ≤ 3 — verified exactly with bit_count(xor).
+    */
+  def simhashCandidates(sigs: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"), expr(s"(simhash >> ${c * 16}) & 65535").as("v")))
+    val banded = sigs
+      .select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("cc"))
+      .select(col(idCol), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

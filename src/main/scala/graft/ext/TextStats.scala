@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, and document fingerprinting.
+  *
+  * All pure narrow projections/aggregations — codegen'd expressions inside
+  * the scan stage, no shuffle except the final rollup. Token counting uses
+  * the separator-count identity (chars − non-space-chars + 1) rather than
+  * materializing a token array where only the count is needed — at 100 TB
+  * the array materialization is real memory pressure.
+  */
+object TextStats {
+
+  /** Tokens are space-separated; stopword hits are counted with a
+    * higher-order filter over the token array (no UDF).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  private def stopwordInList: String =
+    Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Adds `n_tokens`, `avg_word_len`, `stop_ratio`, `quality_score`.
+    * Quality = length saturation × (1 − stopword density) — the shape of
+    * common pretraining-corpus heuristics (length/punct/stopword ratios).
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens",
+        length(col(textCol)) - length(regexp_replace(col(textCol), " ", "")) + 1)
+      .withColumn("avg_word_len",
+        round(length(regexp_replace(col(textCol), " ", "")) / col("n_tokens"), 6))
+      .withColumn("stop_ratio",
+        round(expr(
+          s"size(filter(split($textCol, ' '), w -> w IN $stopwordInList))")
+          / col("n_tokens"), 6))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens") / lit(100.0))
+          * (lit(1.0) - expr(
+            s"size(filter(split($textCol, ' '), w -> w IN $stopwordInList))")
+            / col("n_tokens")), 6))
+
+  /** Per-language corpus stats rollup. */
+  def langRollup(df: DataFrame, textCol: String, langCol: String): DataFrame =
+    df.groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 6).as("avg_chars"),
+        round(avg(length(col(textCol))), 6).as("avg_len"),
+        round(avg(length(col(textCol))
+          - length(regexp_replace(col(textCol), " ", "")) + 1), 6).as("avg_tokens"))
+
+  /** N-gram-free language-ID heuristic: stopword density of the English
+    * function-word list. Real corpora would use per-language character
+    * n-gram profiles; the operator shape (token-set membership scoring →
+    * argmax label) is identical.
+    */
+  def langId(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("predicted_lang",
+      when(expr(s"size(filter(split($textCol, ' '), w -> w IN $stopwordInList))")
+        > lit(0), "en").otherwise("other"))
+
+  /** Content fingerprint: hash of the whitespace-normalized, lowercased
+    * text — the canonical key for exact-after-normalization dedup.
+    */
+  def fingerprint(df: DataFrame, textCol: String, out: String): DataFrame =
+    df.withColumn(out,
+      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))))
+}
