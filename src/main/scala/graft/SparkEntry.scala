@@ -298,6 +298,16 @@ object SparkEntry {
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.records(s, Tables.documents(s, dir))).toDF()),
+
+    // ---- S4/S5: seeded deterministic generator (no oracle: engine hash) ----
+    "q_generator" -> ((s, _) =>
+      graft.gen.Generator.sensorReadings(s, days = 1)
+        .groupBy(col("sensor_id"), col("location"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("temperature"), 6).as("avg_temperature"),
+          round(min("humidity"), 6).as("min_humidity"),
+          round(max("humidity"), 6).as("max_humidity"))
+        .orderBy("sensor_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

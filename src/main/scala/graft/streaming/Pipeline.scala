@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.WindowedAgg
+
+/** The north-star streaming path (SURVEY.md §2.8, §3.1): event stream →
+  * watermarked 5-minute tumbling aggregate → dual sink (raw append + agg
+  * append), mirroring reference/spark_streaming.py:125-189.
+  *
+  * Differences from the reference, on purpose:
+  *   - per-query checkpoint directories (the reference shares one — the
+  *     latent bug called out in SURVEY ST6; two queries must not share
+  *     offsets/state);
+  *   - sinks are Parquet appends (data-lake posture) instead of JDBC;
+  *   - the aggregate sink keeps the reference's non-empty-batch guard
+  *     (reference/spark_streaming.py:67) via `foreachBatch`.
+  *
+  * Source wiring is the caller's: any streaming DataFrame with the
+  * sensor-reading schema works (Kafka `readStream` in production,
+  * MemoryStream / file / rate source in tests) — the bridge protocol in
+  * the reference (MQTT→Kafka) is pass-through, so Kafka source semantics
+  * cover it.
+  */
+object Pipeline {
+
+  /** Watermarked windowed aggregate plan (streaming or batch): event-time
+    * watermark bounds state (late rows within `watermark` update their
+    * window; later ones are dropped), then the reference's 5-minute
+    * per-sensor rollup. One shuffle on (sensor_id, window); state per
+    * open (key, window) pair only.
+    */
+  def watermarkedRollup(readings: DataFrame, watermark: String = "10 minutes",
+      width: String = "5 minutes"): DataFrame =
+    WindowedAgg.sensorRollup(
+      readings.withWatermark("timestamp", watermark), width)
+
+  /** Raw passthrough sink: append every micro-batch to `$outDir/raw`
+    * (reference write_raw_data, spark_streaming.py:52-62,145-148).
+    */
+  def startRawSink(readings: DataFrame, outDir: String, checkpointRoot: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    readings.writeStream
+      .format("parquet")
+      .option("path", s"$outDir/raw")
+      .option("checkpointLocation", s"$checkpointRoot/raw")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** Aggregate sink: append-mode windowed rollup to `$outDir/agg`,
+    * non-empty-batch guard preserved
+    * (reference write_aggregated_data, spark_streaming.py:64-75,152-181).
+    */
+  def startAggSink(readings: DataFrame, outDir: String, checkpointRoot: String,
+      watermark: String = "10 minutes", width: String = "5 minutes",
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    watermarkedRollup(readings, watermark, width).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/agg")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("append").parquet(s"$outDir/agg")
+        }
+      }
+      .start()
+
+  /** Dual-sink fan-out: the two independent queries of the reference
+    * (spark_streaming.py:145-189) off one logical stream. Returns both
+    * queries; callers use `spark.streams.awaitAnyTermination()` (prod) or
+    * `processAllAvailable()` (tests).
+    */
+  def startDual(readings: DataFrame, outDir: String, checkpointRoot: String,
+      trigger: Trigger = Trigger.ProcessingTime(0)): Seq[StreamingQuery] =
+    Seq(
+      startRawSink(readings, outDir, checkpointRoot, trigger),
+      startAggSink(readings, outDir, checkpointRoot, trigger = trigger))
+}

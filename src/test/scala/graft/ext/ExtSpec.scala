@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+    (3L, "completely different words about spark query engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog today")    // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactSummary counts content-hash duplicates") {
+    val r = Dedup.exactSummary(docs, "text").collect().head
+    assert(r.getAs[Long]("n_docs") === 4)
+    assert(r.getAs[Long]("n_unique") === 3)
+    assert(r.getAs[Long]("n_dup_rows") === 1)
+  }
+
+  test("ngramJaccardPairs finds near-dups through shared shingles, never unrelated pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5)
+      .orderBy("d1", "d2").collect()
+    val keys = pairs.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(keys.contains((1L, 2L))) // near-dup pair found
+    assert(keys.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L }) // unrelated absent
+    val exact = pairs.find(r => r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 4L).get
+    assert(exact.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("minhash: identical docs have identical signatures; banding buckets them") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 3, nPerms = 16)
+    val s1 = sigs.filter($"doc_id" === 1L).drop("doc_id").collect().head
+    val s4 = sigs.filter($"doc_id" === 4L).drop("doc_id").collect().head
+    assert(s1 === s4)
+    val cands = Dedup.minhashCandidates(sigs, "doc_id", nPerms = 16, rowsPerBand = 2)
+    val pairs = cands.collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(cands.filter($"d1" === 1L && $"d2" === 4L).collect().head
+      .getAs[Long]("n_bands") === 8) // all bands collide for identical docs
+  }
+
+  test("simhash: hamming 0 for identical docs, small for near-dups, candidates found") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+    val m = sigs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(m(1L) === m(4L))
+    val ham12 = java.lang.Long.bitCount(m(1L) ^ m(2L))
+    val ham13 = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(ham12 < ham13) // near-dup closer than unrelated
+    val cands = Dedup.simhashCandidates(sigs, "doc_id", maxDist = 3)
+    val pairs = cands.collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters on orthogonal axes + the query in cluster A
+  private val vecs = Seq(
+    (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+    (1L, 0, Array(0.9f, 0.1f, 0.0f)),
+    (2L, 0, Array(0.95f, 0.05f, 0.0f)),
+    (3L, 1, Array(0.0f, 1.0f, 0.0f)),
+    (4L, 1, Array(0.0f, 0.9f, 0.1f))
+  ).toDF("vec_id", "label", "embedding")
+
+  test("brute-force cosine top-k is exact and ordered") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 2).collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 1L))
+    assert(top.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("cosine of orthogonal vectors is 0, identical is 1") {
+    val r = vecs.select(
+      Similarity.cosine(
+        col("embedding").cast("array<double>"),
+        array(lit(1.0), lit(0.0), lit(0.0))).as("c"))
+      .orderBy(col("c")).collect()
+    assert(math.abs(r.head.getAs[Double]("c")) < 1e-12)      // (0,1,0)
+    assert(math.abs(r.last.getAs[Double]("c") - 1.0) < 1e-12) // (1,0,0)
+  }
+
+  test("IVF with nProbe=1 searches only the query's cluster and agrees on top-1") {
+    val top = Similarity.ivfTopK(vecs, "vec_id", "embedding", "label", 0L, 2, nProbe = 1)
+      .collect()
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 1L))
+    assert(top.forall(_.getAs[Int]("label") === 0)) // cluster B never scanned
+  }
+
+  test("centroids: mean vector per bucket, dims in order") {
+    val c = Similarity.centroids(vecs, "label", "embedding")
+      .filter($"label" === 1).select("centroid").as[Seq[Double]].collect().head
+    assert(math.abs(c(0) - 0.0) < 1e-6)
+    assert(math.abs(c(1) - 0.95) < 1e-6)
+    assert(math.abs(c(2) - 0.05) < 1e-6)
+  }
+}
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count, word length, stopword ratio, quality") {
+    val df = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
+    val r = TextStats.withQuality(df, "text").collect().head
+    assert(r.getAs[Int]("n_tokens") === 6)
+    // non-space chars = 20 - 5 = 15 → avg word len 15/6
+    assert(math.abs(r.getAs[Double]("avg_word_len") - 15.0 / 6) < 1e-4)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 2.0 / 6) < 1e-4)
+    // quality = (6/100) · (1 − 2/6)
+    assert(math.abs(r.getAs[Double]("quality_score") - 0.06 * (1 - 2.0 / 6)) < 1e-4)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val fp = TextStats.fingerprint(df, "text", "fp").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary payload plumbing: typed records round-trip with byte-exact sizes") {
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.records(spark, df))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes === 3)
+    assert(math.abs(feats(1L).byte_mean - ('a' + 'b' + 'c') / 3.0) < 1e-6)
+    assert(feats(2L).n_bytes === 0)
+    assert(feats(2L).byte_mean === 0.0) // empty payload guard
+  }
+}

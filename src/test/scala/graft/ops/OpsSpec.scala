@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WindowedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("5-minute tumbling windows aggregate per key and flatten the struct") {
+    val df = Seq(
+      ("s1", ts("2024-01-01 00:01:00"), 10.0),
+      ("s1", ts("2024-01-01 00:04:59"), 20.0),
+      ("s1", ts("2024-01-01 00:05:00"), 30.0),
+      ("s2", ts("2024-01-01 00:02:00"), 40.0)
+    ).toDF("k", "t", "v")
+    val out = WindowedAgg.tumbling(df, "t", "k", "v")
+      .orderBy("k", "window_start").collect()
+    assert(out.length === 3)
+    val first = out.head
+    assert(first.getAs[String]("k") === "s1")
+    assert(first.getAs[java.sql.Timestamp]("window_start") === ts("2024-01-01 00:00:00"))
+    assert(first.getAs[java.sql.Timestamp]("window_end") === ts("2024-01-01 00:05:00"))
+    assert(first.getAs[Double]("avg_value") === 15.0)
+    assert(first.getAs[Long]("reading_count") === 2L)
+    assert(out(1).getAs[Double]("min_value") === 30.0)
+  }
+
+  test("sensorRollup matches the reference aggregate schema") {
+    val df = Seq(
+      ("SENSOR_001", "warehouse_a", ts("2024-01-01 00:00:30"), 20.0, 50.0, 1000.0),
+      ("SENSOR_001", "warehouse_a", ts("2024-01-01 00:01:30"), 22.0, 52.0, 1002.0)
+    ).toDF("sensor_id", "location", "timestamp", "temperature", "humidity", "pressure")
+    val out = WindowedAgg.sensorRollup(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Double]("avg_temperature") === 21.0)
+    assert(r.getAs[Double]("min_temperature") === 20.0)
+    assert(r.getAs[Double]("max_temperature") === 22.0)
+    assert(r.getAs[Long]("reading_count") === 2L)
+  }
+}
+
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IQR bounds are exact interpolated quartiles ± 1.5·IQR") {
+    // values 1..8: Q1 = 2.75, Q3 = 6.25, IQR = 3.5 → lo = -2.5, hi = 11.5
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val b = Anomaly.iqrBounds(df, "v").collect().head
+    assert(math.abs(b.getAs[Double]("lo") - (-2.5)) < 1e-12)
+    assert(math.abs(b.getAs[Double]("hi") - 11.5) < 1e-12)
+  }
+
+  test("flag marks strictly-outside values only; bounds are global") {
+    val df = (Seq.fill(50)(10.0) ++ Seq(100.0, -100.0)).toDF("v")
+    val flagged = Anomaly.flag(df, "v", Anomaly.iqrBounds(df, "v"))
+    assert(flagged.filter(col("is_anomaly")).count() === 2)
+  }
+}
+
+class AlertsSpec extends SparkSpec {
+  import spark.implicits._
+  private val t = Alerts.Thresholds(high = 30.0, low = 15.0,
+    criticalHigh = 35.0, criticalLow = 10.0)
+
+  test("threshold boundaries are strict (reference uses > and <)") {
+    val df = Seq(30.0, 30.01, 15.0, 14.99, 35.0, 35.01, 10.0, 9.99)
+      .toDF("v").withColumn("id", monotonically_increasing_id())
+    val alerts = Alerts.extract(df, "v", t)
+    // 30.0 and 15.0 are NOT alerts; 35.0 is alert (>30) but not critical
+    assert(alerts.count() === 6)
+    val bySeverity = alerts.groupBy("severity").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySeverity("critical") === 2) // 35.01 and 9.99
+    assert(bySeverity("warning") === 4)  // 30.01, 14.99, 35.0, 10.0
+  }
+
+  test("severityRollup counts agree with row-level extraction") {
+    val df = Seq(("a", 40.0), ("a", 31.0), ("a", 20.0), ("b", 5.0), ("b", 12.0))
+      .toDF("k", "v")
+    val r = Alerts.severityRollup(df, "v", t, "k")
+      .orderBy("k").collect()
+    assert(r(0).getAs[Long]("n_critical") === 1) // 40
+    assert(r(0).getAs[Long]("n_warning") === 1)  // 31
+    assert(r(0).getAs[Long]("n_alerts") === 2)
+    assert(r(1).getAs[Long]("n_critical") === 1) // 5 < 10
+    assert(r(1).getAs[Long]("n_warning") === 1)  // 12
+  }
+}
+
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("moving average has pandas min_periods=1 semantics (shrinking head)") {
+    val df = Seq(("k", 1, 2.0), ("k", 2, 4.0), ("k", 3, 6.0))
+      .toDF("g", "i", "v")
+    val ma = Trend.movingAvg(df, "g", Seq("i"), "v", n = 20)
+      .orderBy("i").select("ma").as[Double].collect()
+    assert(ma.toSeq === Seq(2.0, 3.0, 4.0))
+  }
+
+  test("first difference via lag; null on first row") {
+    val df = Seq(("k", 1, 2.0), ("k", 2, 5.0)).toDF("g", "i", "v")
+    val d = Trend.movingAvg(df, "g", Seq("i"), "v")
+      .orderBy("i").select("diff1").collect()
+    assert(d(0).isNullAt(0))
+    assert(d(1).getDouble(0) === 3.0)
+  }
+
+  test("classify: rising for steep linear series, stable for constant") {
+    val rising = (1 to 60).map(i => ("k", i, i.toDouble)).toDF("g", "i", "v")
+    val r = Trend.classify(rising, "g", Seq("i"), "v").collect().head
+    // MA of a linear series is linear → slope of MA tail = 1.0 per row
+    assert(math.abs(r.getAs[Double]("slope") - 1.0) < 1e-9)
+    assert(r.getAs[String]("trend") === "rising")
+
+    val flat = (1 to 60).map(i => ("k", i, 7.0)).toDF("g", "i", "v")
+    val f = Trend.classify(flat, "g", Seq("i"), "v").collect().head
+    assert(f.getAs[Double]("slope") === 0.0)
+    assert(f.getAs[String]("trend") === "stable")
+  }
+}
+
+class ForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfectly linear series: R²=1, exact slope/intercept/extrapolation") {
+    // y = 2·x + 5 with x in seconds from group start (60 s cadence)
+    val rows = (0 until 20).map { i =>
+      ("k", i.toLong, new java.sql.Timestamp(1704067200000L + i * 60000L),
+        5.0 + 2.0 * (i * 60))
+    }
+    val df = rows.toDF("k", "id", "t", "v")
+    val r = Forecast.ols(df, "k", "t", "v", "id").collect().head
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 5.0) < 1e-6)
+    assert(r.getAs[Double]("r2") === 1.0)
+    // forecast at max_x + 3600 = 1140 + 3600 = 4740 → 5 + 2·4740 = 9485
+    assert(math.abs(r.getAs[Double]("forecast") - 9485.0) < 1e-6)
+    assert(r.getAs[Double]("current_value") === 5.0 + 2.0 * 1140)
+  }
+
+  test("groups below minRows are dropped") {
+    val df = (0 until 5).map(i =>
+      ("small", i.toLong, new java.sql.Timestamp(1704067200000L + i * 1000L), 1.0))
+      .toDF("k", "id", "t", "v")
+    assert(Forecast.ols(df, "k", "t", "v", "id").count() === 0)
+  }
+}
+
+class RollupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram bins span [min,max] with max clamped into last bin") {
+    val df = (0 to 30).map(_.toDouble).toDF("v") // min 0, max 30, width 1
+    val h = Rollups.histogram(df, "v", 30).orderBy("bin").collect()
+    assert(h.length === 30)
+    assert(h.head.getAs[Long]("bin") === 0L)
+    assert(h.last.getAs[Long]("bin") === 29L)
+    // value 30.0 (== max) lands in bin 29 → bin 29 holds {29, 30}
+    assert(h.last.getAs[Long]("n") === 2L)
+    assert(h.head.getAs[Double]("bin_start") === 0.0)
+  }
+
+  test("globalStats: sample stddev and CV") {
+    val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("v")
+    val r = Rollups.globalStats(df, "v").collect().head
+    assert(r.getAs[Double]("mean_v") === 5.0)
+    assert(math.abs(r.getAs[Double]("std_v") - 2.13809) < 1e-4)
+    assert(r.getAs[Double]("range_v") === 7.0)
+  }
+}

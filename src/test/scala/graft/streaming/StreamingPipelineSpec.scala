@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.SensorReading
+import graft.ops.WindowedAgg
+
+/** Streaming-semantics tests (SURVEY §5.2 layer 3): MemoryStream replay of
+  * an out-of-order sequence, asserting the exact watermark behavior the
+  * reference documents (reference/Project Depth.md:69-74): a row ≤10 min
+  * late updates its window; a row arriving after the watermark passed its
+  * window is dropped; append mode emits a window only once finalized.
+  */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reading(t: String, temp: Double) =
+    SensorReading("SENSOR_001", "warehouse_a", ts(t), temp, 50.0, 1000.0)
+
+  test("watermark: late-within-bound updates its window; too-late row is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val query = Pipeline.watermarkedRollup(mem.toDF()).writeStream
+      .format("memory").queryName("wm_test").outputMode("append").start()
+    try {
+      // Batch 1: two rows in window [00:00,00:05) → watermark well before window end
+      mem.addData(reading("2024-01-01 00:01:00", 10.0))
+      mem.addData(reading("2024-01-01 00:04:00", 20.0))
+      query.processAllAvailable()
+      // Batch 2: a row 4 minutes late for the same window (within 10-min
+      // watermark) must still be folded into the open window state.
+      mem.addData(reading("2024-01-01 00:02:00", 30.0))
+      query.processAllAvailable()
+      // nothing emitted yet: window [00:00,00:05) closes only when
+      // watermark (= max event time − 10 min) passes 00:05
+      assert(spark.table("wm_test").isEmpty)
+
+      // Batch 3: advance event time far past 00:05 + 10 min → flush
+      mem.addData(reading("2024-01-01 00:30:00", 99.0))
+      query.processAllAvailable()
+      val emitted = spark.table("wm_test").collect()
+      assert(emitted.length === 1)
+      val w = emitted.head
+      assert(w.getAs[java.sql.Timestamp]("window_start") === ts("2024-01-01 00:00:00"))
+      assert(w.getAs[Long]("reading_count") === 3L) // late row WAS included
+      assert(w.getAs[Double]("avg_temperature") === 20.0)
+
+      // Batch 4: a row for the already-finalized window, beyond the
+      // watermark → silently dropped, no duplicate emission.
+      mem.addData(reading("2024-01-01 00:03:00", 1000.0))
+      mem.addData(reading("2024-01-01 00:31:00", 99.0))
+      query.processAllAvailable()
+      val after = spark.table("wm_test")
+        .filter(col("window_start") === ts("2024-01-01 00:00:00")).collect()
+      assert(after.length === 1)
+      assert(after.head.getAs[Long]("reading_count") === 3L) // unchanged
+    } finally query.stop()
+  }
+
+  test("streaming output equals batch sensorRollup on the same input") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      reading("2024-01-01 00:01:00", 10.0),
+      reading("2024-01-01 00:04:00", 14.0),
+      reading("2024-01-01 00:06:00", 20.0),
+      reading("2024-01-01 00:11:00", 30.0),
+      // sentinel far ahead so every real window passes the watermark
+      reading("2024-01-01 01:00:00", 0.0))
+    val mem = MemoryStream[SensorReading]
+    val query = Pipeline.watermarkedRollup(mem.toDF()).writeStream
+      .format("memory").queryName("parity_test").outputMode("append").start()
+    try {
+      rows.foreach(r => mem.addData(r))
+      query.processAllAvailable()
+      val streamed = spark.table("parity_test")
+        .filter(col("window_start") < ts("2024-01-01 01:00:00"))
+        .orderBy("window_start").collect()
+      val batch = WindowedAgg.sensorRollup(rows.toDF())
+        .filter(col("window_start") < ts("2024-01-01 01:00:00"))
+        .orderBy("window_start").collect()
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.length === 3)
+    } finally query.stop()
+  }
+
+  test("dual sink writes raw + agg parquet with per-query checkpoints; empty agg batches skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val mem = MemoryStream[SensorReading]
+    val queries = Pipeline.startDual(mem.toDF(), out, ckpt)
+    try {
+      mem.addData(reading("2024-01-01 00:01:00", 10.0))
+      queries.foreach(_.processAllAvailable())
+      // second batch advances the watermark past 00:05 + 10 min → the
+      // first window flushes on a subsequent micro-batch
+      mem.addData(reading("2024-01-01 00:30:00", 20.0))
+      queries.foreach(_.processAllAvailable())
+      val raw = spark.read.parquet(s"$out/raw")
+      assert(raw.count() === 2)
+      val agg = spark.read.parquet(s"$out/agg")
+      // only the [00:00,00:05) window passed the watermark
+      assert(agg.count() === 1)
+      assert(agg.collect().head.getAs[Double]("avg_temperature") === 10.0)
+      // per-query checkpoints, not shared (reference ST6 bug fixed)
+      assert(new java.io.File(s"$ckpt/raw").exists())
+      assert(new java.io.File(s"$ckpt/agg").exists())
+    } finally queries.foreach(_.stop())
+  }
+}
