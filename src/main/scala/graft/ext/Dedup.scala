@@ -45,17 +45,33 @@ object Dedup {
            |ELSE array() END""".stripMargin)).as("shingle"))
       .distinct()
 
+  /** Distinct shingles keyed by 64-bit hash instead of the string — the
+    * join/shuffle currency for jaccard and minhash. Hashing before the
+    * shuffle cuts exchange volume ~8× (8-byte key vs ~50-byte string) and
+    * set sizes/intersections are unchanged modulo 64-bit collisions
+    * (~1e-19 per pair).
+    */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .select(col(idCol), explode(expr(
+        s"""CASE WHEN size(__t) >= $k
+           |THEN transform(sequence(1, size(__t) - ${k - 1}),
+           |  i -> xxhash64(concat_ws(' ', slice(__t, i, $k))))
+           |ELSE array() END""".stripMargin)).as("sh"))
+      .distinct()
+
   /** Exact n-gram Jaccard over candidate pairs that share ≥1 k-shingle.
     * Self-equi-join on the shingle key (shuffle on shingle, never n²),
     * then |∩| / (|A| + |B| − |∩|) from per-doc shingle counts.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
+    val sh = hashedShingles(df, idCol, textCol, k)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle")
+        col("a.sh") === col("b.sh")
           && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("shared"))
@@ -74,9 +90,9 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, nPerms: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
+    val sh = hashedShingles(df, idCol, textCol, k)
     val aggs: Seq[Column] = (0 until nPerms)
-      .map(p => min(xxhash64(col("shingle"), lit(p))).as(s"sig_$p"))
+      .map(p => min(xxhash64(col("sh"), lit(p))).as(s"sig_$p"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
