@@ -299,6 +299,12 @@ object SparkEntry {
       Multimodal.extractFeatures(
         Multimodal.records(s, Tables.documents(s, dir))).toDF()),
 
+    // ---- S14: storage-size metric (no oracle: filesystem metadata) ----
+    "q_storage_size" -> ((s, dir) =>
+      Scans.storageSize(s,
+        Seq("events", "documents", "embeddings", "lineitem")
+          .map(t => t -> s"$dir/$t.parquet").toMap)),
+
     // ---- S4/S5: seeded deterministic generator (no oracle: engine hash) ----
     "q_generator" -> ((s, _) =>
       graft.gen.Generator.sensorReadings(s, days = 1)

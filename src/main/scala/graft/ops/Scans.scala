@@ -64,4 +64,33 @@ object Scans {
     */
   def latestN(df: DataFrame, tsCol: String, tiebreak: String, n: Int): DataFrame =
     df.orderBy(col(tsCol).desc, col(tiebreak)).limit(n)
+
+  /** S12: freshness — latest event time + ingestion lag vs the wall clock
+    * (reference/streamlit_dashboard.py:155,161-171). Wall-clock-dependent,
+    * so excluded from the oracle set; the deterministic variant is
+    * [[scanMetrics]]'s max-anchored form.
+    */
+  def freshness(df: DataFrame, tsCol: String): DataFrame =
+    df.agg(max(col(tsCol)).as("max_ts"))
+      .select(col("max_ts"),
+        ((unix_micros(current_timestamp()) - unix_micros(col("max_ts")))
+          / lit(1e6)).as("lag_seconds"))
+
+  /** S14: storage-size metric — bytes on disk per table path, the engine
+    * metric behind the reference's `pg_database_size` panel
+    * (reference/streamlit_dashboard.py:158). A filesystem metadata call,
+    * not a data scan.
+    */
+  def storageSize(spark: org.apache.spark.sql.SparkSession,
+      tables: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.toSeq.sortBy(_._1).map { case (name, path) =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val bytes =
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      (name, bytes)
+    }.toDF("table_name", "bytes")
+  }
 }
