@@ -130,9 +130,19 @@ object SparkEntry {
       Rollups.groupMultiAgg(Tables.events(s, dir), "event_type", "value",
         "user_id", "event_id")),
 
-    // ---- A5/A9/A10: global descriptive stats + CV + range ----
+    // ---- A5/A10: global descriptive stats + CV + range ----
     "q_global_stats" -> ((s, dir) =>
       Rollups.globalStats(Tables.events(s, dir), "value")),
+
+    // ---- A9: pandas describe() block ----
+    "q_describe" -> ((s, dir) =>
+      Rollups.describe(Tables.events(s, dir), "value")),
+
+    // ---- P3: equality filter on dimension values + projection ----
+    "q_filter_equality" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === lit("purchase") && col("user_id") === lit(7))
+        .select(col("event_id"), col("ts"), col("value"))),
 
     // ---- A8: exact interpolated quartiles per group ----
     "q_quantiles" -> ((s, dir) =>
@@ -384,8 +394,23 @@ object SparkEntry {
         |  min(value) AS min_value,
         |  max(value) AS max_value,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  arg_min(user_id, event_id) AS first_user_id
+        |  arg_min(user_id, event_id) AS first_user_id,
+        |  arg_max(value, event_id) AS last_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_describe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(value), 6) AS mean,
+        |  round(stddev_samp(value), 6) AS std,
+        |  min(value) AS min,
+        |  round(quantile_cont(value, 0.25), 6) AS q1,
+        |  round(quantile_cont(value, 0.5), 6) AS median,
+        |  round(quantile_cont(value, 0.75), 6) AS q3,
+        |  max(value) AS max
+        |FROM events""".stripMargin,
+    "q_filter_equality" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |FROM events
+        |WHERE event_type = 'purchase' AND user_id = 7""".stripMargin,
     "q_global_stats" ->
       """SELECT round(avg(value), 6) AS mean_value,
         |  round(stddev_samp(value), 6) AS std_value,

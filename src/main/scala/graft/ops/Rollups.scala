@@ -22,10 +22,12 @@ object Rollups {
       .agg(round(avg(valueCol), 6).as(s"avg_$valueCol"),
         count(lit(1)).as("n"))
 
-  /** Per-group multi-aggregate with a deterministic "first" — the
+  /** Per-group multi-aggregate with deterministic "first"/"last" — the
     * reference uses pandas `first` on constant-per-group columns
-    * (reference/app.py:541-549); here `min_by` over a unique order column
-    * keeps it deterministic under any partitioning.
+    * (reference/app.py:541-549) and `iloc[-1]` for the current reading
+    * (W3, reference/streamlit_dashboard.py:719); here `min_by`/`max_by`
+    * over a unique order column keep both deterministic under any
+    * partitioning.
     */
   def groupMultiAgg(df: DataFrame, key: String, valueCol: String,
       firstCol: String, orderCol: String): DataFrame =
@@ -35,7 +37,25 @@ object Rollups {
         min(valueCol).as(s"min_$valueCol"),
         max(valueCol).as(s"max_$valueCol"),
         count(lit(1)).as("n"),
-        min_by(col(firstCol), col(orderCol)).as(s"first_$firstCol"))
+        min_by(col(firstCol), col(orderCol)).as(s"first_$firstCol"),
+        max_by(col(valueCol), col(orderCol)).as(s"last_$valueCol"))
+
+  /** A9: pandas `describe()` — count/mean/std/min/Q1/median/Q3/max in one
+    * aggregation (exact interpolated quantiles, sample stddev).
+    */
+  def describe(df: DataFrame, c: String): DataFrame =
+    df.agg(
+        count(lit(1)).as("n"),
+        round(avg(c), 6).as("mean"),
+        round(stddev_samp(c), 6).as("std"),
+        min(c).as("min"),
+        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("__q"),
+        max(c).as("max"))
+      .select(col("n"), col("mean"), col("std"), col("min"),
+        round(element_at(col("__q"), 1), 6).as("q1"),
+        round(element_at(col("__q"), 2), 6).as("median"),
+        round(element_at(col("__q"), 3), 6).as("q3"),
+        col("max"))
 
   /** Global descriptive stats: mean/std/min/max/count plus coefficient of
     * variation and range (reference/streamlit_dashboard.py:632-637;

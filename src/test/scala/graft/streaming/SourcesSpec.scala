@@ -18,6 +18,15 @@ class SourcesSpec extends SparkSpec {
     assert(parsed.getAs[java.sql.Timestamp]("timestamp") === ts("2024-01-01 00:01:00"))
   }
 
+  test("to_json -> parseJson wire round-trip preserves every field (F14)") {
+    val readings = Seq(graft.model.SensorReading(
+      "SENSOR_007", "data_center", ts("2024-03-05 10:20:30"), 18.25, 40.5, 999.9))
+    val wire = readings.toDF()
+      .select(to_json(struct(col("*"))).as("value"))
+    val back = Sources.parseJson(wire).as[graft.model.SensorReading].collect()
+    assert(back.toSeq === readings)
+  }
+
   test("malformed payloads become null rows and dropIncomplete guards them (P9)") {
     val df = Seq(
       """{"sensor_id":"SENSOR_001","location":"l","timestamp":"2024-01-01T00:00:00Z","temperature":1.0,"humidity":2.0,"pressure":3.0}""",
