@@ -279,6 +279,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id",
         "embedding", queryId = 0L, k = 10)),
 
+    // ---- brute-force cosine top-k via the native codegen'd expression ----
+    "q_cosine_topk_fast" -> ((s, dir) =>
+      Similarity.bruteForceTopKNative(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryId = 0L, k = 10)),
+
     // ---- embedding corpus stats per label ----
     "q_embed_stats" -> ((s, dir) =>
       Similarity.stats(Tables.embeddings(s, dir), "label", "embedding")),
@@ -616,6 +621,18 @@ object SparkEntry {
         |JOIN cnt c1 ON p.d1 = c1.doc_id
         |JOIN cnt c2 ON p.d2 = c2.doc_id""".stripMargin,
     "q_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+        |    / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        |         * list_dot_product(qe, qe)), 6) AS cosine
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+        |    / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        |         * list_dot_product(qe, qe)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    "q_cosine_topk_fast" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

@@ -46,6 +46,28 @@ object Similarity {
       .select(col(idCol), col("label"), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** [[bruteForceTopK]] with the native codegen'd
+    * [[graft.plans.CosineSimilarity]] expression instead of the
+    * interpreted higher-order-function formulation — same results
+    * bit-for-bit (same summation order), one fused allocation-free loop
+    * inside whole-stage codegen. This is the variant to use on large
+    * corpora.
+    */
+  def bruteForceTopKNative(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val emb = withDoubleVec(df, vecCol)
+    val qv = emb.filter(col(idCol) === queryId).select(col("__e").as("__qe"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qv))
+      .withColumn("__cos",
+        call_function(graft.plans.GraftFunctions.CosineName,
+          col("__e"), col("__qe")))
+      .orderBy(col("__cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("label"), round(col("__cos"), 6).as("cosine"))
+  }
+
   /** Per-bucket centroids: mean vector per `bucketCol`, computed with
     * posexplode + per-(bucket, dim) average + re-assembly ordered by dim —
     * a constant-size result (buckets × d) from one shuffle.

@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native codegen'd cosine similarity over two `array<double>` columns.
+  *
+  * Why a custom Catalyst `Expression` (SURVEY §7.3 escalation rule —
+  * built-ins first, custom only where they genuinely fall short): the
+  * built-in formulation `aggregate(zip_with(a, b, *), 0d, +)` allocates an
+  * intermediate array per row and evaluates through interpreted
+  * higher-order lambdas outside whole-stage codegen. For embedding
+  * similarity — an O(n·d) full-corpus scan and the hot inner loop of
+  * ANN search — that overhead dominates. This expression fuses dot(a,b),
+  * |a|² and |b|² into ONE allocation-free loop and participates in
+  * whole-stage codegen via [[doGenCode]].
+  *
+  * Semantics exactly match the built-in/oracle formula
+  * `dot(a,b) / sqrt(dot(a,a) · dot(b,b))` with identical sequential
+  * summation order, so results are bit-equal to the interpreted path
+  * (verified by the shared DuckDB oracle of q_cosine_topk/_fast).
+  * Null input or length mismatch → null.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> inputs, got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xv = x.getDouble(i); val yv = y.getDouble(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xv = $a.getDouble($i);
+         |    final double $yv = $b.getDouble($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native functions into a session's catalog —
+  * idempotent, callable from any query builder (no spark.sql.extensions
+  * config needed, so driver-owned sessions work too). After registration
+  * the expression is available to SQL and to `call_function`.
+  */
+object GraftFunctions {
+  val CosineName = "graft_cosine"
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier(CosineName)
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
+        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    }
+  }
+}

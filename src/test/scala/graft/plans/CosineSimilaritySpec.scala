@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.Similarity
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def callCos = {
+    GraftFunctions.register(spark)
+    (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function(GraftFunctions.CosineName, a, b)
+  }
+
+  test("known values: identical → 1, orthogonal → 0, opposite → −1") {
+    val cos = callCos
+    val df = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0)),
+      (Array(1.0, 0.0), Array(0.0, 3.0)),
+      (Array(1.0, 1.0), Array(-2.0, -2.0))
+    ).toDF("a", "b").select(cos(col("a"), col("b")).as("c"))
+    val r = df.as[Double].collect()
+    assert(math.abs(r(0) - 1.0) < 1e-12)
+    assert(math.abs(r(1)) < 1e-12)
+    assert(math.abs(r(2) + 1.0) < 1e-12)
+  }
+
+  test("null input and length mismatch yield null") {
+    val cos = callCos
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), None: Option[Array[Double]]),
+      (Some(Array(1.0, 2.0)), Some(Array(1.0, 2.0, 3.0)))
+    ).toDF("a", "b").select(cos(col("a"), col("b")).as("c"))
+    val r = df.collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+
+  test("bit-identical to the interpreted higher-order-function formulation") {
+    GraftFunctions.register(spark)
+    // pseudo-random but deterministic vectors
+    val df = spark.range(200)
+      .select(col("id"),
+        expr("transform(sequence(1, 64), i -> cast(xxhash64(id, i) % 1000 as double) / 997.0)")
+          .as("a"),
+        expr("transform(sequence(1, 64), i -> cast(xxhash64(id + 7, i) % 1000 as double) / 991.0)")
+          .as("b"))
+    val both = df.select(
+      call_function(GraftFunctions.CosineName, col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() === 0)
+  }
+
+  test("whole-stage codegen path agrees with interpreted eval") {
+    GraftFunctions.register(spark)
+    val q = "SELECT graft_cosine(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS c"
+    val expected = 32.0 / math.sqrt(14.0 * 77.0)
+    val on = spark.sql(q).as[Double].collect().head
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = spark.sql(q).as[Double].collect().head
+      assert(on === off)
+      assert(math.abs(on - expected) < 1e-12)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}
