@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.SensorReading
+import graft.ops.Skew
+import graft.sources.Layout
+import graft.streaming.Stateful
+
+/** Scale-posture components: partition pruning, skew salting, custom
+  * streaming state.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("day-partitioned layout prunes partitions for day-bounded scans") {
+    val dir = Files.createTempDirectory("graft_layout").toString + "/events"
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 2.0),
+      (3L, ts("2024-01-03 10:00:00"), 3.0)
+    ).toDF("id", "ts", "v")
+    Layout.writeByDay(df, "ts", dir)
+
+    val scan = Layout.scanDays(spark, dir, "2024-01-02", "2024-01-02")
+    assert(scan.select("id").as[Long].collect().toSeq === Seq(2L))
+    // the day predicate must be a partition filter, not a data filter
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("day"))
+  }
+
+  test("pruned scan reads strictly fewer files than a full scan") {
+    val dir = Files.createTempDirectory("graft_layout2").toString + "/events"
+    val df = (1 to 10).map(i => (i.toLong, ts(f"2024-01-$i%02d 00:00:00"), i.toDouble))
+      .toDF("id", "ts", "v")
+    Layout.writeByDay(df, "ts", dir)
+    def nFiles(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(input_file_name()).distinct().count()
+    assert(nFiles(Layout.scanDays(spark, dir, "2024-01-03", "2024-01-04")) === 2)
+    assert(nFiles(Layout.read(spark, dir)) === 10)
+  }
+}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows on skewed data") {
+    // 90% of big rows share one hot key
+    val big = (1 to 1000).map(i =>
+      (i.toLong, if (i <= 900) "hot" else s"k${i % 7}", i * 1.0))
+      .toDF("id", "k", "v")
+    val small = Seq(("hot", 100.0), ("k1", 1.0), ("k2", 2.0), ("k3", 3.0))
+      .toDF("k", "w")
+    val plain = big.join(small, Seq("k")).select("id", "k", "v", "w")
+    val salted = Skew.saltedJoin(big, small, "k", "id", nSalts = 8)
+      .select("id", "k", "v", "w")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
+
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r(t: String, temp: Double, sensor: String = "S1") =
+    SensorReading(sensor, "loc", ts(t), temp, 50.0, 1000.0)
+
+  test("per-sensor delta state persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val q = Stateful.deltas(mem.toDS()).writeStream
+      .format("memory").queryName("delta_test").outputMode("append").start()
+    try {
+      mem.addData(r("2024-01-01 00:00:00", 20.0), r("2024-01-01 00:01:00", 22.5))
+      q.processAllAvailable()
+      mem.addData(r("2024-01-01 00:02:00", 21.0)) // new batch, state carries
+      mem.addData(r("2024-01-01 00:00:30", 5.0, sensor = "S2")) // other key
+      q.processAllAvailable()
+      val out = spark.table("delta_test").as[graft.streaming.DeltaReading]
+        .collect().sortBy(d => (d.sensor_id, d.timestamp.getTime))
+      val s1 = out.filter(_.sensor_id == "S1")
+      assert(s1.map(_.delta) === Seq(None, Some(2.5), Some(-1.5)))
+      assert(s1(2).gap_seconds === Some(60.0)) // across the batch boundary
+      val s2 = out.filter(_.sensor_id == "S2")
+      assert(s2.map(_.delta) === Seq(None)) // fresh key, fresh state
+    } finally q.stop()
+  }
+}
