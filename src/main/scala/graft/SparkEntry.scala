@@ -148,6 +148,11 @@ object SparkEntry {
     "q_quantiles" -> ((s, dir) =>
       Rollups.quantiles(Tables.events(s, dir), "event_type", "value")),
 
+    // ---- A6/A8 scale path: HLL++ distinct + sketch quantiles (no oracle:
+    //      approximate by contract; tests pin the error envelope) ----
+    "q_approx_stats" -> ((s, dir) =>
+      Rollups.approxStats(Tables.events(s, dir), "user_id", "value")),
+
     // ---- A12: 30-bin equi-width histogram ----
     "q_histogram" -> ((s, dir) =>
       Rollups.histogram(Tables.events(s, dir), "value", 30)),

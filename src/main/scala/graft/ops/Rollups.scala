@@ -111,6 +111,25 @@ object Rollups {
         col("n"))
   }
 
+  /** Scale-path approximate statistics: HLL++ distinct counts and
+    * GK-sketch quantiles. At 100 TB the exact forms (shuffle-heavy
+    * count-distinct expand, full-sort percentile) are the wrong default;
+    * these are one-pass, mergeable, and bounded-memory. Registered without
+    * a value oracle (approximate by contract); unit tests pin the error
+    * envelope instead.
+    */
+  def approxStats(df: DataFrame, distinctCol: String, quantileCol: String,
+      rsd: Double = 0.05, accuracy: Int = 10000): DataFrame =
+    df.agg(
+      approx_count_distinct(col(distinctCol), rsd).as(s"approx_n_$distinctCol"),
+      percentile_approx(col(quantileCol),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("__q"),
+      count(lit(1)).as("n"))
+      .select(col(s"approx_n_$distinctCol"), col("n"),
+        element_at(col("__q"), 1).as("approx_q1"),
+        element_at(col("__q"), 2).as("approx_median"),
+        element_at(col("__q"), 3).as("approx_q3"))
+
   /** Pairwise Pearson correlations in one aggregation pass
     * (reference/streamlit_dashboard.py:657,664 — the 3×3 matrix's
     * distinct off-diagonal cells).

@@ -164,6 +164,15 @@ class RollupsSpec extends SparkSpec {
     assert(h.head.getAs[Double]("bin_start") === 0.0)
   }
 
+  test("approxStats stays inside its error envelope vs exact") {
+    val df = (1 to 5000).map(i => (i.toLong % 137, i.toDouble)).toDF("u", "v")
+    val r = Rollups.approxStats(df, "u", "v").collect().head
+    val approxN = r.getAs[Long]("approx_n_u")
+    assert(math.abs(approxN - 137.0) / 137.0 < 0.15) // rsd 0.05, generous bound
+    assert(math.abs(r.getAs[Double]("approx_median") - 2500.0) < 50.0)
+    assert(r.getAs[Long]("n") === 5000)
+  }
+
   test("globalStats: sample stddev and CV") {
     val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("v")
     val r = Rollups.globalStats(df, "v").collect().head
