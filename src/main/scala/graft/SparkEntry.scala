@@ -289,6 +289,11 @@ object SparkEntry {
       Similarity.bruteForceTopKNative(Tables.embeddings(s, dir), "vec_id",
         "embedding", queryId = 0L, k = 10)),
 
+    // ---- embedding-cosine near-dup pairs (bucketed, native cosine) ----
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", threshold = 0.3)),
+
     // ---- embedding corpus stats per label ----
     "q_embed_stats" -> ((s, dir) =>
       Similarity.stats(Tables.embeddings(s, dir), "label", "embedding")),
@@ -649,6 +654,16 @@ object SparkEntry {
         |    / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
         |         * list_dot_product(qe, qe)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS d1, b.vec_id AS d2, a.label AS bucket,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+        |         * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+        |         * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) > 0.3""".stripMargin,
     "q_embed_stats" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -32,4 +32,20 @@ object Layout {
       fromDay: String, toDay: String): DataFrame =
     read(spark, path)
       .filter(col("day") >= lit(fromDay) && col("day") <= lit(toDay))
+
+  /** Bucketed table layout for co-located fact-fact joins: both sides
+    * bucketed (and sorted) on the join key with the same bucket count join
+    * with NO shuffle exchange — the pre-partitioning that replaces the
+    * per-query shuffle of repeated large joins (SURVEY §4 "shuffle/
+    * partitioning control"). Bucket count should approximate
+    * target-cluster parallelism at 100 TB (thousands), not the local 4
+    * used in tests.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .saveAsTable(table)
 }

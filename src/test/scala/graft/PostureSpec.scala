@@ -45,6 +45,24 @@ class LayoutSpec extends SparkSpec {
   }
 }
 
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("same-key bucketed tables sort-merge join with zero shuffle exchanges") {
+    val a = (1 to 100).map(i => (i % 10, s"a$i")).toDF("k", "va")
+    val b = (1 to 50).map(i => (i % 10, i * 1.0)).toDF("k", "vb")
+    Layout.writeBucketed(a, "bt_a", "k", 4)
+    Layout.writeBucketed(b, "bt_b", "k", 4)
+    val j = spark.table("bt_a").hint("merge")
+      .join(spark.table("bt_b"), "k")
+    assert(j.count() === 500) // 10 per a-key × 5 per b-key × 10 keys
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+  }
+}
+
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
