@@ -57,10 +57,15 @@ object Multimodal {
       // per-partition init happens here (codec handles, model weights, …)
       it.map { r =>
         val bytes = r.payload
-        val mean =
-          if (bytes.isEmpty) 0.0
-          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-        val distinct = bytes.map(b => b & 0xff).toSet.size
+        val seen = new Array[Boolean](256)
+        var sum = 0L; var distinct = 0; var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          sum += b
+          if (!seen(b)) { seen(b) = true; distinct += 1 }
+          i += 1
+        }
+        val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
         MediaFeatures(r.doc_id, r.n_bytes,
           math.rint(mean * 1e6) / 1e6,
           math.rint(distinct / 256.0 * 1e6) / 1e6)

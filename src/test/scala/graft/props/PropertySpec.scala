@@ -1,0 +1,69 @@
+package graft.props
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.ops.{Anomaly, Rollups, Trend, WindowedAgg}
+
+/** Property-based invariants (SURVEY §5.2 layer 4). Each property runs a
+  * real Spark job, so the case count is capped — the point is randomized
+  * inputs, not volume.
+  */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val values: Gen[List[Double]] =
+    Gen.listOfN(40, Gen.choose(-100.0, 100.0)).suchThat(_.nonEmpty)
+
+  property("IQR flags are invariant to row order") = forAll(values) { vs =>
+    import spark.implicits._
+    def flaggedCount(xs: List[Double]): Long = {
+      val df = xs.toDF("v")
+      Anomaly.flag(df, "v", Anomaly.iqrBounds(df, "v"))
+        .filter(col("is_anomaly")).count()
+    }
+    flaggedCount(vs) == flaggedCount(scala.util.Random.shuffle(vs))
+  }
+
+  property("moving average of a constant series is that constant") =
+    forAll(Gen.choose(-50.0, 50.0), Gen.choose(2, 30)) { (c, n) =>
+      import spark.implicits._
+      val df = (1 to n).map(i => ("k", i, c)).toDF("g", "i", "v")
+      val mas = Trend.movingAvg(df, "g", Seq("i"), "v")
+        .select("ma").as[Double].collect()
+      // ma is rounded to 6 decimals by the operator → half-step tolerance
+      mas.forall(m => math.abs(m - c) <= 5.001e-7)
+    }
+
+  property("windowed agg partitions the input: counts sum to row count") =
+    forAll(Gen.listOfN(30, Gen.choose(0, 10000))) { offsets =>
+      import spark.implicits._
+      val df = offsets.zipWithIndex.map { case (off, i) =>
+        (s"k${i % 3}", new java.sql.Timestamp(1704067200000L + off * 1000L), 1.0)
+      }.toDF("k", "t", "v")
+      val total = WindowedAgg.tumbling(df, "t", "k", "v")
+        .agg(sum("reading_count")).collect().head.getLong(0)
+      total == offsets.length
+    }
+
+  property("quantiles are ordered and bracket the data") = forAll(values) { vs =>
+    import spark.implicits._
+    val df = vs.map(("k", _)).toDF("g", "v")
+    val r = Rollups.quantiles(df, "g", "v").collect().head
+    val (q1, med, q3) = (r.getAs[Double]("q1"), r.getAs[Double]("median"),
+      r.getAs[Double]("q3"))
+    q1 <= med && med <= q3 && q1 >= vs.min - 1e-9 && q3 <= vs.max + 1e-9 &&
+      math.abs(r.getAs[Double]("iqr") - (q3 - q1)) < 2e-6
+  }
+}

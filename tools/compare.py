@@ -6,21 +6,41 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 For each query dumped by graft.Verify, runs the oracle SQL in DuckDB over
 views named after the parquet tables in sfDir, and compares against the
 Spark result parquet: row count, column names, and values (columns sorted
-by name, rows sorted by all columns).
+by name, rows sorted by all columns). Queries present in oracle_sql.json
+but missing from the output dir are reported explicitly (a Verify-side
+failure). Floats compare with a small relative tolerance; timestamps are
+normalized to microseconds before comparing.
 """
 import json
+import os
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def canon(df):
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+
+def rows_equal(e, g):
+    for c in e.columns:
+        if pd.api.types.is_float_dtype(e[c]) and pd.api.types.is_float_dtype(g[c]):
+            ok = np.isclose(e[c], g[c], rtol=1e-9, atol=1e-12, equal_nan=True)
+        else:
+            ok = e[c].astype(str).values == g[c].astype(str).values
+        if not ok.all():
+            return int(np.argmin(ok)), c
+    return None
 
 
 def main(sf_dir, out_dir):
@@ -30,6 +50,10 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"MISSING {name}: no Verify output (query threw? see stderr)")
+            n_bad += 1
+            continue
         try:
             exp = con.sql(sql).df()
             got = con.sql(
@@ -47,11 +71,10 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         e, g = canon(exp), canon(got)
-        # value compare via string repr (mirrors a hash compare)
-        mism = (e.astype(str) != g.astype(str)).any(axis=1)
-        if mism.any():
-            i = mism.idxmax()
-            print(f"FAIL {name}: first mismatch row {i}\n exp: {e.loc[i].to_dict()}\n got: {g.loc[i].to_dict()}")
+        mism = rows_equal(e, g)
+        if mism is not None:
+            i, c = mism
+            print(f"FAIL {name}: first mismatch row {i} col {c}\n exp: {e.loc[i].to_dict()}\n got: {g.loc[i].to_dict()}")
             n_bad += 1
         else:
             print(f"OK   {name} ({len(exp)} rows)")
