@@ -86,6 +86,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Declarative injection point: sessions built with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) get graft's native functions in
+  * every new session, the standard deployment path for a cluster-wide
+  * install. [[GraftFunctions.register]] remains for sessions the library
+  * doesn't construct (e.g. the test driver's).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+}
+
 /** Registration of graft's native functions into a session's catalog —
   * idempotent, callable from any query builder (no spark.sql.extensions
   * config needed, so driver-owned sessions work too). After registration

@@ -67,6 +67,17 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming exactly-once event dedup: drops re-deliveries of the same
+    * (sensor_id, timestamp) reading arriving within the watermark — the
+    * streaming member of the dedup family (at-least-once sources like the
+    * reference's MQTT→Kafka bridge can re-deliver). State is bounded by
+    * the watermark: old keys are evicted once they can no longer recur.
+    */
+  def dedupedStream(readings: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    readings
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("sensor_id", "timestamp")
+
   /** Dual-sink fan-out: the two independent queries of the reference
     * (spark_streaming.py:145-189) off one logical stream. Returns both
     * queries; callers use `spark.streams.awaitAnyTermination()` (prod) or

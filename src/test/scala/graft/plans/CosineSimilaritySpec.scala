@@ -52,6 +52,16 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("builtin")).count() === 0)
   }
 
+  test("GraftExtensions injection hook and per-session registration") {
+    // the extensions hook accepts injection without error…
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // …and a session the library didn't build can still register imperatively
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT graft_cosine(array(1.0d), array(1.0d))")
+      .collect().head.getDouble(0) === 1.0)
+  }
+
   test("whole-stage codegen path agrees with interpreted eval") {
     GraftFunctions.register(spark)
     val q = "SELECT graft_cosine(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS c"

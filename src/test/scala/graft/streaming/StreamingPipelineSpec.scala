@@ -61,6 +61,22 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupedStream drops re-delivered readings within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val q = Pipeline.dedupedStream(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      mem.addData(reading("2024-01-01 00:01:00", 10.0))
+      q.processAllAvailable()
+      // same (sensor, timestamp) re-delivered in a later batch → dropped
+      mem.addData(reading("2024-01-01 00:01:00", 10.0))
+      mem.addData(reading("2024-01-01 00:02:00", 11.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() === 2)
+    } finally q.stop()
+  }
+
   test("streaming output equals batch sensorRollup on the same input") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
