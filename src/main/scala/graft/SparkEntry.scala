@@ -243,7 +243,31 @@ object SparkEntry {
       Forecast.ols(Tables.events(s, dir), "event_type", "ts", "value",
         "event_id")),
 
+    // ---- fact-fact shuffle join + rollup (sort-merge at scale) ----
+    "q_fact_join_rollup" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      orders
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ==== LLM-pipeline extension operators (documents / embeddings) ====
+
+    // ---- cross-table join: documents ⋈ embeddings + rollup ----
+    "q_doc_embed_rollup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .groupBy(col("lang"), col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("n_chars"), 6).as("avg_chars"))
+    }),
 
     // ---- text stats rollup per language ----
     "q_text_stats" -> ((s, dir) =>
@@ -580,6 +604,18 @@ object SparkEntry {
         |    + regr_slope(value, x) * (max(x) + 3600.0), 6) AS forecast,
         |  arg_max(value, event_id) AS current_value
         |FROM x GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
+    "q_fact_join_rollup" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_doc_embed_rollup" ->
+      """SELECT lang, label, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(n_chars), 6) AS avg_chars
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  round(avg(n_chars), 6) AS avg_chars,

@@ -47,6 +47,19 @@ object Sources {
   def dropIncomplete(df: DataFrame): DataFrame =
     df.na.drop("any", Seq("sensor_id", "timestamp"))
 
+  /** Outbound wire format: readings → Kafka-shaped (key, value) payloads,
+    * the inverse of [[parseJson]] (reference producer wire format,
+    * reference/mqtt_producer.py:43-50,72). Keyed by sensor_id so a Kafka
+    * sink partitions by sensor and per-sensor ordering is preserved.
+    * Write with `.writeStream.format("kafka")` where the connector is
+    * installed; the payload construction itself is connector-free.
+    */
+  def toKafkaPayload(readings: DataFrame): DataFrame =
+    readings.select(
+      col("sensor_id").cast("string").as("key"),
+      to_json(struct(col("sensor_id"), col("location"), col("timestamp"),
+        col("temperature"), col("humidity"), col("pressure"))).as("value"))
+
   /** ST9: deterministic rate-driven ingest simulator. `rate-micro-batch`
     * emits (timestamp, value=row index) deterministically per batch
     * (unlike `rate`, which is wall-clock bound); [[enrichRateRows]] turns

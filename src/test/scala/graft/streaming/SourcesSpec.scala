@@ -18,11 +18,12 @@ class SourcesSpec extends SparkSpec {
     assert(parsed.getAs[java.sql.Timestamp]("timestamp") === ts("2024-01-01 00:01:00"))
   }
 
-  test("to_json -> parseJson wire round-trip preserves every field (F14)") {
+  test("toKafkaPayload -> parseJson wire round-trip preserves every field (F14)") {
     val readings = Seq(graft.model.SensorReading(
       "SENSOR_007", "data_center", ts("2024-03-05 10:20:30"), 18.25, 40.5, 999.9))
-    val wire = readings.toDF()
-      .select(to_json(struct(col("*"))).as("value"))
+    val wire = Sources.toKafkaPayload(readings.toDF())
+    assert(wire.columns.toSeq === Seq("key", "value"))
+    assert(wire.select("key").as[String].collect().head === "SENSOR_007")
     val back = Sources.parseJson(wire).as[graft.model.SensorReading].collect()
     assert(back.toSeq === readings)
   }
