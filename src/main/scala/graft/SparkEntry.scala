@@ -238,6 +238,11 @@ object SparkEntry {
       Trend.classify(Tables.events(s, dir), "event_type",
         Seq("ts", "event_id"), "value")),
 
+    // ---- custom Aggregator: per-group top-k without group sorts ----
+    "q_topk_per_group" -> ((s, dir) =>
+      graft.ops.TopK.perGroup(Tables.events(s, dir), "event_type", "value",
+        "event_id", k = 3)),
+
     // ---- ML2/F13: per-group OLS forecast via regr_* aggregates ----
     "q_forecast" -> ((s, dir) =>
       Forecast.ols(Tables.events(s, dir), "event_type", "ts", "value",
@@ -604,6 +609,13 @@ object SparkEntry {
         |    + regr_slope(value, x) * (max(x) + 3600.0), 6) AS forecast,
         |  arg_max(value, event_id) AS current_value
         |FROM x GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT event_type, CAST(rank AS BIGINT) AS rank, value, event_id
+        |FROM (SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |WHERE rank <= 3""".stripMargin,
     "q_fact_join_rollup" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_lines,

@@ -150,6 +150,32 @@ class ForecastSpec extends SparkSpec {
   }
 }
 
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perGroup returns exactly the k largest per key, deterministic tiebreak") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)
+    ).toDF("k", "id", "v")
+    val out = TopK.perGroup(df, "k", "v", "id", k = 2)
+      .orderBy("k", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // tie at 9.0 broken by id asc: id=2 before id=3; id=4 excluded
+    assert(out.toSeq === Seq(
+      ("a", 1L, 9.0, 2L), ("a", 2L, 9.0, 3L), ("b", 1L, 2.0, 5L)))
+  }
+
+  test("partial aggregation: result independent of partitioning") {
+    val df = (1 to 500).map(i => (s"k${i % 4}", i.toLong, (i * 37 % 101).toDouble))
+      .toDF("k", "id", "v")
+    val a = TopK.perGroup(df.repartition(1), "k", "v", "id", 5).collect().toSet
+    val b = TopK.perGroup(df.repartition(13), "k", "v", "id", 5).collect().toSet
+    assert(a === b)
+    assert(a.size === 20)
+  }
+}
+
 class RollupsSpec extends SparkSpec {
   import spark.implicits._
 
