@@ -51,6 +51,15 @@ class BucketedJoinSpec extends SparkSpec {
   test("same-key bucketed tables sort-merge join with zero shuffle exchanges") {
     val a = (1 to 100).map(i => (i % 10, s"a$i")).toDF("k", "va")
     val b = (1 to 50).map(i => (i % 10, i * 1.0)).toDF("k", "vb")
+    // clear any stale table locations from an earlier JVM (the in-memory
+    // catalog forgets them but the warehouse directories survive)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("bt_a", "bt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+    }
     Layout.writeBucketed(a, "bt_a", "k", 4)
     Layout.writeBucketed(b, "bt_b", "k", 4)
     val j = spark.table("bt_a").hint("merge")
