@@ -262,6 +262,21 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- star-schema join over the remaining dims (part, supplier) ----
+    "q_part_supplier_rollup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val part = broadcast(Tables.part(s, dir))
+      val supp = broadcast(Tables.supplier(s, dir))
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("s_nationkey")).as("n_supplier_nations"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+
     // ==== LLM-pipeline extension operators (documents / embeddings) ====
 
     // ---- cross-table join: documents ⋈ embeddings + rollup ----
@@ -623,6 +638,15 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate > o_orderdate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_part_supplier_rollup" ->
+      """SELECT p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_supplier_nations,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
     "q_doc_embed_rollup" ->
       """SELECT lang, label, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(n_chars), 6) AS avg_chars
