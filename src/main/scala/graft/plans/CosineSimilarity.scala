@@ -48,6 +48,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     else {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < n) {
+        // a null element nulls the whole result — the exact semantics of
+        // the aggregate(zip_with(...)) formulation this expression replaces
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = x.getDouble(i); val yv = y.getDouble(i)
         dot += xv * yv; na += xv * xv; nb += yv * yv
         i += 1
@@ -72,11 +75,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double $xv = $a.getDouble($i);
          |    final double $yv = $b.getDouble($i);
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |  }
          |}
        """.stripMargin
     })
@@ -94,11 +100,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * doesn't construct (e.g. the test driver's).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.CosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectOptimizerRule(_ => CosineRewrite)
+  }
 }
 
 /** Registration of graft's native functions into a session's catalog —

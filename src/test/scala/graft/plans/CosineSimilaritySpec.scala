@@ -52,6 +52,36 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("builtin")).count() === 0)
   }
 
+  test("CosineRewrite upgrades the HOF cosine pattern to the native expression") {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ graft.plans.CosineRewrite
+    try {
+      // range (not a LocalRelation) so ConvertToLocalRelation can't
+      // evaluate the projection away before our rule sees it
+      val df = spark.range(2).select(
+        expr("CASE WHEN id = 0 THEN array(1.0d, 2.0d, 3.0d) ELSE array(1.0d, 0.0d, 0.0d) END").as("a"),
+        expr("CASE WHEN id = 0 THEN array(4.0d, 5.0d, 6.0d) ELSE array(0.0d, 1.0d, 0.0d) END").as("b"),
+        col("id"))
+      val q = df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("id"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_cosine"),
+        s"rewrite did not fire:\n${q.queryExecution.optimizedPlan}")
+      val got = q.orderBy("id").select("c").as[Double].collect()
+      assert(math.abs(got(0) - 32.0 / math.sqrt(14.0 * 77.0)) < 1e-12)
+      assert(got(1) === 0.0)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("rewrite preserves null-element semantics of the HOF form") {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ graft.plans.CosineRewrite
+    try {
+      val df = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+        .toDF("a", "b")
+      val q = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      assert(q.collect().head.isNullAt(0))
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("GraftExtensions injection hook and per-session registration") {
     // the extensions hook accepts injection without error…
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
