@@ -69,6 +69,15 @@ object SparkEntry {
           col("min_value"), col("max_value"), col("reading_count"))
         .orderBy("event_type", "window_start")),
 
+    // ---- A1 through the STREAMING engine: same oracle as q_windowed_agg ----
+    "q_windowed_agg_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayWindowedAgg(s, dir)
+        .select(
+          col("event_type"), col("window_start"), col("window_end"),
+          round(col("avg_value"), 6).as("avg_value"),
+          col("min_value"), col("max_value"), col("reading_count"))
+        .orderBy("event_type", "window_start")),
+
     // ---- TPC-H Q1-style pricing summary: scan + wide agg on lineitem ----
     "q_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -390,6 +399,17 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_windowed_agg" ->
+      """SELECT event_type,
+        |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '5 minutes' AS window_end,
+        |  round(avg(value), 6) AS avg_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  count(*) AS reading_count
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type, window_start""".stripMargin,
+    "q_windowed_agg_stream" ->
       """SELECT event_type,
         |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '5 minutes' AS window_end,

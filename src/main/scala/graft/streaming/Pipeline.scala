@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ops.WindowedAgg
@@ -66,6 +67,42 @@ object Pipeline {
         }
       }
       .start()
+
+  /** Replay the `events` parquet table THROUGH the streaming engine and
+    * return the completed windowed aggregate as a batch DataFrame: file
+    * stream source → tumbling window agg → complete-mode memory sink →
+    * `Trigger.AvailableNow` until exhausted. Registered with the same
+    * DuckDB oracle as the batch form, so the correctness gate checks that
+    * the STREAMING engine produces byte-identical analytics — the
+    * batch/stream unification claim, verified.
+    *
+    * Complete output mode is used (not append+watermark) because a finite
+    * replay must emit every window including the final unflushed ones;
+    * state is bounded by the window count of the replayed range.
+    */
+  def replayWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source requires a directory; link the single-file
+    // table into a scratch dir instead of copying it
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_replay")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val sinkName = "replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = WindowedAgg.tumbling(stream, "ts", "event_type", "value")
+      .writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(sinkName)
+  }
 
   /** Streaming exactly-once event dedup: drops re-deliveries of the same
     * (sensor_id, timestamp) reading arriving within the watermark — the
