@@ -62,18 +62,27 @@ object Dedup {
       .distinct()
 
   /** Exact n-gram Jaccard over candidate pairs that share ≥1 k-shingle.
-    * Self-equi-join on the shingle key (shuffle on shingle, never n²),
-    * then |∩| / (|A| + |B| − |∩|) from per-doc shingle counts.
+    * One shuffle groups shingles into buckets; pairs are expanded inside
+    * each bucket's sorted id array (d1 < d2 by construction) — half the
+    * shingle-set shuffles of the equivalent self-join, and still never n²:
+    * pair volume is Σ |bucket|², proportional to true collisions. A
+    * pathologically hot shingle (a stop-gram) concentrates quadratic work
+    * in one bucket; production corpora drop stop-grams before shingling,
+    * which callers do by filtering [[shingles]] on document frequency.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol, k)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh")
-          && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+    val pairs = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    x -> struct(element_at(ids, i) AS d1, x AS d2))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(counts.withColumnRenamed(idCol, "d1").withColumnRenamed("n_sh", "n1"), "d1")
