@@ -69,6 +69,10 @@ object SparkEntry {
           col("min_value"), col("max_value"), col("reading_count"))
         .orderBy("event_type", "window_start")),
 
+    // ---- session windows (gap-based), oracled via gaps-and-islands ----
+    "q_session_window" -> ((s, dir) =>
+      WindowedAgg.sessionized(Tables.events(s, dir), "ts", "event_type")),
+
     // ---- A1 through the STREAMING engine: same oracle as q_windowed_agg ----
     "q_windowed_agg_stream" -> ((s, dir) =>
       graft.streaming.Pipeline.replayWindowedAgg(s, dir)
@@ -409,6 +413,23 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY event_type, window_start""".stripMargin,
+    "q_session_window" ->
+      """WITH o AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |          OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+        |             >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP))),
+        |s AS (SELECT event_type, t,
+        |    sum(brk) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT event_type,
+        |  min(t) AS session_start,
+        |  max(t) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY event_type, sid""".stripMargin,
     "q_windowed_agg_stream" ->
       """SELECT event_type,
         |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,

@@ -32,6 +32,22 @@ object WindowedAgg {
         col("avg_value"), col("min_value"), col("max_value"),
         col("reading_count"))
 
+  /** Session windows: events closer than `gap` merge into one session per
+    * key (start = first event, end = last event + gap). Beyond the
+    * reference's tumbling-only surface, but a first-class capability of
+    * the streaming engine (`session_window` works identically on streams
+    * with a watermark). Batch-oracle-able via gaps-and-islands SQL.
+    */
+  def sessionized(df: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes"): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Full sensor form matching reference/init.sql:14-26 column-for-column. */
   def sensorRollup(readings: DataFrame, width: String = "5 minutes"): DataFrame =
     readings

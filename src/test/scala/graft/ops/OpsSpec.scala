@@ -27,6 +27,23 @@ class WindowedAggSpec extends SparkSpec {
     assert(out(1).getAs[Double]("min_value") === 30.0)
   }
 
+  test("session windows merge events within the gap and split on it") {
+    val df = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 1.0),
+      ("k", ts("2024-01-01 00:10:00"), 1.0),  // < 30 min → same session
+      ("k", ts("2024-01-01 01:00:00"), 1.0),  // 50 min gap → new session
+      ("j", ts("2024-01-01 00:05:00"), 1.0)
+    ).toDF("k", "t", "v")
+    val out = WindowedAgg.sessionized(df, "t", "k")
+      .orderBy("k", "session_start").collect()
+    assert(out.length === 3)
+    val first = out(1) // k's first session
+    assert(first.getAs[java.sql.Timestamp]("session_start") === ts("2024-01-01 00:00:00"))
+    assert(first.getAs[java.sql.Timestamp]("session_end") === ts("2024-01-01 00:40:00"))
+    assert(first.getAs[Long]("n_events") === 2L)
+    assert(out(2).getAs[Long]("n_events") === 1L)
+  }
+
   test("sensorRollup matches the reference aggregate schema") {
     val df = Seq(
       ("SENSOR_001", "warehouse_a", ts("2024-01-01 00:00:30"), 20.0, 50.0, 1000.0),
