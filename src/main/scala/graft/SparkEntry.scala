@@ -69,6 +69,10 @@ object SparkEntry {
           col("min_value"), col("max_value"), col("reading_count"))
         .orderBy("event_type", "window_start")),
 
+    // ---- hopping windows (10 min width / 5 min slide) ----
+    "q_hopping_window" -> ((s, dir) =>
+      WindowedAgg.hopping(Tables.events(s, dir), "ts", "event_type", "value")),
+
     // ---- session windows (gap-based), oracled via gaps-and-islands ----
     "q_session_window" -> ((s, dir) =>
       WindowedAgg.sessionized(Tables.events(s, dir), "ts", "event_type")),
@@ -413,6 +417,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY event_type, window_start""".stripMargin,
+    "q_hopping_window" ->
+      """WITH b AS (SELECT event_type, value,
+        |    time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w0
+        |  FROM events),
+        |x AS (SELECT event_type, value, w0 AS ws FROM b
+        |      UNION ALL
+        |      SELECT event_type, value, w0 - INTERVAL 5 MINUTE AS ws FROM b)
+        |SELECT event_type, ws AS window_start,
+        |  ws + INTERVAL 10 MINUTE AS window_end,
+        |  round(avg(value), 6) AS avg_value,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "q_session_window" ->
       """WITH o AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
         |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL

@@ -32,6 +32,23 @@ object WindowedAgg {
         col("avg_value"), col("min_value"), col("max_value"),
         col("reading_count"))
 
+  /** Hopping (sliding) windows: `width`-long windows every `slide`,
+    * so each event lands in width/slide windows. Same one-shuffle
+    * partial+final aggregation as tumbling — the event-to-window fan-out
+    * happens map-side before the partial agg.
+    */
+  def hopping(df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      width: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    df.groupBy(col(keyCol), window(col(tsCol), width, slide))
+      .agg(
+        round(avg(valueCol), 6).as("avg_value"),
+        count(lit(1)).as("n"))
+      .select(
+        col(keyCol),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("avg_value"), col("n"))
+
   /** Session windows: events closer than `gap` merge into one session per
     * key (start = first event, end = last event + gap). Beyond the
     * reference's tumbling-only surface, but a first-class capability of
