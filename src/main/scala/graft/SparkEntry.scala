@@ -336,9 +336,17 @@ object SparkEntry {
       Dedup.byKeys(Tables.events(s, dir), Seq("user_id", "event_type"),
         "event_id")),
 
-    // ---- exact n-gram Jaccard near-dup pairs (shingle-share candidates) ----
+    // ---- exact n-gram Jaccard near-dup pairs (shingle-share candidates;
+    //      single-scan plan, stop-gram buckets > 1000 docs dropped) ----
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 8)),
+
+    // ---- stop-gram audit: doc frequencies of shingles shared by >1 doc
+    //      (the shingle key itself is engine-hashed, so the oracle compares
+    //      the doc_freq multiset) ----
+    "q_hot_shingles" -> ((s, dir) =>
+      Dedup.hotShingles(Tables.documents(s, dir), "doc_id", "text", 8,
+        maxDocFreq = 1).select(col("doc_freq"))),
 
     // ---- brute-force cosine top-k vs query vector ----
     "q_cosine_topk" -> ((s, dir) =>
@@ -751,14 +759,22 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
         |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN ok USING (s)),
         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
         |    CAST(count(*) AS BIGINT) AS shared
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT p.d1, p.d2, p.shared, c1.n_sh AS n1, c2.n_sh AS n2,
         |  round(p.shared / (c1.n_sh + c2.n_sh - p.shared), 6) AS jaccard
         |FROM pairs p
         |JOIN cnt c1 ON p.d1 = c1.doc_id
         |JOIN cnt c2 ON p.d2 = c2.doc_id""".stripMargin,
+    "q_hot_shingles" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i))
+        |SELECT CAST(count(*) AS BIGINT) AS doc_freq
+        |FROM sh GROUP BY s HAVING count(*) > 1""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id = 0)

@@ -62,35 +62,73 @@ object Dedup {
       .distinct()
 
   /** Exact n-gram Jaccard over candidate pairs that share ≥1 k-shingle.
-    * One shuffle groups shingles into buckets; pairs are expanded inside
-    * each bucket's sorted id array (d1 < d2 by construction) — half the
-    * shingle-set shuffles of the equivalent self-join, and still never n²:
-    * pair volume is Σ |bucket|², proportional to true collisions. A
-    * pathologically hot shingle (a stop-gram) concentrates quadratic work
-    * in one bucket; production corpora drop stop-grams before shingling,
-    * which callers do by filtering [[shingles]] on document frequency.
+    *
+    * Single-scan plan: one narrow projection per document computes the
+    * distinct hashed-shingle array AND its size (`n_sh`) — per-doc set
+    * sizes cost zero extra scans and zero joins. The explode carries
+    * `n_sh` alongside each shingle; one shuffle groups shingles into
+    * buckets; pairs are expanded inside each bucket's sorted (id, n_sh)
+    * struct array (d1 < d2 by construction) with both counts riding along,
+    * and a final pair-keyed aggregation counts shared shingles. Total:
+    * 1 scan, 2 shuffles, 0 joins (vs 3 scans + 2 count-joins for the
+    * naive shingle/count/join formulation). Pair volume stays Σ|bucket|²,
+    * proportional to true collisions, never n².
+    *
+    * Stop-gram guard: a shingle appearing in more than `maxDocFreq`
+    * documents is a stop-gram — it contributes ~|bucket|²/2 candidate
+    * structs materialized in ONE row of ONE task, the classic LSH hot-key
+    * OOM. Buckets above the cap are dropped from candidate generation and
+    * from `shared` counts (standard dedup practice); `n1`/`n2` remain the
+    * TRUE full set sizes, so the reported jaccard is a lower bound for
+    * pairs that also shared dropped stop-grams and exact for all others.
+    * Use [[hotShingles]] to audit what a given cap drops.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol, k)
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      k: Int, maxDocFreq: Int = 1000): DataFrame =
+    docShingleSets(df, idCol, textCol, k)
+      .select(col(idCol), col("n_sh"), explode(col("sh_set")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("n_sh").as("n")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocFreq))
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(slice(ids, i + 1, size(ids) - i),
-          |    x -> struct(element_at(ids, i) AS d1, x AS d2))))""".stripMargin))
+          |    x -> struct(element_at(ids, i).id AS d1, x.id AS d2,
+          |                element_at(ids, i).n AS n1, x.n AS n2))))""".stripMargin))
         .as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
       .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(counts.withColumnRenamed(idCol, "d1").withColumnRenamed("n_sh", "n1"), "d1")
-      .join(counts.withColumnRenamed(idCol, "d2").withColumnRenamed("n_sh", "n2"), "d2")
       .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
         round(col("shared") / (col("n1") + col("n2") - col("shared")), 6)
           .as("jaccard"))
-  }
+
+  /** Per-document distinct hashed-shingle set + its size, in one narrow
+    * projection — no shuffle, no second scan. The shared front-end of
+    * [[ngramJaccardPairs]] and [[hotShingles]].
+    */
+  private def docShingleSets(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .select(col(idCol), expr(
+        s"""array_distinct(CASE WHEN size(__t) >= $k
+           |THEN transform(sequence(1, size(__t) - ${k - 1}),
+           |  i -> xxhash64(concat_ws(' ', slice(__t, i, $k))))
+           |ELSE array() END)""".stripMargin).as("sh_set"))
+      .filter(size(col("sh_set")) > 0)
+      .withColumn("n_sh", size(col("sh_set")).cast("long"))
+
+  /** Diagnostic: shingles whose document frequency exceeds `maxDocFreq`
+    * (the ones [[ngramJaccardPairs]] drops), with their frequency —
+    * audit the stop-gram guard before trusting a cap on a new corpus.
+    */
+  def hotShingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocFreq: Int): DataFrame =
+    docShingleSets(df, idCol, textCol, k)
+      .select(explode(col("sh_set")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > maxDocFreq)
 
   /** MinHash signature: `nPerms` permutation minima over the document's
     * k-shingle set, all in ONE grouped aggregation pass (each "permutation"
