@@ -383,6 +383,23 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- SimHash near-dup candidates over the PORTABLE md5 signature:
+    //      chunk-banded join + exact bit_count(xor) verify, fully replayed
+    //      by the DuckDB oracle (pigeonhole: hamming ≤ 3 over 4 chunks ⟹
+    //      ≥1 chunk equal, so the banded candidate set ≡ all pairs with
+    //      hamming ≤ 3) ----
+    "q_simhash_candidates" -> ((s, dir) =>
+      Dedup.simhashCandidates(
+        Dedup.simhashPortable(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", maxDist = 3)),
+
+    // ---- MinHash LSH banding over the portable md5 salted hash, band key
+    //      = raw signature tuple → real DuckDB oracle for the banding
+    //      stage (verdict r2 gap: LSH candidates were test-only) ----
+    "q_minhash_candidates" -> ((s, dir) =>
+      Dedup.minhashCandidatesPortable(Tables.documents(s, dir), "doc_id",
+        "text", k = 8, nPerms = 16, rowsPerBand = 2)),
+
     // ---- IVF-style approximate NN (no oracle: approximate by design) ----
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -775,6 +792,37 @@ object SparkEntry {
         |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i))
         |SELECT CAST(count(*) AS BIGINT) AS doc_freq
         |FROM sh GROUP BY s HAVING count(*) > 1""".stripMargin,
+    // Portable md5-based SimHash (top 60 bits of md5 as the token hash):
+    // every step — hash, ±1 votes, sign→bit, xor, bit_count — replays
+    // identically here, so the banded candidate stage gets a true oracle.
+    // Bits 60-63 carry no entropy, so the sign reconstruction stops at 59.
+    "q_simhash_candidates" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |         FROM h, (SELECT unnest(generate_series(0, 59)) AS b) AS bs GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
+        |        FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    // MinHash LSH with the portable salted hash and raw-tuple band keys:
+    // the full signature + banding pipeline replayed in SQL.
+    "q_minhash_candidates" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+        |hp AS (SELECT doc_id, p,
+        |         min(('0x' || substring(md5(s || '|' || p::VARCHAR), 1, 15))::BIGINT) AS v
+        |       FROM sh, (SELECT unnest(generate_series(0, 15)) AS p) AS ps GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, p // 2 AS band, string_agg(v::VARCHAR, '|' ORDER BY p) AS key
+        |          FROM hp GROUP BY 1, 2)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id = 0)

@@ -49,17 +49,14 @@ object Dedup {
     * join/shuffle currency for jaccard and minhash. Hashing before the
     * shuffle cuts exchange volume ~8× (8-byte key vs ~50-byte string) and
     * set sizes/intersections are unchanged modulo 64-bit collisions
-    * (~1e-19 per pair).
+    * (~1e-19 per pair). The [[graft.plans.ShingleHashes]] kernel emits the
+    * per-document DISTINCT set, so no global `.distinct()` shuffle is
+    * needed — distinct (id, sh) pairs ≡ per-document distinct hashes.
     */
   private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("__t"))
-      .select(col(idCol), explode(expr(
-        s"""CASE WHEN size(__t) >= $k
-           |THEN transform(sequence(1, size(__t) - ${k - 1}),
-           |  i -> xxhash64(concat_ws(' ', slice(__t, i, $k))))
-           |ELSE array() END""".stripMargin)).as("sh"))
-      .distinct()
+    docShingleSets(df, idCol, textCol, k)
+      .select(col(idCol), explode(col("sh_set")).as("sh"))
 
   /** Exact n-gram Jaccard over candidate pairs that share ≥1 k-shingle.
     *
@@ -105,19 +102,21 @@ object Dedup {
           .as("jaccard"))
 
   /** Per-document distinct hashed-shingle set + its size, in one narrow
-    * projection — no shuffle, no second scan. The shared front-end of
-    * [[ngramJaccardPairs]] and [[hotShingles]].
+    * codegen'd projection — no shuffle, no second scan, no per-position
+    * allocation (see [[graft.plans.TextHashKernels]]; the HOF formulation
+    * this replaces was GC-bound: 2.8 s GC in a 7.2 s task at sf0.1). The
+    * shared front-end of [[ngramJaccardPairs]], [[hotShingles]] and
+    * [[minhashSignatures]].
     */
   private def docShingleSets(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("__t"))
-      .select(col(idCol), expr(
-        s"""array_distinct(CASE WHEN size(__t) >= $k
-           |THEN transform(sequence(1, size(__t) - ${k - 1}),
-           |  i -> xxhash64(concat_ws(' ', slice(__t, i, $k))))
-           |ELSE array() END)""".stripMargin).as("sh_set"))
+      k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        call_function(graft.plans.GraftFunctions.ShingleName,
+          col(textCol), lit(k)).as("sh_set"))
       .filter(size(col("sh_set")) > 0)
       .withColumn("n_sh", size(col("sh_set")).cast("long"))
+  }
 
   /** Diagnostic: shingles whose document frequency exceeds `maxDocFreq`
     * (the ones [[ngramJaccardPairs]] drops), with their frequency —
@@ -167,14 +166,72 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** 64-bit SimHash over the token set: per-token 64-bit hash, bit-wise
-    * ±1 vote, sign → bit. One grouped aggregation with 64 conditional
-    * sums — no row explosion.
+  /** Fully oracle-able MinHash LSH: signatures from the portable md5 hash
+    * over STRING shingles salted with the permutation index, banded by the
+    * RAW component tuple (joined as a string key) instead of an
+    * engine-specific band hash — every step replays identically in DuckDB
+    * SQL, giving the banding stage a real correctness oracle. Same shape
+    * as [[minhashSignatures]]→[[minhashCandidates]]: one shingle pass, one
+    * grouped agg for all permutation minima, band-equality join, pair
+    * count. Hashing the band key is only a key-width optimization; tuple
+    * equality ≡ band-hash equality semantics (minus hash collisions).
+    */
+  def minhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
+      k: Int, nPerms: Int, rowsPerBand: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val aggs: Seq[Column] = (0 until nPerms).map(p =>
+      min(portableHash(concat(col("shingle"), lit(s"|$p")))).as(s"sig_$p"))
+    val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val nBands = nPerms / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val comps = (0 until rowsPerBand)
+        .map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", comps: _*).as("key"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 64-bit SimHash over the token multiset: per-token 64-bit hash,
+    * bit-wise ±1 vote, sign → bit — all inside the codegen'd
+    * [[graft.plans.SimHash64]] kernel, one narrow projection per document.
+    * Replaces an explode-over-tokens + 64-conditional-sum aggregation
+    * (which shuffled every token) with zero shuffles; bit-identical output.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function(graft.plans.GraftFunctions.SimHashName, col(textCol))
+        .as("simhash"))
+  }
+
+  /** Engine-portable 64-bit token hash: the top 60 bits of md5, parsed as
+    * a bigint — computable identically in Spark
+    * (`conv(substring(md5(w), 1, 15), 16, 10)`) and in the DuckDB oracle
+    * (`('0x' || substring(md5(w), 1, 15))::BIGINT`), unlike `xxhash64`,
+    * which no other engine reproduces. Used by the oracle-checked
+    * signature queries; the xxhash64 kernels remain the fast path.
+    */
+  private def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over the portable md5 token hash — same vote semantics as
+    * [[simhash]] (multiset, ±1, sign) expressed as the 64-conditional-sum
+    * aggregation, so a DuckDB oracle can replay it bit-for-bit. Bits
+    * 60–63 carry no entropy (60-bit hash) and resolve to 0 votes → 0 bits,
+    * identically in both engines.
+    */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
-      .withColumn("__h", xxhash64(col("__w")))
+      .withColumn("__h", portableHash(col("__w")))
     val bitAggs: Seq[Column] = (0 until 64).map { b =>
       sum(when(expr(s"(__h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"__b$b")
     }

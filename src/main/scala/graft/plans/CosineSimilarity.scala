@@ -101,10 +101,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.CosineName),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => CosineRewrite)
   }
 }
@@ -116,15 +118,35 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   */
 object GraftFunctions {
   val CosineName = "graft_cosine"
+  val ShingleName = "graft_shingle_hashes"
+  val SimHashName = "graft_simhash64"
+
+  /** Builders for every graft native function; `k`-style scalar parameters
+    * arrive as foldable literals from `call_function`/SQL.
+    */
+  private[plans] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    CosineName -> ((children: Seq[Expression]) =>
+      CosineSimilarity(children(0), children(1))),
+    ShingleName -> ((children: Seq[Expression]) =>
+      ShingleHashes(children(0), children(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$ShingleName k must be an integer literal, got $other")
+      })),
+    SimHashName -> ((children: Seq[Expression]) => SimHash64(children(0))),
+  )
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier(CosineName)
-    if (!registry.functionExists(ident)) {
-      registry.registerFunction(
-        ident,
-        new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
-        (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    builders.foreach { case (name, builder) =>
+      val ident = FunctionIdentifier(name)
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(
+          ident,
+          new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+          builder)
+      }
     }
   }
 }
