@@ -25,6 +25,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional args: query-name subset (local iteration; driver passes none)

@@ -97,18 +97,22 @@ object Rollups {
     */
   def histogram(df: DataFrame, c: String, nBins: Int): DataFrame = {
     val bounds = df.agg(min(col(c)).as("__lo"), max(col(c)).as("__hi"))
-    df.crossJoin(broadcast(bounds))
+    val counts = df.crossJoin(broadcast(bounds))
       .select(
         least(floor((col(c) - col("__lo")) / ((col("__hi") - col("__lo")) / nBins)),
-          lit(nBins - 1)).cast("long").as("bin"),
-        col("__lo"), col("__hi"))
-      .groupBy("bin", "__lo", "__hi")
+          lit(nBins - 1)).cast("long").as("bin"))
+      .groupBy("bin")
       .agg(count(lit(1)).as("n"))
+    // dense bin spine (plotly's px.histogram renders every bin of the
+    // range, empty ones included) — ≤nBins rows on both sides, broadcast
+    df.sparkSession.range(nBins).toDF("bin")
+      .crossJoin(broadcast(bounds))
+      .join(broadcast(counts), Seq("bin"), "left")
       .select(
         col("bin"),
         round(col("__lo") + col("bin") * (col("__hi") - col("__lo")) / nBins, 6)
           .as("bin_start"),
-        col("n"))
+        coalesce(col("n"), lit(0L)).as("n"))
   }
 
   /** Scale-path approximate statistics: HLL++ distinct counts and

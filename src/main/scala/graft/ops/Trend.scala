@@ -17,18 +17,23 @@ import org.apache.spark.sql.functions._
   *
   * Windows are ALWAYS partitioned by the series key — an unpartitioned
   * `orderBy` window would pull the whole table through one task and is a
-  * scale-killer. With low-cardinality keys the per-key partition is still
-  * one task; at 100 TB the key is expected to be high-cardinality
-  * (sensor/device id), which is the layout this operator is designed for.
+  * scale-killer. The key is a COMPOSITE (`keys`) so callers can partition
+  * by a high-cardinality series identity (e.g. sensor/device/user id, or
+  * type × id): each per-key window is one task, so key cardinality is the
+  * window-stage parallelism. Partitioning a 100 TB fact table's windows by
+  * a 5-value type column would serialize all window work through 5 tasks
+  * — the registered queries key by (event_type, user_id) for exactly this
+  * reason.
   */
 object Trend {
 
-  /** Adds `ma` (n-row trailing mean) and `diff1` (x − lag(x)) per key,
-    * ordered by `order` (include a unique tiebreaker for determinism).
+  /** Adds `ma` (n-row trailing mean) and `diff1` (x − lag(x)) per key
+    * group, ordered by `order` (include a unique tiebreaker for
+    * determinism).
     */
-  def movingAvg(df: DataFrame, key: String, order: Seq[String],
+  def movingAvg(df: DataFrame, keys: Seq[String], order: Seq[String],
       valueCol: String, n: Int = 20): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
     df.withColumn("ma",
         round(avg(col(valueCol)).over(w.rowsBetween(-(n - 1), 0)), 6))
       .withColumn("diff1", col(valueCol) - lag(col(valueCol), 1).over(w))
@@ -37,24 +42,26 @@ object Trend {
   /** Per-key trend slope + classification
     * (reference/streamlit_dashboard.py:688-696): slope is the mean of the
     * last n first-differences of the n-row MA = (MA@last − MA@last−(n−1))/(n−1).
+    * Groups shorter than n rows have no MA@n → null slope, classified
+    * "stable" (the reference skips the trend box for short series).
     */
-  def classify(df: DataFrame, key: String, order: Seq[String],
+  def classify(df: DataFrame, keys: Seq[String], order: Seq[String],
       valueCol: String, n: Int = 20, eps: Double = 0.01): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(order.map(col): _*)
-    val wDesc = Window.partitionBy(col(key))
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(order.map(col): _*)
+    val wDesc = Window.partitionBy(keyCols: _*)
       .orderBy(order.map(c => col(c).desc): _*)
     val withMa = df
       .withColumn("__ma", avg(col(valueCol)).over(w.rowsBetween(-(n - 1), 0)))
       .withColumn("__rn", row_number().over(wDesc))
       .filter(col("__rn") === 1 || col("__rn") === n)
-    withMa.groupBy(col(key))
+    withMa.groupBy(keyCols: _*)
       .agg(((max(when(col("__rn") === 1, col("__ma")))
           - max(when(col("__rn") === n, col("__ma")))) / (n - 1)).as("__slope"))
-      .select(
-        col(key),
+      .select(keyCols ++ Seq[Column](
         round(col("__slope"), 6).as("slope"),
         when(col("__slope") > eps, "rising")
           .when(col("__slope") < -eps, "falling")
-          .otherwise("stable").as("trend"))
+          .otherwise("stable").as("trend")): _*)
   }
 }

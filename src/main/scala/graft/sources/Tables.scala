@@ -21,6 +21,13 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
 
+  /** Session conf required to read TIMESTAMP(NANOS) parquet columns as
+    * longs. Set it in the SESSION BUILDER (Verify/Bench/Explain and the
+    * test base all do) — a loader mutating shared session conf would be a
+    * side effect visible to every concurrent reader of the session.
+    */
+  val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** The `events` stream table stands in for the reference's sensor fact
     * stream in oracle-checked batch queries (SURVEY.md §7.1 item 6):
     * ts → timestamp, value → measure, event_type/user_id → keys.
@@ -31,7 +38,9 @@ object Tables {
     * on `CAST(ts AS TIMESTAMP)`, keeping the oracle comparable.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption(NanosAsLongConf).contains("true"),
+      s"""events.parquet stores ts as TIMESTAMP(NANOS): build the session with
+         |.config("$NanosAsLongConf", "true") before loading it""".stripMargin)
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }

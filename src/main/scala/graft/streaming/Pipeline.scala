@@ -81,7 +81,9 @@ object Pipeline {
     * state is bounded by the window count of the replayed range.
     */
   def replayWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption(graft.sources.Tables.NanosAsLongConf)
+        .contains("true"),
+      s"build the session with .config(\"${graft.sources.Tables.NanosAsLongConf}\", \"true\")")
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     // the file stream source requires a directory; link the single-file

@@ -113,14 +113,14 @@ class TrendSpec extends SparkSpec {
   test("moving average has pandas min_periods=1 semantics (shrinking head)") {
     val df = Seq(("k", 1, 2.0), ("k", 2, 4.0), ("k", 3, 6.0))
       .toDF("g", "i", "v")
-    val ma = Trend.movingAvg(df, "g", Seq("i"), "v", n = 20)
+    val ma = Trend.movingAvg(df, Seq("g"), Seq("i"), "v", n = 20)
       .orderBy("i").select("ma").as[Double].collect()
     assert(ma.toSeq === Seq(2.0, 3.0, 4.0))
   }
 
   test("first difference via lag; null on first row") {
     val df = Seq(("k", 1, 2.0), ("k", 2, 5.0)).toDF("g", "i", "v")
-    val d = Trend.movingAvg(df, "g", Seq("i"), "v")
+    val d = Trend.movingAvg(df, Seq("g"), Seq("i"), "v")
       .orderBy("i").select("diff1").collect()
     assert(d(0).isNullAt(0))
     assert(d(1).getDouble(0) === 3.0)
@@ -128,13 +128,13 @@ class TrendSpec extends SparkSpec {
 
   test("classify: rising for steep linear series, stable for constant") {
     val rising = (1 to 60).map(i => ("k", i, i.toDouble)).toDF("g", "i", "v")
-    val r = Trend.classify(rising, "g", Seq("i"), "v").collect().head
+    val r = Trend.classify(rising, Seq("g"), Seq("i"), "v").collect().head
     // MA of a linear series is linear → slope of MA tail = 1.0 per row
     assert(math.abs(r.getAs[Double]("slope") - 1.0) < 1e-9)
     assert(r.getAs[String]("trend") === "rising")
 
     val flat = (1 to 60).map(i => ("k", i, 7.0)).toDF("g", "i", "v")
-    val f = Trend.classify(flat, "g", Seq("i"), "v").collect().head
+    val f = Trend.classify(flat, Seq("g"), Seq("i"), "v").collect().head
     assert(f.getAs[Double]("slope") === 0.0)
     assert(f.getAs[String]("trend") === "stable")
   }

@@ -44,7 +44,7 @@ object GraftProperties extends Properties("graft") {
     forAll(Gen.choose(-50.0, 50.0), Gen.choose(2, 30)) { (c, n) =>
       import spark.implicits._
       val df = (1 to n).map(i => ("k", i, c)).toDF("g", "i", "v")
-      val mas = Trend.movingAvg(df, "g", Seq("i"), "v")
+      val mas = Trend.movingAvg(df, Seq("g"), Seq("i"), "v")
         .select("ma").as[Double].collect()
       // ma is rounded to 6 decimals by the operator → half-step tolerance
       mas.forall(m => math.abs(m - c) <= 5.001e-7)
