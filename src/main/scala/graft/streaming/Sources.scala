@@ -15,19 +15,31 @@ import graft.model.Schemas
   */
 object Sources {
 
+  /** The exact reader configuration [[kafka]] applies — split out as data
+    * so the source contract (format name + option keys/values mirroring
+    * reference/spark_streaming.py:125-130) is testable in this build
+    * environment, which ships without the spark-sql-kafka connector jar.
+    */
+  val KafkaFormat = "kafka"
+  def kafkaOptions(bootstrapServers: String, topic: String,
+      startingOffsets: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets)
+
   /** S1: Kafka stream source. Wiring matches
     * reference/spark_streaming.py:125-130 (subscribe + startingOffsets).
-    * NOTE: needs the spark-sql-kafka connector on the runtime classpath;
-    * this build environment ships without it, so tests exercise
-    * [[parseJson]] on in-memory frames instead.
+    * NOTE: needs the spark-sql-kafka connector on the runtime classpath
+    * (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>`);
+    * this build environment ships without it, so [[SourcesSpec]] asserts
+    * the reader contract (format/options and the connector-missing
+    * failure mode) and exercises [[parseJson]] on in-memory frames.
     */
   def kafka(spark: SparkSession, bootstrapServers: String, topic: String,
       startingOffsets: String = "latest"): DataFrame =
     spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .format(KafkaFormat)
+      .options(kafkaOptions(bootstrapServers, topic, startingOffsets))
       .load()
 
   /** S2: JSON decode against the explicit reading schema and flatten —
@@ -68,12 +80,14 @@ object Sources {
     * (reference/README.md:253, Project Scale.md:52).
     */
   def rateSimulated(spark: SparkSession, rowsPerBatch: Int = 10,
-      startEpochMs: Long = 1704067200000L): DataFrame =
+      startEpochMs: Long = 1704067200000L,
+      advanceMsPerBatch: Long = 1000L): DataFrame =
     enrichRateRows(
       spark.readStream
         .format("rate-micro-batch")
         .option("rowsPerBatch", rowsPerBatch)
         .option("startTimestamp", startEpochMs)
+        .option("advanceMillisPerBatch", advanceMsPerBatch)
         .load())
 
   /** Pure enrichment of rate-source rows (timestamp, value) into readings:
