@@ -816,15 +816,22 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
     // MinHash LSH with the portable salted hash and raw-tuple band keys:
-    // the full signature + banding pipeline replayed in SQL.
+    // the full signature + banding pipeline replayed in SQL. Perms 2j and
+    // 2j+1 are hex chars 1-15 / 17-31 of one md5 (fixed-width lowercase
+    // hex: lexicographic min ≡ numeric min, same in Spark).
     "q_minhash_candidates" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
         |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
-        |hp AS (SELECT doc_id, p,
-        |         min(('0x' || substring(md5(s || '|' || p::VARCHAR), 1, 15))::BIGINT) AS v
-        |       FROM sh, (SELECT unnest(generate_series(0, 15)) AS p) AS ps GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, p // 2 AS band, string_agg(v::VARCHAR, '|' ORDER BY p) AS key
+        |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |hp AS (SELECT doc_id, 2 * j AS p,
+        |         min(substring(md5(s || '|' || j::VARCHAR), 1, 15)) AS v
+        |       FROM sh, js GROUP BY 1, 2
+        |       UNION ALL
+        |       SELECT doc_id, 2 * j + 1 AS p,
+        |         min(substring(md5(s || '|' || j::VARCHAR), 17, 15)) AS v
+        |       FROM sh, js GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, p // 2 AS band, string_agg(v, '|' ORDER BY p) AS key
         |          FROM hp GROUP BY 1, 2)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
         |FROM bands a JOIN bands b

@@ -31,19 +31,18 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct k-token shingles per document: (id, shingle) pairs.
-    * Shingling is a generate-and-explode projection; `distinct` collapses
-    * within-document repeats before the join so hot shingles don't
-    * multiply.
+  /** Distinct k-token shingles per document: (id, shingle) pairs. The
+    * [[graft.plans.ShingleStrings]] kernel emits the per-document distinct
+    * set in one codegen'd projection — per-doc distinct ≡ distinct
+    * (id, shingle) pairs, with no string-shuffle and none of the HOF
+    * formulation's per-position allocation.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("__t"))
-      .select(col(idCol), explode(expr(
-        s"""CASE WHEN size(__t) >= $k
-           |THEN transform(sequence(1, size(__t) - ${k - 1}),
-           |  i -> concat_ws(' ', slice(__t, i, $k)))
-           |ELSE array() END""".stripMargin)).as("shingle"))
-      .distinct()
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        explode(call_function(graft.plans.GraftFunctions.ShingleStringsName,
+          col(textCol), lit(k))).as("shingle"))
+  }
 
   /** Distinct shingles keyed by 64-bit hash instead of the string — the
     * join/shuffle currency for jaccard and minhash. Hashing before the
@@ -178,14 +177,26 @@ object Dedup {
     */
   def minhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
       k: Int, nPerms: Int, rowsPerBand: Int): DataFrame = {
+    require(nPerms % 2 == 0, "nPerms must be even (two 60-bit hashes per md5)")
     val sh = shingles(df, idCol, textCol, k)
-    val aggs: Seq[Column] = (0 until nPerms).map(p =>
-      min(portableHash(concat(col("shingle"), lit(s"|$p")))).as(s"sig_$p"))
-    val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // Each md5 yields TWO independent 60-bit permutation hashes (hex
+    // chars 1-15 and 17-31), halving the md5 count; the shared md5
+    // subexpression is computed once by codegen CSE. The minima compare
+    // the hex strings directly: fixed-width lowercase hex orders
+    // lexicographically ≡ numerically, identically in DuckDB — no
+    // integer parsing anywhere.
+    val withH = sh.select(col(idCol) +: (0 until nPerms / 2).flatMap { j =>
+      val m = md5(concat(col("shingle"), lit(s"|$j")))
+      Seq(substring(m, 1, 15).as(s"__h_${2 * j}"),
+        substring(m, 17, 15).as(s"__h_${2 * j + 1}"))
+    }: _*)
+    val aggs: Seq[Column] = (0 until nPerms)
+      .map(p => min(col(s"__h_$p")).as(s"sig_$p"))
+    val sigs = withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val nBands = nPerms / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val comps = (0 until rowsPerBand)
-        .map(r => col(s"sig_${b * rowsPerBand + r}").cast("string"))
+        .map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("|", comps: _*).as("key"))
     }
     val banded = sigs

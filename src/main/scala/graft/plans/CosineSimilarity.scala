@@ -119,6 +119,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 object GraftFunctions {
   val CosineName = "graft_cosine"
   val ShingleName = "graft_shingle_hashes"
+  val ShingleStringsName = "graft_shingle_strings"
   val SimHashName = "graft_simhash64"
 
   /** Builders for every graft native function; `k`-style scalar parameters
@@ -133,6 +134,13 @@ object GraftFunctions {
         case l: Long => l.toInt
         case other => throw new IllegalArgumentException(
           s"$ShingleName k must be an integer literal, got $other")
+      })),
+    ShingleStringsName -> ((children: Seq[Expression]) =>
+      ShingleStrings(children(0), children(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$ShingleStringsName k must be an integer literal, got $other")
       })),
     SimHashName -> ((children: Seq[Expression]) => SimHash64(children(0))),
   )

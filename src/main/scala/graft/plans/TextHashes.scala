@@ -109,6 +109,34 @@ object TextHashKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hashes, w))
   }
 
+  /** Distinct k-token shingle STRINGS of `text` (single-space
+    * tokenization), insertion-ordered. Each shingle is one byte-range copy
+    * of the original buffer — no token arrays, no per-token slices, no
+    * join buffers. For pipelines that need the actual shingle text (e.g.
+    * engine-portable md5 signatures); hash-keyed pipelines use
+    * [[shingleHashes]].
+    */
+  def shingleStrings(text: UTF8String, k: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val (starts, n) = tokenStarts(base, off, text.numBytes)
+    val m = n - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val set = new java.util.LinkedHashSet[UTF8String](m * 2)
+    var i = 0
+    while (i < m) {
+      val s = starts(i)
+      val len = starts(i + k) - 1 - s
+      val bytes = new Array[Byte](len)
+      Platform.copyMemory(base, off + s, bytes, Platform.BYTE_ARRAY_OFFSET, len)
+      set.add(UTF8String.fromBytes(bytes))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      set.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** 64-bit SimHash over the token multiset of `text`: per-token XXH64
     * (seed 42, bit-identical to `xxhash64(token)`), ±1 vote per bit,
     * sign → bit. Matches the 64-conditional-sum aggregation formulation
@@ -166,6 +194,32 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
       s"graft.plans.TextHashKernels.shingleHashes($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_strings(text, k)`: distinct k-token shingle strings —
+  * the string-keyed sibling of [[ShingleHashes]] for pipelines whose
+  * downstream hash must be engine-portable.
+  */
+case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got ${child.dataType}")
+    else if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_strings"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.shingleStrings(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextHashKernels.shingleStrings($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
     copy(child = newChild)
 }
 

@@ -40,6 +40,22 @@ class TextHashesSpec extends SparkSpec {
     assert(km(4L).length === 1) // one distinct shingle
   }
 
+  test("ShingleStrings matches concat_ws(' ', slice(...)) distinct sets exactly") {
+    GraftFunctions.register(spark)
+    val k = 5
+    val kernel = docs.select($"doc_id",
+      call_function(GraftFunctions.ShingleStringsName, $"text", lit(k)).as("s"))
+    val hof = docs.select($"doc_id", split($"text", " ").as("__t"))
+      .select($"doc_id", expr(
+        s"""array_distinct(CASE WHEN size(__t) >= $k
+           |THEN transform(sequence(1, size(__t) - ${k - 1}),
+           |  i -> concat_ws(' ', slice(__t, i, $k)))
+           |ELSE array() END)""".stripMargin).as("s"))
+    val km = kernel.collect().map(r => r.getLong(0) -> r.getSeq[String](1).sorted).toMap
+    val hm = hof.collect().map(r => r.getLong(0) -> r.getSeq[String](1).sorted).toMap
+    assert(km === hm)
+  }
+
   test("SimHash64 matches the 64-conditional-sum aggregation exactly") {
     GraftFunctions.register(spark)
     val kernel = Dedup64Ref.kernelSimhash(docs)
