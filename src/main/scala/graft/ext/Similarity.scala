@@ -107,6 +107,73 @@ object Similarity {
       .select(col(idCol), col(bucketCol), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** Physical IVF layout — the real index shape the [[ivfTopK]] scaladoc
+    * promises: each vector is assigned to its nearest coarse centroid and
+    * the corpus is written `partitionBy(ivf_bucket)`, so the bucket IS a
+    * partition key. A probe then reads only the `nProbe` matching
+    * directories — partition pruning at PLANNING time, zero I/O for every
+    * other bucket — which is what turns ANN from a full scan into an
+    * index lookup at 100 TB.
+    *
+    * Assignment is one codegen'd narrow projection: the k quantizer
+    * centroids are baked in as literal vectors and scored with the native
+    * cosine — no join, no shuffle of the corpus beyond the partitioned
+    * write itself. The quantizer (k × d doubles, bootstrapped here from
+    * per-`seedBucketCol` means — one Lloyd step) is index METADATA:
+    * driver-resident and stored beside the data in `_quantizer`, which
+    * partition discovery ignores (underscore prefix).
+    */
+  def writeIvfLayout(df: DataFrame, idCol: String, vecCol: String,
+      seedBucketCol: String, path: String): Unit = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val cents = centroids(df, seedBucketCol, vecCol)
+      .select(col(seedBucketCol).cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val scored = cents.map { case (b, vec) =>
+      struct(
+        call_function(graft.plans.GraftFunctions.CosineName,
+          col("__e"), array(vec.map(lit): _*)).as("c"),
+        lit(b).as("b"))
+    }
+    withDoubleVec(df, vecCol)
+      .withColumn("ivf_bucket", array_max(array(scored: _*)).getField("b"))
+      .drop("__e")
+      .write.partitionBy("ivf_bucket").mode("overwrite").parquet(path)
+    df.sparkSession.createDataFrame(cents.toSeq)
+      .toDF("bucket", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_quantizer")
+  }
+
+  /** Probe an IVF layout: pick the `nProbe` buckets whose centroids are
+    * nearest the query vector (driver-side over the k-row quantizer —
+    * index metadata, not data), then exact native-cosine top-k over ONLY
+    * those partitions. The `isin` filter on the partition column prunes
+    * at planning: the scan's PartitionFilters carry it and unprobed
+    * directories are never listed into the plan.
+    */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, queryVec: Seq[Double], k: Int,
+      nProbe: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$path/_quantizer").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    def cos(v: Seq[Double]): Double = {
+      val dot = v.zip(queryVec).map { case (a, b) => a * b }.sum
+      dot / math.sqrt(v.map(x => x * x).sum * queryVec.map(x => x * x).sum)
+    }
+    val probed = cents.sortBy { case (_, v) => -cos(v) }.take(nProbe).map(_._1)
+    val qLit = array(queryVec.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("ivf_bucket").isin(probed: _*))
+      .withColumn("__cos",
+        call_function(graft.plans.GraftFunctions.CosineName,
+          col(vecCol).cast("array<double>"), qLit))
+      .orderBy(col("__cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("ivf_bucket"), round(col("__cos"), 6).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates are generated by a
     * bucket-equality self-join (here the coarse IVF bucket), then scored
     * exactly with the native codegen'd cosine — never an all-pairs cross
