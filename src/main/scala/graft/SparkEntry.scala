@@ -331,6 +331,10 @@ object SparkEntry {
       TextStats.fingerprint(Tables.documents(s, dir), "text", "fp")
         .select(col("doc_id"), col("fp"), col("n_chars"))),
 
+    // ---- LLM token budgeting: whitespace + BPE-ish subword estimate ----
+    "q_token_estimate" -> ((s, dir) =>
+      TextStats.withTokenEstimates(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- exact dedup summary (SHA-256 content hash) ----
     "q_dedup_docs" -> ((s, dir) =>
       Dedup.exactSummary(Tables.documents(s, dir), "text")),
@@ -768,6 +772,12 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  n_chars
+        |FROM documents""".stripMargin,
+    "q_token_estimate" ->
+      """SELECT doc_id,
+        |  CAST(len(text) - len(regexp_replace(text, ' ', '', 'g')) + 1 AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}|[^a-z0-9 ]+')) AS BIGINT)
+        |    AS n_subword_est
         |FROM documents""".stripMargin,
     "q_dedup_docs" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -68,4 +68,20 @@ object TextStats {
   def fingerprint(df: DataFrame, textCol: String, out: String): DataFrame =
     df.withColumn(out,
       md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))))
+
+  /** LLM token budgeting: whitespace word count plus a BPE-style subword
+    * estimate — greedy ≤4-char alphanumeric pieces and punctuation runs,
+    * the classic ~4-chars-per-token pre-tokenizer proxy. One codegen'd
+    * `regexp_count` per row, no token-array materialization; the greedy
+    * character-class pattern evaluates identically in the DuckDB oracle's
+    * RE2, so the estimate is value-checked cross-engine.
+    */
+  def withTokenEstimates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      (length(col(textCol))
+        - length(regexp_replace(col(textCol), " ", "")) + 1)
+        .cast("long").as("n_tokens"),
+      regexp_count(col(textCol), lit("[a-z0-9]{1,4}|[^a-z0-9 ]+"))
+        .cast("long").as("n_subword_est"))
 }
