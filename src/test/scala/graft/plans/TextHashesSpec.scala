@@ -63,6 +63,18 @@ class TextHashesSpec extends SparkSpec {
     assert(kernel === agg)
   }
 
+  test("kernel shingling leaves ONE exchange in the minhash signature plan") {
+    // pre-kernel, hashedShingles did a global .distinct() (an extra
+    // shuffle of every shingle) before the signature groupBy; the per-doc
+    // distinct inside the kernel makes the groupBy exchange the only one
+    val docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ext.Dedup
+      .minhashSignatures(docs001, "doc_id", "text", k = 5, nPerms = 4)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1, plan)
+  }
+
   test("kernel expressions stay inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // spark.range (not a LocalRelation, which the optimizer would fold

@@ -70,4 +70,37 @@ object GraftProperties extends Properties("graft") {
     q1 <= med && med <= q3 && q1 >= vs.min - 1e-9 && q3 <= vs.max + 1e-9 &&
       math.abs(r.getAs[Double]("iqr") - (q3 - q1)) < 2e-6
   }
+
+  // adversarial token material for the byte-scanning text-hash kernels:
+  // multi-byte unicode (no code point contains 0x20 in UTF-8, which the
+  // space scan relies on), empty tokens from leading/trailing/consecutive
+  // spaces, and single-char runs
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.stringOfN(3, Gen.alphaNumChar),
+    Gen.oneOf("", "é", "日本語", "a", "émigré", "ß∂ƒ", "x y".replace(" ", "")),
+    Gen.stringOfN(1, Gen.alphaChar))
+  private val text: Gen[String] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, token)).map(_.mkString(" "))
+
+  property("ShingleHashes kernel ≡ HOF xxhash64(concat_ws) on arbitrary unicode text") =
+    forAll(Gen.listOfN(6, text), Gen.choose(1, 4)) { (texts, k) =>
+      import spark.implicits._
+      graft.plans.GraftFunctions.register(spark)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      // force through a real (non-local) plan so the kernel's codegen path
+      // runs, not constant folding
+      val src = df.repartition(2)
+      val kernel = src.select($"id",
+        call_function(graft.plans.GraftFunctions.ShingleName, $"text", lit(k)).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+      val hof = src.select($"id", split($"text", " ").as("__t"))
+        .select($"id", expr(
+          s"""array_distinct(CASE WHEN size(__t) >= $k
+             |THEN transform(sequence(1, size(__t) - ${k - 1}),
+             |  i -> xxhash64(concat_ws(' ', slice(__t, i, $k))))
+             |ELSE array() END)""".stripMargin).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+      kernel == hof
+    }
 }
