@@ -147,19 +147,31 @@ object Dedup {
     * with the number of colliding bands.
     */
   def minhashCandidates(signatures: DataFrame, idCol: String,
-      nPerms: Int, rowsPerBand: Int): DataFrame = {
+      nPerms: Int, rowsPerBand: Int): DataFrame =
+    bandedPairs(signatures, idCol, nPerms, rowsPerBand,
+      comps => hash(comps: _*))
+
+  /** Shared LSH banding tail: explode each signature into its band keys,
+    * bucket-equality self-join (d1 < d2), count colliding bands per pair.
+    * `bandKey` maps a band's signature components to the join key — an
+    * engine hash for the fast path, the raw component tuple for the
+    * oracle-portable path.
+    */
+  private def bandedPairs(signatures: DataFrame, idCol: String,
+      nPerms: Int, rowsPerBand: Int,
+      bandKey: Seq[Column] => Column): DataFrame = {
     val nBands = nPerms / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val comps = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), hash(comps: _*).as("band_hash"))
+      struct(lit(b).as("band"), bandKey(comps).as("band_key"))
     }
     val banded = signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band")
-          && col("a.band_hash") === col("b.band_hash")
+          && col("a.band_key") === col("b.band_key")
           && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
@@ -193,21 +205,8 @@ object Dedup {
     val aggs: Seq[Column] = (0 until nPerms)
       .map(p => min(col(s"__h_$p")).as(s"sig_$p"))
     val sigs = withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val nBands = nPerms / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
-      val comps = (0 until rowsPerBand)
-        .map(r => col(s"sig_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), concat_ws("|", comps: _*).as("key"))
-    }
-    val banded = sigs
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.key").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
-      .agg(count(lit(1)).as("n_bands"))
+    bandedPairs(sigs, idCol, nPerms, rowsPerBand,
+      comps => concat_ws("|", comps: _*))
   }
 
   /** 64-bit SimHash over the token multiset: per-token 64-bit hash,
@@ -218,9 +217,12 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol),
-      call_function(graft.plans.GraftFunctions.SimHashName, col(textCol))
-        .as("simhash"))
+    // null-text docs are dropped, matching the aggregation formulation
+    // this replaces (explode of a null token array emitted no rows)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        call_function(graft.plans.GraftFunctions.SimHashName, col(textCol))
+          .as("simhash"))
   }
 
   /** Engine-portable 64-bit token hash: the top 60 bits of md5, parsed as

@@ -96,22 +96,32 @@ object Rollups {
     * then a hash agg on the bin index — never a collect to the driver.
     */
   def histogram(df: DataFrame, c: String, nBins: Int): DataFrame = {
-    val bounds = df.agg(min(col(c)).as("__lo"), max(col(c)).as("__hi"))
-    val counts = df.crossJoin(broadcast(bounds))
-      .select(
-        least(floor((col(c) - col("__lo")) / ((col("__hi") - col("__lo")) / nBins)),
+    // One bounds pass, collected to the driver — two scalar doubles, the
+    // adaptive-binning metadata collection every engine performs. Binning
+    // then uses literal bounds, so the bounds subtree appears zero times
+    // in the counting plan (the previous broadcast-bounds-twice form
+    // re-ran the full min/max agg when exchange reuse didn't unify the
+    // two copies).
+    val bounds = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+    val spine = df.sparkSession.range(nBins).toDF("bin")
+    if (bounds.isNullAt(0)) {
+      // empty input: the dense spine with null bounds and zero counts
+      // (what the aggregate-over-empty SQL formulation yields)
+      return spine.select(col("bin"),
+        lit(null).cast("double").as("bin_start"), lit(0L).as("n"))
+    }
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val counts = df
+      .select(least(floor((col(c) - lo) / ((hi - lo) / nBins)),
           lit(nBins - 1)).cast("long").as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))
     // dense bin spine (plotly's px.histogram renders every bin of the
-    // range, empty ones included) — ≤nBins rows on both sides, broadcast
-    df.sparkSession.range(nBins).toDF("bin")
-      .crossJoin(broadcast(bounds))
-      .join(broadcast(counts), Seq("bin"), "left")
+    // range, empty ones included) — ≤nBins rows, broadcast
+    spine.join(broadcast(counts), Seq("bin"), "left")
       .select(
         col("bin"),
-        round(col("__lo") + col("bin") * (col("__hi") - col("__lo")) / nBins, 6)
-          .as("bin_start"),
+        round(lit(lo) + col("bin") * (hi - lo) / nBins, 6).as("bin_start"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
 

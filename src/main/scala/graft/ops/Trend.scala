@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   * type × id): each per-key window is one task, so key cardinality is the
   * window-stage parallelism. Partitioning a 100 TB fact table's windows by
   * a 5-value type column would serialize all window work through 5 tasks
-  * — the registered queries key by (event_type, user_id) for exactly this
-  * reason.
+  * — the registered queries key by user_id (cardinality scales with the
+  * data) for exactly this reason.
   */
 object Trend {
 

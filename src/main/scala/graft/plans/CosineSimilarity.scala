@@ -101,10 +101,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    GraftFunctions.builders.foreach { case (name, builder) =>
+    GraftFunctions.builders.foreach { case (name, clazz, builder) =>
       ext.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
         builder))
     }
     ext.injectOptimizerRule(_ => CosineRewrite)
@@ -122,38 +121,51 @@ object GraftFunctions {
   val ShingleStringsName = "graft_shingle_strings"
   val SimHashName = "graft_simhash64"
 
-  /** Builders for every graft native function; `k`-style scalar parameters
-    * arrive as foldable literals from `call_function`/SQL.
+  private def arity(name: String, n: Int, children: Seq[Expression]): Unit =
+    if (children.size != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${children.size}")
+
+  /** Foldable-integer extraction for `k`-style parameters arriving as
+    * literals from `call_function`/SQL.
     */
-  private[plans] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    CosineName -> ((children: Seq[Expression]) =>
-      CosineSimilarity(children(0), children(1))),
-    ShingleName -> ((children: Seq[Expression]) =>
-      ShingleHashes(children(0), children(1).eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"$ShingleName k must be an integer literal, got $other")
-      })),
-    ShingleStringsName -> ((children: Seq[Expression]) =>
-      ShingleStrings(children(0), children(1).eval() match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"$ShingleStringsName k must be an integer literal, got $other")
-      })),
-    SimHashName -> ((children: Seq[Expression]) => SimHash64(children(0))),
+  private def intLiteral(name: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$name k must be an integer literal, got non-foldable $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name k must be an integer literal, got $other")
+    }
+  }
+
+  /** (name, implementing class, builder) for every graft native function. */
+  private[plans] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    (CosineName, classOf[CosineSimilarity], (children: Seq[Expression]) => {
+      arity(CosineName, 2, children)
+      CosineSimilarity(children(0), children(1))
+    }),
+    (ShingleName, classOf[ShingleHashes], (children: Seq[Expression]) => {
+      arity(ShingleName, 2, children)
+      ShingleHashes(children(0), intLiteral(ShingleName, children(1)))
+    }),
+    (ShingleStringsName, classOf[ShingleStrings], (children: Seq[Expression]) => {
+      arity(ShingleStringsName, 2, children)
+      ShingleStrings(children(0), intLiteral(ShingleStringsName, children(1)))
+    }),
+    (SimHashName, classOf[SimHash64], (children: Seq[Expression]) => {
+      arity(SimHashName, 1, children)
+      SimHash64(children(0))
+    }),
   )
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, clazz, builder) =>
       val ident = FunctionIdentifier(name)
       if (!registry.functionExists(ident)) {
         registry.registerFunction(
-          ident,
-          new ExpressionInfo(classOf[CosineSimilarity].getName, name),
-          builder)
+          ident, new ExpressionInfo(clazz.getName, name), builder)
       }
     }
   }

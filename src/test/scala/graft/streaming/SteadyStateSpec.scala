@@ -46,7 +46,9 @@ class SteadyStateSpec extends SparkSpec {
 
     val progress = raw.recentProgress.filter(_.numInputRows > 0)
     assert(progress.length >= 15, s"only ${progress.length} batches in ${elapsedSec}s")
-    val rows = progress.map(_.numInputRows).sum
+    // total throughput from what the raw sink actually WROTE (recentProgress
+    // is capped at 100 entries, so summing it would undercount long runs)
+    val rows = spark.read.parquet(s"$out/raw").count()
     val msgPerMin = rows / elapsedSec * 60
     // steady-state latency = median trigger duration: the first batches
     // pay one-time state-store/sink init, and suite-mates sharing the
