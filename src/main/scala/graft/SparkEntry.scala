@@ -335,6 +335,12 @@ object SparkEntry {
     "q_token_estimate" -> ((s, dir) =>
       TextStats.withTokenEstimates(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- the composed curation pipeline: normalize-dedup → quality →
+    //      lang-ID → survivor selection, end-to-end oracled ----
+    "q_curation" -> ((s, dir) =>
+      TextStats.curate(Tables.documents(s, dir), "doc_id", "text",
+        minQuality = 0.5, lang = "en")),
+
     // ---- exact dedup summary (SHA-256 content hash) ----
     "q_dedup_docs" -> ((s, dir) =>
       Dedup.exactSummary(Tables.documents(s, dir), "text")),
@@ -779,6 +785,23 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}|[^a-z0-9 ]+')) AS BIGINT)
         |    AS n_subword_est
         |FROM documents""".stripMargin,
+    "q_curation" ->
+      """WITH fp AS (SELECT doc_id, text,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |s AS (SELECT f.doc_id, f.text, f.fp FROM fp f JOIN keep USING (doc_id)),
+        |scored AS (SELECT doc_id, fp,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
+        |      * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+        |        / (length(text) - length(replace(text, ' ', '')) + 1)), 6) AS quality_score,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'a'))) > 0 THEN 'en' ELSE 'other' END AS predicted_lang
+        |  FROM s)
+        |SELECT doc_id, n_tokens, quality_score, fp
+        |FROM scored
+        |WHERE quality_score >= 0.5 AND predicted_lang = 'en'""".stripMargin,
     "q_dedup_docs" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,

