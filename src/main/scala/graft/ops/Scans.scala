@@ -23,12 +23,29 @@ object Scans {
   /** Time-range scan relative to the dataset's own high-water mark:
     * rows with `tsCol >= max(tsCol) - lookback`
     * (reference/streamlit_dashboard.py:107-112).
+    *
+    * Two-phase, index-style: the high-water mark is ONE collected scalar
+    * (parquet footer statistics make the max scan near-free), so the
+    * range predicate is a LITERAL that reaches the parquet reader as a
+    * pushed filter — the distributed analog of the reference's B-tree
+    * range scan. The earlier broadcast-bound form kept the predicate
+    * dynamic, forcing a full scan every time. When the input carries a
+    * raw `<tsCol>_nanos` long (the events table's TIMESTAMP(NANOS)
+    * workaround — predicates on the DERIVED timestamp can't push), an
+    * exactly-equivalent twin predicate on the raw long is added:
+    * ts ≥ F ⟺ nanos ≥ micros(F)·1000 (integer floor-division).
     */
   def timeRangeFromMax(df: DataFrame, tsCol: String, lookback: String): DataFrame = {
-    val bound = df.agg(max(col(tsCol)).as("__max_ts"))
-    df.crossJoin(broadcast(bound))
-      .filter(col(tsCol) >= col("__max_ts") - expr(s"INTERVAL $lookback"))
-      .drop("__max_ts")
+    val bound = df
+      .agg(unix_micros(max(col(tsCol)) - expr(s"INTERVAL $lookback")))
+      .head()
+    if (bound.isNullAt(0)) return df.filter(lit(false))
+    val fromMicros = bound.getLong(0)
+    val base = df.filter(col(tsCol) >= timestamp_micros(lit(fromMicros)))
+    val nanosTwin = s"${tsCol}_nanos"
+    if (df.columns.contains(nanosTwin))
+      base.filter(col(nanosTwin) >= lit(fromMicros * 1000L))
+    else base
   }
 
   /** One-row health metrics block: total rows, per-dim distinct counts,

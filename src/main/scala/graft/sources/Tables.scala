@@ -41,7 +41,11 @@ object Tables {
     require(spark.conf.getOption(NanosAsLongConf).contains("true"),
       s"""events.parquet stores ts as TIMESTAMP(NANOS): build the session with
          |.config("$NanosAsLongConf", "true") before loading it""".stripMargin)
+    // keep the RAW nanos long beside the converted timestamp: predicates
+    // on the derived `ts` cannot reach the parquet reader, so range scans
+    // add a pushable twin on `ts_nanos` (see Scans.timeRangeFromMax)
     load(spark, dir, "events")
+      .withColumn("ts_nanos", col("ts"))
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
