@@ -16,6 +16,17 @@ import graft.streaming.Stateful
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("timeRangeFromMax pushes its range predicate into the parquet scan") {
+    // the dynamic-bound form could never push; the two-phase literal form
+    // must reach the reader via the raw-nanos twin predicate
+    val plan = graft.ops.Scans
+      .timeRangeFromMax(graft.sources.Tables.events(spark, "/root/testdata/sf0.001"),
+        "ts", "1 DAY")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      plan)
+  }
+
   test("day-partitioned layout prunes partitions for day-bounded scans") {
     val dir = Files.createTempDirectory("graft_layout").toString + "/events"
     val df = Seq(
