@@ -125,7 +125,8 @@ object SparkEntry {
 
     // ---- S9/P1/P4: time-range scan anchored to max(ts) ----
     "q_time_range_scan" -> ((s, dir) =>
-      Scans.timeRangeFromMax(Tables.events(s, dir), "ts", "1 DAY")
+      Scans.timeRangeFromMax(Tables.events(s, dir), "ts", "1 DAY",
+        nanosTwin = Some("ts_nanos"))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))),
 

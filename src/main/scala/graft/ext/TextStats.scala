@@ -91,15 +91,20 @@ object TextStats {
     * selection with its token budget. Every stage is an oracled operator
     * of this module, so the composition is value-checked end-to-end in
     * DuckDB — the "switch your curation pipeline to this engine" claim,
-    * verified. Scale shape: one groupBy on the fingerprint (the dedup
-    * shuffle) + one key join; scoring and filters are narrow projections.
+    * verified. Scale shape: ONE scan and one shuffle — the keep-min-id
+    * dedup is a window min over the fingerprint (tiny per-fp groups), not
+    * a groupBy + join back, so the text is read and hashed once; scoring
+    * and filters are narrow projections.
     */
   def curate(df: DataFrame, idCol: String, textCol: String,
       minQuality: Double, lang: String): DataFrame = {
     val fp = fingerprint(df, textCol, "fp")
-    val keep = fp.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    val survivors = fp.join(keep, Seq(idCol))
+    val survivors = fp
+      .withColumn("__keep",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
     langId(withQuality(survivors, textCol), textCol)
       .filter(col("quality_score") >= minQuality
         && col("predicted_lang") === lang)

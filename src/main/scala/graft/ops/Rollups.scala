@@ -92,8 +92,11 @@ object Rollups {
         round(element_at(col("__q"), 3) - element_at(col("__q"), 1), 6).as("iqr"))
 
   /** Equi-width histogram (reference/streamlit_dashboard.py:648-650,
-    * 30 bins). Two-phase: 1-row min/max bounds broadcast onto the scan,
-    * then a hash agg on the bin index — never a collect to the driver.
+    * 30 bins). Two-phase: the min/max bounds are collected as two driver
+    * scalars (adaptive-binning metadata — so the operator runs its bounds
+    * job eagerly at construction, batch input only), then one hash agg on
+    * the literal bin index; only the ≤nBins bin counts ever leave the
+    * executors.
     */
   def histogram(df: DataFrame, c: String, nBins: Int): DataFrame = {
     // One bounds pass, collected to the driver — two scalar doubles, the

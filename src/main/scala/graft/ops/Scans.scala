@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * "Now"-relative predicates (`NOW() - INTERVAL …`,
   * reference/streamlit_dashboard.py:151) are anchored to `max(ts)` of the
   * input instead of the wall clock so results are deterministic and
-  * oracle-checkable. The 1-row bound is broadcast — no shuffle of the fact
-  * table, scale-safe at any input size.
+  * oracle-checkable. [[timeRangeFromMax]] collects that anchor as one
+  * scalar so the range predicate pushes into the scan (and therefore runs
+  * its bounds job eagerly at construction — batch input only);
+  * [[scanMetrics]] keeps the broadcast-1-row-bound form, which stays
+  * lazy and shuffle-free.
   */
 object Scans {
 
@@ -29,23 +32,31 @@ object Scans {
     * range predicate is a LITERAL that reaches the parquet reader as a
     * pushed filter — the distributed analog of the reference's B-tree
     * range scan. The earlier broadcast-bound form kept the predicate
-    * dynamic, forcing a full scan every time. When the input carries a
-    * raw `<tsCol>_nanos` long (the events table's TIMESTAMP(NANOS)
-    * workaround — predicates on the DERIVED timestamp can't push), an
-    * exactly-equivalent twin predicate on the raw long is added:
-    * ts ≥ F ⟺ nanos ≥ micros(F)·1000 (integer floor-division).
+    * dynamic, forcing a full scan every time. Runs the bounds job eagerly
+    * at construction — batch input only (use [[scanMetrics]]'s
+    * broadcast-bound form for streaming frames).
+    *
+    * `nanosTwin` names a raw TIMESTAMP(NANOS) long column that derives
+    * `tsCol` via `timestamp_micros(nanos DIV 1000)` (the events table's
+    * reader workaround — predicates on the DERIVED timestamp can't
+    * push). When given, a conservative pushable twin predicate on the raw
+    * long is conjoined: `nanos ≥ micros(F)·1000 − 999` is implied by
+    * `ts ≥ F` even for pre-epoch values, where `DIV` truncates toward
+    * zero rather than flooring; the ≤1 µs of extra rows it admits are
+    * removed by the base predicate.
     */
-  def timeRangeFromMax(df: DataFrame, tsCol: String, lookback: String): DataFrame = {
+  def timeRangeFromMax(df: DataFrame, tsCol: String, lookback: String,
+      nanosTwin: Option[String] = None): DataFrame = {
     val bound = df
       .agg(unix_micros(max(col(tsCol)) - expr(s"INTERVAL $lookback")))
       .head()
     if (bound.isNullAt(0)) return df.filter(lit(false))
     val fromMicros = bound.getLong(0)
     val base = df.filter(col(tsCol) >= timestamp_micros(lit(fromMicros)))
-    val nanosTwin = s"${tsCol}_nanos"
-    if (df.columns.contains(nanosTwin))
-      base.filter(col(nanosTwin) >= lit(fromMicros * 1000L))
-    else base
+    nanosTwin match {
+      case Some(c) => base.filter(col(c) >= lit(fromMicros * 1000L - 999L))
+      case None => base
+    }
   }
 
   /** One-row health metrics block: total rows, per-dim distinct counts,

@@ -21,7 +21,7 @@ class LayoutSpec extends SparkSpec {
     // must reach the reader via the raw-nanos twin predicate
     val plan = graft.ops.Scans
       .timeRangeFromMax(graft.sources.Tables.events(spark, "/root/testdata/sf0.001"),
-        "ts", "1 DAY")
+        "ts", "1 DAY", nanosTwin = Some("ts_nanos"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
       plan)
