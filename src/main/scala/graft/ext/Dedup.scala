@@ -156,6 +156,16 @@ object Dedup {
     * `bandKey` maps a band's signature components to the join key — an
     * engine hash for the fast path, the raw component tuple for the
     * oracle-portable path.
+    *
+    * The self-join is hinted `shuffle_hash`: a broadcast self-join would
+    * compute the whole signature pipeline (scan → shingle → hash → agg)
+    * TWICE, once per side, because the broadcast side has no exchange for
+    * `ReuseExchange` to unify. Forcing a shuffled join gives both sides an
+    * identical hash-partitioned exchange on (band, band_key), which the
+    * planner dedupes into one — one document scan, one signature
+    * computation, at any scale. (Persisting the signature frame would do
+    * the same at small SF but turns into cluster-wide cache pressure at
+    * 100 TB; a reused shuffle is exactly one exchange on local disk.)
     */
   private def bandedPairs(signatures: DataFrame, idCol: String,
       nPerms: Int, rowsPerBand: Int,
@@ -168,6 +178,7 @@ object Dedup {
     val banded = signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+      .hint("shuffle_hash")
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band")
@@ -260,6 +271,10 @@ object Dedup {
     * 16-bit chunks; Hamming distance ≤ 3 guarantees ≥1 identical chunk
     * (pigeonhole), so chunk-equality buckets are a complete candidate set
     * for distance ≤ 3 — verified exactly with bit_count(xor).
+    *
+    * Hinted `shuffle_hash` for the same reason as [[bandedPairs]]: the
+    * identical exchanges on (chunk, v) are deduped by the planner, so the
+    * signature pipeline upstream runs once instead of once per join side.
     */
   def simhashCandidates(sigs: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
     val chunks = (0 until 4).map(c =>
@@ -267,6 +282,7 @@ object Dedup {
     val banded = sigs
       .select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("cc"))
       .select(col(idCol), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+      .hint("shuffle_hash")
     banded.as("a")
       .join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.v") === col("b.v")
