@@ -145,6 +145,25 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_quantizer")
   }
 
+  /** Build-once gate for [[writeIvfLayout]]: the layout lives in a scratch
+    * directory derived from `cacheKey` (callers should fold the source
+    * file's length/mtime into the key so a regenerated corpus can never be
+    * probed through a stale index) and is only rebuilt when its
+    * `_SUCCESS` marker or quantizer is missing. This is the index-build /
+    * query split of a real ANN service: construction is a one-time
+    * write-side cost, probes pay only the pruned read.
+    */
+  def ensureIvfLayout(df: DataFrame, idCol: String, vecCol: String,
+      seedBucketCol: String, cacheKey: String): String = synchronized {
+    val key = cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_ivf_layout/$key").toString
+    val complete = new java.io.File(path, "_SUCCESS").exists() &&
+      new java.io.File(path, "_quantizer").exists()
+    if (!complete) writeIvfLayout(df, idCol, vecCol, seedBucketCol, path)
+    path
+  }
+
   /** Probe an IVF layout: pick the `nProbe` buckets whose centroids are
     * nearest the query vector (driver-side over the k-row quantizer —
     * index metadata, not data), then exact native-cosine top-k over ONLY

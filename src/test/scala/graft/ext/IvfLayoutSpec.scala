@@ -78,4 +78,20 @@ class IvfLayoutSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(two === withinProbed)
   }
+
+  test("ensureIvfLayout builds once and reuses the layout on later calls") {
+    val emb = Tables.embeddings(spark, sf)
+    val key = s"spec-reuse-${System.nanoTime()}"
+    val p1 = Similarity.ensureIvfLayout(emb, "vec_id", "embedding", "label", key)
+    val marker = new java.io.File(p1, "_SUCCESS")
+    assert(marker.exists())
+    val built = marker.lastModified()
+    val p2 = Similarity.ensureIvfLayout(emb, "vec_id", "embedding", "label", key)
+    assert(p2 === p1)
+    assert(marker.lastModified() === built) // second call did not rebuild
+    // a different cache key (new data fingerprint) gets its own layout
+    val p3 = Similarity.ensureIvfLayout(emb, "vec_id", "embedding", "label",
+      key + "-regen")
+    assert(p3 !== p1)
+  }
 }
