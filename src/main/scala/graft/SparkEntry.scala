@@ -86,6 +86,18 @@ object SparkEntry {
           col("min_value"), col("max_value"), col("reading_count"))
         .orderBy("event_type", "window_start")),
 
+    // ---- the PRODUCTION streaming shape (append + watermark +
+    //      foreachBatch sink) over the same replay: emits exactly the
+    //      windows the final watermark finalized, which the oracle
+    //      replays as window_end <= max(ts) - 10 min ----
+    "q_windowed_agg_stream_inc" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayWindowedAggIncremental(s, dir)
+        .select(
+          col("event_type"), col("window_start"), col("window_end"),
+          round(col("avg_value"), 6).as("avg_value"),
+          col("min_value"), col("max_value"), col("reading_count"))
+        .orderBy("event_type", "window_start")),
+
     // ---- TPC-H Q1-style pricing summary: scan + wide agg on lineitem ----
     "q_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -515,6 +527,21 @@ object SparkEntry {
         |  count(*) AS reading_count
         |FROM events
         |GROUP BY 1, 2, 3
+        |ORDER BY event_type, window_start""".stripMargin,
+    // Append-mode replay = the finalized prefix: only windows whose end
+    // the final watermark (max event time - 10 min) passed are emitted.
+    "q_windowed_agg_stream_inc" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+        |SELECT event_type,
+        |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '5 minutes' AS window_end,
+        |  round(avg(value), 6) AS avg_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  count(*) AS reading_count
+        |FROM events, m
+        |GROUP BY 1, 2, 3, m.mx
+        |HAVING window_end <= m.mx - INTERVAL 10 MINUTE
         |ORDER BY event_type, window_start""".stripMargin,
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -81,29 +81,90 @@ object Pipeline {
     * state is bounded by the window count of the replayed range.
     */
   def replayWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val stream = replayStream(spark, dir)
+    val sinkName = "replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    withReplayParallelism(spark) {
+      val q = WindowedAgg.tumbling(stream, "ts", "event_type", "value")
+        .writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.table(sinkName)
+  }
+
+  /** The INCREMENTAL replay twin of [[replayWindowedAgg]]: the same finite
+    * events replay through the PRODUCTION streaming shape — append output
+    * mode, event-time watermark, `foreachBatch` parquet append (the
+    * [[startAggSink]] sink form) — instead of a complete-mode memory sink.
+    * State stays bounded by the watermark and nothing is re-emitted per
+    * micro-batch, so this is the form whose cost model survives an
+    * unbounded stream; the complete-mode gate remains the total-equality
+    * check (append mode can never emit the final, not-yet-finalized
+    * windows of a finite replay — this variant's contract is exactly the
+    * FINALIZED prefix: windows whose end the final watermark
+    * (max event time − `watermark`) has passed).
+    */
+  def replayWindowedAggIncremental(spark: SparkSession, dir: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val stream = replayStream(spark, dir)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_inc_out").toString + "/agg"
+    withReplayParallelism(spark) {
+      val q = WindowedAgg
+        .tumbling(stream.withWatermark("ts", watermark), "ts",
+          "event_type", "value")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_replay_inc_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            batch.write.mode("append").parquet(outDir)
+          }
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+  }
+
+  /** Events table as a file-stream source (micros-normalized `ts`). The
+    * file stream source requires a directory; the single-file table is
+    * symlinked into a scratch dir instead of copied.
+    */
+  private def replayStream(spark: SparkSession, dir: String): DataFrame = {
     require(spark.conf.getOption(graft.sources.Tables.NanosAsLongConf)
         .contains("true"),
       s"build the session with .config(\"${graft.sources.Tables.NanosAsLongConf}\", \"true\")")
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    // the file stream source requires a directory; link the single-file
-    // table into a scratch dir instead of copying it
     val streamDir = java.nio.file.Files.createTempDirectory("graft_replay")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    spark.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    val sinkName = "replay_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = WindowedAgg.tumbling(stream, "ts", "event_type", "value")
-      .writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
-    spark.table(sinkName)
+  }
+
+  /** Runs `body` with `spark.sql.shuffle.partitions` lowered to 4: the
+    * stateful stream inside pins one state-store instance per shuffle
+    * partition for the query's lifetime, and a 2-micro-batch finite replay
+    * at 32 partitions spends more time on 32× state-store init/commit/
+    * checkpoint I/O than on data. Batch queries on the session are
+    * unaffected (conf restored in finally); an UNBOUNDED stream should
+    * keep the session default — partition count bounds stateful
+    * parallelism for the query's whole life.
+    */
+  private def withReplayParallelism[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Streaming exactly-once event dedup: drops re-deliveries of the same
