@@ -99,6 +99,10 @@ object Rollups {
     * executors.
     */
   def histogram(df: DataFrame, c: String, nBins: Int): DataFrame = {
+    require(!df.isStreaming,
+      "histogram collects adaptive min/max bounds eagerly and has NO " +
+        "streaming form (bin bounds would change every micro-batch); " +
+        "aggregate fixed-bound bins in foreachBatch instead")
     // One bounds pass, collected to the driver — two scalar doubles, the
     // adaptive-binning metadata collection every engine performs. Binning
     // then uses literal bounds, so the bounds subtree appears zero times

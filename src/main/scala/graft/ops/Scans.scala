@@ -47,6 +47,10 @@ object Scans {
     */
   def timeRangeFromMax(df: DataFrame, tsCol: String, lookback: String,
       nanosTwin: Option[String] = None): DataFrame = {
+    require(!df.isStreaming,
+      "timeRangeFromMax collects the max-ts bound eagerly (that's what buys " +
+        "the pushed-down literal range scan) and is batch-only; on a stream, " +
+        "derive the bound as a broadcast 1-row frame like scanMetrics does")
     val bound = df
       .agg(unix_micros(max(col(tsCol)) - expr(s"INTERVAL $lookback")))
       .head()

@@ -223,4 +223,21 @@ class RollupsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("std_v") - 2.13809) < 1e-4)
     assert(r.getAs[Double]("range_v") === 7.0)
   }
+
+  test("eager-bounds operators refuse streaming frames with an actionable message") {
+    // both operators run a driver job at plan construction (the two-phase
+    // "index metadata" pattern that buys the pushed-down literal scans);
+    // on a streaming frame that must fail at the API with guidance, not
+    // deep inside the engine
+    val stream = spark.readStream.format("rate").load()
+      .selectExpr("timestamp AS ts", "CAST(value AS DOUBLE) AS v")
+    val eHist = intercept[IllegalArgumentException] {
+      Rollups.histogram(stream, "v", 30)
+    }
+    assert(eHist.getMessage.contains("NO streaming form"))
+    val eRange = intercept[IllegalArgumentException] {
+      graft.ops.Scans.timeRangeFromMax(stream, "ts", "1 hour")
+    }
+    assert(eRange.getMessage.contains("batch-only"))
+  }
 }
