@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Curate, Dedup, Multimodal, Similarity, TextStats}
 import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Trend, WindowedAgg}
 import graft.sources.Tables
 
@@ -353,6 +353,28 @@ object SparkEntry {
     "q_curation" -> ((s, dir) =>
       TextStats.curate(Tables.documents(s, dir), "doc_id", "text",
         minQuality = 0.5, lang = "en")),
+
+    // ---- within-document repetition signals (Gopher-style quality
+    //      filters): distinct-token ratio + duplicate-2-gram fraction ----
+    "q_repetition" -> ((s, dir) =>
+      TextStats.repetitionScore(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- deterministic train/val/test assignment: md5-keyed uniform vs
+    //      binary-exact cumulative weights, reproducible on any engine ----
+    "q_split_assign" -> ((s, dir) =>
+      Curate.assignSplits(Tables.documents(s, dir), "doc_id", "v1",
+        Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)))
+        .select(col("doc_id"), col("u"), col("split"))),
+
+    // ---- PII scrubbing: per-class counts + redacted text (this corpus
+    //      is synthetic word-salad, so counts are zero and the redaction
+    //      is an identity — the oracle still value-checks that BOTH
+    //      engines' regex dialects agree on every document; behavior on
+    //      PII-bearing text is pinned by CurateSpec) ----
+    "q_pii_scrub" -> ((s, dir) =>
+      Curate.redactPii(Tables.documents(s, dir), "text", "text_redacted")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          col("n_phones"), md5(col("text_redacted")).as("redacted_fp"))),
 
     // ---- exact dedup summary (SHA-256 content hash) ----
     "q_dedup_docs" -> ((s, dir) =>
@@ -831,6 +853,44 @@ object SparkEntry {
         |  CAST(len(text) - len(regexp_replace(text, ' ', '', 'g')) + 1 AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}|[^a-z0-9 ]+')) AS BIGINT)
         |    AS n_subword_est
+        |FROM documents""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+        |       FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n2 FROM sh GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
+        |  CASE WHEN len(toks) > 1
+        |    THEN round(1.0 - c.n2 / CAST(len(toks) - 1 AS DOUBLE), 6) END AS dup_2gram_ratio
+        |FROM t LEFT JOIN c ON t.doc_id = c.doc_id""".stripMargin,
+    // The same md5-keyed uniform as the Spark side: top-60-bit hex →
+    // bigint → double / 2^60; binary-exact cumulative weights (0.75,
+    // 0.875) compare identically in both engines.
+    "q_split_assign" ->
+      """WITH u AS (SELECT doc_id,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || '|v1'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, round(u, 6) AS u,
+        |  CASE WHEN u < 0.75 THEN 'train'
+        |       WHEN u < 0.875 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp
         |FROM documents""".stripMargin,
     "q_curation" ->
       """WITH fp AS (SELECT doc_id, text,

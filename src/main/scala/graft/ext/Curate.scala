@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * train/val/test splits, hash sampling, and PII redaction.
+  *
+  * Everything here is a narrow, shuffle-free projection (the 100 TB
+  * posture: curation decisions ride along with the scan, never a join or
+  * a global pass), and everything is content/key-deterministic — no
+  * `rand()`, so assignments survive retries, reshuffles, partial re-runs
+  * and even engine changes (the md5 draw replays in any SQL engine).
+  */
+object Curate {
+
+  /** 2^60 — the draw below is the top 60 bits of an md5, so dividing by
+    * this maps it onto [0, 1).
+    */
+  private val Pow60 = 1152921504606846976.0
+
+  /** Key-derived uniform in [0, 1): top 60 bits of md5(key|salt), the
+    * same portable construction as the oracle-checked signature queries
+    * (fixed-width hex → bigint → double). Changing `salt` re-draws every
+    * key independently.
+    */
+  private def uniformDraw(keyCol: Column, salt: String): Column =
+    conv(substring(md5(concat(keyCol.cast("string"), lit("|" + salt))), 1, 15),
+      16, 10).cast("long").cast("double") / lit(Pow60)
+
+  /** Deterministic split assignment: each row draws its uniform from
+    * md5(key|salt) and lands in the first split whose cumulative weight
+    * exceeds the draw. Adds `u` (the draw, 6dp) and `split`.
+    *
+    * Weights must sum to 1. Prefer binary-exact weights (0.75, 0.125, …):
+    * cumulative sums of decimal weights like 0.1 differ in the last ulp
+    * between engines/orders, and a reproducible split must not depend on
+    * float-literal folding.
+    */
+  def assignSplits(df: DataFrame, keyCol: String, salt: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val u = uniformDraw(col(keyCol), salt)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), bound)) =>
+        Some(acc.fold(when(u < bound, name))(_.when(u < bound, name)))
+      }
+      .fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn("u", round(u, 6)).withColumn("split", assigned)
+  }
+
+  /** Deterministic Bernoulli sample: keep rows whose draw falls below
+    * `fraction`. The same row set is selected on every run and engine —
+    * the reproducible form of `df.sample(fraction)`.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, salt: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(uniformDraw(col(keyCol), salt) < fraction)
+  }
+
+  /** Email / IPv4 / phone patterns shared by count and redaction. Written
+    * in the common subset of Java regex and RE2 (no backreferences, no
+    * lookaround) so the DuckDB oracle evaluates them identically.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrubbing: counts each PII class on the ORIGINAL text, then
+    * redacts in a fixed order (emails, then IPv4s, then phone-shaped
+    * digit runs — the earlier passes consume the digits that would
+    * otherwise double-match). Adds `n_emails`/`n_ips`/`n_phones` and
+    * `<out>` with `<EMAIL>`/`<IP>`/`<PHONE>` placeholders.
+    */
+  def redactPii(df: DataFrame, textCol: String, out: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(textCol), lit(EmailPattern)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Pattern)))
+      .withColumn("n_phones", regexp_count(col(textCol), lit(PhonePattern)))
+      .withColumn(out,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+            Ipv4Pattern, "<IP>"),
+          PhonePattern, "<PHONE>"))
+}

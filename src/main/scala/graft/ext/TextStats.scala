@@ -85,6 +85,29 @@ object TextStats {
       regexp_count(col(textCol), lit("[a-z0-9]{1,4}|[^a-z0-9 ]+"))
         .cast("long").as("n_subword_est"))
 
+  /** Within-document repetition signals — the Gopher/RefinedWeb-style
+    * quality filters that catch boilerplate and degenerate generations:
+    * distinct-token ratio and the duplicate-2-gram fraction
+    * (1 − distinct 2-grams / total 2-grams; null for one-token docs).
+    * One narrow codegen'd projection: the distinct 2-gram count reuses
+    * the [[graft.plans.ShingleStrings]] kernel's per-document distinct
+    * set, so there is no explode and no shuffle at any scale.
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val toks = split(col(textCol), " ")
+    val nTok = size(toks)
+    val n2Distinct = size(call_function(
+      graft.plans.GraftFunctions.ShingleStringsName, col(textCol), lit(2)))
+    df.select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      round(size(array_distinct(toks)) / nTok, 6).as("distinct_ratio"),
+      when(nTok > 1, round(lit(1.0) - n2Distinct / (nTok - 1), 6))
+        .cast("double").as("dup_2gram_ratio"))
+  }
+
   /** The full pretraining-corpus curation pipeline as ONE composed plan:
     * exact dedup after normalization (fingerprint → keep min id per
     * fingerprint), quality scoring, language-ID, then the survivor

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignSplits is deterministic, complete, and roughly proportional") {
+    val ids = (0L until 2000L).toDF("id")
+    val splits = Seq(("train", 0.75), ("val", 0.125), ("test", 0.125))
+    val a = Curate.assignSplits(ids, "id", "v1", splits)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test")) // all splits hit
+    assert(counts.values.sum === 2000L)                   // total partition
+    // proportions within a loose binomial envelope
+    assert(math.abs(counts("train") - 1500.0) < 120, counts)
+    assert(math.abs(counts("val") - 250.0) < 80, counts)
+    // identical on a rerun (no rand() anywhere)
+    val b = Curate.assignSplits(ids, "id", "v1", splits)
+    assert(a.orderBy("id").collect().toSeq === b.orderBy("id").collect().toSeq)
+    // a different salt re-draws: some assignments must move
+    val c = Curate.assignSplits(ids, "id", "v2", splits)
+    assert(a.join(c, "id").filter(a("split") =!= c("split")).count() > 0)
+  }
+
+  test("assignSplits rejects weights that do not sum to 1") {
+    val e = intercept[IllegalArgumentException] {
+      Curate.assignSplits(Seq(1L).toDF("id"), "id", "s",
+        Seq(("a", 0.5), ("b", 0.3)))
+    }
+    assert(e.getMessage.contains("sum to 1"))
+  }
+
+  test("sampleByHash keeps a stable subset of about the requested fraction") {
+    val ids = (0L until 2000L).toDF("id")
+    val s1 = Curate.sampleByHash(ids, "id", "s", 0.25)
+    val n = s1.count()
+    assert(math.abs(n - 500.0) < 90, n)
+    // subset property: sampling at a larger fraction strictly grows the set
+    val s2 = Curate.sampleByHash(ids, "id", "s", 0.5)
+    assert(s1.except(s2).count() === 0) // nested samples, same salt
+  }
+
+  test("redactPii counts and redacts emails, IPv4s and phone numbers") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val r = Curate.redactPii(docs, "text", "red")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_emails") === 2)
+    assert(r(0).getAs[String]("red") === "contact <EMAIL> or <EMAIL> today")
+    assert(r(1).getAs[Int]("n_ips") === 2)
+    assert(r(1).getAs[String]("red") === "server at <IP> and <IP> responded")
+    assert(r(2).getAs[Int]("n_phones") === 1)
+    assert(r(2).getAs[String]("red") === "call <PHONE> now")
+    assert(r(3).getAs[Int]("n_emails") + r(3).getAs[Int]("n_ips")
+      + r(3).getAs[Int]("n_phones") === 0)
+    assert(r(3).getAs[String]("red") === "nothing sensitive here at all")
+  }
+
+  test("repetitionScore: degenerate repetition scores high, varied text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),   // 6 tokens, 1 distinct
+      (2L, "all six tokens here are unique"),  // 6 tokens, 6 distinct
+      (3L, "one")                              // single token: no 2-grams
+    ).toDF("doc_id", "text")
+    val r = TextStats.repetitionScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_distinct_tokens") === 1L)
+    // 5 total 2-grams, 1 distinct ("spam spam") -> dup ratio 0.8
+    assert(r(0).getAs[Double]("dup_2gram_ratio") === 0.8)
+    assert(r(1).getAs[Double]("distinct_ratio") === 1.0)
+    assert(r(1).getAs[Double]("dup_2gram_ratio") === 0.0)
+    assert(r(2).isNullAt(r(2).fieldIndex("dup_2gram_ratio")))
+  }
+}
