@@ -412,6 +412,19 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id",
         "embedding", "label", threshold = 0.3)),
 
+    // ---- embedding near-dup via the REAL content-derived LSH bucket:
+    //      signed-random-projection sign bits (one band), planes derived
+    //      from portable md5 so the whole bucket assignment replays in
+    //      the oracle ----
+    "q_embed_neardup_srp" -> ((s, dir) =>
+      Similarity.nearDupPairsSRP(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, nPlanes = 4, salt = "s1", threshold = 0.3)),
+
+    // ---- deterministic Bernoulli sample (reproducible df.sample) ----
+    "q_sample_hash" -> ((s, dir) =>
+      Curate.sampleByHash(Tables.documents(s, dir), "doc_id", "s1", 0.25)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // ---- embedding corpus stats per label ----
     "q_embed_stats" -> ((s, dir) =>
       Similarity.stats(Tables.embeddings(s, dir), "label", "embedding")),
@@ -1043,6 +1056,33 @@ object SparkEntry {
         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |    / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
         |         * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) > 0.3""".stripMargin,
+    // SRP LSH replayed: hyperplane components from the same md5 uniform
+    // the Spark side bakes as literals; sign bits -> bucket; bucket-equal
+    // pairs scored with exact cosine.
+    "q_embed_neardup_srp" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planes AS (SELECT pp.p, ii.i,
+        |    (('0x' || substring(md5(pp.p::VARCHAR || '|' || ii.i::VARCHAR || '|s1'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0) * 2 - 1 AS h
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS p) pp,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) ii),
+        |dots AS (SELECT e.vec_id, pl.p, sum(e.v[pl.i + 1] * pl.h) AS d
+        |         FROM e, planes pl GROUP BY 1, 2),
+        |b AS (SELECT vec_id,
+        |        CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
+        |      FROM dots GROUP BY 1)
+        |SELECT a.vec_id AS d1, b2.vec_id AS d2, ba.bucket AS srp_bucket,
+        |  round(list_dot_product(a.v, b2.v)
+        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b2.v, b2.v)), 6) AS cosine
+        |FROM e a JOIN b ba ON a.vec_id = ba.vec_id
+        |JOIN b bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+        |JOIN e b2 ON b2.vec_id = bb.vec_id
+        |WHERE list_dot_product(a.v, b2.v)
+        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b2.v, b2.v)) > 0.3""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|s1'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 < 0.25""".stripMargin,
     "q_embed_stats" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

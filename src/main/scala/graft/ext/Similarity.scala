@@ -193,12 +193,56 @@ object Similarity {
       .select(col(idCol), col("ivf_bucket"), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** One random-hyperplane component, derived from the portable md5
+    * uniform (top 60 bits of md5("p|i|salt") / 2^60, mapped to [−1, 1)) —
+    * deterministic and byte-reproducible in ANY engine that has md5, so
+    * the SRP bucket below can be value-oracled. Computed on the DRIVER:
+    * the planes are index metadata (nPlanes × dim doubles), baked into
+    * the plan as literals — zero per-row hashing.
+    */
+  private[ext] def planeComponent(p: Int, i: Int, salt: String): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$i|$salt".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) / 1152921504606846976.0) * 2 - 1
+  }
+
+  /** Signed-random-projection LSH bucket: bit p of the bucket is the sign
+    * of the dot product with hyperplane p. Cosine-similar vectors agree
+    * on each bit with probability 1 − θ/π, so near-duplicates land in the
+    * same bucket with high probability while the corpus spreads over
+    * 2^nPlanes buckets. A narrow codegen'd projection (dim × nPlanes
+    * literal multiply-adds — no HOF lambdas, no shuffle); at 100 TB this
+    * column is ALSO the natural partition key for a physical layout, the
+    * same bucket-is-a-partition shape as [[writeIvfLayout]].
+    */
+  def srpBucket(vecCol: Column, dim: Int, nPlanes: Int, salt: String): Column =
+    (0 until nPlanes).map { p =>
+      val dot = (0 until dim).map { i =>
+        element_at(vecCol, i + 1) * lit(planeComponent(p, i, salt))
+      }.reduce(_ + _)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
+  /** [[nearDupPairs]] with the REAL content-derived LSH bucket (SRP sign
+    * bits) instead of a pre-existing bucket column — the scale path the
+    * label-bucket form stands in for. Candidates are pairs agreeing on
+    * ALL nPlanes signs (one band); lower the similarity floor by adding
+    * bands the way [[Dedup.minhashCandidates]] does.
+    */
+  def nearDupPairsSRP(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, salt: String, threshold: Double): DataFrame = {
+    val bucketed = df.withColumn("__srp",
+      srpBucket(col(vecCol).cast("array<double>"), dim, nPlanes, salt))
+    nearDupPairs(bucketed, idCol, vecCol, "__srp", threshold)
+      .withColumnRenamed("bucket", "srp_bucket")
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates are generated by a
-    * bucket-equality self-join (here the coarse IVF bucket), then scored
-    * exactly with the native codegen'd cosine — never an all-pairs cross
-    * join. At 100 TB the bucket becomes an LSH key (random-hyperplane
-    * sign bits), which keeps candidate counts proportional to true
-    * near-dups; the join/score plumbing is identical.
+    * bucket-equality self-join (a coarse IVF bucket, or the SRP LSH
+    * bucket from [[nearDupPairsSRP]]), then scored exactly with the
+    * native codegen'd cosine — never an all-pairs cross join, so the
+    * pair count stays proportional to true near-dups.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double): DataFrame = {

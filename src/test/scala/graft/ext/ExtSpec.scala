@@ -99,6 +99,39 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c(1) - 0.95) < 1e-6)
     assert(math.abs(c(2) - 0.05) < 1e-6)
   }
+
+  test("srpBucket: deterministic, direction-sensitive, negation flips every sign bit") {
+    val df = Seq(
+      (1L, Array(0.5, -0.25, 0.125, 1.0)),
+      (2L, Array(0.5, -0.25, 0.125, 1.0)),   // identical direction
+      (3L, Array(-0.5, 0.25, -0.125, -1.0)), // exact negation
+      (4L, Array(1.0, 0.5, -0.25, 0.125))
+    ).toDF("id", "v")
+    val b = df.select(col("id"),
+        Similarity.srpBucket(col("v"), dim = 4, nPlanes = 4, salt = "t").as("b"))
+      .orderBy("id").collect().map(_.getInt(1))
+    assert(b(0) === b(1))          // same vector, same bucket
+    assert(b(2) === (b(0) ^ 15))   // every sign flips under negation
+    assert(b.forall(x => x >= 0 && x < 16))
+    // scaling preserves direction -> same bucket
+    val scaled = df.filter($"id" === 1)
+      .select(Similarity.srpBucket(expr("transform(v, x -> x * 7.5)"),
+        dim = 4, nPlanes = 4, salt = "t").as("b"))
+      .collect().head.getInt(0)
+    assert(scaled === b(0))
+  }
+
+  test("nearDupPairsSRP finds the near-identical pair through the LSH bucket") {
+    val srp = Similarity.nearDupPairsSRP(vecs, "vec_id", "embedding",
+      dim = 3, nPlanes = 2, salt = "t", threshold = 0.9).collect()
+    val pairs = srp.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    // cluster-A vectors are near-identical in direction; at 2 planes they
+    // collide and survive the 0.9 cosine floor
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)) || pairs.contains((0L, 1L)),
+      srp.mkString(", "))
+    // every reported pair really is above the floor
+    assert(srp.forall(_.getAs[Double]("cosine") > 0.9))
+  }
 }
 
 class TextStatsSpec extends SparkSpec {
