@@ -376,6 +376,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails"), col("n_ips"),
           col("n_phones"), md5(col("text_redacted")).as("redacted_fp"))),
 
+    // ---- train/eval contamination sweep: per-eval-doc fraction of
+    //      8-gram shingles leaked into the training split ----
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", k = 8)
+    }),
+
     // ---- exact dedup summary (SHA-256 content hash) ----
     "q_dedup_docs" -> ((s, dir) =>
       Dedup.exactSummary(Tables.documents(s, dir), "text")),
@@ -867,6 +877,21 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}|[^a-z0-9 ]+')) AS BIGINT)
         |    AS n_subword_est
         |FROM documents""".stripMargin,
+    "q_contamination" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |evs AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |        FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |        WHERE source = 'src0'),
+        |evn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM evs GROUP BY 1),
+        |trs AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS s
+        |        FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |        WHERE source <> 'src0'),
+        |sh AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |       FROM evs e JOIN trs ON e.s = trs.s GROUP BY 1)
+        |SELECT n.doc_id, n.n_sh,
+        |  coalesce(s.n_shared, 0) AS n_shared,
+        |  round(coalesce(s.n_shared, 0) / CAST(n.n_sh AS DOUBLE), 6) AS contamination
+        |FROM evn n LEFT JOIN sh s ON n.doc_id = s.doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS g

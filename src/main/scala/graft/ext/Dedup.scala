@@ -117,6 +117,39 @@ object Dedup {
       .withColumn("n_sh", size(col("sh_set")).cast("long"))
   }
 
+  /** Train/eval contamination sweep (benchmark decontamination): for each
+    * eval document, the fraction of its distinct k-token shingles that
+    * appear ANYWHERE in the training corpus. The canonical pre-release
+    * check that a training set does not leak the eval set.
+    *
+    * Shape: one distinct-shingle pass per side (the codegen'd kernel
+    * emits per-document distinct sets, so "distinct corpus shingles" is
+    * one groupBy, not a text re-scan), one equality join on the shingle,
+    * one per-eval-doc count. Work is linear in corpus shingles and the
+    * join is hash-partitioned on the shingle key — at real scale the eval
+    * side is tiny and broadcasts, and nothing here is all-pairs.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(train.sparkSession)
+    val evalSh = eval.select(col(idCol),
+        call_function(graft.plans.GraftFunctions.ShingleStringsName,
+          col(textCol), lit(k)).as("__sh_set"))
+      .filter(size(col("__sh_set")) > 0)
+      .select(col(idCol), size(col("__sh_set")).cast("long").as("n_sh"),
+        explode(col("__sh_set")).as("shingle"))
+    val trainSh = train.select(
+        explode(call_function(graft.plans.GraftFunctions.ShingleStringsName,
+          col(textCol), lit(k))).as("shingle"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    evalSh.join(trainSh, Seq("shingle"), "left")
+      .groupBy(col(idCol), col("n_sh"))
+      .agg(count(col("__hit")).as("n_shared"))
+      .select(col(idCol), col("n_sh"), col("n_shared"),
+        round(col("n_shared") / col("n_sh"), 6).as("contamination"))
+  }
+
   /** Diagnostic: shingles whose document frequency exceeds `maxDocFreq`
     * (the ones [[ngramJaccardPairs]] drops), with their frequency —
     * audit the stop-gram guard before trusting a cap on a new corpus.

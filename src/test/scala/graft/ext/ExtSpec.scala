@@ -14,6 +14,26 @@ class DedupSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog today")    // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("contamination: leaked eval doc scores 1.0, clean doc scores 0.0") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely different words about spark query engines here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // verbatim leak
+      (2L, "unrelated evaluation prompt with its own private tokens entirely"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight") // partial overlap
+    ).toDF("doc_id", "text")
+    val r = Dedup.contamination(train, eval, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("contamination") === 1.0)
+    assert(r(1).getAs[Double]("contamination") === 0.0)
+    val partial = r(2).getAs[Double]("contamination")
+    assert(partial > 0.0 && partial < 1.0, partial)
+    // shares everything except the shingles crossing the changed last token
+    assert(r(2).getAs[Long]("n_shared") === r(2).getAs[Long]("n_sh") - 1)
+  }
+
   test("exactSummary counts content-hash duplicates") {
     val r = Dedup.exactSummary(docs, "text").collect().head
     assert(r.getAs[Long]("n_docs") === 4)
