@@ -435,6 +435,13 @@ object SparkEntry {
       Curate.sampleByHash(Tables.documents(s, dir), "doc_id", "s1", 0.25)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // ---- per-language quota sampling (reproducible stat.sampleBy);
+    //      langs outside the budget map are dropped entirely ----
+    "q_sample_stratified" -> ((s, dir) =>
+      Curate.sampleStratified(Tables.documents(s, dir), "doc_id", "lang",
+        "s2", Seq("en" -> 0.5, "es" -> 0.25, "zh" -> 0.125))
+        .select(col("doc_id"), col("lang"))),
+
     // ---- embedding corpus stats per label ----
     "q_embed_stats" -> ((s, dir) =>
       Similarity.stats(Tables.embeddings(s, dir), "label", "embedding")),
@@ -1108,6 +1115,12 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|s1'), 1, 15))::BIGINT
         |      / 1152921504606846976.0 < 0.25""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|s2'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0
+        |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+        |              WHEN 'zh' THEN 0.125 ELSE 0.0 END""".stripMargin,
     "q_embed_stats" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -61,6 +61,26 @@ object Curate {
     df.filter(uniformDraw(col(keyCol), salt) < fraction)
   }
 
+  /** Per-stratum deterministic sampling — the reproducible form of
+    * `df.stat.sampleBy`: each stratum keeps its own fraction of rows via
+    * the same md5 draw; strata absent from `fractions` are dropped.
+    * Ordered pairs (not a Map) so the generated plan is stable. The
+    * shape quota-balances a corpus (e.g. per-language budgets) in one
+    * shuffle-free pass.
+    */
+  def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
+      salt: String, fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty
+        && fractions.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
+      "fractions must be in [0,1]")
+    val frac = fractions.foldLeft(Option.empty[Column]) {
+      case (acc, (stratum, f)) =>
+        Some(acc.fold(when(col(strataCol) === stratum, f))(
+          _.when(col(strataCol) === stratum, f)))
+    }.get.otherwise(lit(0.0))
+    df.filter(uniformDraw(col(keyCol), salt) < frac)
+  }
+
   /** Email / IPv4 / phone patterns shared by count and redaction. Written
     * in the common subset of Java regex and RE2 (no backreferences, no
     * lookaround) so the DuckDB oracle evaluates them identically.

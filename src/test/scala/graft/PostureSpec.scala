@@ -83,6 +83,25 @@ class BucketedJoinSpec extends SparkSpec {
   }
 }
 
+class BandingReuseSpec extends SparkSpec {
+
+  test("LSH banding self-joins materialize the signature pipeline exactly once") {
+    // the broadcast self-join regression: without the shuffle_hash hint
+    // each side recomputed scan→shingle→hash→agg, doubling the most
+    // expensive stage — the final adaptive plan must show ONE parquet
+    // scan and a ReusedExchange on the build side
+    for (name <- Seq("q_simhash_candidates", "q_minhash_candidates")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect() // finalize the adaptive plan; reuse only shows there
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(finalPlan.contains("ReusedExchange"), s"$name:\n$finalPlan")
+      val nScans = "FileScan parquet".r.findAllIn(finalPlan).length
+      assert(nScans === 1, s"$name executed $nScans document scans:\n$finalPlan")
+    }
+  }
+}
+
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 

@@ -44,6 +44,21 @@ class CurateSpec extends SparkSpec {
     assert(s1.except(s2).count() === 0) // nested samples, same salt
   }
 
+  test("sampleStratified applies per-stratum fractions and drops unbudgeted strata") {
+    val rows = (0L until 3000L).map(i =>
+      (i, Seq("en", "es", "xx")((i % 3).toInt))).toDF("id", "lang")
+    val s = Curate.sampleStratified(rows, "id", "lang", "t",
+      Seq("en" -> 0.5, "es" -> 0.125))
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("xx"))                       // unbudgeted: dropped
+    assert(math.abs(counts("en") - 500.0) < 90, counts)  // 1000 × 0.5
+    assert(math.abs(counts("es") - 125.0) < 60, counts)  // 1000 × 0.125
+    // deterministic rerun
+    assert(s.count() === Curate.sampleStratified(rows, "id", "lang", "t",
+      Seq("en" -> 0.5, "es" -> 0.125)).count())
+  }
+
   test("redactPii counts and redacts emails, IPv4s and phone numbers") {
     val docs = Seq(
       (1L, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
