@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Plan-inspection tool: prints the formatted physical plan of the named
   * queries (all queries if none given) against SPARK_GRAFT_SF_DIR. Used to
@@ -17,13 +16,7 @@ object Explain {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val run = args.headOption.contains("--run")
     val rest = if (run) args.drop(1).toSeq else args.toSeq
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config(graft.sources.Tables.NanosAsLongConf, "true")
-      .getOrCreate()
+    val spark = Session.local(4)
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>

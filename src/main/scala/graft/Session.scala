@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's SparkSession entry point: one place that applies the
+  * settings graft needs, so adopters cannot trip over them one at a time.
+  *
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the events lake
+  *     stores TIMESTAMP(NANOS), unreadable by Spark's reader without it;
+  *     [[graft.sources.Tables.events]] refuses sessions missing it.
+  *   - UTC session timezone — window/oracle arithmetic must not depend on
+  *     the host zone.
+  *   - `spark.sql.shuffle.partitions` sized to the given parallelism
+  *     instead of the 200 default (for local/test use; on a real cluster
+  *     leave AQE coalescing to size reducers and pass the executor core
+  *     count).
+  *
+  * `graft.Verify` / `Bench` / `StreamBench` / `Explain` all build their
+  * sessions here.
+  */
+object Session {
+
+  /** A builder pre-loaded with graft's required configs; callers may
+    * `.config(...)` further before `.getOrCreate()`.
+    */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.NanosAsLongConf, "true")
+
+  /** Local session at the tool default: `local[cpus]` with one shuffle
+    * partition per core, log level WARN.
+    */
+  def local(cpus: Int): SparkSession = {
+    val spark = builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

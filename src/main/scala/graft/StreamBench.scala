@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
 
 /** Streaming-envelope benchmark main: runs the steady-state dual-sink
   * measurement ([[graft.streaming.SteadyState]]) solo — no suite
@@ -14,15 +13,8 @@ import org.apache.spark.sql.SparkSession
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("STREAM_ENVELOPE.json")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config(graft.sources.Tables.NanosAsLongConf, "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = Session.local(cpus)
     val env = graft.streaming.SteadyState.measure(spark)
     println(env.json)
     Files.write(Paths.get(outPath), (env.json + "\n").getBytes("UTF-8"))
