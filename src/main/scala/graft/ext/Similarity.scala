@@ -243,12 +243,18 @@ object Similarity {
     * bucket from [[nearDupPairsSRP]]), then scored exactly with the
     * native codegen'd cosine — never an all-pairs cross join, so the
     * pair count stays proportional to true near-dups.
+    *
+    * Hinted `shuffle_hash` like [[Dedup.bandedPairs]]: a broadcast
+    * self-join would scan and (for SRP) re-bucket the corpus once per
+    * side; the identical shuffles on the bucket key are deduped into one
+    * by the adaptive planner (pinned by `BandingReuseSpec`).
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val emb = withDoubleVec(df, vecCol)
       .select(col(idCol), col(bucketCol), col("__e"))
+      .hint("shuffle_hash")
     val pairs = emb.as("a")
       .join(emb.as("b"),
         col(s"a.$bucketCol") === col(s"b.$bucketCol")

@@ -87,10 +87,11 @@ class BandingReuseSpec extends SparkSpec {
 
   test("LSH banding self-joins materialize the signature pipeline exactly once") {
     // the broadcast self-join regression: without the shuffle_hash hint
-    // each side recomputed scan→shingle→hash→agg, doubling the most
+    // each side recomputed scan→shingle/bucket→agg, doubling the most
     // expensive stage — the final adaptive plan must show ONE parquet
     // scan and a ReusedExchange on the build side
-    for (name <- Seq("q_simhash_candidates", "q_minhash_candidates")) {
+    for (name <- Seq("q_simhash_candidates", "q_minhash_candidates",
+        "q_embed_neardup", "q_embed_neardup_srp")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       df.collect() // finalize the adaptive plan; reuse only shows there
       val finalPlan = df.queryExecution.executedPlan.toString
