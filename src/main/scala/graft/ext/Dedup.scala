@@ -180,9 +180,9 @@ object Dedup {
     * with the number of colliding bands.
     */
   def minhashCandidates(signatures: DataFrame, idCol: String,
-      nPerms: Int, rowsPerBand: Int): DataFrame =
+      nPerms: Int, rowsPerBand: Int, maxBucket: Int = 1000): DataFrame =
     bandedPairs(signatures, idCol, nPerms, rowsPerBand,
-      comps => hash(comps: _*))
+      comps => hash(comps: _*), maxBucket)
 
   /** Shared LSH banding tail: explode each signature into its band keys,
     * bucket-equality self-join (d1 < d2), count colliding bands per pair.
@@ -199,10 +199,19 @@ object Dedup {
     * computation, at any scale. (Persisting the signature frame would do
     * the same at small SF but turns into cluster-wide cache pressure at
     * 100 TB; a reused shuffle is exactly one exchange on local disk.)
+    *
+    * `maxBucket` is the banding twin of [[ngramJaccardPairs]]'s stop-gram
+    * guard: a band bucket of m docs yields m²/2 candidate pairs in one
+    * task, so a degenerate corpus (millions of identical documents) OOMs
+    * the join without a cap. Buckets above the cap are dropped — standard
+    * LSH practice; members of such a bucket are near-exact duplicates
+    * that the cheaper exact/fingerprint dedup already collapses. The
+    * bucket count is a window over the SAME (band, band_key) partitioning
+    * the join shuffles on, so the guard adds no exchange.
     */
   private def bandedPairs(signatures: DataFrame, idCol: String,
       nPerms: Int, rowsPerBand: Int,
-      bandKey: Seq[Column] => Column): DataFrame = {
+      bandKey: Seq[Column] => Column, maxBucket: Int = 1000): DataFrame = {
     val nBands = nPerms / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val comps = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
@@ -211,6 +220,11 @@ object Dedup {
     val banded = signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
       .hint("shuffle_hash")
     banded.as("a")
       .join(banded.as("b"),
@@ -232,7 +246,7 @@ object Dedup {
     * equality ≡ band-hash equality semantics (minus hash collisions).
     */
   def minhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
-      k: Int, nPerms: Int, rowsPerBand: Int): DataFrame = {
+      k: Int, nPerms: Int, rowsPerBand: Int, maxBucket: Int = 1000): DataFrame = {
     require(nPerms % 2 == 0, "nPerms must be even (two 60-bit hashes per md5)")
     val sh = shingles(df, idCol, textCol, k)
     // Each md5 yields TWO independent 60-bit permutation hashes (hex
@@ -250,7 +264,7 @@ object Dedup {
       .map(p => min(col(s"__h_$p")).as(s"sig_$p"))
     val sigs = withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     bandedPairs(sigs, idCol, nPerms, rowsPerBand,
-      comps => concat_ws("|", comps: _*))
+      comps => concat_ws("|", comps: _*), maxBucket)
   }
 
   /** 64-bit SimHash over the token multiset: per-token 64-bit hash,
@@ -308,13 +322,21 @@ object Dedup {
     * Hinted `shuffle_hash` for the same reason as [[bandedPairs]]: the
     * identical exchanges on (chunk, v) are deduped by the planner, so the
     * signature pipeline upstream runs once instead of once per join side.
+    * `maxBucket` is the same hot-bucket OOM guard as [[bandedPairs]],
+    * riding the join's own (chunk, v) partitioning.
     */
-  def simhashCandidates(sigs: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashCandidates(sigs: DataFrame, idCol: String, maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"), expr(s"(simhash >> ${c * 16}) & 65535").as("v")))
     val banded = sigs
       .select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("cc"))
       .select(col(idCol), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("chunk"), col("v"))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
       .hint("shuffle_hash")
     banded.as("a")
       .join(banded.as("b"),

@@ -34,6 +34,20 @@ class DedupSpec extends SparkSpec {
     assert(r(2).getAs[Long]("n_shared") === r(2).getAs[Long]("n_sh") - 1)
   }
 
+  test("simhashCandidates hot-bucket cap drops degenerate identical-signature blocks") {
+    // 50 identical signatures = every chunk bucket holds 50 docs; plus one
+    // honest near-dup pair (hamming 1) in its own buckets
+    val hot = (1L to 50L).map(i => (i, 0x1111111111111111L))
+    val pair = Seq((2001L, 0x0123456789ABCDEFL), (2002L, 0x0123456789ABCDEEL))
+    val sigs = (hot ++ pair).toDF("doc_id", "simhash")
+    val capped = Dedup.simhashCandidates(sigs, "doc_id", maxDist = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped === Seq((2001L, 2002L))) // hot block suppressed, real pair kept
+    // under the default cap the block is within bounds and fully pairs up
+    val uncapped = Dedup.simhashCandidates(sigs, "doc_id", maxDist = 3).count()
+    assert(uncapped === 50L * 49 / 2 + 1)
+  }
+
   test("exactSummary counts content-hash duplicates") {
     val r = Dedup.exactSummary(docs, "text").collect().head
     assert(r.getAs[Long]("n_docs") === 4)
