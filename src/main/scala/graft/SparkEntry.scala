@@ -985,9 +985,11 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS doc_freq
         |FROM sh GROUP BY s HAVING count(*) > 1""".stripMargin,
     // Portable md5-based SimHash (top 60 bits of md5 as the token hash):
-    // every step — hash, ±1 votes, sign→bit, xor, bit_count — replays
-    // identically here, so the banded candidate stage gets a true oracle.
-    // Bits 60-63 carry no entropy, so the sign reconstruction stops at 59.
+    // every step — hash, ±1 votes, sign→bit, chunk banding, the
+    // maxBucket=1000 hot-bucket drop (QUALIFY twin of the window-count
+    // guard), xor, bit_count — replays identically here, so the banded
+    // candidate stage INCLUDING its cap gets a true oracle. Bits 60-63
+    // carry no entropy, so the sign reconstruction stops at 59.
     "q_simhash_candidates" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |h AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS hv FROM tok),
@@ -995,15 +997,22 @@ object SparkEntry {
         |         FROM h, (SELECT unnest(generate_series(0, 59)) AS b) AS bs GROUP BY 1, 2),
         |sig AS (SELECT doc_id,
         |          CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
-        |        FROM bits GROUP BY 1)
-        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |        FROM bits GROUP BY 1),
+        |chunks AS (SELECT doc_id, s, c, (s >> (c * 16)) & 65535 AS v
+        |           FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) AS cs
+        |           QUALIFY count(*) OVER (PARTITION BY c, v) <= 1000)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
     // MinHash LSH with the portable salted hash and raw-tuple band keys:
-    // the full signature + banding pipeline replayed in SQL. Perms 2j and
-    // 2j+1 are hex chars 1-15 / 17-31 of one md5 (fixed-width lowercase
-    // hex: lexicographic min ≡ numeric min, same in Spark).
+    // the full signature + banding pipeline replayed in SQL, INCLUDING
+    // the maxBucket=1000 hot-bucket drop (QUALIFY twin of the Spark
+    // window-count guard — on any corpus where a band bucket exceeds the
+    // cap both engines drop it, so parity is by construction, not by the
+    // accident that fixture buckets stay small). Perms 2j and 2j+1 are
+    // hex chars 1-15 / 17-31 of one md5 (fixed-width lowercase hex:
+    // lexicographic min ≡ numeric min, same in Spark).
     "q_minhash_candidates" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
@@ -1017,7 +1026,8 @@ object SparkEntry {
         |         min(substring(md5(s || '|' || j::VARCHAR), 17, 15)) AS v
         |       FROM sh, js GROUP BY 1, 2),
         |bands AS (SELECT doc_id, p // 2 AS band, string_agg(v, '|' ORDER BY p) AS key
-        |          FROM hp GROUP BY 1, 2)
+        |          FROM hp GROUP BY 1, 2
+        |          QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000)
         |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id

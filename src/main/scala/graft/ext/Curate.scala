@@ -14,19 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  /** 2^60 — the draw below is the top 60 bits of an md5, so dividing by
-    * this maps it onto [0, 1).
-    */
-  private val Pow60 = 1152921504606846976.0
-
-  /** Key-derived uniform in [0, 1): top 60 bits of md5(key|salt), the
-    * same portable construction as the oracle-checked signature queries
-    * (fixed-width hex → bigint → double). Changing `salt` re-draws every
-    * key independently.
+  /** Key-derived uniform in [0, 1): [[PortableHash.uniform01]] of
+    * `key|salt` — the same construction every oracle replays. Changing
+    * `salt` re-draws every key independently.
     */
   private def uniformDraw(keyCol: Column, salt: String): Column =
-    conv(substring(md5(concat(keyCol.cast("string"), lit("|" + salt))), 1, 15),
-      16, 10).cast("long").cast("double") / lit(Pow60)
+    PortableHash.uniform01(concat(keyCol.cast("string"), lit("|" + salt)))
 
   /** Deterministic split assignment: each row draws its uniform from
     * md5(key|salt) and lands in the first split whose cumulative weight
@@ -41,6 +34,9 @@ object Curate {
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
+    require(splits.forall { case (_, w) => w >= 0.0 && w <= 1.0 },
+      "each split weight must be in [0,1]") // 1.5/-0.5 sums to 1 but
+    // yields an unreachable split
     val u = uniformDraw(col(keyCol), salt)
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     val assigned = splits.init.zip(cum.init)

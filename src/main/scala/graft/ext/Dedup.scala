@@ -283,15 +283,12 @@ object Dedup {
           .as("simhash"))
   }
 
-  /** Engine-portable 64-bit token hash: the top 60 bits of md5, parsed as
-    * a bigint — computable identically in Spark
-    * (`conv(substring(md5(w), 1, 15), 16, 10)`) and in the DuckDB oracle
-    * (`('0x' || substring(md5(w), 1, 15))::BIGINT`), unlike `xxhash64`,
+  /** Engine-portable 60-bit token hash ([[PortableHash.hash60]]) —
+    * computable identically in the DuckDB oracle, unlike `xxhash64`,
     * which no other engine reproduces. Used by the oracle-checked
     * signature queries; the xxhash64 kernels remain the fast path.
     */
-  private def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def portableHash(c: Column): Column = PortableHash.hash60(c)
 
   /** SimHash over the portable md5 token hash — same vote semantics as
     * [[simhash]] (multiset, ±1, sign) expressed as the 64-conditional-sum

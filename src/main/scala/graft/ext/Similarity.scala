@@ -158,8 +158,12 @@ object Similarity {
     val key = cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ivf_layout/$key").toString
+    // the quantizer is written AFTER the data, so its own _SUCCESS is the
+    // true commit marker — checking only the directory would accept a
+    // layout whose quantizer write crashed mid-flight and poison every
+    // later probe from the cross-JVM cache
     val complete = new java.io.File(path, "_SUCCESS").exists() &&
-      new java.io.File(path, "_quantizer").exists()
+      new java.io.File(s"$path/_quantizer", "_SUCCESS").exists()
     if (!complete) writeIvfLayout(df, idCol, vecCol, seedBucketCol, path)
     path
   }
@@ -200,12 +204,8 @@ object Similarity {
     * the planes are index metadata (nPlanes × dim doubles), baked into
     * the plan as literals — zero per-row hashing.
     */
-  private[ext] def planeComponent(p: Int, i: Int, salt: String): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$p|$i|$salt".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    (java.lang.Long.parseLong(hex, 16) / 1152921504606846976.0) * 2 - 1
-  }
+  private[ext] def planeComponent(p: Int, i: Int, salt: String): Double =
+    PortableHash.uniform01(s"$p|$i|$salt") * 2 - 1
 
   /** Signed-random-projection LSH bucket: bit p of the bucket is the sign
     * of the dot product with hyperplane p. Cosine-similar vectors agree

@@ -50,6 +50,18 @@ object Pipeline {
       .trigger(trigger)
       .start()
 
+  /** The production aggregate sink body: parquet-append each micro-batch
+    * under the non-empty guard (reference write_aggregated_data,
+    * spark_streaming.py:67). Shared by [[startAggSink]] and the replay
+    * gate [[replayWindowedAggIncremental]] so the gate can never drift
+    * from the sink shape it claims to verify.
+    */
+  private def parquetAppendSink(dir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        batch.write.mode("append").parquet(dir)
+      }
+
   /** Aggregate sink: append-mode windowed rollup to `$outDir/agg`,
     * non-empty-batch guard preserved
     * (reference write_aggregated_data, spark_streaming.py:64-75,152-181).
@@ -61,11 +73,7 @@ object Pipeline {
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointRoot/agg")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          batch.write.mode("append").parquet(s"$outDir/agg")
-        }
-      }
+      .foreachBatch(parquetAppendSink(s"$outDir/agg"))
       .start()
 
   /** Replay the `events` parquet table THROUGH the streaming engine and
@@ -81,7 +89,7 @@ object Pipeline {
     * state is bounded by the window count of the replayed range.
     */
   def replayWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
-    val stream = replayStream(spark, dir)
+    val (stream, streamDir) = replayStream(spark, dir)
     val sinkName = "replay_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     withReplayParallelism(spark) {
@@ -91,7 +99,10 @@ object Pipeline {
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(streamDir) // engine-managed temp ckpt self-cleans
+      }
     }
     spark.table(sinkName)
   }
@@ -110,34 +121,47 @@ object Pipeline {
     */
   def replayWindowedAggIncremental(spark: SparkSession, dir: String,
       watermark: String = "10 minutes"): DataFrame = {
-    val stream = replayStream(spark, dir)
+    val (stream, streamDir) = replayStream(spark, dir)
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_replay_inc_out").toString + "/agg"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_inc_ckpt")
     withReplayParallelism(spark) {
       val q = WindowedAgg
         .tumbling(stream.withWatermark("ts", watermark), "ts",
           "event_type", "value")
         .writeStream
         .outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft_replay_inc_ckpt").toString)
+        .option("checkpointLocation", ckptDir.toString)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            batch.write.mode("append").parquet(outDir)
-          }
-        }
+        .foreachBatch(parquetAppendSink(outDir))
         .start()
-      try q.awaitTermination() finally q.stop()
+      try q.awaitTermination() finally {
+        q.stop()
+        // the replay is done: drop the state-store checkpoint and source
+        // symlink dir (outDir must survive — the returned frame reads it)
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
     }
-    spark.read.parquet(outDir)
+    if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
+    else {
+      // a replay shorter than watermark + window finalizes nothing and
+      // the guard never creates outDir — an empty result, not an error
+      // (the oracle's finalized-prefix HAVING is empty too)
+      WindowedAgg.tumbling(
+        graft.sources.Tables.events(spark, dir).limit(0),
+        "ts", "event_type", "value")
+    }
   }
 
-  /** Events table as a file-stream source (micros-normalized `ts`). The
-    * file stream source requires a directory; the single-file table is
-    * symlinked into a scratch dir instead of copied.
+  /** Events table as a file-stream source (micros-normalized `ts`) plus
+    * the scratch dir to delete after the replay. The file stream source
+    * requires a directory; the single-file table is symlinked into a
+    * scratch dir instead of copied.
     */
-  private def replayStream(spark: SparkSession, dir: String): DataFrame = {
+  private def replayStream(spark: SparkSession,
+      dir: String): (DataFrame, java.nio.file.Path) = {
     require(spark.conf.getOption(graft.sources.Tables.NanosAsLongConf)
         .contains("true"),
       s"build the session with .config(\"${graft.sources.Tables.NanosAsLongConf}\", \"true\")")
@@ -147,8 +171,17 @@ object Pipeline {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
-    spark.readStream.schema(schema).parquet(streamDir.toString)
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    (stream, streamDir)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 
   /** Runs `body` with `spark.sql.shuffle.partitions` lowered to 4: the
