@@ -1088,19 +1088,24 @@ object SparkEntry {
         |    / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
         |         * list_dot_product(qe, qe)) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    // The QUALIFY replays the maxBucket=1000 hot-bucket guard (a window
+    // count in Spark), so the cap is value-checked, not fixture luck.
     "q_embed_neardup" ->
-      """SELECT a.vec_id AS d1, b.vec_id AS d2, a.label AS bucket,
+      """WITH e AS (SELECT * FROM embeddings
+        |           QUALIFY count(*) OVER (PARTITION BY label) <= 1000)
+        |SELECT a.vec_id AS d1, b.vec_id AS d2, a.label AS bucket,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |    / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
         |         * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b
+        |FROM e a JOIN e b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |    / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
         |         * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) > 0.3""".stripMargin,
     // SRP LSH replayed: hyperplane components from the same md5 uniform
     // the Spark side bakes as literals; sign bits -> bucket; bucket-equal
-    // pairs scored with exact cosine.
+    // pairs scored with exact cosine. The QUALIFY replays the
+    // maxBucket=1000 hot-bucket guard.
     "q_embed_neardup_srp" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |planes AS (SELECT pp.p, ii.i,
@@ -1112,7 +1117,8 @@ object SparkEntry {
         |         FROM e, planes pl GROUP BY 1, 2),
         |b AS (SELECT vec_id,
         |        CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
-        |      FROM dots GROUP BY 1)
+        |      FROM dots GROUP BY 1
+        |      QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000)
         |SELECT a.vec_id AS d1, b2.vec_id AS d2, ba.bucket AS srp_bucket,
         |  round(list_dot_product(a.v, b2.v)
         |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b2.v, b2.v)), 6) AS cosine

@@ -155,7 +155,10 @@ object Similarity {
     */
   def ensureIvfLayout(df: DataFrame, idCol: String, vecCol: String,
       seedBucketCol: String, cacheKey: String): String = synchronized {
-    val key = cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")
+    // the "k" prefix keeps the dir name from starting with "_" or "." —
+    // Spark's hidden-path filter warns on (and on some code paths skips)
+    // underscore-prefixed inputs
+    val key = "k" + cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_ivf_layout/$key").toString
     // the quantizer is written AFTER the data, so its own _SUCCESS is the
@@ -179,7 +182,11 @@ object Similarity {
       idCol: String, vecCol: String, queryVec: Seq[Double], k: Int,
       nProbe: Int): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val cents = spark.read.parquet(s"$path/_quantizer").collect()
+    // glob the part files: naming the underscore-prefixed sidecar dir
+    // itself would trip Spark's hidden-path filter (warning + skip on
+    // some code paths); completeness is gated by ensureIvfLayout on the
+    // sidecar's own _SUCCESS
+    val cents = spark.read.parquet(s"$path/_quantizer/part-*").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     def cos(v: Seq[Double]): Double = {
       val dot = v.zip(queryVec).map { case (a, b) => a * b }.sum
@@ -231,10 +238,11 @@ object Similarity {
     * bands the way [[Dedup.minhashCandidates]] does.
     */
   def nearDupPairsSRP(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nPlanes: Int, salt: String, threshold: Double): DataFrame = {
+      dim: Int, nPlanes: Int, salt: String, threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
     val bucketed = df.withColumn("__srp",
       srpBucket(col(vecCol).cast("array<double>"), dim, nPlanes, salt))
-    nearDupPairs(bucketed, idCol, vecCol, "__srp", threshold)
+    nearDupPairs(bucketed, idCol, vecCol, "__srp", threshold, maxBucket)
       .withColumnRenamed("bucket", "srp_bucket")
   }
 
@@ -248,12 +256,23 @@ object Similarity {
     * self-join would scan and (for SRP) re-bucket the corpus once per
     * side; the identical shuffles on the bucket key are deduped into one
     * by the adaptive planner (pinned by `BandingReuseSpec`).
+    *
+    * `maxBucket` is the same hot-bucket OOM guard as [[Dedup.bandedPairs]]
+    * — a bucket of m vectors pairs up m²/2 times in one join task, so a
+    * degenerate corpus (one dominant bucket) blows up without a cap. The
+    * count window rides the join's own bucket partitioning, adding no
+    * exchange; the DuckDB oracles replay the drop with QUALIFY.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      bucketCol: String, threshold: Double): DataFrame = {
+      bucketCol: String, threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val emb = withDoubleVec(df, vecCol)
       .select(col(idCol), col(bucketCol), col("__e"))
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(bucketCol))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
       .hint("shuffle_hash")
     val pairs = emb.as("a")
       .join(emb.as("b"),

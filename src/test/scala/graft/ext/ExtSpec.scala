@@ -166,6 +166,19 @@ class SimilaritySpec extends SparkSpec {
     // every reported pair really is above the floor
     assert(srp.forall(_.getAs[Double]("cosine") > 0.9))
   }
+
+  test("nearDupPairs hot-bucket cap drops the degenerate bucket, keeps the rest") {
+    // bucket 0 holds 3 near-identical vectors, bucket 1 holds 2: a cap of
+    // 2 suppresses the hot bucket's 3 pairs but keeps bucket 1's pair
+    val capped = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+        "label", threshold = 0.3, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(capped === Seq((3L, 4L)))
+    // the default cap doesn't bind: all within-bucket pairs above the floor
+    val uncapped = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      "label", threshold = 0.3).count()
+    assert(uncapped === 4L) // 3 pairs in bucket 0 + 1 in bucket 1
+  }
 }
 
 class TextStatsSpec extends SparkSpec {
