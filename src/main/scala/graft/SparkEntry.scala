@@ -35,6 +35,26 @@ object SparkEntry {
   private val StatusHi = 55.0
   private val StatusLo = 45.0
 
+  /** The n-gram Jaccard pair pipeline in DuckDB SQL — shared by the
+    * `q_ngram_jaccard` oracle and the `q_neardup_resolve` oracle (which
+    * consumes the pairs as a CTE), so the two can never drift.
+    */
+  private val NgramJaccardSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+      |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+      |ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN ok USING (s)),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |    CAST(count(*) AS BIGINT) AS shared
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT p.d1, p.d2, p.shared, c1.n_sh AS n1, c2.n_sh AS n2,
+      |  round(p.shared / (c1.n_sh + c2.n_sh - p.shared), 6) AS jaccard
+      |FROM pairs p
+      |JOIN cnt c1 ON p.d1 = c1.doc_id
+      |JOIN cnt c2 ON p.d2 = c2.doc_id""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference pipeline's core computation: 5-minute tumbling windowed
     * aggregate per key (reference/spark_streaming.py:152-176), over the
@@ -399,6 +419,16 @@ object SparkEntry {
     //      single-scan plan, stop-gram buckets > 1000 docs dropped) ----
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 8)),
+
+    // ---- near-dup RESOLUTION: pairs at jaccard >= 0.8 → surviving corpus
+    //      (greedy keep-lowest-id, drop-set anti-join) ----
+    "q_neardup_resolve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.resolveNearDups(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 8)
+            .filter(col("jaccard") >= 0.8))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
 
     // ---- stop-gram audit: doc frequencies of shingles shared by >1 doc
     //      (the shingle key itself is engine-hashed, so the oracle compares
@@ -963,21 +993,14 @@ object SparkEntry {
       """SELECT user_id, event_type, min(event_id) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n_dups
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "q_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
-        |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
-        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
-        |ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
-        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN ok USING (s)),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |    CAST(count(*) AS BIGINT) AS shared
-        |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT p.d1, p.d2, p.shared, c1.n_sh AS n1, c2.n_sh AS n2,
-        |  round(p.shared / (c1.n_sh + c2.n_sh - p.shared), 6) AS jaccard
-        |FROM pairs p
-        |JOIN cnt c1 ON p.d1 = c1.doc_id
-        |JOIN cnt c2 ON p.d2 = c2.doc_id""".stripMargin,
+    "q_ngram_jaccard" -> NgramJaccardSql,
+    // Resolution replays the same pair pipeline, then the greedy
+    // keep-lowest-id drop: survivors are documents never reported as the
+    // d2 (larger-id) side of a >= 0.8 pair.
+    "q_neardup_resolve" ->
+      s"""WITH jp AS ($NgramJaccardSql)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT d2 FROM jp WHERE jaccard >= 0.8)""".stripMargin,
     "q_hot_shingles" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s

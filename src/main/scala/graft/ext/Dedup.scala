@@ -100,6 +100,28 @@ object Dedup {
         round(col("shared") / (col("n1") + col("n2") - col("shared")), 6)
           .as("jaccard"))
 
+  /** Resolve near-duplicate candidate pairs into the surviving corpus —
+    * the step that turns a pair list ([[ngramJaccardPairs]],
+    * [[minhashCandidatesPortable]], [[Similarity.nearDupPairs]] all
+    * qualify: any frame with a `d2` drop side where d1 < d2) back into a
+    * deduplicated document set. Greedy keep-lowest-id: every reported
+    * pair drops its d2, so each duplicate cluster keeps its smallest id.
+    * (Greedy, not connected components: in a chain a<b<c with pairs
+    * (a,b),(b,c), both b and c are dropped even if (a,c) was never
+    * reported — the standard one-pass canonicalization pretraining
+    * pipelines use; exact CC needs iteration and rarely changes which
+    * text survives.)
+    *
+    * 100 TB posture: the drop set is `distinct(d2)` — proportional to the
+    * number of near-duplicates, a small fraction of the corpus — so AQE
+    * turns the left-anti join into a broadcast; the corpus itself is
+    * never shuffled.
+    */
+  def resolveNearDups(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("d2").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Per-document distinct hashed-shingle set + its size, in one narrow
     * codegen'd projection — no shuffle, no second scan, no per-position
     * allocation (see [[graft.plans.TextHashKernels]]; the HOF formulation

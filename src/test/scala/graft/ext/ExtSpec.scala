@@ -66,6 +66,21 @@ class DedupSpec extends SparkSpec {
     assert(exact.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("resolveNearDups keeps the lowest id of each cluster and all singletons") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5)
+      .filter($"jaccard" >= 0.8)
+    val survivors = Dedup.resolveNearDups(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // only the exact pair (1,4) clears 0.8 — 4 drops, its canonical 1
+    // stays; 2 (low-jaccard near-dup at k=5) and unrelated 3 survive
+    assert(survivors === Seq(1L, 2L, 3L))
+    // at a loose floor the shared-shingle pair (1,2) also collapses
+    val loose = Dedup.resolveNearDups(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(loose === Seq(1L, 3L))
+  }
+
   test("minhash: identical docs have identical signatures; banding buckets them") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 3, nPerms = 16)
     val s1 = sigs.filter($"doc_id" === 1L).drop("doc_id").collect().head
