@@ -353,6 +353,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("avg_word_len"),
           col("stop_ratio"), col("quality_score"))),
 
+    // ---- Gopher-style hard quality rules: per-rule metrics + keep.
+    //      minStopwords = 1 because the synthetic corpus's function-word
+    //      vocabulary is {the, a} — the default 2 (the published rule)
+    //      would reject every document ----
+    "q_quality_rules" -> ((s, dir) =>
+      TextStats.gopherFilter(Tables.documents(s, dir), "doc_id", "text",
+        minStopwords = 1)),
+
     // ---- language-ID heuristic vs labeled lang ----
     "q_lang_id" -> ((s, dir) =>
       TextStats.langId(Tables.documents(s, dir), "text")
@@ -897,6 +905,27 @@ object SparkEntry {
         |    * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
         |      / (length(text) - length(replace(text, ' ', '')) + 1)), 6) AS quality_score
         |FROM documents""".stripMargin,
+    // The keep flag is recomputed from the UNROUNDED metrics, exactly as
+    // the Spark side does; int-over-int division is double in both
+    // engines and list_intersect/array_intersect both dedup, so the
+    // threshold comparisons are bit-identical.
+    "q_quality_rules" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / (length(text) - length(replace(text, ' ', '')) + 1) AS mean_word_len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |           w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |      / (length(text) - length(replace(text, ' ', '')) + 1) AS alpha_frac,
+        |    CAST(len(list_intersect(string_split(text, ' '),
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  round(mean_word_len, 6) AS mean_word_len,
+        |  round(alpha_frac, 6) AS alpha_frac, n_stop,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        |   AND alpha_frac >= 0.8 AND n_stop >= 1) AS keep
+        |FROM m""".stripMargin,
     "q_lang_id" ->
       """SELECT lang,
         |  CASE WHEN len(list_filter(string_split(text, ' '),

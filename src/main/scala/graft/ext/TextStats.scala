@@ -108,6 +108,51 @@ object TextStats {
         .cast("double").as("dup_2gram_ratio"))
   }
 
+  /** The Gopher rule list's stopword set (Rae et al. 2021, Appendix
+    * A1.1): a document must contain at least [[GopherMinStopwords]] of
+    * these to pass the filter.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopwords = 2
+
+  /** Gopher-style RULE filter (Rae et al. 2021, Appendix A1.1) — the
+    * hard quality gates pretraining pipelines apply before any scoring:
+    * word count in [50, 100k], mean word length in [3, 10], ≥ 80% of
+    * words containing an alphabetic character, and ≥ 2 distinct
+    * stopwords present. (The original's line-shape rules — bullet-start
+    * / ellipsis-end fractions — are meaningless on single-line
+    * documents and omitted.) Emits the per-rule metrics plus the
+    * composite `keep`, so a pipeline can both filter and audit WHY a
+    * document was dropped.
+    *
+    * One narrow codegen'd projection per document — counts come from
+    * length arithmetic and bounded array ops over the token split, no
+    * shuffle, no UDF; every metric and the flag replay exactly in the
+    * DuckDB oracle (integer-over-integer division is double in both
+    * engines, `array_intersect`/`list_intersect` both dedup).
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = GopherStopwords,
+      minStopwords: Int = GopherMinStopwords): DataFrame = {
+    val t = col(textCol)
+    val nWords = (length(t) - length(regexp_replace(t, " ", "")) + 1)
+      .cast("long")
+    val meanLen = length(regexp_replace(t, " ", "")).cast("double") / nWords
+    val alphaFrac = expr(
+      s"size(filter(split($textCol, ' '), w -> w rlike '[a-zA-Z]'))")
+      .cast("double") / nWords
+    val nStop = size(array_intersect(split(t, " "),
+      array(stopwords.map(lit): _*))).cast("long")
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.as("n_stop"),
+      (nWords.between(50L, 100000L) && meanLen.between(3.0, 10.0)
+        && alphaFrac >= 0.8 && nStop >= minStopwords).as("keep"))
+  }
+
   /** The full pretraining-corpus curation pipeline as ONE composed plan:
     * exact dedup after normalization (fingerprint → keep min id per
     * fingerprint), quality scoring, language-ID, then the survivor

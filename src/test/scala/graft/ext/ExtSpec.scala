@@ -210,6 +210,24 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("quality_score") - 0.06 * (1 - 2.0 / 6)) < 1e-4)
   }
 
+  test("gopherFilter: per-rule metrics and the composite keep flag") {
+    val good = (Seq("the", "of") ++ Seq.fill(58)("word")).mkString(" ")
+    val short = "the of tiny doc"
+    val numeric = (Seq("the", "of") ++ Seq.fill(58)("12345")).mkString(" ")
+    val df = Seq((1L, good), (2L, short), (3L, numeric)).toDF("doc_id", "text")
+    val r = TextStats.gopherFilter(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_words") === 60L)
+    assert(r(0).getAs[Long]("n_stop") === 2L)
+    assert(r(0).getAs[Double]("alpha_frac") === 1.0)
+    assert(r(0).getAs[Boolean]("keep"))
+    // 4 words < 50 fails the length rule despite both stopwords
+    assert(r(1).getAs[Long]("n_words") === 4L && !r(1).getAs[Boolean]("keep"))
+    // 58/60 digit-only words -> alpha_frac 2/60 fails the 80% rule
+    assert(math.abs(r(2).getAs[Double]("alpha_frac") - 2.0 / 60) < 1e-6)
+    assert(!r(2).getAs[Boolean]("keep"))
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val fp = TextStats.fingerprint(df, "text", "fp").collect()
