@@ -414,6 +414,17 @@ object SparkEntry {
         "doc_id", "text", k = 8)
     }),
 
+    // ---- the same sweep through the train-side bloom sketch (no oracle:
+    //      approximate by contract — upper-bounds q_contamination, pinned
+    //      by DedupSpec) ----
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", k = 8)
+    }),
+
     // ---- exact dedup summary (SHA-256 content hash) ----
     "q_dedup_docs" -> ((s, dir) =>
       Dedup.exactSummary(Tables.documents(s, dir), "text")),

@@ -172,6 +172,47 @@ object Dedup {
         round(col("n_shared") / col("n_sh"), 6).as("contamination"))
   }
 
+  /** [[contamination]]'s sketch path for a training corpus too large to
+    * join: the train side collapses to ONE bloom filter — Catalyst's own
+    * `BloomFilterAggregate` over the hashed-shingle kernel, partial
+    * sketches merged map-side, so the train shingles are NEVER shuffled,
+    * deduplicated, or joined — and the eval side probes it with the
+    * codegen'd `might_contain`. The result upper-bounds the exact
+    * semi-join fraction (false positives only; rate set by
+    * `expectedShingles`): the standard decontamination shape when train
+    * is 100 TB and eval is a benchmark suite.
+    *
+    * The sketch is collected to the driver and baked in as a binary
+    * literal — `might_contain` requires a constant/scalar-subquery bloom,
+    * and the filter is index metadata exactly like the IVF quantizer
+    * (`expectedShingles` defaults to ~1 MB of literal at 3% fpp).
+    * Batch-only, like every eager two-phase operator here.
+    */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int,
+      expectedShingles: Long = 1000000L): DataFrame = {
+    graft.plans.GraftFunctions.register(train.sparkSession)
+    val bloomBytes = train
+      .select(explode(call_function(graft.plans.GraftFunctions.ShingleName,
+        col(textCol), lit(k))).as("__h"))
+      .agg(call_function(graft.plans.GraftFunctions.BloomAggName,
+        col("__h"), lit(expectedShingles)).as("__bloom"))
+      .collect().head.getAs[Array[Byte]](0)
+    val evalSh = eval.select(col(idCol),
+        call_function(graft.plans.GraftFunctions.ShingleName,
+          col(textCol), lit(k)).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col(idCol), size(col("__hs")).cast("long").as("n_sh"),
+        explode(col("__hs")).as("__h"))
+    evalSh
+      .groupBy(col(idCol), col("n_sh"))
+      .agg(sum(when(
+        call_function(graft.plans.GraftFunctions.BloomMightContainName,
+          lit(bloomBytes), col("__h")), 1L).otherwise(0L)).as("n_might"))
+      .select(col(idCol), col("n_sh"), col("n_might"),
+        round(col("n_might") / col("n_sh"), 6).as("contamination_ub"))
+  }
+
   /** Diagnostic: shingles whose document frequency exceeds `maxDocFreq`
     * (the ones [[ngramJaccardPairs]] drops), with their frequency —
     * audit the stop-gram guard before trusting a cap on a new corpus.

@@ -120,6 +120,8 @@ object GraftFunctions {
   val ShingleName = "graft_shingle_hashes"
   val ShingleStringsName = "graft_shingle_strings"
   val SimHashName = "graft_simhash64"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomMightContainName = "graft_bloom_might_contain"
 
   private def arity(name: String, n: Int, children: Seq[Expression]): Unit =
     if (children.size != n) throw new IllegalArgumentException(
@@ -157,6 +159,23 @@ object GraftFunctions {
       arity(SimHashName, 1, children)
       SimHash64(children(0))
     }),
+    // Catalyst's own bloom-filter pair (the engine uses them for runtime
+    // join filtering) surfaced as callable functions: the sketch path for
+    // membership tests against a corpus too large to shuffle or join.
+    (BloomAggName,
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      (children: Seq[Expression]) => {
+        arity(BloomAggName, 2, children)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1))
+      }),
+    (BloomMightContainName,
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      (children: Seq[Expression]) => {
+        arity(BloomMightContainName, 2, children)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }),
   )
 
   def register(spark: SparkSession): Unit = {

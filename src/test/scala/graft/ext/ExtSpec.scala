@@ -34,6 +34,29 @@ class DedupSpec extends SparkSpec {
     assert(r(2).getAs[Long]("n_shared") === r(2).getAs[Long]("n_sh") - 1)
   }
 
+  test("contaminationBloom upper-bounds the exact sweep and nails the leaked doc") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely different words about spark query engines here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "unrelated evaluation prompt with its own private tokens entirely")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.contamination(train, eval, "doc_id", "text", k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    val bloom = Dedup.contaminationBloom(train, eval, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+    // verbatim leak: every shingle might-contains -> exactly 1.0
+    assert(bloom(0).getAs[Double]("contamination_ub") === 1.0)
+    // the sketch can only over-count (false positives), never miss
+    bloom.foreach { r =>
+      assert(r.getAs[Long]("n_might") >= exact(r.getAs[Long]("doc_id")))
+    }
+    // at this corpus size false positives are absent: bound is tight
+    assert(bloom(1).getAs[Long]("n_might") === exact(2L))
+  }
+
   test("simhashCandidates hot-bucket cap drops degenerate identical-signature blocks") {
     // 50 identical signatures = every chunk bucket holds 50 docs; plus one
     // honest near-dup pair (hamming 1) in its own buckets
