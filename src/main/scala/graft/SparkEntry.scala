@@ -404,6 +404,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails"), col("n_ips"),
           col("n_phones"), md5(col("text_redacted")).as("redacted_fp"))),
 
+    // ---- GPT-style concat-and-chunk sequence packing, shard-local by
+    //      source, 2048-token sequences ----
+    "q_seq_pack" -> ((s, dir) =>
+      Curate.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        "source", budgetTokens = 2048L)),
+
     // ---- train/eval contamination sweep: per-eval-doc fraction of
     //      8-gram shingles leaked into the training split ----
     "q_contamination" -> ((s, dir) => {
@@ -1007,6 +1013,21 @@ object SparkEntry {
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp
         |FROM documents""".stripMargin,
+    // Exact integer arithmetic end-to-end: token counts from the
+    // whitespace identity, shard-local running sum, DIV 2048 (Spark DIV
+    // and DuckDB // agree on non-negative integers).
+    "q_seq_pack" ->
+      """WITH m AS (SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_tok
+        |  FROM m)
+        |SELECT doc_id, source, n_tokens, start_tok,
+        |  CAST(start_tok // 2048 AS BIGINT) AS pack_id
+        |FROM s""".stripMargin,
     "q_curation" ->
       """WITH fp AS (SELECT doc_id, text,
         |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

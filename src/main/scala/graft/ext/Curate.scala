@@ -101,4 +101,31 @@ object Curate {
             regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
             Ipv4Pattern, "<IP>"),
           PhonePattern, "<PHONE>"))
+
+  /** Sequence packing — assign each document to the fixed-token-budget
+    * training sequence it lands in under GPT-style concat-and-chunk:
+    * documents are concatenated in deterministic (`shardCol`, `idCol`)
+    * order and cut every `budgetTokens`; a document's pack is where its
+    * first token falls. Adds `n_tokens`, `start_tok` (the document's
+    * offset in the shard's token stream) and `pack_id`.
+    *
+    * Packing is shard-local (`pack_id` is per-shard): a single global
+    * stream would serialize 100 TB through one cumulative sum, while a
+    * shard (source, split, date bucket …) bounds each window partition —
+    * the same layout training jobs shard data files by anyway. The
+    * cumulative sum is exact integer arithmetic over the whitespace
+    * token identity, so every value replays in the DuckDB oracle.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val nTok = (length(col(textCol))
+      - length(regexp_replace(col(textCol), " ", "")) + 1).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    df.select(col(idCol), col(shardCol), nTok.as("n_tokens"))
+      .withColumn("start_tok",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_tok DIV $budgetTokens"))
+  }
 }

@@ -94,4 +94,21 @@ class CurateSpec extends SparkSpec {
     assert(r(1).getAs[Double]("dup_2gram_ratio") === 0.0)
     assert(r(2).isNullAt(r(2).fieldIndex("dup_2gram_ratio")))
   }
+
+  test("packSequences: concat-and-chunk offsets, shard-local, budget boundary") {
+    // shard A token stream: 3 + 4 + 3 docs against a budget of 5:
+    // starts 0, 3, 7 -> packs 0, 0, 1; shard B restarts at 0
+    val docs = Seq(
+      (1L, "a", "x x x"),
+      (2L, "a", "x x x x"),
+      (3L, "a", "x x x"),
+      (9L, "b", "y y y y y y")
+    ).toDF("doc_id", "src", "text")
+    val r = Curate.packSequences(docs, "doc_id", "text", "src", 5L)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("start_tok"),
+        x.getAs[Long]("pack_id")))
+    assert(r.toSeq === Seq((1L, 0L, 0L), (2L, 3L, 0L), (3L, 7L, 1L),
+      (9L, 0L, 0L)))
+  }
 }
