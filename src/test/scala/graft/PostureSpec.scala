@@ -103,6 +103,38 @@ class BandingReuseSpec extends SparkSpec {
   }
 }
 
+class CurationPostureSpec extends SparkSpec {
+
+  test("near-dup resolution anti-joins a BROADCAST drop set — the corpus is never shuffled") {
+    val df = SparkEntry.queries("q_neardup_resolve")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin") &&
+      finalPlan.contains("LeftAnti"), finalPlan)
+    // the corpus-side scan feeds the join directly, no exchange between
+    val corpusSide = finalPlan.split("BroadcastExchange").head
+    assert(!corpusSide.contains("Exchange hashpartitioning"), finalPlan)
+  }
+
+  test("sequence packing shuffles ONCE, on the shard key") {
+    val df = SparkEntry.queries("q_seq_pack")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(nEx === 1, s"expected exactly 1 exchange:\n$finalPlan")
+    assert(finalPlan.contains("hashpartitioning(source"), finalPlan)
+  }
+
+  test("quality rules are one narrow scan: no shuffle, pruned read schema") {
+    val df = SparkEntry.queries("q_quality_rules")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+}
+
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
