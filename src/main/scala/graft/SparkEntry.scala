@@ -353,6 +353,11 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("avg_word_len"),
           col("stop_ratio"), col("quality_score"))),
 
+    // ---- corpus-relative rarity: hapax counts + avg document frequency
+    //      of each doc's vocabulary ----
+    "q_rarity" -> ((s, dir) =>
+      TextStats.rarityScore(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- Gopher-style hard quality rules: per-rule metrics + keep.
     //      minStopwords = 1 because the synthetic corpus's function-word
     //      vocabulary is {the, a} — the default 2 (the published rule)
@@ -922,6 +927,18 @@ object SparkEntry {
         |    * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
         |      / (length(text) - length(replace(text, ' ', '')) + 1)), 6) AS quality_score
         |FROM documents""".stripMargin,
+    // Exact integer counts; the two ratios are single double divisions.
+    "q_rarity" ->
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |d AS (SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq FROM t GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(CAST(sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS hapax_ratio,
+        |  round(CAST(sum(doc_freq) AS DOUBLE) / count(*), 6) AS avg_doc_freq
+        |FROM t JOIN d USING (tok) GROUP BY 1""".stripMargin,
     // The keep flag is recomputed from the UNROUNDED metrics, exactly as
     // the Spark side does; int-over-int division is double in both
     // engines and list_intersect/array_intersect both dedup, so the

@@ -153,6 +153,36 @@ object TextStats {
         && alphaFrac >= 0.8 && nStop >= minStopwords).as("keep"))
   }
 
+  /** Corpus-relative rarity scoring — the one quality signal that needs
+    * the WHOLE corpus, not just the document: for each document, how
+    * many of its distinct tokens are hapax legomena (appear in no other
+    * document), and the average document-frequency of its vocabulary.
+    * High hapax ratios flag OOV noise, mojibake and boilerplate IDs;
+    * low average document frequency flags genuinely novel text.
+    *
+    * Shape at 100 TB: one explode → groupBy(token) builds the
+    * document-frequency table (one shuffle; vocabulary, not corpus,
+    * sized — a few million rows for natural language, so the join back
+    * is a BROADCAST), then one per-document aggregation. All counts are
+    * exact integers and the two ratios are single double divisions, so
+    * every value replays in the DuckDB oracle.
+    */
+  def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("__tok"))
+    val dfreq = toks.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__doc_freq"))
+    toks.join(broadcast(dfreq), Seq("__tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(when(col("__doc_freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        round(sum(when(col("__doc_freq") === 1, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("hapax_ratio"),
+        round(sum(col("__doc_freq")).cast("double") / count(lit(1)), 6)
+          .as("avg_doc_freq"))
+  }
+
   /** The full pretraining-corpus curation pipeline as ONE composed plan:
     * exact dedup after normalization (fingerprint → keep min id per
     * fingerprint), quality scoring, language-ID, then the survivor

@@ -233,6 +233,18 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("quality_score") - 0.06 * (1 - 2.0 / 6)) < 1e-4)
   }
 
+  test("rarityScore: hapax counts and avg doc frequency over the distinct vocab") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a x a")).toDF("doc_id", "text")
+    val r = TextStats.rarityScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // df: a=3, b=2, c=1, d=1, x=1 (token 'a' repeated within doc 3 counts once)
+    assert(r(0).getAs[Long]("n_types") === 3L)
+    assert(r(0).getAs[Long]("n_hapax") === 1L) // c
+    assert(r(0).getAs[Double]("avg_doc_freq") === 2.0) // (3+2+1)/3
+    assert(r(2).getAs[Long]("n_types") === 2L)
+    assert(r(2).getAs[Double]("hapax_ratio") === 0.5) // x of {a, x}
+  }
+
   test("gopherFilter: per-rule metrics and the composite keep flag") {
     val good = (Seq("the", "of") ++ Seq.fill(58)("word")).mkString(" ")
     val short = "the of tiny doc"
