@@ -415,6 +415,13 @@ object SparkEntry {
       Curate.packSequences(Tables.documents(s, dir), "doc_id", "text",
         "source", budgetTokens = 2048L)),
 
+    // ---- the modern pretraining front-end composed end-to-end:
+    //      dedup → Gopher rules → splits → packing, ONE plan ----
+    "q_curation_full" -> ((s, dir) =>
+      Curate.curateFull(Tables.documents(s, dir), "doc_id", "text", "v1",
+        Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)),
+        budgetTokens = 2048L, minStopwords = 1)),
+
     // ---- train/eval contamination sweep: per-eval-doc fraction of
     //      8-gram shingles leaked into the training split ----
     "q_contamination" -> ((s, dir) => {
@@ -1030,6 +1037,43 @@ object SparkEntry {
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp
         |FROM documents""".stripMargin,
+    // Every stage replayed: fingerprint window-min dedup, the Gopher
+    // gate on unrounded metrics, the md5 split draw, and the split-local
+    // packing cumsum — the composed pipeline value-checked end-to-end.
+    "q_curation_full" ->
+      """WITH fp AS (SELECT doc_id, text,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |s AS (SELECT f.doc_id, f.text FROM fp f JOIN keep USING (doc_id)),
+        |g AS (SELECT doc_id, text FROM s WHERE
+        |    (length(text) - length(replace(text, ' ', '')) + 1) BETWEEN 50 AND 100000
+        |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / (length(text) - length(replace(text, ' ', '')) + 1) BETWEEN 3 AND 10
+        |    AND CAST(len(list_filter(string_split(text, ' '),
+        |          w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |      / (length(text) - length(replace(text, ' ', '')) + 1) >= 0.8
+        |    AND len(list_intersect(string_split(text, ' '),
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= 1),
+        |u AS (SELECT doc_id, text,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || '|v1'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u FROM g),
+        |sp AS (SELECT doc_id, text,
+        |    CASE WHEN u < 0.75 THEN 'train'
+        |         WHEN u < 0.875 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM u),
+        |m AS (SELECT doc_id, split,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM sp),
+        |st AS (SELECT doc_id, split, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_tok
+        |  FROM m)
+        |SELECT doc_id, split, n_tokens, start_tok,
+        |  CAST(start_tok // 2048 AS BIGINT) AS pack_id
+        |FROM st""".stripMargin,
     // Exact integer arithmetic end-to-end: token counts from the
     // whitespace identity, shard-local running sum, DIV 2048 (Spark DIV
     // and DuckDB // agree on non-negative integers).

@@ -102,6 +102,35 @@ object Curate {
             Ipv4Pattern, "<IP>"),
           PhonePattern, "<PHONE>"))
 
+  /** The modern pretraining front-end, end-to-end as ONE composed plan:
+    * exact dedup after normalization (fingerprint window-min, the
+    * [[TextStats.curate]] shape) → Gopher rule gate
+    * ([[TextStats.gopherKeep]]) → deterministic split assignment
+    * ([[assignSplits]]) → per-split sequence packing
+    * ([[packSequences]]). Every stage is an individually-oracled
+    * operator, and the composition itself is value-checked end-to-end
+    * in DuckDB (`q_curation_full`).
+    *
+    * Scale shape: exactly TWO shuffles for the whole pipeline — the
+    * fingerprint window and the split-keyed packing window; the rule
+    * gate and the split draw ride along as narrow projections.
+    */
+  def curateFull(df: DataFrame, idCol: String, textCol: String,
+      salt: String, splits: Seq[(String, Double)], budgetTokens: Long,
+      minStopwords: Int = TextStats.GopherMinStopwords): DataFrame = {
+    val fp = TextStats.fingerprint(df, textCol, "fp")
+    val deduped = fp
+      .withColumn("__keep",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep", "fp")
+    val ruled = deduped.filter(
+      TextStats.gopherKeep(textCol, minStopwords = minStopwords))
+    packSequences(assignSplits(ruled, idCol, salt, splits),
+      idCol, textCol, "split", budgetTokens)
+  }
+
   /** Sequence packing — assign each document to the fixed-token-budget
     * training sequence it lands in under GPT-style concat-and-chunk:
     * documents are concatenated in deterministic (`shardCol`, `idCol`)

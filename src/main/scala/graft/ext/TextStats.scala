@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators for training-data pipelines over the
@@ -135,6 +135,29 @@ object TextStats {
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String] = GopherStopwords,
       minStopwords: Int = GopherMinStopwords): DataFrame = {
+    val (nWords, meanLen, alphaFrac, nStop) = gopherMetrics(textCol, stopwords)
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.as("n_stop"),
+      gopherKeep(textCol, stopwords, minStopwords).as("keep"))
+  }
+
+  /** The composite keep predicate of [[gopherFilter]] as a bare boolean
+    * column, for filtering inside composed pipelines without carrying
+    * the audit metrics.
+    */
+  def gopherKeep(textCol: String,
+      stopwords: Seq[String] = GopherStopwords,
+      minStopwords: Int = GopherMinStopwords): Column = {
+    val (nWords, meanLen, alphaFrac, nStop) = gopherMetrics(textCol, stopwords)
+    nWords.between(50L, 100000L) && meanLen.between(3.0, 10.0) &&
+      alphaFrac >= 0.8 && nStop >= minStopwords
+  }
+
+  private def gopherMetrics(textCol: String,
+      stopwords: Seq[String]): (Column, Column, Column, Column) = {
     val t = col(textCol)
     val nWords = (length(t) - length(regexp_replace(t, " ", "")) + 1)
       .cast("long")
@@ -144,13 +167,7 @@ object TextStats {
       .cast("double") / nWords
     val nStop = size(array_intersect(split(t, " "),
       array(stopwords.map(lit): _*))).cast("long")
-    df.select(col(idCol),
-      nWords.as("n_words"),
-      round(meanLen, 6).as("mean_word_len"),
-      round(alphaFrac, 6).as("alpha_frac"),
-      nStop.as("n_stop"),
-      (nWords.between(50L, 100000L) && meanLen.between(3.0, 10.0)
-        && alphaFrac >= 0.8 && nStop >= minStopwords).as("keep"))
+    (nWords, meanLen, alphaFrac, nStop)
   }
 
   /** Corpus-relative rarity scoring — the one quality signal that needs

@@ -95,6 +95,22 @@ class CurateSpec extends SparkSpec {
     assert(r(2).isNullAt(r(2).fieldIndex("dup_2gram_ratio")))
   }
 
+  test("curateFull: dup and rule-failing docs drop before packing") {
+    val body = (Seq.fill(59)("the") :+ "end").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, body),       // exact dup: window-min keeps doc 1
+      (3L, "tiny doc")  // fails the 50-word rule
+    ).toDF("doc_id", "text")
+    val r = Curate.curateFull(docs, "doc_id", "text", "v1",
+        Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)),
+        budgetTokens = 2048L, minStopwords = 1)
+      .collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    assert(r.head.getAs[Long]("start_tok") === 0L)
+    assert(r.head.getAs[Long]("n_tokens") === 60L)
+  }
+
   test("packSequences: concat-and-chunk offsets, shard-local, budget boundary") {
     // shard A token stream: 3 + 4 + 3 docs against a budget of 5:
     // starts 0, 3, 7 -> packs 0, 0, 1; shard B restarts at 0
