@@ -127,6 +127,17 @@ class CurationPostureSpec extends SparkSpec {
     assert(finalPlan.contains("hashpartitioning(source"), finalPlan)
   }
 
+  test("the composed curation pipeline shuffles exactly twice: fingerprint + split") {
+    val df = SparkEntry.queries("q_curation_full")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val keys = "Exchange hashpartitioning\\(\\w+".r.findAllIn(finalPlan).toSeq
+    assert(keys.size === 2, s"expected 2 exchanges, got $keys:\n$finalPlan")
+    assert(keys.exists(_.endsWith("(fp")) && keys.exists(_.endsWith("(split")),
+      keys.toString)
+  }
+
   test("quality rules are one narrow scan: no shuffle, pruned read schema") {
     val df = SparkEntry.queries("q_quality_rules")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
