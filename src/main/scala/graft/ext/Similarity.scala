@@ -137,7 +137,8 @@ object Similarity {
         lit(b).as("b"))
     }
     withDoubleVec(df, vecCol)
-      .withColumn("ivf_bucket", array_max(array(scored: _*)).getField("b"))
+      .withColumn("ivf_bucket",
+        array_max(array(scored.toIndexedSeq: _*)).getField("b"))
       .drop("__e")
       .write.partitionBy("ivf_bucket").mode("overwrite").parquet(path)
     df.sparkSession.createDataFrame(cents.toSeq)
@@ -195,7 +196,7 @@ object Similarity {
     val probed = cents.sortBy { case (_, v) => -cos(v) }.take(nProbe).map(_._1)
     val qLit = array(queryVec.map(lit): _*)
     spark.read.parquet(path)
-      .filter(col("ivf_bucket").isin(probed: _*))
+      .filter(col("ivf_bucket").isin(probed.toIndexedSeq: _*))
       .withColumn("__cos",
         call_function(graft.plans.GraftFunctions.CosineName,
           col(vecCol).cast("array<double>"), qLit))
