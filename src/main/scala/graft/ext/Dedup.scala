@@ -191,6 +191,10 @@ object Dedup {
   def contaminationBloom(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int,
       expectedShingles: Long = 1000000L): DataFrame = {
+    require(!train.isStreaming && !eval.isStreaming,
+      "contaminationBloom collects the train-side sketch eagerly and is " +
+        "batch-only; on a stream, build the bloom from the batch corpus " +
+        "once and probe it inside foreachBatch")
     graft.plans.GraftFunctions.register(train.sparkSession)
     val bloomBytes = train
       .select(explode(call_function(graft.plans.GraftFunctions.ShingleName,

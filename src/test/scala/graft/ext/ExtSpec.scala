@@ -34,6 +34,16 @@ class DedupSpec extends SparkSpec {
     assert(r(2).getAs[Long]("n_shared") === r(2).getAs[Long]("n_sh") - 1)
   }
 
+  test("contaminationBloom refuses streaming frames at the API") {
+    val stream = spark.readStream.format("rate").load()
+      .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    val batch = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.contaminationBloom(stream, batch, "doc_id", "text", k = 2)
+    }
+    assert(e.getMessage.contains("batch-only"))
+  }
+
   test("contaminationBloom upper-bounds the exact sweep and nails the leaked doc") {
     val train = Seq(
       (10L, "the quick brown fox jumps over the lazy dog today"),
