@@ -118,13 +118,7 @@ object Curate {
   def curateFull(df: DataFrame, idCol: String, textCol: String,
       salt: String, splits: Seq[(String, Double)], budgetTokens: Long,
       minStopwords: Int = TextStats.GopherMinStopwords): DataFrame = {
-    val fp = TextStats.fingerprint(df, textCol, "fp")
-    val deduped = fp
-      .withColumn("__keep",
-        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp"))))
-      .filter(col(idCol) === col("__keep"))
-      .drop("__keep", "fp")
+    val deduped = TextStats.dedupByFingerprint(df, idCol, textCol).drop("fp")
     val ruled = deduped.filter(
       TextStats.gopherKeep(textCol, minStopwords = minStopwords))
     packSequences(assignSplits(ruled, idCol, salt, splits),
@@ -150,8 +144,13 @@ object Curate {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val nTok = (length(col(textCol))
       - length(regexp_replace(col(textCol), " ", "")) + 1).cast("long")
+    // ROWS, not the default RANGE frame: RANGE treats tied ids as peers
+    // and would hand every tied row the same (wrong) cumulative sum —
+    // the oracle replays the explicit ROWS frame
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.select(col(idCol), col(shardCol), nTok.as("n_tokens"))
       .withColumn("start_tok",
         sum(col("n_tokens")).over(w) - col("n_tokens"))

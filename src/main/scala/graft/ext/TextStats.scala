@@ -162,8 +162,9 @@ object TextStats {
     val nWords = (length(t) - length(regexp_replace(t, " ", "")) + 1)
       .cast("long")
     val meanLen = length(regexp_replace(t, " ", "")).cast("double") / nWords
-    val alphaFrac = expr(
-      s"size(filter(split($textCol, ' '), w -> w rlike '[a-zA-Z]'))")
+    // Column-based HOF, not a string-interpolated expr: a column name
+    // with a space or keyword would fail to parse inside expr(...)
+    val alphaFrac = size(filter(split(t, " "), w => w.rlike("[a-zA-Z]")))
       .cast("double") / nWords
     val nStop = size(array_intersect(split(t, " "),
       array(stopwords.map(lit): _*))).cast("long")
@@ -189,7 +190,12 @@ object TextStats {
       explode(array_distinct(split(col(textCol), " "))).as("__tok"))
     val dfreq = toks.groupBy(col("__tok"))
       .agg(count(lit(1)).as("__doc_freq"))
-    toks.join(broadcast(dfreq), Seq("__tok"))
+    // no broadcast hint: the doc-freq table is vocabulary-sized, usually
+    // small enough that AQE broadcasts it on its own — but a noisy corpus
+    // (the very thing this operator detects) can blow the vocabulary up,
+    // and a hard hint would force the broadcast anyway; AQE falls back to
+    // a shuffled join when the table is genuinely large
+    toks.join(dfreq, Seq("__tok"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_types"),
@@ -213,17 +219,26 @@ object TextStats {
     */
   def curate(df: DataFrame, idCol: String, textCol: String,
       minQuality: Double, lang: String): DataFrame = {
-    val fp = fingerprint(df, textCol, "fp")
-    val survivors = fp
-      .withColumn("__keep",
-        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("fp"))))
-      .filter(col(idCol) === col("__keep"))
-      .drop("__keep")
+    val survivors = dedupByFingerprint(df, idCol, textCol)
     langId(withQuality(survivors, textCol), textCol)
       .filter(col("quality_score") >= minQuality
         && col("predicted_lang") === lang)
       .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
         col("quality_score"), col("fp"))
   }
+
+  /** Exact dedup after normalization: keep the lowest id per
+    * [[fingerprint]] via a window min (ONE shuffle on the fingerprint,
+    * no groupBy + join-back — the text is read and hashed once). The
+    * shared first stage of [[curate]] and [[Curate.curateFull]]; the
+    * survivor carries its `fp` column.
+    */
+  def dedupByFingerprint(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    fingerprint(df, textCol, "fp")
+      .withColumn("__keep",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
 }

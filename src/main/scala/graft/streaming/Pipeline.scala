@@ -179,8 +179,12 @@ object Pipeline {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      // Files.walk holds directory handles until closed — leaking one
+      // per replay would creep toward the fd limit over a long session
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+        s.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
     }
   }
 

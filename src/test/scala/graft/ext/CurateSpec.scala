@@ -127,4 +127,13 @@ class CurateSpec extends SparkSpec {
     assert(r.toSeq === Seq((1L, 0L, 0L), (2L, 3L, 0L), (3L, 7L, 1L),
       (9L, 0L, 0L)))
   }
+
+  test("packSequences gives tied ids distinct offsets (ROWS, not RANGE peers)") {
+    val tied = Seq((1L, "a", "x x x"), (1L, "a", "x x x"))
+      .toDF("doc_id", "src", "text")
+    val starts = Curate.packSequences(tied, "doc_id", "text", "src", 5L)
+      .select("start_tok").as[Long].collect().sorted.toSeq
+    // the default RANGE frame would hand BOTH peers start 3
+    assert(starts === Seq(0L, 3L))
+  }
 }
