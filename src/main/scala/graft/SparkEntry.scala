@@ -457,6 +457,12 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 8)),
 
+    // ---- LSH parameter audit: minhash-estimated jaccard vs the exact
+    //      jaccard, per candidate pair ----
+    "q_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashJaccardEstimate(Tables.documents(s, dir), "doc_id",
+        "text", k = 8, nPerms = 16)),
+
     // ---- near-dup RESOLUTION: pairs at jaccard >= 0.8 → surviving corpus
     //      (greedy keep-lowest-id, drop-set anti-join) ----
     "q_neardup_resolve" -> ((s, dir) => {
@@ -1116,6 +1122,30 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_dups
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_ngram_jaccard" -> NgramJaccardSql,
+    // Exact pairs joined twice to the replayed signature minima; the
+    // estimate is agreeing-perms / 16 (exact in binary, so round-stable).
+    "q_minhash_estimate" ->
+      s"""WITH jp AS ($NgramJaccardSql),
+         |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         |sh2 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |             unnest(generate_series(1, len(t) - 7)) AS u(i)),
+         |hp AS (SELECT doc_id, 2 * j AS p,
+         |         min(substring(md5(s || '|' || j::VARCHAR), 1, 15)) AS v
+         |       FROM sh2, js GROUP BY 1, 2
+         |       UNION ALL
+         |       SELECT doc_id, 2 * j + 1 AS p,
+         |         min(substring(md5(s || '|' || j::VARCHAR), 17, 15)) AS v
+         |       FROM sh2, js GROUP BY 1, 2),
+         |mm AS (SELECT jp.d1, jp.d2, CAST(count(*) AS BIGINT) AS n_match
+         |       FROM jp
+         |       JOIN hp a ON a.doc_id = jp.d1
+         |       JOIN hp b ON b.doc_id = jp.d2 AND b.p = a.p AND b.v = a.v
+         |       GROUP BY 1, 2)
+         |SELECT jp.d1, jp.d2, jp.jaccard,
+         |  COALESCE(mm.n_match, 0) AS n_match,
+         |  round(CAST(COALESCE(mm.n_match, 0) AS DOUBLE) / 16, 6) AS jaccard_est
+         |FROM jp LEFT JOIN mm ON jp.d1 = mm.d1 AND jp.d2 = mm.d2""".stripMargin,
     // Resolution replays the same pair pipeline, then the greedy
     // keep-lowest-id drop: survivors are documents never reported as the
     // d2 (larger-id) side of a >= 0.8 pair.

@@ -313,15 +313,25 @@ object Dedup {
     * equality ≡ band-hash equality semantics (minus hash collisions).
     */
   def minhashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
-      k: Int, nPerms: Int, rowsPerBand: Int, maxBucket: Int = 1000): DataFrame = {
+      k: Int, nPerms: Int, rowsPerBand: Int, maxBucket: Int = 1000): DataFrame =
+    bandedPairs(minhashSignaturesPortable(df, idCol, textCol, k, nPerms),
+      idCol, nPerms, rowsPerBand,
+      comps => concat_ws("|", comps: _*), maxBucket)
+
+  /** The engine-portable MinHash signature frame (`sig_0..sig_{n-1}` as
+    * fixed-width hex strings): one shingle pass, one grouped agg for all
+    * permutation minima. Each md5 yields TWO independent 60-bit
+    * permutation hashes (hex chars 1-15 and 17-31), halving the md5
+    * count; the shared md5 subexpression is computed once by codegen
+    * CSE. Minima compare the hex strings directly: fixed-width lowercase
+    * hex orders lexicographically ≡ numerically, identically in DuckDB —
+    * no integer parsing anywhere. Shared by [[minhashCandidatesPortable]]
+    * and [[minhashJaccardEstimate]].
+    */
+  def minhashSignaturesPortable(df: DataFrame, idCol: String,
+      textCol: String, k: Int, nPerms: Int): DataFrame = {
     require(nPerms % 2 == 0, "nPerms must be even (two 60-bit hashes per md5)")
     val sh = shingles(df, idCol, textCol, k)
-    // Each md5 yields TWO independent 60-bit permutation hashes (hex
-    // chars 1-15 and 17-31), halving the md5 count; the shared md5
-    // subexpression is computed once by codegen CSE. The minima compare
-    // the hex strings directly: fixed-width lowercase hex orders
-    // lexicographically ≡ numerically, identically in DuckDB — no
-    // integer parsing anywhere.
     val withH = sh.select(col(idCol) +: (0 until nPerms / 2).flatMap { j =>
       val m = md5(concat(col("shingle"), lit(s"|$j")))
       Seq(substring(m, 1, 15).as(s"__h_${2 * j}"),
@@ -329,9 +339,34 @@ object Dedup {
     }: _*)
     val aggs: Seq[Column] = (0 until nPerms)
       .map(p => min(col(s"__h_$p")).as(s"sig_$p"))
-    val sigs = withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    bandedPairs(sigs, idCol, nPerms, rowsPerBand,
-      comps => concat_ws("|", comps: _*), maxBucket)
+    withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH parameter audit — for every exact near-dup candidate pair, the
+    * MinHash ESTIMATE of jaccard (fraction of agreeing permutation
+    * minima, the quantity banding thresholds act on) next to the TRUE
+    * n-gram jaccard. This is how you validate that `nPerms` is large
+    * enough and pick `rowsPerBand` before trusting the sketch on a new
+    * corpus: plot est vs truth, check the spread.
+    *
+    * Shape: the exact pair list (small — true near-dups only) joins the
+    * signature frame twice on the document id; no hint, AQE broadcasts
+    * the pair side when it is as small as it should be.
+    */
+  def minhashJaccardEstimate(df: DataFrame, idCol: String, textCol: String,
+      k: Int, nPerms: Int): DataFrame = {
+    val sigs = minhashSignaturesPortable(df, idCol, textCol, k, nPerms)
+    val pairs = ngramJaccardPairs(df, idCol, textCol, k)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val matches = (0 until nPerms)
+      .map(p => when(col(s"a.sig_$p") === col(s"b.sig_$p"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sigs.as("a"), col("d1") === col(s"a.$idCol"))
+      .join(sigs.as("b"), col("d2") === col(s"b.$idCol"))
+      .select(col("d1"), col("d2"), col("jaccard"),
+        matches.as("n_match"),
+        round(matches.cast("double") / nPerms, 6).as("jaccard_est"))
   }
 
   /** 64-bit SimHash over the token multiset: per-token 64-bit hash,

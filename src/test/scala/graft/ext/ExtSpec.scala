@@ -99,6 +99,20 @@ class DedupSpec extends SparkSpec {
     assert(exact.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("minhashJaccardEstimate: identical docs estimate 1.0, estimates stay in [0,1]") {
+    val r = Dedup.minhashJaccardEstimate(docs, "doc_id", "text", k = 5, nPerms = 16)
+      .collect()
+      .map(x => (x.getAs[Long]("d1"), x.getAs[Long]("d2")) ->
+        (x.getAs[Double]("jaccard"), x.getAs[Long]("n_match"),
+          x.getAs[Double]("jaccard_est"))).toMap
+    // exact dup (1,4): every permutation minimum agrees
+    assert(r((1L, 4L)) === ((1.0, 16L, 1.0)))
+    // every candidate pair carries an estimate in range
+    r.values.foreach { case (_, m, est) =>
+      assert(m >= 0L && m <= 16L && est >= 0.0 && est <= 1.0)
+    }
+  }
+
   test("resolveNearDups keeps the lowest id of each cluster and all singletons") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5)
       .filter($"jaccard" >= 0.8)
