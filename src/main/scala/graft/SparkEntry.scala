@@ -415,6 +415,12 @@ object SparkEntry {
       Curate.packSequences(Tables.documents(s, dir), "doc_id", "text",
         "source", budgetTokens = 2048L)),
 
+    // ---- pack fill-level audit over the packed corpus ----
+    "q_pack_summary" -> ((s, dir) =>
+      Curate.packSummary(
+        Curate.packSequences(Tables.documents(s, dir), "doc_id", "text",
+          "source", budgetTokens = 2048L), "source")),
+
     // ---- the modern pretraining front-end composed end-to-end:
     //      dedup → Gopher rules → splits → packing, ONE plan ----
     "q_curation_full" -> ((s, dir) =>
@@ -1043,6 +1049,20 @@ object SparkEntry {
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp
         |FROM documents""".stripMargin,
+    "q_pack_summary" ->
+      """WITH m AS (SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_tok
+        |  FROM m)
+        |SELECT source, CAST(start_tok // 2048 AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(start_tok) AS first_start
+        |FROM s GROUP BY 1, 2""".stripMargin,
     // Every stage replayed: fingerprint window-min dedup, the Gopher
     // gate on unrounded metrics, the md5 split draw, and the split-local
     // packing cumsum — the composed pipeline value-checked end-to-end.

@@ -156,4 +156,17 @@ object Curate {
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("pack_id", expr(s"start_tok DIV $budgetTokens"))
   }
+
+  /** Pack-level rollup of [[packSequences]] — docs per sequence and the
+    * tokens that START in it (the fill-level audit you run after
+    * packing; a tail pack under budget or a shard full of 1-doc packs
+    * means the budget or shard key is wrong). One map-side-combinable
+    * aggregation on top of the packing window.
+    */
+  def packSummary(packed: DataFrame, shardCol: String): DataFrame =
+    packed.groupBy(col(shardCol), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("start_tok")).as("first_start"))
 }
