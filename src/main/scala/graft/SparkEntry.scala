@@ -35,6 +35,31 @@ object SparkEntry {
   private val StatusHi = 55.0
   private val StatusLo = 45.0
 
+  /** The IVF layout replay's CTE prefix (quantizer, assignment, query
+    * vector, probed buckets) — shared by the `q_ann_ivf_layout` and
+    * `q_ann_recall` oracles so the two replays can never drift.
+    */
+  private val IvfLayoutCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(label AS INTEGER) AS label,
+      |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (SELECT label, i AS pos, avg(v[i]) AS m
+      |      FROM e, unnest(generate_series(1, len(v))) AS u(i) GROUP BY 1, 2),
+      |cent AS (SELECT label AS b, list(m ORDER BY pos) AS c FROM d GROUP BY 1),
+      |asg AS (SELECT vec_id, v, ivf_bucket FROM (
+      |          SELECT e.vec_id, e.v, cent.b AS ivf_bucket,
+      |            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |              list_dot_product(cent.c, e.v)
+      |                / sqrt(list_dot_product(cent.c, cent.c)
+      |                     * list_dot_product(e.v, e.v)) DESC,
+      |              cent.b DESC) AS rn
+      |          FROM e, cent) WHERE rn = 1),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |probed AS (SELECT cent.b FROM cent, q
+      |           ORDER BY list_dot_product(cent.c, qv)
+      |             / sqrt(list_dot_product(cent.c, cent.c)
+      |                  * list_dot_product(qv, qv)) DESC
+      |           LIMIT 2)""".stripMargin
+
   /** The n-gram Jaccard pair pipeline in DuckDB SQL — shared by the
     * `q_ngram_jaccard` oracle and the `q_neardup_resolve` oracle (which
     * consumes the pairs as a CTE), so the two can never drift.
@@ -580,6 +605,27 @@ object SparkEntry {
         .collect().head.getSeq[Double](0)
       Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
         k = 10, nProbe = 2)
+    }),
+
+    // ---- ANN quality audit: recall@10 of the pruned IVF probe against
+    //      the exact brute-force top-10 (query vector excluded on both
+    //      sides) ----
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = new java.io.File(s"$dir/embeddings.parquet")
+      val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
+        "label", s"$dir:${src.length}:${src.lastModified}")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0)
+      val approx = Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
+        k = 10, nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
+      val exact = Similarity.bruteForceTopKNative(emb, "vec_id",
+        "embedding", queryId = 0L, k = 10).select(col("vec_id"))
+      approx.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall"))
     }),
 
     // ---- multimodal feature extraction (stubbed decode, mapPartitions) ----
@@ -1233,32 +1279,33 @@ object SparkEntry {
     // centroid-to-query cosine, exact cosine top-k within them. The
     // layout's partition column comes back as INT, hence the INTEGER cast.
     "q_ann_ivf_layout" ->
-      """WITH e AS (SELECT vec_id, CAST(label AS INTEGER) AS label,
-        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |d AS (SELECT label, i AS pos, avg(v[i]) AS m
-        |      FROM e, unnest(generate_series(1, len(v))) AS u(i) GROUP BY 1, 2),
-        |cent AS (SELECT label AS b, list(m ORDER BY pos) AS c FROM d GROUP BY 1),
-        |asg AS (SELECT vec_id, v, ivf_bucket FROM (
-        |          SELECT e.vec_id, e.v, cent.b AS ivf_bucket,
-        |            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |              list_dot_product(cent.c, e.v)
-        |                / sqrt(list_dot_product(cent.c, cent.c)
-        |                     * list_dot_product(e.v, e.v)) DESC,
-        |              cent.b DESC) AS rn
-        |          FROM e, cent) WHERE rn = 1),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |probed AS (SELECT cent.b FROM cent, q
-        |           ORDER BY list_dot_product(cent.c, qv)
-        |             / sqrt(list_dot_product(cent.c, cent.c)
-        |                  * list_dot_product(qv, qv)) DESC
-        |           LIMIT 2)
-        |SELECT a.vec_id, a.ivf_bucket,
-        |  round(list_dot_product(a.v, qv)
-        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv)), 6) AS cosine
-        |FROM asg a, q WHERE a.ivf_bucket IN (SELECT b FROM probed)
-        |ORDER BY list_dot_product(a.v, qv)
-        |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv)) DESC, a.vec_id
-        |LIMIT 10""".stripMargin,
+      s"""$IvfLayoutCtes
+         |SELECT a.vec_id, a.ivf_bucket,
+         |  round(list_dot_product(a.v, qv)
+         |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv)), 6) AS cosine
+         |FROM asg a, q WHERE a.ivf_bucket IN (SELECT b FROM probed)
+         |ORDER BY list_dot_product(a.v, qv)
+         |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv)) DESC, a.vec_id
+         |LIMIT 10""".stripMargin,
+    // Recall@10 of the pruned probe vs the exact scan, self excluded on
+    // both sides — the same CTE prefix as the layout oracle, so the two
+    // replays can never drift.
+    "q_ann_recall" ->
+      s"""$IvfLayoutCtes,
+         |approx AS (SELECT a.vec_id FROM asg a, q
+         |           WHERE a.ivf_bucket IN (SELECT b FROM probed) AND a.vec_id <> 0
+         |           ORDER BY list_dot_product(a.v, qv)
+         |             / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv))
+         |             DESC, a.vec_id
+         |           LIMIT 10),
+         |exact AS (SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+         |          ORDER BY list_dot_product(e.v, qv)
+         |            / sqrt(list_dot_product(e.v, e.v) * list_dot_product(qv, qv))
+         |            DESC, e.vec_id
+         |          LIMIT 10)
+         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM approx JOIN exact USING (vec_id)""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
         |  FROM embeddings WHERE vec_id = 0)

@@ -181,7 +181,7 @@ object Similarity {
     */
   def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, queryVec: Seq[Double], k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     // glob the part files: naming the underscore-prefixed sidecar dir
     // itself would trip Spark's hidden-path filter (warning + skip on
@@ -195,8 +195,9 @@ object Similarity {
     }
     val probed = cents.sortBy { case (_, v) => -cos(v) }.take(nProbe).map(_._1)
     val qLit = array(queryVec.map(lit): _*)
-    spark.read.parquet(path)
+    val scanned = spark.read.parquet(path)
       .filter(col("ivf_bucket").isin(probed.toIndexedSeq: _*))
+    excludeId.fold(scanned)(id => scanned.filter(col(idCol) =!= id))
       .withColumn("__cos",
         call_function(graft.plans.GraftFunctions.CosineName,
           col(vecCol).cast("array<double>"), qLit))
