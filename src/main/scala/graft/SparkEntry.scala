@@ -35,6 +35,24 @@ object SparkEntry {
   private val StatusHi = 55.0
   private val StatusLo = 45.0
 
+  /** Build-once physical IVF layout + query-point lookup, shared by the
+    * `q_ann_ivf_layout` and `q_ann_recall` registrations — one cache key
+    * format, so the recall audit always probes the SAME index the layout
+    * query serves. The query-vector collect is one pushed-down row, the
+    * ANN query argument.
+    */
+  private def ivfLayoutAndQuery(s: SparkSession,
+      dir: String): (String, Seq[Double]) = {
+    val emb = Tables.embeddings(s, dir)
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
+      "label", s"$dir:${src.length}:${src.lastModified}")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    (path, qv)
+  }
+
   /** The IVF layout replay's CTE prefix (quantizer, assignment, query
     * vector, probed buckets) — shared by the `q_ann_ivf_layout` and
     * `q_ann_recall` oracles so the two replays can never drift.
@@ -59,6 +77,24 @@ object SparkEntry {
       |             / sqrt(list_dot_product(cent.c, cent.c)
       |                  * list_dot_product(qv, qv)) DESC
       |           LIMIT 2)""".stripMargin
+
+  /** The portable MinHash signature replay (distinct shingles → salted
+    * md5 permutation minima) as a CTE fragment — shared by the
+    * `q_minhash_candidates` and `q_minhash_estimate` oracles so the two
+    * replays can never drift. Yields `hp(doc_id, p, v)`.
+    */
+  private val MinhashSigCtes: String =
+    """sh2 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |             unnest(generate_series(1, len(t) - 7)) AS u(i)),
+      |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      |hp AS (SELECT doc_id, 2 * j AS p,
+      |         min(substring(md5(s || '|' || j::VARCHAR), 1, 15)) AS v
+      |       FROM sh2, js GROUP BY 1, 2
+      |       UNION ALL
+      |       SELECT doc_id, 2 * j + 1 AS p,
+      |         min(substring(md5(s || '|' || j::VARCHAR), 17, 15)) AS v
+      |       FROM sh2, js GROUP BY 1, 2)""".stripMargin
 
   /** The n-gram Jaccard pair pipeline in DuckDB SQL — shared by the
     * `q_ngram_jaccard` oracle and the `q_neardup_resolve` oracle (which
@@ -595,14 +631,7 @@ object SparkEntry {
     //      assignment, probe selection, exact top-k — is deterministic, so
     //      unlike q_ann_ivf's stand-in this has a full DuckDB oracle. ----
     "q_ann_ivf_layout" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
-        "label", s"$dir:${src.length}:${src.lastModified}")
-      // query-point lookup: one pushed-down row, the ANN query argument
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .collect().head.getSeq[Double](0)
+      val (path, qv) = ivfLayoutAndQuery(s, dir)
       Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
         k = 10, nProbe = 2)
     }),
@@ -611,17 +640,12 @@ object SparkEntry {
     //      the exact brute-force top-10 (query vector excluded on both
     //      sides) ----
     "q_ann_recall" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
-        "label", s"$dir:${src.length}:${src.lastModified}")
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .collect().head.getSeq[Double](0)
+      val (path, qv) = ivfLayoutAndQuery(s, dir)
       val approx = Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
         k = 10, nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
-      val exact = Similarity.bruteForceTopKNative(emb, "vec_id",
-        "embedding", queryId = 0L, k = 10).select(col("vec_id"))
+      val exact = Similarity.bruteForceTopKNative(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10).select(col("vec_id"))
       approx.join(exact, "vec_id")
         .agg(count(lit(1)).as("n_overlap"))
         .select(lit(10).as("k"), col("n_overlap"),
@@ -1192,17 +1216,7 @@ object SparkEntry {
     // estimate is agreeing-perms / 16 (exact in binary, so round-stable).
     "q_minhash_estimate" ->
       s"""WITH jp AS ($NgramJaccardSql),
-         |js AS (SELECT unnest(generate_series(0, 7)) AS j),
-         |sh2 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
-         |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |             unnest(generate_series(1, len(t) - 7)) AS u(i)),
-         |hp AS (SELECT doc_id, 2 * j AS p,
-         |         min(substring(md5(s || '|' || j::VARCHAR), 1, 15)) AS v
-         |       FROM sh2, js GROUP BY 1, 2
-         |       UNION ALL
-         |       SELECT doc_id, 2 * j + 1 AS p,
-         |         min(substring(md5(s || '|' || j::VARCHAR), 17, 15)) AS v
-         |       FROM sh2, js GROUP BY 1, 2),
+         |$MinhashSigCtes,
          |mm AS (SELECT jp.d1, jp.d2, CAST(count(*) AS BIGINT) AS n_match
          |       FROM jp
          |       JOIN hp a ON a.doc_id = jp.d1
@@ -1255,24 +1269,14 @@ object SparkEntry {
     // hex chars 1-15 / 17-31 of one md5 (fixed-width lowercase hex:
     // lexicographic min ≡ numeric min, same in Spark).
     "q_minhash_candidates" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
-        |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
-        |js AS (SELECT unnest(generate_series(0, 7)) AS j),
-        |hp AS (SELECT doc_id, 2 * j AS p,
-        |         min(substring(md5(s || '|' || j::VARCHAR), 1, 15)) AS v
-        |       FROM sh, js GROUP BY 1, 2
-        |       UNION ALL
-        |       SELECT doc_id, 2 * j + 1 AS p,
-        |         min(substring(md5(s || '|' || j::VARCHAR), 17, 15)) AS v
-        |       FROM sh, js GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, p // 2 AS band, string_agg(v, '|' ORDER BY p) AS key
-        |          FROM hp GROUP BY 1, 2
-        |          QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000)
-        |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
-        |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $MinhashSigCtes,
+         |bands AS (SELECT doc_id, p // 2 AS band, string_agg(v, '|' ORDER BY p) AS key
+         |          FROM hp GROUP BY 1, 2
+         |          QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     // Physical-IVF probe replayed end-to-end: per-label per-dim means as
     // the quantizer, nearest-centroid (argmax cosine, ties to the larger
     // bucket like Spark's struct max) assignment, top-2 probed buckets by
