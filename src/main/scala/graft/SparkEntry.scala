@@ -78,6 +78,20 @@ object SparkEntry {
       |                  * list_dot_product(qv, qv)) DESC
       |           LIMIT 2)""".stripMargin
 
+  /** The portable SimHash signature replay (token hash, ±1 votes,
+    * sign→bit; bits 60-63 carry no entropy, so the reconstruction stops
+    * at 59) as a CTE fragment — shared by the `q_simhash_candidates` and
+    * `q_simhash_audit` oracles. Yields `sig(doc_id, s)`.
+    */
+  private val SimhashSigCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+      |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |         FROM h, (SELECT unnest(generate_series(0, 59)) AS b) AS bs GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
+      |        FROM bits GROUP BY 1)""".stripMargin
+
   /** The portable MinHash signature replay (distinct shingles → salted
     * md5 permutation minima) as a CTE fragment — shared by the
     * `q_minhash_candidates` and `q_minhash_estimate` oracles so the two
@@ -529,6 +543,11 @@ object SparkEntry {
     "q_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashJaccardEstimate(Tables.documents(s, dir), "doc_id",
         "text", k = 8, nPerms = 16)),
+
+    // ---- the hamming-side twin: simhash distance vs exact jaccard ----
+    "q_simhash_audit" -> ((s, dir) =>
+      Dedup.simhashJaccardAudit(Tables.documents(s, dir), "doc_id",
+        "text", k = 8)),
 
     // ---- near-dup RESOLUTION: pairs at jaccard >= 0.8 → surviving corpus
     //      (greedy keep-lowest-id, drop-set anti-join) ----
@@ -1243,23 +1262,25 @@ object SparkEntry {
     // every step — hash, ±1 votes, sign→bit, chunk banding, the
     // maxBucket=1000 hot-bucket drop (QUALIFY twin of the window-count
     // guard), xor, bit_count — replays identically here, so the banded
-    // candidate stage INCLUDING its cap gets a true oracle. Bits 60-63
-    // carry no entropy, so the sign reconstruction stops at 59.
+    // candidate stage INCLUDING its cap gets a true oracle.
     "q_simhash_candidates" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |h AS (SELECT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS hv FROM tok),
-        |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |         FROM h, (SELECT unnest(generate_series(0, 59)) AS b) AS bs GROUP BY 1, 2),
-        |sig AS (SELECT doc_id,
-        |          CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
-        |        FROM bits GROUP BY 1),
-        |chunks AS (SELECT doc_id, s, c, (s >> (c * 16)) & 65535 AS v
-        |           FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) AS cs
-        |           QUALIFY count(*) OVER (PARTITION BY c, v) <= 1000)
-        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
-        |FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+      s"""WITH $SimhashSigCtes,
+         |chunks AS (SELECT doc_id, s, c, (s >> (c * 16)) & 65535 AS v
+         |           FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) AS cs
+         |           QUALIFY count(*) OVER (PARTITION BY c, v) <= 1000)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+         |FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    // The hamming-side audit: exact pairs joined to the replayed simhash
+    // signatures — same CTE fragment as q_simhash_candidates.
+    "q_simhash_audit" ->
+      s"""WITH jp AS ($NgramJaccardSql),
+         |$SimhashSigCtes
+         |SELECT jp.d1, jp.d2, jp.jaccard,
+         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+         |FROM jp JOIN sig a ON a.doc_id = jp.d1
+         |        JOIN sig b ON b.doc_id = jp.d2""".stripMargin,
     // MinHash LSH with the portable salted hash and raw-tuple band keys:
     // the full signature + banding pipeline replayed in SQL, INCLUDING
     // the maxBucket=1000 hot-bucket drop (QUALIFY twin of the Spark

@@ -100,6 +100,25 @@ object Dedup {
         round(col("shared") / (col("n1") + col("n2") - col("shared")), 6)
           .as("jaccard"))
 
+  /** SimHash threshold audit — the [[minhashJaccardEstimate]] twin for
+    * the hamming side of the house: for every exact candidate pair, the
+    * portable-SimHash hamming distance (the quantity
+    * [[simhashCandidates]]' `maxDist` acts on) next to the true n-gram
+    * jaccard. Plot hamming vs jaccard to pick `maxDist` for a corpus
+    * instead of inheriting 3.
+    */
+  def simhashJaccardAudit(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, k)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val sigs = simhashPortable(df, idCol, textCol)
+    pairs
+      .join(sigs.as("a"), col("d1") === col(s"a.$idCol"))
+      .join(sigs.as("b"), col("d2") === col(s"b.$idCol"))
+      .select(col("d1"), col("d2"), col("jaccard"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
+  }
+
   /** Resolve near-duplicate candidate pairs into the surviving corpus —
     * the step that turns a pair list ([[ngramJaccardPairs]],
     * [[minhashCandidatesPortable]], [[Similarity.nearDupPairs]] all

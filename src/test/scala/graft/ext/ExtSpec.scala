@@ -113,6 +113,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashJaccardAudit: identical docs at hamming 0, every pair in range") {
+    val r = Dedup.simhashJaccardAudit(docs, "doc_id", "text", k = 5)
+      .collect()
+      .map(x => (x.getAs[Long]("d1"), x.getAs[Long]("d2")) ->
+        (x.getAs[Double]("jaccard"), x.getAs[Int]("hamming"))).toMap
+    assert(r((1L, 4L)) === ((1.0, 0))) // exact dup: identical signature
+    r.values.foreach { case (_, h) => assert(h >= 0 && h <= 64) }
+  }
+
   test("resolveNearDups keeps the lowest id of each cluster and all singletons") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5)
       .filter($"jaccard" >= 0.8)
