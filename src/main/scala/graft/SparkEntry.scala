@@ -35,6 +35,28 @@ object SparkEntry {
   private val StatusHi = 55.0
   private val StatusLo = 45.0
 
+  /** Domain-mix recipe for the q_domain_mix* queries — zh is deliberately
+    * over-asked relative to its availability so the fraction cap (you
+    * cannot sample more than a group has) is exercised and value-checked.
+    */
+  private val MixTargets: Seq[(String, Double)] =
+    Seq("en" -> 0.1, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.1, "zh" -> 0.5)
+
+  /** [[MixTargets]] as a DuckDB CASE over lang — generated from the same
+    * Seq the Spark side uses, so recipe and replay can never drift. Cast
+    * to DOUBLE: a bare DuckDB decimal literal would type-drift the
+    * arithmetic away from Spark's doubles.
+    */
+  private val MixCaseSql: String =
+    MixTargets.map { case (g, w) => s"WHEN '$g' THEN $w" }
+      .mkString("CAST(CASE lang ", " ", " ELSE 0.0 END AS DOUBLE)")
+
+  /** Cosine between two DOUBLE[] SQL expressions, list_dot_product form
+    * (sequential accumulation, matching the native kernel's loop order).
+    */
+  private def ListCosSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)))"
+
   /** Build-once physical IVF layout + query-point lookup, shared by the
     * `q_ann_ivf_layout` and `q_ann_recall` registrations — one cache key
     * format, so the recall audit always probes the SAME index the layout
@@ -56,6 +78,16 @@ object SparkEntry {
   /** The IVF layout replay's CTE prefix (quantizer, assignment, query
     * vector, probed buckets) — shared by the `q_ann_ivf_layout` and
     * `q_ann_recall` oracles so the two replays can never drift.
+    *
+    * Known tie-sensitivity (accepted): the `avg(v[i])` centroids
+    * accumulate in engine scan order, and Spark's `avg` likewise — last-ulp
+    * differences are possible, and a vector whose two nearest centroids
+    * tie EXACTLY at that ulp could flip its argmax bucket between engines.
+    * Unlike the SRP sign bits (threshold at 0, fixed-order chain above),
+    * an argmax flip needs two independent cosines to collide at ~1e-16,
+    * which no fixture or realistic corpus produces; replaying Spark's
+    * partial-aggregate tree order in SQL is not expressible, so this is
+    * documented rather than fixed.
     */
   private val IvfLayoutCtes: String =
     """WITH e AS (SELECT vec_id, CAST(label AS INTEGER) AS label,
@@ -432,6 +464,36 @@ object SparkEntry {
     //      of each doc's vocabulary ----
     "q_rarity" -> ((s, dir) =>
       TextStats.rarityScore(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- CCNet-style unigram LM scoring: per-doc cross-entropy and
+    //      perplexity under the corpus's own token distribution ----
+    "q_perplexity" -> ((s, dir) =>
+      TextStats.lmScore(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- domain-mixing plan: per-language availability, target share of
+    //      a 15k-token budget, and the sampling fraction that hits it
+    //      (zh is deliberately over-asked → capped at 1.0) ----
+    "q_domain_mix" -> ((s, dir) =>
+      Curate.mixFractions(Tables.documents(s, dir), "lang", "text",
+          MixTargets, budgetTokens = 15000L)
+        .select(col("lang"), col("n_docs"), col("avail_tokens"),
+          round(col("target_tokens"), 6).as("target_tokens"),
+          round(col("fraction"), 6).as("fraction"))),
+
+    // ---- the applied mix: deterministic md5-draw sample at each
+    //      group's fraction ----
+    "q_domain_mix_sample" -> ((s, dir) =>
+      Curate.mixSample(Tables.documents(s, dir), "doc_id", "lang", "text",
+          "m1", MixTargets, budgetTokens = 15000L)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // ---- k-means (Lloyd) quantizer training, 4 clusters × 2 iterations,
+    //      audited by per-cluster size + mean cosine-to-centroid; the
+    //      full training run (seeded, assigned, updated, re-assigned)
+    //      replays in the DuckDB oracle ----
+    "q_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAudit(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 4, iters = 2, salt = "km1")),
 
     // ---- Gopher-style hard quality rules: per-rule metrics + keep.
     //      minStopwords = 1 because the synthetic corpus's function-word
@@ -1047,6 +1109,75 @@ object SparkEntry {
         |    / count(*), 6) AS hapax_ratio,
         |  round(CAST(sum(doc_freq) AS DOUBLE) / count(*), 6) AS avg_doc_freq
         |FROM t JOIN d USING (tok) GROUP BY 1""".stripMargin,
+    // H = log2 N - avg(log2 tf): N and every tf are exact integers, so
+    // the only float work is the per-doc average (rounded to 6dp; same
+    // accepted avg-order tolerance as q_corr / q_group_mean).
+    "q_perplexity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(log2(n) - avg(log2(tf)), 6) AS cross_entropy,
+        |  round(pow(2, log2(n) - avg(log2(tf))), 6) AS perplexity
+        |FROM tok JOIN tf USING (w), n
+        |GROUP BY doc_id, n""".stripMargin,
+    // The CASE weights are cast to DOUBLE (DuckDB decimal literals would
+    // type-drift the result); fraction = least(1, target/avail) is a
+    // single double division in both engines.
+    "q_domain_mix" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+        |    AS avail_tokens,
+        |  round($MixCaseSql * 15000, 6) AS target_tokens,
+        |  round(least(1.0, ($MixCaseSql * 15000)
+        |    / sum(length(text) - length(replace(text, ' ', '')) + 1)), 6) AS fraction
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_domain_mix_sample" ->
+      s"""WITH fr AS (SELECT lang, least(1.0, ($MixCaseSql * 15000)
+        |    / sum(length(text) - length(replace(text, ' ', '')) + 1)) AS fraction
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN fr USING (lang)
+        |WHERE ('0x' || substring(md5(d.doc_id::VARCHAR || '|m1'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 < fr.fraction""".stripMargin,
+    // The full Lloyd run unrolled: deterministic md5-draw seeds, two
+    // assign/update rounds, final assignment audited. Assignment ties
+    // break ORDER BY cos DESC, b DESC = Spark's lexicographic struct
+    // max; the avg()-built centroids carry the same documented last-ulp
+    // tie-sensitivity as the IVF CTEs above.
+    "q_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v,
+        |        ('0x' || substring(md5(vec_id::VARCHAR || '|km1'), 1, 15))::BIGINT
+        |          / 1152921504606846976.0 AS draw FROM e),
+        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY draw, vec_id) - 1 AS INTEGER) AS b,
+        |            v AS cv
+        |          FROM u QUALIFY row_number() OVER (ORDER BY draw, vec_id) <= 4),
+        |a0 AS (SELECT vec_id, v, b FROM (
+        |         SELECT e.vec_id, e.v, s.b,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ${ListCosSql("e.v", "s.cv")} DESC, s.b DESC) AS rn
+        |         FROM e, seeds s) WHERE rn = 1),
+        |c1 AS (SELECT b, list(m ORDER BY pos) AS cv FROM (
+        |         SELECT b, i AS pos, avg(v[i]) AS m FROM a0,
+        |           unnest(generate_series(1, len(v))) AS u2(i) GROUP BY 1, 2) d1
+        |       GROUP BY 1),
+        |a1 AS (SELECT vec_id, v, b FROM (
+        |         SELECT e.vec_id, e.v, s.b,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ${ListCosSql("e.v", "s.cv")} DESC, s.b DESC) AS rn
+        |         FROM e, c1 s) WHERE rn = 1),
+        |c2 AS (SELECT b, list(m ORDER BY pos) AS cv FROM (
+        |         SELECT b, i AS pos, avg(v[i]) AS m FROM a1,
+        |           unnest(generate_series(1, len(v))) AS u3(i) GROUP BY 1, 2) d2
+        |       GROUP BY 1),
+        |a2 AS (SELECT vec_id, b, c FROM (
+        |         SELECT e.vec_id, s.b, ${ListCosSql("e.v", "s.cv")} AS c,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ${ListCosSql("e.v", "s.cv")} DESC, s.b DESC) AS rn
+        |         FROM e, c2 s) WHERE rn = 1)
+        |SELECT b AS bucket, CAST(count(*) AS BIGINT) AS n, round(avg(c), 6) AS avg_cos
+        |FROM a2 GROUP BY 1""".stripMargin,
     // The keep flag is recomputed from the UNROUNDED metrics, exactly as
     // the Spark side does; int-over-int division is double in both
     // engines and list_intersect/array_intersect both dedup, so the
@@ -1372,16 +1503,23 @@ object SparkEntry {
     // SRP LSH replayed: hyperplane components from the same md5 uniform
     // the Spark side bakes as literals; sign bits -> bucket; bucket-equal
     // pairs scored with exact cosine. The QUALIFY replays the
-    // maxBucket=1000 hot-bucket guard.
+    // maxBucket=1000 hot-bucket guard. The plane dot product is an
+    // ORDER-FIXED left-assoc multiply-add chain over list(h ORDER BY i)
+    // — a sum() aggregate accumulates in scan order, and a dot product
+    // near 0 could flip its sign bit between engines; the chain replays
+    // Spark's literal reduce(_ + _) order bit-for-bit.
     "q_embed_neardup_srp" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |planes AS (SELECT pp.p, ii.i,
-        |    (('0x' || substring(md5(pp.p::VARCHAR || '|' || ii.i::VARCHAR || '|s1'), 1, 15))::BIGINT
-        |      / 1152921504606846976.0) * 2 - 1 AS h
-        |  FROM (SELECT unnest(generate_series(0, 3)) AS p) pp,
-        |       (SELECT unnest(generate_series(0, 63)) AS i) ii),
-        |dots AS (SELECT e.vec_id, pl.p, sum(e.v[pl.i + 1] * pl.h) AS d
-        |         FROM e, planes pl GROUP BY 1, 2),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |planes AS (SELECT p, list(h ORDER BY i) AS plane FROM (
+        |    SELECT pp.p, ii.i,
+        |      (('0x' || substring(md5(pp.p::VARCHAR || '|' || ii.i::VARCHAR || '|s1'), 1, 15))::BIGINT
+        |        / 1152921504606846976.0) * 2 - 1 AS h
+        |    FROM (SELECT unnest(generate_series(0, 3)) AS p) pp,
+        |         (SELECT unnest(generate_series(0, 63)) AS i) ii) ph
+        |  GROUP BY p),
+        |dots AS (SELECT e.vec_id, pl.p,
+        |    ${(1 to 64).map(i => s"e.v[$i] * pl.plane[$i]").mkString(" + ")} AS d
+        |         FROM e, planes pl),
         |b AS (SELECT vec_id,
         |        CAST(sum(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
         |      FROM dots GROUP BY 1

@@ -17,9 +17,21 @@ object Curate {
   /** Key-derived uniform in [0, 1): [[PortableHash.uniform01]] of
     * `key|salt` — the same construction every oracle replays. Changing
     * `salt` re-draws every key independently.
+    *
+    * A NULL key fails loudly at execution: a null md5 draw would
+    * otherwise make [[assignSplits]] silently route the row to the last
+    * split (every `when` is null → `.otherwise`) while [[sampleByHash]]
+    * silently drops it — inconsistent, invisible semantics for a
+    * reproducibility-focused API. Callers with nullable keys must
+    * coalesce or filter explicitly first.
     */
-  private def uniformDraw(keyCol: Column, salt: String): Column =
-    PortableHash.uniform01(concat(keyCol.cast("string"), lit("|" + salt)))
+  private def uniformDraw(keyCol: Column, salt: String): Column = {
+    val k = keyCol.cast("string")
+    val checked = when(k.isNull, raise_error(lit(
+      "graft.ext.Curate: NULL key in deterministic draw — coalesce or " +
+        "filter null keys before split/sample assignment"))).otherwise(k)
+    PortableHash.uniform01(concat(checked, lit("|" + salt)))
+  }
 
   /** Deterministic split assignment: each row draws its uniform from
     * md5(key|salt) and lands in the first split whose cumulative weight
@@ -75,6 +87,55 @@ object Curate {
           _.when(col(strataCol) === stratum, f)))
     }.get.otherwise(lit(0.0))
     df.filter(uniformDraw(col(keyCol), salt) < frac)
+  }
+
+  /** Domain-mixing plan: given target mixture weights per group (source,
+    * language, domain — the DoReMi/Pile-style recipe) and a total token
+    * budget, compute each group's available tokens, its target share of
+    * the budget, and the deterministic sampling fraction that achieves it
+    * (capped at 1 — you cannot sample more than a group has; an
+    * under-supplied group is reported, not silently re-weighted, so the
+    * recipe stays auditable). Groups outside the recipe get fraction 0.
+    *
+    * One group-sized aggregation (map-side combinable, one shuffle);
+    * `fraction` is kept at full double precision for [[mixSample]] —
+    * round only for display.
+    */
+  def mixFractions(df: DataFrame, groupCol: String, textCol: String,
+      targets: Seq[(String, Double)], budgetTokens: Long): DataFrame = {
+    require(targets.nonEmpty
+        && math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      "mixture weights must sum to 1")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val nTok = (length(col(textCol))
+      - length(regexp_replace(col(textCol), " ", "")) + 1).cast("long")
+    val weight = targets.foldLeft(Option.empty[Column]) {
+      case (acc, (g, w)) =>
+        Some(acc.fold(when(col(groupCol) === g, w))(
+          _.when(col(groupCol) === g, w)))
+    }.get.otherwise(lit(0.0))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(nTok).as("avail_tokens"))
+      .withColumn("target_tokens", weight * budgetTokens)
+      .withColumn("fraction",
+        least(lit(1.0), col("target_tokens") / col("avail_tokens")))
+  }
+
+  /** Apply a [[mixFractions]] plan: keep each row iff its deterministic
+    * md5 draw falls below its group's fraction. The fractions table is
+    * group-sized (tiny) and broadcast; the draw is the same salted
+    * construction as [[sampleByHash]], so the selected set is stable
+    * across runs, engines and partitionings. Expected output token count
+    * ≈ min(budget, available) per group.
+    */
+  def mixSample(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, salt: String, targets: Seq[(String, Double)],
+      budgetTokens: Long): DataFrame = {
+    val fr = mixFractions(df, groupCol, textCol, targets, budgetTokens)
+      .select(col(groupCol), col("fraction"))
+    df.join(broadcast(fr), Seq(groupCol))
+      .filter(uniformDraw(col(idCol), salt) < col("fraction"))
+      .drop("fraction")
   }
 
   /** Email / IPv4 / phone patterns shared by count and redaction. Written

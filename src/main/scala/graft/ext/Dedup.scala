@@ -111,7 +111,12 @@ object Dedup {
       k: Int): DataFrame = {
     val pairs = ngramJaccardPairs(df, idCol, textCol, k)
       .select(col("d1"), col("d2"), col("jaccard"))
-    val sigs = simhashPortable(df, idCol, textCol)
+    // shuffle_hash for the same reason as [[bandedPairs]]: broadcast of the
+    // tiny pair side would leave each signature join side without an
+    // exchange, so the whole token-explode + 64-sum pipeline would run
+    // twice; hinted, both sides shuffle on the SAME id partitioning and
+    // the planner reuses one exchange — one signature computation.
+    val sigs = simhashPortable(df, idCol, textCol).hint("shuffle_hash")
     pairs
       .join(sigs.as("a"), col("d1") === col(s"a.$idCol"))
       .join(sigs.as("b"), col("d2") === col(s"b.$idCol"))
@@ -369,12 +374,18 @@ object Dedup {
     * corpus: plot est vs truth, check the spread.
     *
     * Shape: the exact pair list (small — true near-dups only) joins the
-    * signature frame twice on the document id; no hint, AQE broadcasts
-    * the pair side when it is as small as it should be.
+    * signature frame twice on the document id. The signature side is
+    * hinted `shuffle_hash` for the same reason as [[bandedPairs]]: a
+    * broadcast of the tiny pair side leaves the expensive md5-signature
+    * pipeline without an exchange on either join, so it would be computed
+    * TWICE (once per sig side); hinted, both sig sides shuffle on the
+    * same id partitioning and the planner reuses one exchange — one
+    * shingle pass, one signature aggregation, at any scale.
     */
   def minhashJaccardEstimate(df: DataFrame, idCol: String, textCol: String,
       k: Int, nPerms: Int): DataFrame = {
     val sigs = minhashSignaturesPortable(df, idCol, textCol, k, nPerms)
+      .hint("shuffle_hash")
     val pairs = ngramJaccardPairs(df, idCol, textCol, k)
       .select(col("d1"), col("d2"), col("jaccard"))
     val matches = (0 until nPerms)

@@ -107,6 +107,81 @@ object Similarity {
       .select(col(idCol), col(bucketCol), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** K-means (Lloyd) quantizer training as iterated DataFrame passes —
+    * the "train" half that [[writeIvfLayout]]'s per-label bootstrap
+    * stands in for, with no MLlib dependency. Seeding is deterministic
+    * (the k vectors with the smallest portable md5 draws of `id|salt`),
+    * so the whole run — seeds, every assignment, every update — replays
+    * identically across runs and engines. Each iteration is ONE corpus
+    * scan (argmax over k literal centroids via the codegen'd native
+    * cosine — no join, no shuffle of the vectors) plus one constant-size
+    * shuffle (the per-(bucket, dim) means); the k×d centroid matrix that
+    * crosses the driver each round is index METADATA, the same two-phase
+    * shape as [[writeIvfLayout]]'s quantizer. At real scale, train on a
+    * [[Curate.sampleByHash]] sample — Lloyd on 100 TB buys nothing over
+    * Lloyd on a deterministic 0.1% sample. Empty clusters are dropped
+    * (k shrinks), standard for plain Lloyd. Batch-only (driver-resident
+    * centroids per iteration), like every eager index-build here.
+    */
+  def trainQuantizer(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, salt: String): Seq[(Int, Seq[Double])] = {
+    require(k > 0, "k must be positive")
+    require(iters >= 0, "iters must be non-negative")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val emb = withDoubleVec(df, vecCol)
+    var cents: Seq[(Int, Seq[Double])] = emb
+      .withColumn("__u", PortableHash.uniform01(
+        concat(col(idCol).cast("string"), lit("|" + salt))))
+      .orderBy(col("__u"), col(idCol))
+      .limit(k)
+      .select(col("__e")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+    (0 until iters).foreach { _ =>
+      cents = centroids(assignNearest(emb, cents), "__b", vecCol)
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment against driver-resident centroids baked
+    * in as literals: lexicographic struct max = highest cosine, ties to
+    * the highest bucket — matching [[writeIvfLayout]] and the oracle's
+    * `ORDER BY cos DESC, b DESC`. Expects the `__e` double vector.
+    */
+  private def assignNearest(emb: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    emb.withColumn("__b",
+      array_max(array(cents.map { case (b, vec) =>
+        struct(
+          call_function(graft.plans.GraftFunctions.CosineName,
+            col("__e"), array(vec.map(lit).toIndexedSeq: _*)).as("c"),
+          lit(b).as("b"))
+      }.toIndexedSeq: _*)).getField("b"))
+
+  /** Post-training audit of [[trainQuantizer]]: assign every vector to
+    * its trained centroid and report per-cluster size and mean
+    * cosine-to-centroid — the balance/coherence check you run before
+    * committing a quantizer to a physical layout (one giant cluster =
+    * no pruning; a low avg_cos cluster = a junk-drawer centroid).
+    */
+  def kmeansAudit(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, salt: String): DataFrame = {
+    val cents = trainQuantizer(df, idCol, vecCol, k, iters, salt)
+    withDoubleVec(df, vecCol)
+      .withColumn("__s",
+        array_max(array(cents.map { case (b, vec) =>
+          struct(
+            call_function(graft.plans.GraftFunctions.CosineName,
+              col("__e"), array(vec.map(lit).toIndexedSeq: _*)).as("c"),
+            lit(b).as("b"))
+        }.toIndexedSeq: _*)))
+      .groupBy(col("__s").getField("b").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__s").getField("c")), 6).as("avg_cos"))
+  }
+
   /** Physical IVF layout — the real index shape the [[ivfTopK]] scaladoc
     * promises: each vector is assigned to its nearest coarse centroid and
     * the corpus is written `partitionBy(ivf_bucket)`, so the bucket IS a
@@ -156,12 +231,22 @@ object Similarity {
     */
   def ensureIvfLayout(df: DataFrame, idCol: String, vecCol: String,
       seedBucketCol: String, cacheKey: String): String = synchronized {
-    // the "k" prefix keeps the dir name from starting with "_" or "." —
-    // Spark's hidden-path filter warns on (and on some code paths skips)
-    // underscore-prefixed inputs
-    val key = "k" + cacheKey.replaceAll("[^A-Za-z0-9._-]", "_")
+    // collision-free dir name: md5 of the RAW key (a lossy char-class
+    // sanitization could collide two distinct keys onto one layout and
+    // silently probe the wrong index). The "k" prefix keeps the name from
+    // starting with "_" or "." — Spark's hidden-path filter warns on (and
+    // on some code paths skips) such inputs. Note the key CONTENT is the
+    // caller's contract: fold in whatever invalidates the layout (file
+    // length + mtime at minimum; mtime has second granularity on some
+    // filesystems, so include a content hash if the corpus can be
+    // regenerated in-place sub-second). Scoped per user: tmpdir is
+    // world-shared on multi-user hosts.
+    val key = "k" + java.security.MessageDigest.getInstance("MD5")
+      .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     val path = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_ivf_layout/$key").toString
+      sys.props("java.io.tmpdir"), s"graft_ivf_layout_$user/$key").toString
     // the quantizer is written AFTER the data, so its own _SUCCESS is the
     // true commit marker — checking only the directory would accept a
     // layout whose quantizer write crashed mid-flight and poison every

@@ -206,6 +206,46 @@ object TextStats {
           .as("avg_doc_freq"))
   }
 
+  /** Unigram language-model scoring — the CCNet-style perplexity filter
+    * (Wenzek et al. 2020): score each document by the cross-entropy of
+    * its token stream under the corpus's own unigram distribution.
+    * Boilerplate and template text scores LOW (its tokens are corpus-
+    * frequent); mojibake and OOV noise scores HIGH — pipelines keep the
+    * middle of the distribution. Emits `n_tokens`, `cross_entropy`
+    * (bits/token) and `perplexity` (2^H).
+    *
+    * Identity used: H(d) = −(1/|d|) Σ_w log2(tf_w / N)
+    *              = log2 N − avg(log2 tf_w),
+    * so the corpus total N enters once per document, not once per token.
+    *
+    * Shape at 100 TB: one explode → groupBy(token) builds the term-
+    * frequency table (vocabulary-sized, like [[rarityScore]]'s doc-freq
+    * table, so the join back broadcasts under AQE); N is a 1-row
+    * broadcast cross join off that same table — no second corpus pass,
+    * no driver-side action; then one per-document aggregation. In a real
+    * deployment the LM side would be a FROZEN reference corpus — pass it
+    * as `lmCorpus` (defaults to scoring `df` against itself); tokens
+    * absent from the LM corpus are dropped from the average (unsmoothed).
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame = null): DataFrame = {
+    val corpus = Option(lmCorpus).getOrElse(df)
+    val freq = corpus
+      .select(explode(split(col(textCol), " ")).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+    val total = freq.agg(sum(col("__tf")).as("__n"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .join(freq, Seq("__tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol), col("__n"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (log2(col("__n")) - avg(log2(col("__tf")))).as("__h"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__h"), 6).as("cross_entropy"),
+        round(pow(lit(2.0), col("__h")), 6).as("perplexity"))
+  }
+
   /** The full pretraining-corpus curation pipeline as ONE composed plan:
     * exact dedup after normalization (fingerprint → keep min id per
     * fingerprint), quality scoring, language-ID, then the survivor

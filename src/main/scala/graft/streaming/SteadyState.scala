@@ -70,9 +70,12 @@ object SteadyState {
         .map(_.durationMs.get("triggerExecution").toLong)
     val rawLat = latencies(raw)
     val aggLat = latencies(agg)
-    val rows = spark.read.parquet(s"$out/raw").count()
-    // no agg dir = no window finalized before the deadline — report 0
-    // flushes honestly instead of throwing on the read
+    // no sink dir = the query committed zero batches before the deadline —
+    // report the honest zero envelope instead of throwing on the read
+    val rows =
+      if (new java.io.File(s"$out/raw").exists())
+        spark.read.parquet(s"$out/raw").count()
+      else 0L
     val flushed =
       if (new java.io.File(s"$out/agg").exists())
         spark.read.parquet(s"$out/agg").count()

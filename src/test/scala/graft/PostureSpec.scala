@@ -101,6 +101,21 @@ class BandingReuseSpec extends SparkSpec {
       assert(nScans === 1, s"$name executed $nScans document scans:\n$finalPlan")
     }
   }
+
+  test("parameter audits join the signature frame twice but compute it once") {
+    // the audits join sigs on d1 AND d2: the two identical id-partitioned
+    // exchanges must collapse into one (shuffle_hash hint), leaving two
+    // scans total — the exact-jaccard lineage and ONE signature lineage
+    for (name <- Seq("q_minhash_estimate", "q_simhash_audit")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(finalPlan.contains("ReusedExchange"), s"$name:\n$finalPlan")
+      val nScans = "FileScan parquet".r.findAllIn(finalPlan).length
+      assert(nScans === 2, s"$name executed $nScans document scans:\n$finalPlan")
+    }
+  }
 }
 
 class CurationPostureSpec extends SparkSpec {

@@ -34,6 +34,24 @@ class CurateSpec extends SparkSpec {
     assert(e.getMessage.contains("sum to 1"))
   }
 
+  test("a NULL key fails loudly in splits and samples alike") {
+    // without the guard, assignSplits would silently route null keys to
+    // the LAST split while sampleByHash silently dropped them
+    val rows = Seq(Option(1L), None).toDF("id")
+    def deepMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    val e1 = intercept[Throwable] {
+      Curate.assignSplits(rows, "id", "s",
+        Seq(("train", 0.5), ("test", 0.5))).collect()
+    }
+    assert(deepMsg(e1).contains("NULL key"))
+    val e2 = intercept[Throwable] {
+      Curate.sampleByHash(rows, "id", "s", 0.5).collect()
+    }
+    assert(deepMsg(e2).contains("NULL key"))
+  }
+
   test("sampleByHash keeps a stable subset of about the requested fraction") {
     val ids = (0L until 2000L).toDF("id")
     val s1 = Curate.sampleByHash(ids, "id", "s", 0.25)
@@ -57,6 +75,43 @@ class CurateSpec extends SparkSpec {
     // deterministic rerun
     assert(s.count() === Curate.sampleStratified(rows, "id", "lang", "t",
       Seq("en" -> 0.5, "es" -> 0.125)).count())
+  }
+
+  test("mixFractions: target shares, the cap, and unbudgeted groups at 0") {
+    val ten = Seq.fill(10)("t").mkString(" ") // 10 tokens
+    val docs = Seq((1L, "a", ten), (2L, "a", ten), (3L, "b", ten),
+      (4L, "c", ten)).toDF("id", "grp", "text")
+    val fr = Curate.mixFractions(docs, "grp", "text",
+        Seq("a" -> 0.75, "b" -> 0.25), budgetTokens = 16L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("avail_tokens"), r.getAs[Double]("fraction"))).toMap
+    assert(fr("a") === ((20L, 0.6)))  // 12 of 20 available tokens
+    assert(fr("b") === ((10L, 0.4)))  // 4 of 10
+    assert(fr("c")._2 === 0.0)        // outside the recipe
+    // an over-asked group caps at 1.0 (cannot sample more than it has)
+    val capped = Curate.mixFractions(docs, "grp", "text",
+        Seq("a" -> 0.75, "b" -> 0.25), budgetTokens = 100L)
+      .filter(col("grp") === "a").collect().head.getAs[Double]("fraction")
+    assert(capped === 1.0)
+  }
+
+  test("mixSample applies the per-group fractions deterministically") {
+    val ten = Seq.fill(10)("t").mkString(" ")
+    val docs = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", ten)).toDF("id", "grp", "text")
+    // budget huge for a (fraction 1.0), none for b beyond its 25% share
+    val s = Curate.mixSample(docs, "id", "grp", "text", "m",
+      Seq("a" -> 0.75, "b" -> 0.25), budgetTokens = 2000L)
+    val counts = s.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") === 100L) // fraction capped at 1.0: all of group a
+    // b: fraction = 500/2000 = 0.25 of 200 docs ≈ 50, binomial envelope
+    assert(math.abs(counts("b") - 50.0) < 30, counts)
+    // deterministic rerun selects the identical set
+    val again = Curate.mixSample(docs, "id", "grp", "text", "m",
+      Seq("a" -> 0.75, "b" -> 0.25), budgetTokens = 2000L)
+    assert(s.select("id").except(again.select("id")).count() === 0)
+    assert(s.count() === again.count())
   }
 
   test("redactPii counts and redacts emails, IPv4s and phone numbers") {

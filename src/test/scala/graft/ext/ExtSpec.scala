@@ -238,6 +238,22 @@ class SimilaritySpec extends SparkSpec {
     assert(srp.forall(_.getAs[Double]("cosine") > 0.9))
   }
 
+  test("trainQuantizer recovers the two clusters; kmeansAudit reports them") {
+    val cents = Similarity.trainQuantizer(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, salt = "t")
+    assert(cents.length === 2)
+    assert(cents.forall(_._2.length === 3))
+    val audit = Similarity.kmeansAudit(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, salt = "t").collect()
+    assert(audit.map(_.getAs[Long]("n")).sorted.toSeq === Seq(2L, 3L))
+    // each recovered cluster is tight around its trained centroid
+    assert(audit.forall(_.getAs[Double]("avg_cos") > 0.99), audit.mkString(", "))
+    // the whole run is deterministic: seeds, assignments, updates
+    val again = Similarity.trainQuantizer(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, salt = "t")
+    assert(again === cents)
+  }
+
   test("nearDupPairs hot-bucket cap drops the degenerate bucket, keeps the rest") {
     // bucket 0 holds 3 near-identical vectors, bucket 1 holds 2: a cap of
     // 2 suppresses the hot bucket's 3 pairs but keeps bucket 1's pair
@@ -276,6 +292,21 @@ class TextStatsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("avg_doc_freq") === 2.0) // (3+2+1)/3
     assert(r(2).getAs[Long]("n_types") === 2L)
     assert(r(2).getAs[Double]("hapax_ratio") === 0.5) // x of {a, x}
+  }
+
+  test("lmScore: unigram cross-entropy and perplexity by hand") {
+    // corpus tf: a=2, b=2, c=1, N=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextStats.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc1: H = log2 5 - (log2 2 + log2 2 + log2 2)/3 = log2 5 - 1
+    //       ppl = 2^H = 5/2 exactly
+    assert(r(0).getAs[Long]("n_tokens") === 3L)
+    assert(r(0).getAs[Double]("cross_entropy") === 1.321928)
+    assert(r(0).getAs[Double]("perplexity") === 2.5)
+    // doc2: H = log2 5 - (log2 2 + log2 1)/2; ppl = 5/sqrt(2)
+    assert(r(1).getAs[Double]("cross_entropy") === 1.821928)
+    assert(r(1).getAs[Double]("perplexity") === 3.535534)
   }
 
   test("gopherFilter: per-rule metrics and the composite keep flag") {
