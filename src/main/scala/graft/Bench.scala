@@ -32,31 +32,49 @@ object Bench {
         true
       } catch { case _: Throwable => false }
     names.foreach(run) // warmup
-    // min of 2 timed runs: this host shows multi-second scheduling/GC
-    // stalls that land on random queries; min-of-N reports the real cost
     def timeOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       val ok = run(name)
       if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
-    // two full interleaved passes (not back-to-back per query): the stall
-    // windows last tens of seconds, so consecutive runs of one query would
-    // both land inside one
-    val pass1 = names.map(n => n -> timeOnce(n)).toMap
-    val pass2 = names.map(n => n -> timeOnce(n)).toMap
+    // THREE full interleaved passes (not back-to-back per query), min per
+    // query: this host shows scheduling/GC stalls lasting tens of seconds
+    // that land on random queries. Two passes were not enough — in round 6
+    // both passes of adjacent queries landed inside ONE stall window and
+    // the artifact reported 5x phantom regressions that a clean rerun
+    // refuted. A third pass makes "all samples stalled" require three
+    // independent multi-ten-second windows to line up on the same query.
+    //
+    // Noise sentinel: a trivial query is re-timed between every few real
+    // queries across all passes; its min/max spread is emitted as a
+    // "noise" field so a reader of the artifact can tell "this run was
+    // noisy, distrust isolated spikes" from the JSON alone.
+    val sentinel =
+      if (names.contains("q_filter_equality")) "q_filter_equality"
+      else names.head
+    val noiseSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def pass(): Map[String, Option[Double]] =
+      names.zipWithIndex.map { case (n, i) =>
+        if (i % 8 == 0) timeOnce(sentinel).foreach(noiseSamples += _)
+        n -> timeOnce(n)
+      }.toMap
+    val passes = Seq(pass(), pass(), pass())
     val results = names.map { n =>
-      n -> ((pass1(n), pass2(n)) match {
-        case (Some(a), Some(b)) => Some(math.min(a, b))
-        case (a, b)             => a.orElse(b)
-      })
+      val ts = passes.flatMap(_(n))
+      n -> (if (ts.isEmpty) None else Some(ts.min))
     }
     val failed = results.collect { case (n, None) => "\"" + n + "\"" }
     val total = results.flatMap(_._2).sum
-    def line(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) =>
-        "\"" + k + "\":" + v.map(fmt).getOrElse("null")
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    def noiseJson(fmt: Double => String): String =
+      if (noiseSamples.isEmpty) "null"
+      else s"""{"query":"$sentinel","n":${noiseSamples.size},"min":${fmt(noiseSamples.min)},"max":${fmt(noiseSamples.max)}}"""
+    def line(fmt: Double => String, perQuery: Boolean = true): String = {
+      val qs =
+        if (!perQuery) "{}"
+        else results.map { case (k, v) =>
+          "\"" + k + "\":" + v.map(fmt).getOrElse("null")
+        }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
     }
     // full precision → file (the committed history the judge can read);
     // stdout gets ONE compact line, sized to survive the harness's
@@ -71,8 +89,11 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
+    // if even 1 significant figure can't fit the per-query map (query
+    // count grows), drop the map rather than print an over-length line the
+    // harness's 2000-char stdout tail would truncate into unparseable JSON
     println((3 to 1 by -1).map(n => line(sig(n))).find(_.length <= 1900)
-      .getOrElse(line(sig(1))))
+      .getOrElse(line(sig(2), perQuery = false)))
     spark.stop()
   }
 }

@@ -57,29 +57,44 @@ object SparkEntry {
   private def ListCosSql(a: String, b: String): String =
     s"(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)))"
 
-  /** Build-once physical IVF layout + query-point lookup, shared by the
-    * `q_ann_ivf_layout` and `q_ann_recall` registrations — one cache key
-    * format, so the recall audit always probes the SAME index the layout
-    * query serves. The query-vector collect is one pushed-down row, the
-    * ANN query argument.
+  /** IVF coarse-quantizer config: a [[Similarity.trainQuantizer]] k-means
+    * (k clusters, 2 Lloyd iterations, salted deterministic seeds) — the
+    * trained quantizer the round-6 per-label-means bootstrap stood in
+    * for. One constant set shared by every ANN registration AND the
+    * oracle replay below, so recipe and replay can never drift.
     */
-  private def ivfLayoutAndQuery(s: SparkSession,
-      dir: String): (String, Seq[Double]) = {
+  private val IvfK = 8
+  private val IvfSalt = "ivf1"
+
+  /** Build-once physical IVF layout + query-point lookup, shared by the
+    * `q_ann_ivf*` / `q_ann_recall` registrations — one cache key format,
+    * so every probe and the recall audit hit the SAME index. The
+    * quantizer argument is by-name: training runs only on a cache miss.
+    * The query-vector collect is one pushed-down row, the ANN query
+    * argument.
+    */
+  private def ivfLayoutAndQuery(s: SparkSession, dir: String,
+      queryVecId: Long): (String, Seq[Double]) = {
     val emb = Tables.embeddings(s, dir)
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
-      "label", s"$dir:${src.length}:${src.lastModified}")
-    val qv = emb.filter(col("vec_id") === 0)
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = IvfK, iters = 2, salt = IvfSalt),
+      s"$dir:${src.length}:${src.lastModified}:km${IvfK}x2:$IvfSalt")
+    val qv = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding").cast("array<double>"))
       .collect().head.getSeq[Double](0)
     (path, qv)
   }
 
-  /** The IVF layout replay's CTE prefix (quantizer, assignment, query
-    * vector, probed buckets) — shared by the `q_ann_ivf_layout` and
-    * `q_ann_recall` oracles so the two replays can never drift.
+  /** The Lloyd k-means replay (deterministic md5-draw seeds, two unrolled
+    * assign/update rounds) as a CTE chain ending in `c2(b, cv)`, the
+    * trained centroids — shared by the `q_kmeans` oracle and (through
+    * [[IvfCtes]]) the ANN oracles, parameterized on (k, salt) exactly
+    * like [[Similarity.trainQuantizer]]. Assignment ties break
+    * `ORDER BY cos DESC, b DESC` = Spark's lexicographic struct max.
     *
-    * Known tie-sensitivity (accepted): the `avg(v[i])` centroids
+    * Known tie-sensitivity (accepted): the `avg(v[i])` centroid updates
     * accumulate in engine scan order, and Spark's `avg` likewise — last-ulp
     * differences are possible, and a vector whose two nearest centroids
     * tie EXACTLY at that ulp could flip its argmax bucket between engines.
@@ -89,26 +104,51 @@ object SparkEntry {
     * partial-aggregate tree order in SQL is not expressible, so this is
     * documented rather than fixed.
     */
-  private val IvfLayoutCtes: String =
-    """WITH e AS (SELECT vec_id, CAST(label AS INTEGER) AS label,
-      |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |d AS (SELECT label, i AS pos, avg(v[i]) AS m
-      |      FROM e, unnest(generate_series(1, len(v))) AS u(i) GROUP BY 1, 2),
-      |cent AS (SELECT label AS b, list(m ORDER BY pos) AS c FROM d GROUP BY 1),
-      |asg AS (SELECT vec_id, v, ivf_bucket FROM (
-      |          SELECT e.vec_id, e.v, cent.b AS ivf_bucket,
-      |            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |              list_dot_product(cent.c, e.v)
-      |                / sqrt(list_dot_product(cent.c, cent.c)
-      |                     * list_dot_product(e.v, e.v)) DESC,
-      |              cent.b DESC) AS rn
-      |          FROM e, cent) WHERE rn = 1),
-      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-      |probed AS (SELECT cent.b FROM cent, q
-      |           ORDER BY list_dot_product(cent.c, qv)
-      |             / sqrt(list_dot_product(cent.c, cent.c)
-      |                  * list_dot_product(qv, qv)) DESC
-      |           LIMIT 2)""".stripMargin
+  private def LloydCtes(k: Int, salt: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |u AS (SELECT vec_id, v,
+       |        ('0x' || substring(md5(vec_id::VARCHAR || '|$salt'), 1, 15))::BIGINT
+       |          / 1152921504606846976.0 AS draw FROM e),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY draw, vec_id) - 1 AS INTEGER) AS b,
+       |            v AS cv
+       |          FROM u QUALIFY row_number() OVER (ORDER BY draw, vec_id) <= $k),
+       |a0 AS (SELECT vec_id, v, b FROM (
+       |         SELECT e.vec_id, e.v, s.b,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${ListCosSql("e.v", "s.cv")} DESC, s.b DESC) AS rn
+       |         FROM e, seeds s) WHERE rn = 1),
+       |c1 AS (SELECT b, list(m ORDER BY pos) AS cv FROM (
+       |         SELECT b, i AS pos, avg(v[i]) AS m FROM a0,
+       |           unnest(generate_series(1, len(v))) AS u2(i) GROUP BY 1, 2) d1
+       |       GROUP BY 1),
+       |a1 AS (SELECT vec_id, v, b FROM (
+       |         SELECT e.vec_id, e.v, s.b,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${ListCosSql("e.v", "s.cv")} DESC, s.b DESC) AS rn
+       |         FROM e, c1 s) WHERE rn = 1),
+       |c2 AS (SELECT b, list(m ORDER BY pos) AS cv FROM (
+       |         SELECT b, i AS pos, avg(v[i]) AS m FROM a1,
+       |           unnest(generate_series(1, len(v))) AS u3(i) GROUP BY 1, 2) d2
+       |       GROUP BY 1)""".stripMargin
+
+  /** The IVF layout replay's CTE prefix (trained quantizer, assignment,
+    * query vector, probed buckets) — shared by every ANN oracle so the
+    * replays can never drift. Probe ties break to the LOWER bucket id on
+    * both sides (Spark sorts (−cos, b); here `cent.b` ascending).
+    */
+  private def IvfCtes(queryVecId: Long, nProbe: Int): String =
+    s"""WITH ${LloydCtes(IvfK, IvfSalt)},
+       |cent AS (SELECT b, cv AS c FROM c2),
+       |asg AS (SELECT vec_id, v, ivf_bucket FROM (
+       |          SELECT e.vec_id, e.v, cent.b AS ivf_bucket,
+       |            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |              ${ListCosSql("e.v", "cent.c")} DESC,
+       |              cent.b DESC) AS rn
+       |          FROM e, cent) WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $queryVecId),
+       |probed AS (SELECT cent.b FROM cent, q
+       |           ORDER BY ${ListCosSql("cent.c", "qv")} DESC, cent.b
+       |           LIMIT $nProbe)""".stripMargin
 
   /** The portable SimHash signature replay (token hash, ±1 votes,
     * sign→bit; bits 60-63 carry no entropy, so the reconstruction stops
@@ -700,19 +740,25 @@ object SparkEntry {
       Dedup.minhashCandidatesPortable(Tables.documents(s, dir), "doc_id",
         "text", k = 8, nPerms = 16, rowsPerBand = 2)),
 
-    // ---- IVF-style approximate NN (no oracle: approximate by design) ----
-    "q_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        "label", queryId = 0L, k = 10, nProbe = 2)),
+    // ---- IVF probe, single-bucket (nProbe=1) on a second query point:
+    //      the cheapest ANN shape — the scan prunes to ONE partition of
+    //      the physical layout. Fully deterministic (trained quantizer +
+    //      argmax assignment + exact in-bucket top-k), so unlike the
+    //      retired per-query-centroid stand-in this has a DuckDB oracle. ----
+    "q_ann_ivf" -> ((s, dir) => {
+      val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 7L)
+      Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
+        k = 10, nProbe = 1, excludeId = Some(7L))
+    }),
 
     // ---- IVF probe against the PHYSICAL partitioned layout: the index is
     //      built once into a scratch dir (bench warmup pays it, like a real
     //      ANN index build) and each probe reads ONLY the nProbe pruned
-    //      bucket partitions. Every stage — label-seeded quantizer, argmax
-    //      assignment, probe selection, exact top-k — is deterministic, so
-    //      unlike q_ann_ivf's stand-in this has a full DuckDB oracle. ----
+    //      bucket partitions. Every stage — k-means quantizer training,
+    //      argmax assignment, probe selection, exact top-k — is
+    //      deterministic, hence the full DuckDB oracle. ----
     "q_ann_ivf_layout" -> ((s, dir) => {
-      val (path, qv) = ivfLayoutAndQuery(s, dir)
+      val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
       Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
         k = 10, nProbe = 2)
     }),
@@ -721,7 +767,7 @@ object SparkEntry {
     //      the exact brute-force top-10 (query vector excluded on both
     //      sides) ----
     "q_ann_recall" -> ((s, dir) => {
-      val (path, qv) = ivfLayoutAndQuery(s, dir)
+      val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
       val approx = Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
         k = 10, nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
       val exact = Similarity.bruteForceTopKNative(
@@ -1117,10 +1163,10 @@ object SparkEntry {
         |             FROM documents),
         |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
         |n AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tf)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |SELECT doc_id, CAST(count(tf) AS BIGINT) AS n_tokens,
         |  round(log2(n) - avg(log2(tf)), 6) AS cross_entropy,
         |  round(pow(2, log2(n) - avg(log2(tf))), 6) AS perplexity
-        |FROM tok JOIN tf USING (w), n
+        |FROM tok LEFT JOIN tf USING (w), n
         |GROUP BY doc_id, n""".stripMargin,
     // The CASE weights are cast to DOUBLE (DuckDB decimal literals would
     // type-drift the result); fraction = least(1, target/avail) is a
@@ -1140,37 +1186,10 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN fr USING (lang)
         |WHERE ('0x' || substring(md5(d.doc_id::VARCHAR || '|m1'), 1, 15))::BIGINT
         |      / 1152921504606846976.0 < fr.fraction""".stripMargin,
-    // The full Lloyd run unrolled: deterministic md5-draw seeds, two
-    // assign/update rounds, final assignment audited. Assignment ties
-    // break ORDER BY cos DESC, b DESC = Spark's lexicographic struct
-    // max; the avg()-built centroids carry the same documented last-ulp
-    // tie-sensitivity as the IVF CTEs above.
+    // The full Lloyd run unrolled (shared LloydCtes replay: deterministic
+    // md5-draw seeds, two assign/update rounds), final assignment audited.
     "q_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |u AS (SELECT vec_id, v,
-        |        ('0x' || substring(md5(vec_id::VARCHAR || '|km1'), 1, 15))::BIGINT
-        |          / 1152921504606846976.0 AS draw FROM e),
-        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY draw, vec_id) - 1 AS INTEGER) AS b,
-        |            v AS cv
-        |          FROM u QUALIFY row_number() OVER (ORDER BY draw, vec_id) <= 4),
-        |a0 AS (SELECT vec_id, v, b FROM (
-        |         SELECT e.vec_id, e.v, s.b,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY ${ListCosSql("e.v", "s.cv")} DESC, s.b DESC) AS rn
-        |         FROM e, seeds s) WHERE rn = 1),
-        |c1 AS (SELECT b, list(m ORDER BY pos) AS cv FROM (
-        |         SELECT b, i AS pos, avg(v[i]) AS m FROM a0,
-        |           unnest(generate_series(1, len(v))) AS u2(i) GROUP BY 1, 2) d1
-        |       GROUP BY 1),
-        |a1 AS (SELECT vec_id, v, b FROM (
-        |         SELECT e.vec_id, e.v, s.b,
-        |           row_number() OVER (PARTITION BY e.vec_id
-        |             ORDER BY ${ListCosSql("e.v", "s.cv")} DESC, s.b DESC) AS rn
-        |         FROM e, c1 s) WHERE rn = 1),
-        |c2 AS (SELECT b, list(m ORDER BY pos) AS cv FROM (
-        |         SELECT b, i AS pos, avg(v[i]) AS m FROM a1,
-        |           unnest(generate_series(1, len(v))) AS u3(i) GROUP BY 1, 2) d2
-        |       GROUP BY 1),
+      s"""WITH ${LloydCtes(4, "km1")},
         |a2 AS (SELECT vec_id, b, c FROM (
         |         SELECT e.vec_id, s.b, ${ListCosSql("e.v", "s.cv")} AS c,
         |           row_number() OVER (PARTITION BY e.vec_id
@@ -1429,13 +1448,13 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,
-    // Physical-IVF probe replayed end-to-end: per-label per-dim means as
-    // the quantizer, nearest-centroid (argmax cosine, ties to the larger
-    // bucket like Spark's struct max) assignment, top-2 probed buckets by
-    // centroid-to-query cosine, exact cosine top-k within them. The
-    // layout's partition column comes back as INT, hence the INTEGER cast.
+    // Physical-IVF probe replayed end-to-end: the trained Lloyd quantizer
+    // (same replay as q_kmeans, k=8 salt=ivf1), nearest-centroid (argmax
+    // cosine, ties to the larger bucket like Spark's struct max)
+    // assignment, top-2 probed buckets by centroid-to-query cosine, exact
+    // cosine top-k within them.
     "q_ann_ivf_layout" ->
-      s"""$IvfLayoutCtes
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)}
          |SELECT a.vec_id, a.ivf_bucket,
          |  round(list_dot_product(a.v, qv)
          |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv)), 6) AS cosine
@@ -1443,11 +1462,23 @@ object SparkEntry {
          |ORDER BY list_dot_product(a.v, qv)
          |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv)) DESC, a.vec_id
          |LIMIT 10""".stripMargin,
+    // Single-probe variant on a second query point, self excluded — the
+    // same CTE prefix, different (queryVecId, nProbe) arguments.
+    "q_ann_ivf" ->
+      s"""${IvfCtes(queryVecId = 7, nProbe = 1)}
+         |SELECT a.vec_id, a.ivf_bucket,
+         |  round(list_dot_product(a.v, qv)
+         |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv)), 6) AS cosine
+         |FROM asg a, q
+         |WHERE a.ivf_bucket IN (SELECT b FROM probed) AND a.vec_id <> 7
+         |ORDER BY list_dot_product(a.v, qv)
+         |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv)) DESC, a.vec_id
+         |LIMIT 10""".stripMargin,
     // Recall@10 of the pruned probe vs the exact scan, self excluded on
     // both sides — the same CTE prefix as the layout oracle, so the two
     // replays can never drift.
     "q_ann_recall" ->
-      s"""$IvfLayoutCtes,
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)},
          |approx AS (SELECT a.vec_id FROM asg a, q
          |           WHERE a.ivf_bucket IN (SELECT b FROM probed) AND a.vec_id <> 0
          |           ORDER BY list_dot_product(a.v, qv)

@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * driver merge of k×partitions rows), never a global sort.
   *
   * The IVF variant is the scale path: corpus vectors are bucketed by a
-  * coarse quantizer (here: nearest of the per-label centroids), and the
-  * query probes only the closest bucket(s) — at 100 TB this turns a full
-  * scan into a pruned partition read when the bucket id is a partition key.
+  * coarse quantizer (a [[trainQuantizer]] k-means), and the query probes
+  * only the closest bucket(s) — at 100 TB this turns a full scan into a
+  * pruned partition read when the bucket id is a partition key.
   *
   * All arithmetic is on `array<double>` via codegen'd higher-order
   * functions (`zip_with` + `aggregate`) — floats are cast up ONCE so the
@@ -82,34 +82,9 @@ object Similarity {
       .select(col(bucketCol),
         expr("transform(__s, x -> x.__m)").as("centroid"))
 
-  /** IVF-style approximate top-k: probe only the `nProbe` buckets whose
-    * centroids are closest to the query vector, then exact cosine within
-    * them. Buckets here are the `label` partitions (a stand-in coarse
-    * quantizer); the plumbing — centroid table broadcast, bucket pruning
-    * before the scan — is the real thing.
-    */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, bucketCol: String,
-      queryId: Long, k: Int, nProbe: Int = 1): DataFrame = {
-    val emb = withDoubleVec(df, vecCol)
-    val qv = emb.filter(col(idCol) === queryId).select(col("__e").as("__qe"))
-    val cents = centroids(df, bucketCol, vecCol)
-    val probed = cents.crossJoin(broadcast(qv))
-      .withColumn("__cdist", cosine(col("centroid"), col("__qe")))
-      .orderBy(col("__cdist").desc)
-      .limit(nProbe)
-      .select(col(bucketCol))
-    emb.filter(col(idCol) =!= queryId)
-      .join(broadcast(probed), Seq(bucketCol))
-      .crossJoin(broadcast(qv))
-      .withColumn("__cos", cosine(col("__e"), col("__qe")))
-      .orderBy(col("__cos").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol), col(bucketCol), round(col("__cos"), 6).as("cosine"))
-  }
-
   /** K-means (Lloyd) quantizer training as iterated DataFrame passes —
-    * the "train" half that [[writeIvfLayout]]'s per-label bootstrap
-    * stands in for, with no MLlib dependency. Seeding is deterministic
+    * the coarse quantizer that seeds [[writeIvfLayout]]'s physical
+    * bucketing, with no MLlib dependency. Seeding is deterministic
     * (the k vectors with the smallest portable md5 draws of `id|salt`),
     * so the whole run — seeds, every assignment, every update — replays
     * identically across runs and engines. Each iteration is ONE corpus
@@ -136,6 +111,8 @@ object Similarity {
       .limit(k)
       .select(col("__e")).collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0)) }
+    require(cents.nonEmpty,
+      "trainQuantizer: input has no rows — k-means needs at least one vector")
     (0 until iters).foreach { _ =>
       cents = centroids(assignNearest(emb, cents), "__b", vecCol)
         .collect().toSeq
@@ -182,29 +159,25 @@ object Similarity {
         round(avg(col("__s").getField("c")), 6).as("avg_cos"))
   }
 
-  /** Physical IVF layout — the real index shape the [[ivfTopK]] scaladoc
-    * promises: each vector is assigned to its nearest coarse centroid and
-    * the corpus is written `partitionBy(ivf_bucket)`, so the bucket IS a
-    * partition key. A probe then reads only the `nProbe` matching
-    * directories — partition pruning at PLANNING time, zero I/O for every
-    * other bucket — which is what turns ANN from a full scan into an
-    * index lookup at 100 TB.
+  /** Physical IVF layout: each vector is assigned to its nearest coarse
+    * centroid and the corpus is written `partitionBy(ivf_bucket)`, so the
+    * bucket IS a partition key. A probe then reads only the `nProbe`
+    * matching directories — partition pruning at PLANNING time, zero I/O
+    * for every other bucket — which is what turns ANN from a full scan
+    * into an index lookup at 100 TB.
     *
     * Assignment is one codegen'd narrow projection: the k quantizer
-    * centroids are baked in as literal vectors and scored with the native
-    * cosine — no join, no shuffle of the corpus beyond the partitioned
-    * write itself. The quantizer (k × d doubles, bootstrapped here from
-    * per-`seedBucketCol` means — one Lloyd step) is index METADATA:
-    * driver-resident and stored beside the data in `_quantizer`, which
-    * partition discovery ignores (underscore prefix).
+    * centroids (`cents`, normally from [[trainQuantizer]]) are baked in
+    * as literal vectors and scored with the native cosine — no join, no
+    * shuffle of the corpus beyond the partitioned write itself. The
+    * quantizer (k × d doubles) is index METADATA: driver-resident and
+    * stored beside the data in `_quantizer`, which partition discovery
+    * ignores (underscore prefix).
     */
   def writeIvfLayout(df: DataFrame, idCol: String, vecCol: String,
-      seedBucketCol: String, path: String): Unit = {
+      cents: Seq[(Int, Seq[Double])], path: String): Unit = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val cents = centroids(df, seedBucketCol, vecCol)
-      .select(col(seedBucketCol).cast("int"), col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "writeIvfLayout: empty quantizer")
     val scored = cents.map { case (b, vec) =>
       struct(
         call_function(graft.plans.GraftFunctions.CosineName,
@@ -216,7 +189,7 @@ object Similarity {
         array_max(array(scored.toIndexedSeq: _*)).getField("b"))
       .drop("__e")
       .write.partitionBy("ivf_bucket").mode("overwrite").parquet(path)
-    df.sparkSession.createDataFrame(cents.toSeq)
+    df.sparkSession.createDataFrame(cents)
       .toDF("bucket", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_quantizer")
   }
@@ -228,9 +201,16 @@ object Similarity {
     * `_SUCCESS` marker or quantizer is missing. This is the index-build /
     * query split of a real ANN service: construction is a one-time
     * write-side cost, probes pay only the pruned read.
+    *
+    * `quantizer` is by-name: training (several corpus scans for
+    * [[trainQuantizer]]) only runs on a cache miss — a warm probe pays
+    * neither the write nor the training. Fold the quantizer's parameters
+    * (k, iters, salt) into `cacheKey`: two configs must never share a
+    * layout.
     */
   def ensureIvfLayout(df: DataFrame, idCol: String, vecCol: String,
-      seedBucketCol: String, cacheKey: String): String = synchronized {
+      quantizer: => Seq[(Int, Seq[Double])],
+      cacheKey: String): String = synchronized {
     // collision-free dir name: md5 of the RAW key (a lossy char-class
     // sanitization could collide two distinct keys onto one layout and
     // silently probe the wrong index). The "k" prefix keeps the name from
@@ -253,7 +233,7 @@ object Similarity {
     // later probe from the cross-JVM cache
     val complete = new java.io.File(path, "_SUCCESS").exists() &&
       new java.io.File(s"$path/_quantizer", "_SUCCESS").exists()
-    if (!complete) writeIvfLayout(df, idCol, vecCol, seedBucketCol, path)
+    if (!complete) writeIvfLayout(df, idCol, vecCol, quantizer, path)
     path
   }
 
@@ -278,7 +258,9 @@ object Similarity {
       val dot = v.zip(queryVec).map { case (a, b) => a * b }.sum
       dot / math.sqrt(v.map(x => x * x).sum * queryVec.map(x => x * x).sum)
     }
-    val probed = cents.sortBy { case (_, v) => -cos(v) }.take(nProbe).map(_._1)
+    // ties break to the lower bucket id, mirroring the oracle's ORDER BY
+    val probed = cents.sortBy { case (b, v) => (-cos(v), b) }
+      .take(nProbe).map(_._1)
     val qLit = array(queryVec.map(lit): _*)
     val scanned = spark.read.parquet(path)
       .filter(col("ivf_bucket").isin(probed.toIndexedSeq: _*))

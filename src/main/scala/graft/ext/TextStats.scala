@@ -225,7 +225,11 @@ object TextStats {
     * no driver-side action; then one per-document aggregation. In a real
     * deployment the LM side would be a FROZEN reference corpus — pass it
     * as `lmCorpus` (defaults to scoring `df` against itself); tokens
-    * absent from the LM corpus are dropped from the average (unsmoothed).
+    * absent from the LM corpus are dropped from the average (unsmoothed),
+    * so `n_tokens` counts only in-LM tokens. A document with NO in-LM
+    * token still comes back (left join): `n_tokens` 0 and null
+    * cross_entropy/perplexity — the caller decides whether fully-OOV
+    * means "drop" or "flag", rather than the row silently vanishing.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       lmCorpus: DataFrame = null): DataFrame = {
@@ -235,11 +239,13 @@ object TextStats {
       .groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
     val total = freq.agg(sum(col("__tf")).as("__n"))
     df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
-      .join(freq, Seq("__tok"))
+      .join(freq, Seq("__tok"), "left")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol), col("__n"))
       .agg(
-        count(lit(1)).as("n_tokens"),
+        // count(__tf), not count(*): only in-LM tokens enter the average,
+        // and a fully-OOV doc reports 0 with a null __h (avg of no rows)
+        count(col("__tf")).as("n_tokens"),
         (log2(col("__n")) - avg(log2(col("__tf")))).as("__h"))
       .select(col(idCol), col("n_tokens"),
         round(col("__h"), 6).as("cross_entropy"),

@@ -190,11 +190,20 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.last.getAs[Double]("c") - 1.0) < 1e-12) // (1,0,0)
   }
 
-  test("IVF with nProbe=1 searches only the query's cluster and agrees on top-1") {
-    val top = Similarity.ivfTopK(vecs, "vec_id", "embedding", "label", 0L, 2, nProbe = 1)
-      .collect()
+  test("IVF probe with nProbe=1 searches only the query's cluster and agrees on top-k") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_ext")
+      .toString + "/emb"
+    // k=2 Lloyd recovers the two orthogonal clusters (see trainQuantizer
+    // test below), so the layout has one partition per cluster
+    Similarity.writeIvfLayout(vecs, "vec_id", "embedding",
+      Similarity.trainQuantizer(vecs, "vec_id", "embedding",
+        k = 2, iters = 2, salt = "t"), path)
+    val top = Similarity.ivfProbe(spark, path, "vec_id", "embedding",
+      queryVec = Seq(1.0, 0.0, 0.0), k = 2, nProbe = 1,
+      excludeId = Some(0L)).collect()
     assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 1L))
-    assert(top.forall(_.getAs[Int]("label") === 0)) // cluster B never scanned
+    // cluster B never scanned: both hits come from the one probed bucket
+    assert(top.map(_.getAs[Int]("ivf_bucket")).distinct.length === 1)
   }
 
   test("centroids: mean vector per bucket, dims in order") {
@@ -307,6 +316,21 @@ class TextStatsSpec extends SparkSpec {
     // doc2: H = log2 5 - (log2 2 + log2 1)/2; ppl = 5/sqrt(2)
     assert(r(1).getAs[Double]("cross_entropy") === 1.821928)
     assert(r(1).getAs[Double]("perplexity") === 3.535534)
+  }
+
+  test("lmScore against a frozen corpus: OOV dropped, fully-OOV doc kept as null") {
+    val frozen = Seq((100L, "a a b")).toDF("doc_id", "text") // tf: a=2, b=1, N=3
+    val docs = Seq((1L, "a zz"), (2L, "qq zz")).toDF("doc_id", "text")
+    val r = TextStats.lmScore(docs, "doc_id", "text", frozen)
+      .orderBy("doc_id").collect()
+    assert(r.length === 2) // the fully-OOV doc does NOT vanish
+    // doc1: only 'a' is in-LM -> n_tokens 1, H = log2 3 - log2 2
+    assert(r(0).getAs[Long]("n_tokens") === 1L)
+    assert(r(0).getAs[Double]("perplexity") === 1.5)
+    // doc2: no in-LM token -> 0 tokens, null score
+    assert(r(1).getAs[Long]("n_tokens") === 0L)
+    assert(r(1).isNullAt(r(1).fieldIndex("cross_entropy")))
+    assert(r(1).isNullAt(r(1).fieldIndex("perplexity")))
   }
 
   test("gopherFilter: per-rule metrics and the composite keep flag") {

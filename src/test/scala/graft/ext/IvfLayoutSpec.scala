@@ -23,7 +23,9 @@ class IvfLayoutSpec extends SparkSpec {
   test("IVF layout: partitioned write, planning-time pruning, probe recall") {
     val path = Files.createTempDirectory("graft_ivf").toString + "/emb"
     val emb = Tables.embeddings(spark, sf)
-    Similarity.writeIvfLayout(emb, "vec_id", "embedding", "label", path)
+    Similarity.writeIvfLayout(emb, "vec_id", "embedding",
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = 8, iters = 2, salt = "spec"), path)
 
     // bucket directories exist; quantizer rides beside the data
     val dirs = new java.io.File(path).listFiles().map(_.getName)
@@ -61,7 +63,7 @@ class IvfLayoutSpec extends SparkSpec {
 
     // the 2-probe result is EXACT within the probed buckets (the
     // approximation is only which buckets are visited — on these
-    // synthetic near-random embeddings the label-seeded quantizer carries
+    // synthetic near-random embeddings even a trained quantizer carries
     // little signal, so absolute recall is not a meaningful target)
     val probedBuckets = probe.select("ivf_bucket").distinct().collect()
       .map(_.getInt(0)).toSet
@@ -79,19 +81,28 @@ class IvfLayoutSpec extends SparkSpec {
     assert(two === withinProbed)
   }
 
-  test("ensureIvfLayout builds once and reuses the layout on later calls") {
+  test("ensureIvfLayout builds once, reuses later, and skips re-training") {
     val emb = Tables.embeddings(spark, sf)
     val key = s"spec-reuse-${System.nanoTime()}"
-    val p1 = Similarity.ensureIvfLayout(emb, "vec_id", "embedding", "label", key)
+    var trained = 0
+    def quantizer: Seq[(Int, Seq[Double])] = {
+      trained += 1
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = 4, iters = 1, salt = "spec")
+    }
+    val p1 = Similarity.ensureIvfLayout(emb, "vec_id", "embedding", quantizer, key)
     val marker = new java.io.File(p1, "_SUCCESS")
     assert(marker.exists())
+    assert(trained === 1)
     val built = marker.lastModified()
-    val p2 = Similarity.ensureIvfLayout(emb, "vec_id", "embedding", "label", key)
+    val p2 = Similarity.ensureIvfLayout(emb, "vec_id", "embedding", quantizer, key)
     assert(p2 === p1)
     assert(marker.lastModified() === built) // second call did not rebuild
+    assert(trained === 1) // by-name quantizer: a warm hit never re-trains
     // a different cache key (new data fingerprint) gets its own layout
-    val p3 = Similarity.ensureIvfLayout(emb, "vec_id", "embedding", "label",
+    val p3 = Similarity.ensureIvfLayout(emb, "vec_id", "embedding", quantizer,
       key + "-regen")
     assert(p3 !== p1)
+    assert(trained === 2)
   }
 }
