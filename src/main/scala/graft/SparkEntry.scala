@@ -779,10 +779,13 @@ object SparkEntry {
           round(col("n_overlap").cast("double") / 10, 6).as("recall"))
     }),
 
-    // ---- multimodal feature extraction (stubbed decode, mapPartitions) ----
+    // ---- multimodal feature extraction: REAL javax.imageio decode of
+    //      deterministic per-doc PNG fixtures inside the mapPartitions
+    //      batch shape; the oracle recomputes the constructed dimensions
+    //      from doc_id, so a broken decode fails the hash compare ----
     "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.records(s, Tables.documents(s, dir))).toDF()),
+      Multimodal.decodeImages(
+        Multimodal.attachImages(s, Tables.documents(s, dir))).toDF()),
 
     // ---- S14: storage-size metric (no oracle: filesystem metadata) ----
     "q_storage_size" -> ((s, dir) =>
@@ -1582,6 +1585,16 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  'text/plain' AS mime, source
+        |FROM documents""".stripMargin,
+    // The decoded-image features replayed from the fixture construction:
+    // dimensions are pure functions of doc_id (Multimodal.fixtureDims)
+    // and TYPE_INT_RGB decodes to a 3-band raster, so the real
+    // encode→decode round-trip must reproduce exactly these values.
+    "q_multimodal_features" ->
+      """SELECT doc_id, true AS decoded,
+        |  CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |  CAST(3 + doc_id % 11 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels
         |FROM documents""".stripMargin,
   )
 }

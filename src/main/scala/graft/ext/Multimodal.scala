@@ -7,23 +7,30 @@ import org.apache.spark.sql.functions._
 final case class MediaRecord(
     doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Int)
 
-/** Per-record extracted features. The decode step is a STUB (see
-  * [[Multimodal.extractFeatures]]); the schema/partitioning/batching
-  * plumbing around it is real.
+/** Byte-level features for OPAQUE payloads (mime types with no decoder
+  * registered — see [[Multimodal.extractFeatures]]).
   */
 final case class MediaFeatures(
     doc_id: Long, n_bytes: Int, byte_mean: Double, distinct_byte_ratio: Double)
 
+/** Decoded-image features: real `javax.imageio` output (`decoded` false +
+  * nulls when no registered reader accepts the payload).
+  */
+final case class ImageFeatures(
+    doc_id: Long, decoded: Boolean,
+    width: Option[Int], height: Option[Int], channels: Option[Int])
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * There is no media codec in this environment, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (byte-level statistics standing in
-  * for decoded-frame features). Everything around it is the real
-  * production shape: explicit schema, binary payload column, typed
-  * `Dataset` boundary, `mapPartitions` batch processing (the Scala analog
-  * of arrow-batched pandas UDFs) so per-batch decoder state is amortized,
-  * and narrow no-shuffle execution.
+  * The image path is REAL: [[Multimodal.decodeImages]] decodes PNG
+  * payloads with the JDK's built-in `javax.imageio` (no external codec
+  * needed) inside the same `mapPartitions` batch shape a heavier decoder
+  * (video frames, audio resample) would plug into — explicit schema,
+  * binary payload column, typed `Dataset` boundary, per-partition
+  * initialization, narrow no-shuffle execution. Byte-level statistics
+  * ([[Multimodal.extractFeatures]]) remain as the honest fallback for
+  * mime types with no in-container codec.
   */
 object Multimodal {
 
@@ -43,13 +50,81 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Per-partition batched "decode + feature extraction".
-    *
-    * STUB: a real implementation opens a codec per partition and decodes
-    * each payload (image resize / audio resample / frame sampling). The
-    * container has no media libraries, so the "features" are deterministic
-    * byte statistics — the batch shape, per-partition initialization, and
-    * typed output schema are exactly what a real decoder plugs into.
+  /** Deterministic PNG dimensions per document — `(4 + id % 13) ×
+    * (3 + id % 11)` — shared by the fixture builder, the spec, and the
+    * `q_multimodal_features` oracle (`4 + doc_id % 13` etc. in SQL), so
+    * a decode that returns ANYTHING but the constructed dimensions fails
+    * the hash compare.
+    */
+  def fixtureDims(docId: Long): (Int, Int) =
+    (4 + (docId % 13).toInt, 3 + (docId % 11).toInt)
+
+  /** Deterministic 24-bit pixel for fixture position (x, y) of `docId` —
+    * a cheap integer mix, NOT a hash: the point is only that every image
+    * differs and a decode round-trip can compare exact pixel values
+    * (PNG is lossless).
+    */
+  def fixturePixel(docId: Long, x: Int, y: Int): Int =
+    ((docId * 2654435761L + x * 97L + y) & 0xffffffL).toInt
+
+  /** Attach a REAL image payload: each document gets a small deterministic
+    * RGB PNG (dimensions and pixels are pure functions of `doc_id`),
+    * encoded with the JDK's ImageIO inside the batch shape — at scale the
+    * payload column arrives from object storage instead; everything
+    * downstream (schema, decode, features) is identical.
+    */
+  def attachImages(spark: SparkSession, df: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // per-partition init: one reusable encode buffer, disk cache off
+      javax.imageio.ImageIO.setUseCache(false)
+      val out = new java.io.ByteArrayOutputStream(4096)
+      it.map { id =>
+        val (w, h) = fixtureDims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, fixturePixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        out.reset()
+        javax.imageio.ImageIO.write(img, "png", out)
+        val bytes = out.toByteArray
+        MediaRecord(id, bytes, "image/png", bytes.length)
+      }
+    }
+  }
+
+  /** Per-partition batched image decode — REAL `javax.imageio` work: the
+    * payload bytes go through the PNG reader and the features are read
+    * off the decoded `BufferedImage` (raster band count = channels). A
+    * payload no registered reader accepts degrades to `decoded = false`
+    * with null dimensions instead of poisoning the batch — the per-row
+    * try is the production posture for corrupt members of a 100 TB
+    * corpus (quarantine, don't crash the stage).
+    */
+  def decodeImages(ds: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) ImageFeatures(r.doc_id, decoded = false, None, None, None)
+        else ImageFeatures(r.doc_id, decoded = true,
+          Some(img.getWidth), Some(img.getHeight),
+          Some(img.getRaster.getNumBands))
+      }
+    }
+  }
+
+  /** Per-partition batched byte-statistics extraction — the fallback for
+    * OPAQUE payloads (mime types with no decoder in the container, e.g.
+    * the text/plain payloads of [[attach]]): deterministic byte-level
+    * features in the same batch shape as [[decodeImages]].
     */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._

@@ -372,4 +372,34 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).n_bytes === 0)
     assert(feats(2L).byte_mean === 0.0) // empty payload guard
   }
+
+  test("image decode: real ImageIO round-trip recovers dims, bands, and pixels") {
+    val df = Seq((0L, "x"), (7L, "y"), (123L, "z")).toDF("doc_id", "text")
+    val recs = Multimodal.attachImages(spark, df)
+    val feats = Multimodal.decodeImages(recs)
+      .collect().map(f => f.doc_id -> f).toMap
+    for (id <- Seq(0L, 7L, 123L)) {
+      val (w, h) = Multimodal.fixtureDims(id)
+      assert(feats(id).decoded)
+      assert(feats(id).width === Some(w))
+      assert(feats(id).height === Some(h))
+      assert(feats(id).channels === Some(3)) // TYPE_INT_RGB
+    }
+    // PNG is lossless: every pixel of a decoded payload matches the
+    // deterministic fixture function bit-for-bit
+    val payload = recs.filter(_.doc_id == 123L).collect().head.payload
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val (w, h) = Multimodal.fixtureDims(123L)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xffffff) === Multimodal.fixturePixel(123L, x, y),
+        s"pixel ($x,$y)")
+  }
+
+  test("image decode: an undecodable payload degrades to decoded=false, not a crash") {
+    val junk = Seq(MediaRecord(9L, Array[Byte](1, 2, 3, 4), "image/png", 4))
+      .toDS()
+    val f = Multimodal.decodeImages(junk).collect().head
+    assert(!f.decoded)
+    assert(f.width === None && f.height === None && f.channels === None)
+  }
 }
