@@ -49,6 +49,7 @@ object Bench {
     // queries across all passes; its min/max spread is emitted as a
     // "noise" field so a reader of the artifact can tell "this run was
     // noisy, distrust isolated spikes" from the JSON alone.
+    require(names.nonEmpty, s"no registered query matches ${args.mkString(",")}")
     val sentinel =
       if (names.contains("q_filter_equality")) "q_filter_equality"
       else names.head

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.sources.Tables
+
+/** Empirical 10×-scale posture check for the dedup family — the backstop
+  * for the "subquadratic candidates, no hot-bucket OOM" claims the plan
+  * audits argue analytically. Builds a deterministic 10× documents corpus,
+  * runs each candidate generator on the 1× and 10× corpora, and writes
+  * `POSTURE_10X.json` with pair counts, wall time, per-task peak execution
+  * memory, and shuffle spill.
+  *
+  * The 10× corpus is 10 DISJOINT shards: shard s remaps `doc_id` by
+  * +s·10⁶ and suffixes every token with `_s` (s>0), so within-shard
+  * shingle/jaccard/near-dup structure is preserved exactly while shards
+  * share zero shingles. That is the honest scale-up — the corpus behaves
+  * like 10× more data of the same character (expected pair growth ≈ 10×),
+  * not 10 copies of one corpus (pair growth 100×, a different problem).
+  *
+  * What "healthy at scale" looks like in the artifact: `pair_growth` ≈ 10
+  * (linear in data, never n²), `peak_task_mem` roughly flat between 1×
+  * and 10× (work splits across more partitions instead of deepening one
+  * task — the hot-bucket caps doing their job).
+  */
+object Posture {
+
+  private final class Metrics extends SparkListener {
+    @volatile var peakTaskMem = 0L
+    @volatile var spilledBytes = 0L
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        peakTaskMem = math.max(peakTaskMem, m.peakExecutionMemory)
+        spilledBytes += m.memoryBytesSpilled
+      }
+    }
+    def snapshot(): (Long, Long) = { Thread.sleep(1000); (peakTaskMem, spilledBytes) }
+    def reset(): Unit = { Thread.sleep(1000); peakTaskMem = 0L; spilledBytes = 0L }
+  }
+
+  private def tenX(base: DataFrame): DataFrame =
+    (1 until 10).map { s =>
+      base.select(
+        (col("doc_id") + lit(s * 1000000L)).as("doc_id"),
+        array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_$s"))),
+          " ").as("text"))
+    }.foldLeft(base)(_ union _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark: SparkSession = Session.local(cpus)
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_posture")
+    val paths = Seq("1x" -> s"$scratch/docs1x", "10x" -> s"$scratch/docs10x")
+    base.write.mode("overwrite").parquet(paths.head._2)
+    tenX(base).write.mode("overwrite").parquet(paths(1)._2)
+
+    val families: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "minhash_lsh" -> (d =>
+        Dedup.minhashCandidatesPortable(d, "doc_id", "text",
+          k = 8, nPerms = 16, rowsPerBand = 2)),
+      "simhash_banding" -> (d =>
+        Dedup.simhashCandidates(
+          Dedup.simhashPortable(d, "doc_id", "text"), "doc_id", maxDist = 3)),
+      "ngram_jaccard" -> (d =>
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 8)))
+
+    // one warmup pass (JIT + codegen + parquet footers), then measured
+    val corpora = paths.map { case (lbl, p) => lbl -> spark.read.parquet(p) }
+    families.foreach { case (_, f) => corpora.foreach { case (_, d) => f(d).count() } }
+
+    val results = families.map { case (name, f) =>
+      val runs = corpora.map { case (lbl, d) =>
+        metrics.reset()
+        // min of 3 timed runs: the host shows multi-ten-second stalls
+        // that land on random queries (same defense as graft.Bench)
+        var pairs = 0L
+        val sec = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          pairs = f(d).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val (peak, spill) = metrics.snapshot()
+        lbl -> (pairs, sec, peak, spill)
+      }.toMap
+      // quadratic-leakage probe: shards share zero shingles, so any pair
+      // that CROSSES a shard boundary is a random collision that survived
+      // verification — must be 0 for a generator that is safe at scale.
+      // (Within-shard pair growth above 10x is a different, benign thing:
+      // token salting re-rolls the hash distances of borderline pairs, so
+      // threshold-crossers differ per shard — a corpus property the
+      // q_simhash_audit / q_minhash_estimate queries exist to tune.)
+      val cross = f(corpora.toMap.apply("10x"))
+        .filter(floor(col("d1") / 1000000L) =!= floor(col("d2") / 1000000L))
+        .count()
+      val (p1, s1, m1, sp1) = runs("1x")
+      val (p10, s10, m10, sp10) = runs("10x")
+      f"""  "$name": {"pairs_1x": $p1, "pairs_10x": $p10, "pair_growth": ${p10.toDouble / math.max(1, p1)}%.2f, "cross_shard_pairs": $cross,
+         |    "sec_1x": $s1%.2f, "sec_10x": $s10%.2f, "time_growth": ${s10 / s1}%.2f,
+         |    "peak_task_mem_mb_1x": ${m1 / 1048576}, "peak_task_mem_mb_10x": ${m10 / 1048576},
+         |    "spill_mb_1x": ${sp1 / 1048576}, "spill_mb_10x": ${sp10 / 1048576}}""".stripMargin
+    }
+
+    val nDocs = corpora.toMap.apply("1x").count()
+    val json =
+      s"""{
+         |  "what": "dedup candidate generators on a deterministic 10x corpus (10 disjoint token-salted shards of sf0.1 documents); healthy = cross_shard_pairs 0 (no quadratic leakage), flat peak_task_mem, pair growth linear modulo per-shard threshold re-rolls",
+         |  "sf_dir": "$sfDir", "docs_1x": $nDocs, "docs_10x": ${nDocs * 10}, "cpus": $cpus,
+         |${results.mkString(",\n")}
+         |}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("POSTURE_10X.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

@@ -216,6 +216,38 @@ class RollupsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 5000)
   }
 
+  test("q_approx_stats on the fixture: inside documented bounds of the exact values") {
+    // the registered query has no DuckDB oracle (approximate by
+    // contract); this pins it to the EXACT answers on the same fixture
+    // using the functions' own documented guarantees, so the last
+    // rows-only analytics query carries a bounded check
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val r = Rollups.approxStats(ev, "user_id", "value").collect().head
+    val exactN = ev.select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    val approxN = r.getAs[Long]("approx_n_user_id")
+    // approx_count_distinct documents relative standard deviation 0.05:
+    // 3 sigma is the "practically always" envelope
+    assert(math.abs(approxN - exactN.toDouble) / exactN <= 0.15,
+      s"HLL estimate $approxN vs exact $exactN")
+    // percentile_approx(accuracy = a) guarantees a value whose RANK is
+    // within n/a of the target rank; allow one extra rank for the
+    // floor/ceil ambiguity at the target itself
+    val vals = ev.select(col("value").cast("double"))
+      .orderBy("value").collect().map(_.getDouble(0))
+    val n = vals.length
+    assert(r.getAs[Long]("n") === n.toLong)
+    val w = n / 10000 + 1
+    def inRankWindow(p: Double, v: Double): Unit = {
+      val rank = math.ceil(p * n).toInt - 1
+      val lo = vals(math.max(0, rank - w))
+      val hi = vals(math.min(n - 1, rank + w))
+      assert(v >= lo && v <= hi, s"p=$p: $v outside rank window [$lo, $hi]")
+    }
+    inRankWindow(0.25, r.getAs[Double]("approx_q1"))
+    inRankWindow(0.50, r.getAs[Double]("approx_median"))
+    inRankWindow(0.75, r.getAs[Double]("approx_q3"))
+  }
+
   test("globalStats: sample stddev and CV") {
     val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("v")
     val r = Rollups.globalStats(df, "v").collect().head
