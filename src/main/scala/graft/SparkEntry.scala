@@ -131,12 +131,12 @@ object SparkEntry {
        |           unnest(generate_series(1, len(v))) AS u3(i) GROUP BY 1, 2) d2
        |       GROUP BY 1)""".stripMargin
 
-  /** The IVF layout replay's CTE prefix (trained quantizer, assignment,
-    * query vector, probed buckets) — shared by every ANN oracle so the
-    * replays can never drift. Probe ties break to the LOWER bucket id on
-    * both sides (Spark sorts (−cos, b); here `cent.b` ascending).
+  /** Trained quantizer + nearest-centroid assignment as a CTE prefix
+    * (`cent(b, c)`, `asg(vec_id, v, ivf_bucket)`) — the [[LloydCtes]]
+    * training replay plus the argmax assignment, shared by the ANN
+    * oracles and the `q_semdedup` oracle.
     */
-  private def IvfCtes(queryVecId: Long, nProbe: Int): String =
+  private val AsgCtes: String =
     s"""WITH ${LloydCtes(IvfK, IvfSalt)},
        |cent AS (SELECT b, cv AS c FROM c2),
        |asg AS (SELECT vec_id, v, ivf_bucket FROM (
@@ -144,7 +144,15 @@ object SparkEntry {
        |            row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |              ${ListCosSql("e.v", "cent.c")} DESC,
        |              cent.b DESC) AS rn
-       |          FROM e, cent) WHERE rn = 1),
+       |          FROM e, cent) WHERE rn = 1)""".stripMargin
+
+  /** The IVF layout replay's CTE prefix ([[AsgCtes]] + query vector +
+    * probed buckets) — shared by every ANN oracle so the replays can
+    * never drift. Probe ties break to the LOWER bucket id on both sides
+    * (Spark sorts (−cos, b); here `cent.b` ascending).
+    */
+  private def IvfCtes(queryVecId: Long, nProbe: Int): String =
+    s"""$AsgCtes,
        |q AS (SELECT v AS qv FROM e WHERE vec_id = $queryVecId),
        |probed AS (SELECT cent.b FROM cent, q
        |           ORDER BY ${ListCosSql("cent.c", "qv")} DESC, cent.b
@@ -659,6 +667,24 @@ object SparkEntry {
           Dedup.ngramJaccardPairs(docs, "doc_id", "text", 8)
             .filter(col("jaccard") >= 0.8))
         .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // ---- transitive near-dup clusters: connected components over the
+    //      jaccard pair graph (min-label propagation), oracled against a
+    //      DuckDB recursive-CTE closure ----
+    "q_neardup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+            "text", 8).filter(col("jaccard") >= 0.5))
+        .withColumnRenamed("id", "doc_id")),
+
+    // ---- SemDeDup-style semantic dedup: the trained k-means quantizer's
+    //      clusters as the candidate generator, exact cosine within ----
+    "q_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDupPairs(emb, "vec_id", "embedding",
+        Similarity.trainQuantizer(emb, "vec_id", "embedding",
+          k = IvfK, iters = 2, salt = IvfSalt), threshold = 0.3)
     }),
 
     // ---- stop-gram audit: doc frequencies of shingles shared by >1 doc
@@ -1405,6 +1431,30 @@ object SparkEntry {
       s"""WITH jp AS ($NgramJaccardSql)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT d2 FROM jp WHERE jaccard >= 0.8)""".stripMargin,
+    // The pair graph's transitive closure via a recursive CTE: reach(id, c)
+    // holds every label reachable from id, min = the component — the SQL
+    // ground truth for the iterative min-label propagation on the Spark
+    // side (same NgramJaccardSql pairs, so the inputs can never drift).
+    "q_neardup_components" ->
+      s"""WITH RECURSIVE jp AS ($NgramJaccardSql),
+         |e AS (SELECT d1 AS id, d2 AS nbr FROM jp WHERE jaccard >= 0.5
+         |      UNION SELECT d2, d1 FROM jp WHERE jaccard >= 0.5),
+         |reach AS (SELECT id, id AS c FROM e
+         |          UNION
+         |          SELECT e.id, r.c FROM e JOIN reach r ON e.nbr = r.id)
+         |SELECT id AS doc_id, CAST(min(c) AS BIGINT) AS component
+         |FROM reach GROUP BY 1""".stripMargin,
+    // SemDeDup replayed: the shared trained-quantizer assignment (AsgCtes)
+    // is the bucket, then the same within-bucket pair shape (hot-bucket
+    // QUALIFY cap + threshold on the unrounded cosine) as q_embed_neardup.
+    "q_semdedup" ->
+      s"""$AsgCtes,
+         |sb AS (SELECT vec_id, v, ivf_bucket FROM asg
+         |       QUALIFY count(*) OVER (PARTITION BY ivf_bucket) <= 1000)
+         |SELECT a.vec_id AS d1, b.vec_id AS d2, a.ivf_bucket AS bucket,
+         |  round(${ListCosSql("a.v", "b.v")}, 6) AS cosine
+         |FROM sb a JOIN sb b ON a.ivf_bucket = b.ivf_bucket AND a.vec_id < b.vec_id
+         |WHERE ${ListCosSql("a.v", "b.v")} > 0.3""".stripMargin,
     "q_hot_shingles" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s

@@ -146,6 +146,60 @@ object Dedup {
     df.join(pairs.select(col("d2").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Connected components over a near-dup pair list: every document that
+    * appears in a pair is labeled with the MINIMUM id reachable through
+    * the pair graph — the transitive closure that [[resolveNearDups]]'s
+    * greedy pairwise drop approximates. Needed whenever near-dup clusters
+    * are not cliques: banding emits A–B and B–C but can miss A–C for
+    * borderline pairs, and cluster-level decisions (keep one survivor per
+    * CLUSTER, audit cluster sizes) need the component, not the pair.
+    *
+    * Implementation is min-label propagation (the GraphX/Pregel shape
+    * without the dependency): each round every node takes the min of its
+    * own component and its neighbors' — one hash join + one aggregation,
+    * both partitioned on the node id, with each round's labels
+    * `localCheckpoint`ed so lineage (and the LSH plan that produced the
+    * pairs) is computed exactly once, not once per round. Rounds needed =
+    * the diameter of the largest cluster — near-dup clusters are dense,
+    * so a handful in practice; `maxIters` bounds the pathological path
+    * graph and a non-converged exit raises rather than returning a
+    * half-propagated labeling. The per-round convergence check is a 1-row
+    * driver action — the same metadata-sized eager pattern as the index
+    * builds. Batch-only.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "d1",
+      bCol: String = "d2", maxIters: Int = 25): DataFrame = {
+    require(!pairs.isStreaming, "connectedComponents is batch-only")
+    val edges = pairs
+      .select(col(aCol).as("id"), col(bCol).as("nbr"))
+      .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("__nbr_comp"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("component").as("__old"),
+          least(col("component"),
+            coalesce(col("__nbr_comp"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next.filter(col("component") < col("__old")).count()
+      labels = next.select(col("id"), col("component"))
+      round += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
   /** Per-document distinct hashed-shingle set + its size, in one narrow
     * codegen'd projection — no shuffle, no second scan, no per-position
     * allocation (see [[graft.plans.TextHashKernels]]; the HOF formulation

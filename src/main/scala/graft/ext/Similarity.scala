@@ -137,6 +137,38 @@ object Similarity {
           lit(b).as("b"))
       }.toIndexedSeq: _*)).getField("b"))
 
+  /** Nearest-centroid cluster assignment against a driver-resident
+    * centroid list, as a public operator: one codegen'd narrow projection
+    * (the centroids are baked in as literals and scored with the native
+    * cosine) — no join, no shuffle. Ties break highest-cosine then
+    * highest bucket id (lexicographic struct max), matching
+    * [[trainQuantizer]], [[writeIvfLayout]] and the SQL replays.
+    */
+  def assignBuckets(df: DataFrame, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], out: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    require(cents.nonEmpty, "assignBuckets: empty centroid list")
+    assignNearest(withDoubleVec(df, vecCol), cents)
+      .withColumnRenamed("__b", out).drop("__e")
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with a trained coarse
+    * quantizer ([[trainQuantizer]]), then exact-cosine-score pairs ONLY
+    * within a cluster — semantic duplicates are near their cluster
+    * centroid's other members, so the cross-cluster pairs an all-pairs
+    * scan would score are pruned before they exist. The candidate volume
+    * is Σ|cluster|² like every bucketed generator here (k sized to keep
+    * clusters bounded at scale), never n²; the same hot-bucket cap and
+    * exchange-reuse posture as [[nearDupPairs]] applies, since this IS
+    * [[nearDupPairs]] with the trained assignment as the bucket.
+    */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], threshold: Double,
+      maxBucket: Int = 1000): DataFrame =
+    nearDupPairs(assignBuckets(df, vecCol, cents, "__sem"), idCol, vecCol,
+      "__sem", threshold, maxBucket)
+
   /** Post-training audit of [[trainQuantizer]]: assign every vector to
     * its trained centroid and report per-cluster size and mean
     * cosine-to-centroid — the balance/coherence check you run before

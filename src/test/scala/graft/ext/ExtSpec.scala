@@ -137,6 +137,28 @@ class DedupSpec extends SparkSpec {
     assert(loose === Seq(1L, 3L))
   }
 
+  test("connectedComponents: transitive closure over a path graph plus an island") {
+    // 1-2-3-4 is a PATH (no 1-3, 1-4, 2-4 edges — the shape banding
+    // produces and greedy pairwise resolution mislabels); 10-11 is a
+    // separate island. Min-label needs 3 propagation rounds for the path.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // non-convergence inside the bound raises instead of returning a
+    // half-propagated labeling
+    val long = (1L until 30L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(long, maxIters = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and converges fine with enough rounds (29 hops for the 30-node path)
+    val ok = Dedup.connectedComponents(long, maxIters = 40)
+    assert(ok.select("component").distinct().count() === 1L)
+  }
+
   test("minhash: identical docs have identical signatures; banding buckets them") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 3, nPerms = 16)
     val s1 = sigs.filter($"doc_id" === 1L).drop("doc_id").collect().head
@@ -261,6 +283,20 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.trainQuantizer(vecs, "vec_id", "embedding",
       k = 2, iters = 2, salt = "t")
     assert(again === cents)
+  }
+
+  test("semanticDupPairs: trained clusters generate candidates, cross-cluster never scored") {
+    val cents = Similarity.trainQuantizer(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, salt = "t")
+    val pairs = Similarity.semanticDupPairs(vecs, "vec_id", "embedding",
+      cents, threshold = 0.9).collect()
+    val ids = pairs.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    // all three cluster-A pairs clear 0.9; cluster B's one pair does too
+    assert(ids === Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+    assert(pairs.forall(_.getAs[Double]("cosine") > 0.9))
+    // no pair straddles the two trained clusters (orthogonal axes)
+    val a = Set(0L, 1L, 2L)
+    assert(ids.forall { case (x, y) => a.contains(x) == a.contains(y) })
   }
 
   test("nearDupPairs hot-bucket cap drops the degenerate bucket, keeps the rest") {
