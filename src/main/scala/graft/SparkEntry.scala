@@ -678,6 +678,17 @@ object SparkEntry {
             "text", 8).filter(col("jaccard") >= 0.5))
         .withColumnRenamed("id", "doc_id")),
 
+    // ---- cluster-exact survivor set: one doc kept per connected
+    //      component (the transitive-closure-correct form of
+    //      q_neardup_resolve's greedy drop) ----
+    "q_neardup_survivors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.resolveByComponents(docs, "doc_id",
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 8)
+            .filter(col("jaccard") >= 0.5))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // ---- SemDeDup-style semantic dedup: the trained k-means quantizer's
     //      clusters as the candidate generator, exact cosine within ----
     "q_semdedup" -> ((s, dir) => {
@@ -765,6 +776,17 @@ object SparkEntry {
     "q_minhash_candidates" -> ((s, dir) =>
       Dedup.minhashCandidatesPortable(Tables.documents(s, dir), "doc_id",
         "text", k = 8, nPerms = 16, rowsPerBand = 2)),
+
+    // ---- incremental ingest dedup: a new batch (doc_id % 4 = 0) LSH-
+    //      banded against itself and the existing corpus; old-old pairs
+    //      never enumerated ----
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalMinhashCandidates(
+        docs.filter(col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", k = 8, nPerms = 16, rowsPerBand = 2)
+    }),
 
     // ---- IVF probe, single-bucket (nProbe=1) on a second query point:
     //      the cheapest ANN shape — the scan prunes to ONE partition of
@@ -1444,6 +1466,18 @@ object SparkEntry {
          |          SELECT e.id, r.c FROM e JOIN reach r ON e.nbr = r.id)
          |SELECT id AS doc_id, CAST(min(c) AS BIGINT) AS component
          |FROM reach GROUP BY 1""".stripMargin,
+    // Survivors = everything except the paired non-minima of each
+    // component — the same recursive closure, consumed as a drop list.
+    "q_neardup_survivors" ->
+      s"""WITH RECURSIVE jp AS ($NgramJaccardSql),
+         |e AS (SELECT d1 AS id, d2 AS nbr FROM jp WHERE jaccard >= 0.5
+         |      UNION SELECT d2, d1 FROM jp WHERE jaccard >= 0.5),
+         |reach AS (SELECT id, id AS c FROM e
+         |          UNION
+         |          SELECT e.id, r.c FROM e JOIN reach r ON e.nbr = r.id),
+         |comp AS (SELECT id, min(c) AS component FROM reach GROUP BY 1)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
     // SemDeDup replayed: the shared trained-quantizer assignment (AsgCtes)
     // is the bucket, then the same within-bucket pair shape (hot-bucket
     // QUALIFY cap + threshold on the unrounded cosine) as q_embed_neardup.
@@ -1500,6 +1534,27 @@ object SparkEntry {
          |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    // The ingestion split replayed off the SAME signature CTEs as
+    // q_minhash_candidates; the hot-bucket QUALIFY caps apply per side
+    // (WHERE filters before the window), matching the per-side Spark
+    // windows.
+    "q_dedup_incremental" ->
+      s"""WITH $MinhashSigCtes,
+         |allb AS (SELECT doc_id, p // 2 AS band, string_agg(v, '|' ORDER BY p) AS key
+         |         FROM hp GROUP BY 1, 2),
+         |bnew AS (SELECT * FROM allb WHERE doc_id % 4 = 0
+         |         QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000),
+         |bold AS (SELECT * FROM allb WHERE doc_id % 4 <> 0
+         |         QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands,
+         |  'batch' AS against
+         |FROM bnew a JOIN bnew b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |UNION ALL
+         |SELECT a.doc_id, b.doc_id, CAST(count(*) AS BIGINT), 'corpus'
+         |FROM bnew a JOIN bold b ON a.band = b.band AND a.key = b.key
          |GROUP BY 1, 2""".stripMargin,
     // Physical-IVF probe replayed end-to-end: the trained Lloyd quantizer
     // (same replay as q_kmeans, k=8 salt=ivf1), nearest-centroid (argmax

@@ -200,6 +200,24 @@ object Dedup {
     labels
   }
 
+  /** Cluster-exact near-dup resolution: keep one survivor (the minimum
+    * id) per CONNECTED COMPONENT of the pair graph, plus every unpaired
+    * document. Strictly stronger than [[resolveNearDups]]'s greedy
+    * pairwise drop — greedy keeps any node that only ever appears as
+    * `d1` (pairs 2–3 and 1–3 keep BOTH 1 and 2, though 1~3~2 makes them
+    * transitive duplicates); component resolution keeps exactly one per
+    * cluster. The drop set (paired non-minima) is near-dup-sized, so the
+    * anti-join broadcasts and the corpus is never shuffled, same as the
+    * greedy form.
+    */
+  def resolveByComponents(df: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    df.join(
+      connectedComponents(pairs, maxIters = maxIters)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Per-document distinct hashed-shingle set + its size, in one narrow
     * codegen'd projection — no shuffle, no second scan, no per-position
     * allocation (see [[graft.plans.TextHashKernels]]; the HOF formulation
@@ -357,12 +375,31 @@ object Dedup {
   private def bandedPairs(signatures: DataFrame, idCol: String,
       nPerms: Int, rowsPerBand: Int,
       bandKey: Seq[Column] => Column, maxBucket: Int = 1000): DataFrame = {
+    val banded = bandRows(signatures, idCol, nPerms, rowsPerBand,
+      bandKey, maxBucket)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band")
+          && col("a.band_key") === col("b.band_key")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** The banding front half of [[bandedPairs]]: one (id, band, band_key)
+    * row per band, hot buckets capped, `shuffle_hash`-hinted for the
+    * exchange-reuse join posture. Shared with
+    * [[incrementalMinhashCandidates]].
+    */
+  private def bandRows(signatures: DataFrame, idCol: String,
+      nPerms: Int, rowsPerBand: Int,
+      bandKey: Seq[Column] => Column, maxBucket: Int): DataFrame = {
     val nBands = nPerms / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val comps = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), bandKey(comps).as("band_key"))
     }
-    val banded = signatures
+    signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
       .withColumn("__bn", count(lit(1)).over(
@@ -371,13 +408,50 @@ object Dedup {
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
       .hint("shuffle_hash")
-    banded.as("a")
-      .join(banded.as("b"),
+  }
+
+  /** Incremental LSH candidates — the corpus-INGESTION shape: near-dup
+    * candidate pairs of a NEW batch against itself (`against = 'batch'`,
+    * `d1 < d2`) and against the EXISTING corpus (`against = 'corpus'`,
+    * `d1` = batch id, `d2` = corpus id), with old–old pairs never
+    * enumerated anywhere: that work was already done when those documents
+    * were ingested. At 100 TB this is the daily-crawl loop — join cost is
+    * proportional to the BATCH's collisions, not the corpus's; the corpus
+    * side contributes one signature scan (in production, a persisted band
+    * index instead — these band rows ARE its write-side schema).
+    *
+    * Both joins key on (band, band_key): the batch-batch self-join reuses
+    * one exchange like [[bandedPairs]]; the batch-corpus join hash-
+    * partitions each side once. The hot-bucket cap applies PER SIDE — a
+    * batch doc colliding into a degenerate historical bucket is exactly
+    * the |old|×|new|-pairs-in-one-task OOM the cap exists for. Ids must
+    * be disjoint across the two inputs (callers own id allocation).
+    */
+  def incrementalMinhashCandidates(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int, nPerms: Int,
+      rowsPerBand: Int, maxBucket: Int = 1000): DataFrame = {
+    def bands(df: DataFrame) = bandRows(
+      minhashSignaturesPortable(df, idCol, textCol, k, nPerms),
+      idCol, nPerms, rowsPerBand, comps => concat_ws("|", comps: _*),
+      maxBucket)
+    val nb = bands(batch)
+    val ob = bands(corpus)
+    val batchBatch = nb.as("a")
+      .join(nb.as("b"),
         col("a.band") === col("b.band")
           && col("a.band_key") === col("b.band_key")
           && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
+      .withColumn("against", lit("batch"))
+    val batchCorpus = nb.as("a")
+      .join(ob.as("b"),
+        col("a.band") === col("b.band")
+          && col("a.band_key") === col("b.band_key"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("against", lit("corpus"))
+    batchBatch.union(batchCorpus)
   }
 
   /** Fully oracle-able MinHash LSH: signatures from the portable md5 hash

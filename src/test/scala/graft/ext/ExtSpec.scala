@@ -159,6 +159,46 @@ class DedupSpec extends SparkSpec {
     assert(ok.select("component").distinct().count() === 1L)
   }
 
+  test("incrementalMinhashCandidates: batch pairs vs self and corpus, never old-old") {
+    // corpus already holds the near-identical docs 1 and 2; the batch
+    // brings 10 (a near-dup of 1/2) and 11 (novel)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "novel content that matches nothing in the existing corpus at all"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.incrementalMinhashCandidates(batch, corpus,
+        "doc_id", "text", k = 5, nPerms = 16, rowsPerBand = 2)
+      .collect()
+    val byKind = cands.groupBy(_.getAs[String]("against"))
+    // 10 collides with BOTH 1 and 2 in the corpus, on all 8 bands
+    val vsCorpus = byKind("corpus")
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_bands"))).toSet
+    assert(vsCorpus === Set((10L, 1L, 8L), (10L, 2L, 8L)))
+    // no batch-batch pair (10 and 11 share nothing), and the old-old
+    // exact pair (1,2) is NEVER emitted — that work was done at ingest
+    assert(!byKind.contains("batch"))
+    assert(!cands.exists(r => r.getLong(0) <= 3L))
+  }
+
+  test("resolveByComponents keeps one survivor per cluster where greedy keeps two") {
+    // pairs 2-3 and 1-3: node 2 never appears as d2, so the greedy drop
+    // keeps BOTH 1 and 2 even though 1~3~2 is one transitive cluster
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "unpaired"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L), (1L, 3L)).toDF("d1", "d2")
+    val greedy = Dedup.resolveNearDups(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(greedy === Seq(1L, 2L, 9L)) // 2 survives greedy
+    val exact = Dedup.resolveByComponents(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(exact === Seq(1L, 9L)) // one survivor per cluster + unpaired
+  }
+
   test("minhash: identical docs have identical signatures; banding buckets them") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 3, nPerms = 16)
     val s1 = sigs.filter($"doc_id" === 1L).drop("doc_id").collect().head
