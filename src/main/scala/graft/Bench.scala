@@ -69,13 +69,14 @@ object Bench {
     def noiseJson(fmt: Double => String): String =
       if (noiseSamples.isEmpty) "null"
       else s"""{"query":"$sentinel","n":${noiseSamples.size},"min":${fmt(noiseSamples.min)},"max":${fmt(noiseSamples.max)}}"""
-    def line(fmt: Double => String, perQuery: Boolean = true): String = {
-      val qs =
-        if (!perQuery) "{}"
-        else results.map { case (k, v) =>
-          "\"" + k + "\":" + v.map(fmt).getOrElse("null")
-        }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
+    def line(fmt: Double => String,
+        entries: Seq[(String, Option[Double])] = results,
+        omitted: Int = 0): String = {
+      val qs = entries.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(fmt).getOrElse("null")
+      }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
     }
     // full precision → file (the committed history the judge can read);
     // stdout gets ONE compact line, sized to survive the harness's
@@ -90,11 +91,17 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    // if even 1 significant figure can't fit the per-query map (query
-    // count grows), drop the map rather than print an over-length line the
-    // harness's 2000-char stdout tail would truncate into unparseable JSON
+    // the stdout line must survive the harness's 2000-char tail: try the
+    // full map at decreasing precision; if even 1 significant figure
+    // doesn't fit (query count grows), keep only the SLOWEST queries that
+    // do fit — the tail anyone reads a bench for — plus an "omitted"
+    // count, never an over-length line that truncates into unparseable
+    // JSON. bench_detail.json always carries the complete map.
+    val slowestFirst = results.sortBy { case (_, v) => -v.getOrElse(0.0) }
     println((3 to 1 by -1).map(n => line(sig(n))).find(_.length <= 1900)
-      .getOrElse(line(sig(2), perQuery = false)))
+      .getOrElse((results.size to 0 by -1).iterator
+        .map(k => line(sig(1), slowestFirst.take(k), results.size - k))
+        .find(_.length <= 1900).get))
     spark.stop()
   }
 }
