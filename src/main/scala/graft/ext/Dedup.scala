@@ -386,6 +386,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** One (band, band_key) struct per band over `sig_*` columns — the
+    * band-key construction shared by every banding consumer.
+    */
+  private def bandStructs(nPerms: Int, rowsPerBand: Int,
+      bandKey: Seq[Column] => Column): Seq[Column] =
+    (0 until nPerms / rowsPerBand).map { b =>
+      val comps = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), bandKey(comps).as("band_key"))
+    }
+
   /** The banding front half of [[bandedPairs]]: one (id, band, band_key)
     * row per band, hot buckets capped, `shuffle_hash`-hinted for the
     * exchange-reuse join posture. Shared with
@@ -394,11 +404,7 @@ object Dedup {
   private def bandRows(signatures: DataFrame, idCol: String,
       nPerms: Int, rowsPerBand: Int,
       bandKey: Seq[Column] => Column, maxBucket: Int): DataFrame = {
-    val nBands = nPerms / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
-      val comps = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), bandKey(comps).as("band_key"))
-    }
+    val bandCols = bandStructs(nPerms, rowsPerBand, bandKey)
     signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
@@ -452,6 +458,71 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
       .withColumn("against", lit("corpus"))
     batchBatch.union(batchCorpus)
+  }
+
+  /** The persisted band index of a corpus — [[incrementalMinhashCandidates]]'
+    * corpus-side band rows as a public write-side frame (id, band,
+    * band_key), hot buckets capped. Build once per corpus snapshot and
+    * store it; batch ingests join it, and [[streamingCorpusCollisions]]
+    * probes it from a stream.
+    */
+  def minhashBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, nPerms: Int, rowsPerBand: Int,
+      maxBucket: Int = 1000): DataFrame =
+    bandRows(minhashSignaturesPortable(corpus, idCol, textCol, k, nPerms),
+      idCol, nPerms, rowsPerBand, comps => concat_ws("|", comps: _*),
+      maxBucket)
+
+  /** Per-ROW portable MinHash signature columns — the streaming-safe twin
+    * of [[minhashSignaturesPortable]]: each permutation minimum is taken
+    * over the document's own distinct shingle array (the
+    * [[graft.plans.ShingleStrings]] kernel) inside ONE narrow stateless
+    * projection, so it runs in a streaming micro-batch with no
+    * aggregation, no watermark and no state. Values are identical to the
+    * grouped form by construction (same distinct shingle set, same salted
+    * md5, same minimum — parity pinned in `DedupSpec`); a document too
+    * short to have a k-shingle gets null signatures (the grouped form
+    * drops it). The grouped form stays preferred for BATCH corpora: its
+    * exploded hashes feed the shuffle directly instead of materializing
+    * per-row hash arrays.
+    */
+  def minhashSigColumns(textCol: Column, k: Int, nPerms: Int): Seq[Column] = {
+    require(nPerms % 2 == 0, "nPerms must be even (two 60-bit hashes per md5)")
+    val shSet = call_function(
+      graft.plans.GraftFunctions.ShingleStringsName, textCol, lit(k))
+    (0 until nPerms / 2).flatMap { j =>
+      def mins(from: Int) = array_min(transform(shSet,
+        s => substring(md5(concat(s, lit(s"|$j"))), from, 15)))
+      Seq(mins(1).as(s"sig_${2 * j}"), mins(17).as(s"sig_${2 * j + 1}"))
+    }
+  }
+
+  /** Flag STREAM documents that near-duplicate an existing corpus: the
+    * stream side computes its banded signature as a stateless narrow
+    * projection ([[minhashSigColumns]] — no aggregation, no watermark)
+    * and equi-joins the corpus's [[minhashBandIndex]]. Stream-static
+    * inner joins keep no state in Structured Streaming — each micro-batch
+    * probes the static side and moves on — and the index's hot-bucket cap
+    * bounds the fan-out of any one stream row. Emits one row per
+    * (stream doc, corpus doc, band) collision; distinct/threshold
+    * decisions stay with the caller.
+    */
+  def streamingCorpusCollisions(stream: DataFrame, bandIndex: DataFrame,
+      idCol: String, textCol: String, k: Int, nPerms: Int,
+      rowsPerBand: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(stream.sparkSession)
+    val streamBands = stream
+      .select(col(idCol) +: minhashSigColumns(col(textCol), k, nPerms): _*)
+      .filter(col("sig_0").isNotNull) // shingle-less docs match nothing
+      .select(col(idCol), explode(array(bandStructs(nPerms, rowsPerBand,
+        comps => concat_ws("|", comps: _*)): _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.band_key").as("band_key"))
+    streamBands.join(
+        bandIndex.select(col(idCol).as("corpus_id"), col("band"),
+          col("band_key")),
+        Seq("band", "band_key"))
+      .select(col(idCol), col("corpus_id"), col("band"))
   }
 
   /** Fully oracle-able MinHash LSH: signatures from the portable md5 hash

@@ -185,6 +185,18 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(r => r.getLong(0) <= 3L))
   }
 
+  test("minhashSigColumns (per-row, streaming-safe) matches the grouped signatures") {
+    graft.plans.GraftFunctions.register(spark)
+    val perRow = docs.select(col("doc_id") +:
+        Dedup.minhashSigColumns(col("text"), k = 5, nPerms = 16): _*)
+      .filter(col("sig_0").isNotNull)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val grouped = Dedup.minhashSignaturesPortable(docs, "doc_id", "text",
+        k = 5, nPerms = 16)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(perRow.toSeq === grouped.toSeq)
+  }
+
   test("resolveByComponents keeps one survivor per cluster where greedy keeps two") {
     // pairs 2-3 and 1-3: node 2 never appears as d2, so the greedy drop
     // keeps BOTH 1 and 2 even though 1~3~2 is one transitive cluster

@@ -156,4 +156,36 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(!rows(1).getAs[Boolean]("keep")) // 4 words < 50: gate holds mid-stream
     } finally q.stop()
   }
+
+  test("streaming dedup vs a static corpus band index flags only true near-dups") {
+    // the stream side's signature is a stateless projection and the join
+    // is stream-static — no aggregation, no watermark, no growing state
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words about spark query engines here"))
+      .toDF("doc_id", "text")
+    val index = graft.ext.Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      k = 5, nPerms = 16, rowsPerBand = 2)
+    val mem = MemoryStream[(Long, String)]
+    val hits = graft.ext.Dedup.streamingCorpusCollisions(
+      mem.toDF().toDF("doc_id", "text"), index,
+      "doc_id", "text", k = 5, nPerms = 16, rowsPerBand = 2)
+    val q = hits.writeStream
+      .format("memory").queryName("corpus_dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+        (11L, "novel text that matches nothing previously ingested at all"),
+        (12L, "x")) // too short for a 5-shingle: must not crash or match
+      q.processAllAvailable()
+      val rows = spark.table("corpus_dedup_stream")
+        .select("doc_id", "corpus_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((10L, 1L))) // all 8 bands collide for the exact dup
+      assert(spark.table("corpus_dedup_stream")
+        .filter(col("doc_id") === 10L).count() === 8L)
+    } finally q.stop()
+  }
 }
