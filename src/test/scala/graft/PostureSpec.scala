@@ -91,7 +91,7 @@ class BandingReuseSpec extends SparkSpec {
     // expensive stage — the final adaptive plan must show ONE parquet
     // scan and a ReusedExchange on the build side
     for (name <- Seq("q_simhash_candidates", "q_minhash_candidates",
-        "q_embed_neardup", "q_embed_neardup_srp")) {
+        "q_embed_neardup", "q_embed_neardup_srp", "q_semdedup")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       df.collect() // finalize the adaptive plan; reuse only shows there
       val finalPlan = df.queryExecution.executedPlan.toString
@@ -115,6 +115,22 @@ class BandingReuseSpec extends SparkSpec {
       val nScans = "FileScan parquet".r.findAllIn(finalPlan).length
       assert(nScans === 2, s"$name executed $nScans document scans:\n$finalPlan")
     }
+  }
+
+  test("incremental ingest dedup scans each input once: batch exchange reused across BOTH joins") {
+    // the batch side appears three times (both sides of the self-join +
+    // the probe side of the corpus join) but its identical banded
+    // exchange is computed once and reused — the final plan holds ONE
+    // batch scan + ONE corpus scan (an old-old self-join would show as
+    // an extra scan + pair explosion)
+    val df = SparkEntry.queries("q_dedup_incremental")(spark,
+      "/root/testdata/sf0.001")
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+    val nScans = "FileScan parquet".r.findAllIn(finalPlan).length
+    assert(nScans === 2, s"executed $nScans document scans:\n$finalPlan")
   }
 }
 
