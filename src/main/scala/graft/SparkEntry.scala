@@ -543,6 +543,11 @@ object SparkEntry {
       Similarity.kmeansAudit(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = 4, iters = 2, salt = "km1")),
 
+    // ---- bigram LM with stupid backoff: the context-aware twin of
+    //      q_perplexity ----
+    "q_lm_bigram" -> ((s, dir) =>
+      TextStats.lmScoreBigram(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- Gopher-style hard quality rules: per-rule metrics + keep.
     //      minStopwords = 1 because the synthetic corpus's function-word
     //      vocabulary is {the, a} — the default 2 (the published rule)
@@ -1219,6 +1224,33 @@ object SparkEntry {
         |  round(pow(2, log2(n) - avg(log2(tf))), 6) AS perplexity
         |FROM tok LEFT JOIN tf USING (w), n
         |GROUP BY doc_id, n""".stripMargin,
+    // Bigram counts, per-context sums and unigram counts are exact
+    // integers; the only float work is the per-doc average of log2
+    // ratios (round 6, same accepted avg-order tolerance as
+    // q_perplexity). λ = 0.4 cast to DOUBLE against decimal drift; the
+    // backoff branch cannot fire on a self-corpus replay but its types
+    // are pinned anyway (a frozen-corpus unit test exercises it).
+    "q_lm_bigram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS a, t[i+1] AS b
+        |       FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |btf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM btf GROUP BY 1),
+        |utf AS (SELECT w, CAST(count(*) AS BIGINT) AS cb
+        |        FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+        |n AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM utf),
+        |sc AS (SELECT bg.doc_id,
+        |         CASE WHEN btf.cab IS NOT NULL THEN log2(CAST(btf.cab AS DOUBLE) / ctx.ca)
+        |              WHEN utf.cb IS NOT NULL
+        |                THEN log2(CAST(0.4 AS DOUBLE) * utf.cb / n.n)
+        |              ELSE NULL END AS lp
+        |       FROM bg LEFT JOIN btf USING (a, b) LEFT JOIN ctx USING (a)
+        |         LEFT JOIN utf ON bg.b = utf.w, n),
+        |agg AS (SELECT doc_id, CAST(count(lp) AS BIGINT) AS n_bigrams, -avg(lp) AS h
+        |        FROM sc GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(h, 6) AS cross_entropy, round(pow(2, h), 6) AS perplexity
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
     // The CASE weights are cast to DOUBLE (DuckDB decimal literals would
     // type-drift the result); fraction = least(1, target/avail) is a
     // single double division in both engines.

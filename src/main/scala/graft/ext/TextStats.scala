@@ -252,6 +252,61 @@ object TextStats {
         round(pow(lit(2.0), col("__h")), 6).as("perplexity"))
   }
 
+  /** Bigram language-model scoring with stupid backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation") — the
+    * context-aware upgrade of [[lmScore]]: each adjacent token pair is
+    * scored log2 of c(a,b)/c(a·) when the LM corpus saw the bigram, and
+    * log2 of λ·c(b)/N (backoff to the unigram, λ = 0.4 per the paper)
+    * when it saw only the continuation token; pairs whose continuation
+    * is fully OOV are dropped from the average (unsmoothed, like
+    * [[lmScore]]). Repetitive/templated text scores LOW, disfluent
+    * token-salad HIGH even when its unigrams are common — the signal
+    * unigram perplexity cannot see.
+    *
+    * Shape at 100 TB: three corpus-derived tables — bigram counts
+    * (bigram-type-sized), their per-context sums (vocabulary-sized), and
+    * unigram counts (vocabulary-sized) — each a grouped agg whose join
+    * back broadcasts under AQE, N a 1-row broadcast; then one
+    * per-document aggregation. Docs with no bigram (≤1 token) come back
+    * with `n_bigrams` 0 and null scores rather than vanishing.
+    */
+  def lmScoreBigram(df: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame = null, lambda: Double = 0.4): DataFrame = {
+    val corpus = Option(lmCorpus).getOrElse(df)
+    def bigrams(d: DataFrame, keep: Seq[Column]): DataFrame = {
+      val toks = split(col(textCol), " ")
+      // guard: Spark's sequence(1, 0) DESCENDS instead of being empty
+      val pairs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("a"),
+            element_at(toks, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      d.select(keep :+ explode(pairs).as("__bg"): _*)
+        .select(keep :+ col("__bg.a").as("a") :+ col("__bg.b").as("b"): _*)
+    }
+    val cab = bigrams(corpus, Nil).groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("__cab"))
+    val ctx = cab.groupBy(col("a")).agg(sum(col("__cab")).as("__ca"))
+    val uni = corpus.select(explode(split(col(textCol), " ")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("__cb"))
+    val total = uni.agg(sum(col("__cb")).as("__n"))
+    val perDoc = bigrams(df, Seq(col(idCol)))
+      .join(cab, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .join(uni, Seq("b"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp",
+        when(col("__cab").isNotNull, log2(col("__cab") / col("__ca")))
+          .otherwise(log2(lit(lambda) * col("__cb") / col("__n"))))
+      .groupBy(col(idCol))
+      .agg(count(col("__lp")).as("n_bigrams"), (-avg(col("__lp"))).as("__h"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__h"), 6).as("cross_entropy"),
+        round(pow(lit(2.0), col("__h")), 6).as("perplexity"))
+  }
+
   /** The full pretraining-corpus curation pipeline as ONE composed plan:
     * exact dedup after normalization (fingerprint → keep min id per
     * fingerprint), quality scoring, language-ID, then the survivor

@@ -421,6 +421,30 @@ class TextStatsSpec extends SparkSpec {
     assert(r(1).isNullAt(r(1).fieldIndex("perplexity")))
   }
 
+  test("lmScoreBigram: seen bigrams use context counts, unseen back off, OOV drops") {
+    // frozen LM corpus: bigrams (a,b)x2, (b,a), (a,c); ctx a=3, b=1;
+    // unigrams a=3, b=2, c=1, N=6
+    val frozen = Seq((100L, "a b a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),     // seen: lp = log2(2/3)
+      (2L, "b c"),     // unseen bigram, c in vocab: lp = log2(0.4 * 1/6)
+      (3L, "a zz"),    // continuation OOV -> dropped -> 0 scored, null h
+      (4L, "solo"))    // no bigram at all -> kept with n_bigrams 0
+      .toDF("doc_id", "text")
+    val r = TextStats.lmScoreBigram(docs, "doc_id", "text", frozen)
+      .orderBy("doc_id").collect()
+    assert(r.length === 4)
+    assert(r(0).getAs[Long]("n_bigrams") === 1L)
+    assert(r(0).getAs[Double]("cross_entropy") ===
+      math.rint(-math.log(2.0 / 3) / math.log(2) * 1e6) / 1e6)
+    assert(r(1).getAs[Long]("n_bigrams") === 1L)
+    assert(r(1).getAs[Double]("cross_entropy") ===
+      math.rint(-math.log(0.4 / 6) / math.log(2) * 1e6) / 1e6)
+    assert(r(2).getAs[Long]("n_bigrams") === 0L)
+    assert(r(2).isNullAt(r(2).fieldIndex("perplexity")))
+    assert(r(3).getAs[Long]("n_bigrams") === 0L)
+  }
+
   test("gopherFilter: per-rule metrics and the composite keep flag") {
     val good = (Seq("the", "of") ++ Seq.fill(58)("word")).mkString(" ")
     val short = "the of tiny doc"
