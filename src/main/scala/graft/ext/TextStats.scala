@@ -263,41 +263,50 @@ object TextStats {
     * token-salad HIGH even when its unigrams are common — the signal
     * unigram perplexity cannot see.
     *
-    * Shape at 100 TB: three corpus-derived tables — bigram counts
-    * (bigram-type-sized), their per-context sums (vocabulary-sized), and
-    * unigram counts (vocabulary-sized) — each a grouped agg whose join
-    * back broadcasts under AQE, N a 1-row broadcast; then one
-    * per-document aggregation. Docs with no bigram (≤1 token) come back
-    * with `n_bigrams` 0 and null scores rather than vanishing.
+    * Shape at 100 TB: the per-bigram log-score is precomputed on the
+    * bigram TYPE table (bigram counts joined with their per-context sums
+    * — a type-sized join whose groupBy exchange is reused across both
+    * sides), so the corpus-sized document stream takes exactly TWO
+    * lookup joins — the seen-bigram score on (a, b) and the backoff
+    * unigram on b, both against tables that broadcast under AQE — plus a
+    * 1-row broadcast for N; then one per-document aggregation. Docs with
+    * no bigram (≤1 token) come back with `n_bigrams` 0 and null scores
+    * rather than vanishing.
     */
   def lmScoreBigram(df: DataFrame, idCol: String, textCol: String,
       lmCorpus: DataFrame = null, lambda: Double = 0.4): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     val corpus = Option(lmCorpus).getOrElse(df)
-    def bigrams(d: DataFrame, keep: Seq[Column]): DataFrame = {
-      val toks = split(col(textCol), " ")
-      // guard: Spark's sequence(1, 0) DESCENDS instead of being empty
-      val pairs = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("a"),
-            element_at(toks, i + 1).as("b"))))
-        .otherwise(array().cast("array<struct<a:string,b:string>>"))
-      d.select(keep :+ explode(pairs).as("__bg"): _*)
-        .select(keep :+ col("__bg.a").as("a") :+ col("__bg.b").as("b"): _*)
-    }
-    val cab = bigrams(corpus, Nil).groupBy(col("a"), col("b"))
+    // bigram = 2-shingle WITH multiplicity via the codegen kernel; the
+    // shingle string "a b" IS the (a, b) join key (tokens are space-split
+    // so the single interior space is unambiguous) — one string key, no
+    // per-pair struct allocation (the HOF formulation this replaces was
+    // allocation-bound like the pre-kernel jaccard path)
+    def grams(d: DataFrame, keep: Seq[Column], k: Int, as: String): DataFrame =
+      d.select(keep :+ explode(call_function(
+        graft.plans.GraftFunctions.ShingleStringsAllName,
+        col(textCol), lit(k))).as(as): _*)
+    val cab = grams(corpus, Nil, 2, "__s").groupBy(col("__s"))
       .agg(count(lit(1)).as("__cab"))
-    val ctx = cab.groupBy(col("a")).agg(sum(col("__cab")).as("__ca"))
-    val uni = corpus.select(explode(split(col(textCol), " ")).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("__cb"))
+      .hint("shuffle_hash")
+    val ctx = cab
+      .groupBy(substring_index(col("__s"), " ", 1).as("__a"))
+      .agg(sum(col("__cab")).as("__ca"))
+    val lpSeen = cab
+      .withColumn("__a", substring_index(col("__s"), " ", 1))
+      .join(ctx, Seq("__a"))
+      .select(col("__s"), log2(col("__cab") / col("__ca")).as("__lp_seen"))
+    val uni = grams(corpus, Nil, 1, "__b").groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cb"))
     val total = uni.agg(sum(col("__cb")).as("__n"))
-    val perDoc = bigrams(df, Seq(col(idCol)))
-      .join(cab, Seq("a", "b"), "left")
-      .join(ctx, Seq("a"), "left")
-      .join(uni, Seq("b"), "left")
+    val perDoc = grams(df, Seq(col(idCol)), 2, "__s")
+      .join(lpSeen, Seq("__s"), "left")
+      .withColumn("__b", substring_index(col("__s"), " ", -1))
+      .join(uni, Seq("__b"), "left")
       .crossJoin(broadcast(total))
       .withColumn("__lp",
-        when(col("__cab").isNotNull, log2(col("__cab") / col("__ca")))
-          .otherwise(log2(lit(lambda) * col("__cb") / col("__n"))))
+        coalesce(col("__lp_seen"),
+          log2(lit(lambda) * col("__cb") / col("__n"))))
       .groupBy(col(idCol))
       .agg(count(col("__lp")).as("n_bigrams"), (-avg(col("__lp"))).as("__h"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")

@@ -119,6 +119,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val ShingleName = "graft_shingle_hashes"
   val ShingleStringsName = "graft_shingle_strings"
+  val ShingleStringsAllName = "graft_shingle_strings_all"
   val SimHashName = "graft_simhash64"
   val BloomAggName = "graft_bloom_agg"
   val BloomMightContainName = "graft_bloom_might_contain"
@@ -154,6 +155,10 @@ object GraftFunctions {
     (ShingleStringsName, classOf[ShingleStrings], (children: Seq[Expression]) => {
       arity(ShingleStringsName, 2, children)
       ShingleStrings(children(0), intLiteral(ShingleStringsName, children(1)))
+    }),
+    (ShingleStringsAllName, classOf[ShingleStringsAll], (children: Seq[Expression]) => {
+      arity(ShingleStringsAllName, 2, children)
+      ShingleStringsAll(children(0), intLiteral(ShingleStringsAllName, children(1)))
     }),
     (SimHashName, classOf[SimHash64], (children: Seq[Expression]) => {
       arity(SimHashName, 1, children)

@@ -137,6 +137,31 @@ object TextHashKernels {
       set.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Every k-token shingle of `text` in document order WITH multiplicity
+    * — the language-model counterpart of [[shingleStrings]] (which
+    * dedups): n-gram counting needs each occurrence. Same zero-copy
+    * token walk, no set.
+    */
+  def shingleStringsAll(text: UTF8String, k: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val (starts, n) = tokenStarts(base, off, text.numBytes)
+    val m = n - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      val s = starts(i)
+      val len = starts(i + k) - 1 - s
+      val bytes = new Array[Byte](len)
+      Platform.copyMemory(base, off + s, bytes, Platform.BYTE_ARRAY_OFFSET, len)
+      out(i) = UTF8String.fromBytes(bytes)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over the token multiset of `text`: per-token XXH64
     * (seed 42, bit-identical to `xxhash64(token)`), ±1 vote per bit,
     * sign → bit. Matches the 64-conditional-sum aggregation formulation
@@ -220,6 +245,32 @@ case class ShingleStrings(child: Expression, k: Int) extends UnaryExpression {
       s"graft.plans.TextHashKernels.shingleStrings($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_strings_all(text, k)`: every k-token shingle in order
+  * WITH multiplicity — [[ShingleStrings]] without the dedup, for n-gram
+  * COUNTING (language models) where each occurrence matters.
+  */
+case class ShingleStringsAll(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got ${child.dataType}")
+    else if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_strings_all"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.shingleStringsAll(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextHashKernels.shingleStringsAll($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStringsAll =
     copy(child = newChild)
 }
 
