@@ -816,6 +816,20 @@ object SparkEntry {
         k = 10, nProbe = 2)
     }),
 
+    // ---- batch ANN: top-10 for BOTH query points in one plan — one
+    //      scan pruned to the union of probed buckets, per-query rank
+    //      window; the batch-inference shape of an ANN service ----
+    "q_ann_batch" -> ((s, dir) => {
+      val (path, _) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
+      val qvs = Tables.embeddings(s, dir)
+        .filter(col("vec_id").isin(0L, 7L))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq.sortBy(_._1)
+      Similarity.ivfProbeBatch(s, path, "vec_id", "embedding", qvs,
+        k = 10, nProbe = 2)
+    }),
+
     // ---- ANN quality audit: recall@10 of the pruned IVF probe against
     //      the exact brute-force top-10 (query vector excluded on both
     //      sides) ----
@@ -1614,6 +1628,25 @@ object SparkEntry {
          |ORDER BY list_dot_product(a.v, qv)
          |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv)) DESC, a.vec_id
          |LIMIT 10""".stripMargin,
+    // The batch probe replayed: per-query probed buckets (rank over the
+    // shared trained quantizer, ties to the lower bucket), each corpus
+    // row scored only against the queries probing its bucket, per-query
+    // top-10 by rank — self excluded per query.
+    "q_ann_batch" ->
+      s"""$AsgCtes,
+         |q2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 7)),
+         |pb AS (SELECT qid, b FROM (
+         |    SELECT q2.qid, cent.b,
+         |      row_number() OVER (PARTITION BY q2.qid
+         |        ORDER BY ${ListCosSql("cent.c", "q2.qv")} DESC, cent.b) AS rn
+         |    FROM cent, q2) WHERE rn <= 2)
+         |SELECT qid, vec_id, ivf_bucket, cosine FROM (
+         |  SELECT q2.qid, a.vec_id, a.ivf_bucket,
+         |    round(${ListCosSql("a.v", "q2.qv")}, 6) AS cosine,
+         |    row_number() OVER (PARTITION BY q2.qid
+         |      ORDER BY ${ListCosSql("a.v", "q2.qv")} DESC, a.vec_id) AS rn
+         |  FROM asg a JOIN pb ON a.ivf_bucket = pb.b JOIN q2 ON pb.qid = q2.qid
+         |  WHERE a.vec_id <> q2.qid) WHERE rn <= 10""".stripMargin,
     // Recall@10 of the pruned probe vs the exact scan, self excluded on
     // both sides — the same CTE prefix as the layout oracle, so the two
     // replays can never drift.

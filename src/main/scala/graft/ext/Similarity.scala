@@ -305,6 +305,52 @@ object Similarity {
       .select(col(idCol), col("ivf_bucket"), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** Batch IVF probe: exact top-k for EVERY query vector in ONE plan —
+    * the batch-inference shape of an ANN service. Probed buckets are
+    * picked per query against the k-row quantizer (driver metadata, like
+    * [[ivfProbe]]); the layout is scanned ONCE, pruned at planning time
+    * to the UNION of all probed buckets, and each row is scored only
+    * against the queries that probed its bucket (broadcast join on
+    * `array_contains`). Per-query top-k is a rank window partitioned by
+    * the query id — it rides the pruned subset, so a batch of Q queries
+    * costs one pruned scan instead of Q. Ties break like [[ivfProbe]]:
+    * probe to the lower bucket, rank to the lower row id.
+    */
+  def ivfProbeBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, queries: Seq[(Long, Seq[Double])],
+      k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    require(queries.nonEmpty, "ivfProbeBatch: no query vectors")
+    val cents = spark.read.parquet(s"$path/_quantizer/part-*").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    def cos(v: Seq[Double], q: Seq[Double]): Double = {
+      val dot = v.zip(q).map { case (a, b) => a * b }.sum
+      dot / math.sqrt(v.map(x => x * x).sum * q.map(x => x * x).sum)
+    }
+    val rows = queries.map { case (qid, qv) =>
+      (qid, qv, cents.sortBy { case (b, v) => (-cos(v, qv), b) }
+        .take(nProbe).map(_._1).toSeq)
+    }
+    val allBuckets = rows.flatMap(_._3).distinct
+    import spark.implicits._
+    val qdf = rows.toDF("qid", "__qv", "__probed")
+    val scanned = spark.read.parquet(path)
+      .filter(col("ivf_bucket").isin(allBuckets: _*))
+    val self = if (excludeSelf) col(idCol) =!= col("qid") else lit(true)
+    scanned
+      .join(broadcast(qdf),
+        array_contains(col("__probed"), col("ivf_bucket")) && self)
+      .withColumn("__cos",
+        call_function(graft.plans.GraftFunctions.CosineName,
+          col(vecCol).cast("array<double>"), col("__qv")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("__cos").desc, col(idCol))))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("ivf_bucket"),
+        round(col("__cos"), 6).as("cosine"))
+  }
+
   /** One random-hyperplane component, derived from the portable md5
     * uniform (top 60 bits of md5("p|i|salt") / 2^60, mapped to [−1, 1)) —
     * deterministic and byte-reproducible in ANY engine that has md5, so

@@ -81,6 +81,37 @@ class IvfLayoutSpec extends SparkSpec {
     assert(two === withinProbed)
   }
 
+  test("ivfProbeBatch: one pruned scan, per-query results equal single probes") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = 8, iters = 2, salt = "batchspec"),
+      s"batch-spec-${System.nanoTime()}")
+    val qvs = emb.filter(col("vec_id").isin(0L, 7L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val batch = Similarity.ivfProbeBatch(spark, path, "vec_id", "embedding",
+      qvs, k = 10, nProbe = 2)
+    // exactly ONE pruned layout scan for the whole batch (final adaptive
+    // plan; the query reads nothing but the layout)
+    batch.collect()
+    val finalPlan = batch.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(finalPlan).length === 1, finalPlan)
+    assert(finalPlan.contains("PartitionFilters: [ivf_bucket"), finalPlan)
+    // per-query slices equal the single-query probe bit-for-bit
+    for ((qid, qv) <- qvs) {
+      val single = Similarity.ivfProbe(spark, path, "vec_id", "embedding",
+          qv, k = 10, nProbe = 2, excludeId = Some(qid))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val slice = batch.filter(col("qid") === qid)
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .select("vec_id", "ivf_bucket", "cosine")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(slice === single, s"query $qid")
+    }
+  }
+
   test("ensureIvfLayout builds once, reuses later, and skips re-training") {
     val emb = Tables.embeddings(spark, sf)
     val key = s"spec-reuse-${System.nanoTime()}"
