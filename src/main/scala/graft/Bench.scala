@@ -98,10 +98,17 @@ object Bench {
     // count, never an over-length line that truncates into unparseable
     // JSON. bench_detail.json always carries the complete map.
     val slowestFirst = results.sortBy { case (_, v) => -v.getOrElse(0.0) }
+    // last resort is CONSTANT-size (failed list replaced by its count):
+    // a mass-failure run grows the failed array with the registry, so
+    // even the zero-query line could otherwise exceed the budget and the
+    // fallback chain would find nothing to print
+    val lastResort =
+      s"""{"metric":"total","value":${sig(2)(total)},"unit":"sec","queries":{},"omitted":${results.size},"failed_n":${failed.size},"noise":${noiseJson(sig(2))},"sf":"$sfDir"}"""
     println((3 to 1 by -1).map(n => line(sig(n))).find(_.length <= 1900)
       .getOrElse((results.size to 0 by -1).iterator
         .map(k => line(sig(1), slowestFirst.take(k), results.size - k))
-        .find(_.length <= 1900).get))
+        .find(_.length <= 1900)
+        .getOrElse(lastResort)))
     spark.stop()
   }
 }

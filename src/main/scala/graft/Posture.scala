@@ -80,17 +80,23 @@ object Posture {
 
     val results = families.map { case (name, f) =>
       val runs = corpora.map { case (lbl, d) =>
-        metrics.reset()
         // min of 3 timed runs: the host shows multi-ten-second stalls
-        // that land on random queries (same defense as graft.Bench)
+        // that land on random queries (same defense as graft.Bench).
+        // Metrics reset per run and report the MAX single-run peak/spill
+        // — a sum across runs would triple-count, and the 1 s listener
+        // drain (best-effort: very late TaskEnd events can still slip
+        // into the next run's window) rides each run boundary.
         var pairs = 0L
-        val sec = (1 to 3).map { _ =>
+        val samples = (1 to 3).map { _ =>
+          metrics.reset()
           val t0 = System.nanoTime()
           pairs = f(d).count()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        val (peak, spill) = metrics.snapshot()
-        lbl -> (pairs, sec, peak, spill)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (peak, spill) = metrics.snapshot()
+          (sec, peak, spill)
+        }
+        lbl -> (pairs, samples.map(_._1).min,
+          samples.map(_._2).max, samples.map(_._3).max)
       }.toMap
       // quadratic-leakage probe: shards share zero shingles, so any pair
       // that CROSSES a shard boundary is a random collision that survived

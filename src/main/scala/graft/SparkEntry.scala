@@ -64,27 +64,33 @@ object SparkEntry {
     * oracle replay below, so recipe and replay can never drift.
     */
   private val IvfK = 8
+  private val IvfIters = 2 // LloydCtes unrolls exactly this many rounds
   private val IvfSalt = "ivf1"
 
-  /** Build-once physical IVF layout + query-point lookup, shared by the
-    * `q_ann_ivf*` / `q_ann_recall` registrations — one cache key format,
-    * so every probe and the recall audit hit the SAME index. The
-    * quantizer argument is by-name: training runs only on a cache miss.
-    * The query-vector collect is one pushed-down row, the ANN query
-    * argument.
+  /** Build-once physical IVF layout, shared by every ANN registration —
+    * one cache key format (derived from the quantizer config constants,
+    * so a config change can never probe a stale layout), quantizer
+    * by-name: training runs only on a cache miss.
+    */
+  private def ivfLayout(s: SparkSession, dir: String): String = {
+    val emb = Tables.embeddings(s, dir)
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = IvfK, iters = IvfIters, salt = IvfSalt),
+      s"$dir:${src.length}:${src.lastModified}:km${IvfK}x$IvfIters:$IvfSalt")
+  }
+
+  /** [[ivfLayout]] plus one query-point lookup (a pushed-down 1-row
+    * collect — the ANN query argument).
     */
   private def ivfLayoutAndQuery(s: SparkSession, dir: String,
       queryVecId: Long): (String, Seq[Double]) = {
-    val emb = Tables.embeddings(s, dir)
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
-      Similarity.trainQuantizer(emb, "vec_id", "embedding",
-        k = IvfK, iters = 2, salt = IvfSalt),
-      s"$dir:${src.length}:${src.lastModified}:km${IvfK}x2:$IvfSalt")
-    val qv = emb.filter(col("vec_id") === queryVecId)
+    val qv = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === queryVecId)
       .select(col("embedding").cast("array<double>"))
       .collect().head.getSeq[Double](0)
-    (path, qv)
+    (ivfLayout(s, dir), qv)
   }
 
   /** The Lloyd k-means replay (deterministic md5-draw seeds, two unrolled
@@ -700,7 +706,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.semanticDupPairs(emb, "vec_id", "embedding",
         Similarity.trainQuantizer(emb, "vec_id", "embedding",
-          k = IvfK, iters = 2, salt = IvfSalt), threshold = 0.3)
+          k = IvfK, iters = IvfIters, salt = IvfSalt), threshold = 0.3)
     }),
 
     // ---- stop-gram audit: doc frequencies of shingles shared by >1 doc
@@ -820,7 +826,7 @@ object SparkEntry {
     //      scan pruned to the union of probed buckets, per-query rank
     //      window; the batch-inference shape of an ANN service ----
     "q_ann_batch" -> ((s, dir) => {
-      val (path, _) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
+      val path = ivfLayout(s, dir)
       val qvs = Tables.embeddings(s, dir)
         .filter(col("vec_id").isin(0L, 7L))
         .select(col("vec_id"), col("embedding").cast("array<double>"))

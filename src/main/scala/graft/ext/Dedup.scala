@@ -491,8 +491,13 @@ object Dedup {
     val shSet = call_function(
       graft.plans.GraftFunctions.ShingleStringsName, textCol, lit(k))
     (0 until nPerms / 2).flatMap { j =>
-      def mins(from: Int) = array_min(transform(shSet,
-        s => substring(md5(concat(s, lit(s"|$j"))), from, 15)))
+      // md5 once per shingle, substring twice: the full-hash transform is
+      // the IDENTICAL subtree of both minima, so codegen's common-
+      // subexpression elimination evaluates it once (substring-inside-
+      // the-lambda would make the two subtrees differ and double the md5)
+      val hashes = transform(shSet, s => md5(concat(s, lit(s"|$j"))))
+      def mins(from: Int) =
+        array_min(transform(hashes, h => substring(h, from, 15)))
       Seq(mins(1).as(s"sig_${2 * j}"), mins(17).as(s"sig_${2 * j + 1}"))
     }
   }

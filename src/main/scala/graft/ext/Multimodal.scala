@@ -110,9 +110,13 @@ object Multimodal {
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
       it.map { r =>
+        // NonFatal, not just IOException: ImageIO throws unchecked
+        // exceptions on malformed-but-signature-valid payloads (e.g.
+        // corrupt header dimensions), and the quarantine contract must
+        // hold for those too
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) ImageFeatures(r.doc_id, decoded = false, None, None, None)
         else ImageFeatures(r.doc_id, decoded = true,
           Some(img.getWidth), Some(img.getHeight),

@@ -276,23 +276,36 @@ object Similarity {
     * at planning: the scan's PartitionFilters carry it and unprobed
     * directories are never listed into the plan.
     */
+  /** The k-row quantizer beside a layout, read back as driver metadata.
+    * Globs the part files: naming the underscore-prefixed sidecar dir
+    * itself would trip Spark's hidden-path filter (warning + skip on
+    * some code paths); completeness is gated by [[ensureIvfLayout]] on
+    * the sidecar's own _SUCCESS.
+    */
+  private def readQuantizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Seq[Double])] =
+    spark.read.parquet(s"$path/_quantizer/part-*").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+
+  private def driverCos(v: Seq[Double], q: Seq[Double]): Double = {
+    val dot = v.zip(q).map { case (a, b) => a * b }.sum
+    dot / math.sqrt(v.map(x => x * x).sum * q.map(x => x * x).sum)
+  }
+
+  /** The `nProbe` buckets nearest a query vector — ties break to the
+    * lower bucket id, mirroring the oracle's ORDER BY. ONE definition for
+    * single and batch probes, so their selections can never diverge.
+    */
+  private def probeBuckets(cents: Array[(Int, Seq[Double])],
+      qv: Seq[Double], nProbe: Int): Seq[Int] =
+    cents.sortBy { case (b, v) => (-driverCos(v, qv), b) }
+      .take(nProbe).map(_._1).toSeq
+
   def ivfProbe(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, queryVec: Seq[Double], k: Int,
       nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    // glob the part files: naming the underscore-prefixed sidecar dir
-    // itself would trip Spark's hidden-path filter (warning + skip on
-    // some code paths); completeness is gated by ensureIvfLayout on the
-    // sidecar's own _SUCCESS
-    val cents = spark.read.parquet(s"$path/_quantizer/part-*").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-    def cos(v: Seq[Double]): Double = {
-      val dot = v.zip(queryVec).map { case (a, b) => a * b }.sum
-      dot / math.sqrt(v.map(x => x * x).sum * queryVec.map(x => x * x).sum)
-    }
-    // ties break to the lower bucket id, mirroring the oracle's ORDER BY
-    val probed = cents.sortBy { case (b, v) => (-cos(v), b) }
-      .take(nProbe).map(_._1)
+    val probed = probeBuckets(readQuantizer(spark, path), queryVec, nProbe)
     val qLit = array(queryVec.map(lit): _*)
     val scanned = spark.read.parquet(path)
       .filter(col("ivf_bucket").isin(probed.toIndexedSeq: _*))
@@ -321,15 +334,9 @@ object Similarity {
       k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     require(queries.nonEmpty, "ivfProbeBatch: no query vectors")
-    val cents = spark.read.parquet(s"$path/_quantizer/part-*").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-    def cos(v: Seq[Double], q: Seq[Double]): Double = {
-      val dot = v.zip(q).map { case (a, b) => a * b }.sum
-      dot / math.sqrt(v.map(x => x * x).sum * q.map(x => x * x).sum)
-    }
+    val cents = readQuantizer(spark, path)
     val rows = queries.map { case (qid, qv) =>
-      (qid, qv, cents.sortBy { case (b, v) => (-cos(v, qv), b) }
-        .take(nProbe).map(_._1).toSeq)
+      (qid, qv, probeBuckets(cents, qv, nProbe))
     }
     val allBuckets = rows.flatMap(_._3).distinct
     import spark.implicits._
