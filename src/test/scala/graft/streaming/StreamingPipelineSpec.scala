@@ -188,4 +188,44 @@ class StreamingPipelineSpec extends SparkSpec {
         .filter(col("doc_id") === 10L).count() === 8L)
     } finally q.stop()
   }
+
+  test("streaming semantic dedup: trained-cluster assignment runs stateless on a stream") {
+    // assignBuckets is a literal-centroid narrow projection, so the
+    // SemDeDup candidate generator drops into a stream unchanged: assign
+    // the stream row, stream-static join the pre-assigned corpus on the
+    // cluster, exact cosine within — no state, no watermark
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.95f, 0.05f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainQuantizer(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, salt = "t")
+    val staticAsg = Similarity.assignBuckets(corpus, "embedding", cents, "b")
+      .select(col("vec_id").as("corpus_id"),
+        col("embedding").cast("array<double>").as("cv"), col("b"))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val streamAsg = Similarity.assignBuckets(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", cents, "b")
+    val flagged = streamAsg
+      .join(staticAsg, Seq("b"))
+      .withColumn("cos", Similarity.cosine(
+        col("embedding").cast("array<double>"), col("cv")))
+      .filter(col("cos") > 0.9)
+      .select(col("vec_id"), col("corpus_id"))
+    val q = flagged.writeStream
+      .format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, Array(0.97f, 0.03f, 0.0f)), // semantic dup of cluster A
+        (11L, Array(0.0f, 0.0f, 1.0f)))   // novel direction
+      q.processAllAvailable()
+      val hits = spark.table("semdedup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits === Set((10L, 1L), (10L, 3L))) // flags BOTH cluster-A members
+    } finally q.stop()
+  }
 }
