@@ -42,10 +42,15 @@ object Posture {
     def reset(): Unit = { Thread.sleep(1000); peakTaskMem = 0L; spilledBytes = 0L }
   }
 
-  private def tenX(base: DataFrame): DataFrame =
+  /** `stride` must exceed every base doc_id so shard id ranges stay
+    * disjoint — derived from the observed max in main(), not assumed,
+    * because SPARK_GRAFT_SF_DIR is env-configurable and an overlap would
+    * silently invalidate the cross_shard_pairs==0 probe.
+    */
+  private def tenX(base: DataFrame, stride: Long): DataFrame =
     (1 until 10).map { s =>
       base.select(
-        (col("doc_id") + lit(s * 1000000L)).as("doc_id"),
+        (col("doc_id") + lit(s * stride)).as("doc_id"),
         array_join(
           transform(split(col("text"), " "), w => concat(w, lit(s"_$s"))),
           " ").as("text"))
@@ -59,10 +64,12 @@ object Posture {
     spark.sparkContext.addSparkListener(metrics)
 
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val stride = math.max(1000000L,
+      base.agg(max(col("doc_id"))).head.getLong(0) + 1L)
     val scratch = java.nio.file.Files.createTempDirectory("graft_posture")
     val paths = Seq("1x" -> s"$scratch/docs1x", "10x" -> s"$scratch/docs10x")
     base.write.mode("overwrite").parquet(paths.head._2)
-    tenX(base).write.mode("overwrite").parquet(paths(1)._2)
+    tenX(base, stride).write.mode("overwrite").parquet(paths(1)._2)
 
     val families: Seq[(String, DataFrame => DataFrame)] = Seq(
       "minhash_lsh" -> (d =>
@@ -106,7 +113,7 @@ object Posture {
       // threshold-crossers differ per shard — a corpus property the
       // q_simhash_audit / q_minhash_estimate queries exist to tune.)
       val cross = f(corpora.toMap.apply("10x"))
-        .filter(floor(col("d1") / 1000000L) =!= floor(col("d2") / 1000000L))
+        .filter(floor(col("d1") / stride) =!= floor(col("d2") / stride))
         .count()
       val (p1, s1, m1, sp1) = runs("1x")
       val (p10, s10, m10, sp10) = runs("10x")

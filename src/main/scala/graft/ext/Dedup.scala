@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * band / chunk), so the only shuffles are hash-partitioned on those keys
   * and the pair set is proportional to true collisions, not n².
   */
+/** Raised when [[Dedup.connectedComponents]] fails to converge within its
+  * round budget — the pair graph's diameter exceeds `maxIters`, which a
+  * legitimately chainy near-dup corpus can do. Distinct from
+  * `IllegalArgumentException` (a usage error) so callers of
+  * [[Dedup.resolveByComponents]] can catch it and retry with a larger
+  * `maxIters` instead of treating it as a bug.
+  */
+final class ConvergenceException(msg: String) extends RuntimeException(msg)
+
 object Dedup {
 
   /** One-row exact-duplication summary over a content hash
@@ -162,8 +171,10 @@ object Dedup {
     * pairs) is computed exactly once, not once per round. Rounds needed =
     * the diameter of the largest cluster — near-dup clusters are dense,
     * so a handful in practice; `maxIters` bounds the pathological path
-    * graph and a non-converged exit raises rather than returning a
-    * half-propagated labeling. The per-round convergence check is a 1-row
+    * graph and a non-converged exit raises [[ConvergenceException]]
+    * (retry with a larger `maxIters` for chainy corpora) rather than
+    * returning a half-propagated labeling or masquerading as a usage
+    * error. The per-round convergence check is a 1-row
     * driver action — the same metadata-sized eager pattern as the index
     * builds. Batch-only.
     */
@@ -195,8 +206,10 @@ object Dedup {
       labels = next.select(col("id"), col("component"))
       round += 1
     }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIters rounds")
+    if (changed != 0) throw new ConvergenceException(
+      s"connectedComponents did not converge in $maxIters rounds — the " +
+        "pair graph has a cluster of diameter > maxIters; retry with a " +
+        "larger maxIters (cost is one join+agg per extra round)")
     labels
   }
 
@@ -453,7 +466,12 @@ object Dedup {
     val batchCorpus = nb.as("a")
       .join(ob.as("b"),
         col("a.band") === col("b.band")
-          && col("a.band_key") === col("b.band_key"))
+          && col("a.band_key") === col("b.band_key")
+          // ids must be disjoint across batch and corpus (callers own id
+          // allocation); this inequality costs nothing on the hash join
+          // and keeps an accidental overlap from reporting a document as
+          // its own corpus near-dup
+          && col(s"a.$idCol") =!= col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
       .withColumn("against", lit("corpus"))
@@ -473,11 +491,11 @@ object Dedup {
       idCol, nPerms, rowsPerBand, comps => concat_ws("|", comps: _*),
       maxBucket)
 
-  /** Per-ROW portable MinHash signature columns — the streaming-safe twin
-    * of [[minhashSignaturesPortable]]: each permutation minimum is taken
-    * over the document's own distinct shingle array (the
-    * [[graft.plans.ShingleStrings]] kernel) inside ONE narrow stateless
-    * projection, so it runs in a streaming micro-batch with no
+  /** Per-ROW portable MinHash signatures (`keepCols` + `sig_0..sig_{n-1}`)
+    * — the streaming-safe twin of [[minhashSignaturesPortable]]: each
+    * permutation minimum is taken over the document's own distinct
+    * shingle array (the [[graft.plans.ShingleStrings]] kernel) in narrow
+    * stateless projections, so it runs in a streaming micro-batch with no
     * aggregation, no watermark and no state. Values are identical to the
     * grouped form by construction (same distinct shingle set, same salted
     * md5, same minimum — parity pinned in `DedupSpec`); a document too
@@ -486,20 +504,39 @@ object Dedup {
     * exploded hashes feed the shuffle directly instead of materializing
     * per-row hash arrays.
     */
-  def minhashSigColumns(textCol: Column, k: Int, nPerms: Int): Seq[Column] = {
+  def withMinhashSigs(df: DataFrame, keepCols: Seq[String], textCol: Column,
+      k: Int, nPerms: Int): DataFrame = {
     require(nPerms % 2 == 0, "nPerms must be even (two 60-bit hashes per md5)")
-    val shSet = call_function(
+    val keep = keepCols.map(col)
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    // Three staged projections so single-md5-per-shingle holds
+    // STRUCTURALLY, with no reliance on codegen common-subexpression
+    // elimination (interpreted fallback used to pay the md5 twice):
+    //   1. shingle kernel once into __sh;
+    //   2. per permutation pair j, ONE md5 pass — both minima fold in one
+    //      aggregate() whose lambda reads the bound hash variable twice
+    //      (a variable read, never a re-evaluation);
+    //   3. unpack the (m1, m2) structs into sig_{2j}, sig_{2j+1}.
+    // CollapseProject keeps the stages apart: it only inlines expressions
+    // that are cheap or referenced once, and __sh / __p_j are neither.
+    val sentinel = lit("g") // sorts after every 15-char lowercase-hex string
+    val withSh = df.select(keep :+ call_function(
       graft.plans.GraftFunctions.ShingleStringsName, textCol, lit(k))
-    (0 until nPerms / 2).flatMap { j =>
-      // md5 once per shingle, substring twice: the full-hash transform is
-      // the IDENTICAL subtree of both minima, so codegen's common-
-      // subexpression elimination evaluates it once (substring-inside-
-      // the-lambda would make the two subtrees differ and double the md5)
-      val hashes = transform(shSet, s => md5(concat(s, lit(s"|$j"))))
-      def mins(from: Int) =
-        array_min(transform(hashes, h => substring(h, from, 15)))
-      Seq(mins(1).as(s"sig_${2 * j}"), mins(17).as(s"sig_${2 * j + 1}"))
-    }
+      .as("__sh"): _*)
+    val staged = withSh.select(keep ++ (0 until nPerms / 2).map { j =>
+      when(size(col("__sh")) > 0,
+        aggregate(
+          transform(col("__sh"), s => md5(concat(s, lit(s"|$j")))),
+          struct(sentinel.as("m1"), sentinel.as("m2")),
+          (acc, h) => struct(
+            least(acc.getField("m1"), substring(h, 1, 15)).as("m1"),
+            least(acc.getField("m2"), substring(h, 17, 15)).as("m2"))))
+        .as(s"__p_$j")
+    }: _*)
+    staged.select(keep ++ (0 until nPerms / 2).flatMap { j =>
+      Seq(col(s"__p_$j").getField("m1").as(s"sig_${2 * j}"),
+        col(s"__p_$j").getField("m2").as(s"sig_${2 * j + 1}"))
+    }: _*)
   }
 
   /** Flag STREAM documents that near-duplicate an existing corpus: the
@@ -515,9 +552,8 @@ object Dedup {
   def streamingCorpusCollisions(stream: DataFrame, bandIndex: DataFrame,
       idCol: String, textCol: String, k: Int, nPerms: Int,
       rowsPerBand: Int): DataFrame = {
-    graft.plans.GraftFunctions.register(stream.sparkSession)
-    val streamBands = stream
-      .select(col(idCol) +: minhashSigColumns(col(textCol), k, nPerms): _*)
+    val streamBands = withMinhashSigs(stream, Seq(idCol), col(textCol),
+        k, nPerms)
       .filter(col("sig_0").isNotNull) // shingle-less docs match nothing
       .select(col(idCol), explode(array(bandStructs(nPerms, rowsPerBand,
         comps => concat_ws("|", comps: _*)): _*)).as("bb"))

@@ -147,10 +147,11 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
-    // non-convergence inside the bound raises instead of returning a
+    // non-convergence inside the bound raises the dedicated exception
+    // (distinguishable from a usage error) instead of returning a
     // half-propagated labeling
     val long = (1L until 30L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[graft.ext.ConvergenceException] {
       Dedup.connectedComponents(long, maxIters = 3)
     }
     assert(e.getMessage.contains("did not converge"))
@@ -183,12 +184,36 @@ class DedupSpec extends SparkSpec {
     // exact pair (1,2) is NEVER emitted — that work was done at ingest
     assert(!byKind.contains("batch"))
     assert(!cands.exists(r => r.getLong(0) <= 3L))
+    // an id that (wrongly) appears on both sides must not be reported as
+    // its own corpus near-dup — the join's id-inequality guard holds even
+    // when callers violate the disjoint-id contract
+    val overlap = Dedup.incrementalMinhashCandidates(
+        batch, batch.limit(1), "doc_id", "text",
+        k = 5, nPerms = 16, rowsPerBand = 2)
+      .collect()
+    assert(!overlap.exists(r => r.getLong(0) == r.getLong(1)))
   }
 
-  test("minhashSigColumns (per-row, streaming-safe) matches the grouped signatures") {
-    graft.plans.GraftFunctions.register(spark)
-    val perRow = docs.select(col("doc_id") +:
-        Dedup.minhashSigColumns(col("text"), k = 5, nPerms = 16): _*)
+  test("withMinhashSigs (per-row, streaming-safe) matches the grouped signatures") {
+    val sigs = Dedup.withMinhashSigs(docs, Seq("doc_id"), col("text"),
+      k = 5, nPerms = 16)
+    // single-md5-per-shingle is structural: CollapseProject must NOT have
+    // inlined the per-pair fold into both sig columns (that would double
+    // the md5 pass exactly when codegen CSE is unavailable) — one
+    // aggregate() per permutation PAIR survives optimization, not one per
+    // signature column
+    // plan pin on a non-local child (ConvertToLocalRelation folds the
+    // whole projection away over a LocalRelation, hiding the shape)
+    val planPin = Dedup.withMinhashSigs(docs.repartition(2), Seq("doc_id"),
+      col("text"), k = 5, nPerms = 16)
+    val nFolds = planPin.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.map(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.ArrayAggregate => a
+        }.size).sum
+    }.sum
+    assert(nFolds === 8, s"expected 8 per-pair folds, saw $nFolds")
+    val perRow = sigs
       .filter(col("sig_0").isNotNull)
       .orderBy("doc_id").collect().map(_.toSeq)
     val grouped = Dedup.minhashSignaturesPortable(docs, "doc_id", "text",
