@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.Dedup
@@ -123,12 +123,80 @@ object Posture {
          |    "spill_mb_1x": ${sp1 / 1048576}, "spill_mb_10x": ${sp10 / 1048576}}""".stripMargin
     }
 
+    // ---- simhash growth audit --------------------------------------
+    // The r7 artifact showed simhash pair growth of ~40x on 10x data and
+    // ASSERTED "per-shard threshold re-rolls" as the cause. This section
+    // shows it: every 10x pair is classified as base-replicated (its
+    // (d1 mod stride, d2 mod stride) twin is a 1x pair — shard 0 is the
+    // unsalted base, so these grow exactly linearly) or re-rolled (token
+    // salting moved a base-corpus >maxDist pair under the threshold in
+    // that shard). If re-rolls explain the excess, their hamming mass
+    // sits at the threshold edge, not at 0 — genuine duplicates don't
+    // appear from salting.
+    def simPairs(d: DataFrame) = Dedup.simhashCandidates(
+      Dedup.simhashPortable(d, "doc_id", "text"), "doc_id", maxDist = 3)
+    def hist(d: DataFrame, extra: Column*): Map[Seq[Any], Long] =
+      d.groupBy(col("hamming").cast("long").as("h") +: extra: _*)
+        .count().collect()
+        .map(r => r.toSeq.init -> r.getLong(r.length - 1)).toMap
+    val sim1 = simPairs(corpora.toMap.apply("1x")).cache()
+    val sim10 = simPairs(corpora.toMap.apply("10x"))
+      .withColumn("b1", col("d1") % stride)
+      .withColumn("b2", col("d2") % stride)
+      .join(sim1.select(col("d1").as("b1"), col("d2").as("b2"),
+        lit(true).as("in_base")), Seq("b1", "b2"), "left")
+      .withColumn("in_base", coalesce(col("in_base"), lit(false)))
+      .cache()
+    def histJson(m: Map[Seq[Any], Long], sel: Seq[Any] => Boolean = _ => true)
+        : String =
+      (0L to 3L).map(h => s""""$h": ${
+        m.collect { case (k, v) if k.head == h && sel(k.tail) => v }.sum
+      }""").mkString("{", ", ", "}")
+    val h1 = hist(sim1)
+    val h10 = hist(sim10, col("in_base"))
+    val perShard = sim10.groupBy(floor(col("d1") / stride).as("shard"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simAudit =
+      f"""  "simhash_growth_audit": {
+         |    "what": "every 10x pair classified base-replicated vs re-rolled (token salting moved a pair under maxDist in that shard); healthy = replicated grows ~10x and the re-rolled excess is threshold-edge mass (hamming 2-3), not hamming-0 duplicates",
+         |    "hamming_hist_1x": ${histJson(h1)},
+         |    "hamming_hist_10x": ${histJson(h10)},
+         |    "pairs_10x_base_replicated": ${h10.collect { case (k, v) if k(1) == true => v }.sum},
+         |    "pairs_10x_rerolled": ${h10.collect { case (k, v) if k(1) == false => v }.sum},
+         |    "rerolled_hamming_hist": ${histJson(h10, _.head == false)},
+         |    "replicated_hamming_hist": ${histJson(h10, _.head == true)},
+         |    "per_shard_pairs": ${(0 until 10).map(s => perShard.getOrElse(s.toLong, 0L)).mkString("[", ", ", "]")}}""".stripMargin
+
+    // ---- resolution-family posture ---------------------------------
+    // Components/rounds/survivors at 1x vs 10x: rounds track cluster
+    // DIAMETER, not corpus size, so they must stay flat; components and
+    // survivors scale linearly on the disjoint-shard corpus.
+    val resolution = corpora.map { case (lbl, d) =>
+      val pairs = Dedup.minhashCandidatesPortable(d, "doc_id", "text",
+        k = 8, nPerms = 16, rowsPerBand = 2).select(col("d1"), col("d2"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+      val nComp = labels.select(col("component")).distinct().count()
+      val maxComp = labels.groupBy(col("component")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      val survivors = Dedup.resolveByComponents(d, "doc_id", pairs).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      lbl -> f"""{"rounds": $rounds, "components": $nComp, "max_component": $maxComp, "survivors": $survivors, "sec": $sec%.2f}"""
+    }.toMap
+    val resolutionJson =
+      s"""  "resolution": {
+         |    "what": "connectedComponents + resolveByComponents over the minhash pairs; healthy = rounds flat 1x->10x (diameter-bound, not data-bound), components/survivors ~linear",
+         |    "1x": ${resolution("1x")},
+         |    "10x": ${resolution("10x")}}""".stripMargin
+
     val nDocs = corpora.toMap.apply("1x").count()
     val json =
       s"""{
          |  "what": "dedup candidate generators on a deterministic 10x corpus (10 disjoint token-salted shards of sf0.1 documents); healthy = cross_shard_pairs 0 (no quadratic leakage), flat peak_task_mem, pair growth linear modulo per-shard threshold re-rolls",
          |  "sf_dir": "$sfDir", "docs_1x": $nDocs, "docs_10x": ${nDocs * 10}, "cpus": $cpus,
-         |${results.mkString(",\n")}
+         |${results.mkString(",\n")},
+         |$simAudit,
+         |$resolutionJson
          |}""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("POSTURE_10X.json"), json + "\n")

@@ -179,7 +179,17 @@ object Dedup {
     * builds. Batch-only.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "d1",
-      bCol: String = "d2", maxIters: Int = 25): DataFrame = {
+      bCol: String = "d2", maxIters: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took to converge — the scale-posture observable: rounds track the
+    * diameter of the largest cluster, not the corpus size, so they
+    * should stay flat as data grows (pinned by `Posture`'s 1× vs 10×
+    * resolution section).
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String = "d1",
+      bCol: String = "d2", maxIters: Int = 25): (DataFrame, Int) = {
     require(!pairs.isStreaming, "connectedComponents is batch-only")
     val edges = pairs
       .select(col(aCol).as("id"), col(bCol).as("nbr"))
@@ -210,7 +220,7 @@ object Dedup {
       s"connectedComponents did not converge in $maxIters rounds — the " +
         "pair graph has a cluster of diameter > maxIters; retry with a " +
         "larger maxIters (cost is one join+agg per extra round)")
-    labels
+    (labels, round)
   }
 
   /** Cluster-exact near-dup resolution: keep one survivor (the minimum
