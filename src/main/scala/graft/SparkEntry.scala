@@ -279,6 +279,15 @@ object SparkEntry {
           col("min_value"), col("max_value"), col("reading_count"))
         .orderBy("event_type", "window_start")),
 
+    // ---- streaming SESSIONIZATION through the same production shape:
+    //      gap-merge session_window + watermark + append mode; emits the
+    //      sessions the final watermark finalized ----
+    "q_session_window_stream_inc" -> ((s, dir) =>
+      graft.streaming.Pipeline.replaySessionized(s, dir)
+        .select(col("event_type"), col("session_start"),
+          col("session_end"), col("n_events"))
+        .orderBy("event_type", "session_start")),
+
     // ---- TPC-H Q1-style pricing summary: scan + wide agg on lineitem ----
     "q_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -921,6 +930,29 @@ object SparkEntry {
         |  max(t) + INTERVAL 30 MINUTE AS session_end,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY event_type, sid""".stripMargin,
+    // Append-mode session replay = the finalized prefix of the batch
+    // gaps-and-islands result: only sessions whose end (last event +
+    // gap) the final watermark (max event time - 10 min) passed.
+    "q_session_window_stream_inc" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+        |o AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |          OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+        |             >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP))),
+        |s AS (SELECT event_type, t,
+        |    sum(brk) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT event_type,
+        |  min(t) AS session_start,
+        |  max(t) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s, m GROUP BY event_type, sid, m.mx
+        |HAVING session_end <= m.mx - INTERVAL 10 MINUTE
+        |ORDER BY event_type, session_start""".stripMargin,
     "q_windowed_agg_stream" ->
       """SELECT event_type,
         |  time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,

@@ -14,10 +14,17 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("STREAM_ENVELOPE.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.local(cpus)
     val env = graft.streaming.SteadyState.measure(spark)
-    println(env.json)
-    Files.write(Paths.get(outPath), (env.json + "\n").getBytes("UTF-8"))
+    // the LLM-pipeline streaming paths at the same replay cadence, run
+    // solo after the sensor envelope so the three never contend
+    val dedup = graft.streaming.SteadyState.measureDedupStream(spark, sfDir)
+    val cur = graft.streaming.SteadyState.measureCurationStream(spark, sfDir)
+    val combined = env.json.dropRight(1) +
+      "," + dedup.json + "," + cur.json + "}"
+    println(combined)
+    Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -155,6 +155,48 @@ object Pipeline {
     }
   }
 
+  /** Streaming SESSIONIZATION — the one stateful shape the engine had
+    * not exercised on a stream: [[WindowedAgg.sessionized]]'s gap-merge
+    * `session_window` through the production streaming form (event-time
+    * watermark, append output, parquet append sink). Emits the FINALIZED
+    * sessions of a finite replay — sessions whose end (last event + gap)
+    * the final watermark passed; a session still extendable at watermark
+    * time is held in state, exactly the unbounded-stream contract. State
+    * is bounded by OPEN sessions per key (closed ones are evicted at
+    * watermark), so an unbounded stream holds state proportional to
+    * concurrent activity, not history. Oracled as
+    * `q_session_window_stream_inc` via the same gaps-and-islands SQL as
+    * the batch form plus the finalized-prefix HAVING.
+    */
+  def replaySessionized(spark: SparkSession, dir: String,
+      gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val (stream, streamDir) = replayStream(spark, dir)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_sess_out").toString + "/sessions"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_sess_ckpt")
+    withReplayParallelism(spark) {
+      val q = WindowedAgg
+        .sessionized(stream.withWatermark("ts", watermark), "ts",
+          "event_type", gap)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
+    else WindowedAgg.sessionized(
+      graft.sources.Tables.events(spark, dir).limit(0),
+      "ts", "event_type", gap)
+  }
+
   /** Events table as a file-stream source (micros-normalized `ts`) plus
     * the scratch dir to delete after the replay. The file stream source
     * requires a directory; the single-file table is symlinked into a

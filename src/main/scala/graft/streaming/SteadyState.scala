@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Measures the steady-state envelope of the real dual-sink pipeline
   * (raw parquet append + watermarked windowed agg) under the deterministic
@@ -35,6 +36,124 @@ object SteadyState {
   }
 
   def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.length / 2)
+
+  /** Envelope of one LLM-pipeline streaming path (band-index dedup or
+    * curation gates) — a named JSON fragment merged into the
+    * `STREAM_ENVELOPE.json` object next to the sensor dual-sink numbers,
+    * so "streaming dedup at ingest" ships with a measured msg/min and
+    * micro-batch latency, not just a green spec.
+    */
+  final case class DocEnvelope(kind: String, docs: Long, elapsedSec: Double,
+      msgPerMin: Double, batches: Int, medianMs: Long, maxMs: Long,
+      outRows: Long) {
+    def json: String =
+      s""""$kind":{"msg_per_min":${math.round(msgPerMin)},"docs":$docs,""" +
+        s""""elapsed_sec":${math.round(elapsedSec * 10) / 10.0},"batches":$batches,""" +
+        s""""latency_ms":{"median":$medianMs,"max":$maxMs},"out_rows":$outRows}"""
+  }
+
+  /** The documents table as a deterministic unbounded stream: the
+    * `rate-micro-batch` clock drives row indices that cycle a cached
+    * broadcast pool of REAL documents (stream-static join — the same
+    * per-batch probe shape production ingest uses), each stream row
+    * getting a fresh id disjoint from every pool id. Text content, order
+    * and rate are all deterministic.
+    */
+  private def docStream(spark: SparkSession, sfDir: String,
+      rowsPerBatch: Int): DataFrame = {
+    val pool = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("__k",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))).cast("long") - 1L)
+      .cache()
+    val m = pool.count()
+    spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", 1704067200000L)
+      .option("advanceMillisPerBatch", 60000L)
+      .load()
+      .withColumn("__k", pmod(col("value"), lit(m)))
+      .join(broadcast(pool), Seq("__k"))
+      .select((col("value") + lit(1000000000L)).as("doc_id"), col("text"))
+  }
+
+  /** Generic doc-pipeline envelope: build the streaming transform over
+    * [[docStream]], run it into a parquet sink until `minBatches`
+    * productive micro-batches (or deadline), and read the envelope out of
+    * the engine's progress telemetry. Throughput counts INPUT documents
+    * (out rows differ per pipeline: collisions for dedup, gated docs for
+    * curation).
+    */
+  def measureDocStream(spark: SparkSession, kind: String,
+      build: DataFrame => DataFrame, sfDir: String,
+      rowsPerBatch: Int = 50, minBatches: Int = 15,
+      deadlineSec: Int = 180): DocEnvelope = {
+    val out = Files.createTempDirectory(s"graft_${kind}_out").toString + "/out"
+    val ckpt = Files.createTempDirectory(s"graft_${kind}_ckpt")
+    val q = build(docStream(spark, sfDir, rowsPerBatch))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val t0 = System.nanoTime()
+    try {
+      val deadline = t0 + deadlineSec * 1000L * 1000 * 1000
+      while (q.recentProgress.count(_.numInputRows > 0) < minBatches
+          && System.nanoTime() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val lat = prog.map(_.durationMs.get("triggerExecution").toLong)
+    val docs = prog.map(_.numInputRows).sum
+    val outRows =
+      if (new java.io.File(out).exists()) spark.read.parquet(out).count()
+      else 0L
+    DocEnvelope(kind, docs, elapsedSec, docs / elapsedSec * 60, lat.length,
+      if (lat.isEmpty) -1 else median(lat),
+      if (lat.isEmpty) -1 else lat.max, outRows)
+  }
+
+  /** Streaming band-index dedup envelope: the corpus (even pool ids) is
+    * indexed ONCE ([[graft.ext.Dedup.minhashBandIndex]], cached and
+    * materialized before the clock starts — in production this index is a
+    * persisted table); every micro-batch computes per-row stateless
+    * signatures and probes it. Half the replayed docs have an identical
+    * corpus twin, so the collision path does real work every batch.
+    */
+  def measureDedupStream(spark: SparkSession, sfDir: String,
+      rowsPerBatch: Int = 50, minBatches: Int = 15,
+      deadlineSec: Int = 180): DocEnvelope = {
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 0)
+    val index = graft.ext.Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      k = 8, nPerms = 16, rowsPerBand = 2).cache()
+    index.count()
+    try measureDocStream(spark, "dedup_stream",
+      stream => graft.ext.Dedup.streamingCorpusCollisions(stream, index,
+        "doc_id", "text", k = 8, nPerms = 16, rowsPerBand = 2),
+      sfDir, rowsPerBatch, minBatches, deadlineSec)
+    finally index.unpersist()
+  }
+
+  /** Streaming curation-gate envelope: PII redaction + the Gopher hard
+    * quality gate as pure per-row projections on the stream — the
+    * ingest-time filter form of the batch curation front-end.
+    */
+  def measureCurationStream(spark: SparkSession, sfDir: String,
+      rowsPerBatch: Int = 50, minBatches: Int = 15,
+      deadlineSec: Int = 180): DocEnvelope =
+    measureDocStream(spark, "curation_stream",
+      stream => graft.ext.Curate.redactPii(stream, "text", "clean")
+        .withColumn("keep", graft.ext.TextStats.gopherKeep("text"))
+        .select(col("doc_id"), col("keep"), col("n_emails"), col("n_ips"),
+          col("n_phones"), col("clean")),
+      sfDir, rowsPerBatch, minBatches, deadlineSec)
 
   /** Drives [[Pipeline.startDual]] from [[Sources.rateSimulated]] until the
     * slower (stateful agg) query has processed `minAggBatches` productive

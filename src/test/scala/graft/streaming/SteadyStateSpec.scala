@@ -48,6 +48,32 @@ class SteadyStateSpec extends SparkSpec {
       "no finalized windows flushed to the agg sink")
   }
 
+  test("streaming band-index dedup and curation gates sustain the >=300 msg/min floor") {
+    // the LLM-pipeline streaming paths at the sensor envelope's cadence:
+    // real documents cycled through the rate clock, measured off the same
+    // progress telemetry (StreamBench persists the solo numbers into
+    // STREAM_ENVELOPE.json as dedup_stream / curation_stream)
+    val sfDir = "/root/testdata/sf0.01"
+    val dedup = SteadyState.measureDedupStream(spark, sfDir,
+      minBatches = 10, deadlineSec = 120)
+    info(dedup.json)
+    assert(dedup.msgPerMin >= 300,
+      f"dedup stream ${dedup.msgPerMin}%.0f msg/min below the 300 floor")
+    assert(dedup.medianMs < 10000,
+      s"dedup micro-batch median ${dedup.medianMs} ms breaches <10 s")
+    assert(dedup.outRows > 0,
+      "no collisions written — the index probe did no real work")
+    val cur = SteadyState.measureCurationStream(spark, sfDir,
+      minBatches = 10, deadlineSec = 120)
+    info(cur.json)
+    assert(cur.msgPerMin >= 300,
+      f"curation stream ${cur.msgPerMin}%.0f msg/min below the 300 floor")
+    assert(cur.medianMs < 10000,
+      s"curation micro-batch median ${cur.medianMs} ms breaches <10 s")
+    assert(cur.outRows === cur.docs, // gates annotate, never silently drop
+      s"curation wrote ${cur.outRows} of ${cur.docs} docs")
+  }
+
   test("kafka source contract: reference reader wiring; connector-missing failure is actionable (S1/ST8)") {
     val opts = Sources.kafkaOptions("localhost:9092", "iot-sensor-data", "latest")
     // the exact reader surface of reference/spark_streaming.py:125-130

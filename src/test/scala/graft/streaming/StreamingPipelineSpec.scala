@@ -61,6 +61,62 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window stream: gap-merge, watermark finalization, batch parity") {
+    // the last stateful shape: gap-based sessions on a stream. A session
+    // stays OPEN (nothing emitted in append mode) while new events can
+    // still extend it; it finalizes once the watermark passes its end
+    // (last event + gap); a too-late event cannot resurrect it.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val q = WindowedAgg.sessionized(
+        mem.toDF().withWatermark("timestamp", "10 minutes"),
+        "timestamp", "sensor_id")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(reading("2024-01-01 00:00:00", 1.0),
+        reading("2024-01-01 00:10:00", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").isEmpty) // session still open
+      mem.addData(reading("2024-01-01 00:20:00", 3.0)) // within gap: extends
+      q.processAllAvailable()
+      assert(spark.table("sess_test").isEmpty)
+      // watermark 02:00 - 10 min = 01:50 passes session end 00:50 → flush
+      mem.addData(reading("2024-01-01 02:00:00", 4.0))
+      q.processAllAvailable()
+      val first = spark.table("sess_test").collect()
+      assert(first.length === 1)
+      assert(first.head.getAs[java.sql.Timestamp]("session_start")
+        === ts("2024-01-01 00:00:00"))
+      assert(first.head.getAs[java.sql.Timestamp]("session_end")
+        === ts("2024-01-01 00:50:00")) // last event 00:20 + 30-min gap
+      assert(first.head.getAs[Long]("n_events") === 3L)
+      // a row behind the watermark is dropped — the finalized session is
+      // not resurrected or duplicated; 04:00 finalizes [02:00, 02:30)
+      mem.addData(reading("2024-01-01 00:05:00", 9.0))
+      mem.addData(reading("2024-01-01 04:00:00", 5.0))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_test").orderBy("session_start").collect()
+      assert(emitted.length === 2)
+      assert(emitted(1).getAs[java.sql.Timestamp]("session_start")
+        === ts("2024-01-01 02:00:00"))
+      assert(emitted(1).getAs[Long]("n_events") === 1L)
+      // batch parity: the SAME operator over the surviving rows, filtered
+      // to the finalized prefix (session_end <= final watermark), must
+      // equal the streamed emissions row-for-row
+      val batch = WindowedAgg.sessionized(
+          Seq(reading("2024-01-01 00:00:00", 1.0),
+            reading("2024-01-01 00:10:00", 2.0),
+            reading("2024-01-01 00:20:00", 3.0),
+            reading("2024-01-01 02:00:00", 4.0),
+            reading("2024-01-01 04:00:00", 5.0)).toDF(),
+          "timestamp", "sensor_id")
+        .filter(col("session_end") <= ts("2024-01-01 03:50:00"))
+        .orderBy("session_start").collect()
+      assert(emitted.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("dedupedStream drops re-delivered readings within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SensorReading]
