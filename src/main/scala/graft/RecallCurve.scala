@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** ANN recall-curve artifact: sweeps `nProbe` over the full quantizer
+  * range on the real IVF layout and emits recall@10 (vs the exhaustive
+  * probe) together with the mean fraction of rows each probe actually
+  * scans — the recall/cost trade the trained quantizer buys, measured
+  * instead of asserted:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.RecallCurve"
+  * writes `ANN_RECALL.json`. `nProbe = k` (all centroids) scans every
+  * bucket, so that point IS the exact brute-force answer and anchors
+  * recall 1.0 by construction; the sweep must be monotone non-decreasing
+  * (enforced here) because probing strictly more buckets can only add
+  * candidates.
+  */
+object RecallCurve {
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("ANN_RECALL.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Session.local(cpus)
+
+    val path = SparkEntry.ivfLayout(spark, sfDir)
+    val nQueries = 10
+    val qvs = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1)
+    val cents = Similarity.readQuantizer(spark, path)
+    val nCentroids = cents.length
+    val sizes = spark.read.parquet(path)
+      .groupBy(col("ivf_bucket")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum.toDouble
+
+    def topSets(nProbe: Int): Map[Long, Set[Long]] =
+      Similarity.ivfProbeBatch(spark, path, "vec_id", "embedding", qvs,
+          k = 10, nProbe = nProbe)
+        .select(col("qid"), col("vec_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+    val exact = topSets(nCentroids)
+    val points = (1 to nCentroids).map { np =>
+      val approx = topSets(np)
+      val recall = qvs.map { case (q, _) =>
+        approx.getOrElse(q, Set.empty[Long]).intersect(exact(q)).size / 10.0
+      }.sum / qvs.length
+      val frac = qvs.map { case (_, v) =>
+        Similarity.probeBuckets(cents, v, np)
+          .map(b => sizes.getOrElse(b, 0L)).sum / total
+      }.sum / qvs.length
+      (np, recall, frac)
+    }
+    points.sliding(2).foreach { case Seq((_, r0, _), (np, r1, _)) =>
+      require(r1 >= r0 - 1e-9,
+        s"recall not monotone at nProbe=$np: $r0 -> $r1")
+    case _ => ()
+    }
+
+    val json =
+      f"""{
+         |  "what": "recall@10 of the pruned IVF probe vs exhaustive, mean over $nQueries query vectors on the trained layout; scanned_frac = mean fraction of corpus rows the probe reads — the recall/cost trade the quantizer buys",
+         |  "sf_dir": "$sfDir", "k": 10, "queries": $nQueries, "centroids": $nCentroids,
+         |  "points": [
+         |${points.map { case (np, r, f) =>
+             f"""    {"n_probe": $np, "recall_at_10": $r%.3f, "scanned_frac": $f%.3f}"""
+           }.mkString(",\n")}
+         |  ]
+         |}""".stripMargin
+    Files.write(Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

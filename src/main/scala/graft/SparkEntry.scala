@@ -72,7 +72,7 @@ object SparkEntry {
     * so a config change can never probe a stale layout), quantizer
     * by-name: training runs only on a cache miss.
     */
-  private def ivfLayout(s: SparkSession, dir: String): String = {
+  private[graft] def ivfLayout(s: SparkSession, dir: String): String = {
     val emb = Tables.embeddings(s, dir)
     val src = new java.io.File(s"$dir/embeddings.parquet")
     Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
@@ -652,6 +652,25 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
         "doc_id", "text", k = 8)
+    }),
+
+    // ---- the bloom sketch's CONTRACT, value-checked: for every eval
+    //      doc, the sketch's might-contain count upper-bounds the exact
+    //      shared-shingle count (one-sided error, no false negatives) on
+    //      the SAME distinct-shingle denominator. The oracle replays the
+    //      exact side and pins ub_holds to literal TRUE — any Spark-side
+    //      violation hash-mismatches ----
+    "q_contamination_bloom_bound" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("source") =!= "src0")
+      val eval = docs.filter(col("source") === "src0")
+      val exact = Dedup.contamination(train, eval, "doc_id", "text", k = 8)
+      val ub = Dedup.contaminationBloom(train, eval, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_sh").as("__n_sh_b"), col("n_might"))
+      exact.join(ub, "doc_id")
+        .select(col("doc_id"), col("n_sh"), col("n_shared"),
+          (col("n_might") >= col("n_shared")
+            && col("__n_sh_b") === col("n_sh")).as("ub_holds"))
     }),
 
     // ---- exact dedup summary (SHA-256 content hash) ----
@@ -1384,6 +1403,23 @@ object SparkEntry {
         |SELECT n.doc_id, n.n_sh,
         |  coalesce(s.n_shared, 0) AS n_shared,
         |  round(coalesce(s.n_shared, 0) / CAST(n.n_sh AS DOUBLE), 6) AS contamination
+        |FROM evn n LEFT JOIN sh s ON n.doc_id = s.doc_id""".stripMargin,
+    // The bloom bound: DuckDB replays the exact side; ub_holds is the
+    // literal TRUE the sketch's one-sided-error contract promises.
+    "q_contamination_bloom_bound" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |evs AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |        FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |        WHERE source = 'src0'),
+        |evn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM evs GROUP BY 1),
+        |trs AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS s
+        |        FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |        WHERE source <> 'src0'),
+        |sh AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |       FROM evs e JOIN trs ON e.s = trs.s GROUP BY 1)
+        |SELECT n.doc_id, n.n_sh,
+        |  coalesce(s.n_shared, 0) AS n_shared,
+        |  TRUE AS ub_holds
         |FROM evn n LEFT JOIN sh s ON n.doc_id = s.doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -282,7 +282,7 @@ object Similarity {
     * some code paths); completeness is gated by [[ensureIvfLayout]] on
     * the sidecar's own _SUCCESS.
     */
-  private def readQuantizer(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readQuantizer(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[(Int, Seq[Double])] =
     spark.read.parquet(s"$path/_quantizer/part-*").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
@@ -296,7 +296,7 @@ object Similarity {
     * lower bucket id, mirroring the oracle's ORDER BY. ONE definition for
     * single and batch probes, so their selections can never diverge.
     */
-  private def probeBuckets(cents: Array[(Int, Seq[Double])],
+  private[graft] def probeBuckets(cents: Array[(Int, Seq[Double])],
       qv: Seq[Double], nProbe: Int): Seq[Int] =
     cents.sortBy { case (b, v) => (-driverCos(v, qv), b) }
       .take(nProbe).map(_._1).toSeq
