@@ -528,6 +528,12 @@ object SparkEntry {
     "q_rarity" -> ((s, dir) =>
       TextStats.rarityScore(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- BM25 top-k keyword search: eager Q+2-number stats pass, then
+    //      one narrow scoring scan ending in TakeOrderedAndProject ----
+    "q_bm25_topk" -> ((s, dir) =>
+      TextStats.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Seq("dup", "merge", "spark"), k = 10)),
+
     // ---- CCNet-style unigram LM scoring: per-doc cross-entropy and
     //      perplexity under the corpus's own token distribution ----
     "q_perplexity" -> ((s, dir) =>
@@ -1282,6 +1288,29 @@ object SparkEntry {
         |    / count(*), 6) AS hapax_ratio,
         |  round(CAST(sum(doc_freq) AS DOUBLE) / count(*), 6) AS avg_doc_freq
         |FROM t JOIN d USING (tok) GROUP BY 1""".stripMargin,
+    // Robertson/Lucene BM25 (k1=1.2, b=0.75, idf kept positive); order by
+    // the ROUNDED score + doc_id in both engines so the LIMIT boundary is
+    // deterministic across float ulps.
+    "q_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tf AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(t, x -> x = 'dup')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'merge')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf2
+        |  FROM toks),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM tf)
+        |SELECT * FROM (
+        |  SELECT doc_id, round(
+        |      ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |    + ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |    + ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 * 2.2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS bm25
+        |  FROM tf, st)
+        |WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     // H = log2 N - avg(log2 tf): N and every tf are exact integers, so
     // the only float work is the per-doc average (rounded to 6dp; same
     // accepted avg-order tolerance as q_corr / q_group_mean).

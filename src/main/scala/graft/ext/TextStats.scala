@@ -337,6 +337,52 @@ object TextStats {
         col("quality_score"), col("fp"))
   }
 
+  /** BM25 top-k keyword search — the text-retrieval capability next to
+    * the embedding ANN family: rank documents for a small query-term set
+    * by the Robertson/Lucene BM25 variant
+    * (idf = ln((N − df + 0.5)/(df + 0.5) + 1), so scores stay positive).
+    *
+    * Scale shape: because only QUERY terms contribute, no inverted index
+    * or posting explode is needed — per-term tf is a narrow codegen'd
+    * array pass over the token list, staged once per term. Corpus stats
+    * (N, mean doc length, per-term df) are ONE metadata-sized aggregate
+    * collected to the driver (Q+2 numbers — the documented eager
+    * two-phase pattern of the quantizer/bloom builds) and folded into
+    * the score as literals, so the scoring pass is one scan, zero
+    * shuffles, ending in TakeOrderedAndProject. Zero-score docs (no
+    * query term present) are excluded — they are a meaningless
+    * million-way tie at the LIMIT boundary.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: no query terms")
+    val toks = split(col(textCol), " ")
+    val staged = df.select(
+      col(idCol) +: size(toks).cast("double").as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("double").as(s"__tf_$i")
+        }: _*)
+    val stats = staged.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(col("__dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i")): _*)
+      .collect().head
+    val n = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+    val score = terms.indices.map { i =>
+      val dfT = stats.getDouble(2 + i)
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      lit(idf) * col(s"__tf_$i") * lit(k1 + 1.0) /
+        (col(s"__tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    staged.select(col(idCol), round(score, 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact dedup after normalization: keep the lowest id per
     * [[fingerprint]] via a window min (ONE shuffle on the fingerprint,
     * no groupBy + join-back — the text is read and hashed once). The

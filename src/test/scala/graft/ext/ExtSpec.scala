@@ -155,9 +155,12 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(long, maxIters = 3)
     }
     assert(e.getMessage.contains("did not converge"))
-    // and converges fine with enough rounds (29 hops for the 30-node path)
-    val ok = Dedup.connectedComponents(long, maxIters = 40)
+    // pointer jumping makes rounds O(log diameter): the 30-node path
+    // (diameter 29) must converge well inside the default budget instead
+    // of needing 29 propagation rounds
+    val (ok, rounds) = Dedup.connectedComponentsWithRounds(long)
     assert(ok.select("component").distinct().count() === 1L)
+    assert(rounds <= 8, s"expected O(log d) convergence, took $rounds rounds")
   }
 
   test("incrementalMinhashCandidates: batch pairs vs self and corpus, never old-old") {
@@ -392,6 +395,20 @@ class SimilaritySpec extends SparkSpec {
 
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("bm25TopK ranks by term frequency with length normalization; zero-score docs excluded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha rare beta"),
+      (3L, "rare rare alpha"),
+      (4L, "beta gamma delta")).toDF("doc_id", "text")
+    val top = TextStats.bm25TopK(docs, "doc_id", "text", Seq("rare"), k = 3)
+      .collect()
+    // tf 2 outranks tf 1 at equal length; docs without the term (a
+    // meaningless k-way tie at 0) never enter the top-k
+    assert(top.map(_.getLong(0)).toSeq === Seq(3L, 2L))
+    assert(top.forall(_.getDouble(1) > 0))
+  }
 
   test("token count, word length, stopword ratio, quality") {
     val df = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
