@@ -760,6 +760,12 @@ object SparkEntry {
       Similarity.bruteForceTopKNative(Tables.embeddings(s, dir), "vec_id",
         "embedding", queryId = 0L, k = 10)),
 
+    // ---- scalar-quantized (int8) ANN scoring: asymmetric top-k over
+    //      range-quantized codes, the 4x-smaller serving format ----
+    "q_ann_sq8" -> ((s, dir) =>
+      Similarity.sq8TopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
     // ---- embedding-cosine near-dup pairs (bucketed, native cosine) ----
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id",
@@ -1792,6 +1798,23 @@ object SparkEntry {
         |ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qe)
         |    / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
         |         * list_dot_product(qe, qe)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    // Full SQ8 replay: corpus range, int8 code, reconstruction and
+    // asymmetric cosine all recomputed in SQL; rounded-score + id LIMIT
+    // boundary as in q_bm25_topk.
+    "q_ann_sq8" ->
+      """WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+        |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx
+        |            FROM embeddings),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |r AS (SELECT vec_id, label,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> mn + round((x - mn)/((mx - mn)/255))*((mx - mn)/255)) AS rv
+        |  FROM embeddings, st)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(rv, qe) / sqrt(list_dot_product(rv, rv) * list_dot_product(qe, qe)), 6) AS cosine_sq8
+        |FROM r, q WHERE vec_id <> 0
+        |ORDER BY round(list_dot_product(rv, qe) / sqrt(list_dot_product(rv, rv) * list_dot_product(qe, qe)), 6) DESC, vec_id
         |LIMIT 10""".stripMargin,
     // The QUALIFY replays the maxBucket=1000 hot-bucket guard (a window
     // count in Spark), so the cap is value-checked, not fixture luck.

@@ -68,6 +68,44 @@ object Similarity {
       .select(col(idCol), col("label"), round(col("__cos"), 6).as("cosine"))
   }
 
+  /** Scalar-quantized (int8) brute-force top-k — the memory-bandwidth
+    * lever of a large ANN tier: database vectors are quantized to 8-bit
+    * codes against the corpus-wide [min, max] range (4× smaller than
+    * float32 — the format the serving tier keeps resident), and scoring
+    * is ASYMMETRIC: codes are reconstructed against the exact query
+    * (ADC), so only the database side pays quantization error. The range
+    * stats are a 2-number eager aggregate (the documented two-phase
+    * pattern); the scoring pass reconstructs inline in one narrow
+    * codegen'd projection feeding the native cosine and ends in
+    * TakeOrderedAndProject — one scan, zero shuffles. The LIMIT boundary
+    * orders by the ROUNDED score + id, deterministic across engines.
+    * Quantization error vs the exact cosine is bounded in
+    * `SimilaritySpec`; the full replay (range, codes, reconstruction,
+    * cosine) is oracled as `q_ann_sq8`.
+    */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val emb = withDoubleVec(df, vecCol)
+    val st = emb.agg(min(array_min(col("__e"))).as("mn"),
+      max(array_max(col("__e"))).as("mx")).collect().head
+    val mn = st.getDouble(0)
+    val mx = st.getDouble(1)
+    require(mx > mn, "sq8TopK: degenerate corpus (all components equal)")
+    val scale = (mx - mn) / 255.0
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(col("__e")).collect().head.getSeq[Double](0)
+    val recon = transform(col("__e"),
+      x => lit(mn) + round((x - lit(mn)) / lit(scale), 0) * lit(scale))
+    emb.filter(col(idCol) =!= queryId)
+      .withColumn("__cos",
+        call_function(graft.plans.GraftFunctions.CosineName,
+          recon, array(qv.map(lit): _*)))
+      .orderBy(round(col("__cos"), 6).desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("label"), round(col("__cos"), 6).as("cosine_sq8"))
+  }
+
   /** Per-bucket centroids: mean vector per `bucketCol`, computed with
     * posexplode + per-(bucket, dim) average + re-assembly ordered by dim —
     * a constant-size result (buckets × d) from one shuffle.

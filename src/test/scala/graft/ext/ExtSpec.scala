@@ -282,6 +282,24 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Double]("cosine") > 0.99)
   }
 
+  test("sq8TopK: quantized ranking matches exact on separated clusters; error bounded") {
+    val top = Similarity.sq8TopK(vecs, "vec_id", "embedding", 0L, 2).collect()
+    // 8-bit range quantization cannot confuse the two orthogonal
+    // clusters: the quantized ranking equals the exact one
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 1L))
+    // and the quantized cosine stays within the per-component step bound
+    // of the exact score (range [0,1] -> step ~1/255; cosine error well
+    // under d * step for unit-ish vectors — assert a conservative 0.02)
+    val exact = Similarity.bruteForceTopKNative(vecs, "vec_id", "embedding",
+        0L, 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cosine")).toMap
+    top.foreach { r =>
+      val err = math.abs(r.getAs[Double]("cosine_sq8")
+        - exact(r.getAs[Long]("vec_id")))
+      assert(err < 0.02, s"quantization error $err")
+    }
+  }
+
   test("cosine of orthogonal vectors is 0, identical is 1") {
     val r = vecs.select(
       Similarity.cosine(
