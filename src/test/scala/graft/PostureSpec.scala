@@ -175,6 +175,18 @@ class CurationPostureSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
+
+  test("BM25 and SQ8 scoring passes are shuffle-free TakeOrderedAndProject plans") {
+    // both fold their eager corpus stats in as literals, so the scoring
+    // pass must be scan → narrow projection → TakeOrderedAndProject with
+    // no hash exchange anywhere (the stats pass is a separate 1-row job)
+    for (name <- Seq("q_bm25_topk", "q_ann_sq8")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$name:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"), s"$name:\n$plan")
+    }
+  }
 }
 
 class SkewSpec extends SparkSpec {
