@@ -766,6 +766,20 @@ object SparkEntry {
       Similarity.sq8TopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    // ---- SQ8 quality audit: recall@10 of the quantized ranking vs the
+    //      exact brute force — both sides replayed in the oracle ----
+    "q_ann_sq8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val approx = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 10)
+        .select(col("vec_id"))
+      val exact = Similarity.bruteForceTopKNative(emb, "vec_id", "embedding",
+        0L, 10).select(col("vec_id"))
+      approx.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall"))
+    }),
+
     // ---- embedding-cosine near-dup pairs (bucketed, native cosine) ----
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id",
@@ -1816,6 +1830,25 @@ object SparkEntry {
         |FROM r, q WHERE vec_id <> 0
         |ORDER BY round(list_dot_product(rv, qe) / sqrt(list_dot_product(rv, rv) * list_dot_product(qe, qe)), 6) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q_ann_sq8_recall" ->
+      """WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+        |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx
+        |            FROM embeddings),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+        |r AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> mn + round((x - mn)/((mx - mn)/255))*((mx - mn)/255)) AS rv
+        |  FROM embeddings, st),
+        |sq AS (SELECT vec_id FROM r, q WHERE vec_id <> 0
+        |       ORDER BY round(list_dot_product(rv, qe) / sqrt(list_dot_product(rv, rv) * list_dot_product(qe, qe)), 6) DESC, vec_id
+        |       LIMIT 10),
+        |ex AS (SELECT vec_id FROM embeddings, q WHERE vec_id <> 0
+        |       ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+        |         / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) * list_dot_product(qe, qe)) DESC, vec_id
+        |       LIMIT 10)
+        |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+        |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+        |FROM sq JOIN ex USING (vec_id)""".stripMargin,
     // The QUALIFY replays the maxBucket=1000 hot-bucket guard (a window
     // count in Spark), so the cap is value-checked, not fixture luck.
     "q_embed_neardup" ->
