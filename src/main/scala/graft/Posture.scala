@@ -185,7 +185,7 @@ object Posture {
     }.toMap
     val resolutionJson =
       s"""  "resolution": {
-         |    "what": "connectedComponents + resolveByComponents over the minhash pairs; healthy = rounds flat 1x->10x (diameter-bound, not data-bound), components/survivors ~linear",
+         |    "what": "connectedComponents + resolveByComponents over the minhash pairs; healthy = rounds flat 1x->10x (log-diameter-bound via pointer jumping, not data-bound), components/survivors ~linear",
          |    "1x": ${resolution("1x")},
          |    "10x": ${resolution("10x")}}""".stripMargin
 
