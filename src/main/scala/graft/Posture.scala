@@ -179,7 +179,13 @@ object Posture {
       val nComp = labels.select(col("component")).distinct().count()
       val maxComp = labels.groupBy(col("component")).count()
         .agg(max(col("count"))).head.getLong(0)
-      val survivors = Dedup.resolveByComponents(d, "doc_id", pairs).count()
+      // survivors from the ALREADY-computed labels (resolveByComponents
+      // would rerun the whole propagation loop and double-count CC work
+      // in `sec`): same drop-set anti-join, paired non-minima removed
+      val survivors = d.join(
+        labels.filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti").count()
       val sec = (System.nanoTime() - t0) / 1e9
       lbl -> f"""{"rounds": $rounds, "components": $nComp, "max_component": $maxComp, "survivors": $survivors, "sec": $sec%.2f}"""
     }.toMap

@@ -565,7 +565,7 @@ object Dedup {
 
   /** Flag STREAM documents that near-duplicate an existing corpus: the
     * stream side computes its banded signature as a stateless narrow
-    * projection ([[minhashSigColumns]] — no aggregation, no watermark)
+    * projection ([[withMinhashSigs]] — no aggregation, no watermark)
     * and equi-joins the corpus's [[minhashBandIndex]]. Stream-static
     * inner joins keep no state in Structured Streaming — each micro-batch
     * probes the static side and moves on — and the index's hot-bucket cap

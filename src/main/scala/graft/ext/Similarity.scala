@@ -85,6 +85,10 @@ object Similarity {
     */
   def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
+    require(!df.isStreaming,
+      "sq8TopK collects the corpus range and query vector eagerly and is " +
+        "batch-only; on a stream, freeze the range from the batch corpus " +
+        "and probe inside foreachBatch")
     graft.plans.GraftFunctions.register(df.sparkSession)
     val emb = withDoubleVec(df, vecCol)
     val st = emb.agg(min(array_min(col("__e"))).as("mn"),

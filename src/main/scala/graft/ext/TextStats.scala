@@ -357,6 +357,10 @@ object TextStats {
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: no query terms")
+    require(!df.isStreaming,
+      "bm25TopK collects corpus stats eagerly and is batch-only; on a " +
+        "stream, compute (N, avgdl, df) from the batch corpus once and " +
+        "score inside foreachBatch")
     val toks = split(col(textCol), " ")
     val staged = df.select(
       col(idCol) +: size(toks).cast("double").as("__dl") +:

@@ -60,7 +60,7 @@ object SteadyState {
     * and rate are all deterministic.
     */
   private def docStream(spark: SparkSession, sfDir: String,
-      rowsPerBatch: Int): DataFrame = {
+      rowsPerBatch: Int): (DataFrame, DataFrame) = {
     val pool = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .withColumn("__k",
@@ -68,7 +68,7 @@ object SteadyState {
           .orderBy(col("doc_id"))).cast("long") - 1L)
       .cache()
     val m = pool.count()
-    spark.readStream
+    val stream = spark.readStream
       .format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch)
       .option("startTimestamp", 1704067200000L)
@@ -77,6 +77,7 @@ object SteadyState {
       .withColumn("__k", pmod(col("value"), lit(m)))
       .join(broadcast(pool), Seq("__k"))
       .select((col("value") + lit(1000000000L)).as("doc_id"), col("text"))
+    (stream, pool) // pool returned so the measurement can unpersist it
   }
 
   /** Generic doc-pipeline envelope: build the streaming transform over
@@ -92,7 +93,8 @@ object SteadyState {
       deadlineSec: Int = 180): DocEnvelope = {
     val out = Files.createTempDirectory(s"graft_${kind}_out").toString + "/out"
     val ckpt = Files.createTempDirectory(s"graft_${kind}_ckpt")
-    val q = build(docStream(spark, sfDir, rowsPerBatch))
+    val (stream, pool) = docStream(spark, sfDir, rowsPerBatch)
+    val q = build(stream)
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -105,7 +107,10 @@ object SteadyState {
       val deadline = t0 + deadlineSec * 1000L * 1000 * 1000
       while (q.recentProgress.count(_.numInputRows > 0) < minBatches
           && System.nanoTime() < deadline) Thread.sleep(200)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      pool.unpersist()
+    }
     val elapsedSec = (System.nanoTime() - t0) / 1e9
     val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     val lat = prog.map(_.durationMs.get("triggerExecution").toLong)

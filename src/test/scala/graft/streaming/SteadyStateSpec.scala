@@ -70,7 +70,11 @@ class SteadyStateSpec extends SparkSpec {
       f"curation stream ${cur.msgPerMin}%.0f msg/min below the 300 floor")
     assert(cur.medianMs < 10000,
       s"curation micro-batch median ${cur.medianMs} ms breaches <10 s")
-    assert(cur.outRows === cur.docs, // gates annotate, never silently drop
+    // >= not ===: a final micro-batch can commit to the parquet sink
+    // after the poll loop counted progress but before stop() lands, so
+    // the sink may hold a batch the docs sum (from recentProgress) never
+    // saw — the gate is "annotates every doc, never silently drops"
+    assert(cur.outRows >= cur.docs,
       s"curation wrote ${cur.outRows} of ${cur.docs} docs")
   }
 
