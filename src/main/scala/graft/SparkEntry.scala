@@ -766,6 +766,21 @@ object SparkEntry {
       Similarity.sq8TopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    // ---- hard-negative mining: per anchor, top-5 most-similar vectors
+    //      with a DIFFERENT label, in one pruned layout scan ----
+    "q_hard_negatives" -> ((s, dir) => {
+      val path = ivfLayout(s, dir)
+      val anchors = Tables.embeddings(s, dir)
+        .filter(col("vec_id").isin(0L, 7L))
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSeq.sortBy(_._1)
+      Similarity.ivfHardNegatives(s, path, "vec_id", "embedding", "label",
+        anchors, k = 5, nProbe = 2)
+    }),
+
     // ---- SQ8 quality audit: recall@10 of the quantized ranking vs the
     //      exact brute force — both sides replayed in the oracle ----
     "q_ann_sq8_recall" -> ((s, dir) => {
@@ -1755,6 +1770,27 @@ object SparkEntry {
     // shared trained quantizer, ties to the lower bucket), each corpus
     // row scored only against the queries probing its bucket, per-query
     // top-10 by rank — self excluded per query.
+    // Hard negatives: the q_ann_batch replay plus a label join and the
+    // inequality applied BEFORE the rank window, k=5.
+    "q_hard_negatives" ->
+      s"""$AsgCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |q2 AS (SELECT e.vec_id AS qid, e.v AS qv, l.label AS qlab
+         |       FROM e JOIN lab l ON e.vec_id = l.vec_id
+         |       WHERE e.vec_id IN (0, 7)),
+         |pb AS (SELECT qid, b FROM (
+         |    SELECT q2.qid, cent.b,
+         |      row_number() OVER (PARTITION BY q2.qid
+         |        ORDER BY ${ListCosSql("cent.c", "q2.qv")} DESC, cent.b) AS rn
+         |    FROM cent, q2) WHERE rn <= 2)
+         |SELECT qid, vec_id, label, cosine FROM (
+         |  SELECT q2.qid, a.vec_id, l.label,
+         |    round(${ListCosSql("a.v", "q2.qv")}, 6) AS cosine,
+         |    row_number() OVER (PARTITION BY q2.qid
+         |      ORDER BY ${ListCosSql("a.v", "q2.qv")} DESC, a.vec_id) AS rn
+         |  FROM asg a JOIN lab l ON a.vec_id = l.vec_id
+         |    JOIN pb ON a.ivf_bucket = pb.b JOIN q2 ON pb.qid = q2.qid
+         |  WHERE a.vec_id <> q2.qid AND l.label <> q2.qlab) WHERE rn <= 5""".stripMargin,
     "q_ann_batch" ->
       s"""$AsgCtes,
          |q2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 7)),

@@ -110,6 +110,47 @@ object Similarity {
       .select(col(idCol), col("label"), round(col("__cos"), 6).as("cosine_sq8"))
   }
 
+  /** Hard-negative mining for contrastive training: for each ANCHOR
+    * vector, the k most-similar vectors with a DIFFERENT label — the
+    * negatives nearest the decision boundary, the ones a contrastive or
+    * triplet objective learns most from. Same one-pruned-scan shape as
+    * [[ivfProbeBatch]] (buckets picked per anchor against the
+    * driver-resident quantizer, layout scanned ONCE over the union of
+    * probed buckets, broadcast anchor join), with the label-inequality
+    * predicate applied BEFORE the per-anchor rank window so every
+    * returned row is a true negative rather than a positive crowding the
+    * top-k. Ties break like the probe: lower bucket, lower row id.
+    */
+  def ivfHardNegatives(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, labelCol: String,
+      anchors: Seq[(Long, Int, Seq[Double])], k: Int,
+      nProbe: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    require(anchors.nonEmpty, "ivfHardNegatives: no anchor vectors")
+    val cents = readQuantizer(spark, path)
+    val rows = anchors.map { case (qid, qlab, qv) =>
+      (qid, qlab, qv, probeBuckets(cents, qv, nProbe))
+    }
+    val allBuckets = rows.flatMap(_._4).distinct
+    import spark.implicits._
+    val qdf = rows.toDF("qid", "__qlab", "__qv", "__probed")
+    spark.read.parquet(path)
+      .filter(col("ivf_bucket").isin(allBuckets: _*))
+      .join(broadcast(qdf),
+        array_contains(col("__probed"), col("ivf_bucket"))
+          && col(idCol) =!= col("qid")
+          && col(labelCol) =!= col("__qlab"))
+      .withColumn("__cos",
+        call_function(graft.plans.GraftFunctions.CosineName,
+          col(vecCol).cast("array<double>"), col("__qv")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("__cos").desc, col(idCol))))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col(labelCol),
+        round(col("__cos"), 6).as("cosine"))
+  }
+
   /** Per-bucket centroids: mean vector per `bucketCol`, computed with
     * posexplode + per-(bucket, dim) average + re-assembly ordered by dim —
     * a constant-size result (buckets × d) from one shuffle.

@@ -324,6 +324,17 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 1L))
     // cluster B never scanned: both hits come from the one probed bucket
     assert(top.map(_.getAs[Int]("ivf_bucket")).distinct.length === 1)
+    // hard negatives for an anchor in cluster A (label 0): with both
+    // buckets probed, every returned row is label 1 — the same-label
+    // near-duplicates that dominate plain top-k are filtered BEFORE the
+    // rank, so the closest cross-label vectors surface
+    val negs = Similarity.ivfHardNegatives(spark, path, "vec_id",
+      "embedding", "label",
+      anchors = Seq((0L, 0, Seq(1.0, 0.0, 0.0))), k = 2, nProbe = 2)
+      .collect()
+    assert(negs.length === 2)
+    assert(negs.forall(_.getAs[Int]("label") === 1))
+    assert(negs.forall(_.getAs[Long]("qid") === 0L))
   }
 
   test("centroids: mean vector per bucket, dims in order") {
