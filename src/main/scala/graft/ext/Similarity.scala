@@ -84,7 +84,7 @@ object Similarity {
     * cosine) is oracled as `q_ann_sq8`.
     */
   def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int): DataFrame = {
+      queryId: Long, k: Int, keepCols: Seq[String] = Seq("label")): DataFrame = {
     require(!df.isStreaming,
       "sq8TopK collects the corpus range and query vector eagerly and is " +
         "batch-only; on a stream, freeze the range from the batch corpus " +
@@ -93,12 +93,16 @@ object Similarity {
     val emb = withDoubleVec(df, vecCol)
     val st = emb.agg(min(array_min(col("__e"))).as("mn"),
       max(array_max(col("__e"))).as("mx")).collect().head
+    require(!st.isNullAt(0) && !st.isNullAt(1),
+      s"sq8TopK: empty corpus (no rows with a non-null $vecCol)")
     val mn = st.getDouble(0)
     val mx = st.getDouble(1)
     require(mx > mn, "sq8TopK: degenerate corpus (all components equal)")
     val scale = (mx - mn) / 255.0
-    val qv = emb.filter(col(idCol) === queryId)
-      .select(col("__e")).collect().head.getSeq[Double](0)
+    val qRows = emb.filter(col(idCol) === queryId)
+      .select(col("__e")).collect()
+    require(qRows.nonEmpty, s"sq8TopK: query id $queryId not found in $idCol")
+    val qv = qRows.head.getSeq[Double](0)
     val recon = transform(col("__e"),
       x => lit(mn) + round((x - lit(mn)) / lit(scale), 0) * lit(scale))
     emb.filter(col(idCol) =!= queryId)
@@ -107,7 +111,8 @@ object Similarity {
           recon, array(qv.map(lit): _*)))
       .orderBy(round(col("__cos"), 6).desc, col(idCol))
       .limit(k)
-      .select(col(idCol), col("label"), round(col("__cos"), 6).as("cosine_sq8"))
+      .select(col(idCol) +: keepCols.map(col) :+
+        round(col("__cos"), 6).as("cosine_sq8"): _*)
   }
 
   /** Hard-negative mining for contrastive training: for each ANCHOR

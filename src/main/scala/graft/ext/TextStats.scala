@@ -349,9 +349,14 @@ object TextStats {
     * collected to the driver (Q+2 numbers — the documented eager
     * two-phase pattern of the quantizer/bloom builds) and folded into
     * the score as literals, so the scoring pass is one scan, zero
-    * shuffles, ending in TakeOrderedAndProject. Zero-score docs (no
-    * query term present) are excluded — they are a meaningless
-    * million-way tie at the LIMIT boundary.
+    * shuffles, ending in TakeOrderedAndProject. Docs containing no query
+    * term are excluded — they are a meaningless million-way tie at the
+    * LIMIT boundary — via an `arrays_overlap` pre-filter, NOT a filter on
+    * the computed score: a score predicate gets pushed below the
+    * projections with the whole Q-term score expression (Q+1 splits)
+    * inlined into the scan-side filter, while the overlap predicate
+    * pushes down as a single split and prunes non-matching docs before
+    * any per-term work runs (pinned in `TextStatsSpec`).
     */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2,
@@ -361,13 +366,23 @@ object TextStats {
       "bm25TopK collects corpus stats eagerly and is batch-only; on a " +
         "stream, compute (N, avgdl, df) from the batch corpus once and " +
         "score inside foreachBatch")
-    val toks = split(col(textCol), " ")
-    val staged = df.select(
-      col(idCol) +: size(toks).cast("double").as("__dl") +:
+    // The token array is materialized in its OWN projection: with Q terms
+    // the per-term tf expressions reference it Q+1 times, and relying on
+    // codegen subexpression elimination to dedupe an inline
+    // `split(text)` under each `filter` HOF is fragile at large Q.
+    // CollapseProject keeps the two projects separate (an alias that is
+    // non-cheap and multiply-referenced is never inlined), so each
+    // document is split exactly once per pass — pinned in `TextStatsSpec`.
+    val toksAll = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    def tfProj(d: DataFrame): DataFrame = d.select(
+      col(idCol) +: size(col("__toks")).cast("double").as("__dl") +:
         terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).cast("double").as(s"__tf_$i")
+          size(filter(col("__toks"), x => x === lit(t)))
+            .cast("double").as(s"__tf_$i")
         }: _*)
-    val stats = staged.agg(
+    // corpus stats over ALL docs (N, avgdl, df are corpus properties —
+    // the presence filter below must not distort them)
+    val stats = tfProj(toksAll).agg(
       count(lit(1)).cast("double").as("n"),
       avg(col("__dl")).as("avgdl") +:
         terms.indices.map(i =>
@@ -381,8 +396,9 @@ object TextStats {
       lit(idf) * col(s"__tf_$i") * lit(k1 + 1.0) /
         (col(s"__tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
     }.reduce(_ + _)
-    staged.select(col(idCol), round(score, 6).as("bm25"))
-      .filter(col("bm25") > 0)
+    val kept = toksAll.filter(
+      arrays_overlap(col("__toks"), array(terms.map(lit): _*)))
+    tfProj(kept).select(col(idCol), round(score, 6).as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }

@@ -85,17 +85,37 @@ object SteadyState {
     * productive micro-batches (or deadline), and read the envelope out of
     * the engine's progress telemetry. Throughput counts INPUT documents
     * (out rows differ per pipeline: collisions for dedup, gated docs for
-    * curation).
+    * curation). Progress is accumulated by a [[StreamingQueryListener]],
+    * not read back from `q.recentProgress` — that ring buffer caps at 100
+    * entries and would silently undercount any run whose batch count
+    * exceeds the retention window; elapsed is captured BEFORE `stop()` so
+    * shutdown cost never dilutes msg/min.
     */
   def measureDocStream(spark: SparkSession, kind: String,
       build: DataFrame => DataFrame, sfDir: String,
       rowsPerBatch: Int = 50, minBatches: Int = 15,
       deadlineSec: Int = 180): DocEnvelope = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
     val out = Files.createTempDirectory(s"graft_${kind}_out").toString + "/out"
     val ckpt = Files.createTempDirectory(s"graft_${kind}_ckpt")
     val (stream, pool) = docStream(spark, sfDir, rowsPerBatch)
+    val qName = s"graft_envelope_$kind"
+    // (numInputRows, triggerExecutionMs) per productive batch, unbounded —
+    // registered BEFORE start() so the first micro-batch can't slip past
+    val productive = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == qName && e.progress.numInputRows > 0)
+          productive.add((e.progress.numInputRows,
+            e.progress.durationMs.get("triggerExecution").toLong))
+    }
+    spark.streams.addListener(listener)
     val q = build(stream)
       .writeStream
+      .queryName(qName)
       .outputMode("append")
       .format("parquet")
       .option("path", out)
@@ -103,18 +123,23 @@ object SteadyState {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
       .start()
     val t0 = System.nanoTime()
+    var elapsedSec = 0.0
     try {
       val deadline = t0 + deadlineSec * 1000L * 1000 * 1000
-      while (q.recentProgress.count(_.numInputRows > 0) < minBatches
+      while (productive.size < minBatches
           && System.nanoTime() < deadline) Thread.sleep(200)
+      elapsedSec = (System.nanoTime() - t0) / 1e9
     } finally {
       q.stop()
+      spark.streams.removeListener(listener)
       pool.unpersist()
     }
-    val elapsedSec = (System.nanoTime() - t0) / 1e9
-    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-    val lat = prog.map(_.durationMs.get("triggerExecution").toLong)
-    val docs = prog.map(_.numInputRows).sum
+    val prog = {
+      import scala.jdk.CollectionConverters._
+      productive.asScala.toSeq
+    }
+    val lat = prog.map(_._2)
+    val docs = prog.map(_._1).sum
     val outRows =
       if (new java.io.File(out).exists()) spark.read.parquet(out).count()
       else 0L
@@ -172,6 +197,10 @@ object SteadyState {
   def measure(spark: SparkSession, rowsPerBatch: Int = 50,
       advanceMsPerBatch: Long = 120000L, minAggBatches: Int = 15,
       deadlineSec: Int = 180): Envelope = {
+    require(minAggBatches <= 100,
+      "measure polls q.recentProgress, a ring buffer capped at 100 " +
+        "entries — a larger minAggBatches would spin until the deadline; " +
+        "use the listener pattern of measureDocStream for longer runs")
     val out = Files.createTempDirectory("graft_steady_out").toString
     val ckpt = Files.createTempDirectory("graft_steady_ckpt").toString
     val readings = Sources.rateSimulated(spark, rowsPerBatch = rowsPerBatch,
@@ -180,14 +209,17 @@ object SteadyState {
     val raw = queries.head
     val agg = queries(1)
     val t0 = System.nanoTime()
+    var elapsedSec = 0.0
     try {
       val deadline = t0 + deadlineSec * 1000L * 1000 * 1000
       while (agg.recentProgress.count(_.numInputRows > 0) < minAggBatches
           && System.nanoTime() < deadline) {
         Thread.sleep(200)
       }
+      // before stop(): the (multi-second) shutdown of two queries must not
+      // dilute msg/min — same rule as measureDocStream
+      elapsedSec = (System.nanoTime() - t0) / 1e9
     } finally queries.foreach(_.stop())
-    val elapsedSec = (System.nanoTime() - t0) / 1e9
 
     def latencies(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[Long] =
       q.recentProgress.toSeq.filter(_.numInputRows > 0)

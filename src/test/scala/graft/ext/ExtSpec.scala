@@ -439,6 +439,24 @@ class TextStatsSpec extends SparkSpec {
     assert(top.forall(_.getDouble(1) > 0))
   }
 
+  test("bm25TopK splits each document at most twice, independent of term count") {
+    // with Q terms the token array is referenced Q+1 times; the staged
+    // `__toks` projection must survive optimization (CollapseProject
+    // never inlines a multiply-referenced non-cheap alias), and the
+    // no-term-present exclusion must reach the scan as an
+    // arrays_overlap predicate — NOT as a score predicate, which would
+    // inline the whole Q-term score (Q+1 splits) into the scan-side
+    // filter. Budget: 1 split in the pushed presence filter + 1 in the
+    // token projection = 2, at any Q. Parquet-backed input: a local Seq
+    // relation constant-folds to a LocalRelation and proves nothing.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val terms = (1 to 12).map(i => s"t$i") :+ "rare"
+    val plan = TextStats.bm25TopK(docs, "doc_id", "text", terms, k = 5)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("split\\(text", -1).length - 1 <= 2, plan)
+    assert(plan.contains("arrays_overlap"), plan)
+  }
+
   test("token count, word length, stopword ratio, quality") {
     val df = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
     val r = TextStats.withQuality(df, "text").collect().head
