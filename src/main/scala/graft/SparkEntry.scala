@@ -373,6 +373,13 @@ object SparkEntry {
     "q_approx_stats" -> ((s, dir) =>
       Rollups.approxStats(Tables.events(s, dir), "user_id", "value")),
 
+    // ---- the approx-stats CONTRACT, value-checked: HLL++ within 3 rsd
+    //      of the exact distinct count, sketch quantiles within the
+    //      documented n/accuracy rank window — booleans the oracle pins
+    //      to literal TRUE (same pattern as q_contamination_bloom_bound)
+    "q_approx_stats_bound" -> ((s, dir) =>
+      Rollups.approxStatsBound(Tables.events(s, dir), "user_id", "value")),
+
     // ---- A12: 30-bin equi-width histogram ----
     "q_histogram" -> ((s, dir) =>
       Rollups.histogram(Tables.events(s, dir), "value", 30)),
@@ -1125,6 +1132,14 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.75), 6) AS q3,
         |  round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
         |FROM events GROUP BY 1""".stripMargin,
+    // The approx-stats bound: DuckDB replays the exact side; each *_ok is
+    // the literal TRUE the functions' documented error envelopes promise
+    // (HLL++ 3·rsd, percentile_approx rank window n/accuracy + 1).
+    "q_approx_stats_bound" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS cd_ok, TRUE AS q1_ok, TRUE AS med_ok, TRUE AS q3_ok
+        |FROM events""".stripMargin,
     "q_histogram" ->
       """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
         |cnt AS (

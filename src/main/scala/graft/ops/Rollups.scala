@@ -151,6 +151,50 @@ object Rollups {
         element_at(col("__q"), 2).as("approx_median"),
         element_at(col("__q"), 3).as("approx_q3"))
 
+  /** The value-checked CONTRACT of [[approxStats]], oracle-able: one row
+    * of exact values plus booleans asserting every approximate output
+    * sits inside its function's documented error envelope —
+    * `approx_count_distinct` within 3 relative standard deviations of the
+    * exact distinct count, `percentile_approx` returning a value whose
+    * possible rank interval intersects a window of n/accuracy (+1 for
+    * target-rank rounding) around the target rank. The DuckDB oracle
+    * replays the exact side and pins each boolean to literal TRUE, so a
+    * Spark-side envelope violation hash-mismatches — the same pattern as
+    * `q_contamination_bloom_bound`. One extra scan over [[approxStats]]'s
+    * own pass (the rank-counting aggregate against the three collected
+    * quantile values), still shuffle-free.
+    */
+  def approxStatsBound(df: DataFrame, distinctCol: String,
+      quantileCol: String, rsd: Double = 0.05,
+      accuracy: Int = 10000): DataFrame = {
+    val ap = approxStats(df, distinctCol, quantileCol, rsd, accuracy)
+    val v = col(quantileCol).cast("double")
+    val targets = Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75)
+    def qc(nm: String): Column =
+      if (nm == "med") col("approx_median") else col(s"approx_$nm")
+    val aggs: Seq[Column] =
+      count_distinct(col(distinctCol)).as("exact_n") +:
+        count(lit(1)).as("n") +:
+        max(col(s"approx_n_$distinctCol")).as("__apn") +:
+        targets.flatMap { case (nm, _) => Seq(
+          sum(when(v <= qc(nm), 1L).otherwise(0L)).as(s"__le_$nm"),
+          sum(when(v < qc(nm), 1L).otherwise(0L)).as(s"__lt_$nm"))
+        }
+    val ranks = df.crossJoin(broadcast(ap)).agg(aggs.head, aggs.tail: _*)
+    val qOks = targets.map { case (nm, p) =>
+      // the returned value's true rank lies in [__lt+1, __le]; accept if
+      // that interval intersects [p·n − w, p·n + w], w = n/accuracy + 1
+      val w = col("n").cast("double") / accuracy + 1.0
+      val target = col("n").cast("double") * p
+      (col(s"__le_$nm") >= target - w &&
+        (col(s"__lt_$nm") + 1) <= target + w).as(s"${nm}_ok")
+    }
+    ranks.select(
+      col("exact_n") +: col("n") +:
+        (abs(col("__apn") - col("exact_n")) / col("exact_n")
+          <= 3 * rsd).as("cd_ok") +: qOks: _*)
+  }
+
   /** Pairwise Pearson correlations in one aggregation pass
     * (reference/streamlit_dashboard.py:657,664 — the 3×3 matrix's
     * distinct off-diagonal cells).

@@ -248,6 +248,33 @@ class RollupsSpec extends SparkSpec {
     inRankWindow(0.75, r.getAs[Double]("approx_q3"))
   }
 
+  test("approxStatsBound: exact side correct, every envelope boolean true") {
+    // the oracled form of the previous test: one row whose booleans the
+    // DuckDB oracle pins to literal TRUE; here both the booleans AND the
+    // exact side are checked against an independent computation
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val r = Rollups.approxStatsBound(ev, "user_id", "value").collect().head
+    val exactN = ev.select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(r.getAs[Long]("exact_n") === exactN)
+    assert(r.getAs[Long]("n") === ev.count())
+    Seq("cd_ok", "q1_ok", "med_ok", "q3_ok").foreach(c =>
+      assert(r.getAs[Boolean](c), s"$c violated its documented envelope"))
+  }
+
+  test("approxStatsBound rank window flags an out-of-envelope quantile") {
+    // negative control for the window arithmetic: with accuracy high
+    // enough the window is ±(n/accuracy + 1) ≈ ±1 rank, so feeding a
+    // deliberately-wrong 'approx' value must flip the boolean. Recreate
+    // the boolean exactly as approxStatsBound computes it.
+    val n = 1000.0
+    val w = n / 10000 + 1.0 // ±1.1 ranks
+    def ok(le: Long, lt: Long, p: Double): Boolean =
+      le >= p * n - w && (lt + 1) <= p * n + w
+    assert(ok(le = 500, lt = 499, p = 0.5)) // exact median rank
+    assert(!ok(le = 450, lt = 449, p = 0.5)) // 50 ranks low → flagged
+    assert(!ok(le = 1000, lt = 950, p = 0.5)) // value above p95 → flagged
+  }
+
   test("globalStats: sample stddev and CV") {
     val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("v")
     val r = Rollups.globalStats(df, "v").collect().head
