@@ -912,6 +912,32 @@ object SparkEntry {
         k = 10, nProbe = 2)
     }),
 
+    // ---- IVF + SQ8 composed (X42 inside X10): the quantized probe
+    //      against the physical layout — pruned to nProbe bucket
+    //      partitions at planning time, scoring the STORED int8 codes
+    //      reconstructed against the range sidecar (ADC vs the exact
+    //      query). The production serving read: pruning and the
+    //      4x-smaller payload in one scan ----
+    "q_ann_ivf_sq8" -> ((s, dir) => {
+      val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
+      Similarity.ivfSq8Probe(s, path, "vec_id", qv, k = 10, nProbe = 2,
+        excludeId = Some(0L))
+    }),
+
+    // ---- quantization-error audit AT THE SERVING TIER: recall@10 of
+    //      the quantized probe vs the float probe over the SAME pruned
+    //      buckets — isolates SQ8 error from pruning error ----
+    "q_ann_ivf_sq8_recall" -> ((s, dir) => {
+      val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
+      val sq = Similarity.ivfSq8Probe(s, path, "vec_id", qv, k = 10,
+        nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
+      val fl = Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
+        k = 10, nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
+      sq.join(fl, "vec_id").agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall"))
+    }),
+
     // ---- ANN quality audit: recall@10 of the pruned IVF probe against
     //      the exact brute-force top-10 (query vector excluded on both
     //      sides) ----
@@ -1882,6 +1908,45 @@ object SparkEntry {
         |FROM r, q WHERE vec_id <> 0
         |ORDER BY round(list_dot_product(rv, qe) / sqrt(list_dot_product(rv, rv) * list_dot_product(qe, qe)), 6) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    // IVF + SQ8 composed: the layout replay (trained quantizer, argmax
+    // assignment, probed buckets) plus the SQ8 reconstruction — the
+    // range is over the WHOLE corpus (index build computes it before
+    // partitioning), the scan is the probed subset. ORDER BY the
+    // ROUNDED score + vec_id, mirroring the Spark side's ulp-proof
+    // LIMIT boundary.
+    "q_ann_ivf_sq8" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)},
+         |st AS (SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM e),
+         |r AS (SELECT a.vec_id, a.ivf_bucket,
+         |    list_transform(a.v,
+         |      x -> mn + round((x - mn)/((mx - mn)/255))*((mx - mn)/255)) AS rv
+         |  FROM asg a, st
+         |  WHERE a.ivf_bucket IN (SELECT b FROM probed) AND a.vec_id <> 0)
+         |SELECT vec_id, ivf_bucket,
+         |  round(${ListCosSql("rv", "qv")}, 6) AS cosine_sq8
+         |FROM r, q
+         |ORDER BY round(${ListCosSql("rv", "qv")}, 6) DESC, vec_id
+         |LIMIT 10""".stripMargin,
+    // Quantized-vs-float probe recall over the SAME probed buckets: both
+    // top-10s replayed from the shared layout CTEs, overlap counted.
+    "q_ann_ivf_sq8_recall" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)},
+         |st AS (SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM e),
+         |pr AS (SELECT a.vec_id, a.v FROM asg a
+         |       WHERE a.ivf_bucket IN (SELECT b FROM probed) AND a.vec_id <> 0),
+         |r AS (SELECT vec_id,
+         |    list_transform(v,
+         |      x -> mn + round((x - mn)/((mx - mn)/255))*((mx - mn)/255)) AS rv
+         |  FROM pr, st),
+         |sq AS (SELECT vec_id FROM r, q
+         |       ORDER BY round(${ListCosSql("rv", "qv")}, 6) DESC, vec_id
+         |       LIMIT 10),
+         |fl AS (SELECT vec_id FROM pr, q
+         |       ORDER BY ${ListCosSql("pr.v", "qv")} DESC, vec_id
+         |       LIMIT 10)
+         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM sq JOIN fl USING (vec_id)""".stripMargin,
     "q_ann_sq8_recall" ->
       """WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
         |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx

@@ -294,6 +294,18 @@ object Similarity {
     * stored beside the data in `_quantizer`, which partition discovery
     * ignores (underscore prefix).
     */
+  /** The layout also carries the SQ8 serving payload (X42 composed into
+    * X10): every vector's int8 codes against the corpus-wide [min, max]
+    * range, stored as a `sq8_code` column INSIDE the bucketed layout, the
+    * range itself in a 2-double `_sq8` sidecar. A quantized probe
+    * ([[ivfSq8Probe]]) then reads codes from the pruned partitions only —
+    * partition pruning AND the 4×-smaller scan payload compose. The float
+    * vectors stay in the layout for the exact-rerank (refine) tier; a
+    * deployment that serves codes only would drop them at write time.
+    * Codes are logically uint8 (0..255) in an int column — parquet
+    * dictionary + bit-packing stores them in ~1 byte; a production format
+    * would use a packed BINARY.
+    */
   def writeIvfLayout(df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], path: String): Unit = {
     graft.plans.GraftFunctions.register(df.sparkSession)
@@ -304,14 +316,31 @@ object Similarity {
           col("__e"), array(vec.map(lit): _*)).as("c"),
         lit(b).as("b"))
     }
+    // corpus [min, max] for the SQ8 codes: the same 2-number eager
+    // metadata aggregate sq8TopK documents (index build time, not probe)
+    val st = withDoubleVec(df, vecCol).agg(
+      min(array_min(col("__e"))).as("mn"),
+      max(array_max(col("__e"))).as("mx")).collect().head
+    require(!st.isNullAt(0) && !st.isNullAt(1),
+      s"writeIvfLayout: empty corpus (no rows with a non-null $vecCol)")
+    val (mn, mx) = (st.getDouble(0), st.getDouble(1))
+    require(mx > mn, "writeIvfLayout: degenerate corpus (all components " +
+      "equal) — SQ8 range quantization is undefined")
+    val scale = (mx - mn) / 255.0
     withDoubleVec(df, vecCol)
       .withColumn("ivf_bucket",
         array_max(array(scored.toIndexedSeq: _*)).getField("b"))
+      .withColumn("sq8_code",
+        transform(col("__e"),
+          x => round((x - lit(mn)) / lit(scale), 0).cast("int")))
       .drop("__e")
       .write.partitionBy("ivf_bucket").mode("overwrite").parquet(path)
     df.sparkSession.createDataFrame(cents)
       .toDF("bucket", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_quantizer")
+    df.sparkSession.createDataFrame(Seq((mn, mx)))
+      .toDF("mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_sq8")
   }
 
   /** Build-once gate for [[writeIvfLayout]]: the layout lives in a scratch
@@ -341,8 +370,12 @@ object Similarity {
     // filesystems, so include a content hash if the corpus can be
     // regenerated in-place sub-second). Scoped per user: tmpdir is
     // world-shared on multi-user hosts.
+    // "sq8v2|" versions the LAYOUT FORMAT itself (the r9 writer added the
+    // sq8_code column + _sq8 sidecar): a cache dir written by an older
+    // writer must miss, not be probed with a missing column
     val key = "k" + java.security.MessageDigest.getInstance("MD5")
-      .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(("sq8v2|" + cacheKey).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val user = sys.props.getOrElse("user.name", "anon")
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val path = new java.io.File(
@@ -352,7 +385,8 @@ object Similarity {
     // layout whose quantizer write crashed mid-flight and poison every
     // later probe from the cross-JVM cache
     val complete = new java.io.File(path, "_SUCCESS").exists() &&
-      new java.io.File(s"$path/_quantizer", "_SUCCESS").exists()
+      new java.io.File(s"$path/_quantizer", "_SUCCESS").exists() &&
+      new java.io.File(s"$path/_sq8", "_SUCCESS").exists()
     if (!complete) writeIvfLayout(df, idCol, vecCol, quantizer, path)
     path
   }
@@ -374,6 +408,16 @@ object Similarity {
       path: String): Array[(Int, Seq[Double])] =
     spark.read.parquet(s"$path/_quantizer/part-*").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
+
+  /** The SQ8 [min, max] range beside a layout — 2 doubles of index
+    * metadata, read like [[readQuantizer]] (part-file glob past the
+    * hidden-path filter; completeness gated by [[ensureIvfLayout]]).
+    */
+  private[graft] def readSq8Range(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Double, Double) = {
+    val r = spark.read.parquet(s"$path/_sq8/part-*").collect().head
+    (r.getDouble(0), r.getDouble(1))
+  }
 
   private def driverCos(v: Seq[Double], q: Seq[Double]): Double = {
     val dot = v.zip(q).map { case (a, b) => a * b }.sum
@@ -404,6 +448,41 @@ object Similarity {
       .orderBy(col("__cos").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("ivf_bucket"), round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** Quantized IVF probe — X42's int8 scoring composed INTO X10's
+    * physical layout, the full production ANN serving shape: the probe
+    * prunes to the `nProbe` nearest bucket partitions at PLANNING time
+    * (zero I/O elsewhere, like [[ivfProbe]]) and then scores the stored
+    * `sq8_code` column instead of the float vectors — the pruned scan
+    * reads the 4×-smaller serving payload. Scoring is asymmetric (ADC):
+    * codes are reconstructed against the [min, max] range sidecar
+    * (2 doubles of driver metadata) and cosine'd against the EXACT query
+    * vector, so only the database side pays quantization error. The LIMIT
+    * boundary orders by the ROUNDED score + id like [[sq8TopK]] —
+    * deterministic across engines, hence fully oracle-able
+    * (`q_ann_ivf_sq8`); recall vs the float probe on the same pruned
+    * buckets is oracled as `q_ann_ivf_sq8_recall`.
+    */
+  def ivfSq8Probe(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queryVec: Seq[Double], k: Int,
+      nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val probed = probeBuckets(readQuantizer(spark, path), queryVec, nProbe)
+    val (mn, mx) = readSq8Range(spark, path)
+    val scale = (mx - mn) / 255.0
+    val qLit = array(queryVec.map(lit): _*)
+    val recon = transform(col("sq8_code"),
+      c => lit(mn) + c.cast("double") * lit(scale))
+    val scanned = spark.read.parquet(path)
+      .filter(col("ivf_bucket").isin(probed.toIndexedSeq: _*))
+    excludeId.fold(scanned)(id => scanned.filter(col(idCol) =!= id))
+      .withColumn("__cos",
+        call_function(graft.plans.GraftFunctions.CosineName, recon, qLit))
+      .orderBy(round(col("__cos"), 6).desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("ivf_bucket"),
+        round(col("__cos"), 6).as("cosine_sq8"))
   }
 
   /** Batch IVF probe: exact top-k for EVERY query vector in ONE plan —

@@ -112,6 +112,67 @@ class IvfLayoutSpec extends SparkSpec {
     }
   }
 
+  test("SQ8-in-layout: codes round-trip, quantized probe prunes and never reads floats") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = 8, iters = 2, salt = "sq8spec"),
+      s"sq8-spec-${System.nanoTime()}")
+    // the layout carries the serving payload and its range sidecar
+    assert(new java.io.File(path, "_sq8/_SUCCESS").exists())
+    val (mn, mx) = Similarity.readSq8Range(spark, path)
+    assert(mx > mn)
+    val scale = (mx - mn) / 255.0
+    val lay = spark.read.parquet(path)
+    // codes are uint8-ranged and reconstruct each float component to
+    // within half a quantization step
+    val bad = lay.select(
+      exists(col("sq8_code"), c => c < 0 || c > 255).as("oob"),
+      exists(zip_with(col("sq8_code"),
+          col("embedding").cast("array<double>"),
+          (c, x) => abs(lit(mn) + c * lit(scale) - x) > lit(scale / 2 + 1e-9)),
+        b => b).as("drift"))
+      .filter(col("oob") || col("drift")).count()
+    assert(bad === 0L)
+
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    val probe = Similarity.ivfSq8Probe(spark, path, "vec_id", q,
+      k = 10, nProbe = 2, excludeId = Some(0L))
+    val rows = probe.collect()
+    assert(rows.length === 10)
+    // pruned at planning AND the scan reads codes, not the float vectors
+    // — the 4x-smaller payload is real, not incidental
+    val scan = probe.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("ivf_bucket"),
+      scan.metadata("PartitionFilters"))
+    assert(scan.selectedPartitions.partitionCount === 2)
+    assert(scan.metadata("ReadSchema").contains("sq8_code"),
+      scan.metadata("ReadSchema"))
+    assert(!scan.metadata("ReadSchema").contains("embedding"),
+      scan.metadata("ReadSchema"))
+
+    // stored codes ≡ re-quantizing the floats: scoring the SAME probed
+    // buckets via an independent float-side reconstruction gives the
+    // same ranking
+    val probed = Similarity.probeBuckets(
+      Similarity.readQuantizer(spark, path), q, nProbe = 2)
+    graft.plans.GraftFunctions.register(spark)
+    val recon = transform(col("embedding").cast("array<double>"),
+      x => lit(mn) + round((x - lit(mn)) / lit(scale), 0) * lit(scale))
+    val expect = lay.filter(col("ivf_bucket").isin(probed: _*))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("__cos", call_function(
+        graft.plans.GraftFunctions.CosineName, recon,
+        array(q.map(lit): _*)))
+      .orderBy(round(col("__cos"), 6).desc, col("vec_id"))
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getLong(0)).toSeq === expect)
+  }
+
   test("ensureIvfLayout builds once, reuses later, and skips re-training") {
     val emb = Tables.embeddings(spark, sf)
     val key = s"spec-reuse-${System.nanoTime()}"
