@@ -196,6 +196,37 @@ object SparkEntry {
       |         min(substring(md5(s || '|' || j::VARCHAR), 17, 15)) AS v
       |       FROM sh2, js GROUP BY 1, 2)""".stripMargin
 
+  /** The DSIR importance-weight replay (hashed unigram+bigram features →
+    * add-1 smoothed target/raw bucket models → per-doc log-likelihood
+    * ratio, target = src0, 4096 buckets, salt "dsir1") as a CTE chain
+    * ending in `w(doc_id, n_feats, log_weight)` — shared by the
+    * `q_dsir_weights` and `q_dsir_sample` oracles so the two replays can
+    * never drift. The bucket is the portable md5 hash60 mod 4096,
+    * matching `Curate.hashedFeats` exactly.
+    */
+  private val DsirCtes: String =
+    """tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |fe AS (SELECT doc_id, source, unnest(t) AS g FROM tok
+      |       UNION ALL
+      |       SELECT doc_id, source, t[i] || ' ' || t[i+1] AS g
+      |       FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+      |fb AS (SELECT doc_id, source,
+      |         ('0x' || substring(md5(g || '|dsir1'), 1, 15))::BIGINT % 4096 AS bucket
+      |       FROM fe),
+      |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM fb
+      |       WHERE source = 'src0' GROUP BY 1),
+      |rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM fb
+      |       WHERE source <> 'src0' GROUP BY 1),
+      |tot AS (SELECT coalesce((SELECT CAST(sum(ct) AS DOUBLE) FROM tc), 0) AS t,
+      |               coalesce((SELECT CAST(sum(cr) AS DOUBLE) FROM rc), 0) AS r),
+      |dfc AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS m
+      |        FROM fb WHERE source <> 'src0' GROUP BY 1, 2),
+      |w AS (SELECT dfc.doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+      |        round(sum(m * (ln((coalesce(tc.ct, 0) + 1) / (t + 4096))
+      |                     - ln((rc.cr + 1) / (r + 4096)))), 6) AS log_weight
+      |      FROM dfc LEFT JOIN tc USING (bucket) JOIN rc USING (bucket), tot
+      |      GROUP BY 1)""".stripMargin
+
   /** The n-gram Jaccard pair pipeline in DuckDB SQL — shared by the
     * `q_ngram_jaccard` oracle and the `q_neardup_resolve` oracle (which
     * consumes the pairs as a CTE), so the two can never drift.
@@ -826,6 +857,28 @@ object SparkEntry {
       Curate.sampleStratified(Tables.documents(s, dir), "doc_id", "lang",
         "s2", Seq("en" -> 0.5, "es" -> 0.25, "zh" -> 0.125))
         .select(col("doc_id"), col("lang"))),
+
+    // ---- DSIR importance weights: per raw doc, target-vs-raw hashed
+    //      n-gram log-likelihood ratio (target = src0, like the
+    //      contamination split); fixed 4096-bucket feature space so the
+    //      models stay broadcastable at any corpus size ----
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curate.dsirWeights(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text")
+    }),
+
+    // ---- Gumbel-top-k importance resample off those weights: a
+    //      deterministic without-replacement draw ~ softmax(log w) ----
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curate.dsirSample(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", k = 50)
+    }),
 
     // ---- embedding corpus stats per label ----
     "q_embed_stats" -> ((s, dir) =>
@@ -2022,6 +2075,21 @@ object SparkEntry {
         |      / 1152921504606846976.0
         |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
         |              WHEN 'zh' THEN 0.125 ELSE 0.0 END""".stripMargin,
+    "q_dsir_weights" ->
+      s"""WITH $DsirCtes
+         |SELECT doc_id, n_feats, log_weight FROM w""".stripMargin,
+    // Gumbel noise from the same portable md5 uniform construction as
+    // the sample/split draws; the key is built from the ROUNDED
+    // log_weight on both sides, and the LIMIT boundary orders by the
+    // ROUNDED key + doc_id.
+    "q_dsir_sample" ->
+      s"""WITH $DsirCtes
+         |SELECT doc_id, log_weight,
+         |  round(log_weight - ln(-ln(
+         |    ('0x' || substring(md5(doc_id::VARCHAR || '|g|dsir1'), 1, 15))::BIGINT
+         |      / 1152921504606846976.0)), 6) AS gumbel_key
+         |FROM w
+         |ORDER BY gumbel_key DESC, doc_id LIMIT 50""".stripMargin,
     "q_embed_stats" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,
         |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

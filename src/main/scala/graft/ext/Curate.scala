@@ -138,6 +138,94 @@ object Curate {
       .drop("fraction")
   }
 
+  /** Hashed n-gram features (unigrams + bigrams, md5 → one of `nBuckets`
+    * buckets) — the fixed-dimension text featurization of DSIR-style data
+    * selection (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): hashing bounds the model table at `nBuckets`
+    * rows NO MATTER the corpus vocabulary, which is what makes the
+    * importance models broadcastable at 100 TB where a vocab-sized table
+    * (cf. [[TextStats.rarityScore]]) keeps growing. One row per feature
+    * OCCURRENCE (multiplicity preserved), portable md5 bucket assignment
+    * so the whole featurization replays in DuckDB.
+    */
+  private def hashedFeats(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int, salt: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bi = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(col(idCol), explode(concat(toks, bi)).as("__g"))
+      .select(col(idCol),
+        pmod(PortableHash.hash60(concat(col("__g"), lit("|" + salt))),
+          lit(nBuckets.toLong)).as("bucket"))
+  }
+
+  /** DSIR-style importance weights: per raw doc, the log-likelihood ratio
+    * of a TARGET-domain hashed-n-gram unigram model over a RAW-corpus one
+    * (add-1 smoothing over the `nBuckets` feature space) — docs that look
+    * like the target domain score high, and resampling raw data by these
+    * weights shifts its distribution toward the target (the published
+    * importance-resampling recipe for pretraining data selection).
+    *
+    * Scale shape: both models are aggregates onto the FIXED `nBuckets`
+    * feature space (never vocab-sized — the point of hashing), re-joined
+    * to the per-doc feature counts broadcast-style (AQE sees the
+    * bucket-sized sides); the corpus totals are a 1-row crossJoin like
+    * the perplexity N. One explode pass per corpus, everything else
+    * bucket- or doc-sized. Returns (idCol, n_feats, log_weight).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 4096,
+      salt: String = "dsir1"): DataFrame = {
+    require(nBuckets > 0, "dsirWeights: nBuckets must be positive")
+    val fr = hashedFeats(raw, idCol, textCol, nBuckets, salt)
+    val ft = hashedFeats(target, idCol, textCol, nBuckets, salt)
+    val tgtC = ft.groupBy(col("bucket")).agg(count(lit(1)).as("__ct"))
+    // the raw corpus is exploded ONCE: the per-doc table is the finest
+    // grain, and the corpus-level model + total both roll up from it
+    // (map-side combinable; the shared docF exchange is AQE-reusable)
+    val docF = fr.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("__m"))
+    val rawC = docF.groupBy(col("bucket")).agg(sum(col("__m")).as("__cr"))
+    val totals = tgtC.agg(coalesce(sum(col("__ct")), lit(0L)).as("__t"))
+      .crossJoin(rawC.agg(coalesce(sum(col("__cr")), lit(0L)).as("__r")))
+    docF
+      .join(tgtC, Seq("bucket"), "left")
+      .withColumn("__ct", coalesce(col("__ct"), lit(0L)))
+      .join(rawC, Seq("bucket")) // inner: every doc bucket is in rawC
+      .crossJoin(broadcast(totals))
+      .withColumn("__lw", col("__m")
+        * (log((col("__ct") + 1).cast("double")
+            / (col("__t") + nBuckets).cast("double"))
+          - log((col("__cr") + 1).cast("double")
+            / (col("__r") + nBuckets).cast("double"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).as("n_feats"),
+        round(sum(col("__lw")), 6).as("log_weight"))
+  }
+
+  /** Gumbel-top-k importance resampling over [[dsirWeights]] — the
+    * published selection step: adding Gumbel noise to the log weights and
+    * taking the top k draws a WITHOUT-REPLACEMENT sample distributed as
+    * softmax(log weights), preserving diversity where a plain top-k would
+    * take one dense cluster of near-identical target-like docs. The noise
+    * is the deterministic portable-md5 uniform (g = −ln(−ln u)), so the
+    * selected set is stable across runs and engines and the whole draw
+    * replays in the oracle. LIMIT boundary on the ROUNDED key + id.
+    */
+  def dsirSample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, nBuckets: Int = 4096,
+      salt: String = "dsir1"): DataFrame =
+    dsirWeights(raw, target, idCol, textCol, nBuckets, salt)
+      .withColumn("__u", PortableHash.uniform01(
+        concat(col(idCol).cast("string"), lit("|g|" + salt))))
+      .withColumn("gumbel_key",
+        round(col("log_weight") - log(-log(col("__u"))), 6))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("log_weight"), col("gumbel_key"))
+
   /** Email / IPv4 / phone patterns shared by count and redaction. Written
     * in the common subset of Java regex and RE2 (no backreferences, no
     * lookaround) so the DuckDB oracle evaluates them identically.

@@ -191,4 +191,59 @@ class CurateSpec extends SparkSpec {
     // the default RANGE frame would hand BOTH peers start 3
     assert(starts === Seq(0L, 3L))
   }
+
+  test("dsirWeights: target-like raw docs outrank alien ones; hand-checked") {
+    val target = Seq((100L, "apple banana"), (101L, "apple cherry"))
+      .toDF("doc_id", "text")
+    val raw = Seq((1L, "apple banana"), (2L, "zebra quokka"))
+      .toDF("doc_id", "text")
+    val w = Curate.dsirWeights(raw, target, "doc_id", "text",
+        nBuckets = 64, salt = "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // unigrams + bigrams of a 2-token doc = 3 feature occurrences
+    assert(w(1L)._1 === 3L)
+    assert(w(2L)._1 === 3L)
+    // the doc sharing the target's vocabulary imports more likelihood
+    assert(w(1L)._2 > w(2L)._2)
+
+    // independent driver-side recomputation of the whole pipeline
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((g + "|t").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    def feats(text: String): Seq[Long] = {
+      val t = text.split(" ").toSeq
+      (t ++ t.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+        .map(bucket)
+    }
+    val tf = Seq("apple banana", "apple cherry").flatMap(feats)
+    val rf = Seq("apple banana", "zebra quokka").flatMap(feats)
+    val tc = tf.groupBy(identity).view.mapValues(_.size).toMap
+    val rc = rf.groupBy(identity).view.mapValues(_.size).toMap
+    def logw(text: String): Double = feats(text).map(b =>
+      math.log((tc.getOrElse(b, 0) + 1) / (tf.size.toDouble + 64))
+        - math.log((rc(b) + 1) / (rf.size.toDouble + 64))).sum
+    assert(math.abs(w(1L)._2 - logw("apple banana")) < 1e-5)
+    assert(math.abs(w(2L)._2 - logw("zebra quokka")) < 1e-5)
+  }
+
+  test("dsirSample: deterministic Gumbel top-k, a without-replacement subset of raw") {
+    val target = Seq((100L, "apple banana apple")).toDF("doc_id", "text")
+    val raw = (1L to 20L).map(i =>
+        (i, if (i % 3 == 0) "apple banana fruit" else s"noise$i words here"))
+      .toDF("doc_id", "text")
+    def draw() = Curate.dsirSample(raw, target, "doc_id", "text",
+      k = 5, nBuckets = 64, salt = "t").collect()
+    val s1 = draw()
+    assert(s1.length === 5)
+    assert(s1.map(_.getLong(0)).distinct.length === 5) // no replacement
+    // keys descend, ties impossible at distinct md5 draws
+    val keys = s1.map(_.getAs[Double]("gumbel_key")).toSeq
+    assert(keys === keys.sorted.reverse)
+    // fully deterministic: the same call selects the same set in order
+    assert(draw().map(_.getLong(0)).toSeq === s1.map(_.getLong(0)).toSeq)
+  }
 }
