@@ -858,6 +858,23 @@ object SparkEntry {
         "s2", Seq("en" -> 0.5, "es" -> 0.25, "zh" -> 0.125))
         .select(col("doc_id"), col("lang"))),
 
+    // ---- memorization-risk audit: per doc, the fraction of its distinct
+    //      8-shingles that appear in >= 2 corpus documents (cross-doc
+    //      duplicated spans — the memorization amplifier span-level dedup
+    //      exists to remove), plus its hottest shingle's doc-frequency ----
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpanCoverage(Tables.documents(s, dir), "doc_id",
+        "text", k = 8, minDocs = 2)),
+
+    // ---- curriculum bins: decile of the quality score via exact
+    //      quantile boundaries broadcast back — never a global ntile
+    //      window ----
+    "q_quality_bins" -> ((s, dir) =>
+      Curate.curriculumBins(
+        TextStats.withQuality(Tables.documents(s, dir), "text")
+          .select(col("doc_id"), col("quality_score")),
+        "doc_id", "quality_score", nBins = 10)),
+
     // ---- DSIR importance weights: per raw doc, target-vs-raw hashed
     //      n-gram log-likelihood ratio (target = src0, like the
     //      contamination split); fixed 4096-bucket feature space so the
@@ -2075,6 +2092,35 @@ object SparkEntry {
         |      / 1152921504606846976.0
         |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
         |              WHEN 'zh' THEN 0.125 ELSE 0.0 END""".stripMargin,
+    // Doc-frequency over distinct string shingles ≡ the Spark side's
+    // 64-bit hashed counts (same modulo-collision argument as
+    // q_ngram_jaccard); integer counts exact, one double ratio.
+    "q_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+        |dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  max(df) AS max_doc_freq,
+        |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM sh JOIN dfq USING (s)
+        |GROUP BY 1""".stripMargin,
+    // Exact interpolated decile boundaries (quantile_cont ≡ Spark
+    // percentile, the q_quantiles precedent), compared at 6-dp rounding
+    // on both sides so an interpolation ulp cannot flip a bin.
+    "q_quality_bins" ->
+      """WITH q AS (SELECT doc_id,
+        |    round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
+        |      * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+        |        / (length(text) - length(replace(text, ' ', '')) + 1)), 6) AS quality_score
+        |  FROM documents),
+        |b AS (SELECT quantile_cont(quality_score,
+        |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM q)
+        |SELECT doc_id, quality_score,
+        |  CAST(1 + len(list_filter(bs, x -> round(x, 6) < quality_score)) AS INTEGER) AS bin
+        |FROM q, b""".stripMargin,
     "q_dsir_weights" ->
       s"""WITH $DsirCtes
          |SELECT doc_id, n_feats, log_weight FROM w""".stripMargin,

@@ -226,6 +226,32 @@ object Curate {
       .limit(k)
       .select(col(idCol), col("log_weight"), col("gumbel_key"))
 
+  /** Curriculum bins: assign every row to one of `nBins` quantile bins of
+    * `scoreCol` (bin 1 = lowest) — the construction behind
+    * quality-ordered curricula and quality-stratified mixing. NOT a
+    * global `ntile` window (a single-partition sort of the whole corpus —
+    * the one shape that cannot scale): the `nBins − 1` interior exact
+    * quantile boundaries are ONE aggregation (metadata-sized result,
+    * 1-row crossJoin broadcast back) and assignment is a narrow
+    * projection counting boundaries below the row's score. At 100 TB
+    * swap the exact percentile for `percentile_approx` — same plan,
+    * sketch-mergeable boundary pass; exact here so the bin edges replay
+    * bit-for-bit in the oracle. Both sides compare at 6-dp rounding so an
+    * engine ulp in the interpolated boundary cannot flip a bin.
+    */
+  def curriculumBins(df: DataFrame, idCol: String, scoreCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "curriculumBins: need at least 2 bins")
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    val bounds = df.agg(
+      expr(s"percentile(`$scoreCol`, array(${ps.mkString(", ")}))")
+        .as("__bs"))
+    df.crossJoin(broadcast(bounds))
+      .select(col(idCol), round(col(scoreCol), 6).as(scoreCol),
+        (lit(1) + size(filter(col("__bs"),
+          b => round(b, 6) < round(col(scoreCol), 6)))).as("bin"))
+  }
+
   /** Email / IPv4 / phone patterns shared by count and redaction. Written
     * in the common subset of Java regex and RE2 (no backreferences, no
     * lookaround) so the DuckDB oracle evaluates them identically.

@@ -361,6 +361,41 @@ object Dedup {
       .groupBy(col("sh")).agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") > maxDocFreq)
 
+  /** Memorization-risk scoring: per document, how much of it is made of
+    * spans DUPLICATED ACROSS the corpus — `n_dup` of its `n_sh` distinct
+    * k-token shingles appear in at least `minDocs` documents (itself
+    * included), `dup_frac` is the coverage ratio and `max_doc_freq` the
+    * doc's hottest shingle. Cross-doc repeated spans are the canonical
+    * memorization amplifier in LLM training corpora (the motivation for
+    * span-level dedup in Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"); this is the AUDIT that finds the
+    * documents carrying them — complementary to [[hotShingles]] (which
+    * ranks the spans) and the within-doc repetition score (which never
+    * looks across documents).
+    *
+    * Shape: the per-doc distinct sets come from the codegen'd shingle
+    * kernel (one narrow pass, no `.distinct()` shuffle); the doc-frequency
+    * table is one groupBy on the 8-byte shingle hash; the join back is
+    * hash-partitioned on the same key; the final per-doc rollup is one
+    * more shuffle. Work is linear in corpus shingles — the same
+    * contamination/rarity family shape, nothing pairwise. Counting on
+    * 64-bit hashes ≡ counting on strings modulo ~1e-19 collisions (the
+    * oracle replays strings, like q_ngram_jaccard).
+    */
+  def duplicateSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 1, "duplicateSpanCoverage: minDocs must be >= 1")
+    val sh = hashedShingles(df, idCol, textCol, k)
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_dup"),
+        max(col("__df")).as("max_doc_freq"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_sh"), 6))
+  }
+
   /** MinHash signature: `nPerms` permutation minima over the document's
     * k-shingle set, all in ONE grouped aggregation pass (each "permutation"
     * is the same 64-bit hash salted with the permutation index). Output:

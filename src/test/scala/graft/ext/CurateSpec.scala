@@ -192,6 +192,23 @@ class CurateSpec extends SparkSpec {
     assert(starts === Seq(0L, 3L))
   }
 
+  test("curriculumBins: quantile bins without a global sort window") {
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val bins = Curate.curriculumBins(df, "id", "score", nBins = 2)
+      .orderBy("id").collect().map(_.getAs[Int]("bin")).toSeq
+    // median of 1..10 is 5.5: scores 1-5 → bin 1, 6-10 → bin 2
+    assert(bins === Seq(1, 1, 1, 1, 1, 2, 2, 2, 2, 2))
+    val deciles = Curate.curriculumBins(df, "id", "score", nBins = 10)
+      .orderBy("id").collect().map(_.getAs[Int]("bin")).toSeq
+    // 10 distinct scores over 10 bins: interior boundaries interpolate
+    // strictly between adjacent scores, one score per bin
+    assert(deciles === (1 to 10).toSeq)
+    // the plan must not contain a single-partition global sort window
+    val plan = Curate.curriculumBins(df, "id", "score", nBins = 10)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("dsirWeights: target-like raw docs outrank alien ones; hand-checked") {
     val target = Seq((100L, "apple banana"), (101L, "apple cherry"))
       .toDF("doc_id", "text")

@@ -262,6 +262,24 @@ class DedupSpec extends SparkSpec {
     val pairs = cands.collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("duplicateSpanCoverage: shared spans counted, hottest span surfaced") {
+    val d = Seq(
+      (1L, "x y z w"), // shingles {x y z, y z w}
+      (2L, "x y z q"), // shares "x y z" with doc 1
+      (3L, "p q r s")  // no shared spans
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpanCoverage(d, "doc_id", "text", k = 3,
+        minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_sh"),
+        x.getAs[Long]("n_dup"), x.getAs[Long]("max_doc_freq"),
+        x.getAs[Double]("dup_frac")))
+    assert(r.toSeq === Seq(
+      (1L, 2L, 1L, 2L, 0.5),
+      (2L, 2L, 1L, 2L, 0.5),
+      (3L, 2L, 0L, 1L, 0.0)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
