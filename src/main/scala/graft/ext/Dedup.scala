@@ -375,19 +375,26 @@ object Dedup {
     *
     * Shape: the per-doc distinct sets come from the codegen'd shingle
     * kernel (one narrow pass, no `.distinct()` shuffle); the doc-frequency
-    * table is one groupBy on the 8-byte shingle hash; the join back is
-    * hash-partitioned on the same key; the final per-doc rollup is one
-    * more shuffle. Work is linear in corpus shingles — the same
-    * contamination/rarity family shape, nothing pairwise. Counting on
-    * 64-bit hashes ≡ counting on strings modulo ~1e-19 collisions (the
-    * oracle replays strings, like q_ngram_jaccard).
+    * is an unordered `count(*) OVER (PARTITION BY sh)` window — NOT a
+    * groupBy + join-back, which would run the shingle kernel and the
+    * parquet scan TWICE (Spark plans the two sides of a self-join as two
+    * scans) and, worse, at 100 TB the auto-broadcast threshold can pick a
+    * broadcast join whose build side is the corpus-wide shingle-TYPE
+    * table. The window shuffles once on the 8-byte hash and counts each
+    * hash partition in place (frame = whole partition; the only sort is
+    * WindowExec's within-partition ordering on the 8-byte key — never a
+    * global sort); the per-doc rollup is the second and last shuffle.
+    * Total: 1 scan, 2 shuffles, 0 joins — work linear in corpus shingles,
+    * the same contamination/rarity family shape, nothing pairwise.
+    * Counting on 64-bit hashes ≡ counting on strings modulo ~1e-19
+    * collisions (the oracle replays strings, like q_ngram_jaccard).
     */
   def duplicateSpanCoverage(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 1, "duplicateSpanCoverage: minDocs must be >= 1")
-    val sh = hashedShingles(df, idCol, textCol, k)
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
-    sh.join(dfreq, "sh")
+    import org.apache.spark.sql.expressions.Window
+    hashedShingles(df, idCol, textCol, k)
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_dup"),

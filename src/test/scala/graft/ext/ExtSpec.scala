@@ -279,6 +279,14 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 1L, 2L, 0.5),
       (2L, 2L, 1L, 2L, 0.5),
       (3L, 2L, 0L, 1L, 0.0)))
+    // doc-frequency comes from an unordered window, never a groupBy +
+    // join-back: ONE source scan (the join formulation plans two), zero
+    // joins
+    val physical = Dedup.duplicateSpanCoverage(d, "doc_id", "text", k = 3,
+      minDocs = 2).queryExecution.executedPlan.toString
+    assert(physical.split("TableScan", -1).length - 1 === 1, physical)
+    assert(physical.contains("Window"), physical)
+    assert(!physical.contains("Join"), physical)
   }
 }
 
