@@ -913,6 +913,15 @@ object SparkEntry {
         .select(col("doc_id"), col("sig_0"), col("sig_1"), col("sig_2"),
           col("sig_3"))),
 
+    // ---- MinHash signatures, PORTABLE md5 form: the signature MATH
+    //      itself (per-permutation minima) value-checked by the oracle,
+    //      closing the one family whose sketch values were previously
+    //      rows-only; same (k=8, nPerms=16) config as the candidates /
+    //      estimate queries so all three replay one CTE chain ----
+    "q_minhash_sig_portable" -> ((s, dir) =>
+      Dedup.minhashSignaturesPortable(Tables.documents(s, dir), "doc_id",
+        "text", k = 8, nPerms = 16)),
+
     // ---- SimHash signatures (no SQL oracle: engine-specific hash) ----
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
@@ -1822,6 +1831,17 @@ object SparkEntry {
     // accident that fixture buckets stay small). Perms 2j and 2j+1 are
     // hex chars 1-15 / 17-31 of one md5 (fixed-width lowercase hex:
     // lexicographic min ≡ numeric min, same in Spark).
+    // The signature table itself, pivoted back to sig_p columns from the
+    // SAME hp CTE the candidates/estimate oracles band — fixed-width
+    // lowercase hex strings compare bit-for-bit across engines, no
+    // numeric parsing anywhere.
+    "q_minhash_sig_portable" ->
+      s"""WITH $MinhashSigCtes
+         |SELECT doc_id,
+         |${(0 until 16).map(p =>
+             s"  max(CASE WHEN p = $p THEN v END) AS sig_$p")
+            .mkString(",\n")}
+         |FROM hp GROUP BY 1""".stripMargin,
     "q_minhash_candidates" ->
       s"""WITH $MinhashSigCtes,
          |bands AS (SELECT doc_id, p // 2 AS band, string_agg(v, '|' ORDER BY p) AS key

@@ -21,8 +21,9 @@ object StreamBench {
     // solo after the sensor envelope so the three never contend
     val dedup = graft.streaming.SteadyState.measureDedupStream(spark, sfDir)
     val cur = graft.streaming.SteadyState.measureCurationStream(spark, sfDir)
+    val bm25 = graft.streaming.SteadyState.measureBm25Stream(spark, sfDir)
     val combined = env.json.dropRight(1) +
-      "," + dedup.json + "," + cur.json + "}"
+      "," + dedup.json + "," + cur.json + "," + bm25.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()

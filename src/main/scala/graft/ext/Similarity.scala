@@ -398,24 +398,37 @@ object Similarity {
     * at planning: the scan's PartitionFilters carry it and unprobed
     * directories are never listed into the plan.
     */
-  /** The k-row quantizer beside a layout, read back as driver metadata.
-    * Globs the part files: naming the underscore-prefixed sidecar dir
-    * itself would trip Spark's hidden-path filter (warning + skip on
-    * some code paths); completeness is gated by [[ensureIvfLayout]] on
-    * the sidecar's own _SUCCESS.
+  /** Concrete part-file paths of a sidecar dir. Naming the
+    * underscore-prefixed dir itself would trip Spark's hidden-path filter
+    * (warning + skip on some code paths), and a `part-*` GLOB makes the
+    * read path's FileStreamSink metadata probe stat the literal glob
+    * string — a FileNotFoundException stack logged at WARN on every
+    * probe. Explicit file paths take both failure modes off the table;
+    * completeness is gated by [[ensureIvfLayout]] on the sidecar's own
+    * _SUCCESS.
     */
+  private def sidecarParts(dir: String): Seq[String] = {
+    val fs = Option(new java.io.File(dir)
+        .listFiles((_, n) => n.startsWith("part-")))
+      .getOrElse(Array.empty).map(_.toString).toSeq
+    require(fs.nonEmpty, s"no part files under $dir — layout incomplete " +
+      "(ensureIvfLayout gates on _SUCCESS; was the dir written directly?)")
+    fs
+  }
+
+  /** The k-row quantizer beside a layout, read back as driver metadata. */
   private[graft] def readQuantizer(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[(Int, Seq[Double])] =
-    spark.read.parquet(s"$path/_quantizer/part-*").collect()
+    spark.read.parquet(sidecarParts(s"$path/_quantizer"): _*).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
 
   /** The SQ8 [min, max] range beside a layout — 2 doubles of index
-    * metadata, read like [[readQuantizer]] (part-file glob past the
-    * hidden-path filter; completeness gated by [[ensureIvfLayout]]).
+    * metadata, read like [[readQuantizer]].
     */
   private[graft] def readSq8Range(spark: org.apache.spark.sql.SparkSession,
       path: String): (Double, Double) = {
-    val r = spark.read.parquet(s"$path/_sq8/part-*").collect().head
+    val r = spark.read.parquet(sidecarParts(s"$path/_sq8"): _*)
+      .collect().head
     (r.getDouble(0), r.getDouble(1))
   }
 

@@ -358,47 +358,103 @@ object TextStats {
     * pushes down as a single split and prunes non-matching docs before
     * any per-term work runs (pinned in `TextStatsSpec`).
     */
-  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25TopK: no query terms")
+  /** Frozen BM25 corpus statistics — N, mean doc length, and the
+    * per-query-term document frequencies (aligned with the term seq they
+    * were computed for): the Q+2 numbers [[bm25TopK]] folds into its
+    * score as literals. Freezing them via [[bm25CorpusStats]] turns
+    * [[bm25Score]] into a PURE per-row projection, which is exactly what
+    * makes BM25 scoring streamable: corpus stats move on corpus
+    * timescales, so production scores a live stream against stats frozen
+    * from the indexed batch corpus (refreshed on index rebuilds) — the
+    * same freeze-then-probe split as the minhash band index and the IVF
+    * quantizer.
+    */
+  final case class Bm25Stats(n: Double, avgdl: Double, dfs: Seq[Double])
+
+  /** The tf projection shared by stats and scoring: per-term token counts
+    * over a pre-materialized `__toks` array. The token array lives in its
+    * OWN projection: with Q terms the per-term tf expressions reference
+    * it Q+1 times, and relying on codegen subexpression elimination to
+    * dedupe an inline `split(text)` under each `filter` HOF is fragile at
+    * large Q. CollapseProject keeps the two projects separate (an alias
+    * that is non-cheap and multiply-referenced is never inlined), so each
+    * document is split exactly once per pass — pinned in `TextStatsSpec`.
+    */
+  private def bm25TfProj(d: DataFrame, idCol: String,
+      terms: Seq[String]): DataFrame = d.select(
+    col(idCol) +: size(col("__toks")).cast("double").as("__dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("__toks"), x => x === lit(t)))
+          .cast("double").as(s"__tf_$i")
+      }: _*)
+
+  /** Corpus stats for [[bm25Score]]: ONE metadata-sized aggregate
+    * collected to the driver (Q+2 numbers — the documented eager
+    * two-phase pattern of the quantizer/bloom builds). Batch-only by
+    * nature (a global aggregate has no finite streaming answer); stats
+    * are computed over ALL docs — the presence filter scoring applies
+    * must not distort them.
+    */
+  def bm25CorpusStats(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): Bm25Stats = {
+    require(terms.nonEmpty, "bm25CorpusStats: no query terms")
     require(!df.isStreaming,
-      "bm25TopK collects corpus stats eagerly and is batch-only; on a " +
-        "stream, compute (N, avgdl, df) from the batch corpus once and " +
-        "score inside foreachBatch")
-    // The token array is materialized in its OWN projection: with Q terms
-    // the per-term tf expressions reference it Q+1 times, and relying on
-    // codegen subexpression elimination to dedupe an inline
-    // `split(text)` under each `filter` HOF is fragile at large Q.
-    // CollapseProject keeps the two projects separate (an alias that is
-    // non-cheap and multiply-referenced is never inlined), so each
-    // document is split exactly once per pass — pinned in `TextStatsSpec`.
+      "bm25CorpusStats is an eager global aggregate: freeze stats from " +
+        "the batch corpus, then bm25Score the stream against them")
     val toksAll = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
-    def tfProj(d: DataFrame): DataFrame = d.select(
-      col(idCol) +: size(col("__toks")).cast("double").as("__dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("__toks"), x => x === lit(t)))
-            .cast("double").as(s"__tf_$i")
-        }: _*)
-    // corpus stats over ALL docs (N, avgdl, df are corpus properties —
-    // the presence filter below must not distort them)
-    val stats = tfProj(toksAll).agg(
+    val stats = bm25TfProj(toksAll, idCol, terms).agg(
       count(lit(1)).cast("double").as("n"),
       avg(col("__dl")).as("avgdl") +:
         terms.indices.map(i =>
           sum(when(col(s"__tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i")): _*)
       .collect().head
-    val n = stats.getDouble(0)
-    val avgdl = stats.getDouble(1)
-    val score = terms.indices.map { i =>
-      val dfT = stats.getDouble(2 + i)
-      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
-      lit(idf) * col(s"__tf_$i") * lit(k1 + 1.0) /
-        (col(s"__tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(avgdl)))
-    }.reduce(_ + _)
-    val kept = toksAll.filter(
+    Bm25Stats(stats.getDouble(0), stats.getDouble(1),
+      terms.indices.map(i => stats.getDouble(2 + i)))
+  }
+
+  /** BM25 score of every document that contains ≥1 query term, against
+    * FROZEN corpus stats — a pure narrow projection (one split, Q array
+    * passes, zero shuffles, no aggregation), so it runs unchanged on a
+    * batch frame or an unbounded stream (the streaming-ingest relevance
+    * router: measured in `STREAM_ENVELOPE.json` as `bm25_stream`). Docs
+    * containing no query term are excluded via an `arrays_overlap`
+    * pre-filter, NOT a filter on the computed score: a score predicate
+    * gets pushed below the projections with the whole Q-term score
+    * expression (Q+1 splits) inlined into the scan-side filter, while the
+    * overlap predicate pushes down as a single split and prunes
+    * non-matching docs before any per-term work runs (pinned in
+    * `TextStatsSpec`).
+    */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], stats: Bm25Stats, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Score: no query terms")
+    require(stats.dfs.length == terms.length,
+      s"bm25Score: stats carry ${stats.dfs.length} term frequencies for " +
+        s"${terms.length} terms — frozen for a different query")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val kept = toks.filter(
       arrays_overlap(col("__toks"), array(terms.map(lit): _*)))
-    tfProj(kept).select(col(idCol), round(score, 6).as("bm25"))
+    val score = terms.indices.map { i =>
+      val dfT = stats.dfs(i)
+      val idf = math.log((stats.n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      lit(idf) * col(s"__tf_$i") * lit(k1 + 1.0) /
+        (col(s"__tf_$i") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * col("__dl") / lit(stats.avgdl)))
+    }.reduce(_ + _)
+    bm25TfProj(kept, idCol, terms)
+      .select(col(idCol), round(score, 6).as("bm25"))
+  }
+
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(!df.isStreaming,
+      "bm25TopK collects corpus stats eagerly and is batch-only; on a " +
+        "stream, freeze bm25CorpusStats from the batch corpus and run " +
+        "bm25Score on the stream (global top-k has no streaming answer)")
+    bm25Score(df, idCol, textCol, terms,
+        bm25CorpusStats(df, idCol, textCol, terms), k1, b)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }

@@ -185,6 +185,35 @@ object SteadyState {
           col("n_phones"), col("clean")),
       sfDir, rowsPerBatch, minBatches, deadlineSec)
 
+  /** Streaming BM25 relevance-scoring envelope: corpus stats (N, avgdl,
+    * per-term df) are frozen ONCE from the batch corpus before the clock
+    * starts — in production they refresh with index rebuilds — and every
+    * micro-batch scores its documents against them as a pure per-row
+    * projection ([[graft.ext.TextStats.bm25Score]]): the freeze-then-score
+    * recipe `bm25TopK`'s batch-only require() prescribes, measured.
+    * Query terms are drawn from the corpus itself (its 3 hottest
+    * non-trivial tokens) so the scoring path does real tf work per batch
+    * rather than pre-filtering everything out.
+    */
+  def measureBm25Stream(spark: SparkSession, sfDir: String,
+      rowsPerBatch: Int = 50, minBatches: Int = 15,
+      deadlineSec: Int = 180): DocEnvelope = {
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val terms = corpus
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+      .groupBy(col("w")).count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(3).collect().map(_.getString(0)).toSeq
+    val stats = graft.ext.TextStats.bm25CorpusStats(
+      corpus, "doc_id", "text", terms)
+    measureDocStream(spark, "bm25_stream",
+      stream => graft.ext.TextStats.bm25Score(stream, "doc_id", "text",
+        terms, stats),
+      sfDir, rowsPerBatch, minBatches, deadlineSec)
+  }
+
   /** Drives [[Pipeline.startDual]] from [[Sources.rateSimulated]] until the
     * slower (stateful agg) query has processed `minAggBatches` productive
     * micro-batches or `deadlineSec` elapses, then reads the envelope out of

@@ -263,6 +263,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("minhash signatures: portable md5 twin matches the engine kernel in shape and banded verdicts") {
+    // the two signature families hash differently by design (engine
+    // xxhash64 vs portable md5), so value parity is impossible — what
+    // must agree is everything hash-independent: which docs get a
+    // signature, the signature schema, and the banded candidate verdicts
+    // where hashing cannot disagree (an exact dup collides in ALL bands
+    // under any hash family; a doc sharing zero shingles collides in
+    // none)
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"), // exact dup of 1: all bands collide
+      (3L, "q r s t u v w x y z"), // zero shared shingles: no bands
+      (4L, "one two"))             // < k tokens: no signature at all
+      .toDF("doc_id", "text")
+    val eng = Dedup.minhashSignatures(d, "doc_id", "text", k = 5,
+      nPerms = 16)
+    val por = Dedup.minhashSignaturesPortable(d, "doc_id", "text", k = 5,
+      nPerms = 16)
+    assert(eng.columns.toSeq === por.columns.toSeq)
+    assert(eng.collect().map(_.getLong(0)).sorted.toSeq ===
+      por.collect().map(_.getLong(0)).sorted.toSeq)
+    def pairs(c: org.apache.spark.sql.DataFrame) = c.collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Long]("n_bands"))).toSet
+    assert(pairs(Dedup.minhashCandidates(eng, "doc_id", nPerms = 16,
+      rowsPerBand = 2)) === Set((1L, 2L, 8L)))
+    assert(pairs(Dedup.minhashCandidatesPortable(d, "doc_id", "text",
+      k = 5, nPerms = 16, rowsPerBand = 2)) === Set((1L, 2L, 8L)))
+  }
+
   test("duplicateSpanCoverage: shared spans counted, hottest span surfaced") {
     val d = Seq(
       (1L, "x y z w"), // shingles {x y z, y z w}

@@ -245,6 +245,48 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BM25 scoring against frozen corpus stats matches the batch scorer") {
+    // the freeze-then-score split bm25TopK's batch-only require()
+    // prescribes: corpus stats (N, avgdl, per-term df) are frozen ONCE
+    // from the batch corpus; bm25Score is then a pure per-row projection
+    // that the streaming engine runs unchanged in append mode — no
+    // aggregation, no watermark, no state
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.TextStats
+    val corpus = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "spark spark everywhere in this doc"),
+      (3L, "entirely unrelated prose about gardens"))
+      .toDF("doc_id", "text")
+    val terms = Seq("spark", "executors")
+    val stats = TextStats.bm25CorpusStats(corpus, "doc_id", "text", terms)
+    val mem = MemoryStream[(Long, String)]
+    val scored = TextStats.bm25Score(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", terms, stats)
+    val q = scored.writeStream
+      .format("memory").queryName("bm25_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, "spark shuffles data across executors"), // = corpus doc 1
+        (11L, "no matching words at all"),             // pre-filtered out
+        (12L, "executors executors executors"))
+      q.processAllAvailable()
+      val got = spark.table("bm25_stream").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      // the no-term doc never reaches scoring
+      assert(got.map(_._1).toSeq === Seq(10L, 12L))
+      // parity: identical text scores identically through the batch path
+      val batch = TextStats.bm25Score(corpus, "doc_id", "text", terms, stats)
+        .filter(col("doc_id") === 1L).collect().head.getDouble(1)
+      assert(got.head._2 === batch)
+      // stats were frozen from the 3-doc corpus, not the stream: df for
+      // "executors" is 1 corpus doc, so its idf reflects the corpus even
+      // though the stream saw it twice
+      assert(got(1)._2 > 0.0)
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup: trained-cluster assignment runs stateless on a stream") {
     // assignBuckets is a literal-centroid narrow projection, so the
     // SemDeDup candidate generator drops into a stream unchanged: assign
