@@ -110,30 +110,37 @@ object SparkEntry {
     * partial-aggregate tree order in SQL is not expressible, so this is
     * documented rather than fixed.
     */
-  private def LloydCtes(k: Int, salt: String): String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |u AS (SELECT vec_id, v,
+  /** `pfx` renames every CTE (so several Lloyd chains — e.g. one per PQ
+    * subspace — coexist in one WITH list) and `vExpr` picks the trained
+    * vector (full embedding by default; a slice for PQ subspaces). The
+    * unprefixed instantiation is byte-for-byte the replay every IVF/
+    * k-means oracle has always used.
+    */
+  private def LloydCtes(k: Int, salt: String, pfx: String = "",
+      vExpr: String = "CAST(embedding AS DOUBLE[])"): String =
+    s"""${pfx}e AS (SELECT vec_id, $vExpr AS v FROM embeddings),
+       |${pfx}u AS (SELECT vec_id, v,
        |        ('0x' || substring(md5(vec_id::VARCHAR || '|$salt'), 1, 15))::BIGINT
-       |          / 1152921504606846976.0 AS draw FROM e),
-       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY draw, vec_id) - 1 AS INTEGER) AS b,
+       |          / 1152921504606846976.0 AS draw FROM ${pfx}e),
+       |${pfx}seeds AS (SELECT CAST(row_number() OVER (ORDER BY draw, vec_id) - 1 AS INTEGER) AS b,
        |            v AS cv
-       |          FROM u QUALIFY row_number() OVER (ORDER BY draw, vec_id) <= $k),
-       |a0 AS (SELECT vec_id, v, b FROM (
+       |          FROM ${pfx}u QUALIFY row_number() OVER (ORDER BY draw, vec_id) <= $k),
+       |${pfx}a0 AS (SELECT vec_id, v, b FROM (
        |         SELECT e.vec_id, e.v, s.b,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${ListCosSql("e.v", "s.cv")} DESC, s.b DESC) AS rn
-       |         FROM e, seeds s) WHERE rn = 1),
-       |c1 AS (SELECT b, list(m ORDER BY pos) AS cv FROM (
-       |         SELECT b, i AS pos, avg(v[i]) AS m FROM a0,
+       |         FROM ${pfx}e e, ${pfx}seeds s) WHERE rn = 1),
+       |${pfx}c1 AS (SELECT b, list(m ORDER BY pos) AS cv FROM (
+       |         SELECT b, i AS pos, avg(v[i]) AS m FROM ${pfx}a0,
        |           unnest(generate_series(1, len(v))) AS u2(i) GROUP BY 1, 2) d1
        |       GROUP BY 1),
-       |a1 AS (SELECT vec_id, v, b FROM (
+       |${pfx}a1 AS (SELECT vec_id, v, b FROM (
        |         SELECT e.vec_id, e.v, s.b,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${ListCosSql("e.v", "s.cv")} DESC, s.b DESC) AS rn
-       |         FROM e, c1 s) WHERE rn = 1),
-       |c2 AS (SELECT b, list(m ORDER BY pos) AS cv FROM (
-       |         SELECT b, i AS pos, avg(v[i]) AS m FROM a1,
+       |         FROM ${pfx}e e, ${pfx}c1 s) WHERE rn = 1),
+       |${pfx}c2 AS (SELECT b, list(m ORDER BY pos) AS cv FROM (
+       |         SELECT b, i AS pos, avg(v[i]) AS m FROM ${pfx}a1,
        |           unnest(generate_series(1, len(v))) AS u3(i) GROUP BY 1, 2) d2
        |       GROUP BY 1)""".stripMargin
 
@@ -163,6 +170,55 @@ object SparkEntry {
        |probed AS (SELECT cent.b FROM cent, q
        |           ORDER BY ${ListCosSql("cent.c", "qv")} DESC, cent.b
        |           LIMIT $nProbe)""".stripMargin
+
+  /** PQ replay config shared by the Spark registrations and the oracle:
+    * [[PqM]] equal subspaces of the 64-dim testdata embeddings, each with
+    * its own [[PqKc]]-entry Lloyd codebook (salts pq0..pq{M−1}).
+    */
+  private val PqM = 8
+  private val PqKc = 16
+  private val PqDim = 64 // the generated testdata embedding width
+
+  /** The PQ replay: [[PqM]] prefixed [[LloydCtes]] instantiations (one
+    * per subspace slice), per-subspace argmax assignment (cos DESC,
+    * b DESC — the [[AsgCtes]] tie-break), and the ADC score: the
+    * assigned codebook entries alone carry the partial dots and squared
+    * norms, cosine'd against the EXACT query — matching
+    * `Similarity.pqTopK` at (m=[[PqM]], codebookK=[[PqKc]], iters=2,
+    * salt "pq"). Ends in `pqsc(vec_id, dt, n2, qn2)`, shared by the
+    * `q_ann_pq` and `q_ann_pq_recall` oracles.
+    */
+  private def PqCtes(queryVecId: Long): String = {
+    val ds = PqDim / PqM
+    def lo(j: Int) = j * ds + 1
+    def hi(j: Int) = (j + 1) * ds
+    val js = 0 until PqM
+    val chains = js.map(j => LloydCtes(PqKc, s"pq$j", s"p$j",
+      s"(CAST(embedding AS DOUBLE[]))[${lo(j)}:${hi(j)}]")).mkString(",\n")
+    val asgs = js.map(j =>
+      s"""pqa$j AS (SELECT vec_id, b FROM (
+         |          SELECT e.vec_id, c.b,
+         |            row_number() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${ListCosSql("e.v", "c.cv")} DESC, c.b DESC) AS rn
+         |          FROM p${j}e e, p${j}c2 c) WHERE rn = 1)""".stripMargin)
+      .mkString(",\n")
+    val dt = js.map(j =>
+      s"list_dot_product(q.q[${lo(j)}:${hi(j)}], c$j.cv)").mkString(" + ")
+    val n2 = js.map(j => s"list_dot_product(c$j.cv, c$j.cv)").mkString(" + ")
+    val joins = js.tail.map(j => s"JOIN pqa$j a$j USING (vec_id)")
+      .mkString(" ") + " " +
+      js.map(j => s"JOIN p${j}c2 c$j ON c$j.b = a$j.b").mkString(" ")
+    s"""WITH $chains,
+       |pqq AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+       |        WHERE vec_id = $queryVecId),
+       |$asgs,
+       |pqsc AS (SELECT a0.vec_id,
+       |    $dt AS dt,
+       |    $n2 AS n2,
+       |    list_dot_product(q.q, q.q) AS qn2
+       |  FROM pqa0 a0 $joins, pqq q
+       |  WHERE a0.vec_id <> $queryVecId)""".stripMargin
+  }
 
   /** The portable SimHash signature replay (token hash, ±1 votes,
     * sign→bit; bits 60-63 carry no entropy, so the reconstruction stops
@@ -803,6 +859,50 @@ object SparkEntry {
     "q_ann_sq8" -> ((s, dir) =>
       Similarity.sq8TopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10)),
+
+    // ---- product-quantized ANN: PqM subspaces x PqKc-entry trained
+    //      codebooks, ADC lookup scoring — the full training + encode +
+    //      score pipeline replayed by the oracle ----
+    "q_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, m = PqM, codebookK = PqKc)),
+
+    // ---- two-stage PQ serving: ADC shortlist of 100, exact rerank to
+    //      top-10 — the coarse-filter/refine split production PQ uses ----
+    "q_ann_pq_rerank" -> ((s, dir) =>
+      Similarity.pqRerankTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", queryId = 0L, k = 10, shortlist = 100, m = PqM,
+        codebookK = PqKc)),
+
+    // ---- rerank recall audit: the shortlist multiplier, not the code
+    //      error, sets recall — measured ----
+    "q_ann_pq_rerank_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val approx = Similarity.pqRerankTopK(emb, "vec_id", "embedding", 0L,
+          10, shortlist = 100, m = PqM, codebookK = PqKc)
+        .select(col("vec_id"))
+      val exact = Similarity.bruteForceTopKNative(emb, "vec_id",
+        "embedding", 0L, 10).select(col("vec_id"))
+      approx.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall"))
+    }),
+
+    // ---- PQ recall audit vs exact brute force (same pattern as
+    //      q_ann_sq8_recall) ----
+    "q_ann_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val approx = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10,
+          m = PqM, codebookK = PqKc)
+        .select(col("vec_id"))
+      val exact = Similarity.bruteForceTopKNative(emb, "vec_id",
+        "embedding", 0L, 10).select(col("vec_id"))
+      approx.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall"))
+    }),
 
     // ---- hard-negative mining: per anchor, top-5 most-similar vectors
     //      with a DIFFERENT label, in one pruned layout scan ----
@@ -1998,6 +2098,58 @@ object SparkEntry {
         |FROM r, q WHERE vec_id <> 0
         |ORDER BY round(list_dot_product(rv, qe) / sqrt(list_dot_product(rv, rv) * list_dot_product(qe, qe)), 6) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    // The full PQ pipeline replayed: per-subspace Lloyd training, argmax
+    // encode, ADC lookup score — ORDER BY the ROUNDED score + vec_id
+    // (with 16x16 code combos many rows tie exactly, so the id tiebreak
+    // carries real weight here).
+    "q_ann_pq" ->
+      s"""${PqCtes(queryVecId = 0)}
+         |SELECT s.vec_id, e2.label,
+         |  round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) AS cosine_pq
+         |FROM pqsc s JOIN embeddings e2 ON e2.vec_id = s.vec_id
+         |ORDER BY round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) DESC, s.vec_id
+         |LIMIT 10""".stripMargin,
+    // Two-stage replay: ADC shortlist (rounded-score + id boundary, like
+    // every LIMIT here) then exact float cosine over the shortlist only.
+    "q_ann_pq_rerank" ->
+      s"""${PqCtes(queryVecId = 0)},
+         |short AS (SELECT vec_id FROM pqsc
+         |          ORDER BY round(dt / (sqrt(n2) * sqrt(qn2)), 6) DESC, vec_id
+         |          LIMIT 100)
+         |SELECT e.vec_id, e.label,
+         |  round(${ListCosSql("CAST(e.embedding AS DOUBLE[])", "q.q")}, 6) AS cosine
+         |FROM embeddings e JOIN short USING (vec_id), pqq q
+         |ORDER BY round(${ListCosSql("CAST(e.embedding AS DOUBLE[])", "q.q")}, 6) DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+    "q_ann_pq_rerank_recall" ->
+      s"""${PqCtes(queryVecId = 0)},
+         |short AS (SELECT vec_id FROM pqsc
+         |          ORDER BY round(dt / (sqrt(n2) * sqrt(qn2)), 6) DESC, vec_id
+         |          LIMIT 100),
+         |rr AS (SELECT e.vec_id FROM embeddings e JOIN short USING (vec_id), pqq q
+         |       ORDER BY round(${ListCosSql("CAST(e.embedding AS DOUBLE[])", "q.q")}, 6) DESC, e.vec_id
+         |       LIMIT 10),
+         |ex AS (SELECT vec_id FROM embeddings, pqq q WHERE vec_id <> 0
+         |       ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), q.q)
+         |         / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) * list_dot_product(q.q, q.q)) DESC, vec_id
+         |       LIMIT 10)
+         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM rr JOIN ex USING (vec_id)""".stripMargin,
+    // PQ top-10 vs exact top-10, overlap counted — the sq8_recall shape
+    // over the shared PQ CTEs.
+    "q_ann_pq_recall" ->
+      s"""${PqCtes(queryVecId = 0)},
+         |pq AS (SELECT vec_id FROM pqsc
+         |       ORDER BY round(dt / (sqrt(n2) * sqrt(qn2)), 6) DESC, vec_id
+         |       LIMIT 10),
+         |ex AS (SELECT vec_id FROM embeddings, pqq q WHERE vec_id <> 0
+         |       ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), q.q)
+         |         / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) * list_dot_product(q.q, q.q)) DESC, vec_id
+         |       LIMIT 10)
+         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM pq JOIN ex USING (vec_id)""".stripMargin,
     // IVF + SQ8 composed: the layout replay (trained quantizer, argmax
     // assignment, probed buckets) plus the SQ8 reconstruction — the
     // range is over the WHOLE corpus (index build computes it before

@@ -115,6 +115,134 @@ object Similarity {
         round(col("__cos"), 6).as("cosine_sq8"): _*)
   }
 
+  /** Product-quantized (PQ) ANN scoring — the codebook tier past SQ8
+    * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"): the vector space splits into `m` contiguous subspaces and
+    * each subvector quantizes to its nearest entry of a per-subspace
+    * k-means codebook ([[trainQuantizer]] reused per subspace with a
+    * per-subspace salt, so training replays deterministically across
+    * engines). A vector compresses to m small code ids (m bytes at
+    * codebookK ≤ 256 vs 4·d float bytes — far past SQ8's fixed 4×), and
+    * scoring is asymmetric (ADC): dot(q_j, codebook_j[code]) and
+    * ‖codebook_j[code]‖² are functions of the CODE alone, precomputed on
+    * the driver as m·codebookK doubles, so the per-row cost is m
+    * codebook lookups plus a closed-form cosine against the EXACT query
+    * — only the database side pays quantization error.
+    *
+    * Shape: encode + lookup are ONE narrow codegen'd projection (argmax
+    * over codebook literals exactly like [[assignBuckets]], then a
+    * when-chain lookup — codebook ids are NOT assumed contiguous because
+    * Lloyd drops empty clusters), no join, no shuffle, ending in
+    * TakeOrderedAndProject on the ROUNDED score + id (the ulp-proof
+    * LIMIT boundary every ANN query here uses). Like [[sq8TopK]] this
+    * audit form scores the whole corpus in one scan and encodes on the
+    * fly; a production serving tier stores the m codes inside the IVF
+    * layout (as [[writeIvfLayout]] stores `sq8_code`) and rides the
+    * pruned probe. Batch-only: codebooks and query are driver-resident
+    * (the documented eager two-phase pattern) — on a stream, freeze the
+    * codebooks from the batch corpus and score inside foreachBatch.
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, m: Int = 2, codebookK: Int = 16,
+      iters: Int = 2, salt: String = "pq",
+      keepCols: Seq[String] = Seq("label")): DataFrame = {
+    require(!df.isStreaming,
+      "pqTopK trains codebooks and collects the query vector eagerly and " +
+        "is batch-only; on a stream, freeze the codebooks from the batch " +
+        "corpus and score inside foreachBatch")
+    require(m >= 1 && codebookK >= 1, "pqTopK: need m >= 1, codebookK >= 1")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val emb = withDoubleVec(df, vecCol)
+    val dims = emb.agg(min(size(col("__e"))).as("lo"),
+      max(size(col("__e"))).as("hi")).collect().head
+    require(!dims.isNullAt(0), "pqTopK: empty corpus")
+    require(dims.getInt(0) == dims.getInt(1),
+      s"pqTopK: ragged vector lengths ${dims.getInt(0)}..${dims.getInt(1)}")
+    val dim = dims.getInt(0)
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m = $m")
+    val ds = dim / m
+    val books = (0 until m).map { j =>
+      trainQuantizer(
+        emb.select(col(idCol),
+          slice(col("__e"), j * ds + 1, ds).as("__sub")),
+        idCol, "__sub", codebookK, iters, s"$salt$j")
+    }
+    val qRows = emb.filter(col(idCol) === queryId)
+      .select(col("__e")).collect()
+    require(qRows.nonEmpty, s"pqTopK: query id $queryId not found in $idCol")
+    val q = qRows.head.getSeq[Double](0)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    // ADC tables: per (subspace, code) partial dot with the query and
+    // partial squared norm — m · codebookK doubles of driver metadata
+    val dots = books.zipWithIndex.map { case (book, j) =>
+      val qj = q.slice(j * ds, (j + 1) * ds)
+      book.map { case (b, c) =>
+        b -> c.zip(qj).map { case (x, y) => x * y }.sum
+      }.toMap
+    }
+    val norms = books.map(_.map { case (b, c) =>
+      b -> c.map(x => x * x).sum
+    }.toMap)
+    def codeCol(j: Int): Column = {
+      val sub = slice(col("__e"), j * ds + 1, ds)
+      array_max(array(books(j).map { case (b, vec) =>
+        struct(
+          call_function(graft.plans.GraftFunctions.CosineName,
+            sub, array(vec.map(lit).toIndexedSeq: _*)).as("c"),
+          lit(b).as("b"))
+      }.toIndexedSeq: _*)).getField("b")
+    }
+    def lookup(codeC: Column, table: Map[Int, Double]): Column =
+      table.toSeq.sortBy(_._1)
+        .foldLeft(Option.empty[Column]) { case (acc, (b, v)) =>
+          Some(acc.fold(when(codeC === b, v))(_.when(codeC === b, v)))
+        }.get
+    val coded = emb.filter(col(idCol) =!= queryId)
+      .select((col(idCol) +: keepCols.map(col)) ++
+        (0 until m).map(j => codeCol(j).as(s"__code_$j")): _*)
+    val dotSum = (0 until m)
+      .map(j => lookup(col(s"__code_$j"), dots(j))).reduce(_ + _)
+    val n2Sum = (0 until m)
+      .map(j => lookup(col(s"__code_$j"), norms(j))).reduce(_ + _)
+    coded
+      .withColumn("__cos", dotSum / (sqrt(n2Sum) * lit(qNorm)))
+      .orderBy(round(col("__cos"), 6).desc, col(idCol))
+      .limit(k)
+      .select(col(idCol) +: keepCols.map(col) :+
+        round(col("__cos"), 6).as("cosine_pq"): _*)
+  }
+
+  /** Two-stage PQ serving: [[pqTopK]]'s ADC scan produces a `shortlist`
+    * of candidates, and ONLY those rows are re-scored with the exact
+    * float cosine — the standard coarse-filter / refine split of every
+    * production PQ deployment (the codes prune 1 − shortlist/N of the
+    * corpus from exact scoring; the floats are read for the shortlist
+    * alone). The shortlist is id METADATA (shortlist ≤ a few hundred
+    * rows), so the refine join broadcasts and the exact pass never
+    * shuffles the corpus. Recall is set by the shortlist multiplier,
+    * not by quantization error — the knob the recall audits measure.
+    */
+  def pqRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, shortlist: Int, m: Int = 2,
+      codebookK: Int = 16, iters: Int = 2, salt: String = "pq",
+      keepCols: Seq[String] = Seq("label")): DataFrame = {
+    require(shortlist >= k,
+      s"pqRerankTopK: shortlist $shortlist smaller than k = $k")
+    val short = pqTopK(df, idCol, vecCol, queryId, shortlist, m,
+      codebookK, iters, salt, Seq.empty).select(col(idCol))
+    val emb = withDoubleVec(df, vecCol)
+    val q = emb.filter(col(idCol) === queryId).select(col("__e"))
+      .collect().head.getSeq[Double](0)
+    emb.join(broadcast(short), Seq(idCol))
+      .withColumn("__cos",
+        call_function(graft.plans.GraftFunctions.CosineName,
+          col("__e"), array(q.map(lit).toIndexedSeq: _*)))
+      .orderBy(round(col("__cos"), 6).desc, col(idCol))
+      .limit(k)
+      .select(col(idCol) +: keepCols.map(col) :+
+        round(col("__cos"), 6).as("cosine"): _*)
+  }
+
   /** Hard-negative mining for contrastive training: for each ANCHOR
     * vector, the k most-similar vectors with a DIFFERENT label — the
     * negatives nearest the decision boundary, the ones a contrastive or

@@ -356,6 +356,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTopK: per-subspace codebook ADC keeps the query's cluster on top; deterministic, join-free") {
+    // two clusters separated in BOTH subspaces (dims 1-2 and 3-4), so
+    // 2-entry-per-subspace codebooks reconstruct each cluster at its
+    // centroid and the ADC ranking puts the query's cluster-mates first
+    val d = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f, 0.9f, 0.1f)),
+      (2L, 0, Array(0.95f, 0.05f, 0.97f, 0.03f)),
+      (3L, 1, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+      (4L, 1, Array(0.1f, 0.9f, 0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    def run() = Similarity.pqTopK(d, "vec_id", "embedding", queryId = 0L,
+      k = 4, m = 2, codebookK = 2)
+    val rows = run().collect()
+    assert(rows.length === 4)
+    assert(rows.take(2).map(_.getLong(0)).toSet === Set(1L, 2L))
+    rows.foreach(r =>
+      assert(math.abs(r.getAs[Double]("cosine_pq")) <= 1.0 + 1e-6))
+    // deterministic end to end (seeded Lloyd, id tie-breaks)
+    assert(run().collect().map(_.getLong(0)).toSeq ===
+      rows.map(_.getLong(0)).toSeq)
+    // encode + ADC lookup is one narrow projection: no join anywhere
+    val physical = run().queryExecution.executedPlan.toString
+    assert(!physical.contains("Join"), physical)
+    // dim 4 does not split into 3 subspaces
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqTopK(d, "vec_id", "embedding", 0L, 2, m = 3)
+    }
+    // two-stage: with the whole corpus shortlisted, the exact rerank IS
+    // the exact ranking — codebook error cannot survive the refine pass
+    val rr = Similarity.pqRerankTopK(d, "vec_id", "embedding", 0L, k = 2,
+      shortlist = 4, m = 2, codebookK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopKNative(d, "vec_id", "embedding",
+      0L, 2).collect().map(_.getLong(0)).toSeq
+    assert(rr === exact)
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqRerankTopK(d, "vec_id", "embedding", 0L, k = 4,
+        shortlist = 2)
+    }
+  }
+
   test("cosine of orthogonal vectors is 0, identical is 1") {
     val r = vecs.select(
       Similarity.cosine(
