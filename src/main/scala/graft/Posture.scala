@@ -262,7 +262,18 @@ object Posture {
     val docsByLbl = corpora.toMap
     val embByLbl = embPaths.map { case (l, p) =>
       l -> spark.read.parquet(p) }.toMap
+    // PQ codebooks are index metadata (train once, serve many): trained
+    // OUTSIDE the timed runs like the IVF layouts above, so the measured
+    // cost is the serving path alone
+    val pqBooksByLbl = Seq("1x", "10x").map { lbl =>
+      lbl -> Similarity.pqCodebooks(embByLbl(lbl), "vec_id", "embedding",
+        m = SparkEntry.PqM, codebookK = SparkEntry.PqKc)
+    }.toMap
     val retrievalOps: Seq[(String, String => DataFrame)] = Seq(
+      "pq_rerank" -> (lbl => Similarity.pqRerankTopK(embByLbl(lbl),
+        "vec_id", "embedding", qid, k = 10, shortlist = 100,
+        m = SparkEntry.PqM, codebookK = SparkEntry.PqKc,
+        books = Some(pqBooksByLbl(lbl)))),
       "bm25_topk" -> (lbl => TextStats.bm25TopK(docsByLbl(lbl), "doc_id",
         "text", Seq("dup", "merge", "spark"), k = 10)),
       "sq8_brute" -> (lbl => Similarity.sq8TopK(embByLbl(lbl), "vec_id",
@@ -301,7 +312,7 @@ object Posture {
     }
     val retrievalJson =
       s"""  "retrieval": {
-         |    "what": "BM25 / SQ8 / pruned-probe serving ops, fixed k output, eager metadata included in every timed run; healthy = flat peak_task_mem and spill 0, scan-bound ops (bm25_topk, sq8_brute) growing at most linearly, pruned probes (ivf_sq8_probe, hard_negatives) tracking scanned_rows_probe; at this corpus size the ~0.2 s fixed per-query cost (driver metadata reads + job scheduling) dominates, so time_growth near 1 means the data-dependent cost is still below the serving floor at 10x",
+         |    "what": "BM25 / SQ8 / PQ / pruned-probe serving ops, fixed k output, eager metadata included in every timed run (PQ codebooks and IVF layouts are index builds, trained outside); healthy = flat peak_task_mem and spill 0, scan-bound ops (bm25_topk, sq8_brute, pq_rerank ADC pass) growing at most linearly, pruned probes (ivf_sq8_probe, hard_negatives) tracking scanned_rows_probe; at this corpus size the ~0.2 s fixed per-query cost (driver metadata reads + job scheduling) dominates, so time_growth near 1 means the data-dependent cost is still below the serving floor at 10x",
          |    "vecs_1x": ${embByLbl("1x").count()}, "vecs_10x": ${embByLbl("10x").count()},
          |    "scanned_rows_probe_1x": ${probeScanRows("1x")}, "scanned_rows_probe_10x": ${probeScanRows("10x")},
          |${retrieval.mkString(",\n")}}""".stripMargin

@@ -71,6 +71,41 @@ object RecallCurve {
         "tie-break drift between approx and exact paths; see monotone flags")
     }
 
+    // ---- PQ shortlist sweep: the two-stage (ADC shortlist → exact
+    // rerank) recall curve. Codebooks are trained ONCE (index metadata —
+    // the train-once serve-many split pqCodebooks exists for) and every
+    // (query, shortlist) point runs the REAL pqRerankTopK operator; the
+    // shortlist=10 point is set-identical to the raw ADC top-10, so the
+    // curve starts at the unreranked PQ recall and shows what each
+    // shortlist multiplier buys. rerank_frac = shortlist / corpus = the
+    // fraction of float vectors the refine stage reads.
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val nVecs = emb.count()
+    val pqBooks = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = SparkEntry.PqM, codebookK = SparkEntry.PqKc)
+    val exactByQ = qvs.map { case (qid, _) =>
+      qid -> Similarity.bruteForceTopKNative(emb, "vec_id", "embedding",
+        qid, 10).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    }.toMap
+    val shortlists = Seq(10, 20, 50, 100, 200, 400)
+      .filter(_ <= nVecs.toInt)
+    val pqPoints = shortlists.map { s =>
+      val recall = qvs.map { case (qid, _) =>
+        val got = Similarity.pqRerankTopK(emb, "vec_id", "embedding", qid,
+            k = 10, shortlist = s, m = SparkEntry.PqM,
+            codebookK = SparkEntry.PqKc, books = Some(pqBooks))
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        got.intersect(exactByQ(qid)).size / 10.0
+      }.sum / qvs.length
+      (s, recall, s / nVecs.toDouble)
+    }
+    val pqFlags = true +: (1 until pqPoints.length).map(i =>
+      pqPoints(i)._2 >= pqPoints(i - 1)._2 - 1e-9)
+    pqFlags.zip(pqPoints).collect { case (false, (s, r, _)) =>
+      System.err.println(s"WARN: PQ rerank recall dipped at shortlist=$s " +
+        s"(recall=$r) — see pq monotone flags")
+    }
+
     val json =
       f"""{
          |  "what": "recall@10 of the pruned IVF probe vs exhaustive, mean over $nQueries query vectors on the trained layout; scanned_frac = mean fraction of corpus rows the probe reads — the recall/cost trade the quantizer buys; monotone=false flags a recall dip vs the previous point (tie-break drift), healthy = all true",
@@ -80,7 +115,17 @@ object RecallCurve {
          |${points.zip(flags).map { case ((np, r, f), m) =>
              f"""    {"n_probe": $np, "recall_at_10": $r%.3f, "scanned_frac": $f%.3f, "monotone": $m}"""
            }.mkString(",\n")}
-         |  ]
+         |  ],
+         |  "pq": {
+         |    "what": "two-stage PQ recall@10: ADC shortlist then exact rerank, mean over $nQueries queries, codebooks trained once; shortlist=10 IS the raw ADC top-10; rerank_frac = fraction of float vectors the refine stage reads; shortlist growth is supersets, so recall must be monotone",
+         |    "m": ${SparkEntry.PqM}, "codebook_k": ${SparkEntry.PqKc}, "bytes_per_vec": ${SparkEntry.PqM},
+         |    "monotone_all": ${pqFlags.forall(identity)},
+         |    "points": [
+         |${pqPoints.zip(pqFlags).map { case ((s, r, f), m) =>
+             f"""      {"shortlist": $s, "recall_at_10": $r%.3f, "rerank_frac": $f%.3f, "monotone": $m}"""
+           }.mkString(",\n")}
+         |    ]
+         |  }
          |}""".stripMargin
     Files.write(Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -175,8 +175,8 @@ object SparkEntry {
     * [[PqM]] equal subspaces of the 64-dim testdata embeddings, each with
     * its own [[PqKc]]-entry Lloyd codebook (salts pq0..pq{M−1}).
     */
-  private val PqM = 8
-  private val PqKc = 16
+  private[graft] val PqM = 8
+  private[graft] val PqKc = 16
   private val PqDim = 64 // the generated testdata embedding width
 
   /** The PQ replay: [[PqM]] prefixed [[LloydCtes]] instantiations (one

@@ -115,6 +115,38 @@ object Similarity {
         round(col("__cos"), 6).as("cosine_sq8"): _*)
   }
 
+  /** Per-subspace PQ codebooks: the corpus dimension split into `m`
+    * contiguous slices, [[trainQuantizer]] run per slice with a
+    * per-subspace salt. This is the PQ index-build step — codebooks are
+    * frozen index METADATA (m · codebookK · d/m doubles), trained once
+    * and served against many queries; pass the result to [[pqTopK]] /
+    * [[pqRerankTopK]] via `books` to skip retraining per query (the
+    * production and audit-sweep shape — `RecallCurve` trains once and
+    * sweeps the shortlist).
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 2, codebookK: Int = 16, iters: Int = 2,
+      salt: String = "pq"): Seq[Seq[(Int, Seq[Double])]] = {
+    require(m >= 1 && codebookK >= 1,
+      "pqCodebooks: need m >= 1, codebookK >= 1")
+    val emb = withDoubleVec(df, vecCol)
+    val dims = emb.agg(min(size(col("__e"))).as("lo"),
+      max(size(col("__e"))).as("hi")).collect().head
+    require(!dims.isNullAt(0), "pqCodebooks: empty corpus")
+    require(dims.getInt(0) == dims.getInt(1),
+      s"pqCodebooks: ragged vector lengths " +
+        s"${dims.getInt(0)}..${dims.getInt(1)}")
+    val dim = dims.getInt(0)
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m = $m")
+    val ds = dim / m
+    (0 until m).map { j =>
+      trainQuantizer(
+        emb.select(col(idCol),
+          slice(col("__e"), j * ds + 1, ds).as("__sub")),
+        idCol, "__sub", codebookK, iters, s"$salt$j")
+    }
+  }
+
   /** Product-quantized (PQ) ANN scoring — the codebook tier past SQ8
     * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
     * Search"): the vector space splits into `m` contiguous subspaces and
@@ -145,47 +177,41 @@ object Similarity {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, m: Int = 2, codebookK: Int = 16,
       iters: Int = 2, salt: String = "pq",
-      keepCols: Seq[String] = Seq("label")): DataFrame = {
+      keepCols: Seq[String] = Seq("label"),
+      books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
     require(!df.isStreaming,
       "pqTopK trains codebooks and collects the query vector eagerly and " +
         "is batch-only; on a stream, freeze the codebooks from the batch " +
         "corpus and score inside foreachBatch")
-    require(m >= 1 && codebookK >= 1, "pqTopK: need m >= 1, codebookK >= 1")
     graft.plans.GraftFunctions.register(df.sparkSession)
     val emb = withDoubleVec(df, vecCol)
-    val dims = emb.agg(min(size(col("__e"))).as("lo"),
-      max(size(col("__e"))).as("hi")).collect().head
-    require(!dims.isNullAt(0), "pqTopK: empty corpus")
-    require(dims.getInt(0) == dims.getInt(1),
-      s"pqTopK: ragged vector lengths ${dims.getInt(0)}..${dims.getInt(1)}")
-    val dim = dims.getInt(0)
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m = $m")
-    val ds = dim / m
-    val books = (0 until m).map { j =>
-      trainQuantizer(
-        emb.select(col(idCol),
-          slice(col("__e"), j * ds + 1, ds).as("__sub")),
-        idCol, "__sub", codebookK, iters, s"$salt$j")
-    }
+    val trained = books.getOrElse(
+      pqCodebooks(df, idCol, vecCol, m, codebookK, iters, salt))
+    require(trained.length == m,
+      s"pqTopK: ${trained.length} codebooks passed for m = $m subspaces")
+    val ds = trained.head.head._2.length
     val qRows = emb.filter(col(idCol) === queryId)
       .select(col("__e")).collect()
     require(qRows.nonEmpty, s"pqTopK: query id $queryId not found in $idCol")
     val q = qRows.head.getSeq[Double](0)
+    require(q.length == m * ds,
+      s"pqTopK: query dim ${q.length} != m * ds = ${m * ds} — codebooks " +
+        "trained on a different vector width")
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     // ADC tables: per (subspace, code) partial dot with the query and
     // partial squared norm — m · codebookK doubles of driver metadata
-    val dots = books.zipWithIndex.map { case (book, j) =>
+    val dots = trained.zipWithIndex.map { case (book, j) =>
       val qj = q.slice(j * ds, (j + 1) * ds)
       book.map { case (b, c) =>
         b -> c.zip(qj).map { case (x, y) => x * y }.sum
       }.toMap
     }
-    val norms = books.map(_.map { case (b, c) =>
+    val norms = trained.map(_.map { case (b, c) =>
       b -> c.map(x => x * x).sum
     }.toMap)
     def codeCol(j: Int): Column = {
       val sub = slice(col("__e"), j * ds + 1, ds)
-      array_max(array(books(j).map { case (b, vec) =>
+      array_max(array(trained(j).map { case (b, vec) =>
         struct(
           call_function(graft.plans.GraftFunctions.CosineName,
             sub, array(vec.map(lit).toIndexedSeq: _*)).as("c"),
@@ -225,11 +251,12 @@ object Similarity {
   def pqRerankTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, shortlist: Int, m: Int = 2,
       codebookK: Int = 16, iters: Int = 2, salt: String = "pq",
-      keepCols: Seq[String] = Seq("label")): DataFrame = {
+      keepCols: Seq[String] = Seq("label"),
+      books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
     require(shortlist >= k,
       s"pqRerankTopK: shortlist $shortlist smaller than k = $k")
     val short = pqTopK(df, idCol, vecCol, queryId, shortlist, m,
-      codebookK, iters, salt, Seq.empty).select(col(idCol))
+      codebookK, iters, salt, Seq.empty, books).select(col(idCol))
     val emb = withDoubleVec(df, vecCol)
     val q = emb.filter(col(idCol) === queryId).select(col("__e"))
       .collect().head.getSeq[Double](0)
