@@ -81,6 +81,25 @@ object SparkEntry {
       s"$dir:${src.length}:${src.lastModified}:km${IvfK}x$IvfIters:$IvfSalt")
   }
 
+  /** Build-once PQ codebooks, shared by every PQ registration — the
+    * `Similarity.pqCodebooks` train step memoized per (corpus file,
+    * config) exactly like [[ivfLayout]]: codebooks are index METADATA
+    * (m · codebookK · d/m doubles), trained at index-build time and
+    * served against every query. The cache key folds in the source
+    * length/mtime and the full PQ config so a regenerated corpus or a
+    * config change can never be probed through stale books.
+    */
+  private val pqBookCache =
+    scala.collection.concurrent.TrieMap[String, Seq[Seq[(Int, Seq[Double])]]]()
+  private[graft] def pqBooks(s: SparkSession,
+      dir: String): Seq[Seq[(Int, Seq[Double])]] = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val key = s"$dir:${src.length}:${src.lastModified}:pq${PqM}x$PqKc"
+    pqBookCache.getOrElseUpdate(key,
+      Similarity.pqCodebooks(Tables.embeddings(s, dir), "vec_id",
+        "embedding", m = PqM, codebookK = PqKc))
+  }
+
   /** [[ivfLayout]] plus one query-point lookup (a pushed-down 1-row
     * collect — the ANN query argument).
     */
@@ -865,21 +884,23 @@ object SparkEntry {
     //      score pipeline replayed by the oracle ----
     "q_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        queryId = 0L, k = 10, m = PqM, codebookK = PqKc)),
+        queryId = 0L, k = 10, m = PqM, codebookK = PqKc,
+        books = Some(pqBooks(s, dir)))),
 
     // ---- two-stage PQ serving: ADC shortlist of 100, exact rerank to
     //      top-10 — the coarse-filter/refine split production PQ uses ----
     "q_ann_pq_rerank" -> ((s, dir) =>
       Similarity.pqRerankTopK(Tables.embeddings(s, dir), "vec_id",
         "embedding", queryId = 0L, k = 10, shortlist = 100, m = PqM,
-        codebookK = PqKc)),
+        codebookK = PqKc, books = Some(pqBooks(s, dir)))),
 
     // ---- rerank recall audit: the shortlist multiplier, not the code
     //      error, sets recall — measured ----
     "q_ann_pq_rerank_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val approx = Similarity.pqRerankTopK(emb, "vec_id", "embedding", 0L,
-          10, shortlist = 100, m = PqM, codebookK = PqKc)
+          10, shortlist = 100, m = PqM, codebookK = PqKc,
+          books = Some(pqBooks(s, dir)))
         .select(col("vec_id"))
       val exact = Similarity.bruteForceTopKNative(emb, "vec_id",
         "embedding", 0L, 10).select(col("vec_id"))
@@ -894,7 +915,7 @@ object SparkEntry {
     "q_ann_pq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val approx = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10,
-          m = PqM, codebookK = PqKc)
+          m = PqM, codebookK = PqKc, books = Some(pqBooks(s, dir)))
         .select(col("vec_id"))
       val exact = Similarity.bruteForceTopKNative(emb, "vec_id",
         "embedding", 0L, 10).select(col("vec_id"))
