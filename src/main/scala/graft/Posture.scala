@@ -63,6 +63,25 @@ object Posture {
     val metrics = new Metrics
     spark.sparkContext.addSparkListener(metrics)
 
+    // min of 3 timed runs per measurement: the host shows multi-ten-second
+    // stalls that land on random queries (same defense as graft.Bench).
+    // Metrics reset per run; the reported peak/spill is the MAX single-run
+    // value — a sum across runs would triple-count — and the 1 s listener
+    // drain (best-effort: very late TaskEnd events can still slip into the
+    // next run's window) rides each run boundary. ONE definition for every
+    // measured family so the protocol cannot diverge between sections.
+    def timedRuns(f: () => Unit): (Double, Long, Long) = {
+      val samples = (1 to 3).map { _ =>
+        metrics.reset()
+        val t0 = System.nanoTime()
+        f()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (peak, spill) = metrics.snapshot()
+        (sec, peak, spill)
+      }
+      (samples.map(_._1).min, samples.map(_._2).max, samples.map(_._3).max)
+    }
+
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val stride = math.max(1000000L,
       base.agg(max(col("doc_id"))).head.getLong(0) + 1L)
@@ -87,23 +106,9 @@ object Posture {
 
     val results = families.map { case (name, f) =>
       val runs = corpora.map { case (lbl, d) =>
-        // min of 3 timed runs: the host shows multi-ten-second stalls
-        // that land on random queries (same defense as graft.Bench).
-        // Metrics reset per run and report the MAX single-run peak/spill
-        // — a sum across runs would triple-count, and the 1 s listener
-        // drain (best-effort: very late TaskEnd events can still slip
-        // into the next run's window) rides each run boundary.
         var pairs = 0L
-        val samples = (1 to 3).map { _ =>
-          metrics.reset()
-          val t0 = System.nanoTime()
-          pairs = f(d).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          val (peak, spill) = metrics.snapshot()
-          (sec, peak, spill)
-        }
-        lbl -> (pairs, samples.map(_._1).min,
-          samples.map(_._2).max, samples.map(_._3).max)
+        val (sec, peak, spill) = timedRuns(() => pairs = f(d).count())
+        lbl -> (pairs, sec, peak, spill)
       }.toMap
       // quadratic-leakage probe: shards share zero shingles, so any pair
       // that CROSSES a shard boundary is a random collision that survived
@@ -292,18 +297,8 @@ object Posture {
     }
     val retrieval = retrievalOps.map { case (name, f) =>
       Seq("1x", "10x").foreach(l => f(l).count()) // warmup
-      val runs = Seq("1x", "10x").map { lbl =>
-        val samples = (1 to 3).map { _ =>
-          metrics.reset()
-          val t0 = System.nanoTime()
-          f(lbl).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          val (peak, spill) = metrics.snapshot()
-          (sec, peak, spill)
-        }
-        lbl -> (samples.map(_._1).min, samples.map(_._2).max,
-          samples.map(_._3).max)
-      }.toMap
+      val runs = Seq("1x", "10x").map(lbl =>
+        lbl -> timedRuns(() => f(lbl).count())).toMap
       val (s1, m1, sp1) = runs("1x")
       val (s10, m10, sp10) = runs("10x")
       f"""    "$name": {"sec_1x": $s1%.2f, "sec_10x": $s10%.2f, "time_growth": ${s10 / s1}%.2f,

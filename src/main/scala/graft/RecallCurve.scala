@@ -19,6 +19,25 @@ import graft.ext.Similarity
   * candidates.
   */
 object RecallCurve {
+
+  /** Monotone flags for a recall sweep: point i flags false when its
+    * recall dips below point i−1 beyond fp tolerance. A dip is recorded
+    * on the artifact and warned to stderr, never an abort — a flagged
+    * artifact is evidence, an aborted run is nothing. ONE definition for
+    * both sweeps (nProbe and PQ shortlist) so their monotone semantics
+    * cannot diverge.
+    */
+  private def monotoneFlags(label: String, keys: Seq[Int],
+      recalls: Seq[Double]): Seq[Boolean] = {
+    val flags = true +: (1 until recalls.length).map(i =>
+      recalls(i) >= recalls(i - 1) - 1e-9)
+    flags.zip(keys.zip(recalls)).foreach {
+      case (false, (k, r)) => System.err.println(
+        s"WARN: $label recall dipped at $k (recall=$r) — see monotone flags")
+      case _ => ()
+    }
+    flags
+  }
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("ANN_RECALL.json")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,15 +80,8 @@ object RecallCurve {
     // A recall dip between consecutive nProbe points would mean the probe
     // dropped a true neighbor it had already found — possible only through
     // tie-break drift between the approx and exact paths (they share one
-    // deterministic (cosine desc, id) order today). Record it on the
-    // offending point instead of aborting: a flagged artifact is evidence,
-    // an aborted run is nothing.
-    val flags = true +: (1 until points.length).map(i =>
-      points(i)._2 >= points(i - 1)._2 - 1e-9)
-    flags.zip(points).collect { case (false, (np, r, _)) =>
-      System.err.println(s"WARN: recall dipped at nProbe=$np (recall=$r) — " +
-        "tie-break drift between approx and exact paths; see monotone flags")
-    }
+    // deterministic (cosine desc, id) order today).
+    val flags = monotoneFlags("nProbe", points.map(_._1), points.map(_._2))
 
     // ---- PQ shortlist sweep: the two-stage (ADC shortlist → exact
     // rerank) recall curve. Codebooks are trained ONCE (index metadata —
@@ -99,12 +111,8 @@ object RecallCurve {
       }.sum / qvs.length
       (s, recall, s / nVecs.toDouble)
     }
-    val pqFlags = true +: (1 until pqPoints.length).map(i =>
-      pqPoints(i)._2 >= pqPoints(i - 1)._2 - 1e-9)
-    pqFlags.zip(pqPoints).collect { case (false, (s, r, _)) =>
-      System.err.println(s"WARN: PQ rerank recall dipped at shortlist=$s " +
-        s"(recall=$r) — see pq monotone flags")
-    }
+    val pqFlags = monotoneFlags("PQ shortlist", pqPoints.map(_._1),
+      pqPoints.map(_._2))
 
     val json =
       f"""{

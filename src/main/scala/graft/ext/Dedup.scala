@@ -385,7 +385,18 @@ object Dedup {
     * WindowExec's within-partition ordering on the 8-byte key — never a
     * global sort); the per-doc rollup is the second and last shuffle.
     * Total: 1 scan, 2 shuffles, 0 joins — work linear in corpus shingles,
-    * the same contamination/rarity family shape, nothing pairwise.
+    * the same [[TextStats.dedupByFingerprint]] window-attach idiom.
+    *
+    * Trade, stated honestly: WindowExec buffers each shingle GROUP in one
+    * task, so a corpus-wide stop-gram (boilerplate header in most of N
+    * docs — exactly what this audit exists to surface) spills its ~N rows
+    * through ExternalAppendOnlyUnsafeRowArray in a single task rather
+    * than streaming through a hash join. The join form bounds task state
+    * but pays the double scan + broadcast hazard above; unlike
+    * [[ngramJaccardPairs]] a `maxDocFreq` cap is NOT applicable here,
+    * because the hot span is the signal (`max_doc_freq` is an output).
+    * Spill, not OOM, is the failure mode, and the audit is an offline
+    * sweep — the window side of the trade is the right default.
     * Counting on 64-bit hashes ≡ counting on strings modulo ~1e-19
     * collisions (the oracle replays strings, like q_ngram_jaccard).
     */

@@ -178,7 +178,8 @@ object Similarity {
       queryId: Long, k: Int, m: Int = 2, codebookK: Int = 16,
       iters: Int = 2, salt: String = "pq",
       keepCols: Seq[String] = Seq("label"),
-      books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
+      books: Option[Seq[Seq[(Int, Seq[Double])]]] = None,
+      queryVec: Option[Seq[Double]] = None): DataFrame = {
     require(!df.isStreaming,
       "pqTopK trains codebooks and collects the query vector eagerly and " +
         "is batch-only; on a stream, freeze the codebooks from the batch " +
@@ -190,10 +191,13 @@ object Similarity {
     require(trained.length == m,
       s"pqTopK: ${trained.length} codebooks passed for m = $m subspaces")
     val ds = trained.head.head._2.length
-    val qRows = emb.filter(col(idCol) === queryId)
-      .select(col("__e")).collect()
-    require(qRows.nonEmpty, s"pqTopK: query id $queryId not found in $idCol")
-    val q = qRows.head.getSeq[Double](0)
+    val q = queryVec.getOrElse {
+      val qRows = emb.filter(col(idCol) === queryId)
+        .select(col("__e")).collect()
+      require(qRows.nonEmpty,
+        s"pqTopK: query id $queryId not found in $idCol")
+      qRows.head.getSeq[Double](0)
+    }
     require(q.length == m * ds,
       s"pqTopK: query dim ${q.length} != m * ds = ${m * ds} — codebooks " +
         "trained on a different vector width")
@@ -255,11 +259,17 @@ object Similarity {
       books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
     require(shortlist >= k,
       s"pqRerankTopK: shortlist $shortlist smaller than k = $k")
-    val short = pqTopK(df, idCol, vecCol, queryId, shortlist, m,
-      codebookK, iters, salt, Seq.empty, books).select(col(idCol))
+    // the query vector is collected ONCE and shared with the inner ADC
+    // pass — two per-call metadata jobs would double the per-query floor
     val emb = withDoubleVec(df, vecCol)
-    val q = emb.filter(col(idCol) === queryId).select(col("__e"))
-      .collect().head.getSeq[Double](0)
+    val qRows = emb.filter(col(idCol) === queryId).select(col("__e"))
+      .collect()
+    require(qRows.nonEmpty,
+      s"pqRerankTopK: query id $queryId not found in $idCol")
+    val q = qRows.head.getSeq[Double](0)
+    val short = pqTopK(df, idCol, vecCol, queryId, shortlist, m,
+      codebookK, iters, salt, Seq.empty, books, Some(q))
+      .select(col(idCol))
     emb.join(broadcast(short), Seq(idCol))
       .withColumn("__cos",
         call_function(graft.plans.GraftFunctions.CosineName,
@@ -558,23 +568,29 @@ object Similarity {
     * (warning + skip on some code paths), and a `part-*` GLOB makes the
     * read path's FileStreamSink metadata probe stat the literal glob
     * string — a FileNotFoundException stack logged at WARN on every
-    * probe. Explicit file paths take both failure modes off the table;
-    * completeness is gated by [[ensureIvfLayout]] on the sidecar's own
-    * _SUCCESS.
+    * probe. Explicit file paths take both failure modes off the table.
+    * Listing goes through the path's OWN Hadoop FileSystem (not
+    * java.io.File), so a layout on any supported scheme — local, HDFS,
+    * object store — resolves identically; completeness is gated by
+    * [[ensureIvfLayout]] on the sidecar's own _SUCCESS.
     */
-  private def sidecarParts(dir: String): Seq[String] = {
-    val fs = Option(new java.io.File(dir)
-        .listFiles((_, n) => n.startsWith("part-")))
-      .getOrElse(Array.empty).map(_.toString).toSeq
-    require(fs.nonEmpty, s"no part files under $dir — layout incomplete " +
+  private def sidecarParts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).toSeq
+    require(parts.nonEmpty, s"no part files under $dir — layout incomplete " +
       "(ensureIvfLayout gates on _SUCCESS; was the dir written directly?)")
-    fs
+    parts
   }
 
   /** The k-row quantizer beside a layout, read back as driver metadata. */
   private[graft] def readQuantizer(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[(Int, Seq[Double])] =
-    spark.read.parquet(sidecarParts(s"$path/_quantizer"): _*).collect()
+    spark.read.parquet(sidecarParts(spark, s"$path/_quantizer"): _*)
+      .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
 
   /** The SQ8 [min, max] range beside a layout — 2 doubles of index
@@ -582,7 +598,7 @@ object Similarity {
     */
   private[graft] def readSq8Range(spark: org.apache.spark.sql.SparkSession,
       path: String): (Double, Double) = {
-    val r = spark.read.parquet(sidecarParts(s"$path/_sq8"): _*)
+    val r = spark.read.parquet(sidecarParts(spark, s"$path/_sq8"): _*)
       .collect().head
     (r.getDouble(0), r.getDouble(1))
   }
