@@ -78,7 +78,9 @@ object SparkEntry {
     Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
       Similarity.trainQuantizer(emb, "vec_id", "embedding",
         k = IvfK, iters = IvfIters, salt = IvfSalt),
-      s"$dir:${src.length}:${src.lastModified}:km${IvfK}x$IvfIters:$IvfSalt")
+      s"$dir:${src.length}:${src.lastModified}:km${IvfK}x$IvfIters:" +
+        s"$IvfSalt:pq${PqM}x$PqKc",
+      pqBooks = pqBooks(s, dir), withPq = true)
   }
 
   /** Build-once PQ codebooks, shared by every PQ registration — the
@@ -207,7 +209,14 @@ object SparkEntry {
     * salt "pq"). Ends in `pqsc(vec_id, dt, n2, qn2)`, shared by the
     * `q_ann_pq` and `q_ann_pq_recall` oracles.
     */
-  private def PqCtes(queryVecId: Long): String = {
+  private def PqCtes(queryVecId: Long): String =
+    "WITH " + PqCtesBody(queryVecId)
+
+  /** [[PqCtes]] without the leading WITH, so it can be appended to
+    * another CTE list (the IVF-PQ oracles splice it after [[IvfCtes]];
+    * the two families share no CTE names).
+    */
+  private def PqCtesBody(queryVecId: Long): String = {
     val ds = PqDim / PqM
     def lo(j: Int) = j * ds + 1
     def hi(j: Int) = (j + 1) * ds
@@ -227,7 +236,7 @@ object SparkEntry {
     val joins = js.tail.map(j => s"JOIN pqa$j a$j USING (vec_id)")
       .mkString(" ") + " " +
       js.map(j => s"JOIN p${j}c2 c$j ON c$j.b = a$j.b").mkString(" ")
-    s"""WITH $chains,
+    s"""$chains,
        |pqq AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
        |        WHERE vec_id = $queryVecId),
        |$asgs,
@@ -886,6 +895,28 @@ object SparkEntry {
       Similarity.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryId = 0L, k = 10, m = PqM, codebookK = PqKc,
         books = Some(pqBooks(s, dir)))),
+
+    // ---- IVF-PQ: the stored m-byte codes scored through the PRUNED
+    //      layout scan — partition pruning and the PQ payload compose
+    //      (faiss IVF*,PQ* — the default production vector store) ----
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
+      Similarity.ivfPqProbe(s, path, "vec_id", qv, k = 10, nProbe = 2,
+        excludeId = Some(0L))
+    }),
+
+    // ---- IVF-PQ recall vs the float probe on the SAME probed buckets ----
+    "q_ann_ivf_pq_recall" -> ((s, dir) => {
+      val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
+      val pq = Similarity.ivfPqProbe(s, path, "vec_id", qv, k = 10,
+        nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
+      val fl = Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
+        k = 10, nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
+      pq.join(fl, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall"))
+    }),
 
     // ---- two-stage PQ serving: ADC shortlist of 100, exact rerank to
     //      top-10 — the coarse-filter/refine split production PQ uses ----
@@ -2130,6 +2161,36 @@ object SparkEntry {
          |FROM pqsc s JOIN embeddings e2 ON e2.vec_id = s.vec_id
          |ORDER BY round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) DESC, s.vec_id
          |LIMIT 10""".stripMargin,
+    // IVF-PQ composed: the layout replay (trained coarse quantizer,
+    // argmax assignment, probed buckets) spliced with the PQ replay
+    // (per-subspace codebooks, encode, ADC) — stored codes ≡ the
+    // assignment replay because writeIvfLayout encodes with the same
+    // argmax the CTEs replay. ORDER BY the ROUNDED score + vec_id.
+    "q_ann_ivf_pq" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)},
+         |${PqCtesBody(queryVecId = 0)}
+         |SELECT s.vec_id, a.ivf_bucket,
+         |  round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) AS cosine_pq
+         |FROM pqsc s JOIN asg a ON a.vec_id = s.vec_id
+         |WHERE a.ivf_bucket IN (SELECT b FROM probed)
+         |ORDER BY round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) DESC, s.vec_id
+         |LIMIT 10""".stripMargin,
+    // PQ-vs-float probe recall over the SAME probed buckets (the
+    // ivf_sq8_recall shape).
+    "q_ann_ivf_pq_recall" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)},
+         |${PqCtesBody(queryVecId = 0)},
+         |pr AS (SELECT a.vec_id, a.v FROM asg a
+         |       WHERE a.ivf_bucket IN (SELECT b FROM probed) AND a.vec_id <> 0),
+         |pqp AS (SELECT s.vec_id FROM pqsc s JOIN pr USING (vec_id)
+         |        ORDER BY round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) DESC, s.vec_id
+         |        LIMIT 10),
+         |fl AS (SELECT vec_id FROM pr, q
+         |       ORDER BY ${ListCosSql("pr.v", "qv")} DESC, vec_id
+         |       LIMIT 10)
+         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM pqp JOIN fl USING (vec_id)""".stripMargin,
     // Two-stage replay: ADC shortlist (rounded-score + id boundary, like
     // every LIMIT here) then exact float cosine over the shortlist only.
     "q_ann_pq_rerank" ->

@@ -147,6 +147,50 @@ object Similarity {
     }
   }
 
+  /** Argmax PQ encode of one subspace: nearest codebook entry by native
+    * cosine, ties to the highest code id (lexicographic struct max — the
+    * [[assignBuckets]] tie-break, matching every SQL replay's
+    * `ORDER BY cos DESC, b DESC`). Shared by [[pqTopK]]'s on-the-fly
+    * encode and [[writeIvfLayout]]'s stored `pq_code` column so the two
+    * can never drift.
+    */
+  private def pqCodeCol(book: Seq[(Int, Seq[Double])], sub: Column): Column =
+    array_max(array(book.map { case (b, vec) =>
+      struct(
+        call_function(graft.plans.GraftFunctions.CosineName,
+          sub, array(vec.map(lit).toIndexedSeq: _*)).as("c"),
+        lit(b).as("b"))
+    }.toIndexedSeq: _*)).getField("b")
+
+  /** Per-(subspace, code) ADC lookup as a when-chain on the code column —
+    * codebook ids are NOT assumed contiguous (Lloyd drops empty
+    * clusters), hence no dense element_at. Shared by [[pqTopK]] and
+    * [[ivfPqProbe]].
+    */
+  private def pqLookup(codeC: Column, table: Map[Int, Double]): Column =
+    table.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (b, v)) =>
+        Some(acc.fold(when(codeC === b, v))(_.when(codeC === b, v)))
+      }.get
+
+  /** The ADC tables for a query vector: per (subspace, code) partial dot
+    * with the query and partial squared norm — m · codebookK doubles of
+    * driver metadata. */
+  private def pqAdcTables(books: Seq[Seq[(Int, Seq[Double])]],
+      q: Seq[Double], ds: Int)
+      : (Seq[Map[Int, Double]], Seq[Map[Int, Double]]) = {
+    val dots = books.zipWithIndex.map { case (book, j) =>
+      val qj = q.slice(j * ds, (j + 1) * ds)
+      book.map { case (b, c) =>
+        b -> c.zip(qj).map { case (x, y) => x * y }.sum
+      }.toMap
+    }
+    val norms = books.map(_.map { case (b, c) =>
+      b -> c.map(x => x * x).sum
+    }.toMap)
+    (dots, norms)
+  }
+
   /** Product-quantized (PQ) ANN scoring — the codebook tier past SQ8
     * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
     * Search"): the vector space splits into `m` contiguous subspaces and
@@ -202,38 +246,15 @@ object Similarity {
       s"pqTopK: query dim ${q.length} != m * ds = ${m * ds} — codebooks " +
         "trained on a different vector width")
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    // ADC tables: per (subspace, code) partial dot with the query and
-    // partial squared norm — m · codebookK doubles of driver metadata
-    val dots = trained.zipWithIndex.map { case (book, j) =>
-      val qj = q.slice(j * ds, (j + 1) * ds)
-      book.map { case (b, c) =>
-        b -> c.zip(qj).map { case (x, y) => x * y }.sum
-      }.toMap
-    }
-    val norms = trained.map(_.map { case (b, c) =>
-      b -> c.map(x => x * x).sum
-    }.toMap)
-    def codeCol(j: Int): Column = {
-      val sub = slice(col("__e"), j * ds + 1, ds)
-      array_max(array(trained(j).map { case (b, vec) =>
-        struct(
-          call_function(graft.plans.GraftFunctions.CosineName,
-            sub, array(vec.map(lit).toIndexedSeq: _*)).as("c"),
-          lit(b).as("b"))
-      }.toIndexedSeq: _*)).getField("b")
-    }
-    def lookup(codeC: Column, table: Map[Int, Double]): Column =
-      table.toSeq.sortBy(_._1)
-        .foldLeft(Option.empty[Column]) { case (acc, (b, v)) =>
-          Some(acc.fold(when(codeC === b, v))(_.when(codeC === b, v)))
-        }.get
+    val (dots, norms) = pqAdcTables(trained, q, ds)
     val coded = emb.filter(col(idCol) =!= queryId)
       .select((col(idCol) +: keepCols.map(col)) ++
-        (0 until m).map(j => codeCol(j).as(s"__code_$j")): _*)
+        (0 until m).map(j => pqCodeCol(trained(j),
+          slice(col("__e"), j * ds + 1, ds)).as(s"__code_$j")): _*)
     val dotSum = (0 until m)
-      .map(j => lookup(col(s"__code_$j"), dots(j))).reduce(_ + _)
+      .map(j => pqLookup(col(s"__code_$j"), dots(j))).reduce(_ + _)
     val n2Sum = (0 until m)
-      .map(j => lookup(col(s"__code_$j"), norms(j))).reduce(_ + _)
+      .map(j => pqLookup(col(s"__code_$j"), norms(j))).reduce(_ + _)
     coded
       .withColumn("__cos", dotSum / (sqrt(n2Sum) * lit(qNorm)))
       .orderBy(round(col("__cos"), 6).desc, col(idCol))
@@ -472,7 +493,8 @@ object Similarity {
     * would use a packed BINARY.
     */
   def writeIvfLayout(df: DataFrame, idCol: String, vecCol: String,
-      cents: Seq[(Int, Seq[Double])], path: String): Unit = {
+      cents: Seq[(Int, Seq[Double])], path: String,
+      pqBooks: Seq[Seq[(Int, Seq[Double])]] = Seq.empty): Unit = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     require(cents.nonEmpty, "writeIvfLayout: empty quantizer")
     val scored = cents.map { case (b, vec) =>
@@ -492,12 +514,25 @@ object Similarity {
     require(mx > mn, "writeIvfLayout: degenerate corpus (all components " +
       "equal) — SQ8 range quantization is undefined")
     val scale = (mx - mn) / 255.0
-    withDoubleVec(df, vecCol)
+    // PQ codes, when codebooks are supplied: per-subspace argmax encode
+    // (the shared pqCodeCol, so stored codes ≡ pqTopK's on-the-fly
+    // encode), stored as an m-int array next to sq8_code — the IVF-PQ
+    // serving format (m bytes/vec after parquet bit-packing)
+    val withPqCode: DataFrame => DataFrame =
+      if (pqBooks.isEmpty) identity
+      else { d =>
+        val ds = pqBooks.head.head._2.length
+        d.withColumn("pq_code", array(pqBooks.zipWithIndex.map {
+          case (book, j) =>
+            pqCodeCol(book, slice(col("__e"), j * ds + 1, ds))
+        }.toIndexedSeq: _*))
+      }
+    withPqCode(withDoubleVec(df, vecCol)
       .withColumn("ivf_bucket",
         array_max(array(scored.toIndexedSeq: _*)).getField("b"))
       .withColumn("sq8_code",
         transform(col("__e"),
-          x => round((x - lit(mn)) / lit(scale), 0).cast("int")))
+          x => round((x - lit(mn)) / lit(scale), 0).cast("int"))))
       .drop("__e")
       .write.partitionBy("ivf_bucket").mode("overwrite").parquet(path)
     df.sparkSession.createDataFrame(cents)
@@ -506,6 +541,11 @@ object Similarity {
     df.sparkSession.createDataFrame(Seq((mn, mx)))
       .toDF("mn", "mx")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_sq8")
+    if (pqBooks.nonEmpty)
+      df.sparkSession.createDataFrame(pqBooks.zipWithIndex.flatMap {
+        case (book, j) => book.map { case (b, cv) => (j, b, cv) }
+      }).toDF("subspace", "bucket", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_pq")
   }
 
   /** Build-once gate for [[writeIvfLayout]]: the layout lives in a scratch
@@ -524,7 +564,9 @@ object Similarity {
     */
   def ensureIvfLayout(df: DataFrame, idCol: String, vecCol: String,
       quantizer: => Seq[(Int, Seq[Double])],
-      cacheKey: String): String = synchronized {
+      cacheKey: String,
+      pqBooks: => Seq[Seq[(Int, Seq[Double])]] = Seq.empty,
+      withPq: Boolean = false): String = synchronized {
     // collision-free dir name: md5 of the RAW key (a lossy char-class
     // sanitization could collide two distinct keys onto one layout and
     // silently probe the wrong index). The "k" prefix keeps the name from
@@ -535,11 +577,13 @@ object Similarity {
     // filesystems, so include a content hash if the corpus can be
     // regenerated in-place sub-second). Scoped per user: tmpdir is
     // world-shared on multi-user hosts.
-    // "sq8v2|" versions the LAYOUT FORMAT itself (the r9 writer added the
-    // sq8_code column + _sq8 sidecar): a cache dir written by an older
-    // writer must miss, not be probed with a missing column
+    // "pqv3|" versions the LAYOUT FORMAT itself (v2 added sq8_code +
+    // _sq8; v3 the optional pq_code + _pq): a cache dir written by an
+    // older writer must miss, not be probed with a missing column. withPq
+    // is IN the key — a pq and a non-pq layout of one corpus are
+    // different formats and must never share a dir.
     val key = "k" + java.security.MessageDigest.getInstance("MD5")
-      .digest(("sq8v2|" + cacheKey).getBytes("UTF-8"))
+      .digest((s"pqv3:$withPq|" + cacheKey).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val user = sys.props.getOrElse("user.name", "anon")
       .replaceAll("[^A-Za-z0-9._-]", "_")
@@ -551,8 +595,10 @@ object Similarity {
     // later probe from the cross-JVM cache
     val complete = new java.io.File(path, "_SUCCESS").exists() &&
       new java.io.File(s"$path/_quantizer", "_SUCCESS").exists() &&
-      new java.io.File(s"$path/_sq8", "_SUCCESS").exists()
-    if (!complete) writeIvfLayout(df, idCol, vecCol, quantizer, path)
+      new java.io.File(s"$path/_sq8", "_SUCCESS").exists() &&
+      (!withPq || new java.io.File(s"$path/_pq", "_SUCCESS").exists())
+    if (!complete) writeIvfLayout(df, idCol, vecCol, quantizer, path,
+      if (withPq) pqBooks else Seq.empty)
     path
   }
 
@@ -602,6 +648,17 @@ object Similarity {
       .collect().head
     (r.getDouble(0), r.getDouble(1))
   }
+
+  /** The PQ codebooks beside a layout — (subspace, bucket, centroid)
+    * rows regrouped per subspace, read like [[readQuantizer]] (index
+    * metadata; present only on layouts written with `withPq`).
+    */
+  private[graft] def readPqBooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[(Int, Seq[Double])]] =
+    spark.read.parquet(sidecarParts(spark, s"$path/_pq"): _*).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(t => (t._2, t._3)).toSeq)
 
   private def driverCos(v: Seq[Double], q: Seq[Double]): Double = {
     val dot = v.zip(q).map { case (a, b) => a * b }.sum
@@ -667,6 +724,49 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("ivf_bucket"),
         round(col("__cos"), 6).as("cosine_sq8"))
+  }
+
+  /** IVF-PQ probe — the default architecture of every large-scale vector
+    * store (faiss `IVF*,PQ*`): partition pruning AND the m-byte PQ
+    * serving payload compose in one read. The probe prunes to the
+    * `nProbe` nearest bucket partitions at PLANNING time (like
+    * [[ivfProbe]]) and scores the STORED `pq_code` column by ADC — the
+    * per-(subspace, code) partial dots and squared norms are computed
+    * once on the driver from the `_pq` codebook sidecar and the EXACT
+    * query (only the database side pays quantization error), so the
+    * pruned scan reads m small ints per row and never touches the float
+    * vectors (pinned via ReadSchema in `IvfLayoutSpec`). The LIMIT
+    * boundary orders by the ROUNDED score + id like every ANN query
+    * here. For serving recall, follow with an exact rerank of the
+    * shortlist against the layout's retained float column — the
+    * [[pqRerankTopK]] trade, measured in `ANN_RECALL.json`.
+    */
+  def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, queryVec: Seq[Double], k: Int,
+      nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val probed = probeBuckets(readQuantizer(spark, path), queryVec, nProbe)
+    val books = readPqBooks(spark, path)
+    val ds = books.head.head._2.length
+    require(queryVec.length == books.length * ds,
+      s"ivfPqProbe: query dim ${queryVec.length} != m * ds = " +
+        s"${books.length * ds} — layout encoded a different vector width")
+    val (dots, norms) = pqAdcTables(books, queryVec, ds)
+    val qNorm = math.sqrt(queryVec.map(x => x * x).sum)
+    val dotSum = books.indices
+      .map(j => pqLookup(element_at(col("pq_code"), j + 1), dots(j)))
+      .reduce(_ + _)
+    val n2Sum = books.indices
+      .map(j => pqLookup(element_at(col("pq_code"), j + 1), norms(j)))
+      .reduce(_ + _)
+    val scanned = spark.read.parquet(path)
+      .filter(col("ivf_bucket").isin(probed.toIndexedSeq: _*))
+    excludeId.fold(scanned)(id => scanned.filter(col(idCol) =!= id))
+      .withColumn("__cos", dotSum / (sqrt(n2Sum) * lit(qNorm)))
+      .orderBy(round(col("__cos"), 6).desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("ivf_bucket"),
+        round(col("__cos"), 6).as("cosine_pq"))
   }
 
   /** Batch IVF probe: exact top-k for EVERY query vector in ONE plan —

@@ -173,6 +173,52 @@ class IvfLayoutSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq === expect)
   }
 
+  test("IVF-PQ: stored codes match the encoder, probe prunes and reads only the m-int payload") {
+    val emb = Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, codebookK = 8, salt = "ivfpqspec")
+    val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = 8, iters = 2, salt = "ivfpqspec"),
+      s"ivfpq-spec-${System.nanoTime()}",
+      pqBooks = books, withPq = true)
+    assert(new java.io.File(path, "_pq/_SUCCESS").exists())
+    // the sidecar round-trips the codebooks bit-for-bit
+    assert(Similarity.readPqBooks(spark, path) === books)
+    val lay = spark.read.parquet(path)
+    // every stored code names an existing codebook entry of its subspace
+    val valid = books.map(_.map(_._1).toSet)
+    val badCodes = lay.select(col("pq_code")).collect().count { r =>
+      val cs = r.getSeq[Int](0)
+      cs.length != 4 || cs.zipWithIndex.exists { case (c, j) => !valid(j)(c) }
+    }
+    assert(badCodes === 0)
+
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    val probe = Similarity.ivfPqProbe(spark, path, "vec_id", q,
+      k = 10, nProbe = 2, excludeId = Some(0L))
+    val rows = probe.collect()
+    assert(rows.length === 10)
+    rows.foreach(r =>
+      assert(math.abs(r.getAs[Double]("cosine_pq")) <= 1.0 + 1e-6))
+    // pruned at planning AND the scan reads the m-int codes — neither the
+    // float vectors nor even the sq8 codes
+    val scan = probe.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("ivf_bucket"),
+      scan.metadata("PartitionFilters"))
+    assert(scan.selectedPartitions.partitionCount === 2)
+    assert(scan.metadata("ReadSchema").contains("pq_code"),
+      scan.metadata("ReadSchema"))
+    assert(!scan.metadata("ReadSchema").contains("embedding"),
+      scan.metadata("ReadSchema"))
+    assert(!scan.metadata("ReadSchema").contains("sq8_code"),
+      scan.metadata("ReadSchema"))
+  }
+
   test("ensureIvfLayout builds once, reuses later, and skips re-training") {
     val emb = Tables.embeddings(spark, sf)
     val key = s"spec-reuse-${System.nanoTime()}"
