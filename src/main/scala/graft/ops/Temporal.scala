@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in form of: the as-of join
+  * (each left row ↔ the latest right row at-or-before it, per key) and the
+  * unkeyed interval join (events ↔ the time windows containing them).
+  *
+  * The reference correlates event streams against state timelines with
+  * per-entity SQL lookups (reference/streamlit_dashboard.py:130-171 issues
+  * a "latest reading before T" index scan per panel refresh); these are the
+  * distributed batch forms of that access pattern.
+  *
+  * Both are written for the 100 TB posture:
+  *   - [[asofJoin]] is the union-tag + running-`last` rewrite: ONE shuffle
+  *     on the join key and a per-key sort — never the naive
+  *     `left JOIN right ON key AND r.ts <= l.ts` whose intermediate is
+  *     |left| × |matching right| (quadratic on active keys) before the
+  *     per-row max prunes it.
+  *   - [[intervalJoinBucketed]] is the bucketed rewrite of a PURE range
+  *     join: without it Spark can only plan a non-equi θ-join as
+  *     BroadcastNestedLoopJoin — |events| × |windows| comparisons and a
+  *     hard broadcast ceiling on the window side. Bucketing time into
+  *     fixed-width cells turns it into a hash equi-join on the cell id
+  *     with an exact containment post-filter.
+  */
+object Temporal {
+
+  /** As-of join: for each `left` row, the single latest `right` row with
+    * the same `keyCol` and `right.tsCol <= left.tsCol` (LEFT semantics —
+    * unmatched left rows keep null payload). Ties at the same right
+    * timestamp break toward the largest `tieCol`, deterministically.
+    *
+    * Implementation: both sides are tagged and unioned; within each key,
+    * a running `last(payload, ignoreNulls)` over
+    * `ORDER BY ts, tag, tie ROWS UNBOUNDED PRECEDING` carries the newest
+    * right payload forward onto every left row (right rows sort before
+    * left rows at the same instant, so `<=` holds at equality). One
+    * shuffle on `keyCol`, a per-key sort, zero joins — each side is
+    * scanned once and the intermediate never exceeds |left| + |right|.
+    *
+    * Skew: a pathologically hot key serializes its own sort (the same
+    * bound as any per-key window); at 100 TB shard hot keys by a coarse
+    * time bucket first and stitch bucket boundaries with the previous
+    * bucket's final payload.
+    *
+    * @param payload right-side columns to attach, as (srcCol → outName);
+    *                out names must not collide with left columns.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, tieCol: String,
+      payload: Seq[(String, String)]): DataFrame = {
+    require(payload.nonEmpty, "asofJoin: payload must name ≥1 right column")
+    val leftCols = left.columns.toSeq
+    require(payload.forall { case (_, out) => !leftCols.contains(out) },
+      "asofJoin: payload out-names must not collide with left columns")
+    val pay = struct(payload.map { case (src, out) => col(src).as(out) }: _*)
+    val r = right.select(
+      col(keyCol).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
+        col(tieCol).cast("string").as("__tie") +: pay.as("__pay") +:
+        leftCols.map(c => lit(null).as(c)): _*)
+    val l = left.select(
+      col(keyCol).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:
+        lit(null).cast("string").as("__tie") +:
+        lit(null).cast(r.schema("__pay").dataType).as("__pay") +:
+        leftCols.map(col): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__tag"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        payload.map { case (_, out) => col(s"__m.$out").as(out) }: _*)
+  }
+
+  /** Unkeyed interval join + rollup: windows (`idCol`, `[startCol,
+    * endCol)` half-open) against event timestamps, aggregated to one row
+    * per window (`n_events`, `avg_value` over `valueCol`; zero-event
+    * windows kept with n_events = 0 and null avg — LEFT semantics, the
+    * audit-friendly shape).
+    *
+    * The bucketed range-join rewrite: time is cut into `bucketSec`-wide
+    * cells; each window explodes to the ≤ ⌈len/bucket⌉+1 cells it spans
+    * (a bounded, data-independent blow-up) while each event maps to
+    * exactly ONE cell — so a (window, event) pair meets in at most one
+    * cell and the join needs no post-dedup. The join is then a plain hash
+    * equi-join on the cell id with the exact containment predicate as a
+    * post-filter, instead of the BroadcastNestedLoopJoin Spark must
+    * otherwise plan for a θ-only join (quadratic compare, broadcast
+    * ceiling). Pick `bucketSec` ≈ the median window length: wider wastes
+    * post-filter work, narrower multiplies the window-side explode.
+    */
+  def intervalJoinBucketed(windows: DataFrame, idCol: String,
+      startCol: String, endCol: String, events: DataFrame, tsCol: String,
+      valueCol: String, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "intervalJoinBucketed: bucketSec must be positive")
+    val bw = bucketSec * 1000000L // cell width in microseconds
+    // end is exclusive: the last covered instant is end − 1 µs
+    val wB = windows.select(col(idCol), col(startCol), col(endCol),
+        explode(sequence(
+          floor(unix_micros(col(startCol)) / bw).cast("long"),
+          floor((unix_micros(col(endCol)) - 1) / bw).cast("long")))
+          .as("__cell"))
+    val eB = events.select(col(tsCol).as("__ets"), col(valueCol).as("__ev"),
+      floor(unix_micros(col(tsCol)) / bw).cast("long").as("__cell"))
+    wB.join(eB,
+        wB("__cell") === eB("__cell") &&
+          col("__ets") >= col(startCol) && col("__ets") < col(endCol),
+        "left")
+      .groupBy(col(idCol), col(startCol), col(endCol))
+      .agg(count(col("__ets")).as("n_events"),
+        round(avg(col("__ev")), 6).as("avg_value"))
+  }
+}
