@@ -31,7 +31,7 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         true
       } catch { case _: Throwable => false }
-    names.foreach(run) // warmup
+    val warmupOk = names.filter(run) // warmup; remember which succeeded
     def timeOnce(name: String): Option[Double] = {
       val t0 = System.nanoTime()
       val ok = run(name)
@@ -50,9 +50,12 @@ object Bench {
     // "noise" field so a reader of the artifact can tell "this run was
     // noisy, distrust isolated spikes" from the JSON alone.
     require(names.nonEmpty, s"no registered query matches ${args.mkString(",")}")
+    // pick the sentinel among queries that SURVIVED warmup — r9's sentinel
+    // was itself in the failing family, so the one run that most needed a
+    // noise gauge emitted noise:null
     val sentinel =
-      if (names.contains("q_filter_equality")) "q_filter_equality"
-      else names.head
+      if (warmupOk.contains("q_filter_equality")) "q_filter_equality"
+      else warmupOk.headOption.getOrElse(names.head)
     val noiseSamples = scala.collection.mutable.ArrayBuffer[Double]()
     def pass(): Map[String, Option[Double]] =
       names.zipWithIndex.map { case (n, i) =>

@@ -5,9 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** The library's SparkSession entry point: one place that applies the
   * settings graft needs, so adopters cannot trip over them one at a time.
   *
-  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the events lake
-  *     stores TIMESTAMP(NANOS), unreadable by Spark's reader without it;
-  *     [[graft.sources.Tables.events]] refuses sessions missing it.
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the events lake has
+  *     shipped TIMESTAMP(NANOS) files, unreadable by Spark's reader
+  *     without it; harmless for micros files.
+  *   - `spark.sql.parquet.inferTimestampNTZ.enabled=false` — naive
+  *     parquet timestamps (timestamp[us] with no zone) read as
+  *     TIMESTAMP_LTZ in the UTC session rather than NTZ, so range
+  *     predicates push to the scan and timestamp arithmetic stays on one
+  *     type ([[graft.sources.Tables.events]] handles NTZ too, minus the
+  *     pushdown).
   *   - UTC session timezone — window/oracle arithmetic must not depend on
   *     the host zone.
   *   - `spark.sql.shuffle.partitions` sized to the given parallelism
@@ -30,6 +36,7 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   /** Local session at the tool default: `local[cpus]` with one shuffle
     * partition per core, log level WARN.

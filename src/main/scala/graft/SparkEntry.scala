@@ -568,6 +568,33 @@ object SparkEntry {
         date_trunc("day", col("ts")).as("day_start"),
         expr("unix_micros(ts) DIV 1000000").as("epoch_sec"))),
 
+    // ---- as-of join: latest purchase at-or-before each click, per user
+    //      (union-tag + running-last rewrite — ONE shuffle, no θ-join) ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ops.Temporal.asofJoin(clicks, purchases, "user_id", "ts", "ts",
+          tieCol = "event_id",
+          payload = Seq("value" -> "last_purchase_value",
+            "event_id" -> "last_purchase_id"))
+        .orderBy("event_id")
+    }),
+
+    // ---- interval join: signup windows [ts, ts+30m) vs all events,
+    //      bucketed range-join rewrite (hash equi-join on time cell) ----
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wins = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTE")).as("w_end"))
+      graft.ops.Temporal.intervalJoinBucketed(wins, "window_id", "w_start",
+          "w_end", ev, "ts", "value", bucketSec = 1800)
+        .orderBy("window_id")
+    }),
+
     // ---- W1/W2: 20-row trailing moving average + first difference.
     //      Keyed by user_id — the per-series identity whose cardinality
     //      scales with the data (150 at sf0.01 → 1500 at sf0.1), so the
@@ -1373,6 +1400,36 @@ object SparkEntry {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value
         |FROM events
         |WHERE event_type = 'purchase' AND user_id = 7""".stripMargin,
+    // as-of semantics replayed as the naive θ-join + per-left-row argmax
+    // (fine at oracle scale; the Spark side exists precisely to avoid it)
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, ts, user_id, value, last_purchase_value,
+        |  last_purchase_id
+        |FROM (
+        |  SELECT l.event_id, l.ts, l.user_id, l.value,
+        |    r.value AS last_purchase_value, r.event_id AS last_purchase_id,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
+        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts) t
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+    "q_interval_join" ->
+      """WITH w AS (SELECT event_id AS window_id,
+        |    CAST(ts AS TIMESTAMP) AS w_start,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS w_end
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT w.window_id, w.w_start, w.w_end,
+        |  CAST(count(e.ts) AS BIGINT) AS n_events,
+        |  round(avg(e.value), 6) AS avg_value
+        |FROM w LEFT JOIN events e
+        |  ON CAST(e.ts AS TIMESTAMP) >= w.w_start
+        | AND CAST(e.ts AS TIMESTAMP) < w.w_end
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1""".stripMargin,
     "q_global_stats" ->
       """SELECT round(avg(value), 6) AS mean_value,
         |  round(stddev_samp(value), 6) AS std_value,

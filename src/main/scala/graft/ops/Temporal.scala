@@ -31,7 +31,10 @@ object Temporal {
   /** As-of join: for each `left` row, the single latest `right` row with
     * the same `keyCol` and `right.tsCol <= left.tsCol` (LEFT semantics —
     * unmatched left rows keep null payload). Ties at the same right
-    * timestamp break toward the largest `tieCol`, deterministically.
+    * timestamp break toward the largest `tieCol` (compared on its native
+    * type), deterministically. Right rows with a null timestamp are not
+    * on the timeline and are dropped; left rows with a null timestamp
+    * are kept with null payload.
     *
     * Implementation: both sides are tagged and unioned; within each key,
     * a running `last(payload, ignoreNulls)` over
@@ -56,14 +59,23 @@ object Temporal {
     val leftCols = left.columns.toSeq
     require(payload.forall { case (_, out) => !leftCols.contains(out) },
       "asofJoin: payload out-names must not collide with left columns")
+    require((leftCols ++ right.columns).forall(!_.startsWith("__")),
+      "asofJoin: input columns must not use the reserved __ prefix " +
+        "(__k/__ts/__tag/__tie/__pay/__m are internal)")
     val pay = struct(payload.map { case (src, out) => col(src).as(out) }: _*)
-    val r = right.select(
+    // tie-break orders on tieCol's NATIVE type — a string cast would rank
+    // numeric ties lexicographically ('9' > '10')
+    val tieType = right.schema(tieCol).dataType
+    // right rows with a null as-of timestamp have no position on the
+    // timeline; dropping them up front keeps nulls-first ordering from
+    // attaching their payload to left rows with no real match
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(keyCol).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
-        col(tieCol).cast("string").as("__tie") +: pay.as("__pay") +:
+        col(tieCol).as("__tie") +: pay.as("__pay") +:
         leftCols.map(c => lit(null).as(c)): _*)
     val l = left.select(
       col(keyCol).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:
-        lit(null).cast("string").as("__tie") +:
+        lit(null).cast(tieType).as("__tie") +:
         lit(null).cast(r.schema("__pay").dataType).as("__pay") +:
         leftCols.map(col): _*)
     val w = Window.partitionBy(col("__k"))
@@ -97,12 +109,23 @@ object Temporal {
       startCol: String, endCol: String, events: DataFrame, tsCol: String,
       valueCol: String, bucketSec: Long): DataFrame = {
     require(bucketSec > 0, "intervalJoinBucketed: bucketSec must be positive")
+    require(Seq(idCol, startCol, endCol, tsCol, valueCol)
+        .forall(!_.startsWith("__")),
+      "intervalJoinBucketed: column names must not use the reserved __ " +
+        "prefix (__cell/__ets/__ev are internal)")
     val bw = bucketSec * 1000000L // cell width in microseconds
-    // end is exclusive: the last covered instant is end − 1 µs
+    // end is exclusive: the last covered instant is end − 1 µs. The cell
+    // sequence is gated on end > start: sequence(a, b) DESCENDS when
+    // a > b, so an inverted window (bad data) would otherwise explode
+    // into a data-dependent number of cells — the exact unbounded blow-up
+    // this rewrite exists to rule out. Invalid windows (inverted or
+    // null-bounded) take the null branch and survive via explode_outer
+    // as a single uncovered row: LEFT semantics keep every window, with
+    // n_events = 0 marking the ones that matched nothing.
     val wB = windows.select(col(idCol), col(startCol), col(endCol),
-        explode(sequence(
+        explode_outer(when(col(endCol) > col(startCol), sequence(
           floor(unix_micros(col(startCol)) / bw).cast("long"),
-          floor((unix_micros(col(endCol)) - 1) / bw).cast("long")))
+          floor((unix_micros(col(endCol)) - 1) / bw).cast("long"))))
           .as("__cell"))
     val eB = events.select(col(tsCol).as("__ets"), col(valueCol).as("__ev"),
       floor(unix_micros(col(tsCol)) / bw).cast("long").as("__cell"))

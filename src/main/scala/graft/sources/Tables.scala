@@ -32,21 +32,44 @@ object Tables {
     * stream in oracle-checked batch queries (SURVEY.md §7.1 item 6):
     * ts → timestamp, value → measure, event_type/user_id → keys.
     *
-    * The parquet files store `ts` as TIMESTAMP(NANOS), which Spark's reader
-    * does not support natively; read it as a long (legacy nanosAsLong) and
-    * truncate to microsecond precision — the same truncation DuckDB applies
-    * on `CAST(ts AS TIMESTAMP)`, keeping the oracle comparable.
+    * The loader adapts to the physical `ts` encoding the lake actually
+    * uses (it has shipped both), keyed on the dtype the scan reports:
+    *
+    *   - TIMESTAMP(NANOS) → Spark's reader has no nanos timestamp; with
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a
+    *     long, which we truncate to a microsecond timestamp — the same
+    *     truncation DuckDB applies on `CAST(ts AS TIMESTAMP)`, keeping
+    *     the oracle comparable. Predicates on the DERIVED timestamp
+    *     cannot reach the reader, so the raw long is kept as a pushable
+    *     `ts_nanos` twin (see Scans.timeRangeFromMax).
+    *   - TIMESTAMP(MICROS) → native read; predicates on `ts` push down
+    *     directly and `ts_nanos` is derived only to keep the column
+    *     contract stable for callers. [[graft.Session.builder]] sets
+    *     `spark.sql.parquet.inferTimestampNTZ.enabled=false` so the scan
+    *     emits TIMESTAMP_LTZ (UTC session) rather than NTZ; a session
+    *     without it still works via the NTZ cast branch, at the cost of
+    *     the pushdown (the cast sits between filter and scan).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.getOption(NanosAsLongConf).contains("true"),
-      s"""events.parquet stores ts as TIMESTAMP(NANOS): build the session with
-         |.config("$NanosAsLongConf", "true") before loading it""".stripMargin)
-    // keep the RAW nanos long beside the converted timestamp: predicates
-    // on the derived `ts` cannot reach the parquet reader, so range scans
-    // add a pushable twin on `ts_nanos` (see Scans.timeRangeFromMax)
-    load(spark, dir, "events")
-      .withColumn("ts_nanos", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as long under nanosAsLong
+        raw
+          .withColumn("ts_nanos", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType =>
+        raw.withColumn("ts_nanos", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType => // session missing inferTimestampNTZ=false
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_nanos", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.parquet ts column has unsupported dtype $other; expected " +
+            s"TIMESTAMP(MICROS), TIMESTAMP_NTZ, or TIMESTAMP(NANOS)-as-long " +
+            s"(set $NanosAsLongConf=true for nanos files)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -204,17 +204,21 @@ object Pipeline {
     */
   private def replayStream(spark: SparkSession,
       dir: String): (DataFrame, java.nio.file.Path) = {
-    require(spark.conf.getOption(graft.sources.Tables.NanosAsLongConf)
-        .contains("true"),
-      s"build the session with .config(\"${graft.sources.Tables.NanosAsLongConf}\", \"true\")")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft_replay")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    // same dtype adaptation as Tables.events (the lake has shipped both
+    // nanos-as-long and native-micros ts encodings)
+    val stream = schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
     (stream, streamDir)
   }
 
