@@ -114,6 +114,32 @@ object RecallCurve {
     val pqFlags = monotoneFlags("PQ shortlist", pqPoints.map(_._1),
       pqPoints.map(_._2))
 
+    // ---- composed IVF-PQ + rerank sweep: the full serving path on the
+    // REAL layout (pruned ADC shortlist → exact float rerank of the
+    // shortlist rows). Reference = the float probe over the SAME probed
+    // buckets, so the curve isolates what the refine tier recovers of
+    // the PQ quantization error (bucket-coverage loss is the nProbe
+    // sweep's story above). shortlist=10 is the raw ivfPqProbe ranking.
+    val ivfPqNProbe = 2
+    val flByQ = qvs.map { case (qid, v) =>
+      qid -> Similarity.ivfProbe(spark, path, "vec_id", "embedding", v,
+          k = 10, nProbe = ivfPqNProbe, excludeId = Some(qid))
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    }.toMap
+    val ivfPqShortlists = Seq(10, 20, 50, 100).filter(_ <= nVecs.toInt)
+    val ivfPqPoints = ivfPqShortlists.map { s =>
+      val recall = qvs.map { case (qid, v) =>
+        val got = Similarity.ivfPqRerankTopK(spark, path, "vec_id",
+            "embedding", v, k = 10, nProbe = ivfPqNProbe, shortlist = s,
+            excludeId = Some(qid))
+          .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        got.intersect(flByQ(qid)).size / 10.0
+      }.sum / qvs.length
+      (s, recall)
+    }
+    val ivfPqFlags = monotoneFlags("IVF-PQ shortlist",
+      ivfPqPoints.map(_._1), ivfPqPoints.map(_._2))
+
     val json =
       f"""{
          |  "what": "recall@10 of the pruned IVF probe vs exhaustive, mean over $nQueries query vectors on the trained layout; scanned_frac = mean fraction of corpus rows the probe reads — the recall/cost trade the quantizer buys; monotone=false flags a recall dip vs the previous point (tie-break drift), healthy = all true",
@@ -131,6 +157,16 @@ object RecallCurve {
          |    "points": [
          |${pqPoints.zip(pqFlags).map { case ((s, r, f), m) =>
              f"""      {"shortlist": $s, "recall_at_10": $r%.3f, "rerank_frac": $f%.3f, "monotone": $m}"""
+           }.mkString(",\n")}
+         |    ]
+         |  },
+         |  "ivf_pq_rerank": {
+         |    "what": "composed serving path: pruned ADC shortlist then exact float rerank of the shortlist rows, recall@10 vs the float probe over the SAME n_probe=$ivfPqNProbe buckets (isolates the PQ error the refine tier recovers; shortlist=10 is the raw ivfPqProbe ranking), mean over $nQueries queries",
+         |    "n_probe": $ivfPqNProbe,
+         |    "monotone_all": ${ivfPqFlags.forall(identity)},
+         |    "points": [
+         |${ivfPqPoints.zip(ivfPqFlags).map { case ((s, r), m) =>
+             f"""      {"shortlist": $s, "recall_at_10": $r%.3f, "monotone": $m}"""
            }.mkString(",\n")}
          |    ]
          |  }

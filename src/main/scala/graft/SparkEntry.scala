@@ -945,6 +945,31 @@ object SparkEntry {
           round(col("n_overlap").cast("double") / 10, 6).as("recall"))
     }),
 
+    // ---- IVF-PQ + exact rerank: the COMPLETE composed serving path —
+    //      pruned ADC shortlist, then exact float re-score of the
+    //      shortlist rows only (the refine tier the raw probe lacks) ----
+    "q_ann_ivf_pq_rerank" -> ((s, dir) => {
+      val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
+      Similarity.ivfPqRerankTopK(s, path, "vec_id", "embedding", qv,
+        k = 10, nProbe = 2, shortlist = 50, excludeId = Some(0L))
+    }),
+
+    // ---- rerank recall vs the float probe on the SAME probed buckets:
+    //      the refine tier should erase the PQ error (contrast with
+    //      q_ann_ivf_pq_recall's raw-ADC recall) ----
+    "q_ann_ivf_pq_rerank_recall" -> ((s, dir) => {
+      val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
+      val rr = Similarity.ivfPqRerankTopK(s, path, "vec_id", "embedding",
+        qv, k = 10, nProbe = 2, shortlist = 50, excludeId = Some(0L))
+        .select(col("vec_id"))
+      val fl = Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
+        k = 10, nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
+      rr.join(fl, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall"))
+    }),
+
     // ---- two-stage PQ serving: ADC shortlist of 100, exact rerank to
     //      top-10 — the coarse-filter/refine split production PQ uses ----
     "q_ann_pq_rerank" -> ((s, dir) =>
@@ -2248,6 +2273,39 @@ object SparkEntry {
          |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
          |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
          |FROM pqp JOIN fl USING (vec_id)""".stripMargin,
+    // Composed IVF-PQ + rerank replay: probed buckets → ADC shortlist of
+    // 50 → exact float cosine over the shortlist rows only, every LIMIT
+    // boundary on the rounded score + id.
+    "q_ann_ivf_pq_rerank" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)},
+         |${PqCtesBody(queryVecId = 0)},
+         |pr AS (SELECT a.vec_id, a.v, a.ivf_bucket FROM asg a
+         |       WHERE a.ivf_bucket IN (SELECT b FROM probed) AND a.vec_id <> 0),
+         |short AS (SELECT s.vec_id FROM pqsc s JOIN pr USING (vec_id)
+         |          ORDER BY round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) DESC, s.vec_id
+         |          LIMIT 50)
+         |SELECT p.vec_id, p.ivf_bucket,
+         |  round(${ListCosSql("p.v", "qv")}, 6) AS cosine
+         |FROM pr p JOIN short USING (vec_id), q
+         |ORDER BY round(${ListCosSql("p.v", "qv")}, 6) DESC, p.vec_id
+         |LIMIT 10""".stripMargin,
+    "q_ann_ivf_pq_rerank_recall" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)},
+         |${PqCtesBody(queryVecId = 0)},
+         |pr AS (SELECT a.vec_id, a.v, a.ivf_bucket FROM asg a
+         |       WHERE a.ivf_bucket IN (SELECT b FROM probed) AND a.vec_id <> 0),
+         |short AS (SELECT s.vec_id FROM pqsc s JOIN pr USING (vec_id)
+         |          ORDER BY round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) DESC, s.vec_id
+         |          LIMIT 50),
+         |rr AS (SELECT p.vec_id FROM pr p JOIN short USING (vec_id), q
+         |       ORDER BY round(${ListCosSql("p.v", "qv")}, 6) DESC, p.vec_id
+         |       LIMIT 10),
+         |fl AS (SELECT vec_id FROM pr, q
+         |       ORDER BY ${ListCosSql("pr.v", "qv")} DESC, vec_id
+         |       LIMIT 10)
+         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM rr JOIN fl USING (vec_id)""".stripMargin,
     // Two-stage replay: ADC shortlist (rounded-score + id boundary, like
     // every LIMIT here) then exact float cosine over the shortlist only.
     "q_ann_pq_rerank" ->

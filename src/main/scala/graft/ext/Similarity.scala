@@ -737,9 +737,10 @@ object Similarity {
     * pruned scan reads m small ints per row and never touches the float
     * vectors (pinned via ReadSchema in `IvfLayoutSpec`). The LIMIT
     * boundary orders by the ROUNDED score + id like every ANN query
-    * here. For serving recall, follow with an exact rerank of the
-    * shortlist against the layout's retained float column — the
-    * [[pqRerankTopK]] trade, measured in `ANN_RECALL.json`.
+    * here. For serving recall, [[ivfPqRerankTopK]] composes this probe
+    * with an exact rerank of the shortlist against the layout's retained
+    * float column — the [[pqRerankTopK]] trade, measured in
+    * `ANN_RECALL.json`.
     */
   def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, queryVec: Seq[Double], k: Int,
@@ -767,6 +768,49 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("ivf_bucket"),
         round(col("__cos"), 6).as("cosine_pq"))
+  }
+
+  /** IVF-PQ + exact rerank — the COMPLETE production serving path
+    * (faiss `IVF*,PQ*` + refine): [[ivfPqProbe]]'s pruned ADC pass
+    * shortlists `shortlist` candidates reading only the m-byte codes,
+    * then the float vectors the layout retains for exactly this tier
+    * are read back for the shortlist rows alone and re-scored exactly.
+    * PQ quantization error now only costs recall if a true neighbor
+    * falls outside the shortlist — the [[pqRerankTopK]] trade, composed
+    * with partition pruning so neither stage scans beyond the probed
+    * buckets.
+    *
+    * The shortlist ids come back to the driver (≤ `shortlist` longs —
+    * query-serving metadata, same class as the probe's centroid scores)
+    * so stage 2 can push `id IN (…)` + the bucket filter INTO the
+    * parquet scan: at 100 TB the refine tier reads float vectors for
+    * `shortlist` rows out of the probed partitions' row groups, not for
+    * every scanned row — which is what makes the corpus-wide float pass
+    * of [[pqRerankTopK]] (the only non-flat retrieval op in the 10×
+    * posture) unnecessary at scale.
+    */
+  def ivfPqRerankTopK(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, queryVec: Seq[Double],
+      k: Int, nProbe: Int, shortlist: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    require(shortlist >= k,
+      s"ivfPqRerankTopK: shortlist $shortlist must be >= k $k")
+    graft.plans.GraftFunctions.register(spark)
+    val shortIds = ivfPqProbe(spark, path, idCol, queryVec, shortlist,
+        nProbe, excludeId)
+      .select(col(idCol)).collect().map(_.getLong(0)).toIndexedSeq
+    val probed = probeBuckets(readQuantizer(spark, path), queryVec, nProbe)
+    val qLit = array(queryVec.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("ivf_bucket").isin(probed.toIndexedSeq: _*))
+      .filter(col(idCol).isin(shortIds: _*))
+      .withColumn("__cos",
+        call_function(graft.plans.GraftFunctions.CosineName,
+          col(vecCol).cast("array<double>"), qLit))
+      .orderBy(round(col("__cos"), 6).desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("ivf_bucket"),
+        round(col("__cos"), 6).as("cosine"))
   }
 
   /** Batch IVF probe: exact top-k for EVERY query vector in ONE plan —

@@ -219,6 +219,50 @@ class IvfLayoutSpec extends SparkSpec {
       scan.metadata("ReadSchema"))
   }
 
+  test("IVF-PQ rerank: refine tier matches the float probe, reads floats only for the shortlist") {
+    val emb = Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, codebookK = 8, salt = "ivfpqrrspec")
+    val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = 8, iters = 2, salt = "ivfpqrrspec"),
+      s"ivfpqrr-spec-${System.nanoTime()}",
+      pqBooks = books, withPq = true)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    // a shortlist covering every row in the probed buckets makes the
+    // refine tier EXACT over those buckets: it must reproduce the float
+    // probe's top-k (same rows; rerank re-scores exactly)
+    val nProbed = Similarity.ivfPqProbe(spark, path, "vec_id", q,
+      k = Int.MaxValue, nProbe = 2, excludeId = Some(0L)).count().toInt
+    val rr = Similarity.ivfPqRerankTopK(spark, path, "vec_id", "embedding",
+      q, k = 10, nProbe = 2, shortlist = nProbed, excludeId = Some(0L))
+    val fl = Similarity.ivfProbe(spark, path, "vec_id", "embedding", q,
+      k = 10, nProbe = 2, excludeId = Some(0L))
+    assert(rr.select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
+      fl.select(col("vec_id")).collect().map(_.getLong(0)).toSet)
+    // a small shortlist still returns k rows, and the refine scan is
+    // pruned to the probed partitions with the shortlist id filter
+    // PUSHED into the parquet reader beside the float column it refines
+    val small = Similarity.ivfPqRerankTopK(spark, path, "vec_id",
+      "embedding", q, k = 10, nProbe = 2, shortlist = 20,
+      excludeId = Some(0L))
+    assert(small.count() === 10)
+    val scan = small.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("ivf_bucket"),
+      scan.metadata("PartitionFilters"))
+    assert(scan.selectedPartitions.partitionCount === 2)
+    assert(scan.metadata("PushedFilters").contains("In(vec_id"),
+      scan.metadata("PushedFilters"))
+    assert(scan.metadata("ReadSchema").contains("embedding"),
+      scan.metadata("ReadSchema"))
+    assert(!scan.metadata("ReadSchema").contains("pq_code"),
+      scan.metadata("ReadSchema"))
+  }
+
   test("ensureIvfLayout builds once, reuses later, and skips re-training") {
     val emb = Tables.embeddings(spark, sf)
     val key = s"spec-reuse-${System.nanoTime()}"
