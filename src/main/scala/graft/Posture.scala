@@ -248,12 +248,22 @@ object Posture {
         col("embedding"), col("label"))
     }.foldLeft(embBase)(_ union _)
       .write.mode("overwrite").parquet(embPaths(1)._2)
+    val embByLbl = embPaths.map { case (l, p) =>
+      l -> spark.read.parquet(p) }.toMap
+    // PQ codebooks are index metadata (train once, serve many): trained
+    // OUTSIDE the timed runs like the IVF layouts, so the measured cost
+    // is the serving path alone
+    val pqBooksByLbl = Seq("1x", "10x").map { lbl =>
+      lbl -> Similarity.pqCodebooks(embByLbl(lbl), "vec_id", "embedding",
+        m = SparkEntry.PqM, codebookK = SparkEntry.PqKc)
+    }.toMap
     val layouts = embPaths.map { case (lbl, p) =>
       val d = spark.read.parquet(p)
       val lp = s"$scratch/layout_$lbl"
       Similarity.writeIvfLayout(d, "vec_id", "embedding",
         Similarity.trainQuantizer(d, "vec_id", "embedding",
-          k = 8, iters = 2, salt = "posture"), lp)
+          k = 8, iters = 2, salt = "posture"), lp,
+        pqBooks = pqBooksByLbl(lbl))
       lbl -> lp
     }.toMap
     // query + anchors from the base corpus: the SAME points probe both
@@ -265,15 +275,6 @@ object Posture {
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2))).toSeq
     val (qid, qvec) = (anchors.head._1, anchors.head._3)
     val docsByLbl = corpora.toMap
-    val embByLbl = embPaths.map { case (l, p) =>
-      l -> spark.read.parquet(p) }.toMap
-    // PQ codebooks are index metadata (train once, serve many): trained
-    // OUTSIDE the timed runs like the IVF layouts above, so the measured
-    // cost is the serving path alone
-    val pqBooksByLbl = Seq("1x", "10x").map { lbl =>
-      lbl -> Similarity.pqCodebooks(embByLbl(lbl), "vec_id", "embedding",
-        m = SparkEntry.PqM, codebookK = SparkEntry.PqKc)
-    }.toMap
     val retrievalOps: Seq[(String, String => DataFrame)] = Seq(
       "pq_rerank" -> (lbl => Similarity.pqRerankTopK(embByLbl(lbl),
         "vec_id", "embedding", qid, k = 10, shortlist = 100,
@@ -286,6 +287,13 @@ object Posture {
       "ivf_sq8_probe" -> (lbl => Similarity.ivfSq8Probe(spark,
         layouts(lbl), "vec_id", qvec, k = 10, nProbe = 2,
         excludeId = Some(qid))),
+      // the composed serving path (X50): pruned ADC shortlist + exact
+      // rerank of the shortlist rows — unlike pq_rerank above, BOTH
+      // stages ride the probed partitions, so its cost must track
+      // scanned_rows_probe, not the corpus
+      "ivf_pq_rerank" -> (lbl => Similarity.ivfPqRerankTopK(spark,
+        layouts(lbl), "vec_id", "embedding", qvec, k = 10, nProbe = 2,
+        shortlist = 100, excludeId = Some(qid))),
       "hard_negatives" -> (lbl => Similarity.ivfHardNegatives(spark,
         layouts(lbl), "vec_id", "embedding", "label", anchors, k = 10,
         nProbe = 2)))
@@ -307,7 +315,7 @@ object Posture {
     }
     val retrievalJson =
       s"""  "retrieval": {
-         |    "what": "BM25 / SQ8 / PQ / pruned-probe serving ops, fixed k output, eager metadata included in every timed run (PQ codebooks and IVF layouts are index builds, trained outside); healthy = flat peak_task_mem and spill 0, scan-bound ops (bm25_topk, sq8_brute, pq_rerank ADC pass) growing at most linearly, pruned probes (ivf_sq8_probe, hard_negatives) tracking scanned_rows_probe; at this corpus size the ~0.2 s fixed per-query cost (driver metadata reads + job scheduling) dominates, so time_growth near 1 means the data-dependent cost is still below the serving floor at 10x",
+         |    "what": "BM25 / SQ8 / PQ / pruned-probe serving ops, fixed k output, eager metadata included in every timed run (PQ codebooks and IVF layouts are index builds, trained outside); healthy = flat peak_task_mem and spill 0, scan-bound ops (bm25_topk, sq8_brute, pq_rerank ADC pass) growing at most linearly, pruned probes (ivf_sq8_probe, ivf_pq_rerank, hard_negatives) tracking scanned_rows_probe; at this corpus size the ~0.2 s fixed per-query cost (driver metadata reads + job scheduling) dominates, so time_growth near 1 means the data-dependent cost is still below the serving floor at 10x",
          |    "vecs_1x": ${embByLbl("1x").count()}, "vecs_10x": ${embByLbl("10x").count()},
          |    "scanned_rows_probe_1x": ${probeScanRows("1x")}, "scanned_rows_probe_10x": ${probeScanRows("10x")},
          |${retrieval.mkString(",\n")}}""".stripMargin
