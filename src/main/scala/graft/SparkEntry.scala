@@ -583,6 +583,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- as-of join, hot-key sharded: same semantics through the
+    //      (key, time-bucket) partitioning that survives skew at 100 TB;
+    //      same oracle SQL as q_asof_join (results are identical) ----
+    "q_asof_join_sharded" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ops.Temporal.asofJoinSharded(clicks, purchases, "user_id",
+          "ts", "ts", tieCol = "event_id",
+          payload = Seq("value" -> "last_purchase_value",
+            "event_id" -> "last_purchase_id"),
+          bucketSec = 3600)
+        .orderBy("event_id")
+    }),
+
     // ---- interval join: signup windows [ts, ts+30m) vs all events,
     //      bucketed range-join rewrite (hash equi-join on time cell) ----
     "q_interval_join" -> ((s, dir) => {
@@ -1265,6 +1282,25 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** The as-of replay shared by `q_asof_join` and `q_asof_join_sharded`
+    * (one semantics, two physical plans).
+    */
+  private val AsofOracleSql =
+    """WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+      |  FROM events WHERE event_type = 'click'),
+      |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT event_id, ts, user_id, value, last_purchase_value,
+      |  last_purchase_id
+      |FROM (
+      |  SELECT l.event_id, l.ts, l.user_id, l.value,
+      |    r.value AS last_purchase_value, r.event_id AS last_purchase_id,
+      |    row_number() OVER (PARTITION BY l.event_id
+      |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
+      |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts) t
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_windowed_agg" ->
       """SELECT event_type,
@@ -1426,22 +1462,10 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'purchase' AND user_id = 7""".stripMargin,
     // as-of semantics replayed as the naive θ-join + per-left-row argmax
-    // (fine at oracle scale; the Spark side exists precisely to avoid it)
-    "q_asof_join" ->
-      """WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
-        |  FROM events WHERE event_type = 'click'),
-        |r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT event_id, ts, user_id, value, last_purchase_value,
-        |  last_purchase_id
-        |FROM (
-        |  SELECT l.event_id, l.ts, l.user_id, l.value,
-        |    r.value AS last_purchase_value, r.event_id AS last_purchase_id,
-        |    row_number() OVER (PARTITION BY l.event_id
-        |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
-        |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts) t
-        |WHERE rn = 1
-        |ORDER BY event_id""".stripMargin,
+    // (fine at oracle scale; the Spark side exists precisely to avoid it);
+    // the sharded form is semantics-identical, so it shares the replay
+    "q_asof_join" -> AsofOracleSql,
+    "q_asof_join_sharded" -> AsofOracleSql,
     "q_interval_join" ->
       """WITH w AS (SELECT event_id AS window_id,
         |    CAST(ts AS TIMESTAMP) AS w_start,

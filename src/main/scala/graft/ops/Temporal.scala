@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,9 +45,8 @@ object Temporal {
     * scanned once and the intermediate never exceeds |left| + |right|.
     *
     * Skew: a pathologically hot key serializes its own sort (the same
-    * bound as any per-key window); at 100 TB shard hot keys by a coarse
-    * time bucket first and stitch bucket boundaries with the previous
-    * bucket's final payload.
+    * bound as any per-key window); [[asofJoinSharded]] is the time-bucket
+    * sharded rewrite that breaks exactly that bound.
     *
     * @param payload right-side columns to attach, as (srcCol → outName);
     *                out names must not collide with left columns.
@@ -82,6 +81,104 @@ object Temporal {
       .orderBy(col("__ts"), col("__tag"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        payload.map { case (_, out) => col(s"__m.$out").as(out) }: _*)
+  }
+
+  /** [[asofJoin]] with hot keys sharded by a coarse time bucket — same
+    * semantics (spec-pinned equivalent), but the per-key sort that
+    * serializes a pathologically hot key in the plain form is broken
+    * into independent (key, bucket) partitions, so parallelism scales
+    * with keys × time instead of keys. The 100 TB form: a device that
+    * emits for years no longer funnels through one task.
+    *
+    * Bucket boundaries are stitched with a SEED row: per (key, bucket),
+    * the newest right payload from any strictly earlier bucket, computed
+    * at BUCKET granularity (cells = data span / `bucketSec` rows per
+    * key — window-function work orders of magnitude below row scale)
+    * with the same union-tag trick, lefts-before-rights within a cell so
+    * a bucket's seed never sees its own bucket's right rows. The seed
+    * sorts first in each (key, bucket) partition and the in-bucket
+    * running `last` takes over from there, so every left row sees
+    * `coalesce(newest in-bucket right at-or-before it, seed)` — exactly
+    * the plain form's carry.
+    *
+    * Two full-data shuffles (the cell-level seed pass aggregates
+    * map-side to bucket granularity before its tiny per-key window)
+    * against [[asofJoin]]'s one — the price of the skew bound; prefer
+    * the plain form until a key's row count actually concentrates.
+    * Payload columns must be orderable (the boundary max compares a
+    * (ts, tie, payload) struct) — maps can't ride this variant.
+    */
+  def asofJoinSharded(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, tieCol: String,
+      payload: Seq[(String, String)], bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "asofJoinSharded: bucketSec must be positive")
+    require(payload.nonEmpty,
+      "asofJoinSharded: payload must name ≥1 right column")
+    val leftCols = left.columns.toSeq
+    require(payload.forall { case (_, out) => !leftCols.contains(out) },
+      "asofJoinSharded: payload out-names must not collide with left columns")
+    require((leftCols ++ right.columns).forall(!_.startsWith("__")),
+      "asofJoinSharded: input columns must not use the reserved __ prefix")
+    val bw = bucketSec * 1000000L // bucket width in microseconds
+    val tsType = left.schema(leftTs).dataType
+    val tieType = right.schema(tieCol).dataType
+    val pay = struct(payload.map { case (src, out) => col(src).as(out) }: _*)
+    def cellOf(c: Column): Column = floor(unix_micros(c) / bw).cast("long")
+
+    val r = right.filter(col(rightTs).isNotNull).select(
+      col(keyCol).as("__k"), col(rightTs).as("__ts"),
+      col(tieCol).as("__tie"), pay.as("__pay"),
+      cellOf(col(rightTs)).as("__cell"))
+
+    // ---- seed pass, at bucket granularity ----
+    // newest right row per (key, bucket): lexicographic struct max on
+    // (ts, tie, payload) = the plain form's (ts asc, tie asc) running-last
+    // winner within that bucket
+    val rCells = r.groupBy(col("__k"), col("__cell"))
+      .agg(max(struct(col("__ts"), col("__tie"), col("__pay"))).as("__m"))
+      .select(col("__k"), col("__cell"), lit(1).as("__cord"), col("__m"))
+    val lCells = left.select(col(keyCol).as("__k"),
+        cellOf(col(leftTs)).as("__cell"))
+      .distinct()
+      .select(col("__k"), col("__cell"), lit(0).as("__cord"),
+        lit(null).cast(rCells.schema("__m").dataType).as("__m"))
+    // lefts sort BEFORE rights at the same cell (__cord), so a bucket's
+    // seed carries only strictly-earlier buckets; a null left cell (null
+    // left ts) sorts first of all and seeds null — the plain form's
+    // null-ts-left behavior
+    val wSeed = Window.partitionBy(col("__k"))
+      .orderBy(col("__cell"), col("__cord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seeds = rCells.unionByName(lCells)
+      .withColumn("__seed", last(col("__m"), ignoreNulls = true).over(wSeed))
+      .filter(col("__cord") === 0 && col("__seed").isNotNull)
+      .select(col("__k"), col("__cell"),
+        col("__seed").getField("__pay").as("__pay"))
+
+    // ---- main pass, partitioned by (key, bucket) ----
+    val nullLeft = leftCols.map(c => lit(null).as(c))
+    val seedRows = seeds.select(
+      col("__k") +: col("__cell") +: lit(0).as("__ord") +:
+        lit(null).cast(tsType).as("__ts") +: lit(-1).as("__tag") +:
+        lit(null).cast(tieType).as("__tie") +: col("__pay") +:
+        nullLeft: _*)
+    val rMain = r.select(
+      col("__k") +: col("__cell") +: lit(1).as("__ord") +: col("__ts") +:
+        lit(0).as("__tag") +: col("__tie") +: col("__pay") +: nullLeft: _*)
+    val lMain = left.select(
+      col(keyCol).as("__k") +: cellOf(col(leftTs)).as("__cell") +:
+        lit(1).as("__ord") +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:
+        lit(null).cast(tieType).as("__tie") +:
+        lit(null).cast(seedRows.schema("__pay").dataType).as("__pay") +:
+        leftCols.map(col): _*)
+    val w = Window.partitionBy(col("__k"), col("__cell"))
+      .orderBy(col("__ord"), col("__ts"), col("__tag"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seedRows.unionByName(rMain).unionByName(lMain)
       .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select(leftCols.map(col) ++

@@ -76,6 +76,53 @@ class TemporalSpec extends SparkSpec {
     assert(ex.getMessage.contains("__"))
   }
 
+  test("asofJoinSharded is row-identical to asofJoin on the edge fixture") {
+    val (left, right) = asofFixture
+    // bucket narrower than the data span so real boundary stitches occur
+    for (bucketSec <- Seq(600L, 3600L, 86400L)) {
+      val plain = Temporal.asofJoin(left, right, "k", "t", "t", "tie",
+        Seq("rv" -> "last_rv", "tie" -> "last_tie"))
+      val sharded = Temporal.asofJoinSharded(left, right, "k", "t", "t",
+        "tie", Seq("rv" -> "last_rv", "tie" -> "last_tie"), bucketSec)
+      assert(sharded.exceptAll(plain).isEmpty &&
+        plain.exceptAll(sharded).isEmpty, s"bucketSec=$bucketSec")
+    }
+  }
+
+  test("asofJoinSharded stitches a hot key across many buckets like the plain form") {
+    // ONE key, interleaved rows spread over ~100 buckets at 600 s, with
+    // deliberate ts collisions (both right-right and left-right) so the
+    // tie and tag orders are exercised across the seed boundary
+    val base = ts("2024-01-01 00:00:00").getTime
+    val left = (0 until 400).map { i =>
+      (1L, new java.sql.Timestamp(base + (i * 137L % 60000) * 1000L), i)
+    }.toDF("k", "t", "lv")
+    val right = (0 until 300).map { i =>
+      (1L, new java.sql.Timestamp(base + (i * 211L % 60000) * 1000L),
+        i.toLong, i * 0.5)
+    }.toDF("k", "t", "tie", "rv")
+    val plain = Temporal.asofJoin(left, right, "k", "t", "t", "tie",
+      Seq("rv" -> "last_rv"))
+    val sharded = Temporal.asofJoinSharded(left, right, "k", "t", "t",
+      "tie", Seq("rv" -> "last_rv"), bucketSec = 600)
+    assert(sharded.exceptAll(plain).isEmpty &&
+      plain.exceptAll(sharded).isEmpty)
+  }
+
+  test("asofJoinSharded keeps null-timestamp left rows unmatched") {
+    val left = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00")), 1),
+      (1L, Option.empty[java.sql.Timestamp], 2)
+    ).toDF("k", "t", "lv")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1L, 9.0))
+      .toDF("k", "t", "tie", "rv")
+    val out = Temporal.asofJoinSharded(left, right, "k", "t", "t", "tie",
+        Seq("rv" -> "last_rv"), bucketSec = 3600)
+      .orderBy("lv")
+      .select($"lv", $"last_rv").as[(Int, Option[Double])].collect().toSeq
+    assert(out === Seq((1, Some(9.0)), (2, None)))
+  }
+
   private def windowsFixture = Seq(
     (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")), // 2 events
     (11L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00")), // 0 events
