@@ -258,7 +258,7 @@ object Posture {
         m = SparkEntry.PqM, codebookK = SparkEntry.PqKc)
     }.toMap
     val layouts = embPaths.map { case (lbl, p) =>
-      val d = spark.read.parquet(p)
+      val d = embByLbl(lbl)
       val lp = s"$scratch/layout_$lbl"
       Similarity.writeIvfLayout(d, "vec_id", "embedding",
         Similarity.trainQuantizer(d, "vec_id", "embedding",

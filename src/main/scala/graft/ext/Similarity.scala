@@ -744,9 +744,18 @@ object Similarity {
     */
   def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, queryVec: Seq[Double], k: Int,
-      nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
+      nProbe: Int, excludeId: Option[Long] = None): DataFrame =
+    ivfPqProbeOn(spark, path, idCol, queryVec, k,
+      probeBuckets(readQuantizer(spark, path), queryVec, nProbe), excludeId)
+
+  /** [[ivfPqProbe]] against ALREADY-probed buckets, so a composed caller
+    * ([[ivfPqRerankTopK]]) reads the quantizer sidecar once per query,
+    * not once per stage.
+    */
+  private def ivfPqProbeOn(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, queryVec: Seq[Double], k: Int,
+      probed: Seq[Int], excludeId: Option[Long]): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val probed = probeBuckets(readQuantizer(spark, path), queryVec, nProbe)
     val books = readPqBooks(spark, path)
     val ds = books.head.head._2.length
     require(queryVec.length == books.length * ds,
@@ -796,10 +805,10 @@ object Similarity {
     require(shortlist >= k,
       s"ivfPqRerankTopK: shortlist $shortlist must be >= k $k")
     graft.plans.GraftFunctions.register(spark)
-    val shortIds = ivfPqProbe(spark, path, idCol, queryVec, shortlist,
-        nProbe, excludeId)
-      .select(col(idCol)).collect().map(_.getLong(0)).toIndexedSeq
     val probed = probeBuckets(readQuantizer(spark, path), queryVec, nProbe)
+    val shortIds = ivfPqProbeOn(spark, path, idCol, queryVec, shortlist,
+        probed, excludeId)
+      .select(col(idCol)).collect().map(_.getLong(0)).toIndexedSeq
     val qLit = array(queryVec.map(lit): _*)
     spark.read.parquet(path)
       .filter(col("ivf_bucket").isin(probed.toIndexedSeq: _*))

@@ -32,9 +32,12 @@ object Temporal {
     * the same `keyCol` and `right.tsCol <= left.tsCol` (LEFT semantics —
     * unmatched left rows keep null payload). Ties at the same right
     * timestamp break toward the largest `tieCol` (compared on its native
-    * type), deterministically. Right rows with a null timestamp are not
-    * on the timeline and are dropped; left rows with a null timestamp
-    * are kept with null payload.
+    * type), deterministically. Null handling mirrors SQL equality
+    * semantics (the DuckDB oracle replay): right rows with a null key or
+    * a null timestamp can never match and are dropped; left rows with a
+    * null key or a null timestamp are kept with null payload — a window
+    * partition would otherwise group null keys TOGETHER and mis-attach
+    * payloads SQL's `l.k = r.k` never would.
     *
     * Implementation: both sides are tagged and unioned; within each key,
     * a running `last(payload, ignoreNulls)` over
@@ -65,13 +68,16 @@ object Temporal {
     // tie-break orders on tieCol's NATIVE type — a string cast would rank
     // numeric ties lexicographically ('9' > '10')
     val tieType = right.schema(tieCol).dataType
-    // right rows with a null as-of timestamp have no position on the
-    // timeline; dropping them up front keeps nulls-first ordering from
-    // attaching their payload to left rows with no real match
-    val r = right.filter(col(rightTs).isNotNull).select(
-      col(keyCol).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
-        col(tieCol).as("__tie") +: pay.as("__pay") +:
-        leftCols.map(c => lit(null).as(c)): _*)
+    // right rows with a null key can't equality-match anything and a null
+    // as-of timestamp has no position on the timeline; dropping both up
+    // front keeps the null-key window partition and nulls-first ordering
+    // from attaching payloads SQL semantics never would
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(keyCol).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
+          col(tieCol).as("__tie") +: pay.as("__pay") +:
+          leftCols.map(c => lit(null).as(c)): _*)
     val l = left.select(
       col(keyCol).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__tag") +:
         lit(null).cast(tieType).as("__tie") +:
@@ -125,14 +131,30 @@ object Temporal {
       "asofJoinSharded: input columns must not use the reserved __ prefix")
     val bw = bucketSec * 1000000L // bucket width in microseconds
     val tsType = left.schema(leftTs).dataType
+    // bucketing derives the cell via unix_micros, so this variant is
+    // timestamp-only — unlike asofJoin, which sorts any orderable ts type
+    Seq(leftTs -> tsType, rightTs -> right.schema(rightTs).dataType).foreach {
+      case (c, t) => require(
+        t == org.apache.spark.sql.types.TimestampType ||
+          t == org.apache.spark.sql.types.TimestampNTZType,
+        s"asofJoinSharded: ts column $c must be a timestamp (got $t) — " +
+          "use asofJoin for other orderable ts types")
+    }
     val tieType = right.schema(tieCol).dataType
     val pay = struct(payload.map { case (src, out) => col(src).as(out) }: _*)
-    def cellOf(c: Column): Column = floor(unix_micros(c) / bw).cast("long")
+    // the LTZ cast covers NTZ inputs (no-op for LTZ); bucket ids only
+    // need to be consistent within the query, and the session zone is
+    def cellOf(c: Column): Column =
+      floor(unix_micros(c.cast(org.apache.spark.sql.types.TimestampType)) / bw)
+        .cast("long")
 
-    val r = right.filter(col(rightTs).isNotNull).select(
-      col(keyCol).as("__k"), col(rightTs).as("__ts"),
-      col(tieCol).as("__tie"), pay.as("__pay"),
-      cellOf(col(rightTs)).as("__cell"))
+    // same null-key/null-ts drop as asofJoin (SQL equality semantics)
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(keyCol).as("__k"), col(rightTs).as("__ts"),
+        col(tieCol).as("__tie"), pay.as("__pay"),
+        cellOf(col(rightTs)).as("__cell"))
 
     // ---- seed pass, at bucket granularity ----
     // newest right row per (key, bucket): lexicographic struct max on
@@ -211,18 +233,12 @@ object Temporal {
       "intervalJoinBucketed: column names must not use the reserved __ " +
         "prefix (__cell/__ets/__ev are internal)")
     val bw = bucketSec * 1000000L // cell width in microseconds
-    // end is exclusive: the last covered instant is end − 1 µs. The cell
-    // sequence is gated on end > start: sequence(a, b) DESCENDS when
-    // a > b, so an inverted window (bad data) would otherwise explode
-    // into a data-dependent number of cells — the exact unbounded blow-up
-    // this rewrite exists to rule out. Invalid windows (inverted or
-    // null-bounded) take the null branch and survive via explode_outer
-    // as a single uncovered row: LEFT semantics keep every window, with
-    // n_events = 0 marking the ones that matched nothing.
+    // Invalid windows (inverted or null-bounded) take windowCells' null
+    // branch and survive via explode_outer as a single uncovered row:
+    // LEFT semantics keep every window, with n_events = 0 marking the
+    // ones that matched nothing.
     val wB = windows.select(col(idCol), col(startCol), col(endCol),
-        explode_outer(when(col(endCol) > col(startCol), sequence(
-          floor(unix_micros(col(startCol)) / bw).cast("long"),
-          floor((unix_micros(col(endCol)) - 1) / bw).cast("long"))))
+        explode_outer(windowCells(col(startCol), col(endCol), bucketSec))
           .as("__cell"))
     val eB = events.select(col(tsCol).as("__ets"), col(valueCol).as("__ev"),
       floor(unix_micros(col(tsCol)) / bw).cast("long").as("__cell"))
@@ -233,5 +249,23 @@ object Temporal {
       .groupBy(col(idCol), col(startCol), col(endCol))
       .agg(count(col("__ets")).as("n_events"),
         round(avg(col("__ev")), 6).as("avg_value"))
+  }
+
+  /** The guarded cell array a window spans — [[intervalJoinBucketed]]'s
+    * explode input, exposed package-private so the spec pins the
+    * PRODUCTION guard. End is exclusive: the last covered instant is
+    * end − 1 µs. The sequence is gated on end > start: `sequence(a, b)`
+    * DESCENDS when a > b, so an inverted window (bad data) would
+    * otherwise explode into a data-dependent number of cells — the exact
+    * unbounded blow-up the bucketed rewrite exists to rule out. Inverted
+    * or null-bounded windows return null (one carrier row after
+    * `explode_outer`).
+    */
+  private[ops] def windowCells(start: Column, end: Column,
+      bucketSec: Long): Column = {
+    val bw = bucketSec * 1000000L
+    when(end > start, sequence(
+      floor(unix_micros(start) / bw).cast("long"),
+      floor((unix_micros(end) - 1) / bw).cast("long")))
   }
 }

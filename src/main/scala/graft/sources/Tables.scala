@@ -52,7 +52,18 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val raw = load(spark, dir, "events")
+    // schema inference on a nanos file without the legacy conf fails
+    // INSIDE load() with Spark's raw "Illegal Parquet type" — rethrow
+    // with the one-line fix so the misconfiguration names its remedy
+    val raw =
+      try load(spark, dir, "events")
+      catch {
+        case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalArgumentException(
+            s"""events.parquet stores ts as TIMESTAMP(NANOS): build the session
+               |with .config("$NanosAsLongConf", "true") before loading it"""
+              .stripMargin, e)
+      }
     raw.schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) surfaced as long under nanosAsLong
         raw

@@ -212,12 +212,16 @@ object Pipeline {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    // same dtype adaptation as Tables.events (the lake has shipped both
-    // nanos-as-long and native-micros ts encodings)
+    // same dtype adaptation AND same unsupported-dtype rejection as
+    // Tables.events (the lake has shipped both nanos-as-long and
+    // native-micros ts encodings)
     val stream = schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.parquet ts column has unsupported dtype $other; expected " +
+          "TIMESTAMP(MICROS), TIMESTAMP_NTZ, or TIMESTAMP(NANOS)-as-long")
     }
     (stream, streamDir)
   }

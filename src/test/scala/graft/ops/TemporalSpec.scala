@@ -67,6 +67,27 @@ class TemporalSpec extends SparkSpec {
     assert(out === Seq(None))
   }
 
+  test("asofJoin never matches across null keys (SQL equality semantics)") {
+    // a window partition groups null keys TOGETHER; SQL's l.k = r.k never
+    // matches them — both forms must side with SQL (the oracle replay)
+    val left = Seq(
+      (Option(1L), ts("2024-01-01 10:00:00"), 1),
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), 2)
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 1L, 9.0)
+    ).toDF("k", "t", "tie", "rv")
+    for (out <- Seq(
+        Temporal.asofJoin(left, right, "k", "t", "t", "tie",
+          Seq("rv" -> "last_rv")),
+        Temporal.asofJoinSharded(left, right, "k", "t", "t", "tie",
+          Seq("rv" -> "last_rv"), bucketSec = 3600))) {
+      val got = out.orderBy("lv")
+        .select($"lv", $"last_rv").as[(Int, Option[Double])].collect().toSeq
+      assert(got === Seq((1, None), (2, None)))
+    }
+  }
+
   test("asofJoin rejects reserved __ input column names") {
     val (left, right) = asofFixture
     val ex = intercept[IllegalArgumentException] {
@@ -152,16 +173,17 @@ class TemporalSpec extends SparkSpec {
 
   test("intervalJoinBucketed bounds the explode for inverted windows") {
     // a year-long inversion would explode into ~52k cells unguarded; the
-    // guard must emit exactly ONE carrier row for the bad window
-    val bad = Seq((1L, ts("2025-01-01 00:00:00"), ts("2024-01-01 00:00:00")))
-      .toDF("id", "s", "e")
-    val carriers = bad.select(col("id"), col("s"), col("e"),
-      explode_outer(when(col("e") > col("s"), sequence(
-        floor(unix_micros(col("s")) / 600000000L).cast("long"),
-        floor((unix_micros(col("e")) - 1) / 600000000L).cast("long"))))
-        .as("__cell"))
-    assert(carriers.count() === 1)
-    assert(carriers.select($"__cell").as[Option[Long]].head().isEmpty)
+    // PRODUCTION guard (windowCells — the operator's explode input) must
+    // return null for it, i.e. ONE carrier row after explode_outer
+    val cells = Seq(
+      (1L, ts("2025-01-01 00:00:00"), ts("2024-01-01 00:00:00")), // inverted
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"))  // 1 h
+    ).toDF("id", "s", "e")
+      .select($"id", Temporal.windowCells($"s", $"e", 600).as("c"))
+      .orderBy("id")
+      .as[(Long, Option[Seq[Long]])].collect().toSeq
+    assert(cells(0)._2.isEmpty)          // inverted: null, never a sequence
+    assert(cells(1)._2.get.length === 6) // valid hour at 600 s: 6 cells
   }
 
   test("intervalJoinBucketed agrees with the naive theta-join on events") {
