@@ -583,6 +583,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // ---- as-of enrichment (stream-runnable form): broadcast per-key
+    //      timeline + filter/array_max projection — same semantics, the
+    //      shape that ALSO runs on a stream (no window, no state);
+    //      exercised here in batch mode against the shared oracle ----
+    "q_asof_enrich" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.ops.Temporal.asofEnrichStreamStatic(clicks, purchases,
+          "user_id", "ts", "ts", tieCol = "event_id",
+          payload = Seq("value" -> "last_purchase_value",
+            "event_id" -> "last_purchase_id"))
+        .orderBy("event_id")
+    }),
+
     // ---- as-of join, hot-key sharded: same semantics through the
     //      (key, time-bucket) partitioning that survives skew at 100 TB;
     //      same oracle SQL as q_asof_join (results are identical) ----
@@ -1466,6 +1483,7 @@ object SparkEntry {
     // the sharded form is semantics-identical, so it shares the replay
     "q_asof_join" -> AsofOracleSql,
     "q_asof_join_sharded" -> AsofOracleSql,
+    "q_asof_enrich" -> AsofOracleSql,
     "q_interval_join" ->
       """WITH w AS (SELECT event_id AS window_id,
         |    CAST(ts AS TIMESTAMP) AS w_start,

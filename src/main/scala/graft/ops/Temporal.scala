@@ -207,6 +207,61 @@ object Temporal {
         payload.map { case (_, out) => col(s"__m.$out").as(out) }: _*)
   }
 
+  /** Streaming as-of enrichment against a STATIC timeline — the
+    * point-in-time feature lookup ([[asofJoin]] semantics) in a form
+    * Structured Streaming can run: per-row window functions can't ride a
+    * stream, so the right side is pre-aggregated into one sorted
+    * (ts, tie, payload) array per key (a static, broadcastable dimension
+    * timeline — the SCD-history shape) and each stream row resolves its
+    * match with codegen'd `filter` + `array_max` higher-order functions.
+    * Stream-static broadcast join + narrow projection: NO state store, no
+    * watermark interaction, works identically on a batch frame
+    * (spec-pinned row-identical to [[asofJoin]]).
+    *
+    * The lexicographic `array_max` over (ts, tie, payload) structs IS the
+    * plain form's (ts asc, tie asc) running-last winner among entries
+    * ≤ the row's timestamp; an empty filter result (no entry at-or-before,
+    * or a null key/timestamp) yields null payload — LEFT semantics.
+    *
+    * Scale bound: one key's FULL timeline lives in one array (and the
+    * whole timeline table broadcasts) — right-sized for dimension
+    * histories served against a fact stream, the reference's
+    * "latest state before T" lookup; it is NOT the shape for a
+    * fact-fact as-of, which stays batch ([[asofJoinSharded]]).
+    */
+  def asofEnrichStreamStatic(stream: DataFrame, right: DataFrame,
+      keyCol: String, streamTs: String, rightTs: String, tieCol: String,
+      payload: Seq[(String, String)]): DataFrame = {
+    require(payload.nonEmpty,
+      "asofEnrichStreamStatic: payload must name ≥1 right column")
+    require(!right.isStreaming,
+      "asofEnrichStreamStatic: the timeline side must be static (a batch " +
+        "dimension frame); two streams have no bounded point-in-time state")
+    val streamCols = stream.columns.toSeq
+    require(payload.forall { case (_, out) => !streamCols.contains(out) },
+      "asofEnrichStreamStatic: payload out-names must not collide with " +
+        "stream columns")
+    require((streamCols ++ right.columns).forall(!_.startsWith("__")),
+      "asofEnrichStreamStatic: input columns must not use the reserved " +
+        "__ prefix")
+    val pay = struct(payload.map { case (src, out) => col(src).as(out) }: _*)
+    // same null-key/null-ts drop as asofJoin (SQL equality semantics)
+    val timeline = right
+      .filter(col(keyCol).isNotNull && col(rightTs).isNotNull)
+      .groupBy(col(keyCol).as("__k"))
+      .agg(sort_array(collect_list(
+        struct(col(rightTs).as("__ts"), col(tieCol).as("__tie"),
+          pay.as("__pay")))).as("__tl"))
+    val matched = array_max(filter(col("__tl"),
+      e => e.getField("__ts") <= col(streamTs)))
+    stream
+      .join(broadcast(timeline), stream(keyCol) === col("__k"), "left")
+      .withColumn("__m", matched)
+      .select(streamCols.map(col) ++
+        payload.map { case (_, out) =>
+          col("__m").getField("__pay").getField(out).as(out) }: _*)
+  }
+
   /** Unkeyed interval join + rollup: windows (`idCol`, `[startCol,
     * endCol)` half-open) against event timestamps, aggregated to one row
     * per window (`n_events`, `avg_value` over `valueCol`; zero-event

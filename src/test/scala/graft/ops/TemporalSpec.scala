@@ -144,6 +144,44 @@ class TemporalSpec extends SparkSpec {
     assert(out === Seq((1, Some(9.0)), (2, None)))
   }
 
+  test("asofEnrichStreamStatic matches asofJoin on a batch frame") {
+    val (left, right) = asofFixture
+    val plain = Temporal.asofJoin(left, right, "k", "t", "t", "tie",
+      Seq("rv" -> "last_rv"))
+    val enriched = Temporal.asofEnrichStreamStatic(left, right, "k", "t",
+      "t", "tie", Seq("rv" -> "last_rv"))
+    assert(enriched.exceptAll(plain).isEmpty &&
+      plain.exceptAll(enriched).isEmpty)
+  }
+
+  test("asofEnrichStreamStatic enriches a real stream with point-in-time state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, 0.9),
+      (1L, ts("2024-01-01 11:00:00"), 2L, 1.1)
+    ).toDF("k", "t", "tie", "rv")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = Temporal.asofEnrichStreamStatic(
+      in.toDF().toDF("k", "t"), right, "k", "t", "t", "tie",
+      Seq("rv" -> "last_rv"))
+    val q = out.writeStream.format("memory").queryName("asof_enrich")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 12:00:00")), (2L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("asof_enrich")
+        .orderBy("t", "k")
+        .select($"k", $"last_rv").as[(Long, Option[Double])]
+        .collect().toSeq
+      assert(got === Seq(
+        (1L, Some(0.9)),  // 10:00 sees the 09:00 state only
+        (1L, Some(1.1)),  // 12:00 sees the 11:00 update
+        (2L, None)))      // no timeline for key 2
+    } finally q.stop()
+  }
+
   private def windowsFixture = Seq(
     (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")), // 2 events
     (11L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00")), // 0 events
