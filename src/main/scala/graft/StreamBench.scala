@@ -22,8 +22,10 @@ object StreamBench {
     val dedup = graft.streaming.SteadyState.measureDedupStream(spark, sfDir)
     val cur = graft.streaming.SteadyState.measureCurationStream(spark, sfDir)
     val bm25 = graft.streaming.SteadyState.measureBm25Stream(spark, sfDir)
+    val asof = graft.streaming.SteadyState.measureAsofEnrichStream(spark, sfDir)
     val combined = env.json.dropRight(1) +
-      "," + dedup.json + "," + cur.json + "," + bm25.json + "}"
+      "," + dedup.json + "," + cur.json + "," + bm25.json + "," +
+      asof.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()

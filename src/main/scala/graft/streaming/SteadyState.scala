@@ -214,6 +214,39 @@ object SteadyState {
       sfDir, rowsPerBatch, minBatches, deadlineSec)
   }
 
+  /** Streaming as-of enrichment envelope: the static purchase timeline is
+    * frozen once (broadcast dimension state), and every micro-batch
+    * resolves its rows' point-in-time matches through
+    * [[graft.ops.Temporal.asofEnrichStreamStatic]]'s filter/array_max
+    * projection — the feature-store lookup served against a live stream,
+    * measured. Stream rows synthesize (user_id, ts) from the replayed doc
+    * ids, with ts folded into the timeline's real span so matches happen
+    * (the envelope measures the join+projection cost; semantics are
+    * spec-pinned in `TemporalSpec`).
+    */
+  def measureAsofEnrichStream(spark: SparkSession, sfDir: String,
+      rowsPerBatch: Int = 50, minBatches: Int = 15,
+      deadlineSec: Int = 180): DocEnvelope = {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val timeline = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val b = ev.agg(unix_micros(min(col("ts"))).as("mn"),
+      unix_micros(max(col("ts"))).as("mx")).head()
+    val (mn, span) = (b.getLong(0), math.max(1L, b.getLong(1) - b.getLong(0)))
+    measureDocStream(spark, "asof_enrich_stream",
+      stream => {
+        val keyed = stream.select(
+          col("doc_id"),
+          pmod(col("doc_id"), lit(150L)).as("user_id"),
+          timestamp_micros(lit(mn) +
+            pmod(col("doc_id") * lit(2654435761L), lit(span))).as("ts"))
+        graft.ops.Temporal.asofEnrichStreamStatic(keyed, timeline,
+          "user_id", "ts", "ts", "event_id",
+          Seq("value" -> "last_purchase_value"))
+      },
+      sfDir, rowsPerBatch, minBatches, deadlineSec)
+  }
+
   /** Drives [[Pipeline.startDual]] from [[Sources.rateSimulated]] until the
     * slower (stateful agg) query has processed `minAggBatches` productive
     * micro-batches or `deadlineSec` elapses, then reads the envelope out of
