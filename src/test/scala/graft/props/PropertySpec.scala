@@ -103,4 +103,37 @@ object GraftProperties extends Properties("graft") {
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
       kernel == hof
     }
+
+  private val asofRows: Gen[(List[(Int, Int, Int)], List[(Int, Int, Int)], Long)] =
+    for {
+      // keys from a 3-value pool (forces collisions + hot keys), seconds
+      // offsets from a small range (forces exact-ts ties within and
+      // across sides), bucket width that rarely aligns with the data
+      l <- Gen.listOfN(60, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 5000),
+        Gen.choose(0, 999)))
+      r <- Gen.listOfN(60, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 5000),
+        Gen.choose(0, 999)))
+      b <- Gen.oneOf(7L, 60L, 600L, 86400L)
+    } yield (l, r, b)
+
+  property("asofJoinSharded ≡ asofJoin ≡ asofEnrichStreamStatic on random frames") =
+    forAll(asofRows) { case (ls, rs, bucketSec) =>
+      import graft.ops.Temporal
+      import spark.implicits._
+      val base = 1704067200000L
+      val left = ls.zipWithIndex.map { case ((k, off, lv), i) =>
+        (k.toLong, new java.sql.Timestamp(base + off * 1000L), i.toLong, lv)
+      }.toDF("k", "t", "lid", "lv")
+      val right = rs.zipWithIndex.map { case ((k, off, rv), i) =>
+        (k.toLong, new java.sql.Timestamp(base + off * 1000L), i.toLong, rv)
+      }.toDF("k", "t", "tie", "rv")
+      val pay = Seq("rv" -> "last_rv", "tie" -> "last_tie")
+      val plain = Temporal.asofJoin(left, right, "k", "t", "t", "tie", pay)
+      val sharded = Temporal.asofJoinSharded(left, right, "k", "t", "t",
+        "tie", pay, bucketSec)
+      val enriched = Temporal.asofEnrichStreamStatic(left, right, "k", "t",
+        "t", "tie", pay)
+      Seq(sharded, enriched).forall(alt =>
+        alt.exceptAll(plain).isEmpty && plain.exceptAll(alt).isEmpty)
+    }
 }
