@@ -629,6 +629,22 @@ object SparkEntry {
         .orderBy("window_id")
     }),
 
+    // ---- keyed interval join: each user's signup window collects that
+    //      user's events only — the key rides the cell equi-join, so the
+    //      shuffle co-partitions on (key, cell) ----
+    "q_interval_join_keyed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wins = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("window_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTE")).as("w_end"))
+      val ev2 = Tables.events(s, dir)
+      graft.ops.Temporal.intervalJoinBucketedKeyed(wins, "user_id",
+          "window_id", "w_start", "w_end", ev2, "user_id", "ts", "value",
+          bucketSec = 1800)
+        .orderBy("window_id")
+    }),
+
     // ---- W1/W2: 20-row trailing moving average + first difference.
     //      Keyed by user_id — the per-series identity whose cardinality
     //      scales with the data (150 at sf0.01 → 1500 at sf0.1), so the
@@ -1484,6 +1500,20 @@ object SparkEntry {
     "q_asof_join" -> AsofOracleSql,
     "q_asof_join_sharded" -> AsofOracleSql,
     "q_asof_enrich" -> AsofOracleSql,
+    "q_interval_join_keyed" ->
+      """WITH w AS (SELECT user_id, event_id AS window_id,
+        |    CAST(ts AS TIMESTAMP) AS w_start,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS w_end
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT w.user_id, w.window_id, w.w_start, w.w_end,
+        |  CAST(count(e.ts) AS BIGINT) AS n_events,
+        |  round(avg(e.value), 6) AS avg_value
+        |FROM w LEFT JOIN events e
+        |  ON e.user_id = w.user_id
+        | AND CAST(e.ts AS TIMESTAMP) >= w.w_start
+        | AND CAST(e.ts AS TIMESTAMP) < w.w_end
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 2""".stripMargin,
     "q_interval_join" ->
       """WITH w AS (SELECT event_id AS window_id,
         |    CAST(ts AS TIMESTAMP) AS w_start,

@@ -306,6 +306,47 @@ object Temporal {
         round(avg(col("__ev")), 6).as("avg_value"))
   }
 
+  /** [[intervalJoinBucketed]] per entity: windows carry a key and only
+    * collect events with the SAME key (each device's maintenance window
+    * sees that device's events) — the key simply joins the cell id in the
+    * hash equi-join, so the rewrite's shape is unchanged and the shuffle
+    * co-partitions on (key, cell): hot time ranges spread across keys
+    * instead of funneling into one cell's partition. Null-keyed windows
+    * match nothing (SQL equality semantics) but are kept with
+    * n_events = 0; null-keyed events match nothing and vanish into the
+    * left join.
+    */
+  def intervalJoinBucketedKeyed(windows: DataFrame, windowKeyCol: String,
+      idCol: String, startCol: String, endCol: String, events: DataFrame,
+      eventKeyCol: String, tsCol: String, valueCol: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0,
+      "intervalJoinBucketedKeyed: bucketSec must be positive")
+    require(Seq(windowKeyCol, idCol, startCol, endCol, eventKeyCol, tsCol,
+        valueCol).forall(!_.startsWith("__")),
+      "intervalJoinBucketedKeyed: column names must not use the reserved " +
+        "__ prefix (__wk/__ek/__cell/__ets/__ev are internal)")
+    require(!Seq(idCol, startCol, endCol).contains(windowKeyCol),
+      "intervalJoinBucketedKeyed: windowKeyCol must be distinct from the " +
+        "window id/bound columns")
+    val bw = bucketSec * 1000000L
+    val wB = windows.select(col(windowKeyCol).as("__wk"), col(idCol),
+        col(startCol), col(endCol),
+        explode_outer(windowCells(col(startCol), col(endCol), bucketSec))
+          .as("__cell"))
+    val eB = events.select(col(eventKeyCol).as("__ek"),
+      col(tsCol).as("__ets"), col(valueCol).as("__ev"),
+      floor(unix_micros(col(tsCol)) / bw).cast("long").as("__cell"))
+    wB.join(eB,
+        col("__wk") === col("__ek") && wB("__cell") === eB("__cell") &&
+          col("__ets") >= col(startCol) && col("__ets") < col(endCol),
+        "left")
+      .groupBy(col("__wk"), col(idCol), col(startCol), col(endCol))
+      .agg(count(col("__ets")).as("n_events"),
+        round(avg(col("__ev")), 6).as("avg_value"))
+      .withColumnRenamed("__wk", windowKeyCol)
+  }
+
   /** The guarded cell array a window spans — [[intervalJoinBucketed]]'s
     * explode input, exposed package-private so the spec pins the
     * PRODUCTION guard. End is exclusive: the last covered instant is

@@ -224,6 +224,47 @@ class TemporalSpec extends SparkSpec {
     assert(cells(1)._2.get.length === 6) // valid hour at 600 s: 6 cells
   }
 
+  test("intervalJoinBucketedKeyed collects only same-key events per window") {
+    val wins = Seq(
+      (Option(1L), 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (Option(2L), 11L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (Option.empty[Long], 12L,
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("k", "id", "s", "e")
+    val evs = Seq(
+      (Option(1L), ts("2024-01-01 10:30:00"), 1.0),
+      (Option(1L), ts("2024-01-01 10:45:00"), 3.0),
+      (Option(2L), ts("2024-01-01 10:30:00"), 9.0),
+      (Option.empty[Long], ts("2024-01-01 10:30:00"), 99.0) // matches nothing
+    ).toDF("k", "et", "ev")
+    val out = Temporal.intervalJoinBucketedKeyed(wins, "k", "id", "s", "e",
+        evs, "k", "et", "ev", bucketSec = 600)
+      .orderBy("id")
+      .select($"id", $"n_events", $"avg_value")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (10L, 2L, Some(2.0)),  // key 1's two events only
+      (11L, 1L, Some(9.0)),  // key 2's event only
+      (12L, 0L, None)))      // null key: kept, matches nothing
+  }
+
+  test("intervalJoinBucketedKeyed ≡ unkeyed on single-key data") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("one", lit(1L))
+    val wins = ev.filter($"event_type" === "signup")
+      .select($"one", $"event_id".as("id"), $"ts".as("s"),
+        ($"ts" + expr("INTERVAL 30 MINUTE")).as("e"))
+    val ev2 = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("one", lit(1L))
+    val keyed = Temporal.intervalJoinBucketedKeyed(wins, "one", "id", "s",
+        "e", ev2, "one", "ts", "value", 1800)
+      .drop("one")
+    val unkeyed = Temporal.intervalJoinBucketed(wins.drop("one"), "id",
+      "s", "e", ev2, "ts", "value", 1800)
+    assert(keyed.exceptAll(unkeyed).isEmpty &&
+      unkeyed.exceptAll(keyed).isEmpty)
+  }
+
   test("intervalJoinBucketed agrees with the naive theta-join on events") {
     // cross-check the rewrite against the obviously-correct plan on the
     // driver fixture: signup windows vs all events
