@@ -440,10 +440,12 @@ object SparkEntry {
           col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))),
 
-    // ---- S9/P1/P4: time-range scan anchored to max(ts) ----
+    // ---- S9/P1/P4: time-range scan anchored to max(ts); the pushable
+    //      nanos twin rides only when ts physically IS a nanos long ----
     "q_time_range_scan" -> ((s, dir) =>
       Scans.timeRangeFromMax(Tables.events(s, dir), "ts", "1 DAY",
-        nanosTwin = Some("ts_nanos"))
+        nanosTwin =
+          if (Tables.eventsHasRawNanos(s, dir)) Some("ts_nanos") else None)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
           col("value"))),
 

@@ -82,6 +82,16 @@ object Tables {
             s"(set $NanosAsLongConf=true for nanos files)")
     }
   }
+  /** True when events.parquet physically stores `ts` as the legacy nanos
+    * long — i.e. when [[events]]' `ts_nanos` is a RAW pushable column.
+    * Range scans conjoin the `ts_nanos` twin predicate only then; on
+    * native-micros files the base predicate on `ts` pushes directly and
+    * the twin would be a redundant per-row filter on a derived column.
+    */
+  def eventsHasRawNanos(spark: SparkSession, dir: String): Boolean =
+    load(spark, dir, "events").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
