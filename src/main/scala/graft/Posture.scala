@@ -320,6 +320,106 @@ object Posture {
          |    "scanned_rows_probe_1x": ${probeScanRows("1x")}, "scanned_rows_probe_10x": ${probeScanRows("10x")},
          |${retrieval.mkString(",\n")}}""".stripMargin
 
+    // ---- temporal-join posture -------------------------------------
+    // asofJoin at 1x vs 10x events (10 disjoint user-id shards — keys
+    // scale WITH the data, so time should grow ~linearly with flat
+    // per-task memory), plus the HOT-KEY scenario the sharded form
+    // exists for: every row collapsed onto ONE key, where the plain
+    // form's per-key sort serializes through a single task and
+    // asofJoinSharded spreads the same work over (key, time-bucket)
+    // partitions. Same operators, same data, measured — the empirical
+    // backstop for the X51 skew claim.
+    val evBase = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("event_type"))
+    val uStride = math.max(1000000L,
+      evBase.agg(max(col("user_id"))).head.getLong(0) + 1L)
+    val eStride = math.max(10000000L,
+      evBase.agg(max(col("event_id"))).head.getLong(0) + 1L)
+    val evPaths = Seq("1x" -> s"$scratch/ev1x", "10x" -> s"$scratch/ev10x")
+    evBase.write.mode("overwrite").parquet(evPaths.head._2)
+    (1 until 10).map { s =>
+      evBase.select((col("user_id") + lit(s * uStride)).as("user_id"),
+        col("ts"), (col("event_id") + lit(s * eStride)).as("event_id"),
+        col("value"), col("event_type"))
+    }.foldLeft(evBase)(_ union _)
+      .write.mode("overwrite").parquet(evPaths(1)._2)
+    val evByLbl = evPaths.map { case (l, p) =>
+      l -> spark.read.parquet(p) }.toMap
+    // bucket width sized to ~128 buckets over the data span, the
+    // resolution a deployment would pick for a multi-year hot device
+    val spanRow = evByLbl("1x")
+      .agg(unix_micros(min(col("ts"))).as("mn"),
+        unix_micros(max(col("ts"))).as("mx")).head()
+    val asofBucketSec =
+      math.max(1L, (spanRow.getLong(1) - spanRow.getLong(0)) / 1000000L / 128L)
+    def asofOn(d: DataFrame, sharded: Boolean): DataFrame = {
+      val clicks = d.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val purchases = d.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val payo = Seq("value" -> "last_purchase_value")
+      if (sharded)
+        graft.ops.Temporal.asofJoinSharded(clicks, purchases, "user_id",
+          "ts", "ts", "event_id", payo, asofBucketSec)
+      else
+        graft.ops.Temporal.asofJoin(clicks, purchases, "user_id", "ts",
+          "ts", "event_id", payo)
+    }
+    // the hot-key scenario needs a key whose rows actually strain one
+    // task's sort — at sf0.1 the hottest real key is ~2k rows and the
+    // plain form wins on fixed overhead (the doc's stated crossover), so
+    // the skew frame is synthesized: 2M clicks + 2M purchases, ONE key,
+    // deterministic ts pattern folded into the real data's time span
+    val hotN = 2000000L
+    val spanMicros = math.max(1L, spanRow.getLong(1) - spanRow.getLong(0))
+    def hotFrame(tag: Long): DataFrame =
+      spark.range(hotN).select(
+        lit(0L).as("user_id"),
+        timestamp_micros(lit(spanRow.getLong(0)) +
+          pmod(col("id") * lit(2654435761L + tag), lit(spanMicros))).as("ts"),
+        (col("id") + lit(tag * 10000000L)).as("event_id"),
+        (col("id") % 1000).cast("double").as("value"))
+    def asofHot(sharded: Boolean): DataFrame = {
+      val clicks = hotFrame(1).withColumnRenamed("event_id", "click_id")
+      val purchases = hotFrame(0)
+      val payo = Seq("value" -> "last_purchase_value")
+      if (sharded)
+        graft.ops.Temporal.asofJoinSharded(clicks, purchases, "user_id",
+          "ts", "ts", "event_id", payo, asofBucketSec)
+      else
+        graft.ops.Temporal.asofJoin(clicks, purchases, "user_id", "ts",
+          "ts", "event_id", payo)
+    }
+    val temporalOps: Seq[(String, () => DataFrame)] = Seq(
+      "asof_1x" -> (() => asofOn(evByLbl("1x"), sharded = false)),
+      "asof_10x" -> (() => asofOn(evByLbl("10x"), sharded = false)),
+      "asof_hot_plain_2m" -> (() => asofHot(sharded = false)),
+      "asof_hot_sharded_2m" -> (() => asofHot(sharded = true)))
+    // noop-sink consumption: under count() Catalyst prunes the unused
+    // payload column and with it the whole window sort — the exact cost
+    // being measured; the noop write materializes every output column
+    def consume(d: DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    val temporal = temporalOps.map { case (name, f) =>
+      consume(f()) // warmup
+      val (sec, peak, spill) = timedRuns(() => consume(f()))
+      name -> ((sec, peak, spill))
+    }.toMap
+    val temporalJson = {
+      def block(name: String): String = {
+        val (sec, peak, spill) = temporal(name)
+        f""""$name": {"sec": $sec%.2f, "peak_task_mem_mb": ${peak / 1048576}, "spill_mb": ${spill / 1048576}}"""
+      }
+      val growth = temporal("asof_10x")._1 / temporal("asof_1x")._1
+      val speedup =
+        temporal("asof_hot_plain_2m")._1 / temporal("asof_hot_sharded_2m")._1
+      f"""  "temporal": {
+         |    "what": "as-of join posture: 1x vs 10x events (10 disjoint user shards, keys scale with data — healthy = ~linear time, flat peak_task_mem) and the HOT-KEY scenario (synthesized 2M clicks + 2M purchases on ONE key, the sf0.1 keys being too small to strain a task): plain asofJoin serializes that key's 4M-row sort through one task, asofJoinSharded spreads it over (key, time-bucket) partitions — hot_key_speedup is the measured win of the sharded rewrite on identical data; below the crossover the plain form wins on fixed overhead, as its doc states",
+         |    "bucket_sec": $asofBucketSec, "time_growth_10x": $growth%.2f, "hot_key_speedup": $speedup%.2f,
+         |    ${Seq("asof_1x", "asof_10x", "asof_hot_plain_2m", "asof_hot_sharded_2m").map(block).mkString(",\n    ")}}""".stripMargin
+    }
+
     val nDocs = corpora.toMap.apply("1x").count()
     val json =
       s"""{
@@ -328,7 +428,8 @@ object Posture {
          |${results.mkString(",\n")},
          |$simAudit,
          |$resolutionJson,
-         |$retrievalJson
+         |$retrievalJson,
+         |$temporalJson
          |}""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("POSTURE_10X.json"), json + "\n")
