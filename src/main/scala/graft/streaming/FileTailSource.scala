@@ -1,0 +1,218 @@
+package graft.streaming
+
+import java.io.RandomAccessFile
+import java.nio.charset.StandardCharsets
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A real, executable external stream source: tails an append-only text
+  * file (one record per line) as a DataSource-V2 `MicroBatchStream`.
+  *
+  * Why this exists (SURVEY.md §2.1 S1, §2.8 ST8): the reference ingests
+  * via `readStream.format("kafka")` with `startingOffsets`
+  * (reference/spark_streaming.py:125-130). This build environment has no
+  * Kafka connector jar and no Maven egress (probed via sbt on
+  * 2026-08-14 — `UnknownHostException` from the resolver; see
+  * ROUND_NOTES_r11.md), so the Kafka wiring itself can only be
+  * contract-tested. This source closes the semantic gap with a live
+  * round-trip the engine DOES execute end-to-end: an external writer
+  * appends lines, the engine discovers/plans/reads them in micro-batches
+  * with replayable offsets, checkpoint resume, and Kafka-parity
+  * `startingOffset` = earliest|latest semantics.
+  *
+  * Offset model — the Kafka analogue, re-derived for a byte log:
+  *   - an offset is a BYTE position in the file, always LINE-ALIGNED
+  *     (position 0 or one past a `\n`);
+  *   - `latestOffset` = one past the last `\n` (a trailing partial line
+  *     is invisible until its newline lands — the wire-format framing
+  *     guarantee an at-least-once tailer needs);
+  *   - a batch is the byte range [start, end) between two line-aligned
+  *     offsets; ranges are immutable once planned, so recovery replays
+  *     byte-identical batches (same guarantee Kafka offsets give).
+  *
+  * Scale posture: the batch range is split into up to
+  * `maxPartitionsPerBatch` even byte spans, and each executor-side
+  * reader aligns to record boundaries with the classic TextInputFormat
+  * protocol (skip the partial first line unless at the batch start; read
+  * through the end of the line straddling the span end). The driver
+  * never reads record data — `latestOffset` reads backwards at most one
+  * 64 KiB chunk-step to find the last newline. On a 1000-executor
+  * cluster the same protocol is how a distributed FS text scan already
+  * works; a single local file is simply the degenerate deployment.
+  */
+object FileTailSource {
+  val ShortName = "graft-file-tail"
+  /** (offset LONG, value STRING) — the essentials of the Kafka source's
+    * projection the engine's parse path consumes (`CAST(value AS STRING)`).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+}
+
+class FileTailSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = FileTailSource.ShortName
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FileTailSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FileTailTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class FileTailTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val path = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      s"${FileTailSource.ShortName} requires option 'path' (file to tail)")
+    p
+  }
+  override def name(): String = s"${FileTailSource.ShortName}($path)"
+  override def schema(): StructType = FileTailSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = FileTailSource.schema
+        override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+          new FileTailMicroBatchStream(path,
+            startingOffset = Option(options.get("startingOffset"))
+              .getOrElse("latest"),
+            maxPartitions =
+              options.getInt("maxPartitionsPerBatch", 4),
+            minSplitBytes =
+              options.getLong("minSplitBytes", 64L * 1024))
+      }
+    }
+}
+
+/** Line-aligned byte offset into the tailed file. `json` is a bare JSON
+  * number, so checkpointed offsets survive restart via
+  * [[FileTailMicroBatchStream.deserializeOffset]].
+  */
+final case class FileTailOffset(bytes: Long) extends Offset {
+  override def json(): String = bytes.toString
+}
+
+final class FileTailMicroBatchStream(path: String, startingOffset: String,
+    maxPartitions: Int, minSplitBytes: Long) extends MicroBatchStream {
+  require(startingOffset == "earliest" || startingOffset == "latest",
+    s"startingOffset must be 'earliest' or 'latest', got '$startingOffset'" +
+      " (Kafka-parity contract, reference/spark_streaming.py:129)")
+
+  /** One past the last `\n` at or before the current file length —
+    * scanning BACKWARDS in 64 KiB chunks so the driver's per-batch work
+    * is O(tail-partial-line), not O(appended-bytes).
+    */
+  private def lastAligned(): Long = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return 0L
+    val raf = new RandomAccessFile(f, "r")
+    try {
+      val len = raf.length()
+      val chunk = 64 * 1024
+      var hi = len
+      while (hi > 0) {
+        val lo = math.max(0L, hi - chunk)
+        val buf = new Array[Byte]((hi - lo).toInt)
+        raf.seek(lo)
+        raf.readFully(buf)
+        var i = buf.length - 1
+        while (i >= 0) {
+          if (buf(i) == '\n') return lo + i + 1
+          i -= 1
+        }
+        hi = lo
+      }
+      0L
+    } finally raf.close()
+  }
+
+  override def initialOffset(): Offset =
+    FileTailOffset(if (startingOffset == "earliest") 0L else lastAligned())
+  override def latestOffset(): Offset = FileTailOffset(lastAligned())
+  override def deserializeOffset(json: String): Offset =
+    FileTailOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = () // source is append-only; nothing to release
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileTailOffset].bytes
+    val e = end.asInstanceOf[FileTailOffset].bytes
+    if (e <= s) return Array.empty
+    val span = e - s
+    val n = math.max(1L, math.min(maxPartitions.toLong,
+      (span + minSplitBytes - 1) / minSplitBytes)).toInt
+    val step = span / n
+    (0 until n).toArray.map { i =>
+      val lo = s + i * step
+      val hi = if (i == n - 1) e else s + (i + 1) * step
+      FileTailPartition(path, lo, hi, batchStart = s): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FileTailReaderFactory
+}
+
+/** An even byte span [lo, hi) of a batch range; NOT line-aligned except
+  * at the batch boundaries — the reader re-aligns (TextInputFormat
+  * protocol), so no coordination or driver-side data read is needed.
+  */
+final case class FileTailPartition(path: String, lo: Long, hi: Long,
+    batchStart: Long) extends InputPartition
+
+final class FileTailReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[FileTailPartition]
+    new FileTailReader(part)
+  }
+}
+
+/** Reads the lines BELONGING to the span: a line belongs to the span
+  * containing its first byte. The batch end is line-aligned, so reading
+  * through a straddling line never escapes the planned batch range.
+  */
+final class FileTailReader(part: FileTailPartition)
+    extends PartitionReader[InternalRow] {
+  private val raf = new RandomAccessFile(part.path, "r")
+  private var pos: Long = {
+    if (part.lo == part.batchStart) part.lo
+    else { // partial first line belongs to the previous span: skip it
+      raf.seek(part.lo - 1) // lo-1: a line STARTING exactly at lo belongs here
+      var b = raf.read()
+      var p = part.lo - 1
+      while (b != -1 && b != '\n') { p += 1; b = raf.read() }
+      p + 1
+    }
+  }
+  private var current: (Long, String) = _
+
+  override def next(): Boolean = {
+    if (pos >= part.hi) return false
+    raf.seek(pos)
+    val sb = new java.io.ByteArrayOutputStream(256)
+    var b = raf.read()
+    var n = 0L
+    while (b != -1 && b != '\n') { sb.write(b); n += 1; b = raf.read() }
+    if (b == -1) return false // unterminated tail line: not in any batch
+    val line = new String(sb.toByteArray, StandardCharsets.UTF_8)
+    current = (pos, line)
+    pos += n + 1
+    true
+  }
+
+  override def get(): InternalRow =
+    InternalRow(current._1, UTF8String.fromString(current._2))
+  override def close(): Unit = raf.close()
+}

@@ -72,6 +72,22 @@ object Sources {
       to_json(struct(col("sensor_id"), col("location"), col("timestamp"),
         col("temperature"), col("humidity"), col("pressure"))).as("value"))
 
+  /** S1-live: tail an append-only line file as a micro-batch stream via
+    * the in-repo DataSource-V2 source ([[FileTailSource]]) — the
+    * EXECUTABLE stand-in for the Kafka source in this connector-less
+    * environment. Same downstream shape as [[kafka]]: a `value` string
+    * column feeding [[parseJson]]; same `startingOffset` semantics
+    * (earliest|latest) as Kafka's `startingOffsets`
+    * (reference/spark_streaming.py:125-130).
+    */
+  def fileTail(spark: SparkSession, path: String,
+      startingOffset: String = "latest"): DataFrame =
+    spark.readStream
+      .format(FileTailSource.ShortName)
+      .option("path", path)
+      .option("startingOffset", startingOffset)
+      .load()
+
   /** ST9: deterministic rate-driven ingest simulator. `rate-micro-batch`
     * emits (timestamp, value=row index) deterministically per batch
     * (unlike `rate`, which is wall-clock bound); [[enrichRateRows]] turns
