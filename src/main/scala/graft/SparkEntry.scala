@@ -442,12 +442,13 @@ object SparkEntry {
 
     // ---- S9/P1/P4: time-range scan anchored to max(ts); the pushable
     //      nanos twin rides only when ts physically IS a nanos long ----
-    "q_time_range_scan" -> ((s, dir) =>
-      Scans.timeRangeFromMax(Tables.events(s, dir), "ts", "1 DAY",
-        nanosTwin =
-          if (Tables.eventsHasRawNanos(s, dir)) Some("ts_nanos") else None)
+    "q_time_range_scan" -> ((s, dir) => {
+      val (events, rawNanos) = Tables.eventsWithRawNanosFlag(s, dir)
+      Scans.timeRangeFromMax(events, "ts", "1 DAY",
+        nanosTwin = if (rawNanos) Some("ts_nanos") else None)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-          col("value"))),
+          col("value"))
+    }),
 
     // ---- S10/S11/S12/A6: one-row health metrics block ----
     "q_scan_metrics" -> ((s, dir) =>

@@ -14,6 +14,9 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Session.local(cpus)
+    // schema-drift tripwire: if upstream testdata changed shape, fail the
+    // whole run HERE with a named diff instead of as N per-query errors
+    graft.sources.Tables.assertExpectedSchemas(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -144,6 +144,8 @@ object Temporal {
     val pay = struct(payload.map { case (src, out) => col(src).as(out) }: _*)
     // the LTZ cast covers NTZ inputs (no-op for LTZ); bucket ids only
     // need to be consistent within the query, and the session zone is
+    // fixed for the query's lifetime, so the NTZ→LTZ mapping is the same
+    // monotone shift on both sides — cell boundaries stay aligned
     def cellOf(c: Column): Column =
       floor(unix_micros(c.cast(org.apache.spark.sql.types.TimestampType)) / bw)
         .cast("long")
@@ -228,6 +230,11 @@ object Temporal {
     * histories served against a fact stream, the reference's
     * "latest state before T" lookup; it is NOT the shape for a
     * fact-fact as-of, which stays batch ([[asofJoinSharded]]).
+    *
+    * Payload columns must be orderable, same as [[asofJoinSharded]]
+    * (`sort_array`/`array_max` compare a (ts, tie, payload) struct) —
+    * maps can't ride this variant; enforced below so the failure names
+    * the column instead of surfacing as an opaque analysis error.
     */
   def asofEnrichStreamStatic(stream: DataFrame, right: DataFrame,
       keyCol: String, streamTs: String, rightTs: String, tieCol: String,
@@ -244,6 +251,21 @@ object Temporal {
     require((streamCols ++ right.columns).forall(!_.startsWith("__")),
       "asofEnrichStreamStatic: input columns must not use the reserved " +
         "__ prefix")
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      dt match {
+        case _: MapType => true
+        case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+        case a: ArrayType => containsMap(a.elementType)
+        case _ => false
+      }
+    }
+    payload.foreach { case (src, _) =>
+      require(!containsMap(right.schema(src).dataType),
+        s"asofEnrichStreamStatic: payload column $src contains a map — " +
+          "sort_array/array_max need orderable structs; project the map " +
+          "to orderable fields (or serialize it) first")
+    }
     val pay = struct(payload.map { case (src, out) => col(src).as(out) }: _*)
     // same null-key/null-ts drop as asofJoin (SQL equality semantics)
     val timeline = right

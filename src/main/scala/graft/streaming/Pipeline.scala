@@ -206,7 +206,9 @@ object Pipeline {
       dir: String): (DataFrame, java.nio.file.Path) = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    // eventsPhysical carries the NANOS catch-and-rethrow, so a session
+    // missing the nanosAsLong conf names its one-line fix here too
+    val schema = graft.sources.Tables.eventsPhysical(spark, dir).schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft_replay")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),

@@ -154,6 +154,16 @@ class TemporalSpec extends SparkSpec {
       plain.exceptAll(enriched).isEmpty)
   }
 
+  test("asofEnrichStreamStatic rejects a map payload with a named error") {
+    val (left, right) = asofFixture
+    val withMap = right.withColumn("attrs", map(lit("a"), col("rv")))
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofEnrichStreamStatic(left, withMap, "k", "t", "t", "tie",
+        Seq("attrs" -> "last_attrs"))
+    }
+    assert(e.getMessage.contains("attrs") && e.getMessage.contains("map"))
+  }
+
   test("asofEnrichStreamStatic enriches a real stream with point-in-time state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
