@@ -128,14 +128,22 @@ object RecallCurve {
     }.toMap
     val ivfPqShortlists = Seq(10, 20, 50, 100).filter(_ <= nVecs.toInt)
     val ivfPqPoints = ivfPqShortlists.map { s =>
-      val recall = qvs.map { case (qid, v) =>
-        val got = Similarity.ivfPqRerankTopK(spark, path, "vec_id",
+      val gotByQ = qvs.map { case (qid, v) =>
+        qid -> Similarity.ivfPqRerankTopK(spark, path, "vec_id",
             "embedding", v, k = 10, nProbe = ivfPqNProbe, shortlist = s,
             excludeId = Some(qid))
           .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-        got.intersect(flByQ(qid)).size / 10.0
-      }.sum / qvs.length
-      (s, recall)
+      }.toMap
+      val recall = qvs.map { case (qid, _) =>
+        gotByQ(qid).intersect(flByQ(qid)).size / 10.0 }.sum / qvs.length
+      // END-TO-END recall: reference = global exact top-10 (exactByQ,
+      // the brute-force set the PQ sweep already computed), so
+      // coarse-quantizer misses — true neighbors in unprobed buckets —
+      // count against this column but not against recall_at_10. The gap
+      // between the two IS the bucket-coverage loss at this n_probe.
+      val recallExact = qvs.map { case (qid, _) =>
+        gotByQ(qid).intersect(exactByQ(qid)).size / 10.0 }.sum / qvs.length
+      (s, recall, recallExact)
     }
     val ivfPqFlags = monotoneFlags("IVF-PQ shortlist",
       ivfPqPoints.map(_._1), ivfPqPoints.map(_._2))
@@ -161,12 +169,12 @@ object RecallCurve {
          |    ]
          |  },
          |  "ivf_pq_rerank": {
-         |    "what": "composed serving path: pruned ADC shortlist then exact float rerank of the shortlist rows, recall@10 vs the float probe over the SAME n_probe=$ivfPqNProbe buckets (isolates the PQ error the refine tier recovers; shortlist=10 is the raw ivfPqProbe ranking), mean over $nQueries queries",
+         |    "what": "composed serving path: pruned ADC shortlist then exact float rerank of the shortlist rows, recall@10 vs the float probe over the SAME n_probe=$ivfPqNProbe buckets (isolates the PQ error the refine tier recovers; shortlist=10 is the raw ivfPqProbe ranking), mean over $nQueries queries; recall_vs_exact_at_10 references GLOBAL brute-force top-10 instead, so coarse-quantizer misses count — the end-to-end number a serving user experiences, and the gap to recall_at_10 is the bucket-coverage loss at this n_probe",
          |    "n_probe": $ivfPqNProbe,
          |    "monotone_all": ${ivfPqFlags.forall(identity)},
          |    "points": [
-         |${ivfPqPoints.zip(ivfPqFlags).map { case ((s, r), m) =>
-             f"""      {"shortlist": $s, "recall_at_10": $r%.3f, "monotone": $m}"""
+         |${ivfPqPoints.zip(ivfPqFlags).map { case ((s, r, re), m) =>
+             f"""      {"shortlist": $s, "recall_at_10": $r%.3f, "recall_vs_exact_at_10": $re%.3f, "monotone": $m}"""
            }.mkString(",\n")}
          |    ]
          |  }

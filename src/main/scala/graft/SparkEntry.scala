@@ -1023,6 +1023,24 @@ object SparkEntry {
           round(col("n_overlap").cast("double") / 10, 6).as("recall"))
     }),
 
+    // ---- END-TO-END rerank recall vs GLOBAL exact top-k: unlike the
+    //      same-bucket audit above, the reference set is brute force over
+    //      the WHOLE corpus, so coarse-quantizer misses (true neighbors
+    //      living in unprobed buckets) show up as lost recall — the
+    //      number a user of the full serving path actually experiences ----
+    "q_ann_ivf_pq_rerank_recall_e2e" -> ((s, dir) => {
+      val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
+      val rr = Similarity.ivfPqRerankTopK(s, path, "vec_id", "embedding",
+        qv, k = 10, nProbe = 2, shortlist = 50, excludeId = Some(0L))
+        .select(col("vec_id"))
+      val exact = Similarity.bruteForceTopKNative(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0L, 10).select(col("vec_id"))
+      rr.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall"))
+    }),
+
     // ---- two-stage PQ serving: ADC shortlist of 100, exact rerank to
     //      top-10 — the coarse-filter/refine split production PQ uses ----
     "q_ann_pq_rerank" -> ((s, dir) =>
@@ -2381,6 +2399,26 @@ object SparkEntry {
          |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
          |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
          |FROM rr JOIN fl USING (vec_id)""".stripMargin,
+    // End-to-end recall: same composed rerank replay, but the reference
+    // set is exact brute force over the WHOLE corpus (asg, unfiltered) —
+    // coarse-quantizer misses now count against recall.
+    "q_ann_ivf_pq_rerank_recall_e2e" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)},
+         |${PqCtesBody(queryVecId = 0)},
+         |pr AS (SELECT a.vec_id, a.v, a.ivf_bucket FROM asg a
+         |       WHERE a.ivf_bucket IN (SELECT b FROM probed) AND a.vec_id <> 0),
+         |short AS (SELECT s.vec_id FROM pqsc s JOIN pr USING (vec_id)
+         |          ORDER BY round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) DESC, s.vec_id
+         |          LIMIT 50),
+         |rr AS (SELECT p.vec_id FROM pr p JOIN short USING (vec_id), q
+         |       ORDER BY round(${ListCosSql("p.v", "qv")}, 6) DESC, p.vec_id
+         |       LIMIT 10),
+         |ex AS (SELECT a.vec_id FROM asg a, q WHERE a.vec_id <> 0
+         |       ORDER BY ${ListCosSql("a.v", "qv")} DESC, a.vec_id
+         |       LIMIT 10)
+         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM rr JOIN ex USING (vec_id)""".stripMargin,
     // Two-stage replay: ADC shortlist (rounded-score + id boundary, like
     // every LIMIT here) then exact float cosine over the shortlist only.
     "q_ann_pq_rerank" ->

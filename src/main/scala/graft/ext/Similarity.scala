@@ -272,6 +272,16 @@ object Similarity {
     * rows), so the refine join broadcasts and the exact pass never
     * shuffles the corpus. Recall is set by the shortlist multiplier,
     * not by quantization error — the knob the recall audits measure.
+    *
+    * ==Unindexed-corpus FALLBACK — not the serving path==
+    * Both stages here scan the WHOLE corpus (the ADC pass touches every
+    * code; measured 3.02× time growth at 10× data, `POSTURE_10X.json`),
+    * because no index exists to prune against. Use this form only when
+    * the corpus has no IVF layout (ad-hoc one-shot queries on raw
+    * embeddings). Anything served repeatedly should build the layout
+    * once ([[writeIvfLayout]]/[[ensureIvfLayout]]) and query
+    * [[ivfPqRerankTopK]], whose both stages read only the probed
+    * buckets (measured 1.07× at 10× — the flat-growth serving shape).
     */
   def pqRerankTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, shortlist: Int, m: Int = 2,
