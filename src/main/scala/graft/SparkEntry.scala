@@ -394,6 +394,14 @@ object SparkEntry {
           col("min_value"), col("max_value"), col("reading_count"))
         .orderBy("event_type", "window_start")),
 
+    // ---- hopping windows through the PRODUCTION streaming shape:
+    //      overlap through the state store — each event updates
+    //      width/slide open windows; the watermark finalizes each
+    //      independently (the tumbling and session gates can't see this) ----
+    "q_hopping_window_stream_inc" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayHoppingIncremental(s, dir)
+        .orderBy("event_type", "window_start")),
+
     // ---- streaming SESSIONIZATION through the same production shape:
     //      gap-merge session_window + watermark + append mode; emits the
     //      sessions the final watermark finalized ----
@@ -1379,6 +1387,24 @@ object SparkEntry {
         |  round(avg(value), 6) AS avg_value,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY 1, 2""".stripMargin,
+    // Append-mode hopping replay = the batch hopping result restricted
+    // to its finalized prefix: windows whose end the final watermark
+    // (max event time - 10 min) passed.
+    "q_hopping_window_stream_inc" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+        |b AS (SELECT event_type, value,
+        |    time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w0
+        |  FROM events),
+        |x AS (SELECT event_type, value, w0 AS ws FROM b
+        |      UNION ALL
+        |      SELECT event_type, value, w0 - INTERVAL 5 MINUTE AS ws FROM b)
+        |SELECT event_type, ws AS window_start,
+        |  ws + INTERVAL 10 MINUTE AS window_end,
+        |  round(avg(value), 6) AS avg_value,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM x, m GROUP BY 1, 2, m.mx
+        |HAVING window_end <= m.mx - INTERVAL 10 MINUTE
+        |ORDER BY event_type, window_start""".stripMargin,
     "q_session_window" ->
       """WITH o AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
         |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL

@@ -120,16 +120,52 @@ object Pipeline {
     * (max event time − `watermark`) has passed).
     */
   def replayWindowedAggIncremental(spark: SparkSession, dir: String,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    replayAppendIncremental(spark, dir, "agg", watermark)(
+      s => WindowedAgg.tumbling(s, "ts", "event_type", "value"))(
+      WindowedAgg.tumbling(
+        graft.sources.Tables.events(spark, dir).limit(0),
+        "ts", "event_type", "value"))
+
+  /** The HOPPING (overlapping-window) member of the incremental-replay
+    * family: [[WindowedAgg.hopping]]'s width/slide windows through the
+    * production streaming shape (event-time watermark, append output,
+    * parquet-append sink). Overlap through the state store is what this
+    * gate adds over the tumbling one: each event updates width/slide
+    * OPEN windows at once, and the watermark finalizes each window
+    * independently as it passes that window's end — emitted exactly
+    * once, the finalized-prefix contract. State per key is bounded by
+    * the open-window count (width/slide windows per key more than
+    * tumbling holds), not by history. Oracled as
+    * `q_hopping_window_stream_inc` via the batch hopping SQL plus the
+    * finalized-prefix HAVING.
+    */
+  def replayHoppingIncremental(spark: SparkSession, dir: String,
+      watermark: String = "10 minutes", width: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    replayAppendIncremental(spark, dir, "hop", watermark)(
+      s => WindowedAgg.hopping(s, "ts", "event_type", "value", width, slide))(
+      WindowedAgg.hopping(
+        graft.sources.Tables.events(spark, dir).limit(0),
+        "ts", "event_type", "value", width, slide))
+
+  /** Shared scaffolding of the append-mode finite replays: events file
+    * stream → caller's watermarked plan → append output + AvailableNow +
+    * [[parquetAppendSink]], state/checkpoint dropped after the replay.
+    * Returns the finalized-prefix rows; `emptyResult` when the replay
+    * finalized nothing (shorter than watermark + window — the non-empty
+    * guard never creates outDir, and the oracle's HAVING is empty too).
+    */
+  private def replayAppendIncremental(spark: SparkSession, dir: String,
+      tag: String, watermark: String)(plan: DataFrame => DataFrame)(
+      emptyResult: => DataFrame): DataFrame = {
     val (stream, streamDir) = replayStream(spark, dir)
     val outDir = java.nio.file.Files
-      .createTempDirectory("graft_replay_inc_out").toString + "/agg"
+      .createTempDirectory(s"graft_replay_${tag}_out").toString + s"/$tag"
     val ckptDir = java.nio.file.Files
-      .createTempDirectory("graft_replay_inc_ckpt")
+      .createTempDirectory(s"graft_replay_${tag}_ckpt")
     withReplayParallelism(spark) {
-      val q = WindowedAgg
-        .tumbling(stream.withWatermark("ts", watermark), "ts",
-          "event_type", "value")
+      val q = plan(stream.withWatermark("ts", watermark))
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", ckptDir.toString)
@@ -145,14 +181,7 @@ object Pipeline {
       }
     }
     if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
-    else {
-      // a replay shorter than watermark + window finalizes nothing and
-      // the guard never creates outDir — an empty result, not an error
-      // (the oracle's finalized-prefix HAVING is empty too)
-      WindowedAgg.tumbling(
-        graft.sources.Tables.events(spark, dir).limit(0),
-        "ts", "event_type", "value")
-    }
+    else emptyResult
   }
 
   /** Streaming SESSIONIZATION — the one stateful shape the engine had
@@ -169,33 +198,12 @@ object Pipeline {
     * the batch form plus the finalized-prefix HAVING.
     */
   def replaySessionized(spark: SparkSession, dir: String,
-      gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame = {
-    val (stream, streamDir) = replayStream(spark, dir)
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_replay_sess_out").toString + "/sessions"
-    val ckptDir = java.nio.file.Files
-      .createTempDirectory("graft_replay_sess_ckpt")
-    withReplayParallelism(spark) {
-      val q = WindowedAgg
-        .sessionized(stream.withWatermark("ts", watermark), "ts",
-          "event_type", gap)
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckptDir.toString)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch(parquetAppendSink(outDir))
-        .start()
-      try q.awaitTermination() finally {
-        q.stop()
-        deleteRecursively(ckptDir)
-        deleteRecursively(streamDir)
-      }
-    }
-    if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
-    else WindowedAgg.sessionized(
-      graft.sources.Tables.events(spark, dir).limit(0),
-      "ts", "event_type", gap)
-  }
+      gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    replayAppendIncremental(spark, dir, "sess", watermark)(
+      s => WindowedAgg.sessionized(s, "ts", "event_type", gap))(
+      WindowedAgg.sessionized(
+        graft.sources.Tables.events(spark, dir).limit(0),
+        "ts", "event_type", gap))
 
   /** Events table as a file-stream source (micros-normalized `ts`) plus
     * the scratch dir to delete after the replay. The file stream source
