@@ -69,6 +69,18 @@ object Bench {
     }
     val failed = results.collect { case (n, None) => "\"" + n + "\"" }
     val total = results.flatMap(_._2).sum
+    // Host-weather normalization: the sentinel is a trivial fixed query,
+    // so its best sample measures THIS run's scheduling floor. Dividing
+    // by (observed floor / reference floor) re-expresses the total as if
+    // the host ran at the reference-round floor — r10's closing numbers
+    // sat on a window ~1.47x slower than r9's and round-over-round
+    // comparison had to hand-correct for it. SentinelFloorRef is the best
+    // floor observed across rounds (r9), recorded in the artifact so the
+    // normalization is reproducible.
+    val SentinelFloorRef = 0.067
+    val normalizedTotal: Option[Double] =
+      if (noiseSamples.isEmpty || sentinel != "q_filter_equality") None
+      else Some(total * SentinelFloorRef / noiseSamples.min)
     def noiseJson(fmt: Double => String): String =
       if (noiseSamples.isEmpty) "null"
       else s"""{"query":"$sentinel","n":${noiseSamples.size},"min":${fmt(noiseSamples.min)},"max":${fmt(noiseSamples.max)}}"""
@@ -79,7 +91,8 @@ object Bench {
         "\"" + k + "\":" + v.map(fmt).getOrElse("null")
       }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
+      val norm = normalizedTotal.map(fmt).getOrElse("null")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","normalized_total":$norm,"sentinel_floor_ref":$SentinelFloorRef,"queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
     }
     // full precision → file (the committed history the judge can read);
     // stdout gets ONE compact line, sized to survive the harness's
@@ -106,7 +119,7 @@ object Bench {
     // even the zero-query line could otherwise exceed the budget and the
     // fallback chain would find nothing to print
     val lastResort =
-      s"""{"metric":"total","value":${sig(2)(total)},"unit":"sec","queries":{},"omitted":${results.size},"failed_n":${failed.size},"noise":${noiseJson(sig(2))},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sig(2)(total)},"unit":"sec","normalized_total":${normalizedTotal.map(sig(2)).getOrElse("null")},"queries":{},"omitted":${results.size},"failed_n":${failed.size},"noise":${noiseJson(sig(2))},"sf":"$sfDir"}"""
     println((3 to 1 by -1).map(n => line(sig(n))).find(_.length <= 1900)
       .getOrElse((results.size to 0 by -1).iterator
         .map(k => line(sig(1), slowestFirst.take(k), results.size - k))

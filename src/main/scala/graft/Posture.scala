@@ -420,6 +420,145 @@ object Posture {
          |    ${Seq("asof_1x", "asof_10x", "asof_hot_plain_2m", "asof_hot_sharded_2m").map(block).mkString(",\n    ")}}""".stripMargin
     }
 
+    // ---- interval-join posture -------------------------------------
+    // The bucketed range-join rewrite at 1x vs 10x, in the two shapes it
+    // ships: UNKEYED with a FIXED window set against growing events (the
+    // dashboard shape — windows are an audit list, events scale; healthy
+    // = ~linear time, flat memory), and KEYED with both sides growing
+    // (per-entity windows over per-entity events; the 10x shards are
+    // key-disjoint so matched pairs grow exactly 10x; healthy = ~linear).
+    // Unkeyed with BOTH sides growing is not measured as a health row
+    // because its output is intrinsically quadratic (10x windows each
+    // genuinely containing 10x events = 100x pairs — a semantic property,
+    // not a plan defect; the keyed form is the scale shape for that).
+    // Plus the HOT TIME RANGE scenario (the as-of hot key's analogue):
+    // 2k one-minute windows and 200k events all inside ONE hour. With
+    // bucketSec=3600 the whole hour is a single cell — every (window,
+    // event) pair funnels through one hash-join partition (~400M
+    // predicate evaluations in one task); bucketSec=60 cuts the same
+    // work into 60 cells (the doc's "pick bucketSec ≈ median window
+    // length" rule, measured); the KEYED form at the SAME mis-sized
+    // coarse bucket spreads the cell across its 100 keys instead — the
+    // doc's hot-range claim, measured.
+    val winsBase = evByLbl("1x").filter(col("event_type") === "signup")
+      .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTE")).as("w_end"))
+    def winsKeyed(d: DataFrame) = d.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("window_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTE")).as("w_end"))
+    def intervalOn(lbl: String): DataFrame =
+      graft.ops.Temporal.intervalJoinBucketed(winsBase, "window_id",
+        "w_start", "w_end", evByLbl(lbl), "ts", "value", bucketSec = 1800)
+    def intervalKeyedOn(lbl: String): DataFrame = {
+      val d = evByLbl(lbl)
+      graft.ops.Temporal.intervalJoinBucketedKeyed(winsKeyed(d), "user_id",
+        "window_id", "w_start", "w_end", d, "user_id", "ts", "value",
+        bucketSec = 1800)
+    }
+    val hourMicros = 3600L * 1000000L
+    val hotEv = spark.range(200000).select(
+      (col("id") % 100).as("user_id"),
+      timestamp_micros(lit(spanRow.getLong(0)) +
+        pmod(col("id") * lit(2654435761L), lit(hourMicros))).as("ts"),
+      (col("id") % 1000).cast("double").as("value"))
+    val hotWins = spark.range(2000).select(
+        (col("id") % 100).as("user_id"),
+        col("id").as("window_id"),
+        timestamp_micros(lit(spanRow.getLong(0)) +
+          pmod(col("id") * lit(40503L),
+            lit(hourMicros - 60L * 1000000L))).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 1 MINUTE"))
+    def intervalHot(bucketSec: Long, keyed: Boolean): DataFrame =
+      if (keyed)
+        graft.ops.Temporal.intervalJoinBucketedKeyed(hotWins, "user_id",
+          "window_id", "w_start", "w_end", hotEv, "user_id", "ts", "value",
+          bucketSec)
+      else
+        graft.ops.Temporal.intervalJoinBucketed(
+          hotWins.drop("user_id"), "window_id", "w_start", "w_end",
+          hotEv, "ts", "value", bucketSec)
+    val intervalOps: Seq[(String, () => DataFrame)] = Seq(
+      "interval_1x" -> (() => intervalOn("1x")),
+      "interval_10x" -> (() => intervalOn("10x")),
+      "interval_keyed_1x" -> (() => intervalKeyedOn("1x")),
+      "interval_keyed_10x" -> (() => intervalKeyedOn("10x")),
+      "interval_hot_coarse_1cell" -> (() => intervalHot(3600, keyed = false)),
+      "interval_hot_sized_60s" -> (() => intervalHot(60, keyed = false)),
+      "interval_hot_keyed_coarse" -> (() => intervalHot(3600, keyed = true)))
+    val interval = intervalOps.map { case (name, f) =>
+      consume(f()) // warmup
+      val (sec, peak, spill) = timedRuns(() => consume(f()))
+      name -> ((sec, peak, spill))
+    }.toMap
+    val intervalJson = {
+      def block(name: String): String = {
+        val (sec, peak, spill) = interval(name)
+        f""""$name": {"sec": $sec%.2f, "peak_task_mem_mb": ${peak / 1048576}, "spill_mb": ${spill / 1048576}}"""
+      }
+      val gU = interval("interval_10x")._1 / interval("interval_1x")._1
+      val gK =
+        interval("interval_keyed_10x")._1 / interval("interval_keyed_1x")._1
+      val hotSized = interval("interval_hot_coarse_1cell")._1 /
+        interval("interval_hot_sized_60s")._1
+      val hotKeyed = interval("interval_hot_coarse_1cell")._1 /
+        interval("interval_hot_keyed_coarse")._1
+      f"""  "interval": {
+         |    "what": "bucketed interval-join posture: unkeyed = FIXED window set vs growing events (healthy ~linear; unkeyed both-sides-growth is intrinsically quadratic output, the keyed form is the scale shape), keyed = both sides grow on disjoint keys (healthy ~linear, flat peak mem); hot = 2k one-minute windows + 200k events inside ONE hour — coarse bucketSec=3600 makes the hour a single cell (all pairs through one hash-join partition), sized bucketSec=60 spreads the same work over 60 cells (the 'bucketSec ≈ median window length' doc rule, measured), keyed-at-coarse spreads the cell over the 100 keys instead (the hot-range claim of the keyed form, measured)",
+         |    "bucket_sec": 1800, "time_growth_10x_unkeyed_fixed_windows": $gU%.2f, "time_growth_10x_keyed": $gK%.2f,
+         |    "hot_sized_bucket_speedup": $hotSized%.2f, "hot_keyed_speedup": $hotKeyed%.2f,
+         |    ${intervalOps.map(_._1).map(block).mkString(",\n    ")}}""".stripMargin
+    }
+
+    // ---- LM-family posture -----------------------------------------
+    // rarityScore / lmScore / lmScoreBigram build VOCABULARY-sized model
+    // tables and join the exploded corpus against them. The 10x corpus
+    // salts tokens per shard, so its vocabulary ALSO grows ~10x — the
+    // adversarial case for the unhinted model-table join (AQE broadcasts
+    // a small vocab; a blown-up one must degrade to a shuffled join, not
+    // an OOM). Healthy = ~linear time, flat-ish peak mem, and the
+    // model_join_10x field names the join strategy AQE actually chose on
+    // the big vocab (evidence for / against needing a hashed-bucket twin
+    // — the DSIR 4096-bucket trick — at real scale).
+    def lmOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "lm_rarity" -> (d => TextStats.rarityScore(d, "doc_id", "text")),
+      "lm_unigram" -> (d => TextStats.lmScore(d, "doc_id", "text")),
+      "lm_bigram" -> (d => TextStats.lmScoreBigram(d, "doc_id", "text")))
+    def vocabOf(d: DataFrame): Long = d
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    // drive the df's OWN AdaptiveSparkPlanExec to completion, then read
+    // the final plan string — .explain before execution shows
+    // isFinalPlan=false with the pre-AQE strategy, which is exactly the
+    // wrong thing to report here
+    def aqeJoins(d: DataFrame): String = {
+      val qe = d.queryExecution
+      qe.executedPlan.execute().foreachPartition(
+        (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+      val s = qe.executedPlan.toString
+      Seq("BroadcastHashJoin" -> "broadcast",
+          "ShuffledHashJoin" -> "shuffled_hash",
+          "SortMergeJoin" -> "sort_merge")
+        .collect { case (k, v) if s.contains(k) => v }.mkString("+")
+    }
+    val lm = lmOps.map { case (name, f) =>
+      corpora.foreach { case (_, d) => consume(f(d)) } // warmup
+      val runs = corpora.map { case (lbl, d) =>
+        lbl -> timedRuns(() => consume(f(d))) }.toMap
+      name -> ((runs("1x"), runs("10x"), aqeJoins(f(corpora.toMap.apply("10x")))))
+    }
+    val lmJson = {
+      val blocks = lm.map { case (name, ((s1, m1, sp1), (s10, m10, sp10), joins)) =>
+        f""""$name": {"sec_1x": $s1%.2f, "sec_10x": $s10%.2f, "time_growth": ${s10 / s1}%.2f,
+           |      "peak_task_mem_mb_1x": ${m1 / 1048576}, "peak_task_mem_mb_10x": ${m10 / 1048576},
+           |      "spill_mb_1x": ${sp1 / 1048576}, "spill_mb_10x": ${sp10 / 1048576}, "model_join_10x": "$joins"}""".stripMargin
+      }
+      f"""  "lm_family": {
+         |    "what": "vocab-model text scorers at 1x vs 10x where the VOCABULARY also grows ~10x (per-shard token salting — the adversarial case for the model-table join): healthy = ~linear time, no OOM, and model_join_10x records the strategy AQE chose for the blown-up vocab table (broadcast = still small enough; sort_merge/shuffled_hash = degraded gracefully, which is the designed fallback rarityScore's no-hint comment documents)",
+         |    "vocab_1x": ${vocabOf(corpora.toMap.apply("1x"))}, "vocab_10x": ${vocabOf(corpora.toMap.apply("10x"))},
+         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     val nDocs = corpora.toMap.apply("1x").count()
     val json =
       s"""{
@@ -429,7 +568,9 @@ object Posture {
          |$simAudit,
          |$resolutionJson,
          |$retrievalJson,
-         |$temporalJson
+         |$temporalJson,
+         |$intervalJson,
+         |$lmJson
          |}""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("POSTURE_10X.json"), json + "\n")
