@@ -749,6 +749,13 @@ object SparkEntry {
     "q_perplexity" -> ((s, dir) =>
       TextStats.lmScore(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- hashed-bucket LM twin: the model table is ≤4096 rows by
+    //      construction (DSIR featurization trick), so it broadcasts at
+    //      ANY corpus scale — the scale-safe form of q_perplexity's
+    //      vocab-sized model ----
+    "q_lm_hashed" -> ((s, dir) =>
+      TextStats.lmScoreHashed(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- domain-mixing plan: per-language availability, target share of
     //      a 15k-token budget, and the sampling fraction that hits it
     //      (zh is deliberately over-asked → capped at 1.0) ----
@@ -1832,6 +1839,22 @@ object SparkEntry {
         |  round(log2(n) - avg(log2(tf)), 6) AS cross_entropy,
         |  round(pow(2, log2(n) - avg(log2(tf))), 6) AS perplexity
         |FROM tok LEFT JOIN tf USING (w), n
+        |GROUP BY doc_id, n""".stripMargin,
+    // Hashed-bucket LM replay: md5-hash60 bucket assignment (the DSIR
+    // bucket SQL), add-1 smoothing over the 4096-bucket space, every
+    // token scored (no OOV drop — collisions pool counts by design).
+    "q_lm_hashed" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |tb AS (SELECT doc_id,
+        |         ('0x' || substring(md5(tok || '|lmh1'), 1, 15))::BIGINT % 4096 AS b
+        |       FROM tk),
+        |bf AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bf)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(log2(n + 4096) - avg(log2(coalesce(c, 0) + 1)), 6) AS cross_entropy,
+        |  round(pow(2, log2(n + 4096) - avg(log2(coalesce(c, 0) + 1))), 6) AS perplexity
+        |FROM tb LEFT JOIN bf USING (b), n
         |GROUP BY doc_id, n""".stripMargin,
     // Bigram counts, per-context sums and unigram counts are exact
     // integers; the only float work is the per-doc average of log2

@@ -252,6 +252,50 @@ object TextStats {
         round(pow(lit(2.0), col("__h")), 6).as("perplexity"))
   }
 
+  /** [[lmScore]] over a HASHED feature space: tokens are md5-bucketed
+    * into `nBuckets` buckets (the DSIR featurization trick,
+    * [[Curate]]'s `hashedFeats`), so the model table is ≤ `nBuckets`
+    * rows NO MATTER the corpus vocabulary — where [[lmScore]]'s
+    * vocab-sized table rides AQE's judgment (and degrades to a shuffled
+    * join once a noisy corpus blows the vocabulary past the broadcast
+    * threshold — the measured `lm_family` posture scenario), this one is
+    * broadcastable by construction at any corpus size, and the hint is
+    * therefore hard. The price is hash-collision smoothing: colliding
+    * token types pool their counts, biasing per-token probabilities up
+    * — acceptable for FILTERING (relative ranking), not for reporting
+    * calibrated perplexities; scores here use add-1 smoothing over the
+    * bucket space (every token scores — no OOV drop, collisions make
+    * "unseen bucket" nearly impossible at vocab ≫ nBuckets anyway), so
+    * `n_tokens` counts ALL tokens, unlike [[lmScore]]'s in-LM count.
+    *
+    * H(d) = log2(N + nBuckets) − avg_w(log2(c_bucket(w) + 1)), the same
+    * single-corpus-pass identity as [[lmScore]].
+    */
+  def lmScoreHashed(df: DataFrame, idCol: String, textCol: String,
+      lmCorpus: DataFrame = null, nBuckets: Int = 4096,
+      salt: String = "lmh1"): DataFrame = {
+    require(nBuckets > 0, "lmScoreHashed: nBuckets must be positive")
+    val corpus = Option(lmCorpus).getOrElse(df)
+    def bucketed(d: DataFrame, keep: Seq[Column]): DataFrame =
+      d.select(keep :+ explode(split(col(textCol), " ")).as("__tok"): _*)
+        .select(keep :+ pmod(
+          PortableHash.hash60(concat(col("__tok"), lit("|" + salt))),
+          lit(nBuckets.toLong)).as("__b"): _*)
+    val freq = bucketed(corpus, Seq.empty)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__bf"))
+    val total = freq.agg(coalesce(sum(col("__bf")), lit(0L)).as("__n"))
+    bucketed(df, Seq(col(idCol)))
+      .join(broadcast(freq), Seq("__b"), "left") // ≤ nBuckets rows, always
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol), col("__n"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (log2(col("__n") + nBuckets)
+          - avg(log2(coalesce(col("__bf"), lit(0L)) + 1))).as("__h"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__h"), 6).as("cross_entropy"),
+        round(pow(lit(2.0), col("__h")), 6).as("perplexity"))
+  }
+
   /** Bigram language-model scoring with stupid backoff (Brants et al.
     * 2007, "Large Language Models in Machine Translation") — the
     * context-aware upgrade of [[lmScore]]: each adjacent token pair is

@@ -608,6 +608,27 @@ class TextStatsSpec extends SparkSpec {
     assert(r(1).isNullAt(r(1).fieldIndex("perplexity")))
   }
 
+  test("lmScoreHashed: bucket-pooled scores, all tokens count, constant-size model") {
+    // nBuckets=1 pools EVERY token into one bucket: model = {b0: N},
+    // so each token scores log2((N+1)/(N+1)) = 0 and H = 0 exactly —
+    // pins the add-1 identity and that NO token is dropped (unlike
+    // lmScore's OOV drop: 'zz' never appears in the frozen corpus)
+    val frozen = Seq((100L, "a a b")).toDF("doc_id", "text") // N = 3
+    val docs = Seq((1L, "a zz"), (2L, "qq zz")).toDF("doc_id", "text")
+    val one = TextStats.lmScoreHashed(docs, "doc_id", "text", frozen,
+      nBuckets = 1).orderBy("doc_id").collect()
+    assert(one.map(_.getAs[Long]("n_tokens")).toSeq === Seq(2L, 2L))
+    assert(one.map(_.getAs[Double]("cross_entropy")).toSeq === Seq(0.0, 0.0))
+    assert(one.map(_.getAs[Double]("perplexity")).toSeq === Seq(1.0, 1.0))
+    // self-corpus at the default width: same row count and n_tokens as
+    // the corpus token count — every doc scores, none vanish
+    val self = TextStats.lmScoreHashed(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(self.length === 2)
+    assert(self.forall(_.getAs[Long]("n_tokens") === 2L))
+    assert(self.forall(!_.isNullAt(self.head.fieldIndex("cross_entropy"))))
+  }
+
   test("lmScoreBigram: seen bigrams use context counts, unseen back off, OOV drops") {
     // frozen LM corpus: bigrams (a,b)x2, (b,a), (a,c); ctx a=3, b=1;
     // unigrams a=3, b=2, c=1, N=6
