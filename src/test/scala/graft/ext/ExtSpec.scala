@@ -629,6 +629,24 @@ class TextStatsSpec extends SparkSpec {
     assert(self.forall(!_.isNullAt(self.head.fieldIndex("cross_entropy"))))
   }
 
+  test("lmScoreHashed model join stays broadcast with auto-broadcast disabled") {
+    // the whole point of the hashed twin: the model side is <= nBuckets
+    // rows BY CONSTRUCTION, so its broadcast is a hard hint that no
+    // planner threshold can degrade — pinned by disabling auto-broadcast
+    // and asserting the join strategy survives
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try {
+      val docs = Seq((1L, "a b c"), (2L, "c d")).toDF("doc_id", "text")
+      val plan = TextStats.lmScoreHashed(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"))
+      assert(!plan.contains("SortMergeJoin"))
+    } finally spark.conf.set(k, prev)
+  }
+
   test("lmScoreBigram: seen bigrams use context counts, unseen back off, OOV drops") {
     // frozen LM corpus: bigrams (a,b)x2, (b,a), (a,c); ctx a=3, b=1;
     // unigrams a=3, b=2, c=1, N=6
