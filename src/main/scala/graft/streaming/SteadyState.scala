@@ -148,6 +148,91 @@ object SteadyState {
       if (lat.isEmpty) -1 else lat.max, outRows)
   }
 
+  /** Live-source envelope: an EXTERNAL producer thread appends JSON
+    * sensor payloads to a log file (plain file I/O — not Spark) while
+    * the engine tails it through [[graft.streaming.FileTailSource]] →
+    * [[Sources.parseJson]] → [[Sources.dropIncomplete]] → parquet sink.
+    * This is the S1-live ingest measured, not just spec-tested: the
+    * producer cadence is deterministic (`rowsPerAppend` every
+    * `appendIntervalMs`), and the envelope reads from the same
+    * listener-accumulated telemetry as every other section. Event time
+    * advances 1 s per record from a fixed epoch, so the parse path does
+    * real timestamp work.
+    */
+  def measureFileTailStream(spark: SparkSession, rowsPerAppend: Int = 50,
+      appendIntervalMs: Long = 1000L, minBatches: Int = 15,
+      deadlineSec: Int = 180): DocEnvelope = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    import java.nio.file.StandardOpenOption.{APPEND, CREATE}
+    val log = Files.createTempDirectory("graft_filetail_env").resolve("feed.log")
+    val out = Files.createTempDirectory("graft_filetail_out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_filetail_ckpt")
+    val qName = "graft_envelope_filetail"
+    val productive = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == qName && e.progress.numInputRows > 0)
+          productive.add((e.progress.numInputRows,
+            e.progress.durationMs.get("triggerExecution").toLong))
+    }
+    spark.streams.addListener(listener)
+    @volatile var stopProducer = false
+    val producer = new Thread(() => {
+      var batch = 0L
+      while (!stopProducer) {
+        val sb = new StringBuilder
+        (0 until rowsPerAppend).foreach { j =>
+          val n = batch * rowsPerAppend + j
+          val ts = java.time.Instant.ofEpochSecond(1704067200L + n).toString
+          sb.append(f"""{"sensor_id":"SENSOR_${n % 10 + 1}%03d","location":"warehouse_a","timestamp":"$ts","temperature":${20 + n % 7}.0,"humidity":50.0,"pressure":1000.0}""")
+            .append('\n')
+        }
+        Files.write(log, sb.toString.getBytes("UTF-8"), CREATE, APPEND)
+        batch += 1
+        Thread.sleep(appendIntervalMs)
+      }
+    }, "graft-filetail-producer")
+    val q = Sources.dropIncomplete(Sources.parseJson(
+        Sources.fileTail(spark, log.toString, startingOffset = "earliest")))
+      .writeStream
+      .queryName(qName)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    producer.start()
+    val t0 = System.nanoTime()
+    var elapsedSec = 0.0
+    try {
+      val deadline = t0 + deadlineSec * 1000L * 1000 * 1000
+      while (productive.size < minBatches
+          && System.nanoTime() < deadline) Thread.sleep(200)
+      elapsedSec = (System.nanoTime() - t0) / 1e9
+    } finally {
+      stopProducer = true
+      producer.join(5000)
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    val prog = {
+      import scala.jdk.CollectionConverters._
+      productive.asScala.toSeq
+    }
+    val lat = prog.map(_._2)
+    val docs = prog.map(_._1).sum
+    val outRows =
+      if (new java.io.File(out).exists()) spark.read.parquet(out).count()
+      else 0L
+    DocEnvelope("filetail_stream", docs, elapsedSec, docs / elapsedSec * 60,
+      lat.length, if (lat.isEmpty) -1 else median(lat),
+      if (lat.isEmpty) -1 else lat.max, outRows)
+  }
+
   /** Streaming band-index dedup envelope: the corpus (even pool ids) is
     * indexed ONCE ([[graft.ext.Dedup.minhashBandIndex]], cached and
     * materialized before the clock starts — in production this index is a
