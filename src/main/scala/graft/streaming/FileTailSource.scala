@@ -109,6 +109,10 @@ final class FileTailMicroBatchStream(path: String, startingOffset: String,
   require(startingOffset == "earliest" || startingOffset == "latest",
     s"startingOffset must be 'earliest' or 'latest', got '$startingOffset'" +
       " (Kafka-parity contract, reference/spark_streaming.py:129)")
+  require(maxPartitions >= 1,
+    s"maxPartitionsPerBatch must be >= 1, got $maxPartitions")
+  require(minSplitBytes >= 1,
+    s"minSplitBytes must be >= 1, got $minSplitBytes")
 
   /** One past the last `\n` at or before the current file length —
     * scanning BACKWARDS in 64 KiB chunks so the driver's per-batch work

@@ -129,6 +129,21 @@ class FileTailSourceSpec extends SparkSpec {
     assert(plan(5, 5).isEmpty)         // empty batch plans no work
   }
 
+  test("degenerate split options are rejected with named errors") {
+    intercept[IllegalArgumentException] {
+      new FileTailMicroBatchStream("/x", "earliest",
+        maxPartitions = 0, minSplitBytes = 1)
+    }
+    intercept[IllegalArgumentException] {
+      new FileTailMicroBatchStream("/x", "earliest",
+        maxPartitions = 1, minSplitBytes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      new FileTailMicroBatchStream("/x", "from-the-top",
+        maxPartitions = 1, minSplitBytes = 1)
+    }
+  }
+
   test("offset json round-trips through deserializeOffset (restart contract)") {
     val stream = new FileTailMicroBatchStream("/nonexistent",
       startingOffset = "latest", maxPartitions = 1, minSplitBytes = 1)
