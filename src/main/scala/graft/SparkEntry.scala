@@ -1165,6 +1165,16 @@ object SparkEntry {
           .select(col("doc_id"), col("quality_score")),
         "doc_id", "quality_score", nBins = 10)),
 
+    // ---- cross-document boilerplate removal (C4/RefinedWeb line
+    //      dedup): segment df-count → strip segments in ≥3 docs,
+    //      order-preserving rebuild; 3-token chunks stand in for lines
+    //      on this single-line corpus ----
+    "q_boilerplate" -> ((s, dir) =>
+      Curate.dropBoilerplate(Tables.documents(s, dir), "doc_id", "text",
+        minDocs = 3L, out = "text_clean", chunkTokens = 3)
+        .select(col("doc_id"), col("n_segs"), col("n_boiler"),
+          md5(col("text_clean")).as("clean_fp"))),
+
     // ---- DSIR importance weights: per raw doc, target-vs-raw hashed
     //      n-gram log-likelihood ratio (target = src0, like the
     //      contamination split); fixed 4096-bucket feature space so the
@@ -2652,6 +2662,29 @@ object SparkEntry {
         |SELECT doc_id, quality_score,
         |  CAST(1 + len(list_filter(bs, x -> round(x, 6) < quality_score)) AS INTEGER) AS bin
         |FROM q, b""".stripMargin,
+    // The same segmentation (non-overlapping 3-token chunks), trimmed
+    // blank-segment drop, df threshold, and order-preserving rebuild;
+    // Spark's concat_ws over an all-boilerplate doc gives "" where
+    // string_agg gives NULL, hence the coalesce before md5.
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |seg0 AS (SELECT doc_id, i AS pos,
+        |    trim(array_to_string(toks[(i*3+1):(i*3+3)], ' ')) AS seg
+        |  FROM t, unnest(generate_series(0,
+        |    CAST(ceil(len(toks) / 3.0) AS INT) - 1)) AS u(i)),
+        |seg AS (SELECT * FROM seg0 WHERE seg <> ''),
+        |dfq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY 1),
+        |roll AS (SELECT s.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_segs,
+        |    CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |    md5(coalesce(string_agg(CASE WHEN d.df < 3 THEN s.seg END,
+        |      ' ' ORDER BY s.pos), '')) AS clean_fp
+        |  FROM seg s JOIN dfq d USING (seg) GROUP BY 1)
+        |SELECT dd.doc_id,
+        |  coalesce(r.n_segs, 0) AS n_segs,
+        |  coalesce(r.n_boiler, 0) AS n_boiler,
+        |  r.clean_fp
+        |FROM documents dd LEFT JOIN roll r USING (doc_id)""".stripMargin,
     "q_dsir_weights" ->
       s"""WITH $DsirCtes
          |SELECT doc_id, n_feats, log_weight FROM w""".stripMargin,

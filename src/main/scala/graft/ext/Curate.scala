@@ -344,4 +344,78 @@ object Curate {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         min(col("start_tok")).as("first_start"))
+
+  /** Cross-document boilerplate removal (the C4 / RefinedWeb line-dedup
+    * stage): segment every document, count each distinct segment's
+    * document frequency across the corpus, and strip the segments that
+    * appear in ≥ `minDocs` documents — nav bars, cookie banners,
+    * "subscribe now" footers — while preserving the order of what
+    * survives. Emits one row per input document: `n_segs`,
+    * `n_boiler` (segment INSTANCES dropped, so a doc repeating its own
+    * hot line counts each copy), and `<out>` = the surviving segments
+    * re-joined in original order ("" when everything was boilerplate;
+    * a doc with no segments at all keeps `n_segs = 0` and a NULL
+    * `<out>` — nothing was removed because nothing was there).
+    *
+    * Segmentation is pluggable: `chunkTokens > 0` cuts the whitespace
+    * token stream into consecutive fixed-size windows (the form that
+    * gives single-line corpora like the synthetic testdata a real
+    * segment granularity); otherwise documents split on the `delim`
+    * regex (the production "\n" line mode). Blank segments are dropped
+    * before counting — runs of delimiters are not boilerplate evidence.
+    *
+    * Scale shape (100 TB): one explode linear in corpus segments; the
+    * doc-frequency table groups on [[PortableHash.hash60]] of the
+    * segment — an 8-byte shuffle key instead of the segment string —
+    * and is segment-cardinality sized, so it is NEVER broadcast; the
+    * count joins back on the same hash with `shuffle_hash` hinted so
+    * both the groupBy and the join ride ONE exchange on `h` (the
+    * [[Dedup]] signature-reuse trick — the corpus is exploded once,
+    * not twice). An ultra-hot segment (billions of docs) skews the
+    * probe side of that join; the build side is one row per hash, so
+    * AQE's skew-join split handles it without help. The final per-doc
+    * regroup is the second (and last) shuffle; `collect_list` there is
+    * bounded by a single document's segment count.
+    */
+  def dropBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, out: String, chunkTokens: Int = 0,
+      delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): " +
+      "at 1 every segment is boilerplate and the output is empty")
+    val toks = split(col(textCol), " ")
+    val segArr =
+      if (chunkTokens > 0) {
+        val nSeg = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+        // guard nSeg = 0: sequence(0, -1) is a DESCENDING sequence, not
+        // an empty one (the interval-join explode had the same trap)
+        when(nSeg > 0,
+          transform(sequence(lit(0), nSeg - lit(1)),
+            i => concat_ws(" ",
+              slice(toks, i * chunkTokens + 1, lit(chunkTokens)))))
+          .otherwise(array())
+      } else split(col(textCol), delim)
+    val joiner = if (chunkTokens > 0) " " else delim
+    val ex = df
+      .select(col(idCol), posexplode(segArr).as(Seq("pos", "seg")))
+      .withColumn("seg", trim(col("seg")))
+      .where(col("seg") =!= "")
+      .withColumn("h", PortableHash.hash60(col("seg")))
+    val dfreq = ex.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val roll = ex.hint("shuffle_hash").join(dfreq, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
+        concat_ws(joiner, transform(
+          array_sort(collect_list(
+            when(col("df") < minDocs, struct(col("pos"), col("seg"))))),
+          s => s.getField("seg"))).as(out))
+    // left join back so fully-blank documents survive with n_segs = 0
+    df.select(col(idCol)).join(roll, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        col(out))
+  }
 }

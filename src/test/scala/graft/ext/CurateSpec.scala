@@ -263,4 +263,48 @@ class CurateSpec extends SparkSpec {
     // fully deterministic: the same call selects the same set in order
     assert(draw().map(_.getLong(0)).toSeq === s1.map(_.getLong(0)).toSeq)
   }
+
+  test("dropBoilerplate strips hot lines, keeps order, handles edge docs") {
+    val docs = Seq(
+      (1L, "intro A\nSUBSCRIBE NOW\nbody one"),
+      (2L, "other text\nSUBSCRIBE NOW\nbody two"),
+      (3L, "SUBSCRIBE NOW\n\nSUBSCRIBE NOW"),
+      (4L, "unique only"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Curate.dropBoilerplate(docs, "doc_id", "text",
+        minDocs = 3L, out = "clean").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    // "SUBSCRIBE NOW" is in 3 docs -> boilerplate at minDocs=3
+    assert(out(1L) === ((3L, 1L, Some("intro A\nbody one"))))
+    assert(out(2L) === ((3L, 1L, Some("other text\nbody two"))))
+    // both INSTANCES in doc 3 drop (blank line never counted); "" result
+    assert(out(3L) === ((2L, 2L, Some(""))))
+    assert(out(4L) === ((1L, 0L, Some("unique only"))))
+    // an empty doc survives the pipeline with nothing counted
+    assert(out(5L) === ((0L, 0L, None)))
+  }
+
+  test("dropBoilerplate chunk mode segments the token stream; empty text safe") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // segs: "a b c", "d e"
+      (2L, "a b c x y z"), // segs: "a b c", "x y z"
+      (3L, "")).toDF("doc_id", "text")
+    val out = Curate.dropBoilerplate(docs, "doc_id", "text",
+        minDocs = 2L, out = "clean", chunkTokens = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(out(1L) === ((2L, 1L, Some("d e"))))
+    assert(out(2L) === ((2L, 1L, Some("x y z"))))
+    // nSeg = 0 guard: no descending-sequence blowup on an empty doc
+    assert(out(3L) === ((0L, 0L, None)))
+  }
+
+  test("dropBoilerplate rejects a degenerate minDocs") {
+    val e = intercept[IllegalArgumentException] {
+      Curate.dropBoilerplate(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", minDocs = 1L, out = "clean")
+    }
+    assert(e.getMessage.contains("minDocs"))
+  }
 }
