@@ -411,6 +411,17 @@ object SparkEntry {
           col("session_end"), col("n_events"))
         .orderBy("event_type", "session_start")),
 
+    // ---- STREAM-STREAM interval join: alerts correlated with the
+    //      readings of the same type in the 5 minutes after each, both
+    //      sides live branches of a time-split 4-batch events replay —
+    //      alerts wait in join state across micro-batches; inner-join
+    //      eagerness makes the replay equal the batch containment join ----
+    "q_stream_stream_join" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayStreamStreamJoin(s, dir)
+        .select(col("alert_id"), col("alert_ts"), col("event_type"),
+          col("alert_value"), col("reading_id"), col("r_ts"),
+          col("r_value"))),
+
     // ---- TPC-H Q1-style pricing summary: scan + wide agg on lineitem ----
     "q_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1422,6 +1433,21 @@ object SparkEntry {
         |FROM x, m GROUP BY 1, 2, m.mx
         |HAVING window_end <= m.mx - INTERVAL 10 MINUTE
         |ORDER BY event_type, window_start""".stripMargin,
+    // The streaming inner interval join of a finite in-order replay
+    // equals the batch containment join — no finalized-prefix clause
+    // (inner-join matches emit eagerly; nothing waits on the watermark).
+    "q_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value FROM events),
+        |a AS (SELECT event_id AS alert_id, ts AS alert_ts, event_type,
+        |    value AS alert_value FROM e WHERE value >= 200),
+        |r AS (SELECT event_id AS reading_id, ts AS r_ts, event_type,
+        |    value AS r_value FROM e)
+        |SELECT a.alert_id, a.alert_ts, a.event_type, a.alert_value,
+        |  r.reading_id, r.r_ts, r.r_value
+        |FROM a JOIN r ON a.event_type = r.event_type
+        |  AND r.r_ts >= a.alert_ts
+        |  AND r.r_ts <= a.alert_ts + INTERVAL 5 MINUTE""".stripMargin,
     "q_session_window" ->
       """WITH o AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
         |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL

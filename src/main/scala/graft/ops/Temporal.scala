@@ -386,4 +386,50 @@ object Temporal {
       floor(unix_micros(start) / bw).cast("long"),
       floor((unix_micros(end) - 1) / bw).cast("long")))
   }
+
+  /** STREAM-STREAM interval join — the live form of the interval-join
+    * family: inner-join two unbounded streams on equality keys plus a
+    * bounded event-time range (`rightTs` ∈ [`leftTs` + windowFrom,
+    * `leftTs` + windowTo]), the "correlate each alert with the readings
+    * of the next N minutes" shape the reference's dashboard recomputes
+    * with per-panel lookback SQL (streamlit_dashboard.py:130-171) and a
+    * batch engine answers with [[intervalJoinBucketedKeyed]].
+    *
+    * Both sides get an event-time watermark here — with the range bound
+    * they are what let the engine EVICT: a buffered left row dies once
+    * the right watermark passes `leftTs + windowTo`, a right row once
+    * the left watermark passes `rightTs − windowFrom`, so join state is
+    * bounded by the correlation window × arrival skew, not by history.
+    * Inner join output is eager (a match emits in the micro-batch that
+    * completes it, nothing held for finalization), so a finite in-order
+    * replay equals the batch interval join row-for-row — exactly how
+    * the `q_stream_stream_join` gate is oracled.
+    *
+    * Column contract: `leftTs` and `rightTs` must be distinct names, and
+    * the key columns are equated pairwise and emitted once (right copies
+    * dropped); any other same-named column pair survives ambiguously, so
+    * callers rename payload columns apart first (the replay's branches
+    * do). Works unchanged on batch frames (`withWatermark` is a no-op
+    * there) — the spec pins stream ≡ batch on the same inputs.
+    */
+  def streamIntervalJoin(left: DataFrame, leftTs: String, leftWm: String,
+      right: DataFrame, rightTs: String, rightWm: String,
+      keys: Seq[String], windowFrom: String = "0 seconds",
+      windowTo: String = "5 minutes"): DataFrame = {
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must be distinct column names (both '$leftTs')")
+    require(keys.nonEmpty, "at least one equality key is required " +
+      "(a pure time-range stream-stream join has no co-partitioning key)")
+    val rKeys = keys.map(k => k -> s"__r_$k")
+    val r2 = rKeys.foldLeft(right) { case (d, (k, rk)) =>
+      d.withColumnRenamed(k, rk)
+    }
+    val cond = rKeys.map { case (k, rk) => col(k) === col(rk) }
+      .reduce(_ && _) &&
+      col(rightTs) >= col(leftTs) + expr(s"INTERVAL $windowFrom") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowTo")
+    left.withWatermark(leftTs, leftWm)
+      .join(r2.withWatermark(rightTs, rightWm), cond, "inner")
+      .drop(rKeys.map(_._2): _*)
+  }
 }

@@ -205,6 +205,91 @@ object Pipeline {
         graft.sources.Tables.events(spark, dir).limit(0),
         "ts", "event_type", gap))
 
+  /** STREAM-STREAM interval-join gate: correlate each high-value alert
+    * with the readings of the same `event_type` in the `window` after it
+    * ([[graft.ops.Temporal.streamIntervalJoin]]), both sides LIVE
+    * branches of one events stream — the self-join form Spark's
+    * stream-stream join supports. The replay runs the events table as a
+    * TIME-SPLIT multi-file stream ([[replayStreamSplit]]): four
+    * micro-batches in event-time order, so alerts genuinely wait in join
+    * state across batches for readings that arrive later, and watermark
+    * eviction runs mid-replay — the single-file replay would fold the
+    * whole join into one batch and exercise none of that.
+    *
+    * Inner-join output is eager (nothing held for watermark
+    * finalization), and the in-order split keeps every row inside the
+    * watermark slack, so the replay equals the BATCH interval join
+    * row-for-row — the `q_stream_stream_join` oracle replays the plain
+    * containment join in DuckDB with no finalized-prefix clause.
+    */
+  def replayStreamStreamJoin(spark: SparkSession, dir: String,
+      threshold: Double = 200.0, window: String = "5 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    def alerts(d: DataFrame) = d.select(
+      col("event_id").as("alert_id"), col("ts").as("alert_ts"),
+      col("event_type"), col("value").as("alert_value"))
+      .where(col("alert_value") >= threshold)
+    def readings(d: DataFrame) = d.select(
+      col("event_id").as("reading_id"), col("ts").as("r_ts"),
+      col("event_type"), col("value").as("r_value"))
+    def plan(d: DataFrame) = graft.ops.Temporal.streamIntervalJoin(
+      alerts(d), "alert_ts", watermark,
+      readings(d), "r_ts", watermark,
+      Seq("event_type"), windowTo = window)
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_ssj_out").toString + "/ssj"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_ssj_ckpt")
+    withReplayParallelism(spark) {
+      val q = plan(stream)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
+    else plan(graft.sources.Tables.events(spark, dir).limit(0))
+  }
+
+  /** Events table as a TIME-SPLIT multi-file stream: `nFiles` range
+    * partitions of `ts` written as one parquet file each, mtimes forced
+    * ascending in path (= time) order, `maxFilesPerTrigger = 1` — so an
+    * AvailableNow replay runs one micro-batch per time slice, in order.
+    * FileStreamSource processes files by modification time; writing them
+    * in one job leaves near-tied mtimes, so the forced spacing is what
+    * GUARANTEES discovery order matches event-time order (an
+    * out-of-order slice whose span exceeds the watermark slack would be
+    * silently dropped as late — a flaky gate).
+    */
+  private def replayStreamSplit(spark: SparkSession, dir: String,
+      nFiles: Int): (DataFrame, java.nio.file.Path) = {
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_split")
+    val dataDir = streamDir.resolve("data").toString
+    graft.sources.Tables.events(spark, dir)
+      .repartitionByRange(nFiles, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.parquet(dataDir)
+    val parts = new java.io.File(dataDir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 60000L)
+    }
+    val schema = spark.read.parquet(dataDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+    (stream, streamDir)
+  }
+
   /** Events table as a file-stream source (micros-normalized `ts`) plus
     * the scratch dir to delete after the replay. The file stream source
     * requires a directory; the single-file table is symlinked into a

@@ -293,4 +293,63 @@ class TemporalSpec extends SparkSpec {
         round(avg(ev2("value")), 6).as("avg_value"))
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
+
+  test("streamIntervalJoin matches across micro-batches and equals its batch form") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def alerts(d: DataFrame) = d.select(
+      col("event_id").as("alert_id"), col("ts").as("alert_ts"),
+      col("event_type"), col("value").as("alert_value"))
+      .where(col("alert_value") >= 100)
+    def reads(d: DataFrame) = d.select(
+      col("event_id").as("reading_id"), col("ts").as("r_ts"),
+      col("event_type"), col("value").as("r_value"))
+    def joinOf(d: DataFrame) = Temporal.streamIntervalJoin(
+      alerts(d), "alert_ts", "10 minutes",
+      reads(d), "r_ts", "10 minutes",
+      Seq("event_type"), windowTo = "5 minutes")
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 150.0), // the alert
+      (2L, ts("2024-01-01 10:01:00"), "b", 10.0),  // right type? no — 'b'
+      (3L, ts("2024-01-01 10:03:00"), "a", 20.0),  // in-window match
+      (4L, ts("2024-01-01 10:07:00"), "a", 30.0))  // 7 min > 5: outside
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = joinOf(mem.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("ssj_spec")
+      .outputMode("append").start()
+    try {
+      // the alert arrives ALONE in batch 1; its matches arrive in batch
+      // 2 — the pair can only form if the alert waited in join state
+      mem.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      mem.addData(rows(2), rows(3))
+      q.processAllAvailable()
+      val got = spark.table("ssj_spec").select("alert_id", "reading_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // (1,1) is the self-match: the alert row is also a reading at
+      // alert_ts, and the window is closed at both ends
+      assert(got === Set((1L, 1L), (1L, 3L)))
+      // the same operator over the same rows as a BATCH frame agrees
+      val batch = joinOf(rows.toDF("event_id", "ts", "event_type", "value"))
+        .select("alert_id", "reading_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
+  test("streamIntervalJoin rejects colliding ts names and empty keys") {
+    val d = Seq((1L, ts("2024-01-01 10:00:00"), "a", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val e1 = intercept[IllegalArgumentException] {
+      Temporal.streamIntervalJoin(d, "ts", "1 minute", d, "ts", "1 minute",
+        Seq("event_type"))
+    }
+    assert(e1.getMessage.contains("distinct"))
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.streamIntervalJoin(d, "ts", "1 minute",
+        d.withColumnRenamed("ts", "ts2"), "ts2", "1 minute", Seq.empty)
+    }
+    assert(e2.getMessage.contains("key"))
+  }
 }
