@@ -148,6 +148,33 @@ object RecallCurve {
     val ivfPqFlags = monotoneFlags("IVF-PQ shortlist",
       ivfPqPoints.map(_._1), ivfPqPoints.map(_._2))
 
+    // ---- multi-assignment sweep: the assign=2 layout (each vector in
+    // its top-2 coarse buckets, 2× storage) probed at every nProbe,
+    // END-TO-END recall vs global exact — against the single-assign
+    // layout's e2e recall at the SAME nProbe. Bucket-coverage recall
+    // bought at write time (storage, once) vs at read time (nProbe,
+    // per query): the scanned_frac column prices the read side of the
+    // ma layout (copies included, so it can exceed the single curve).
+    val maPath = SparkEntry.ivfLayoutMulti(spark, sfDir)
+    val maSizes = spark.read.parquet(maPath)
+      .groupBy(col("ivf_bucket")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def e2eRecall(p: String, np: Int): Double = qvs.map { case (qid, v) =>
+      Similarity.ivfProbe(spark, p, "vec_id", "embedding", v, k = 10,
+          nProbe = np, excludeId = Some(qid))
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        .intersect(exactByQ(qid)).size / 10.0
+    }.sum / qvs.length
+    val maPoints = (1 to nCentroids).map { np =>
+      val fracMa = qvs.map { case (_, v) =>
+        Similarity.probeBuckets(cents, v, np)
+          .map(b => maSizes.getOrElse(b, 0L)).sum / total
+      }.sum / qvs.length
+      (np, e2eRecall(maPath, np), e2eRecall(path, np), fracMa)
+    }
+    val maFlags = monotoneFlags("multi-assign nProbe",
+      maPoints.map(_._1), maPoints.map(_._2))
+
     val json =
       f"""{
          |  "what": "recall@10 of the pruned IVF probe vs exhaustive, mean over $nQueries query vectors on the trained layout; scanned_frac = mean fraction of corpus rows the probe reads — the recall/cost trade the quantizer buys; monotone=false flags a recall dip vs the previous point (tie-break drift), healthy = all true",
@@ -175,6 +202,16 @@ object RecallCurve {
          |    "points": [
          |${ivfPqPoints.zip(ivfPqFlags).map { case ((s, r, re), m) =>
              f"""      {"shortlist": $s, "recall_at_10": $r%.3f, "recall_vs_exact_at_10": $re%.3f, "monotone": $m}"""
+           }.mkString(",\n")}
+         |    ]
+         |  },
+         |  "multi_assign": {
+         |    "what": "assign=2 layout (each vector in its top-2 coarse buckets, 2x storage): end-to-end recall@10 vs GLOBAL exact per n_probe, against the single-assign layout at the same n_probe — coverage bought at write time (storage, once) vs read time (n_probe, per query); scanned_frac counts the ma layout's copies, so it prices the read amplification too",
+         |    "assign": 2, "storage_x": 2.0,
+         |    "monotone_all": ${maFlags.forall(identity)},
+         |    "points": [
+         |${maPoints.zip(maFlags).map { case ((np, rm, rs, f), m) =>
+             f"""      {"n_probe": $np, "recall_e2e": $rm%.3f, "recall_e2e_single": $rs%.3f, "scanned_frac": $f%.3f, "monotone": $m}"""
            }.mkString(",\n")}
          |    ]
          |  }

@@ -102,6 +102,28 @@ object SparkEntry {
         "embedding", m = PqM, codebookK = PqKc))
   }
 
+  /** Multi-assignment factor of the [[ivfLayoutMulti]] layout: each
+    * vector spilled to its top-2 coarse buckets — 2× storage buying back
+    * the bucket-coverage recall the e2e audits show the single-assign
+    * probe losing, without raising nProbe (per-query read cost).
+    */
+  private val IvfAssign = 2
+
+  /** Build-once MULTI-ASSIGNED IVF layout ([[ivfLayout]]'s recipe at
+    * `assign = [[IvfAssign]]`, no PQ tier) — a separate cache entry:
+    * assignment factor is part of the layout format.
+    */
+  private[graft] def ivfLayoutMulti(s: SparkSession, dir: String): String = {
+    val emb = Tables.embeddings(s, dir)
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = IvfK, iters = IvfIters, salt = IvfSalt),
+      s"$dir:${src.length}:${src.lastModified}:km${IvfK}x$IvfIters:" +
+        s"$IvfSalt:ma$IvfAssign",
+      assign = IvfAssign)
+  }
+
   /** [[ivfLayout]] plus one query-point lookup (a pushed-down 1-row
     * collect — the ANN query argument).
     */
@@ -170,7 +192,12 @@ object SparkEntry {
     * training replay plus the argmax assignment, shared by the ANN
     * oracles and the `q_semdedup` oracle.
     */
-  private val AsgCtes: String =
+  /** `assign` > 1 replays [[Similarity.writeIvfLayout]]'s
+    * multi-assignment: each vector lands in its top-`assign` buckets
+    * (`rn <= assign` over the same (cos DESC, b DESC) ordering Spark's
+    * reversed struct sort uses, so the tie-break can never diverge).
+    */
+  private def AsgCtesN(assign: Int): String =
     s"""WITH ${LloydCtes(IvfK, IvfSalt)},
        |cent AS (SELECT b, cv AS c FROM c2),
        |asg AS (SELECT vec_id, v, ivf_bucket FROM (
@@ -178,15 +205,18 @@ object SparkEntry {
        |            row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |              ${ListCosSql("e.v", "cent.c")} DESC,
        |              cent.b DESC) AS rn
-       |          FROM e, cent) WHERE rn = 1)""".stripMargin
+       |          FROM e, cent) WHERE rn <= $assign)""".stripMargin
+
+  private val AsgCtes: String = AsgCtesN(1)
 
   /** The IVF layout replay's CTE prefix ([[AsgCtes]] + query vector +
     * probed buckets) — shared by every ANN oracle so the replays can
     * never drift. Probe ties break to the LOWER bucket id on both sides
     * (Spark sorts (−cos, b); here `cent.b` ascending).
     */
-  private def IvfCtes(queryVecId: Long, nProbe: Int): String =
-    s"""$AsgCtes,
+  private def IvfCtes(queryVecId: Long, nProbe: Int,
+      assign: Int = 1): String =
+    s"""${AsgCtesN(assign)},
        |q AS (SELECT v AS qv FROM e WHERE vec_id = $queryVecId),
        |probed AS (SELECT cent.b FROM cent, q
        |           ORDER BY ${ListCosSql("cent.c", "qv")} DESC, cent.b
@@ -1276,6 +1306,39 @@ object SparkEntry {
         k = 10, nProbe = 1, excludeId = Some(7L))
     }),
 
+    // ---- MULTI-ASSIGNMENT IVF probe: each vector written to its top-2
+    //      coarse buckets (2x storage), probe dedups the copies before
+    //      the top-k boundary — bucket-coverage recall bought at write
+    //      time instead of with a higher nProbe ----
+    "q_ann_ivf_ma" -> ((s, dir) => {
+      val path = ivfLayoutMulti(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0)
+      Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
+        k = 10, nProbe = 2, excludeId = Some(0L))
+    }),
+
+    // ---- the payoff, measured: e2e recall@10 of the multi-assigned
+    //      probe vs GLOBAL brute-force exact — directly comparable to
+    //      q_ann_recall (same query, k, nProbe on the single-assign
+    //      layout), so the storage-for-coverage trade is an oracled
+    //      number, not a claim ----
+    "q_ann_ivf_ma_recall_e2e" -> ((s, dir) => {
+      val path = ivfLayoutMulti(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0)
+      val approx = Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
+        k = 10, nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
+      val exact = Similarity.bruteForceTopKNative(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0L, 10).select(col("vec_id"))
+      approx.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall"))
+    }),
+
     // ---- IVF probe against the PHYSICAL partitioned layout: the index is
     //      built once into a scratch dir (bench warmup pays it, like a real
     //      ANN index build) and each probe reads ONLY the nProbe pruned
@@ -2298,6 +2361,39 @@ object SparkEntry {
          |ORDER BY list_dot_product(a.v, qv)
          |    / sqrt(list_dot_product(a.v, a.v) * list_dot_product(qv, qv)) DESC, a.vec_id
          |LIMIT 10""".stripMargin,
+    // Multi-assignment replay: asg carries each vector's top-2 buckets
+    // (rn <= 2, same tie-break); copies in probed buckets collapse to
+    // the LOWEST bucket before the top-k boundary, matching the probe's
+    // min-struct dedup (copies carry identical vectors, so grouping by
+    // (vec_id, v) is exact).
+    "q_ann_ivf_ma" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2, assign = 2)},
+         |pr AS (SELECT vec_id, min(ivf_bucket) AS ivf_bucket, v
+         |       FROM asg WHERE ivf_bucket IN (SELECT b FROM probed)
+         |         AND vec_id <> 0
+         |       GROUP BY vec_id, v)
+         |SELECT pr.vec_id, pr.ivf_bucket,
+         |  round(${ListCosSql("pr.v", "qv")}, 6) AS cosine
+         |FROM pr, q
+         |ORDER BY ${ListCosSql("pr.v", "qv")} DESC, pr.vec_id
+         |LIMIT 10""".stripMargin,
+    // The trade measured end-to-end: the multi-assigned probe's top-10
+    // vs exact brute force over the WHOLE corpus — q_ann_recall's twin
+    // on the assign=2 layout (same query, k, nProbe).
+    "q_ann_ivf_ma_recall_e2e" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2, assign = 2)},
+         |pr AS (SELECT vec_id, v FROM asg
+         |       WHERE ivf_bucket IN (SELECT b FROM probed) AND vec_id <> 0
+         |       GROUP BY vec_id, v),
+         |approx AS (SELECT pr.vec_id FROM pr, q
+         |           ORDER BY ${ListCosSql("pr.v", "qv")} DESC, pr.vec_id
+         |           LIMIT 10),
+         |exact AS (SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+         |          ORDER BY ${ListCosSql("e.v", "qv")} DESC, e.vec_id
+         |          LIMIT 10)
+         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM approx JOIN exact USING (vec_id)""".stripMargin,
     // Single-probe variant on a second query point, self excluded — the
     // same CTE prefix, different (queryVecId, nProbe) arguments.
     "q_ann_ivf" ->

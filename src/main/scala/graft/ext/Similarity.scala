@@ -327,6 +327,7 @@ object Similarity {
       anchors: Seq[(Long, Int, Seq[Double])], k: Int,
       nProbe: Int): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
+    requireSingleAssign(spark, path, "ivfHardNegatives")
     require(anchors.nonEmpty, "ivfHardNegatives: no anchor vectors")
     val cents = readQuantizer(spark, path)
     val rows = anchors.map { case (qid, qlab, qv) =>
@@ -502,11 +503,28 @@ object Similarity {
     * dictionary + bit-packing stores them in ~1 byte; a production format
     * would use a packed BINARY.
     */
+  /** MULTI-ASSIGNMENT (`assign` > 1, Lv & Charikar's multi-probe family
+    * applied at WRITE time): each vector is written to its `assign`
+    * nearest coarse buckets instead of one. The e2e recall loss of an
+    * IVF probe is bucket-coverage loss — a true neighbor whose single
+    * home bucket the query didn't probe is invisible at ANY shortlist
+    * size; spilling each vector to its top-`assign` buckets buys that
+    * coverage back for `assign`× storage (and write amplification)
+    * WITHOUT raising nProbe (which multiplies per-query read cost
+    * instead — storage is bought once, probe cost is paid per query).
+    * The float probe dedups copies at read time ([[ivfProbe]], via the
+    * `_meta` sidecar); the PQ/SQ8 tiers require single-assignment
+    * layouts (composing quantized codes with multi-assignment is the
+    * same read-side dedup, left unbuilt until needed).
+    */
   def writeIvfLayout(df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], path: String,
-      pqBooks: Seq[Seq[(Int, Seq[Double])]] = Seq.empty): Unit = {
+      pqBooks: Seq[Seq[(Int, Seq[Double])]] = Seq.empty,
+      assign: Int = 1): Unit = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     require(cents.nonEmpty, "writeIvfLayout: empty quantizer")
+    require(assign >= 1 && assign <= cents.length,
+      s"writeIvfLayout: assign $assign outside 1..${cents.length}")
     val scored = cents.map { case (b, vec) =>
       struct(
         call_function(graft.plans.GraftFunctions.CosineName,
@@ -537,9 +555,21 @@ object Similarity {
             pqCodeCol(book, slice(col("__e"), j * ds + 1, ds))
         }.toIndexedSeq: _*))
       }
-    withPqCode(withDoubleVec(df, vecCol)
-      .withColumn("ivf_bucket",
-        array_max(array(scored.toIndexedSeq: _*)).getField("b"))
+    // assign = 1 keeps the original array_max plan; assign > 1 takes the
+    // top-`assign` of the same (cos, b) ordering — array_sort ascending +
+    // reverse gives (cos DESC, b DESC), so element 1 IS array_max and the
+    // tie-break can never diverge between the two paths
+    val bucketed =
+      if (assign == 1)
+        withDoubleVec(df, vecCol).withColumn("ivf_bucket",
+          array_max(array(scored.toIndexedSeq: _*)).getField("b"))
+      else
+        withDoubleVec(df, vecCol).withColumn("ivf_bucket",
+          explode(transform(
+            slice(reverse(array_sort(array(scored.toIndexedSeq: _*))),
+              1, assign),
+            s => s.getField("b"))))
+    withPqCode(bucketed
       .withColumn("sq8_code",
         transform(col("__e"),
           x => round((x - lit(mn)) / lit(scale), 0).cast("int"))))
@@ -551,6 +581,9 @@ object Similarity {
     df.sparkSession.createDataFrame(Seq((mn, mx)))
       .toDF("mn", "mx")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_sq8")
+    df.sparkSession.createDataFrame(Seq(Tuple1(assign)))
+      .toDF("assign")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     if (pqBooks.nonEmpty)
       df.sparkSession.createDataFrame(pqBooks.zipWithIndex.flatMap {
         case (book, j) => book.map { case (b, cv) => (j, b, cv) }
@@ -576,7 +609,7 @@ object Similarity {
       quantizer: => Seq[(Int, Seq[Double])],
       cacheKey: String,
       pqBooks: => Seq[Seq[(Int, Seq[Double])]] = Seq.empty,
-      withPq: Boolean = false): String = synchronized {
+      withPq: Boolean = false, assign: Int = 1): String = synchronized {
     // collision-free dir name: md5 of the RAW key (a lossy char-class
     // sanitization could collide two distinct keys onto one layout and
     // silently probe the wrong index). The "k" prefix keeps the name from
@@ -587,13 +620,14 @@ object Similarity {
     // filesystems, so include a content hash if the corpus can be
     // regenerated in-place sub-second). Scoped per user: tmpdir is
     // world-shared on multi-user hosts.
-    // "pqv3|" versions the LAYOUT FORMAT itself (v2 added sq8_code +
-    // _sq8; v3 the optional pq_code + _pq): a cache dir written by an
-    // older writer must miss, not be probed with a missing column. withPq
-    // is IN the key — a pq and a non-pq layout of one corpus are
+    // "pqv4|" versions the LAYOUT FORMAT itself (v2 added sq8_code +
+    // _sq8; v3 the optional pq_code + _pq; v4 the _meta assign sidecar):
+    // a cache dir written by an older writer must miss, not be probed
+    // with a missing column. withPq and assign are IN the key — a pq and
+    // a non-pq layout, or two assignment factors, of one corpus are
     // different formats and must never share a dir.
     val key = "k" + java.security.MessageDigest.getInstance("MD5")
-      .digest((s"pqv3:$withPq|" + cacheKey).getBytes("UTF-8"))
+      .digest((s"pqv4:$withPq:a$assign|" + cacheKey).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val user = sys.props.getOrElse("user.name", "anon")
       .replaceAll("[^A-Za-z0-9._-]", "_")
@@ -606,9 +640,10 @@ object Similarity {
     val complete = new java.io.File(path, "_SUCCESS").exists() &&
       new java.io.File(s"$path/_quantizer", "_SUCCESS").exists() &&
       new java.io.File(s"$path/_sq8", "_SUCCESS").exists() &&
+      new java.io.File(s"$path/_meta", "_SUCCESS").exists() &&
       (!withPq || new java.io.File(s"$path/_pq", "_SUCCESS").exists())
     if (!complete) writeIvfLayout(df, idCol, vecCol, quantizer, path,
-      if (withPq) pqBooks else Seq.empty)
+      if (withPq) pqBooks else Seq.empty, assign)
     path
   }
 
@@ -670,6 +705,33 @@ object Similarity {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(t => (t._2, t._3)).toSeq)
 
+  /** The layout's assignment factor from the `_meta` sidecar — 1 for
+    * layouts written before the sidecar existed (pre-v4 cache dirs are
+    * invalidated by the version key, so this only covers layouts written
+    * directly via [[writeIvfLayout]] by older callers/tests).
+    */
+  private[graft] def layoutAssign(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 1
+    else spark.read.parquet(sidecarParts(spark, s"$path/_meta"): _*)
+      .collect().head.getInt(0)
+  }
+
+  /** Guard for the serving tiers that do not (yet) dedup multi-assigned
+    * copies: quantized scoring composes with multi-assignment exactly
+    * like [[ivfProbe]]'s read-side dedup, but until a caller needs it,
+    * failing loudly beats silently returning duplicated candidates.
+    */
+  private def requireSingleAssign(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String): Unit = {
+    val a = layoutAssign(spark, path)
+    require(a == 1, s"$op: layout at $path is multi-assigned (assign = " +
+      s"$a); only the float probe (ivfProbe) dedups copies — build a " +
+      "single-assignment layout for the PQ/SQ8/batch tiers")
+  }
+
   private def driverCos(v: Seq[Double], q: Seq[Double]): Double = {
     val dot = v.zip(q).map { case (a, b) => a * b }.sum
     dot / math.sqrt(v.map(x => x * x).sum * q.map(x => x * x).sum)
@@ -692,7 +754,21 @@ object Similarity {
     val qLit = array(queryVec.map(lit): _*)
     val scanned = spark.read.parquet(path)
       .filter(col("ivf_bucket").isin(probed.toIndexedSeq: _*))
-    excludeId.fold(scanned)(id => scanned.filter(col(idCol) =!= id))
+    val base = excludeId.fold(scanned)(id => scanned.filter(col(idCol) =!= id))
+    // a multi-assigned layout can surface the same vector from several
+    // probed buckets: collapse copies BEFORE the top-k boundary (min
+    // struct = lowest bucket reported, copies carry identical vectors).
+    // Single-assignment layouts skip this — no shuffle enters the probe.
+    val deduped =
+      if (layoutAssign(spark, path) == 1) base
+      else base
+        .groupBy(col(idCol))
+        .agg(min(struct(col("ivf_bucket"),
+          col(vecCol).cast("array<double>").as(vecCol))).as("__mv"))
+        .select(col(idCol),
+          col("__mv").getField("ivf_bucket").as("ivf_bucket"),
+          col("__mv").getField(vecCol).as(vecCol))
+    deduped
       .withColumn("__cos",
         call_function(graft.plans.GraftFunctions.CosineName,
           col(vecCol).cast("array<double>"), qLit))
@@ -719,6 +795,7 @@ object Similarity {
       idCol: String, queryVec: Seq[Double], k: Int,
       nProbe: Int, excludeId: Option[Long] = None): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
+    requireSingleAssign(spark, path, "ivfSq8Probe")
     val probed = probeBuckets(readQuantizer(spark, path), queryVec, nProbe)
     val (mn, mx) = readSq8Range(spark, path)
     val scale = (mx - mn) / 255.0
@@ -766,6 +843,7 @@ object Similarity {
       path: String, idCol: String, queryVec: Seq[Double], k: Int,
       probed: Seq[Int], excludeId: Option[Long]): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
+    requireSingleAssign(spark, path, "ivfPqProbe")
     val books = readPqBooks(spark, path)
     val ds = books.head.head._2.length
     require(queryVec.length == books.length * ds,
@@ -847,6 +925,7 @@ object Similarity {
       idCol: String, vecCol: String, queries: Seq[(Long, Seq[Double])],
       k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
+    requireSingleAssign(spark, path, "ivfProbeBatch")
     require(queries.nonEmpty, "ivfProbeBatch: no query vectors")
     val cents = readQuantizer(spark, path)
     val rows = queries.map { case (qid, qv) =>

@@ -287,4 +287,62 @@ class IvfLayoutSpec extends SparkSpec {
     assert(p3 !== p1)
     assert(trained === 2)
   }
+
+  test("multi-assignment layout: each vector in its top-2 buckets, probe dedups") {
+    val path = Files.createTempDirectory("graft_ivf_ma").toString + "/emb"
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.trainQuantizer(emb, "vec_id", "embedding",
+      k = 8, iters = 2, salt = "spec")
+    Similarity.writeIvfLayout(emb, "vec_id", "embedding", cents, path,
+      assign = 2)
+    val n = emb.count()
+    val layout = spark.read.parquet(path)
+    // every vector written exactly twice, to two DISTINCT buckets
+    assert(layout.count() === 2 * n)
+    val perVec = layout.groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), countDistinct("ivf_bucket").as("nb"))
+    assert(perVec.filter(col("n") =!= 2 || col("nb") =!= 2).count() === 0)
+    // the written pair IS the top-2 by centroid cosine for a spot vector
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val expect = cents.sortBy { case (b, c) => (-cos(c, v0), -b) }
+      .take(2).map(_._1).toSet
+    val got = layout.filter(col("vec_id") === 0)
+      .select("ivf_bucket").collect().map(_.getInt(0)).toSet
+    assert(got === expect)
+    // the probe collapses copies: no duplicate ids at any nProbe
+    val q = v0
+    val pr = Similarity.ivfProbe(spark, path, "vec_id", "embedding", q,
+      k = 20, nProbe = 4, excludeId = Some(0L)).collect()
+    val ids = pr.map(_.getLong(0)).toSeq
+    assert(ids.distinct.length === ids.length, ids)
+    // ... and the reported bucket is the LOWEST of the probed copies
+    // (the min-struct tie rule the oracle replays)
+    assert(Similarity.layoutAssign(spark, path) === 2)
+  }
+
+  test("quantized tiers reject a multi-assigned layout loudly") {
+    val path = Files.createTempDirectory("graft_ivf_ma2").toString + "/emb"
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.writeIvfLayout(emb, "vec_id", "embedding",
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = 4, iters = 1, salt = "spec"), path, assign = 2)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfSq8Probe(spark, path, "vec_id", q, k = 5, nProbe = 1)
+    }
+    assert(e.getMessage.contains("multi-assigned"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfProbeBatch(spark, path, "vec_id", "embedding",
+        Seq((0L, q)), k = 5, nProbe = 1)
+    }
+    assert(e2.getMessage.contains("multi-assigned"))
+  }
 }
