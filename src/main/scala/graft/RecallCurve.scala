@@ -148,6 +148,24 @@ object RecallCurve {
     val ivfPqFlags = monotoneFlags("IVF-PQ shortlist",
       ivfPqPoints.map(_._1), ivfPqPoints.map(_._2))
 
+    // ---- residual-vs-raw PQ encoding, measured fairly: mean raw-ADC
+    // recall vs the float probe on the SAME buckets for both encodings
+    // (the same quantizer serves both layouts, so the float reference
+    // sets are shared). On THIS corpus — isotropic random embeddings,
+    // weak coarse clusters — residuals are nearly as large as the
+    // vectors and the faiss encoding has little to win; the number is
+    // reported as measured either way (the clustered-data advantage is
+    // pinned in SimilaritySpec instead, where the theory applies).
+    val rpqPath = SparkEntry.ivfLayoutResidual(spark, sfDir)
+    def pqProbeRecall(p: String): Double = qvs.map { case (qid, v) =>
+      Similarity.ivfPqProbe(spark, p, "vec_id", v, k = 10,
+          nProbe = ivfPqNProbe, excludeId = Some(qid))
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        .intersect(flByQ(qid)).size / 10.0
+    }.sum / qvs.length
+    val rawAdcRecall = pqProbeRecall(path)
+    val rpqAdcRecall = pqProbeRecall(rpqPath)
+
     // ---- multi-assignment sweep: the assign=2 layout (each vector in
     // its top-2 coarse buckets, 2× storage) probed at every nProbe,
     // END-TO-END recall vs global exact — against the single-assign
@@ -204,6 +222,11 @@ object RecallCurve {
              f"""      {"shortlist": $s, "recall_at_10": $r%.3f, "recall_vs_exact_at_10": $re%.3f, "monotone": $m}"""
            }.mkString(",\n")}
          |    ]
+         |  },
+         |  "residual_pq": {
+         |    "what": "mean raw-ADC recall@10 vs the float probe on the SAME n_probe=$ivfPqNProbe buckets, raw encoding vs residual (faiss) encoding, $nQueries queries sharing one quantizer; on this isotropic corpus coarse clusters are weak, residuals are nearly full-size, and the residual encoding is expected to buy ~nothing — reported as measured; the clustered-data advantage is pinned in SimilaritySpec",
+         |    "recall_raw_adc": ${f"$rawAdcRecall%.3f"},
+         |    "recall_residual_adc": ${f"$rpqAdcRecall%.3f"}
          |  },
          |  "multi_assign": {
          |    "what": "assign=2 layout (each vector in its top-2 coarse buckets, 2x storage): end-to-end recall@10 vs GLOBAL exact per n_probe, against the single-assign layout at the same n_probe — coverage bought at write time (storage, once) vs read time (n_probe, per query); scanned_frac counts the ma layout's copies, so it prices the read amplification too",

@@ -124,6 +124,27 @@ object SparkEntry {
       assign = IvfAssign)
   }
 
+  /** Build-once RESIDUAL IVF-PQ layout: same quantizer recipe as
+    * [[ivfLayout]], but `pq_code` encodes r = x − c_bucket against
+    * codebooks trained on residuals ([[Similarity.pqCodebooksResidual]],
+    * salts rpq0..) — the faiss `IVF*,PQ*` encoding. A separate cache
+    * entry: the encoding is part of the layout format. The quantizer and
+    * codebooks are by-name/lazy, so a warm hit trains neither.
+    */
+  private[graft] def ivfLayoutResidual(s: SparkSession,
+      dir: String): String = {
+    val emb = Tables.embeddings(s, dir)
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    lazy val cents = Similarity.trainQuantizer(emb, "vec_id", "embedding",
+      k = IvfK, iters = IvfIters, salt = IvfSalt)
+    Similarity.ensureIvfLayout(emb, "vec_id", "embedding", cents,
+      s"$dir:${src.length}:${src.lastModified}:km${IvfK}x$IvfIters:" +
+        s"$IvfSalt:rpq${PqM}x$PqKc",
+      pqBooks = Similarity.pqCodebooksResidual(emb, "vec_id", "embedding",
+        cents, m = PqM, codebookK = PqKc),
+      withPq = true, pqResidual = true)
+  }
+
   /** [[ivfLayout]] plus one query-point lookup (a pushed-down 1-row
     * collect — the ANN query argument).
     */
@@ -159,9 +180,14 @@ object SparkEntry {
     * unprefixed instantiation is byte-for-byte the replay every IVF/
     * k-means oracle has always used.
     */
+  /** `src` swaps the training corpus (any prior CTE exposing `vec_id` +
+    * the columns `vExpr` reads — the residual-PQ chains train on a
+    * `resid` CTE); the default is byte-for-byte the historical replay.
+    */
   private def LloydCtes(k: Int, salt: String, pfx: String = "",
-      vExpr: String = "CAST(embedding AS DOUBLE[])"): String =
-    s"""${pfx}e AS (SELECT vec_id, $vExpr AS v FROM embeddings),
+      vExpr: String = "CAST(embedding AS DOUBLE[])",
+      src: String = "embeddings"): String =
+    s"""${pfx}e AS (SELECT vec_id, $vExpr AS v FROM $src),
        |${pfx}u AS (SELECT vec_id, v,
        |        ('0x' || substring(md5(vec_id::VARCHAR || '|$salt'), 1, 15))::BIGINT
        |          / 1152921504606846976.0 AS draw FROM ${pfx}e),
@@ -275,6 +301,55 @@ object SparkEntry {
        |    $n2 AS n2,
        |    list_dot_product(q.q, q.q) AS qn2
        |  FROM pqa0 a0 $joins, pqq q
+       |  WHERE a0.vec_id <> $queryVecId)""".stripMargin
+  }
+
+  /** The RESIDUAL IVF-PQ replay: requires the [[IvfCtes]] prefix (asg,
+    * cent, q). `resid` computes r = x − c(bucket); [[PqM]] prefixed
+    * [[LloydCtes]] chains train codebooks ON the residual slices (salts
+    * rpq0..rpq{M−1}, src = resid); per-subspace argmax assignment; and
+    * the score reconstructs x̂ = c_bucket + r̂ — the exact coarse term
+    * plus ADC, with the two cross terms (dot(q, c_b) and dot(c_b,ⱼ, r̂ⱼ))
+    * the raw-PQ score has no need for. Ends in
+    * `rsc(vec_id, ivf_bucket, dt, n2, qn2)`.
+    */
+  private def RPqCtesBody(queryVecId: Long): String = {
+    val ds = PqDim / PqM
+    def lo(j: Int) = j * ds + 1
+    def hi(j: Int) = (j + 1) * ds
+    val js = 0 until PqM
+    val chains = js.map(j => LloydCtes(PqKc, s"rpq$j", s"r$j",
+      s"rv[${lo(j)}:${hi(j)}]", src = "resid")).mkString(",\n")
+    val asgs = js.map(j =>
+      s"""rpa$j AS (SELECT vec_id, b FROM (
+         |          SELECT e.vec_id, c.b,
+         |            row_number() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${ListCosSql("e.v", "c.cv")} DESC, c.b DESC) AS rn
+         |          FROM r${j}e e, r${j}c2 c) WHERE rn = 1)""".stripMargin)
+      .mkString(",\n")
+    val dt = "list_dot_product(q.qv, c.c) + " +
+      js.map(j => s"list_dot_product(q.qv[${lo(j)}:${hi(j)}], cb$j.cv)")
+        .mkString(" + ")
+    val n2 = "list_dot_product(c.c, c.c) + 2 * (" +
+      js.map(j => s"list_dot_product((c.c)[${lo(j)}:${hi(j)}], cb$j.cv)")
+        .mkString(" + ") + ") + " +
+      js.map(j => s"list_dot_product(cb$j.cv, cb$j.cv)").mkString(" + ")
+    val joins = js.tail.map(j => s"JOIN rpa$j a$j USING (vec_id)")
+      .mkString(" ") + " " +
+      js.map(j => s"JOIN r${j}c2 cb$j ON cb$j.b = a$j.b").mkString(" ")
+    s"""resid AS (SELECT a.vec_id,
+       |    list_transform(generate_series(1, len(a.v)),
+       |      i -> a.v[i] - c.c[i]) AS rv
+       |  FROM asg a JOIN cent c ON a.ivf_bucket = c.b),
+       |$chains,
+       |$asgs,
+       |rsc AS (SELECT a0.vec_id, g.ivf_bucket,
+       |    $dt AS dt,
+       |    $n2 AS n2,
+       |    list_dot_product(q.qv, q.qv) AS qn2
+       |  FROM rpa0 a0 $joins
+       |    JOIN asg g ON g.vec_id = a0.vec_id
+       |    JOIN cent c ON g.ivf_bucket = c.b, q
        |  WHERE a0.vec_id <> $queryVecId)""".stripMargin
   }
 
@@ -1044,6 +1119,37 @@ object SparkEntry {
     // ---- IVF-PQ recall vs the float probe on the SAME probed buckets ----
     "q_ann_ivf_pq_recall" -> ((s, dir) => {
       val (path, qv) = ivfLayoutAndQuery(s, dir, queryVecId = 0L)
+      val pq = Similarity.ivfPqProbe(s, path, "vec_id", qv, k = 10,
+        nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
+      val fl = Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
+        k = 10, nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
+      pq.join(fl, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10).as("k"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall"))
+    }),
+
+    // ---- RESIDUAL IVF-PQ (the faiss IVF*,PQ* encoding): codes
+    //      quantize x − c_bucket against residual-trained codebooks;
+    //      the probe reconstructs x̂ = c_bucket + r̂ with driver-side
+    //      cross tables — same m-byte payload, exact coarse term ----
+    "q_ann_ivf_rpq" -> ((s, dir) => {
+      val path = ivfLayoutResidual(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0)
+      Similarity.ivfPqProbe(s, path, "vec_id", qv, k = 10, nProbe = 2,
+        excludeId = Some(0L))
+    }),
+
+    // ---- residual-vs-raw measured: recall vs the float probe on the
+    //      SAME buckets — q_ann_ivf_pq_recall's twin on the residual
+    //      encoding, so the faiss-encoding gain is an oracled number ----
+    "q_ann_ivf_rpq_recall" -> ((s, dir) => {
+      val path = ivfLayoutResidual(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0)
       val pq = Similarity.ivfPqProbe(s, path, "vec_id", qv, k = 10,
         nProbe = 2, excludeId = Some(0L)).select(col("vec_id"))
       val fl = Similarity.ivfProbe(s, path, "vec_id", "embedding", qv,
@@ -2547,6 +2653,34 @@ object SparkEntry {
          |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
          |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
          |FROM pqp JOIN fl USING (vec_id)""".stripMargin,
+    // Residual IVF-PQ replay: the layout replay spliced with the
+    // residual chains — resid = x − c(bucket), codebooks trained ON
+    // residual slices, score reconstructs c_bucket + r̂ with the cross
+    // terms. ORDER BY the ROUNDED score + vec_id.
+    "q_ann_ivf_rpq" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)},
+         |${RPqCtesBody(queryVecId = 0)}
+         |SELECT s.vec_id, s.ivf_bucket,
+         |  round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) AS cosine_pq
+         |FROM rsc s WHERE s.ivf_bucket IN (SELECT b FROM probed)
+         |ORDER BY round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) DESC, s.vec_id
+         |LIMIT 10""".stripMargin,
+    // Residual-vs-float recall over the SAME probed buckets (the
+    // q_ann_ivf_pq_recall shape on the residual encoding).
+    "q_ann_ivf_rpq_recall" ->
+      s"""${IvfCtes(queryVecId = 0, nProbe = 2)},
+         |${RPqCtesBody(queryVecId = 0)},
+         |pr AS (SELECT a.vec_id, a.v FROM asg a
+         |       WHERE a.ivf_bucket IN (SELECT b FROM probed) AND a.vec_id <> 0),
+         |rqp AS (SELECT s.vec_id FROM rsc s JOIN pr USING (vec_id)
+         |        ORDER BY round(s.dt / (sqrt(s.n2) * sqrt(s.qn2)), 6) DESC, s.vec_id
+         |        LIMIT 10),
+         |fl AS (SELECT vec_id FROM pr, q
+         |       ORDER BY ${ListCosSql("pr.v", "qv")} DESC, vec_id
+         |       LIMIT 10)
+         |SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+         |FROM rqp JOIN fl USING (vec_id)""".stripMargin,
     // Composed IVF-PQ + rerank replay: probed buckets → ADC shortlist of
     // 50 → exact float cosine over the shortlist rows only, every LIMIT
     // boundary on the rounded score + id.

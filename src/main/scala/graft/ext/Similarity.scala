@@ -147,6 +147,58 @@ object Similarity {
     }
   }
 
+  /** The assigned coarse centroid as a literal array column: a when-chain
+    * over the driver-resident quantizer keyed on the bucket column —
+    * k × d literals inside one codegen'd projection, no join. Shared by
+    * the residual computation at index-build time and nothing else (the
+    * probe side works per-probed-bucket with scalar tables instead).
+    */
+  private def centArrayFor(cents: Seq[(Int, Seq[Double])],
+      bucketCol: Column): Column =
+    cents.tail.foldLeft(
+      when(bucketCol === cents.head._1,
+        array(cents.head._2.map(lit).toIndexedSeq: _*))) {
+      case (acc, (b, vec)) =>
+        acc.when(bucketCol === b, array(vec.map(lit).toIndexedSeq: _*))
+    }
+
+  /** RESIDUAL PQ codebooks (the faiss `IVF*,PQ*` encoding, Jégou et al.
+    * 2011 §IV): codebooks are trained on r = x − c(bucket) — what's LEFT
+    * after the coarse quantizer explains its part — instead of on raw
+    * vectors. The residual's magnitude is a fraction of ‖x‖, so the same
+    * m × codebookK code budget models a much smaller space and the
+    * reconstruction x̂ = c_bucket + r̂ starts from an exact term; raw-PQ
+    * codebooks spend the whole budget re-describing what the quantizer
+    * already knew. Training is [[trainQuantizer]] per residual slice
+    * (salted per subspace like [[pqCodebooks]]) over ONE residual
+    * projection: assignment + subtraction ride the scan as codegen'd
+    * literal arithmetic, no join. An exactly-zero residual (a vector ON
+    * its centroid) has an undefined cosine against every codebook entry
+    * (NaN sorts greatest in both engines — deterministic, arbitrary);
+    * measure-zero on real data and absent from the testdata.
+    */
+  def pqCodebooksResidual(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], m: Int = 2, codebookK: Int = 16,
+      iters: Int = 2, salt: String = "rpq"): Seq[Seq[(Int, Seq[Double])]] = {
+    require(cents.nonEmpty, "pqCodebooksResidual: empty quantizer")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val emb = withDoubleVec(df, vecCol)
+    val dim = cents.head._2.length
+    require(dim % m == 0,
+      s"pqCodebooksResidual: dim $dim not divisible by m = $m")
+    val ds = dim / m
+    val resid = assignNearest(emb, cents)
+      .withColumn("__r",
+        zip_with(col("__e"), centArrayFor(cents, col("__b")),
+          (x, c) => x - c))
+    (0 until m).map { j =>
+      trainQuantizer(
+        resid.select(col(idCol),
+          slice(col("__r"), j * ds + 1, ds).as("__sub")),
+        idCol, "__sub", codebookK, iters, s"$salt$j")
+    }
+  }
+
   /** Argmax PQ encode of one subspace: nearest codebook entry by native
     * cosine, ties to the highest code id (lexicographic struct max — the
     * [[assignBuckets]] tie-break, matching every SQL replay's
@@ -520,11 +572,17 @@ object Similarity {
   def writeIvfLayout(df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])], path: String,
       pqBooks: Seq[Seq[(Int, Seq[Double])]] = Seq.empty,
-      assign: Int = 1): Unit = {
+      assign: Int = 1, pqResidual: Boolean = false): Unit = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     require(cents.nonEmpty, "writeIvfLayout: empty quantizer")
     require(assign >= 1 && assign <= cents.length,
       s"writeIvfLayout: assign $assign outside 1..${cents.length}")
+    require(!pqResidual || pqBooks.nonEmpty,
+      "writeIvfLayout: pqResidual without pqBooks — train residual " +
+        "codebooks with pqCodebooksResidual and pass them")
+    require(!(pqResidual && assign > 1),
+      "writeIvfLayout: residual PQ with multi-assignment would store a " +
+        "different code per copy; the quantized tiers are single-assign")
     val scored = cents.map { case (b, vec) =>
       struct(
         call_function(graft.plans.GraftFunctions.CosineName,
@@ -550,9 +608,16 @@ object Similarity {
       if (pqBooks.isEmpty) identity
       else { d =>
         val ds = pqBooks.head.head._2.length
+        // residual layouts encode r = x − c(bucket) slices (the bucket
+        // column exists by now); raw layouts encode the vector slices
+        val enc =
+          if (pqResidual)
+            zip_with(col("__e"), centArrayFor(cents, col("ivf_bucket")),
+              (x, c) => x - c)
+          else col("__e")
         d.withColumn("pq_code", array(pqBooks.zipWithIndex.map {
           case (book, j) =>
-            pqCodeCol(book, slice(col("__e"), j * ds + 1, ds))
+            pqCodeCol(book, slice(enc, j * ds + 1, ds))
         }.toIndexedSeq: _*))
       }
     // assign = 1 keeps the original array_max plan; assign > 1 takes the
@@ -581,8 +646,8 @@ object Similarity {
     df.sparkSession.createDataFrame(Seq((mn, mx)))
       .toDF("mn", "mx")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_sq8")
-    df.sparkSession.createDataFrame(Seq(Tuple1(assign)))
-      .toDF("assign")
+    df.sparkSession.createDataFrame(Seq((assign, pqResidual)))
+      .toDF("assign", "pq_residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
     if (pqBooks.nonEmpty)
       df.sparkSession.createDataFrame(pqBooks.zipWithIndex.flatMap {
@@ -609,7 +674,8 @@ object Similarity {
       quantizer: => Seq[(Int, Seq[Double])],
       cacheKey: String,
       pqBooks: => Seq[Seq[(Int, Seq[Double])]] = Seq.empty,
-      withPq: Boolean = false, assign: Int = 1): String = synchronized {
+      withPq: Boolean = false, assign: Int = 1,
+      pqResidual: Boolean = false): String = synchronized {
     // collision-free dir name: md5 of the RAW key (a lossy char-class
     // sanitization could collide two distinct keys onto one layout and
     // silently probe the wrong index). The "k" prefix keeps the name from
@@ -627,7 +693,8 @@ object Similarity {
     // a non-pq layout, or two assignment factors, of one corpus are
     // different formats and must never share a dir.
     val key = "k" + java.security.MessageDigest.getInstance("MD5")
-      .digest((s"pqv4:$withPq:a$assign|" + cacheKey).getBytes("UTF-8"))
+      .digest((s"pqv5:$withPq:a$assign:r$pqResidual|" + cacheKey)
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val user = sys.props.getOrElse("user.name", "anon")
       .replaceAll("[^A-Za-z0-9._-]", "_")
@@ -643,7 +710,7 @@ object Similarity {
       new java.io.File(s"$path/_meta", "_SUCCESS").exists() &&
       (!withPq || new java.io.File(s"$path/_pq", "_SUCCESS").exists())
     if (!complete) writeIvfLayout(df, idCol, vecCol, quantizer, path,
-      if (withPq) pqBooks else Seq.empty, assign)
+      if (withPq) pqBooks else Seq.empty, assign, pqResidual)
     path
   }
 
@@ -711,12 +778,36 @@ object Similarity {
     * directly via [[writeIvfLayout]] by older callers/tests).
     */
   private[graft] def layoutAssign(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int = {
+      path: String): Int = layoutMeta(spark, path)._1
+
+  /** True when the layout's `pq_code` column encodes residuals
+    * (r = x − c_bucket) rather than raw vector slices — the probe must
+    * score with the matching reconstruction or every ADC value is wrong.
+    */
+  private[graft] def layoutPqResidual(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    layoutMeta(spark, path)._2
+
+  /** (assign, pq_residual) from the `_meta` sidecar; (1, false) for
+    * layouts written before the sidecar (or each column) existed —
+    * pre-v4/v5 cache dirs are invalidated by the version key, so this
+    * only covers layouts written directly via [[writeIvfLayout]] by
+    * older callers/tests.
+    */
+  private def layoutMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Boolean) = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 1
-    else spark.read.parquet(sidecarParts(spark, s"$path/_meta"): _*)
-      .collect().head.getInt(0)
+    if (!fs.exists(p)) (1, false)
+    else {
+      val df = spark.read.parquet(sidecarParts(spark, s"$path/_meta"): _*)
+      val r = df.collect().head
+      val names = df.schema.fieldNames
+      (r.getInt(names.indexOf("assign")),
+        if (names.contains("pq_residual"))
+          r.getBoolean(names.indexOf("pq_residual"))
+        else false)
+    }
   }
 
   /** Guard for the serving tiers that do not (yet) dedup multi-assigned
@@ -857,10 +948,50 @@ object Similarity {
     val n2Sum = books.indices
       .map(j => pqLookup(element_at(col("pq_code"), j + 1), norms(j)))
       .reduce(_ + _)
+    // RESIDUAL layouts reconstruct x̂ = c_bucket + r̂: the score picks up
+    // the exact coarse term and two cross terms, all driver metadata —
+    //   dot(q, x̂)  = dot(q, c_b)            [per probed bucket]
+    //              + Σⱼ dot(qⱼ, r̂ⱼ)         [the shared ADC dot table]
+    //   ‖x̂‖²       = ‖c_b‖²                 [per probed bucket]
+    //              + 2·Σⱼ dot(c_b,ⱼ, r̂ⱼ)    [per (probed bucket, j, code)]
+    //              + Σⱼ ‖r̂ⱼ‖²               [the shared ADC norm table]
+    // The cross tables are nProbe · m · codebookK doubles — when-chains
+    // keyed on ivf_bucket over the PROBED buckets only, so the scan
+    // still reads just (id, bucket, pq_code).
+    val cos =
+      if (!layoutPqResidual(spark, path))
+        dotSum / (sqrt(n2Sum) * lit(qNorm))
+      else {
+        val centMap = readQuantizer(spark, path).toMap
+        def slices(c: Seq[Double]) =
+          books.indices.map(j => c.slice(j * ds, (j + 1) * ds))
+        def bucketChain(f: Int => Column): Column =
+          probed.tail.foldLeft(
+            when(col("ivf_bucket") === probed.head, f(probed.head))) {
+            (acc, b) => acc.when(col("ivf_bucket") === b, f(b))
+          }
+        val qc = bucketChain { b =>
+          lit(centMap(b).zip(queryVec).map { case (x, y) => x * y }.sum)
+        }
+        val cn2 = bucketChain { b =>
+          lit(centMap(b).map(x => x * x).sum)
+        }
+        val cross = bucketChain { b =>
+          val cs = slices(centMap(b))
+          books.indices.map { j =>
+            val table = books(j).map { case (code, entry) =>
+              code -> entry.zip(cs(j)).map { case (x, y) => x * y }.sum
+            }.toMap
+            pqLookup(element_at(col("pq_code"), j + 1), table)
+          }.reduce(_ + _)
+        }
+        (qc + dotSum) /
+          (sqrt(cn2 + lit(2.0) * cross + n2Sum) * lit(qNorm))
+      }
     val scanned = spark.read.parquet(path)
       .filter(col("ivf_bucket").isin(probed.toIndexedSeq: _*))
     excludeId.fold(scanned)(id => scanned.filter(col(idCol) =!= id))
-      .withColumn("__cos", dotSum / (sqrt(n2Sum) * lit(qNorm)))
+      .withColumn("__cos", cos)
       .orderBy(round(col("__cos"), 6).desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("ivf_bucket"),

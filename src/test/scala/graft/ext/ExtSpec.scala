@@ -435,6 +435,69 @@ class SimilaritySpec extends SparkSpec {
     assert(negs.forall(_.getAs[Long]("qid") === 0L))
   }
 
+  test("residual PQ recovers within-cluster ranking that raw PQ collapses") {
+    // two tight coarse clusters; cluster A's members deviate ±y from the
+    // centroid. Raw-PQ codebooks (K=2/subspace) spend both entries
+    // separating cluster A from B, so every A member encodes IDENTICALLY
+    // and the ADC score cannot rank inside the cluster; residual
+    // codebooks see only the deviations (x − c_bucket) and split the +y
+    // members from the −y members — the faiss-encoding win, on data
+    // where clusters are real (the isotropic-testdata numbers in
+    // ANN_RECALL.json show ~no gain there, as theory predicts).
+    val d = Seq(
+      (0L, 0, Array(1.0f, 0.2f, 1.0f, 0.2f)),    // A, +y (the query)
+      (1L, 0, Array(1.0f, 0.18f, 1.0f, 0.18f)),  // A, +y — true nearest
+      (2L, 0, Array(1.0f, -0.2f, 1.0f, -0.2f)),  // A, −y
+      (3L, 0, Array(1.0f, -0.18f, 1.0f, -0.18f)),// A, −y
+      (4L, 1, Array(0.0f, 1.0f, 0.0f, 1.0f)),    // B
+      (5L, 1, Array(0.1f, 0.9f, 0.1f, 0.9f)))    // B
+      .toDF("vec_id", "label", "embedding")
+    val cents = Similarity.trainQuantizer(d, "vec_id", "embedding",
+      k = 2, iters = 2, salt = "rspec")
+    val q = Seq(1.0, 0.2, 1.0, 0.2)
+
+    val rawPath = java.nio.file.Files
+      .createTempDirectory("graft_rpq_raw").toString + "/emb"
+    Similarity.writeIvfLayout(d, "vec_id", "embedding", cents, rawPath,
+      pqBooks = Similarity.pqCodebooks(d, "vec_id", "embedding",
+        m = 2, codebookK = 2))
+    val resPath = java.nio.file.Files
+      .createTempDirectory("graft_rpq_res").toString + "/emb"
+    Similarity.writeIvfLayout(d, "vec_id", "embedding", cents, resPath,
+      pqBooks = Similarity.pqCodebooksResidual(d, "vec_id", "embedding",
+        cents, m = 2, codebookK = 2),
+      pqResidual = true)
+    assert(!Similarity.layoutPqResidual(spark, rawPath))
+    assert(Similarity.layoutPqResidual(spark, resPath))
+
+    // raw layout: every cluster-A member carries the SAME code vector —
+    // the within-cluster signal is gone at write time
+    val rawCodes = spark.read.parquet(rawPath)
+      .filter(col("vec_id") < 4).select("pq_code")
+      .collect().map(_.getSeq[Int](0)).toSeq
+    assert(rawCodes.distinct.length === 1, rawCodes)
+    // residual layout: the +y and −y members encode differently
+    val resCodes = spark.read.parquet(resPath)
+      .filter(col("vec_id") < 4).select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(resCodes(0L) === resCodes(1L))
+    assert(resCodes(2L) === resCodes(3L))
+    assert(resCodes(0L) !== resCodes(2L), resCodes)
+
+    // probe consequence: raw ADC ties all three cluster-mates (identical
+    // codes → identical scores, order is the id tie-break)…
+    val raw = Similarity.ivfPqProbe(spark, rawPath, "vec_id", q,
+      k = 3, nProbe = 1, excludeId = Some(0L)).collect()
+    assert(raw.map(_.getAs[Double]("cosine_pq")).distinct.length === 1,
+      raw.mkString(", "))
+    // …while the residual probe ranks the true +y mate STRICTLY first
+    val res = Similarity.ivfPqProbe(spark, resPath, "vec_id", q,
+      k = 3, nProbe = 1, excludeId = Some(0L)).collect()
+    assert(res.head.getLong(0) === 1L, res.mkString(", "))
+    assert(res.head.getAs[Double]("cosine_pq") >
+      res(1).getAs[Double]("cosine_pq"), res.mkString(", "))
+  }
+
   test("centroids: mean vector per bucket, dims in order") {
     val c = Similarity.centroids(vecs, "label", "embedding")
       .filter($"label" === 1).select("centroid").as[Seq[Double]].collect().head
