@@ -1295,6 +1295,14 @@ object SparkEntry {
         "s2", Seq("en" -> 0.5, "es" -> 0.25, "zh" -> 0.125))
         .select(col("doc_id"), col("lang"))),
 
+    // ---- EXACT-N per-group quota sample: the 10 smallest md5 draws
+    //      per source win — two-phase (count -> draw pre-filter -> rank
+    //      over survivors) so no stratum ever sorts whole in one task ----
+    "q_sample_group_n" -> ((s, dir) =>
+      Curate.sampleExactN(Tables.documents(s, dir), "doc_id", "source",
+        n = 10, salt = "sN")
+        .select(col("doc_id"), col("source"), round(col("__u"), 6).as("u"))),
+
     // ---- memorization-risk audit: per doc, the fraction of its distinct
     //      8-shingles that appear in >= 2 corpus documents (cross-doc
     //      duplicated spans — the memorization amplifier span-level dedup
@@ -2889,6 +2897,21 @@ object SparkEntry {
         |      / 1152921504606846976.0
         |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
         |              WHEN 'zh' THEN 0.125 ELSE 0.0 END""".stripMargin,
+    // Two-phase exact-N replay: per-source counts, the safety*n/cnt draw
+    // pre-filter (part of the defined semantics), exact rank over the
+    // survivors — ties impossible at distinct md5 draws.
+    "q_sample_group_n" ->
+      """WITH u AS (SELECT doc_id, source,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || '|sN'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        |f AS (SELECT u.doc_id, u.source, u.u FROM u JOIN c USING (source)
+        |      WHERE u.u < least(1.0, 4.0 * 10 / c.cnt)),
+        |r AS (SELECT doc_id, source, u FROM f
+        |      QUALIFY row_number() OVER (PARTITION BY source
+        |        ORDER BY u, doc_id) <= 10)
+        |SELECT doc_id, source, round(u, 6) AS u FROM r""".stripMargin,
     // Doc-frequency over distinct string shingles ≡ the Spark side's
     // 64-bit hashed counts (same modulo-collision argument as
     // q_ngram_jaccard); integer counts exact, one double ratio.

@@ -89,6 +89,43 @@ object Curate {
     df.filter(uniformDraw(col(keyCol), salt) < frac)
   }
 
+  /** EXACT-N per-group deterministic sample — the quota form the
+    * fraction-based [[sampleStratified]] can't promise ("give me exactly
+    * 50 eval docs per language"): within each stratum, the `n` rows with
+    * the smallest md5 draws win. Key-deterministic like every draw here
+    * — rerunnable, engine-portable, and a superset property holds
+    * (growing `n` only adds rows; the draw order never reshuffles).
+    *
+    * Scale shape: the naive form is one `row_number` window per stratum
+    * — a hot stratum (billions of rows) SORTS in a single task, the
+    * ntile trap [[curriculumBins]] avoids. This is the two-phase escape:
+    * per-stratum counts (one map-side-combinable agg, group-cardinality
+    * sized — broadcasts back), a draw pre-filter at `safety · n / cnt`
+    * that keeps ~`safety·n` expected survivors per stratum, and the
+    * exact rank only over the survivors — the window partition is
+    * bounded by the safety margin, not by the stratum. The pre-filter
+    * is PART of the defined semantics (both engines replay it), and a
+    * shortfall needs the smallest-draw count to undershoot `n` by
+    * `safety`× — Chernoff-improbable and, being key-deterministic,
+    * identical in every engine if it ever happens. Strata with fewer
+    * than `n` rows keep everything (the threshold caps at 1).
+    */
+  def sampleExactN(df: DataFrame, keyCol: String, strataCol: String,
+      n: Int, salt: String, safety: Double = 4.0): DataFrame = {
+    require(n > 0, s"n must be positive (got $n)")
+    require(safety >= 1.0, s"safety must be >= 1 (got $safety)")
+    val cnt = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__u"), col(keyCol))
+    df.withColumn("__u", uniformDraw(col(keyCol), salt))
+      .join(broadcast(cnt), Seq(strataCol))
+      .filter(col("__u") < least(lit(1.0),
+        lit(safety * n) / col("__cnt")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__cnt", "__rn")
+  }
+
   /** Domain-mixing plan: given target mixture weights per group (source,
     * language, domain — the DoReMi/Pile-style recipe) and a total token
     * budget, compute each group's available tokens, its target share of

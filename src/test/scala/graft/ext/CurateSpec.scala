@@ -264,6 +264,31 @@ class CurateSpec extends SparkSpec {
     assert(draw().map(_.getLong(0)).toSeq === s1.map(_.getLong(0)).toSeq)
   }
 
+  test("sampleExactN: exact quotas, superset on n growth, small strata kept whole") {
+    val rows = (0L until 300L).map(i => (i, s"g${i % 3}")) ++
+      Seq((1000L, "tiny"), (1001L, "tiny")) // stratum under n
+    val df = rows.toDF("id", "g")
+    val s10 = Curate.sampleExactN(df, "id", "g", n = 10, salt = "q")
+      .select("id", "g").collect().map(r => (r.getLong(0), r.getString(1)))
+    val by = s10.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(by === Map("g0" -> 10, "g1" -> 10, "g2" -> 10, "tiny" -> 2))
+    // deterministic across reruns
+    val again = Curate.sampleExactN(df, "id", "g", n = 10, salt = "q")
+      .select("id", "g").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sortBy(_._1).toSeq === s10.sortBy(_._1).toSeq)
+    // superset: n=20 contains every n=10 winner (draw order is fixed)
+    val s20 = Curate.sampleExactN(df, "id", "g", n = 20, salt = "q")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s10.map(_._1).toSet.subsetOf(s20))
+    // a different salt re-draws
+    val alt = Curate.sampleExactN(df, "id", "g", n = 10, salt = "q2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(alt !== s10.map(_._1).toSet)
+    assert(intercept[IllegalArgumentException] {
+      Curate.sampleExactN(df, "id", "g", n = 0, salt = "q")
+    }.getMessage.contains("positive"))
+  }
+
   test("dropBoilerplate strips hot lines, keeps order, handles edge docs") {
     val docs = Seq(
       (1L, "intro A\nSUBSCRIBE NOW\nbody one"),
