@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Curate, Dedup, Similarity, TextStats}
 import graft.sources.Tables
 
 /** Empirical 10×-scale posture check for the dedup family — the backstop
@@ -575,6 +575,34 @@ object Posture {
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 
+    // ---- boilerplate-removal posture -------------------------------
+    // dropBoilerplate is one explode + two shuffles (segment-hash df
+    // table with an exchange-reused join back, then the per-doc
+    // regroup). Healthy = ~linear time, flat peak mem, and the dropped
+    // instance count grows EXACTLY 10x: shards are token-salted, so
+    // cross-shard segments never merge and each shard replicates the
+    // base corpus's df profile — any deviation from 10.00 would mean
+    // segment-hash collisions or cross-shard leakage.
+    def boiler(d: DataFrame) = Curate.dropBoilerplate(
+      d, "doc_id", "text", minDocs = 3, out = "clean", chunkTokens = 3)
+    corpora.foreach { case (_, d) => consume(boiler(d)) } // warmup
+    val bRuns = corpora.map { case (lbl, d) =>
+      var nb = 0L
+      val t = timedRuns(() =>
+        nb = boiler(d).agg(sum(col("n_boiler"))).head.getLong(0))
+      lbl -> ((nb, t))
+    }.toMap
+    val boilerJson = {
+      val (nb1, (s1, m1, sp1)) = bRuns("1x")
+      val (nb10, (s10, m10, sp10)) = bRuns("10x")
+      f"""  "boilerplate": {
+         |    "what": "cross-document boilerplate removal (3-token segments, minDocs=3) at 1x vs 10x: one explode + two shuffles; healthy = ~linear time, flat peak mem, boiler_growth exactly 10.00 (token-salted shards cannot share segments, so each shard replicates the base df profile — a deviation would mean hash collisions or cross-shard leakage)",
+         |    "boiler_1x": $nb1, "boiler_10x": $nb10, "boiler_growth": ${nb10.toDouble / math.max(1, nb1)}%.2f,
+         |    "sec_1x": $s1%.2f, "sec_10x": $s10%.2f, "time_growth": ${s10 / s1}%.2f,
+         |    "peak_task_mem_mb_1x": ${m1 / 1048576}, "peak_task_mem_mb_10x": ${m10 / 1048576},
+         |    "spill_mb_1x": ${sp1 / 1048576}, "spill_mb_10x": ${sp10 / 1048576}}""".stripMargin
+    }
+
     val nDocs = corpora.toMap.apply("1x").count()
     val json =
       s"""{
@@ -586,7 +614,8 @@ object Posture {
          |$retrievalJson,
          |$temporalJson,
          |$intervalJson,
-         |$lmJson
+         |$lmJson,
+         |$boilerJson
          |}""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("POSTURE_10X.json"), json + "\n")

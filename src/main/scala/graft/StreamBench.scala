@@ -23,12 +23,13 @@ object StreamBench {
     val cur = graft.streaming.SteadyState.measureCurationStream(spark, sfDir)
     val bm25 = graft.streaming.SteadyState.measureBm25Stream(spark, sfDir)
     val asof = graft.streaming.SteadyState.measureAsofEnrichStream(spark, sfDir)
+    val ann = graft.streaming.SteadyState.measureAnnServeStream(spark, sfDir)
     // the LIVE source path (external producer appends, FileTailSource
     // tails) — S1-live measured at the same cadence class
     val tail = graft.streaming.SteadyState.measureFileTailStream(spark)
     val combined = env.json.dropRight(1) +
       "," + dedup.json + "," + cur.json + "," + bm25.json + "," +
-      asof.json + "," + tail.json + "}"
+      asof.json + "," + ann.json + "," + tail.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -89,6 +89,82 @@ object Curate {
     df.filter(uniformDraw(col(keyCol), salt) < frac)
   }
 
+  /** The hot-segment index for [[dropBoilerplateWith]]: the distinct
+    * [[PortableHash.hash60]] values of segments appearing in ≥ `minDocs`
+    * documents — the freeze side of the freeze-then-score split (the
+    * boilerplate twin of the BM25 corpus-stats / minhash band-index
+    * recipe). Boilerplate is by definition the repeated MINORITY of
+    * segment space, so the index is small (segment-cardinality shrinks
+    * to the hot tail); it is refreshed at corpus cadence, not per
+    * document.
+    */
+  def boilerplateIndex(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, chunkTokens: Int = 0,
+      delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val ex = df
+      .select(col(idCol), explode(segmentArray(textCol, chunkTokens, delim))
+        .as("seg"))
+      .withColumn("seg", trim(col("seg")))
+      .where(col("seg") =!= "")
+      .withColumn("h", PortableHash.hash60(col("seg")))
+    ex.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+  }
+
+  /** STREAM-runnable boilerplate removal: clean each arriving document
+    * against a FROZEN hot-segment set — a pure per-row projection (the
+    * hot hashes ride along as a literal array, membership is
+    * `array_contains` inside higher-order functions), so the streaming
+    * engine runs it with no state, no watermark, no shuffle. Same output
+    * contract as [[dropBoilerplate]] (`n_segs`, `n_boiler`, `<out>`,
+    * NULL `<out>` when a doc has no segments) — parity with the batch
+    * form on a shared corpus is spec-pinned. `maxIndex` bounds the
+    * literal (a hot set past ~10k entries should become a stream-static
+    * join instead; failing loudly beats a megabyte-scale plan).
+    */
+  def dropBoilerplateWith(df: DataFrame, idCol: String, textCol: String,
+      hotHashes: Seq[Long], out: String, chunkTokens: Int = 0,
+      delim: String = "\n", maxIndex: Int = 10000): DataFrame = {
+    require(hotHashes.length <= maxIndex,
+      s"dropBoilerplateWith: ${hotHashes.length} hot segments exceeds " +
+        s"maxIndex $maxIndex — use a stream-static join at this scale")
+    val joiner = if (chunkTokens > 0) " " else delim
+    val hot = array(hotHashes.map(lit): _*)
+    val segs = filter(
+      transform(segmentArray(textCol, chunkTokens, delim), s => trim(s)),
+      s => s =!= "")
+    val isHot: Column => Column =
+      s => array_contains(hot, PortableHash.hash60(s))
+    val kept = filter(segs, s => !isHot(s))
+    df.withColumn("n_segs", size(segs).cast("long"))
+      .withColumn("n_boiler", (size(segs) - size(kept)).cast("long"))
+      .withColumn(out,
+        when(col("n_segs") > 0, concat_ws(joiner, kept)))
+  }
+
+  /** The segment array of a document — [[dropBoilerplate]]'s
+    * segmentation, shared with the index/stream forms so the three can
+    * never disagree on what a "segment" is. `chunkTokens > 0` cuts the
+    * whitespace token stream into fixed windows (guarded against the
+    * descending-sequence trap on empty docs); otherwise a `delim` regex
+    * split.
+    */
+  private def segmentArray(textCol: String, chunkTokens: Int,
+      delim: String): Column = {
+    val toks = split(col(textCol), " ")
+    if (chunkTokens > 0) {
+      val nSeg = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+      when(nSeg > 0,
+        transform(sequence(lit(0), nSeg - lit(1)),
+          i => concat_ws(" ",
+            slice(toks, i * chunkTokens + 1, lit(chunkTokens)))))
+        .otherwise(array())
+    } else split(col(textCol), delim)
+  }
+
   /** EXACT-N per-group deterministic sample — the quota form the
     * fraction-based [[sampleStratified]] can't promise ("give me exactly
     * 50 eval docs per language"): within each stratum, the `n` rows with
@@ -419,18 +495,7 @@ object Curate {
       delim: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): " +
       "at 1 every segment is boilerplate and the output is empty")
-    val toks = split(col(textCol), " ")
-    val segArr =
-      if (chunkTokens > 0) {
-        val nSeg = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
-        // guard nSeg = 0: sequence(0, -1) is a DESCENDING sequence, not
-        // an empty one (the interval-join explode had the same trap)
-        when(nSeg > 0,
-          transform(sequence(lit(0), nSeg - lit(1)),
-            i => concat_ws(" ",
-              slice(toks, i * chunkTokens + 1, lit(chunkTokens)))))
-          .otherwise(array())
-      } else split(col(textCol), delim)
+    val segArr = segmentArray(textCol, chunkTokens, delim)
     val joiner = if (chunkTokens > 0) " " else delim
     val ex = df
       .select(col(idCol), posexplode(segArr).as(Seq("pos", "seg")))

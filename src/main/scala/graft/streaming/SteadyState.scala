@@ -341,6 +341,95 @@ object SteadyState {
     * (numInputRows > 0): empty triggers cost ~nothing and would flatter
     * the median.
     */
+  /** ANN SERVING against a live query stream: query vectors arrive on
+    * the rate clock (cycling a cached pool of real embeddings), and each
+    * micro-batch is served by ONE pruned [[graft.ext.Similarity.ivfProbeBatch]]
+    * plan against the frozen physical IVF layout — the freeze-then-score
+    * recipe (BM25's batch-stats split, the PQ codebook split) applied to
+    * the vector index: the index is built once at index-build time, the
+    * stream pays only pruned probes. The micro-batch's queries collect
+    * to the driver inside `foreachBatch` (serving requests ARE driver
+    * metadata — the same class as the probe's centroid scores), so state
+    * never grows and nothing re-trains mid-stream. Top-10 per query
+    * appends to a parquet sink; telemetry rides the same listener as
+    * every other envelope section.
+    */
+  def measureAnnServeStream(spark: SparkSession, sfDir: String,
+      rowsPerBatch: Int = 50, minBatches: Int = 15,
+      deadlineSec: Int = 180): DocEnvelope = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val kind = "ann_serve_stream"
+    val path = graft.SparkEntry.ivfLayout(spark, sfDir) // warm index build
+    val out = Files.createTempDirectory(s"graft_${kind}_out").toString + "/out"
+    val ckpt = Files.createTempDirectory(s"graft_${kind}_ckpt")
+    val pool = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__k",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("vec_id"))).cast("long") - 1L)
+      .cache()
+    val m = pool.count()
+    val stream = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", 1704067200000L)
+      .option("advanceMillisPerBatch", 60000L)
+      .load()
+      .withColumn("__k", pmod(col("value"), lit(m)))
+      .join(broadcast(pool), Seq("__k"))
+      .select((col("value") + lit(1000000000L)).as("qid"), col("embedding"))
+    val qName = s"graft_envelope_$kind"
+    val productive = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == qName && e.progress.numInputRows > 0)
+          productive.add((e.progress.numInputRows,
+            e.progress.durationMs.get("triggerExecution").toLong))
+    }
+    spark.streams.addListener(listener)
+    val q = stream.writeStream
+      .queryName(qName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qs = batch.collect().map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        if (qs.nonEmpty)
+          graft.ext.Similarity.ivfProbeBatch(spark, path, "vec_id",
+              "embedding", qs, k = 10, nProbe = 2, excludeSelf = false)
+            .write.mode("append").parquet(out)
+      }
+      .start()
+    val t0 = System.nanoTime()
+    var elapsedSec = 0.0
+    try {
+      val deadline = t0 + deadlineSec * 1000L * 1000 * 1000
+      while (productive.size < minBatches
+          && System.nanoTime() < deadline) Thread.sleep(200)
+      elapsedSec = (System.nanoTime() - t0) / 1e9
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+      pool.unpersist()
+    }
+    val prog = {
+      import scala.jdk.CollectionConverters._
+      productive.asScala.toSeq
+    }
+    val lat = prog.map(_._2)
+    val docs = prog.map(_._1).sum
+    val outRows =
+      if (new java.io.File(out).exists()) spark.read.parquet(out).count()
+      else 0L
+    DocEnvelope(kind, docs, elapsedSec, docs / elapsedSec * 60, lat.length,
+      if (lat.isEmpty) -1 else median(lat),
+      if (lat.isEmpty) -1 else lat.max, outRows)
+  }
+
   def measure(spark: SparkSession, rowsPerBatch: Int = 50,
       advanceMsPerBatch: Long = 120000L, minAggBatches: Int = 15,
       deadlineSec: Int = 180): Envelope = {

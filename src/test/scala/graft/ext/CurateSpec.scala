@@ -325,6 +325,50 @@ class CurateSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, None)))
   }
 
+  test("dropBoilerplateWith: frozen-index stream form matches the batch op; runs on a real stream") {
+    val docs = Seq(
+      (1L, "intro A\nSUBSCRIBE NOW\nbody one"),
+      (2L, "other text\nSUBSCRIBE NOW\nbody two"),
+      (3L, "SUBSCRIBE NOW\n\nSUBSCRIBE NOW"),
+      (4L, "unique only"),
+      (5L, "")).toDF("doc_id", "text")
+    val hot = Curate.boilerplateIndex(docs, "doc_id", "text", minDocs = 3L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hot.length === 1) // exactly the SUBSCRIBE NOW line
+    // parity: the stateless per-row form ≡ the batch two-shuffle form
+    val batch = Curate.dropBoilerplate(docs, "doc_id", "text",
+        minDocs = 3L, out = "clean")
+      .select("doc_id", "n_segs", "n_boiler", "clean")
+    val streamForm = Curate.dropBoilerplateWith(docs, "doc_id", "text",
+        hot, out = "clean")
+      .select("doc_id", "n_segs", "n_boiler", "clean")
+    assert(batch.exceptAll(streamForm).isEmpty
+      && streamForm.exceptAll(batch).isEmpty,
+      streamForm.orderBy("doc_id").collect().mkString("\n"))
+    // and it genuinely runs on an unbounded stream — no state, no
+    // watermark, append mode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Curate.dropBoilerplateWith(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", hot, out = "clean")
+      .writeStream.format("memory").queryName("boiler_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "fresh words\nSUBSCRIBE NOW"), (11L, "all new"))
+      q.processAllAvailable()
+      val got = spark.table("boiler_stream")
+        .select("doc_id", "n_boiler", "clean").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === Set((10L, 1L, "fresh words"), (11L, 0L, "all new")))
+    } finally q.stop()
+    // the literal-size guard fails loudly
+    assert(intercept[IllegalArgumentException] {
+      Curate.dropBoilerplateWith(docs, "doc_id", "text",
+        (1L to 20L).toSeq, out = "c", maxIndex = 10)
+    }.getMessage.contains("maxIndex"))
+  }
+
   test("dropBoilerplate rejects a degenerate minDocs") {
     val e = intercept[IllegalArgumentException] {
       Curate.dropBoilerplate(Seq((1L, "x")).toDF("doc_id", "text"),

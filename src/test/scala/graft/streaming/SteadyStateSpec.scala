@@ -78,6 +78,24 @@ class SteadyStateSpec extends SparkSpec {
       s"curation wrote ${cur.outRows} of ${cur.docs} docs")
   }
 
+  test("ANN serving stream answers live query vectors from the frozen layout") {
+    // the freeze-then-score recipe on the vector index: every micro-batch
+    // of query vectors is served by ONE pruned ivfProbeBatch plan; the
+    // layout is built once before the stream starts (index-build time)
+    val sfDir = "/root/testdata/sf0.01"
+    val ann = SteadyState.measureAnnServeStream(spark, sfDir,
+      rowsPerBatch = 20, minBatches = 5, deadlineSec = 120)
+    info(ann.json)
+    assert(ann.batches >= 5, s"only ${ann.batches} productive batches")
+    assert(ann.msgPerMin >= 300,
+      f"ann serving ${ann.msgPerMin}%.0f queries/min below the 300 floor")
+    // every served query produced results (k=10 against probed buckets
+    // that always hold >= 10 vectors at this sf); >= docs, not ===, for
+    // the same late-commit race the curation gate documents
+    assert(ann.outRows >= ann.docs * 10,
+      s"served ${ann.outRows} result rows for ${ann.docs} queries")
+  }
+
   test("kafka source contract: reference reader wiring; connector-missing failure is actionable (S1/ST8)") {
     val opts = Sources.kafkaOptions("localhost:9092", "iot-sensor-data", "latest")
     // the exact reader surface of reference/spark_streaming.py:125-130
