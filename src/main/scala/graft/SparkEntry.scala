@@ -1295,6 +1295,14 @@ object SparkEntry {
         "s2", Seq("en" -> 0.5, "es" -> 0.25, "zh" -> 0.125))
         .select(col("doc_id"), col("lang"))),
 
+    // ---- table manifest: count + per-column null counts + an
+    //      order-independent portable content checksum (bit_xor of the
+    //      md5 hash60 of each row's canonical rendering) — the
+    //      integrity record stamped at every pipeline handoff ----
+    "q_manifest" -> ((s, dir) =>
+      graft.sources.Layout.manifest(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars", "text"))),
+
     // ---- EXACT-N per-group quota sample: the 10 smallest md5 draws
     //      per source win — two-phase (count -> draw pre-filter -> rank
     //      over survivors) so no stratum ever sorts whole in one task ----
@@ -2897,6 +2905,24 @@ object SparkEntry {
         |      / 1152921504606846976.0
         |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
         |              WHEN 'zh' THEN 0.125 ELSE 0.0 END""".stripMargin,
+    // The same canonical rendering (chr(31) joins, chr(30) for NULL,
+    // given column order) through the same md5 hash60, xor-folded —
+    // engine-portable because every manifested column stringifies
+    // identically (bigints and varchars).
+    "q_manifest" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +
+        "bit_xor(('0x' || substring(md5(concat_ws(chr(31), " +
+        "coalesce(CAST(doc_id AS VARCHAR), chr(30)), " +
+        "coalesce(CAST(lang AS VARCHAR), chr(30)), " +
+        "coalesce(CAST(source AS VARCHAR), chr(30)), " +
+        "coalesce(CAST(n_chars AS VARCHAR), chr(30)), " +
+        "coalesce(CAST(text AS VARCHAR), chr(30)))), 1, 15))::BIGINT) AS checksum, " +
+        "CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_doc_id, " +
+        "CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_lang, " +
+        "CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_source, " +
+        "CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_n_chars, " +
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_text " +
+        "FROM documents"),
     // Two-phase exact-N replay: per-source counts, the safety*n/cnt draw
     // pre-filter (part of the defined semantics), exact rank over the
     // survivors — ties impossible at distinct md5 draws.

@@ -48,4 +48,34 @@ object Layout {
       .sortBy(bucketCol)
       .mode("overwrite")
       .saveAsTable(table)
+
+  /** Content manifest of a table — the integrity record a 100 TB
+    * pipeline stamps at every handoff (post-ingest, post-curation,
+    * pre-training) so silent corruption, partial writes, and
+    * re-generation drift are detectable by DIFFING two one-row frames:
+    * row count, per-column null counts, and an order-independent
+    * content checksum (`bit_xor` of the portable 60-bit md5 of each
+    * row's canonical rendering — XOR commutes, so the checksum is
+    * invariant under row order, partitioning, and engine, and any
+    * single-row change flips it). ONE map-side-combinable aggregation
+    * pass; no shuffle beyond the 1-row final combine.
+    *
+    * Canonical rendering = the named columns cast to string (NULL → a
+    * \\u001e sentinel) joined with \\u001f, in the GIVEN column order —
+    * so two manifests only compare if built with the same column list.
+    * Cast-to-string of doubles/timestamps can format differently across
+    * engines; canonicalize such columns yourself (round/unix_micros)
+    * before manifesting if the checksum must be engine-portable.
+    */
+  def manifest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifest: empty column list")
+    val canon = concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*)
+    val aggs =
+      expr("bit_xor(__h)").as("checksum") +:
+      cols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    df.withColumn("__h", graft.ext.PortableHash.hash60(canon))
+      .agg(count(lit(1)).as("row_count"), aggs: _*)
+  }
 }

