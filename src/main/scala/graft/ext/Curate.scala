@@ -477,47 +477,56 @@ object Curate {
     * regex (the production "\n" line mode). Blank segments are dropped
     * before counting — runs of delimiters are not boilerplate evidence.
     *
-    * Scale shape (100 TB): one explode linear in corpus segments; the
-    * doc-frequency table groups on [[PortableHash.hash60]] of the
-    * segment — an 8-byte shuffle key instead of the segment string —
-    * and is segment-cardinality sized, so it is NEVER broadcast; the
-    * count joins back on the same hash with `shuffle_hash` hinted so
-    * both the groupBy and the join ride ONE exchange on `h` (the
-    * [[Dedup]] signature-reuse trick — the corpus is exploded once,
-    * not twice). An ultra-hot segment (billions of docs) skews the
-    * probe side of that join; the build side is one row per hash, so
-    * AQE's skew-join split handles it without help. The final per-doc
-    * regroup is the second (and last) shuffle; `collect_list` there is
-    * bounded by a single document's segment count.
+    * Scale shape (100 TB): ONE corpus scan, TWO shuffles, ZERO joins.
+    * The corpus explodes once (`posexplode_outer` of the pre-filtered
+    * segment array, so a segment-less document keeps a null carrier row
+    * — no join-back needed to resurrect it); everything shuffles on
+    * [[PortableHash.hash60]] of the segment — an 8-byte key instead of
+    * the segment string — and BOTH doc-frequency steps ride that one
+    * exchange: a `lag` flag marks each (segment, doc)'s first instance
+    * under the (id, pos) sort, and a whole-partition windowed sum turns
+    * the flags into the distinct-doc count (≡ `countDistinct`, without
+    * the aggregate whose partial pass would force a second, different
+    * exchange). The per-doc regroup is the second and last shuffle;
+    * `collect_list` there is bounded by one document's segments. An
+    * ultra-hot segment concentrates its window partition in one task —
+    * the sort is external (spills, never OOMs), and the pathological
+    * case (a segment in EVERY doc) is exactly the boilerplate a cheaper
+    * upstream exact-dedup pass already collapses.
     */
   def dropBoilerplate(df: DataFrame, idCol: String, textCol: String,
       minDocs: Long, out: String, chunkTokens: Int = 0,
       delim: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): " +
       "at 1 every segment is boilerplate and the output is empty")
-    val segArr = segmentArray(textCol, chunkTokens, delim)
     val joiner = if (chunkTokens > 0) " " else delim
+    val segsF = filter(
+      transform(segmentArray(textCol, chunkTokens, delim), s => trim(s)),
+      s => s =!= "")
     val ex = df
-      .select(col(idCol), posexplode(segArr).as(Seq("pos", "seg")))
-      .withColumn("seg", trim(col("seg")))
-      .where(col("seg") =!= "")
+      .select(col(idCol), posexplode_outer(segsF).as(Seq("pos", "seg")))
       .withColumn("h", PortableHash.hash60(col("seg")))
-    val dfreq = ex.groupBy(col("h"))
-      .agg(countDistinct(col(idCol)).as("df"))
-    val roll = ex.hint("shuffle_hash").join(dfreq, Seq("h"))
-      .groupBy(col(idCol))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col(idCol), col("pos"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"))
+    val prev = lag(col(idCol), 1).over(wOrd)
+    val flagged = ex
+      .withColumn("__m",
+        when(col("seg").isNotNull &&
+          (prev.isNull || prev =!= col(idCol)), 1L).otherwise(0L))
+      .withColumn("__df", sum(col("__m")).over(wAll))
+    flagged.groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_segs"),
-        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
+        count(col("seg")).as("n_segs"),
+        sum(when(col("__df") >= minDocs && col("seg").isNotNull, 1L)
+          .otherwise(0L)).as("n_boiler"),
         concat_ws(joiner, transform(
           array_sort(collect_list(
-            when(col("df") < minDocs, struct(col("pos"), col("seg"))))),
+            when(col("__df") < minDocs && col("seg").isNotNull,
+              struct(col("pos"), col("seg"))))),
           s => s.getField("seg"))).as(out))
-    // left join back so fully-blank documents survive with n_segs = 0
-    df.select(col(idCol)).join(roll, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
-        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        col(out))
+      .select(col(idCol), col("n_segs"), col("n_boiler"),
+        when(col("n_segs") > 0, col(out)).as(out))
   }
 }

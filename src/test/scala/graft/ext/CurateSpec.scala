@@ -369,6 +369,23 @@ class CurateSpec extends SparkSpec {
     }.getMessage.contains("maxIndex"))
   }
 
+  test("dropBoilerplate plan: ONE corpus scan, TWO exchanges, no join") {
+    // the r11 self-review found the first cut ran THREE scans and FOUR
+    // exchanges (groupBy + join + resurrect-join); the lag-flag windowed
+    // rewrite is pinned here so the plan can't regress
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Curate.dropBoilerplate(docs, "doc_id", "text", 2L, "clean",
+      chunkTokens = 3)
+    out.collect() // finalize the adaptive plan
+    val finalPlan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val nScans = "FileScan parquet".r.findAllIn(finalPlan).length
+    assert(nScans === 1, s"$nScans scans:\n$finalPlan")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(nEx === 2, s"$nEx exchanges:\n$finalPlan")
+    assert(!finalPlan.contains("Join"), finalPlan)
+  }
+
   test("dropBoilerplate rejects a degenerate minDocs") {
     val e = intercept[IllegalArgumentException] {
       Curate.dropBoilerplate(Seq((1L, "x")).toDF("doc_id", "text"),
