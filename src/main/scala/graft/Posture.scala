@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Curate, Dedup, Similarity, TextStats}
-import graft.sources.Tables
+import graft.sources.{Layout, Tables}
 
 /** Empirical 10×-scale posture check for the dedup family — the backstop
   * for the "subquadratic candidates, no hot-bucket OOM" claims the plan
@@ -603,6 +603,52 @@ object Posture {
          |    "spill_mb_1x": ${sp1 / 1048576}, "spill_mb_10x": ${sp10 / 1048576}}""".stripMargin
     }
 
+    // ---- z-order layout posture ------------------------------------
+    // writeZOrdered's claim is SELECTIVITY PRESERVED UNDER GROWTH: the
+    // fraction of the table a selective predicate actually reads should
+    // stay flat as the table grows 10x (file count scales with rows, and
+    // the curve keeps every clustering dim locally bounded per file),
+    // while the single-sorted baseline reads ~the whole table on its
+    // unsorted dim at ANY scale. Constant-selectivity predicates: 2% of
+    // the user range (scale-relative), a fixed week of the fixed month.
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val uMax = ev.agg(max(col("user_id"))).head.getLong(0) + 1L
+    def evTenX: DataFrame = (0 until 10)
+      .map(i => ev.withColumn("user_id", col("user_id") + lit(i * uMax)))
+      .reduce(_ unionByName _)
+    val layoutJson = {
+      val scales = Seq(("1x", ev, uMax, 32), ("10x", evTenX, 10 * uMax, 320))
+      val blocks = scales.map { case (lbl, d, users, nFiles) =>
+        val zp = s"$scratch/layout_z_$lbl"
+        val sp = s"$scratch/layout_s_$lbl"
+        Layout.writeZOrdered(d, Seq("user_id", "ts"), zp, nFiles)
+        Layout.writeSorted(d, "ts", sp, nFiles)
+        val total = d.count().toDouble
+        val userPred = col("user_id") < lit((users.toDouble * 0.02).toLong)
+        val tsPred = col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp")
+        def frac(path: String, pred: Column): Double =
+          Layout.rowsScanned(
+            Layout.read(spark, path).filter(pred)
+              .agg(count(lit(1)), sum("value"))) / total
+        def secBoth(path: String): Double =
+          timedRuns(() =>
+            Layout.read(spark, path).filter(userPred && tsPred)
+              .agg(count(lit(1)), sum("value")).collect())._1
+        // warmup footers before the timed fraction reads
+        Seq(zp, sp).foreach(p => Layout.read(spark, p).count())
+        f""""$lbl": {"rows": ${total.toLong},
+           |      "z_user_frac": ${frac(zp, userPred)}%.3f, "sorted_user_frac": ${frac(sp, userPred)}%.3f,
+           |      "z_ts_frac": ${frac(zp, tsPred)}%.3f, "sorted_ts_frac": ${frac(sp, tsPred)}%.3f,
+           |      "z_both_frac": ${frac(zp, userPred && tsPred)}%.3f, "sorted_both_frac": ${frac(sp, userPred && tsPred)}%.3f,
+           |      "sec_z_both": ${secBoth(zp)}%.2f, "sec_sorted_both": ${secBoth(sp)}%.2f}""".stripMargin
+      }
+      f"""  "layout": {
+         |    "what": "z-order vs single-sort layouts of the events table at 1x and 10x rows (user dim widened 10x, constant 2%%-of-users + fixed-week predicates): *_frac = fraction of table rows the parquet readers DELIVERED for the predicate (scan numOutputRows / rows — row-group pruning measured, not claimed). Healthy = z_* fractions flat under growth and far under the sorted layout's unsorted-dim fraction (~1.0); sorted_ts_frac stays small because ts IS its sort key",
+         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     val nDocs = corpora.toMap.apply("1x").count()
     val json =
       s"""{
@@ -615,7 +661,8 @@ object Posture {
          |$temporalJson,
          |$intervalJson,
          |$lmJson,
-         |$boilerJson
+         |$boilerJson,
+         |$layoutJson
          |}""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("POSTURE_10X.json"), json + "\n")

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Curate, Dedup, Multimodal, Similarity, TextStats}
-import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Trend, WindowedAgg}
-import graft.sources.Tables
+import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Trend, Upsert, WindowedAgg}
+import graft.sources.{Layout, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -460,6 +460,40 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
+  /** Build-once Z-ORDERED copy of the events table — Morton clustering on
+    * (user_id, ts) into 32 files, cached per (dir, source length/mtime,
+    * layout config) exactly like [[ivfLayout]]. The layout under
+    * `q_zorder_scan`; `LayoutSpec` pins the measured row-group pruning.
+    */
+  private[graft] def zorderLayout(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    Layout.ensureLayoutDir("zorder",
+      s"$dir:${src.length}:${src.lastModified}:z16:user_id,ts:f32") { p =>
+      Layout.writeZOrdered(Tables.events(s, dir), Seq("user_id", "ts"), p,
+        nFiles = 32)
+    }
+  }
+
+  /** Build-once compaction fixture: a deliberately 48-file fragmented
+    * copy of events (the small-file debris a streaming sink leaves),
+    * compacted to ~4096-row ts-sorted files. Both stages cached like
+    * [[zorderLayout]]; `q_compact` manifests the compacted layout against
+    * the ORIGINAL table's oracle manifest.
+    */
+  private[graft] def compactLayout(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val frag = Layout.ensureLayoutDir("frag",
+      s"$dir:${src.length}:${src.lastModified}:r48") { p =>
+      Tables.events(s, dir).repartition(48)
+        .write.mode("overwrite").parquet(p)
+    }
+    Layout.ensureLayoutDir("compact",
+      s"$dir:${src.length}:${src.lastModified}:r48:t4096:ts") { p =>
+      Layout.compact(s, frag, p, targetRecordsPerFile = 4096,
+        sortCol = Some("ts"))
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1/A2: streaming-style tumbling window agg, batch form ----
     "q_windowed_agg" -> ((s, dir) =>
@@ -515,6 +549,14 @@ object SparkEntry {
         .select(col("event_type"), col("session_start"),
           col("session_end"), col("n_events"))
         .orderBy("event_type", "session_start")),
+
+    // ---- streaming EXACTLY-ONCE dedup: the whole events table delivered
+    //      TWICE (at-least-once source model), re-deliveries landing in a
+    //      LATER micro-batch and suppressed by dropDuplicatesWithinWatermark
+    //      state — output equals one clean copy of the table iff
+    //      suppression crossed the batch boundary for every key ----
+    "q_dedup_exact_stream_inc" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayDedupIncremental(s, dir)),
 
     // ---- STREAM-STREAM interval join: alerts correlated with the
     //      readings of the same type in the 5 minutes after each, both
@@ -1552,6 +1594,87 @@ object SparkEntry {
           round(min("humidity"), 6).as("min_humidity"),
           round(max("humidity"), 6).as("max_humidity"))
         .orderBy("sensor_id")),
+
+    // ---- Z-ORDER clustered scan: events rewritten Morton-clustered on
+    //      (user_id, ts), then a 2-dim range query over the rewrite —
+    //      the layout prunes row groups on BOTH columns (LayoutSpec pins
+    //      the measured scan-row reduction vs a ts-sorted layout); the
+    //      oracle replays the same query over the ORIGINAL table, so a
+    //      lossy rewrite fails the hash compare ----
+    "q_zorder_scan" -> ((s, dir) => {
+      val path = zorderLayout(s, dir)
+      Layout.read(s, path)
+        .filter(col("user_id").between(10, 39) &&
+          col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("sum_value"),
+          min("event_id").as("min_event_id"),
+          max("event_id").as("max_event_id"))
+    }),
+
+    // ---- compaction round-trip integrity: the 48-file fragmented copy
+    //      of events compacted to ~4096-row ts-sorted files; the
+    //      manifest (count + per-column null counts + order-independent
+    //      portable checksum) of the COMPACTED layout must equal the
+    //      oracle's manifest of the ORIGINAL table — the rewrite provably
+    //      moved rows between files without dropping, duplicating, or
+    //      mutating one (ts canonicalized to epoch micros so both
+    //      engines stringify it identically) ----
+    "q_compact" -> ((s, dir) => {
+      val path = compactLayout(s, dir)
+      Layout.manifest(
+        Layout.read(s, path).withColumn("ts_us", unix_micros(col("ts"))),
+        Seq("event_id", "ts_us", "user_id", "event_type", "props"))
+    }),
+
+    // ---- latest-wins snapshot merge (the CDC-apply / MERGE INTO of a
+    //      plain-parquet lake): a derived update batch — every 10th
+    //      event re-emitted 60 days later with its value negated, every
+    //      100th a tombstone — applied to the events snapshot via one
+    //      union + key aggregation, never a join ----
+    "q_upsert" -> ((s, dir) => {
+      val snap = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("deleted", lit(false))
+      val updates = snap.filter(col("event_id") % 10 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+        .withColumn("value", -col("value"))
+        .withColumn("deleted", col("event_id") % 100 === 0)
+      Upsert.latestWins(snap, updates, Seq("event_id"), "ts",
+        deleteCol = Some("deleted"))
+    }),
+
+    // ---- copy-on-write CDC apply: the SAME merge as q_upsert, but
+    //      against a key-bucketed partitioned snapshot where only the
+    //      affected bucket directories are read or rewritten (partition
+    //      filter from the batch's distinct buckets — driver metadata).
+    //      Idempotent, so re-runs converge; the oracle is the same
+    //      latest-wins replay ----
+    "q_upsert_partitioned" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/events.parquet")
+      def base = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val snapPath = Layout.ensureLayoutDir("upsnap",
+        s"$dir:${src.length}:${src.lastModified}:b16:v1") { p =>
+        Upsert.initPartitioned(base, Seq("event_id"), nBuckets = 16, p)
+      }
+      val updates = base.filter(col("event_id") % 10 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+        .withColumn("value", -col("value"))
+        .withColumn("deleted", col("event_id") % 100 === 0)
+      Upsert.applyPartitioned(s, snapPath, updates, Seq("event_id"), "ts",
+        nBuckets = 16, deleteCol = Some("deleted"))
+      s.read.parquet(snapPath)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    }),
+
+    // ---- corpus vocabulary head: global token top-100 by (freq desc,
+    //      token asc) — explode + hash agg + TakeOrdered (per-partition
+    //      partial top-k, k-row driver merge), never a global sort ----
+    "q_vocab_topk" -> ((s, dir) =>
+      TextStats.tokenVocab(Tables.documents(s, dir), "text", k = 100)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3025,5 +3148,80 @@ object SparkEntry {
         |  CAST(3 + doc_id % 11 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS channels
         |FROM documents""".stripMargin,
+    // Replayed over the ORIGINAL events table: content equality proves
+    // the z-order rewrite lossless (the pruning win itself is pinned by
+    // LayoutSpec plan metrics — engine-internal, not SQL-expressible).
+    "q_zorder_scan" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 39
+        |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY 1""".stripMargin,
+    // The original table's manifest through the same canonical rendering
+    // (chr(31) joins, chr(30) NULL sentinel, epoch-micros ts) — equality
+    // with the compacted layout's manifest is the lossless-rewrite proof.
+    "q_compact" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +
+        "bit_xor(('0x' || substring(md5(concat_ws(chr(31), " +
+        "coalesce(CAST(event_id AS VARCHAR), chr(30)), " +
+        "coalesce(CAST(epoch_us(ts) AS VARCHAR), chr(30)), " +
+        "coalesce(CAST(user_id AS VARCHAR), chr(30)), " +
+        "coalesce(CAST(event_type AS VARCHAR), chr(30)), " +
+        "coalesce(CAST(props AS VARCHAR), chr(30)))), 1, 15))::BIGINT) AS checksum, " +
+        "CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id, " +
+        "CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts_us, " +
+        "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id, " +
+        "CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type, " +
+        "CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props " +
+        "FROM events"),
+    // One clean copy of the table despite double delivery: the
+    // exactly-once contract of the streaming dedup replay.
+    "q_dedup_exact_stream_inc" ->
+      "SELECT event_id, user_id, event_type FROM events",
+    // The merge replayed as a window rank: per key the greatest
+    // (version, side) survives, then tombstones drop out.
+    "q_upsert" ->
+      """WITH snap AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         false AS deleted, 0 AS side FROM events),
+        |upd AS (
+        |  SELECT event_id, ts + INTERVAL 60 DAY AS ts, user_id,
+        |         event_type, -value AS value,
+        |         (event_id % 100 = 0) AS deleted, 1 AS side
+        |  FROM events WHERE event_id % 10 = 0),
+        |merged AS (
+        |  SELECT * FROM snap UNION ALL SELECT * FROM upd),
+        |win AS (
+        |  SELECT * FROM merged QUALIFY row_number() OVER (
+        |    PARTITION BY event_id ORDER BY ts DESC, side DESC) = 1)
+        |SELECT event_id, ts, user_id, event_type, value
+        |FROM win WHERE NOT deleted""".stripMargin,
+    // Same replay: the partitioned copy-on-write apply must converge to
+    // exactly the monolithic merge's content.
+    "q_upsert_partitioned" ->
+      """WITH snap AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         false AS deleted, 0 AS side FROM events),
+        |upd AS (
+        |  SELECT event_id, ts + INTERVAL 60 DAY AS ts, user_id,
+        |         event_type, -value AS value,
+        |         (event_id % 100 = 0) AS deleted, 1 AS side
+        |  FROM events WHERE event_id % 10 = 0),
+        |merged AS (
+        |  SELECT * FROM snap UNION ALL SELECT * FROM upd),
+        |win AS (
+        |  SELECT * FROM merged QUALIFY row_number() OVER (
+        |    PARTITION BY event_id ORDER BY ts DESC, side DESC) = 1)
+        |SELECT event_id, ts, user_id, event_type, value
+        |FROM win WHERE NOT deleted""".stripMargin,
+    "q_vocab_topk" ->
+      """SELECT token, freq FROM (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY 1)
+        |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
   )
 }

@@ -62,6 +62,22 @@ object TextStats {
       when(expr(s"size(filter(split($textCol, ' '), w -> w IN $stopwordInList))")
         > lit(0), "en").otherwise("other"))
 
+  /** Corpus vocabulary head: global token frequencies, top `k` by
+    * (count desc, token asc) — the vocab/stopword-list extraction pass of
+    * a tokenizer-training pipeline. One explode + one hash aggregation
+    * (map-side partial combine collapses each partition to its distinct
+    * tokens before the shuffle); the ordered limit plans as
+    * TakeOrderedAndProject — per-partition partial top-k merged as k rows
+    * on the driver, never a global sort, at any corpus scale.
+    */
+  def tokenVocab(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
   /** Content fingerprint: hash of the whitespace-normalized, lowercased
     * text — the canonical key for exact-after-normalization dedup.
     */

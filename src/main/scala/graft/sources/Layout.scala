@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 
 /** Data-lake layout for the fact stream at scale (SURVEY §4 partition
@@ -67,6 +69,175 @@ object Layout {
     * engines; canonicalize such columns yourself (round/unix_micros)
     * before manifesting if the checksum must be engine-portable.
     */
+  /** Z-order (Morton-curve) clustered rewrite: rows are range-partitioned
+    * and in-file sorted by the bit-interleaving of their `cols` values,
+    * each scaled to a `bits`-wide integer against its own global
+    * [min, max] (one 1-row driver agg). The payoff is MULTI-dimensional
+    * row-group pruning: because the curve keeps both coordinates locally
+    * bounded within a file, every file carries a TIGHT parquet min/max
+    * range on EVERY clustering column — so a range predicate on any one
+    * of them (not just the lead sort key) skips most row groups at read
+    * time via the pushed filter. A single-column sort gives tight stats
+    * on that column only; a predicate on the second column then reads the
+    * whole table. This is the OPTIMIZE ZORDER of a 100 TB lake, expressed
+    * as a plain deterministic parquet rewrite.
+    *
+    * Scaling is literal codegen arithmetic (clamp + shift/or fold — no
+    * UDF, no join); the only non-scan costs are the 1-row min/max agg and
+    * the one range shuffle any clustering rewrite must pay. Timestamps
+    * ride their numeric cast (epoch seconds); NULL sorts with the column
+    * minimum. `nFiles` bounds output parallelism — size it so files land
+    * near one row group (~128 MB) at the target scale; at 100 TB this is
+    * thousands, not the test-scale handful.
+    */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
+      nFiles: Int, bits: Int = 16): Unit = {
+    require(cols.size >= 2,
+      s"writeZOrdered: need >=2 clustering columns, got $cols — use a " +
+        "plain sortWithinPartitions for one")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"writeZOrdered: $bits bits x ${cols.size} cols overflows a long")
+    require(nFiles >= 1, s"writeZOrdered: nFiles=$nFiles")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    if (row.isNullAt(0)) { // empty input (or all-null lead col): no curve
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val top = (1L << bits) - 1
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val mn = row.getDouble(2 * i)
+      val mx = row.getDouble(2 * i + 1)
+      // span==0 (constant column) degrades to bucket 0 for every row
+      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      least(lit(top), greatest(lit(0L),
+        floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn))
+          / lit(span) * lit((top + 1).toDouble)).cast("long")))
+    }
+    df.withColumn("__z", interleaveBits(scaled, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Morton interleave: bit `b` of column `ci` lands at position
+    * `b * nCols + ci`. A fold of literal shift/mask/or terms — fully
+    * codegen'd, monotone in each coordinate when the others are fixed.
+    */
+  private[sources] def interleaveBits(scaled: Seq[Column], bits: Int): Column = {
+    val n = scaled.size
+    val terms = for {
+      (c, ci) <- scaled.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + ci)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Single-column clustered rewrite (the comparison baseline for
+    * [[writeZOrdered]], and the right layout when queries only ever
+    * range on one column): range-partition + in-file sort on `sortCol`.
+    */
+  def writeSorted(df: DataFrame, sortCol: String, path: String,
+      nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction — the maintenance rewrite a 100 TB lake runs
+    * continuously (streaming sinks and incremental loads leave thousands
+    * of KB-scale files; every query then pays their per-file open/footer
+    * cost and the scheduler their task overhead). Rewrites `inPath` into
+    * `ceil(rows / targetRecordsPerFile)` files at `outPath`:
+    *
+    *   - `sortCol = None`: `coalesce` — a SHUFFLE-FREE merge (partitions
+    *     are unioned in place), the cheap path when no clustering must
+    *     be restored;
+    *   - `sortCol = Some(c)`: range-partition + in-file sort on `c` — one
+    *     shuffle, and the compacted files carry disjoint tight min/max
+    *     ranges on `c`, so compaction doubles as re-clustering.
+    *
+    * Content preservation is CHECKABLE, not assumed: [[manifest]]'s
+    * order-independent checksum over input and output must match (the
+    * rewrite only moves rows between files). Returns
+    * (filesIn, filesOut).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetRecordsPerFile: Long, sortCol: Option[String] = None): (Int, Int) = {
+    require(targetRecordsPerFile >= 1,
+      s"compact: targetRecordsPerFile=$targetRecordsPerFile")
+    val df = read(spark, inPath)
+    val rows = df.count()
+    val parts = math.max(1L,
+      (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val shaped = sortCol match {
+      case Some(c) =>
+        df.repartitionByRange(parts, col(c)).sortWithinPartitions(c)
+      case None => df.coalesce(parts)
+    }
+    shaped.write.mode("overwrite").parquet(outPath)
+    (partFiles(spark, inPath).size, partFiles(spark, outPath).size)
+  }
+
+  /** Data part-files of a parquet directory, via the path's own Hadoop
+    * FileSystem (markers and sidecars excluded).
+    */
+  def partFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("part-"))
+  }
+
+  /** Rows the parquet readers actually DELIVERED while computing `df` —
+    * the observable that makes row-group pruning a measured number
+    * instead of a layout claim: runs the plan, then sums `numOutputRows`
+    * across every file scan in the (AQE-final) executed plan. A
+    * selective pushed predicate over a well-clustered layout delivers a
+    * small fraction of the table; the same predicate over a layout with
+    * loose per-file stats delivers all of it.
+    */
+  def rowsScanned(df: DataFrame): Long = {
+    df.queryExecution.executedPlan // force planning
+    df.collect()
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match {
+        case s: FileSourceScanExec => Seq(s)
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      self ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+  }
+
+  /** Build-once cached layout directory: returns a stable per-user tmp
+    * dir derived from `cacheKey`, invoking `write(path)` only when the
+    * dir's `_SUCCESS` commit marker is missing (parquet writes stamp it).
+    * Same contract as the IVF layout cache (`ext/Similarity.scala`):
+    * md5 of the RAW key (lossy sanitization could collide two keys onto
+    * one dir), callers fold source length+mtime and every layout
+    * parameter into the key so a regenerated source or changed config
+    * can never be read through a stale layout.
+    */
+  def ensureLayoutDir(prefix: String, cacheKey: String)(
+      write: String => Unit): String = synchronized {
+    val key = "k" + java.security.MessageDigest.getInstance("MD5")
+      .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_${prefix}_$user/$key").toString
+    if (!new java.io.File(path, "_SUCCESS").exists()) write(path)
+    path
+  }
+
   def manifest(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "manifest: empty column list")
     val canon = concat_ws("\u001f",

@@ -296,17 +296,25 @@ object Pipeline {
     * scratch dir instead of copied.
     */
   private def replayStream(spark: SparkSession,
-      dir: String): (DataFrame, java.nio.file.Path) = {
+      dir: String, copies: Int = 1,
+      maxFilesPerTrigger: Option[Int] = None): (DataFrame, java.nio.file.Path) = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
     // eventsPhysical carries the NANOS catch-and-rethrow, so a session
     // missing the nanosAsLong conf names its one-line fix here too
     val schema = graft.sources.Tables.eventsPhysical(spark, dir).schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft_replay")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(path).toAbsolutePath)
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    // copies > 1 models an at-least-once source: the SAME table delivered
+    // `copies` times (symlinks — no data copied); with maxFilesPerTrigger=1
+    // each delivery lands in its own micro-batch
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve(s"events$i.parquet"),
+        java.nio.file.Paths.get(path).toAbsolutePath)
+    }
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.parquet(streamDir.toString)
     // same dtype adaptation AND same unsupported-dtype rejection as
     // Tables.events (the lake has shipped both nanos-as-long and
     // native-micros ts encodings)
@@ -347,6 +355,50 @@ object Pipeline {
     val prev = spark.conf.get(key)
     spark.conf.set(key, "4")
     try body finally spark.conf.set(key, prev)
+  }
+
+  /** Streaming EXACTLY-ONCE dedup gate — [[dedupedStream]]'s
+    * `dropDuplicatesWithinWatermark` semantics replayed as a finite
+    * at-least-once delivery: the whole events table delivered TWICE (two
+    * source files over one physical parquet, `maxFilesPerTrigger=1`, so
+    * the re-delivery arrives in a LATER micro-batch and is suppressed by
+    * the state store, not by in-batch dedup), watermark wider than the
+    * table's time span so no key is evicted before its re-delivery.
+    * Output ≡ `SELECT event_id, … FROM events` — the oracle
+    * (`q_dedup_exact_stream_inc`) — iff suppression crossed the batch
+    * boundary for every one of the keys. The at-least-once fallback past
+    * the horizon (an EVICTED key's late re-delivery re-emits — the
+    * documented contract of watermark-bounded state) is pinned in
+    * `StreamingPipelineSpec`. State is bounded by keys inside the
+    * watermark, never history — the horizon is the dedup SLA a 100 TB
+    * deployment tunes against its source's re-delivery window.
+    */
+  def replayDedupIncremental(spark: SparkSession, dir: String,
+      watermark: String = "40 days"): DataFrame = {
+    val (stream, streamDir) =
+      replayStream(spark, dir, copies = 2, maxFilesPerTrigger = Some(1))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_dedup_out").toString + "/dedup"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_dedup_ckpt")
+    withReplayParallelism(spark) {
+      val q = stream
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "user_id", "event_type")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    spark.read.parquet(outDir)
   }
 
   /** Streaming exactly-once event dedup: drops re-deliveries of the same

@@ -586,6 +586,20 @@ class SimilaritySpec extends SparkSpec {
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tokenVocab: global counts, deterministic tie-break, driver-merged top-k plan") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "b c"), (3L, "a"), (4L, "d c")).toDF("doc_id", "text")
+    val top = TextStats.tokenVocab(docs, "text", k = 3).collect()
+    // a:3; b and c tie at 2 and break alphabetically; d:1 misses the cut
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+    // ordered limit plans as TakeOrderedAndProject (per-partition partial
+    // top-k, k-row driver merge) — never a global Sort
+    val plan = TextStats.tokenVocab(docs, "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("bm25TopK ranks by term frequency with length normalization; zero-score docs excluded") {
     val docs = Seq(
       (1L, "alpha beta gamma"),

@@ -300,3 +300,125 @@ class RollupsSpec extends SparkSpec {
     assert(eRange.getMessage.contains("batch-only"))
   }
 }
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def snap = Seq(
+    (1L, 10L, "a", 1.0, false),
+    (2L, 10L, "b", 2.0, false),
+    (3L, 10L, "c", 3.0, false)).toDF("id", "v", "tag", "x", "del")
+
+  test("latestWins: update replaces, insert appends, tombstone removes, stale version loses") {
+    val updates = Seq(
+      (1L, 20L, "a2", 1.5, false), // newer version: replaces
+      (2L, 20L, "b2", 9.9, true),  // tombstone: key disappears
+      (3L, 5L, "c0", 0.0, false),  // STALE version: snapshot row survives
+      (4L, 20L, "d", 4.0, false))  // new key: inserted
+      .toDF("id", "v", "tag", "x", "del")
+    val out = graft.ops.Upsert.latestWins(snap, updates, Seq("id"), "v",
+      deleteCol = Some("del"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 20L, "a2", 1.5), (3L, 10L, "c", 3.0), (4L, 20L, "d", 4.0)))
+  }
+
+  test("latestWins: a same-version correction deterministically beats the snapshot row") {
+    val updates = Seq((1L, 10L, "fixed", 1.1, false)).toDF("id", "v", "tag", "x", "del")
+    val out = graft.ops.Upsert.latestWins(snap, updates, Seq("id"), "v",
+      deleteCol = Some("del"))
+      .filter(col("id") === 1L).collect().head
+    assert(out.getString(2) === "fixed")
+  }
+
+  test("latestWins: highest of several update versions for one key wins; no delete col keeps tombstone flag out of play") {
+    val updates = Seq(
+      (1L, 20L, "mid", 0.2, false),
+      (1L, 30L, "last", 0.3, false)).toDF("id", "v", "tag", "x", "del")
+    val out = graft.ops.Upsert.latestWins(snap, updates, Seq("id"), "v")
+      .filter(col("id") === 1L).collect().head
+    assert(out.getString(2) === "last")
+    // without deleteCol the del column is ordinary payload and survives
+    assert(out.schema.fieldNames.contains("del"))
+  }
+
+  test("latestWins rejects mismatched schemas and missing columns loudly") {
+    val bad = Seq((1L, 20L)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.Upsert.latestWins(snap, bad, Seq("id"), "v")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Upsert.latestWins(snap, snap, Seq("nope"), "v")
+    }
+  }
+
+  test("latestWins plans ONE exchange: union + key agg, never a join") {
+    val plan = graft.ops.Upsert.latestWins(snap, snap, Seq("id"), "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+  }
+
+  test("applyPartitioned rewrites ONLY the touched buckets, converges to the monolithic merge, idempotently") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_upsnap").toString + "/snap"
+    val big = spark.range(1000)
+      .select(col("id"), lit(1L).as("v"),
+        concat(lit("r"), col("id")).as("tag"), col("id").cast("double").as("x"))
+    graft.ops.Upsert.initPartitioned(big, Seq("id"), nBuckets = 16, dir)
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("__bucket=")).map(_.getName).sorted
+    assert(bucketDirs.length === 16, bucketDirs.toSeq)
+    def dirState(name: String): Seq[(String, Long)] = {
+      val d = new java.io.File(dir, name)
+      d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => (f.getName, f.lastModified)).toSeq.sorted
+    }
+    val before = bucketDirs.map(b => b -> dirState(b)).toMap
+
+    // one upserted key, one tombstoned key, one insert → ≤3 buckets
+    val updates = Seq(
+      (7L, 2L, "seven2", 7.7, false),
+      (8L, 2L, "gone", 0.0, true),
+      (2000L, 2L, "new", 2.0, false))
+      .toDF("id", "v", "tag", "x", "del")
+    val affected = graft.ops.Upsert.applyPartitioned(spark, dir, updates,
+      Seq("id"), "v", nBuckets = 16, deleteCol = Some("del"))
+    assert(affected.nonEmpty && affected.size <= 3, affected)
+
+    // untouched bucket directories are bit-for-bit untouched
+    val affectedNames = affected.map(b => s"__bucket=$b").toSet
+    bucketDirs.filterNot(affectedNames).foreach { b =>
+      assert(dirState(b) === before(b), s"untouched bucket $b changed")
+    }
+
+    // converged content = the monolithic latest-wins merge
+    def stateRows = spark.read.parquet(dir)
+      .select("id", "v", "tag", "x").orderBy("id").collect().toSeq
+    val expected = graft.ops.Upsert.latestWins(
+      big.withColumn("del", lit(false)), updates, Seq("id"), "v",
+      deleteCol = Some("del"))
+      .orderBy("id").collect().toSeq
+    assert(stateRows.map(_.toSeq) === expected.map(_.toSeq))
+    assert(spark.read.parquet(dir).filter(col("id") === 8L).count() === 0)
+    assert(spark.read.parquet(dir).filter(col("id") === 2000L).count() === 1)
+
+    // idempotent: re-applying the same batch changes nothing
+    graft.ops.Upsert.applyPartitioned(spark, dir, updates,
+      Seq("id"), "v", nBuckets = 16, deleteCol = Some("del"))
+    assert(stateRows.map(_.toSeq) === expected.map(_.toSeq))
+  }
+
+  test("applyPartitioned with an empty batch touches nothing") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_upsnap").toString + "/snap2"
+    val base = Seq((1L, 1L, "a", 1.0, false)).toDF("id", "v", "tag", "x", "del")
+    graft.ops.Upsert.initPartitioned(base.drop("del"), Seq("id"), 4, dir)
+    val affected = graft.ops.Upsert.applyPartitioned(spark, dir,
+      base.filter(lit(false)), Seq("id"), "v", 4, Some("del"))
+    assert(affected.isEmpty)
+    assert(spark.read.parquet(dir).count() === 1)
+  }
+}
