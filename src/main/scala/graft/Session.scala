@@ -37,6 +37,13 @@ object Session {
       .config("spark.ui.enabled", "false")
       .config(graft.sources.Tables.NanosAsLongConf, "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // write timestamps as annotated INT64 micros, not the deprecated
+      // INT96: INT96 carries no usable min/max statistics, so every
+      // layout rewrite (z-order, compaction, writeByDay) would silently
+      // lose row-group pruning on its time column — measured: the
+      // ts-sorted layout read 100% of the table for a one-week predicate
+      // under INT96, ~week/month of it under micros
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   /** Local session at the tool default: `local[cpus]` with one shuffle
     * partition per core, log level WARN.

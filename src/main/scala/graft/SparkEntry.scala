@@ -468,10 +468,24 @@ object SparkEntry {
   private[graft] def zorderLayout(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     Layout.ensureLayoutDir("zorder",
-      s"$dir:${src.length}:${src.lastModified}:z16:user_id,ts:f32") { p =>
+      s"$dir:${src.length}:${src.lastModified}:z16:user_id,ts:f32:bl_eid:us1") { p =>
       Layout.writeZOrdered(Tables.events(s, dir), Seq("user_id", "ts"), p,
-        nFiles = 32)
+        nFiles = 32, bloomCols = Seq("event_id"))
     }
+  }
+
+  /** Build-once day-partitioned events layout with the sub-2024-01-15
+    * partitions EXPIRED — the retention-sweep fixture under `q_expire`.
+    * Expiry is idempotent, so cache hits re-converge to the same state.
+    */
+  private[graft] def expiredLayout(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val p = Layout.ensureLayoutDir("ttl",
+      s"$dir:${src.length}:${src.lastModified}:byday:us1") { p =>
+      Layout.writeByDay(Tables.events(s, dir), "ts", p)
+    }
+    Layout.expireDays(s, p, beforeDay = "2024-01-15")
+    p
   }
 
   /** Build-once compaction fixture: a deliberately 48-file fragmented
@@ -483,12 +497,12 @@ object SparkEntry {
   private[graft] def compactLayout(s: SparkSession, dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val frag = Layout.ensureLayoutDir("frag",
-      s"$dir:${src.length}:${src.lastModified}:r48") { p =>
+      s"$dir:${src.length}:${src.lastModified}:r48:us1") { p =>
       Tables.events(s, dir).repartition(48)
         .write.mode("overwrite").parquet(p)
     }
     Layout.ensureLayoutDir("compact",
-      s"$dir:${src.length}:${src.lastModified}:r48:t4096:ts") { p =>
+      s"$dir:${src.length}:${src.lastModified}:r48:t4096:ts:us1") { p =>
       Layout.compact(s, frag, p, targetRecordsPerFile = 4096,
         sortCol = Some("ts"))
     }
@@ -1646,6 +1660,33 @@ object SparkEntry {
         deleteCol = Some("deleted"))
     }),
 
+    // ---- bloom-sidecar point lookup: event_id is scrambled by the
+    //      z-order curve, so min/max stats cannot prune an equality
+    //      probe — the parquet bloom filter written with the layout
+    //      skips "definitely absent" row groups instead (pruning pinned
+    //      in LayoutSpec; content here) ----
+    "q_bloom_lookup" -> ((s, dir) => {
+      val path = zorderLayout(s, dir)
+      Layout.read(s, path)
+        .filter(col("event_id") === 4242L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
+    // ---- retention sweep (TTL): day-partitioned events with every
+    //      partition before 2024-01-15 EXPIRED — O(partitions) metadata
+    //      deletes, zero data read; survivors must equal a row-level
+    //      date filter of the original table ----
+    "q_expire" -> ((s, dir) => {
+      val path = expiredLayout(s, dir)
+      Layout.read(s, path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_event_id"),
+          max("event_id").as("max_event_id"),
+          round(sum("value"), 2).as("sum_value"))
+    }),
+
     // ---- copy-on-write CDC apply: the SAME merge as q_upsert, but
     //      against a key-bucketed partitioned snapshot where only the
     //      affected bucket directories are read or rewritten (partition
@@ -1657,7 +1698,7 @@ object SparkEntry {
       def base = Tables.events(s, dir)
         .select("event_id", "ts", "user_id", "event_type", "value")
       val snapPath = Layout.ensureLayoutDir("upsnap",
-        s"$dir:${src.length}:${src.lastModified}:b16:v1") { p =>
+        s"$dir:${src.length}:${src.lastModified}:b16:us1") { p =>
         Upsert.initPartitioned(base, Seq("event_id"), nBuckets = 16, p)
       }
       val updates = base.filter(col("event_id") % 10 === 0)
@@ -3198,6 +3239,17 @@ object SparkEntry {
         |    PARTITION BY event_id ORDER BY ts DESC, side DESC) = 1)
         |SELECT event_id, ts, user_id, event_type, value
         |FROM win WHERE NOT deleted""".stripMargin,
+    "q_bloom_lookup" ->
+      """SELECT event_id, user_id, event_type, round(value, 6) AS value
+        |FROM events WHERE event_id = 4242""".stripMargin,
+    // Partition expiry ≡ a row-level date filter: whole-directory deletes
+    // must drop exactly the pre-cutoff days and nothing else.
+    "q_expire" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+        |GROUP BY 1""".stripMargin,
     // Same replay: the partitioned copy-on-write apply must converge to
     // exactly the monolithic merge's content.
     "q_upsert_partitioned" ->

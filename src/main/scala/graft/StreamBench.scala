@@ -27,9 +27,10 @@ object StreamBench {
     // the LIVE source path (external producer appends, FileTailSource
     // tails) — S1-live measured at the same cadence class
     val tail = graft.streaming.SteadyState.measureFileTailStream(spark)
+    val cdc = graft.streaming.SteadyState.measureCdcApplyStream(spark)
     val combined = env.json.dropRight(1) +
       "," + dedup.json + "," + cur.json + "," + bm25.json + "," +
-      asof.json + "," + ann.json + "," + tail.json + "}"
+      asof.json + "," + ann.json + "," + tail.json + "," + cdc.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -19,9 +19,22 @@ object Verify {
     graft.sources.Tables.assertExpectedSchemas(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // dump timestamps as NTZ (naive UTC micros): the session writes
+        // LTZ as UTC-ADJUSTED micros (outputTimestampType, needed for
+        // layout stats), which pandas reads tz-AWARE — the oracle
+        // comparator canonicalizes naive, so dumps must stay naive
+        val out = fn(spark, sfDir)
+        val naive = out.schema.fields.foldLeft(out)((d, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType =>
+              d.withColumn(f.name, org.apache.spark.sql.functions
+                .col(f.name).cast("timestamp_ntz"))
+            case _ => d
+          })
+        naive.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -111,11 +111,54 @@ object Upsert {
     val cur = deleteCol.fold(cur0)(d => cur0.withColumn(d, lit(false)))
     val merged = latestWins(
       cur.select(upd.columns.map(col): _*), upd, keyCols, versionCol,
-      deleteCol)
-    merged
-      .write.partitionBy(BucketCol).mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(snapshotPath)
+      deleteCol).persist()
+    try {
+      merged
+        .write.partitionBy(BucketCol).mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(snapshotPath)
+      // a bucket whose EVERY row was tombstoned contributes no partition
+      // dir to the write, and dynamic overwrite only replaces dirs
+      // PRESENT in the write — without an explicit delete the old rows
+      // would silently resurrect (caught by the streaming spec's
+      // tombstone-of-a-lone-key case)
+      val surviving = merged.select(BucketCol).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val emptied = affected.filterNot(surviving)
+      if (emptied.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(snapshotPath)
+        val fs = root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        emptied.foreach(b => fs.delete(
+          new org.apache.hadoop.fs.Path(root, s"$BucketCol=$b"), true))
+      }
+    } finally merged.unpersist()
     affected
+  }
+
+  /** Standing CDC apply: each micro-batch of the change stream is merged
+    * into the bucketed snapshot via [[applyPartitioned]] inside
+    * `foreachBatch` — the streaming MERGE INTO pattern, with the same
+    * only-touched-buckets cost per batch. Exactly-once effect comes from
+    * idempotence, not the sink: a replayed batch (restart between
+    * foreachBatch and commit) re-applies to the same state. Out-of-order
+    * delivery converges too — a stale version arriving late loses to
+    * the state already written. The checkpoint dir carries source
+    * offsets; pass a durable one in production.
+    */
+  def applyStream(changes: DataFrame, snapshotPath: String,
+      keyCols: Seq[String], versionCol: String, nBuckets: Int,
+      deleteCol: Option[String], checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(changes.isStreaming, "applyStream: changes must be a stream")
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyPartitioned(batch.sparkSession, snapshotPath, batch,
+          keyCols, versionCol, nBuckets, deleteCol)
+        ()
+      }
+      .start()
   }
 }

@@ -91,7 +91,7 @@ object Layout {
     * thousands, not the test-scale handful.
     */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
-      nFiles: Int, bits: Int = 16): Unit = {
+      nFiles: Int, bits: Int = 16, bloomCols: Seq[String] = Nil): Unit = {
     require(cols.size >= 2,
       s"writeZOrdered: need >=2 clustering columns, got $cols — use a " +
         "plain sortWithinPartitions for one")
@@ -115,11 +115,16 @@ object Layout {
         floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn))
           / lit(span) * lit((top + 1).toDouble)).cast("long")))
     }
-    df.withColumn("__z", interleaveBits(scaled, bits))
+    val w = df.withColumn("__z", interleaveBits(scaled, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+    // bloom sidecars for point lookups on columns the curve scrambles
+    // (see writeSorted's bloomCols doc)
+    bloomCols.foldLeft(w)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(path)
   }
 
   /** Morton interleave: bit `b` of column `ci` lands at position
@@ -138,12 +143,49 @@ object Layout {
   /** Single-column clustered rewrite (the comparison baseline for
     * [[writeZOrdered]], and the right layout when queries only ever
     * range on one column): range-partition + in-file sort on `sortCol`.
+    *
+    * `bloomCols` adds a parquet BLOOM FILTER sidecar per listed column —
+    * the equality-predicate complement to min/max clustering: a point
+    * lookup on a column the sort does NOT order (an id, a device serial)
+    * skips every row group whose filter says "definitely absent", which
+    * is almost all of them when the value lives in one file. Costs a few
+    * KB per row group at write time; the reader consults it
+    * automatically under pushdown. Use for high-cardinality columns
+    * served by `=`/`IN` — range predicates gain nothing.
     */
   def writeSorted(df: DataFrame, sortCol: String, path: String,
-      nFiles: Int): Unit =
-    df.repartitionByRange(nFiles, col(sortCol))
+      nFiles: Int, bloomCols: Seq[String] = Nil): Unit = {
+    val w = df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+    bloomCols.foldLeft(w)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(path)
+  }
+
+  /** Time-partition expiry — the retention sweep of a [[writeByDay]]
+    * layout: drops every `day=…` partition directory strictly before
+    * `beforeDay` (ISO date). A METADATA operation: O(partitions)
+    * directory deletes, zero data read or rewritten — which is why
+    * time-partitioned layouts are how 100 TB lakes implement TTL (a
+    * row-level retention DELETE would rewrite the table). Returns the
+    * dropped partition names.
+    */
+  def expireDays(spark: SparkSession, path: String,
+      beforeDay: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val expired = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("day=") && n.stripPrefix("day=") < beforeDay
+      }
+    expired.foreach(p => fs.delete(p, true))
+    expired.map(_.getName).sorted
+  }
 
   /** Small-file compaction — the maintenance rewrite a 100 TB lake runs
     * continuously (streaming sinks and incremental loads leave thousands
@@ -178,6 +220,18 @@ object Layout {
     }
     shaped.write.mode("overwrite").parquet(outPath)
     (partFiles(spark, inPath).size, partFiles(spark, outPath).size)
+  }
+
+  /** Partition subdirectories (`col=value`) of a partitioned layout,
+    * sorted (markers and hidden dirs excluded).
+    */
+  def partDirs(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .sorted
   }
 
   /** Data part-files of a parquet directory, via the path's own Hadoop

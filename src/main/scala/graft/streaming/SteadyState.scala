@@ -430,6 +430,86 @@ object SteadyState {
       if (lat.isEmpty) -1 else lat.max, outRows)
   }
 
+  /** CDC-apply envelope: a deterministic change stream (rate-driven
+    * upserts + periodic tombstones over a bounded keyspace) merged into a
+    * bucketed copy-on-write snapshot per micro-batch via `foreachBatch` +
+    * [[graft.ops.Upsert.applyPartitioned]]. msg/min INCLUDES the
+    * partition-pruned read + merge + rewrite of the touched buckets each
+    * batch — the standing-MERGE-INTO cost, not just a transform. A 50-row
+    * batch over 64 buckets touches most of them at this tiny scale; at
+    * production bucket counts (thousands) a batch touches the O(batch)
+    * few, which is the op's whole point.
+    */
+  def measureCdcApplyStream(spark: SparkSession,
+      rowsPerBatch: Int = 50, minBatches: Int = 10,
+      deadlineSec: Int = 180): DocEnvelope = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val kind = "cdc_apply_stream"
+    val snap = Files.createTempDirectory("graft_cdc_snap").toString + "/snap"
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt")
+    val nKeys = 100000L
+    val nBuckets = 64
+    graft.ops.Upsert.initPartitioned(
+      spark.range(nKeys).select(col("id"), lit(0L).as("ver"),
+        (col("id") % 997).cast("double").as("x")),
+      Seq("id"), nBuckets, snap)
+    val stream = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", 1704067200000L)
+      .option("advanceMillisPerBatch", 60000L)
+      .load()
+      .select(
+        pmod(col("value") * lit(2654435761L), lit(nKeys)).as("id"),
+        (col("value") + 1L).as("ver"),
+        col("value").cast("double").as("x"),
+        (col("value") % 50 === 0).as("del"))
+    val qName = s"graft_envelope_$kind"
+    val productive = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == qName && e.progress.numInputRows > 0)
+          productive.add((e.progress.numInputRows,
+            e.progress.durationMs.get("triggerExecution").toLong))
+    }
+    spark.streams.addListener(listener)
+    val q = stream.writeStream
+      .queryName(qName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Upsert.applyPartitioned(batch.sparkSession, snap, batch,
+          Seq("id"), "ver", nBuckets, deleteCol = Some("del"))
+        ()
+      }
+      .start()
+    val t0 = System.nanoTime()
+    var elapsedSec = 0.0
+    try {
+      val deadline = t0 + deadlineSec * 1000L * 1000 * 1000
+      while (productive.size < minBatches
+          && System.nanoTime() < deadline) Thread.sleep(200)
+      elapsedSec = (System.nanoTime() - t0) / 1e9
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    val prog = {
+      import scala.jdk.CollectionConverters._
+      productive.asScala.toSeq
+    }
+    val lat = prog.map(_._2)
+    val docs = prog.map(_._1).sum
+    val outRows = spark.read.parquet(snap).count()
+    DocEnvelope(kind, docs, elapsedSec, docs / elapsedSec * 60, lat.length,
+      if (lat.isEmpty) -1 else median(lat),
+      if (lat.isEmpty) -1 else lat.max, outRows)
+  }
+
   def measure(spark: SparkSession, rowsPerBatch: Int = 50,
       advanceMsPerBatch: Long = 120000L, minAggBatches: Int = 15,
       deadlineSec: Int = 180): Envelope = {

@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config(graft.sources.Tables.NanosAsLongConf, "true")
+    // match Session.builder: INT64-micros timestamps so layout rewrites
+    // keep row-group stats on time columns (INT96 has none)
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .getOrCreate()

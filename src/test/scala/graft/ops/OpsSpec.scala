@@ -411,6 +411,55 @@ class UpsertSpec extends SparkSpec {
     assert(stateRows.map(_.toSeq) === expected.map(_.toSeq))
   }
 
+  test("applyStream: a CDC stream applied per micro-batch converges, out-of-order versions and all") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_upsnap").toString + "/live"
+    val ckpt = Files.createTempDirectory("graft_upsnap_ckpt").toString
+    graft.ops.Upsert.initPartitioned(
+      Seq((1L, 1L, "one", 1.0), (2L, 1L, "two", 2.0))
+        .toDF("id", "v", "tag", "x"),
+      Seq("id"), nBuckets = 4, dir)
+
+    val mem = MemoryStream[(Long, Long, String, Double, Boolean)]
+    val q = graft.ops.Upsert.applyStream(
+      mem.toDF().toDF("id", "v", "tag", "x", "del"), dir,
+      Seq("id"), "v", nBuckets = 4, deleteCol = Some("del"), ckpt)
+    try {
+      mem.addData((1L, 3L, "one-v3", 1.3, false)) // upsert
+      q.processAllAvailable()
+      assert(spark.read.parquet(dir).filter(col("id") === 1L)
+        .select("tag").collect().head.getString(0) === "one-v3")
+
+      mem.addData((1L, 2L, "stale", 0.0, false)) // LATE older version
+      mem.addData((2L, 3L, "gone", 0.0, true))   // tombstone
+      mem.addData((3L, 1L, "three", 3.0, false)) // insert
+      q.processAllAvailable()
+      val st = spark.read.parquet(dir).select("id", "v", "tag")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // stale v2 lost to the already-applied v3; key 2 deleted; 3 inserted
+      assert(st.toSeq === Seq((1L, 3L, "one-v3"), (3L, 1L, "three")))
+    } finally q.stop()
+  }
+
+  test("applyPartitioned removes a bucket dir whose every key was tombstoned — no resurrect") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_upsnap").toString + "/lone"
+    graft.ops.Upsert.initPartitioned(
+      Seq((2L, 1L, "two", 2.0)).toDF("id", "v", "tag", "x"),
+      Seq("id"), nBuckets = 4, dir)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
+    graft.ops.Upsert.applyPartitioned(spark, dir,
+      Seq((2L, 2L, "gone", 0.0, true)).toDF("id", "v", "tag", "x", "del"),
+      Seq("id"), "v", nBuckets = 4, deleteCol = Some("del"))
+    // the lone key's bucket contributed no rows to the rewrite: its
+    // directory must be DELETED, not left holding the old row
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
+  }
+
   test("applyPartitioned with an empty batch touches nothing") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_upsnap").toString + "/snap2"

@@ -97,6 +97,49 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.read(spark, dir).count() === 0L)
   }
 
+  test("bloom-filter sidecars prune point lookups on a column the sort cannot help") {
+    val plain = Files.createTempDirectory("graft_b").toString + "/plain"
+    val bloom = Files.createTempDirectory("graft_b").toString + "/bloom"
+    // sorted by y, so payload (the original id) is scrambled across
+    // files: min/max stats cover ~the full range in every file
+    Layout.writeSorted(grid, "y", plain, nFiles = 64)
+    Layout.writeSorted(grid, "y", bloom, nFiles = 64,
+      bloomCols = Seq("payload"))
+
+    def lookup(path: String) =
+      Layout.read(spark, path).filter(col("payload") === 12345L)
+    assert(lookup(plain).count() === 1L)
+    assert(lookup(bloom).count() === 1L)
+
+    val without = Layout.rowsScanned(lookup(plain))
+    val with_ = Layout.rowsScanned(lookup(bloom))
+    // min/max can't exclude a scrambled column: ~full scan without the
+    // filter; the bloom says "definitely absent" for almost every group
+    assert(without > 35000L, s"plain layout scanned $without")
+    assert(with_ < 5000L, s"bloom layout scanned $with_")
+  }
+
+  test("expireDays drops whole day partitions without reading data, exactly the pre-cutoff ones") {
+    val dir = Files.createTempDirectory("graft_ttl").toString + "/days"
+    val events = Tables.events(spark, sfDir)
+    Layout.writeByDay(events, "ts", dir)
+    val allDays = Layout.partDirs(spark, dir)
+    assert(allDays.nonEmpty && allDays.forall(_.startsWith("day=")))
+
+    val dropped = Layout.expireDays(spark, dir, beforeDay = "2024-01-15")
+    assert(dropped === allDays.filter(_.stripPrefix("day=") < "2024-01-15"))
+
+    // survivors match a row-level filter of the original, content intact
+    val kept = Layout.read(spark, dir)
+    val expected = events.filter(to_date(col("ts")) >= lit("2024-01-15"))
+    assert(kept.count() === expected.count())
+    assert(kept.agg(sum("event_id")).collect().head.getLong(0) ===
+      expected.agg(sum("event_id")).collect().head.getLong(0))
+
+    // idempotent: a second sweep at the same cutoff drops nothing
+    assert(Layout.expireDays(spark, dir, "2024-01-15") === Seq.empty)
+  }
+
   test("compact merges small files losslessly and restores ts clustering") {
     val events = Tables.events(spark, sfDir)
     val frag = Files.createTempDirectory("graft_c").toString + "/frag"

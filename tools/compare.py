@@ -26,6 +26,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
