@@ -1660,6 +1660,29 @@ object SparkEntry {
         deleteCol = Some("deleted"))
     }),
 
+    // ---- hierarchical rollup: per-(type, day) + per-type subtotals +
+    //      grand total in ONE Expand+aggregate pass (one shuffle for all
+    //      three drill-down levels); level = grouping_id ----
+    "q_rollup_levels" -> ((s, dir) =>
+      Rollups.hierarchical(Tables.events(s, dir), "ts", "event_type",
+        "value")),
+
+    // ---- wide per-user feature row: pivot over the EXPLICIT event-type
+    //      vocabulary (no distinct-values pre-query, bounded schema) ----
+    "q_pivot_features" -> ((s, dir) =>
+      Rollups.pivotMean(Tables.events(s, dir), "user_id", "event_type",
+        "value", Seq("click", "view", "purchase", "signup", "error"))),
+
+    // ---- per-user running balance: cumulative sum + event index in ts
+    //      order (unique (ts, event_id) ordering so the frame is
+    //      deterministic) ----
+    "q_running_total" -> ((s, dir) =>
+      graft.ops.Trend.runningTotal(
+        Tables.events(s, dir).select("user_id", "event_id", "ts", "value"),
+        Seq("user_id"), Seq("ts", "event_id"), "value")
+        .select(col("user_id"), col("event_id"), col("running_sum"),
+          col("n_so_far"))),
+
     // ---- bloom-sidecar point lookup: event_id is scrambled by the
     //      z-order curve, so min/max stats cannot prune an equality
     //      probe — the parquet bloom filter written with the layout
@@ -3239,6 +3262,34 @@ object SparkEntry {
         |    PARTITION BY event_id ORDER BY ts DESC, side DESC) = 1)
         |SELECT event_id, ts, user_id, event_type, value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // GROUPING(a, b) in DuckDB = Spark's grouping_id() bit vector
+    // (0 leaf, 1 per-key subtotal, 3 grand total).
+    "q_rollup_levels" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 6) AS avg_value,
+        |  GROUPING(event_type, CAST(ts AS DATE)) AS level
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""".stripMargin,
+    "q_pivot_features" ->
+      """SELECT user_id,
+        |  round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+        |  round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view,
+        |  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+        |  round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+        |  round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    // Identical (ts, event_id) frame order on both engines → identical
+    // left-to-right double prefix sums, so the rounded values match
+    // bit-for-bit.
+    "q_running_total" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+        |FROM events""".stripMargin,
     "q_bloom_lookup" ->
       """SELECT event_id, user_id, event_type, round(value, 6) AS value
         |FROM events WHERE event_id = 4242""".stripMargin,

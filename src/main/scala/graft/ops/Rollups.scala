@@ -205,4 +205,40 @@ object Rollups {
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Multi-level hierarchical rollup (SQL ROLLUP): per-(key, day)
+    * aggregates PLUS per-key subtotals PLUS the grand total in one
+    * query — Spark plans a single Expand over one aggregation, so all
+    * three levels ride ONE shuffle instead of three queries re-scanning
+    * the fact table (the dashboard "drill-down" shape at 100 TB).
+    * `level` is `grouping_id()` (0 = leaf, 1 = per-key subtotal, 3 =
+    * grand total), disambiguating a subtotal row from a genuinely-null
+    * key.
+    */
+  def hierarchical(df: DataFrame, tsCol: String, key: String,
+      valueCol: String): DataFrame =
+    df.withColumn("day", to_date(col(tsCol)))
+      .rollup(col(key), col("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(valueCol), 2).as(s"sum_$valueCol"),
+        round(avg(valueCol), 6).as(s"avg_$valueCol"),
+        // must live inside the agg list: grouping_id() only resolves
+        // under the GroupingSets aggregate itself
+        grouping_id().as("level"))
+
+  /** Wide per-entity feature row (`groupBy.pivot` over an EXPLICIT
+    * column vocabulary): one value column per listed category. The
+    * explicit list matters at scale: it keeps the plan one pass with no
+    * distinct-values pre-query and a bounded output schema — pivoting an
+    * unbounded-cardinality column is the anti-pattern this signature
+    * forbids. One shuffle on the key; per-category conditional
+    * aggregation is map-side combined.
+    */
+  def pivotMean(df: DataFrame, key: String, catCol: String,
+      valueCol: String, cats: Seq[String]): DataFrame = {
+    require(cats.nonEmpty, "pivotMean: empty category vocabulary")
+    df.groupBy(col(key))
+      .pivot(catCol, cats)
+      .agg(round(avg(valueCol), 6))
+  }
 }

@@ -39,6 +39,23 @@ object Trend {
       .withColumn("diff1", col(valueCol) - lag(col(valueCol), 1).over(w))
   }
 
+  /** Per-key running cumulative total + event index over time — the
+    * audit/meter-reading window (balance after every transaction). One
+    * shuffle on the key, per-partition sort; the frame is rows-unbounded-
+    * preceding, so Spark evaluates it in one streamed pass per key — no
+    * quadratic re-aggregation. `order` must be a UNIQUE ordering per key
+    * (include a tiebreaker id): a running sum over tied rows is frame-
+    * order-dependent and silently nondeterministic otherwise.
+    */
+  def runningTotal(df: DataFrame, keys: Seq[String], order: Seq[String],
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_sum", round(sum(col(valueCol)).over(w), 2))
+      .withColumn("n_so_far", count(lit(1)).over(w))
+  }
+
   /** Per-key trend slope + classification
     * (reference/streamlit_dashboard.py:688-696): slope is the mean of the
     * last n first-differences of the n-row MA = (MA@last − MA@last−(n−1))/(n−1).

@@ -196,6 +196,52 @@ class TopKSpec extends SparkSpec {
 class RollupsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hierarchical rollup: leaf + subtotal + grand-total levels in one pass, one Expand") {
+    val df = Seq(
+      ("a", "2024-01-01 01:00:00", 1.0),
+      ("a", "2024-01-02 01:00:00", 2.0),
+      ("b", "2024-01-01 01:00:00", 4.0))
+      .toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Rollups.hierarchical(df, "ts", "k", "v")
+    val byLevel = r.collect().groupBy(_.getAs[Long]("level"))
+    assert(byLevel(0L).length === 3) // (a,1st),(a,2nd),(b,1st)
+    assert(byLevel(1L).map(x => (x.getString(0), x.getAs[Double]("sum_v")))
+      .toSet === Set(("a", 3.0), ("b", 4.0)))
+    assert(byLevel(3L).head.getAs[Double]("sum_v") === 7.0)
+    // one Expand + one aggregation: the three levels share a single scan
+    // (AQE toString repeats the plan as "Initial Plan" — inspect only
+    // the final section or every Exchange counts twice)
+    val plan = r.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), plan)
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+  }
+
+  test("pivotMean: explicit vocabulary becomes columns; absent category is null; empty vocab rejected") {
+    val df = Seq((1L, "x", 2.0), (1L, "x", 4.0), (2L, "y", 6.0))
+      .toDF("id", "cat", "v")
+    val p = Rollups.pivotMean(df, "id", "cat", "v", Seq("x", "y", "z"))
+    assert(p.columns.toSeq === Seq("id", "x", "y", "z"))
+    val r1 = p.filter(col("id") === 1L).collect().head
+    assert(r1.getDouble(1) === 3.0 && r1.isNullAt(2) && r1.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Rollups.pivotMean(df, "id", "cat", "v", Seq.empty)
+    }
+  }
+
+  test("runningTotal: per-key cumulative sum and index in the given unique order") {
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 5.0), (1L, 3L, 1.0), (2L, 1L, 7.0))
+      .toDF("k", "seq", "v")
+    val r = graft.ops.Trend.runningTotal(df, Seq("k"), Seq("seq"), "v")
+      .orderBy("k", "seq")
+      .select("k", "running_sum", "n_so_far").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    assert(r.toSeq === Seq(
+      (1L, 10.0, 1L), (1L, 15.0, 2L), (1L, 16.0, 3L), (2L, 7.0, 1L)))
+  }
+
   test("histogram bins span [min,max] with max clamped into last bin") {
     val df = (0 to 30).map(_.toDouble).toDF("v") // min 0, max 30, width 1
     val h = Rollups.histogram(df, "v", 30).orderBy("bin").collect()
