@@ -1660,6 +1660,24 @@ object SparkEntry {
         deleteCol = Some("deleted"))
     }),
 
+    // ---- incremental materialized aggregate: the per-(type, day)
+    //      rollup built from HALF the events, then refreshed with the
+    //      other half via partial-merge (union of mergeable (n, sum)
+    //      partials, only touched day partitions rewritten) — the final
+    //      state must equal the full-table GROUP BY the oracle runs.
+    //      Fresh temp state per run: increments add, so the query stays
+    //      idempotent by rebuilding ----
+    "q_agg_incremental" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_incagg").toString + "/agg"
+      val ev = Tables.events(s, dir)
+      Rollups.initDailyAgg(ev.filter(col("event_id") % 2 === 0),
+        "ts", "event_type", "value", path)
+      Rollups.mergeDailyIncrement(s, path,
+        ev.filter(col("event_id") % 2 === 1), "ts", "event_type", "value")
+      Rollups.readDailyAgg(s, path, "value")
+    }),
+
     // ---- hierarchical rollup: per-(type, day) + per-type subtotals +
     //      grand total in ONE Expand+aggregate pass (one shuffle for all
     //      three drill-down levels); level = grouping_id ----
@@ -3262,6 +3280,14 @@ object SparkEntry {
         |    PARTITION BY event_id ORDER BY ts DESC, side DESC) = 1)
         |SELECT event_id, ts, user_id, event_type, value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // The incrementally-maintained state must equal the from-scratch
+    // GROUP BY — partial merge loses nothing.
+    "q_agg_incremental" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // GROUPING(a, b) in DuckDB = Spark's grouping_id() bit vector
     // (0 leaf, 1 per-key subtotal, 3 grand total).
     "q_rollup_levels" ->

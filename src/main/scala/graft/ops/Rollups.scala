@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Group-by and global statistical aggregations (SURVEY.md §2.4 A3-A12).
@@ -225,6 +225,72 @@ object Rollups {
         // must live inside the agg list: grouping_id() only resolves
         // under the GroupingSets aggregate itself
         grouping_id().as("level"))
+
+  /** Incremental materialized-aggregate maintenance — the dashboard
+    * rollup refreshed from each new event batch WITHOUT rescanning
+    * history. The state table holds per-(key, day) MERGEABLE partials
+    * (`n`, `sum`; avg is derived at read time — an average itself cannot
+    * be merged), partitioned by day so a batch refresh touches only the
+    * days it contains:
+    *
+    *   1. the batch collapses to its own per-(key, day) partials (a
+    *      batch-sized aggregation, never the fact table);
+    *   2. its distinct days (driver metadata) prune the state read;
+    *   3. union + re-aggregate merges old and new partials;
+    *   4. dynamic partition overwrite rewrites exactly those day dirs.
+    *
+    * A day far in the past that receives a late event costs one
+    * day-partition rewrite, not a history scan — this is why partials,
+    * not finished averages, are what a 100 TB pipeline materializes.
+    * NOT idempotent (increments add): callers must apply each batch
+    * exactly once — pair with a batch-id ledger when the source can
+    * re-deliver (the streaming-dedup gate exists for exactly that).
+    * Returns the refreshed day partition names.
+    */
+  def initDailyAgg(df: DataFrame, tsCol: String, key: String,
+      valueCol: String, path: String): Unit =
+    dailyPartials(df, tsCol, key, valueCol)
+      .write.partitionBy("day").mode("overwrite").parquet(path)
+
+  /** Per-(key, day) mergeable partials of one frame. */
+  private def dailyPartials(df: DataFrame, tsCol: String, key: String,
+      valueCol: String): DataFrame =
+    df.withColumn("day", to_date(col(tsCol)))
+      .groupBy(col(key), col("day"))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_v"))
+
+  /** Merge one batch into an [[initDailyAgg]] state table; see there. */
+  def mergeDailyIncrement(spark: SparkSession, path: String,
+      batch: DataFrame, tsCol: String, key: String,
+      valueCol: String): Seq[String] = {
+    val inc = dailyPartials(batch, tsCol, key, valueCol).persist()
+    try {
+      val days = inc.select(col("day")).distinct()
+        .collect().map(_.getDate(0).toString).toSeq.sorted
+      if (days.isEmpty) return Seq.empty
+      val cur = spark.read.parquet(path)
+        .filter(col("day").isin(days: _*))
+        .select(col(key), col("day").cast("date"), col("n"), col("sum_v"))
+      cur.unionByName(inc.select(col(key), col("day"), col("n"), col("sum_v")))
+        .groupBy(col(key), col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
+        .write.partitionBy("day").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+      days
+    } finally inc.unpersist()
+  }
+
+  /** Read an [[initDailyAgg]] state table with the derived metrics a
+    * dashboard wants (avg = merged sum / merged n).
+    */
+  def readDailyAgg(spark: SparkSession, path: String,
+      valueCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("*"),
+        round(col("sum_v") / col("n"), 6).as(s"avg_$valueCol"))
+      .withColumn("sum_v", round(col("sum_v"), 2))
+      .withColumnRenamed("sum_v", s"sum_$valueCol")
 
   /** Wide per-entity feature row (`groupBy.pivot` over an EXPLICIT
     * column vocabulary): one value column per listed category. The

@@ -196,6 +196,50 @@ class TopKSpec extends SparkSpec {
 class RollupsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("incremental daily agg: same-day partials merge; a late-day refresh touches only its day dir") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_incagg").toString + "/agg"
+    def mk(rows: (String, String, Double)*) = rows.toSeq
+      .toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    Rollups.initDailyAgg(mk(
+      ("a", "2024-01-01 10:00:00", 1.0),
+      ("a", "2024-01-02 10:00:00", 2.0)), "ts", "k", "v", dir)
+    val days1 = Rollups.mergeDailyIncrement(spark, dir, mk(
+      ("a", "2024-01-01 11:00:00", 3.0),  // same-day partial MERGE
+      ("b", "2024-01-03 10:00:00", 5.0)), // brand-new day
+      "ts", "k", "v")
+    assert(days1 === Seq("2024-01-01", "2024-01-03"))
+    val st = Rollups.readDailyAgg(spark, dir, "v")
+      .orderBy("day", "k")
+      .select("k", "n", "sum_v", "avg_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(st.toSeq === Seq(
+      ("a", 2L, 4.0, 2.0), ("a", 1L, 2.0, 2.0), ("b", 1L, 5.0, 5.0)))
+
+    // a LATE arrival for day 1 rewrites only day=2024-01-01
+    def dirState(name: String) = {
+      val d = new java.io.File(dir, name)
+      d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => (f.getName, f.lastModified)).toSeq.sorted
+    }
+    val before = Seq("day=2024-01-02", "day=2024-01-03")
+      .map(d => d -> dirState(d)).toMap
+    val days2 = Rollups.mergeDailyIncrement(spark, dir,
+      mk(("a", "2024-01-01 23:00:00", 6.0)), "ts", "k", "v")
+    assert(days2 === Seq("2024-01-01"))
+    before.foreach { case (d, s) =>
+      assert(dirState(d) === s, s"untouched day $d changed")
+    }
+    val d1 = Rollups.readDailyAgg(spark, dir, "v")
+      .filter(col("day") === lit("2024-01-01").cast("date"))
+      .select("n", "sum_v").collect().head
+    assert((d1.getLong(0), d1.getDouble(1)) === ((3L, 10.0)))
+
+    // empty increment: no days, no writes
+    assert(Rollups.mergeDailyIncrement(spark, dir,
+      mk().filter(lit(false)), "ts", "k", "v") === Seq.empty)
+  }
+
   test("hierarchical rollup: leaf + subtotal + grand-total levels in one pass, one Expand") {
     val df = Seq(
       ("a", "2024-01-01 01:00:00", 1.0),
