@@ -1660,6 +1660,20 @@ object SparkEntry {
         deleteCol = Some("deleted"))
     }),
 
+    // ---- bloom semi-join reduction: fact rows that cannot match the
+    //      selective dim are killed BEFORE the join exchange by a
+    //      driver-side key sketch; false positives die in the join, so
+    //      the result is exactly the plain join the oracle replays ----
+    "q_bloom_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.filter(col("user_id") % 29 === 0)
+        .select(col("user_id")).distinct()
+        .withColumn("dim_tag", concat(lit("u"), col("user_id")))
+      graft.ops.Joins.bloomReducedJoin(ev, dim, "user_id")
+        .groupBy(col("dim_tag"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // ---- incremental materialized aggregate: the per-(type, day)
     //      rollup built from HALF the events, then refreshed with the
     //      other half via partial-merge (union of mergeable (n, sum)
@@ -3280,6 +3294,16 @@ object SparkEntry {
         |    PARTITION BY event_id ORDER BY ts DESC, side DESC) = 1)
         |SELECT event_id, ts, user_id, event_type, value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // The bloom pre-filter is invisible in the result: plain join replay.
+    "q_bloom_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT user_id,
+        |         'u' || CAST(user_id AS VARCHAR) AS dim_tag
+        |  FROM events WHERE user_id % 29 = 0)
+        |SELECT dim_tag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events e JOIN dim USING (user_id)
+        |GROUP BY 1""".stripMargin,
     // The incrementally-maintained state must equal the from-scratch
     // GROUP BY — partial merge loses nothing.
     "q_agg_incremental" ->

@@ -391,6 +391,39 @@ class RollupsSpec extends SparkSpec {
   }
 }
 
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def fact = spark.range(40000)
+    .select((col("id") % 200).as("k"), col("id").as("payload"))
+  private def dim = spark.range(10)
+    .select(col("id").as("k"), concat(lit("d"), col("id")).as("tag"))
+
+  test("bloomReducedJoin equals the plain join; the pre-filter kills most fact rows") {
+    val plain = fact.join(dim, Seq("k"))
+      .groupBy("tag").agg(sum("payload").as("s"))
+      .orderBy("tag").collect().map(r => (r.getString(0), r.getLong(1)))
+    val bloomed = graft.ops.Joins.bloomReducedJoin(fact, dim, "k")
+      .groupBy("tag").agg(sum("payload").as("s"))
+      .orderBy("tag").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(bloomed.toSeq === plain.toSeq)
+    // 10 of 200 keys survive: ~5% of the fact reaches the join exchange
+    val reduced = graft.ops.Joins.bloomKeyFilter(fact, dim, "k").count()
+    assert(reduced < 40000L / 10, s"bloom kept $reduced of 40000")
+    assert(reduced >= 2000L, s"bloom must keep every true match, got $reduced")
+  }
+
+  test("bloomKeyFilter: empty dim keeps nothing; non-integral key rejected") {
+    assert(graft.ops.Joins.bloomKeyFilter(fact, dim.filter(lit(false)),
+      "k").count() === 0L)
+    val sdim = Seq(("a", 1)).toDF("k", "x")
+    intercept[IllegalArgumentException] {
+      graft.ops.Joins.bloomKeyFilter(sdim, sdim, "k")
+    }
+  }
+}
+
 class UpsertSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
