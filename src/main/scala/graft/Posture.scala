@@ -31,15 +31,21 @@ object Posture {
   private final class Metrics extends SparkListener {
     @volatile var peakTaskMem = 0L
     @volatile var spilledBytes = 0L
+    @volatile var shuffleWritten = 0L
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         peakTaskMem = math.max(peakTaskMem, m.peakExecutionMemory)
         spilledBytes += m.memoryBytesSpilled
+        shuffleWritten += m.shuffleWriteMetrics.bytesWritten
       }
     }
     def snapshot(): (Long, Long) = { Thread.sleep(1000); (peakTaskMem, spilledBytes) }
-    def reset(): Unit = { Thread.sleep(1000); peakTaskMem = 0L; spilledBytes = 0L }
+    def shuffled(): Long = { Thread.sleep(1000); shuffleWritten }
+    def reset(): Unit = {
+      Thread.sleep(1000)
+      peakTaskMem = 0L; spilledBytes = 0L; shuffleWritten = 0L
+    }
   }
 
   /** `stride` must exceed every base doc_id so shard id ranges stay
@@ -649,6 +655,69 @@ object Posture {
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 
+    // ---- bloom semi-join reduction posture --------------------------
+    // THREE-WAY and honest: (a) naive = engine's runtime bloom rewrite
+    // DISABLED, plain shuffled join — the pre-Spark-3.3 baseline; (b)
+    // engine = the rewrite left ON, plain join — what the optimizer now
+    // injects by itself; (c) explicit = rewrite disabled, our
+    // Joins.bloomReducedJoin with a right-sized sketch. The first cut of
+    // this section measured only plain-vs-explicit and found ratio 1.0 —
+    // because the ENGINE was already bloom-filtering the "plain" join;
+    // the naive row exists so the artifact shows that, instead of
+    // quietly flattering or damning either form. Broadcast disabled
+    // throughout (the at-scale plan). Dim = every 29th user (~3.4%
+    // selectivity).
+    val joinJson = {
+      // Materialize the dim through parquet to SEVER LINEAGE: a dim
+      // derived in-plan from the fact table propagates its key predicate
+      // onto the fact via constraint inference, and every variant
+      // (including "naive") quietly pre-filters itself — the first two
+      // cuts of this section measured 1.0x for exactly this reason. A
+      // file-backed dim models the real case: keys from another source
+      // the optimizer can know nothing about.
+      def dimOf(lbl: String, d: DataFrame): DataFrame = {
+        val p = s"$scratch/join_dim_$lbl"
+        d.filter(col("user_id") % 29 === 0)
+          .select(col("user_id")).distinct()
+          .withColumn("dim_tag", concat(lit("u"), col("user_id")))
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+      def consumeJ(d: DataFrame): Unit =
+        d.write.format("noop").mode("overwrite").save()
+      def withConf[A](k: String, v: String)(body: => A): A = {
+        val prev = spark.conf.get(k)
+        spark.conf.set(k, v)
+        try body finally spark.conf.set(k, prev)
+      }
+      val RtFilter = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+      val blocks = Seq(("1x", ev), ("10x", evTenX)).map { case (lbl, d) =>
+        val dim = dimOf(lbl, d)
+        noBroadcast {
+          def measure(body: () => Unit): (Double, Long) = {
+            body() // warm
+            metrics.reset()
+            val t0 = System.nanoTime(); body()
+            ((System.nanoTime() - t0) / 1e9, metrics.shuffled())
+          }
+          val (secN, shN) = withConf(RtFilter, "false")(
+            measure(() => consumeJ(d.join(dim, Seq("user_id")))))
+          val (secE, shE) = withConf(RtFilter, "true")(
+            measure(() => consumeJ(d.join(dim, Seq("user_id")))))
+          val (secX, shX) = withConf(RtFilter, "false")(
+            measure(() => consumeJ(
+              graft.ops.Joins.bloomReducedJoin(d, dim, "user_id",
+                expectedDimKeys = 1000L))))
+          f""""$lbl": {"naive_shuffle_mb": ${shN / 1048576.0}%.2f, "engine_shuffle_mb": ${shE / 1048576.0}%.2f, "explicit_shuffle_mb": ${shX / 1048576.0}%.2f,
+             |      "naive_sec": $secN%.2f, "engine_sec": $secE%.2f, "explicit_sec": $secX%.2f,
+             |      "reduction_vs_naive_engine_x": ${shN.toDouble / math.max(1L, shE)}%.1f, "reduction_vs_naive_explicit_x": ${shN.toDouble / math.max(1L, shX)}%.1f}""".stripMargin
+        }
+      }
+      f"""  "join_reduction": {
+         |    "what": "semi-join reduction on a ~3.4%%-selective FILE-BACKED dim join (lineage severed — an in-plan derived dim lets constraint inference pre-filter the fact in every variant, which is what the first cuts of this section measured as a false 1.0x) at 1x/10x events, broadcast disabled, three ways: naive = Catalyst's runtime bloom rewrite OFF + plain sort-merge join (the full-fact-shuffle baseline), engine = rewrite ON (what the optimizer injects by itself), explicit = rewrite OFF + Joins.bloomReducedJoin (right-sized driver sketch). Healthy = engine and explicit shuffle volumes comparable, both far under naive, ratios holding at 10x; the explicit form's remaining role is reusable sketches and shapes the rewrite declines",
+         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     val nDocs = corpora.toMap.apply("1x").count()
     val json =
       s"""{
@@ -662,7 +731,8 @@ object Posture {
          |$intervalJson,
          |$lmJson,
          |$boilerJson,
-         |$layoutJson
+         |$layoutJson,
+         |$joinJson
          |}""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("POSTURE_10X.json"), json + "\n")

@@ -1665,11 +1665,19 @@ object SparkEntry {
     //      driver-side key sketch; false positives die in the join, so
     //      the result is exactly the plain join the oracle replays ----
     "q_bloom_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val dim = ev.filter(col("user_id") % 29 === 0)
-        .select(col("user_id")).distinct()
-        .withColumn("dim_tag", concat(lit("u"), col("user_id")))
-      graft.ops.Joins.bloomReducedJoin(ev, dim, "user_id")
+      // dim materialized through parquet: an in-plan derived dim lets
+      // constraint inference pre-filter the fact by itself, and the
+      // bloom would demonstrate nothing (POSTURE join_reduction story)
+      val src = new java.io.File(s"$dir/events.parquet")
+      val dimPath = Layout.ensureLayoutDir("joindim",
+        s"$dir:${src.length}:${src.lastModified}:mod29") { p =>
+        Tables.events(s, dir).filter(col("user_id") % 29 === 0)
+          .select(col("user_id")).distinct()
+          .withColumn("dim_tag", concat(lit("u"), col("user_id")))
+          .write.mode("overwrite").parquet(p)
+      }
+      graft.ops.Joins.bloomReducedJoin(Tables.events(s, dir),
+          s.read.parquet(dimPath), "user_id", expectedDimKeys = 1000L)
         .groupBy(col("dim_tag"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),

@@ -24,10 +24,23 @@ object Joins {
 
   /** The reduced fact side: rows whose `key` might be in `dim`'s key set
     * (exact-match rows plus bloom false positives). Integral keys only —
-    * the sketch hashes longs.
+    * the sketch hashes longs. SIZE `expectedDimKeys` to the real dim
+    * cardinality: the sketch's bits scale with it, and an over-sized
+    * sketch is pure overhead (a 1M-key default for a 52-key dim ships a
+    * ~1.2 MB literal in every task binary — measured before this doc
+    * existed).
+    *
+    * Know what the engine already does: Spark's own
+    * `runtime.bloomFilter` rewrite injects this same filter into
+    * shuffle-join plans it recognizes (the posture artifact's
+    * `join_reduction` section measures all three: naive, engine,
+    * explicit). The explicit form earns its keep where the rewrite
+    * can't reach — a REUSED sketch across many queries (build once at
+    * dim-publish time), pre-filtering before a non-join consumer, or
+    * plan shapes/confs the injection declines.
     */
   def bloomKeyFilter(fact: DataFrame, dim: DataFrame, key: String,
-      expectedDimKeys: Long = 1000000L): DataFrame = {
+      expectedDimKeys: Long = 10000L): DataFrame = {
     require(!fact.isStreaming && !dim.isStreaming,
       "bloomKeyFilter collects the dim-side sketch eagerly and is " +
         "batch-only; on a stream, build the sketch per batch or at " +
@@ -52,6 +65,6 @@ object Joins {
     * by the join's selectivity.
     */
   def bloomReducedJoin(fact: DataFrame, dim: DataFrame, key: String,
-      expectedDimKeys: Long = 1000000L): DataFrame =
+      expectedDimKeys: Long = 10000L): DataFrame =
     bloomKeyFilter(fact, dim, key, expectedDimKeys).join(dim, Seq(key))
 }
