@@ -1682,6 +1682,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // ---- salted skew join: same join as q_bloom_join but through the
+    //      hot-key-spreading rewrite (big side salted 8 ways, dim
+    //      replicated per salt) — the salt must be invisible in the
+    //      result, so the oracle is the identical plain-join replay ----
+    "q_salted_join" -> ((s, dir) => {
+      val src = new java.io.File(s"$dir/events.parquet")
+      val dimPath = Layout.ensureLayoutDir("joindim",
+        s"$dir:${src.length}:${src.lastModified}:mod29") { p =>
+        Tables.events(s, dir).filter(col("user_id") % 29 === 0)
+          .select(col("user_id")).distinct()
+          .withColumn("dim_tag", concat(lit("u"), col("user_id")))
+          .write.mode("overwrite").parquet(p)
+      }
+      graft.ops.Skew.saltedJoin(Tables.events(s, dir),
+          s.read.parquet(dimPath), "user_id", saltSource = "event_id",
+          nSalts = 8)
+        .groupBy(col("dim_tag"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // ---- incremental materialized aggregate: the per-(type, day)
     //      rollup built from HALF the events, then refreshed with the
     //      other half via partial-merge (union of mergeable (n, sum)
@@ -3302,6 +3322,16 @@ object SparkEntry {
         |    PARTITION BY event_id ORDER BY ts DESC, side DESC) = 1)
         |SELECT event_id, ts, user_id, event_type, value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // The salt must be invisible in the result: plain join replay.
+    "q_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT user_id,
+        |         'u' || CAST(user_id AS VARCHAR) AS dim_tag
+        |  FROM events WHERE user_id % 29 = 0)
+        |SELECT dim_tag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events e JOIN dim USING (user_id)
+        |GROUP BY 1""".stripMargin,
     // The bloom pre-filter is invisible in the result: plain join replay.
     "q_bloom_join" ->
       """WITH dim AS (
