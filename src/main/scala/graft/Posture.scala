@@ -693,6 +693,10 @@ object Posture {
       val RtFilter = "spark.sql.optimizer.runtime.bloomFilter.enabled"
       val blocks = Seq(("1x", ev), ("10x", evTenX)).map { case (lbl, d) =>
         val dim = dimOf(lbl, d)
+        // per bloomKeyFilter's contract, size the sketch to the REAL dim
+        // cardinality — one hardcoded size across scales would saturate
+        // at 10x and inflate the explicit lane's false-positive traffic
+        val dimKeys = math.max(64L, dim.count())
         noBroadcast {
           def measure(body: () => Unit): (Double, Long) = {
             body() // warm
@@ -707,7 +711,7 @@ object Posture {
           val (secX, shX) = withConf(RtFilter, "false")(
             measure(() => consumeJ(
               graft.ops.Joins.bloomReducedJoin(d, dim, "user_id",
-                expectedDimKeys = 1000L))))
+                expectedDimKeys = dimKeys))))
           f""""$lbl": {"naive_shuffle_mb": ${shN / 1048576.0}%.2f, "engine_shuffle_mb": ${shE / 1048576.0}%.2f, "explicit_shuffle_mb": ${shX / 1048576.0}%.2f,
              |      "naive_sec": $secN%.2f, "engine_sec": $secE%.2f, "explicit_sec": $secX%.2f,
              |      "reduction_vs_naive_engine_x": ${shN.toDouble / math.max(1L, shE)}%.1f, "reduction_vs_naive_explicit_x": ${shN.toDouble / math.max(1L, shX)}%.1f}""".stripMargin

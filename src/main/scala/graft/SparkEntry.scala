@@ -508,6 +508,24 @@ object SparkEntry {
     }
   }
 
+  /** Build-once FILE-BACKED join dim (every 29th user, tagged):
+    * materialized through parquet because an in-plan derived dim lets
+    * constraint inference pre-filter the fact side by itself, and the
+    * join-rewrite queries (`q_bloom_join`, `q_salted_join`) would then
+    * demonstrate nothing. One definition — two queries sharing the
+    * cache key must build identical dims.
+    */
+  private[graft] def joinDimLayout(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    Layout.ensureLayoutDir("joindim",
+      s"$dir:${src.length}:${src.lastModified}:mod29") { p =>
+      Tables.events(s, dir).filter(col("user_id") % 29 === 0)
+        .select(col("user_id")).distinct()
+        .withColumn("dim_tag", concat(lit("u"), col("user_id")))
+        .write.mode("overwrite").parquet(p)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1/A2: streaming-style tumbling window agg, batch form ----
     "q_windowed_agg" -> ((s, dir) =>
@@ -1664,43 +1682,23 @@ object SparkEntry {
     //      selective dim are killed BEFORE the join exchange by a
     //      driver-side key sketch; false positives die in the join, so
     //      the result is exactly the plain join the oracle replays ----
-    "q_bloom_join" -> ((s, dir) => {
-      // dim materialized through parquet: an in-plan derived dim lets
-      // constraint inference pre-filter the fact by itself, and the
-      // bloom would demonstrate nothing (POSTURE join_reduction story)
-      val src = new java.io.File(s"$dir/events.parquet")
-      val dimPath = Layout.ensureLayoutDir("joindim",
-        s"$dir:${src.length}:${src.lastModified}:mod29") { p =>
-        Tables.events(s, dir).filter(col("user_id") % 29 === 0)
-          .select(col("user_id")).distinct()
-          .withColumn("dim_tag", concat(lit("u"), col("user_id")))
-          .write.mode("overwrite").parquet(p)
-      }
+    "q_bloom_join" -> ((s, dir) =>
       graft.ops.Joins.bloomReducedJoin(Tables.events(s, dir),
-          s.read.parquet(dimPath), "user_id", expectedDimKeys = 1000L)
+          s.read.parquet(joinDimLayout(s, dir)), "user_id",
+          expectedDimKeys = 1000L)
         .groupBy(col("dim_tag"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-    }),
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
 
     // ---- salted skew join: same join as q_bloom_join but through the
     //      hot-key-spreading rewrite (big side salted 8 ways, dim
     //      replicated per salt) — the salt must be invisible in the
     //      result, so the oracle is the identical plain-join replay ----
-    "q_salted_join" -> ((s, dir) => {
-      val src = new java.io.File(s"$dir/events.parquet")
-      val dimPath = Layout.ensureLayoutDir("joindim",
-        s"$dir:${src.length}:${src.lastModified}:mod29") { p =>
-        Tables.events(s, dir).filter(col("user_id") % 29 === 0)
-          .select(col("user_id")).distinct()
-          .withColumn("dim_tag", concat(lit("u"), col("user_id")))
-          .write.mode("overwrite").parquet(p)
-      }
+    "q_salted_join" -> ((s, dir) =>
       graft.ops.Skew.saltedJoin(Tables.events(s, dir),
-          s.read.parquet(dimPath), "user_id", saltSource = "event_id",
-          nSalts = 8)
+          s.read.parquet(joinDimLayout(s, dir)), "user_id",
+          saltSource = "event_id", nSalts = 8)
         .groupBy(col("dim_tag"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
-    }),
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
 
     // ---- incremental materialized aggregate: the per-(type, day)
     //      rollup built from HALF the events, then refreshed with the
@@ -1710,8 +1708,16 @@ object SparkEntry {
     //      Fresh temp state per run: increments add, so the query stays
     //      idempotent by rebuilding ----
     "q_agg_incremental" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_incagg").toString + "/agg"
+      // deterministic scratch (initDailyAgg's full overwrite truncates
+      // it), so repeated runs rebuild in place instead of leaking a
+      // state copy per invocation; rebuild-per-run keeps the query
+      // idempotent (increments add)
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_incagg_$user/$key").toString
       val ev = Tables.events(s, dir)
       Rollups.initDailyAgg(ev.filter(col("event_id") % 2 === 0),
         "ts", "event_type", "value", path)

@@ -55,7 +55,11 @@ object Upsert {
         struct(col(versionCol), col("__side"))).as("__w"))
     val unpacked = winner.select(
       keyCols.map(col) ++ payload.map(p => col(s"__w.`$p`").as(p)): _*)
-    deleteCol.fold(unpacked)(d => unpacked.filter(!col(d)).drop(d))
+    // null tombstone flag = NOT deleted (a CDC feed that only stamps
+    // op='d' rows leaves the column null elsewhere); bare !col(d) would
+    // evaluate null and silently drop the row
+    deleteCol.fold(unpacked)(d =>
+      unpacked.filter(!coalesce(col(d), lit(false))).drop(d))
   }
 
   /** Partition column of the copy-on-write snapshot layout. */
@@ -72,10 +76,32 @@ object Upsert {
       path: String): Unit = {
     require(nBuckets >= 1, s"initPartitioned: nBuckets=$nBuckets")
     require(!df.columns.contains(BucketCol), s"$BucketCol is reserved")
-    df.withColumn(BucketCol,
-        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)))
+    val bucketed = df.withColumn(BucketCol,
+      pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)))
+    if (df.isEmpty) writeEmptyMarker(bucketed, path)
+    else bucketed
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
+  }
+
+  /** An empty snapshot cannot be a bare partitioned dir (zero rows write
+    * zero partition directories and the next read dies with
+    * UNABLE_TO_INFER_SCHEMA): it is stored as ONE empty unpartitioned
+    * part file carrying the full schema — `BucketCol` as an ordinary
+    * column, so bucket-filtered reads still resolve. The next non-empty
+    * apply replaces it wholesale with a partitioned layout again.
+    */
+  private def writeEmptyMarker(withBucket: DataFrame, path: String): Unit =
+    withBucket.limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Whether `path` currently holds any `BucketCol=…` partition dirs. */
+  private def hasBucketDirs(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
   }
 
   /** Copy-on-write CDC apply — the scale-right form of [[latestWins]]:
@@ -113,24 +139,42 @@ object Upsert {
       cur.select(upd.columns.map(col): _*), upd, keyCols, versionCol,
       deleteCol).persist()
     try {
-      merged
-        .write.partitionBy(BucketCol).mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(snapshotPath)
-      // a bucket whose EVERY row was tombstoned contributes no partition
-      // dir to the write, and dynamic overwrite only replaces dirs
-      // PRESENT in the write — without an explicit delete the old rows
-      // would silently resurrect (caught by the streaming spec's
-      // tombstone-of-a-lone-key case)
+      // this collect also MATERIALIZES the persisted merge before any
+      // write below truncates the same path the plan reads from
       val surviving = merged.select(BucketCol).distinct()
         .collect().map(_.getLong(0)).toSet
-      val emptied = affected.filterNot(surviving)
-      if (emptied.nonEmpty) {
-        val root = new org.apache.hadoop.fs.Path(snapshotPath)
-        val fs = root.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        emptied.foreach(b => fs.delete(
-          new org.apache.hadoop.fs.Path(root, s"$BucketCol=$b"), true))
+      if (!hasBucketDirs(spark, snapshotPath)) {
+        // previous state was the empty marker: replace it wholesale
+        // with a partitioned layout (a full overwrite clears the marker
+        // file; dynamic overwrite would leave it beside the new dirs
+        // and break partition discovery). An all-tombstone merge stays
+        // in marker form — zero partitioned rows write zero dirs.
+        if (surviving.isEmpty) writeEmptyMarker(merged, snapshotPath)
+        else merged.write.partitionBy(BucketCol).mode("overwrite")
+          .parquet(snapshotPath)
+      } else {
+        merged
+          .write.partitionBy(BucketCol).mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(snapshotPath)
+        // a bucket whose EVERY row was tombstoned contributes no
+        // partition dir to the write, and dynamic overwrite only
+        // replaces dirs PRESENT in the write — without an explicit
+        // delete the old rows would silently resurrect (caught by the
+        // streaming spec's tombstone-of-a-lone-key case)
+        val emptied = affected.filterNot(surviving)
+        if (emptied.nonEmpty) {
+          val root = new org.apache.hadoop.fs.Path(snapshotPath)
+          val fs = root.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          emptied.foreach(b => fs.delete(
+            new org.apache.hadoop.fs.Path(root, s"$BucketCol=$b"), true))
+          // if that removed the snapshot's last populated buckets, the
+          // dir now has no data files and the next read would die with
+          // UNABLE_TO_INFER_SCHEMA: degrade to the readable empty marker
+          if (!hasBucketDirs(spark, snapshotPath))
+            writeEmptyMarker(merged, snapshotPath)
+        }
       }
     } finally merged.unpersist()
     affected

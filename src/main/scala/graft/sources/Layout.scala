@@ -101,7 +101,10 @@ object Layout {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
-    if (row.isNullAt(0)) { // empty input (or all-null lead col): no curve
+    // empty input, or ANY clustering column entirely null (its min/max
+    // are null and no curve coordinate exists): degrade to a plain
+    // rewrite instead of NPE-ing on the null aggregate
+    if ((0 until row.length).exists(row.isNullAt)) {
       df.write.mode("overwrite").parquet(path)
       return
     }

@@ -377,8 +377,17 @@ object Pipeline {
       watermark: String = "40 days"): DataFrame = {
     val (stream, streamDir) =
       replayStream(spark, dir, copies = 2, maxFilesPerTrigger = Some(1))
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_replay_dedup_out").toString + "/dedup"
+    // deterministic per-(user, source) scratch, CLEARED on entry: a
+    // fresh createTempDirectory per run would leak a whole-table dump
+    // each bench pass (the append sink cannot overwrite)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_dedup_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/dedup"
     val ckptDir = java.nio.file.Files
       .createTempDirectory("graft_replay_dedup_ckpt")
     withReplayParallelism(spark) {

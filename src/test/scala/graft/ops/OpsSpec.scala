@@ -566,7 +566,7 @@ class UpsertSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("applyPartitioned removes a bucket dir whose every key was tombstoned — no resurrect") {
+  test("applyPartitioned removes a bucket dir whose every key was tombstoned — no resurrect, still readable") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_upsnap").toString + "/lone"
     graft.ops.Upsert.initPartitioned(
@@ -578,9 +578,39 @@ class UpsertSpec extends SparkSpec {
       Seq((2L, 2L, "gone", 0.0, true)).toDF("id", "v", "tag", "x", "del"),
       Seq("id"), "v", nBuckets = 4, deleteCol = Some("del"))
     // the lone key's bucket contributed no rows to the rewrite: its
-    // directory must be DELETED, not left holding the old row
+    // directory must be DELETED, not left holding the old row...
     assert(!new java.io.File(dir).listFiles()
       .exists(_.getName.startsWith("__bucket=")))
+    // ...but the snapshot must stay READABLE (empty marker, not a bare
+    // dir that dies with UNABLE_TO_INFER_SCHEMA on the next read)
+    assert(spark.read.parquet(dir).count() === 0L)
+    // and a later insert resumes the partitioned layout cleanly
+    graft.ops.Upsert.applyPartitioned(spark, dir,
+      Seq((3L, 1L, "three", 3.0, false)).toDF("id", "v", "tag", "x", "del"),
+      Seq("id"), "v", nBuckets = 4, deleteCol = Some("del"))
+    val back = spark.read.parquet(dir).select("id", "tag").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((3L, "three")))
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
+  }
+
+  test("latestWins: a NULL delete flag means NOT deleted — the row upserts instead of vanishing") {
+    val updates = Seq((1L, 20L, "upserted", 1.5, null.asInstanceOf[java.lang.Boolean]))
+      .toDF("id", "v", "tag", "x", "del")
+      .withColumn("del", col("del").cast("boolean"))
+    val out = graft.ops.Upsert.latestWins(snap, updates, Seq("id"), "v",
+      deleteCol = Some("del"))
+      .filter(col("id") === 1L).collect()
+    assert(out.length === 1 && out.head.getString(2) === "upserted")
+  }
+
+  test("initPartitioned of an empty frame writes a readable empty snapshot") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_upsnap").toString + "/empty"
+    graft.ops.Upsert.initPartitioned(snap.filter(lit(false)).drop("del"),
+      Seq("id"), nBuckets = 4, dir)
+    assert(spark.read.parquet(dir).count() === 0L)
   }
 
   test("applyPartitioned with an empty batch touches nothing") {

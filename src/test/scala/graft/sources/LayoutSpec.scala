@@ -95,6 +95,12 @@ class LayoutSpec extends SparkSpec {
     }
     Layout.writeZOrdered(grid.filter(lit(false)), Seq("x", "y"), dir, 4)
     assert(Layout.read(spark, dir).count() === 0L)
+    // an ENTIRELY-null non-lead clustering column has no curve
+    // coordinate: degrade to a plain rewrite, never NPE mid-write
+    val nullY = grid.withColumn("y", lit(null).cast("long"))
+    val dir2 = Files.createTempDirectory("graft_z").toString + "/nully"
+    Layout.writeZOrdered(nullY, Seq("x", "y"), dir2, 4)
+    assert(Layout.read(spark, dir2).count() === 40000L)
   }
 
   test("bloom-filter sidecars prune point lookups on a column the sort cannot help") {
