@@ -526,6 +526,19 @@ object SparkEntry {
     }
   }
 
+  /** Deterministic per-(user, source-dir) scratch path — truncated by
+    * the query's own full-overwrite init, so repeated runs rebuild in
+    * place instead of leaking a state copy per invocation.
+    */
+  private def scratchDir(prefix: String, dir: String): String = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_${prefix}_$user/$key").toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A1/A2: streaming-style tumbling window agg, batch form ----
     "q_windowed_agg" -> ((s, dir) =>
@@ -1708,22 +1721,31 @@ object SparkEntry {
     //      Fresh temp state per run: increments add, so the query stays
     //      idempotent by rebuilding ----
     "q_agg_incremental" -> ((s, dir) => {
-      // deterministic scratch (initDailyAgg's full overwrite truncates
-      // it), so repeated runs rebuild in place instead of leaking a
-      // state copy per invocation; rebuild-per-run keeps the query
-      // idempotent (increments add)
-      val user = sys.props.getOrElse("user.name", "anon")
-        .replaceAll("[^A-Za-z0-9._-]", "_")
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_incagg_$user/$key").toString
+      // rebuild-per-run keeps the query idempotent (increments add)
+      val path = scratchDir("incagg", dir)
       val ev = Tables.events(s, dir)
       Rollups.initDailyAgg(ev.filter(col("event_id") % 2 === 0),
         "ts", "event_type", "value", path)
       Rollups.mergeDailyIncrement(s, path,
         ev.filter(col("event_id") % 2 === 1), "ts", "event_type", "value")
       Rollups.readDailyAgg(s, path, "value")
+    }),
+
+    // ---- mergeable-histogram quantiles over the SAME incremental
+    //      state machinery: fixed-range bin counts merge (a finished
+    //      median cannot), so the maintained state answers per-(type,
+    //      day) approximate medians without history rescans; the oracle
+    //      replays the identical binning + interpolation ----
+    "q_hist_quantile" -> ((s, dir) => {
+      val path = scratchDir("inchist", dir)
+      val ev = Tables.events(s, dir)
+      Rollups.initDailyHist(ev.filter(col("event_id") % 2 === 0),
+        "ts", "event_type", "value", lo = 0.0, hi = 500.0, bins = 50, path)
+      Rollups.mergeDailyHistIncrement(s, path,
+        ev.filter(col("event_id") % 2 === 1),
+        "ts", "event_type", "value", lo = 0.0, hi = 500.0, bins = 50)
+      Rollups.histQuantile(s.read.parquet(path), "event_type", p = 0.5,
+        lo = 0.0, hi = 500.0, bins = 50)
     }),
 
     // ---- hierarchical rollup: per-(type, day) + per-type subtotals +
@@ -3356,6 +3378,27 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  round(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Identical binning (clamp to [0,50) bins of width 10) + cumulative
+    // first-crossing + in-bin linear interpolation — integer counts in,
+    // so the double estimate is engine-deterministic.
+    "q_hist_quantile" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    LEAST(49, GREATEST(0, CAST(floor(value / 10.0) AS BIGINT))) AS bin,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT event_type, day, bin, n,
+        |    sum(n) OVER (PARTITION BY event_type, day ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type, day) AS total
+        |  FROM b),
+        |q AS (
+        |  SELECT * FROM c WHERE cum >= 0.5 * total
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY event_type, day ORDER BY bin) = 1)
+        |SELECT event_type, day,
+        |  round((bin + (0.5 * total - (cum - n)) / n) * 10.0, 6) AS p50_est
+        |FROM q""".stripMargin,
     // GROUPING(a, b) in DuckDB = Spark's grouping_id() bit vector
     // (0 leaf, 1 per-key subtotal, 3 grand total).
     "q_rollup_levels" ->

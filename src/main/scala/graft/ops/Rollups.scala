@@ -281,6 +281,88 @@ object Rollups {
     } finally inc.unpersist()
   }
 
+  /** MERGEABLE HISTOGRAM partials — the quantile analogue of
+    * [[initDailyAgg]]'s (n, sum) state: a finished median cannot merge,
+    * but fixed-range bin counts can (counts add), so the maintained
+    * state supports approximate per-(key, day) quantiles at histogram
+    * resolution without ever rescanning history. State rows are
+    * (key, day, bin, n) — the relational form of the histogram vector,
+    * so the merge is the SAME union + sum machinery as the scalar
+    * partials and a late day costs one partition rewrite. The [lo, hi)
+    * range and bin count are part of the state's identity: two states
+    * only merge if binned identically (out-of-range values clamp to the
+    * edge bins, which the quantile read then treats as ordinary mass).
+    */
+  def dailyHistPartials(df: DataFrame, tsCol: String, key: String,
+      valueCol: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo,
+      s"dailyHistPartials: need bins>=2 and hi>lo, got $bins [$lo,$hi)")
+    val w = (hi - lo) / bins
+    df.withColumn("day", to_date(col(tsCol)))
+      .withColumn("bin", least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol) - lit(lo)) / lit(w)).cast("int"))))
+      .groupBy(col(key), col("day"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Write the histogram state table (day-partitioned). */
+  def initDailyHist(df: DataFrame, tsCol: String, key: String,
+      valueCol: String, lo: Double, hi: Double, bins: Int,
+      path: String): Unit =
+    dailyHistPartials(df, tsCol, key, valueCol, lo, hi, bins)
+      .write.partitionBy("day").mode("overwrite").parquet(path)
+
+  /** Merge one batch into an [[initDailyHist]] state table — same
+    * touched-days-only contract (and same non-idempotence caveat) as
+    * [[mergeDailyIncrement]].
+    */
+  def mergeDailyHistIncrement(spark: SparkSession, path: String,
+      batch: DataFrame, tsCol: String, key: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int): Seq[String] = {
+    val inc = dailyHistPartials(batch, tsCol, key, valueCol, lo, hi, bins)
+      .persist()
+    try {
+      val days = inc.select(col("day")).distinct()
+        .collect().map(_.getDate(0).toString).toSeq.sorted
+      if (days.isEmpty) return Seq.empty
+      val cols = Seq(col(key), col("day").cast("date"), col("bin"), col("n"))
+      spark.read.parquet(path).filter(col("day").isin(days: _*))
+        .select(cols: _*)
+        .unionByName(inc.select(col(key), col("day"), col("bin"), col("n")))
+        .groupBy(col(key), col("day"), col("bin"))
+        .agg(sum(col("n")).as("n"))
+        .write.partitionBy("day").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+      days
+    } finally inc.unpersist()
+  }
+
+  /** Per-(key, day) quantile estimate read off the histogram state:
+    * first bin where the cumulative count reaches p·total, linearly
+    * interpolated within the bin (the classic equi-width estimator —
+    * error bounded by bin width). All inputs are merged integer counts,
+    * so the estimate is deterministic across engines.
+    */
+  def histQuantile(state: DataFrame, key: String, p: Double,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(p > 0 && p < 1, s"histQuantile: p=$p")
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / bins
+    val byBin = Window.partitionBy(col(key), col("day")).orderBy(col("bin"))
+    val whole = Window.partitionBy(col(key), col("day"))
+    state
+      .withColumn("cum", sum(col("n")).over(byBin))
+      .withColumn("total", sum(col("n")).over(whole))
+      .filter(col("cum") >= lit(p) * col("total"))
+      .withColumn("__rn", row_number().over(byBin))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("day"),
+        round(lit(lo) + (col("bin") +
+          (lit(p) * col("total") - (col("cum") - col("n"))) / col("n"))
+          * lit(w), 6).as(s"p${math.round(p * 100)}_est"))
+  }
+
   /** Read an [[initDailyAgg]] state table with the derived metrics a
     * dashboard wants (avg = merged sum / merged n).
     */

@@ -240,6 +240,33 @@ class RollupsSpec extends SparkSpec {
       mk().filter(lit(false)), "ts", "k", "v") === Seq.empty)
   }
 
+  test("histogram partials: split init+merge equals one-shot state; interpolated median by hand") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_inchist").toString + "/h"
+    def mk(vals: Double*) = vals.zipWithIndex.map { case (v, i) =>
+      ("a", s"2024-01-01 0$i:00:00", v) }
+      .toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    // values 5,15,15,25 over [0,40) x 4 bins: bin0=1, bin1=2, bin2=1
+    Rollups.initDailyHist(mk(5.0, 15.0), "ts", "k", "v", 0.0, 40.0, 4, dir)
+    val days = Rollups.mergeDailyHistIncrement(spark, dir, mk(15.0, 25.0),
+      "ts", "k", "v", 0.0, 40.0, 4)
+    assert(days === Seq("2024-01-01"))
+    val state = spark.read.parquet(dir)
+      .orderBy("bin").select("bin", "n").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(state.toSeq === Seq((0, 1L), (1, 2L), (2, 1L)))
+    // p50: total 4, target 2; bin1 is the first with cum>=2 →
+    // 0 + (1 + (2-1)/2)·10 = 15.0
+    val q = Rollups.histQuantile(spark.read.parquet(dir), "k", 0.5,
+      0.0, 40.0, 4).collect().head
+    assert(q.getDouble(2) === 15.0, q.toString)
+    // out-of-range values clamp to edge bins instead of vanishing
+    Rollups.initDailyHist(mk(-5.0, 1000.0), "ts", "k", "v", 0.0, 40.0, 4, dir)
+    val clamped = spark.read.parquet(dir).orderBy("bin")
+      .select("bin").collect().map(_.getInt(0))
+    assert(clamped.toSeq === Seq(0, 3))
+  }
+
   test("hierarchical rollup: leaf + subtotal + grand-total levels in one pass, one Expand") {
     val df = Seq(
       ("a", "2024-01-01 01:00:00", 1.0),
