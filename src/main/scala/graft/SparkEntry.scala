@@ -474,6 +474,18 @@ object SparkEntry {
     }
   }
 
+  /** Build-once day-partitioned events layout, UNEXPIRED — the fixture
+    * under `q_scan_days` (a separate cache from [[expiredLayout]], which
+    * deletes partitions in place).
+    */
+  private[graft] def dayScanLayout(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    Layout.ensureLayoutDir("dayscan",
+      s"$dir:${src.length}:${src.lastModified}:byday:us1") { p =>
+      Layout.writeByDay(Tables.events(s, dir), "ts", p)
+    }
+  }
+
   /** Build-once day-partitioned events layout with the sub-2024-01-15
     * partitions EXPIRED — the retention-sweep fixture under `q_expire`.
     * Expiry is idempotent, so cache hits re-converge to the same state.
@@ -1783,6 +1795,16 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 6).as("value"))
     }),
+
+    // ---- day-partition pruned scan: a week-bounded query over the
+    //      writeByDay lake layout — the `day` predicate is a PARTITION
+    //      filter (planning-time pruning, zero I/O for other days;
+    //      LayoutSpec pins 7-of-30 selected partitions) ----
+    "q_scan_days" -> ((s, dir) =>
+      Layout.scanDays(s, dayScanLayout(s, dir), "2024-01-08", "2024-01-14")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          min("event_id").as("min_event_id"))),
 
     // ---- retention sweep (TTL): day-partitioned events with every
     //      partition before 2024-01-15 EXPIRED — O(partitions) metadata
@@ -3430,6 +3452,14 @@ object SparkEntry {
     "q_bloom_lookup" ->
       """SELECT event_id, user_id, event_type, round(value, 6) AS value
         |FROM events WHERE event_id = 4242""".stripMargin,
+    // Partition pruning must be invisible in the result: row-level date
+    // filter replay over the original table.
+    "q_scan_days" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value, min(event_id) AS min_event_id
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1""".stripMargin,
     // Partition expiry ≡ a row-level date filter: whole-directory deletes
     // must drop exactly the pre-cutoff days and nothing else.
     "q_expire" ->

@@ -125,6 +125,26 @@ class LayoutSpec extends SparkSpec {
     assert(with_ < 5000L, s"bloom layout scanned $with_")
   }
 
+  test("scanDays prunes to exactly the requested day partitions at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("graft_days").toString + "/lake"
+    Layout.writeByDay(Tables.events(spark, sfDir), "ts", dir)
+    val nDays = Layout.partDirs(spark, dir).size
+    val q = Layout.scanDays(spark, dir, "2024-01-08", "2024-01-14")
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("day"),
+      scan.metadata("PartitionFilters"))
+    assert(scan.selectedPartitions.partitionCount === 7,
+      s"selected ${scan.selectedPartitions.partitionCount} of $nDays days")
+    // pruning is invisible in the result: equals a row-level date filter
+    assert(q.count() ===
+      Tables.events(spark, sfDir)
+        .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14"))
+        .count())
+  }
+
   test("expireDays drops whole day partitions without reading data, exactly the pre-cutoff ones") {
     val dir = Files.createTempDirectory("graft_ttl").toString + "/days"
     val events = Tables.events(spark, sfDir)
