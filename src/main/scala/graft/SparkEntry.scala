@@ -1718,6 +1718,23 @@ object SparkEntry {
     //      hot-key-spreading rewrite (big side salted 8 ways, dim
     //      replicated per salt) — the salt must be invisible in the
     //      result, so the oracle is the identical plain-join replay ----
+    // ---- semi/anti joins against the file-backed dim: membership and
+    //      ORPHAN detection (referential-integrity audit) — both plan as
+    //      existence joins carrying only the key, never materializing
+    //      dim payload per fact row ----
+    "q_join_semi" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .join(s.read.parquet(joinDimLayout(s, dir)), Seq("user_id"),
+          "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
+    "q_join_anti" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .join(s.read.parquet(joinDimLayout(s, dir)), Seq("user_id"),
+          "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_event_id"))),
+
     "q_salted_join" -> ((s, dir) =>
       graft.ops.Skew.saltedJoin(Tables.events(s, dir),
           s.read.parquet(joinDimLayout(s, dir)), "user_id",
@@ -1842,6 +1859,28 @@ object SparkEntry {
         nBuckets = 16, deleteCol = Some("deleted"))
       s.read.parquet(snapPath)
         .select("event_id", "ts", "user_id", "event_type", "value")
+    }),
+
+    // ---- snapshot diff: the CDC window's effect audited row-by-row —
+    //      diff(base events, latest-wins merged) must classify every key
+    //      exactly as the update batch's closed form predicts (%100 →
+    //      removed, other %10 → changed, else unchanged); union-tag +
+    //      one key agg, never a full outer join ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val snap = base.withColumn("deleted", lit(false))
+      val updates = snap.filter(col("event_id") % 10 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+        .withColumn("value", -col("value"))
+        .withColumn("deleted", col("event_id") % 100 === 0)
+      val merged = Upsert.latestWins(snap, updates, Seq("event_id"), "ts",
+        deleteCol = Some("deleted"))
+      Layout.snapshotDiff(
+        base.withColumn("ts_us", unix_micros(col("ts"))),
+        merged.withColumn("ts_us", unix_micros(col("ts"))),
+        Seq("event_id"), Seq("ts_us", "user_id", "event_type", "value"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
     }),
 
     // ---- corpus vocabulary head: global token top-100 by (freq desc,
@@ -3372,6 +3411,20 @@ object SparkEntry {
         |    PARTITION BY event_id ORDER BY ts DESC, side DESC) = 1)
         |SELECT event_id, ts, user_id, event_type, value
         |FROM win WHERE NOT deleted""".stripMargin,
+    "q_join_semi" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events e
+        |WHERE EXISTS (SELECT 1 FROM events d
+        |  WHERE d.user_id % 29 = 0 AND d.user_id = e.user_id)
+        |GROUP BY 1""".stripMargin,
+    "q_join_anti" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(event_id) AS min_event_id
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events d
+        |  WHERE d.user_id % 29 = 0 AND d.user_id = e.user_id)
+        |GROUP BY 1""".stripMargin,
     // The salt must be invisible in the result: plain join replay.
     "q_salted_join" ->
       """WITH dim AS (
@@ -3486,6 +3539,14 @@ object SparkEntry {
         |    PARTITION BY event_id ORDER BY ts DESC, side DESC) = 1)
         |SELECT event_id, ts, user_id, event_type, value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // The diff machinery must reproduce the update batch's closed-form
+    // classification — the strongest possible value check.
+    "q_snapshot_diff" ->
+      """SELECT CASE WHEN event_id % 100 = 0 THEN 'removed'
+        |            WHEN event_id % 10 = 0 THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q_vocab_topk" ->
       """SELECT token, freq FROM (
         |  SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -51,24 +51,6 @@ object Layout {
       .mode("overwrite")
       .saveAsTable(table)
 
-  /** Content manifest of a table — the integrity record a 100 TB
-    * pipeline stamps at every handoff (post-ingest, post-curation,
-    * pre-training) so silent corruption, partial writes, and
-    * re-generation drift are detectable by DIFFING two one-row frames:
-    * row count, per-column null counts, and an order-independent
-    * content checksum (`bit_xor` of the portable 60-bit md5 of each
-    * row's canonical rendering — XOR commutes, so the checksum is
-    * invariant under row order, partitioning, and engine, and any
-    * single-row change flips it). ONE map-side-combinable aggregation
-    * pass; no shuffle beyond the 1-row final combine.
-    *
-    * Canonical rendering = the named columns cast to string (NULL → a
-    * \\u001e sentinel) joined with \\u001f, in the GIVEN column order —
-    * so two manifests only compare if built with the same column list.
-    * Cast-to-string of doubles/timestamps can format differently across
-    * engines; canonicalize such columns yourself (round/unix_micros)
-    * before manifesting if the checksum must be engine-portable.
-    */
   /** Z-order (Morton-curve) clustered rewrite: rows are range-partitioned
     * and in-file sorted by the bit-interleaving of their `cols` values,
     * each scaled to a `bits`-wide integer against its own global
@@ -295,6 +277,61 @@ object Layout {
     path
   }
 
+  /** Per-key snapshot diff — the row-level companion to [[manifest]]'s
+    * one-number verdict: classify every key as added / removed /
+    * changed / unchanged between two versions of a table (the audit
+    * behind "what did the last CDC window actually do" and "why did the
+    * checksum flip"). Union-tag + ONE key aggregation — never a full
+    * outer join: each side collapses to (key, row-hash, side), the
+    * grouped max-per-side recovers both hashes, and the classification
+    * is a projection. One shuffle, intermediate ≤ \|a\|+\|b\| —
+    * diffable at snapshot scale. Keys must be unique per side (it is a
+    * SNAPSHOT diff); `cols` is the compared payload — hashes are
+    * engine-local (both sides computed here), so any column type rides,
+    * but canonicalize floats/timestamps if the diff must be stable
+    * across engines writing the inputs.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && cols.nonEmpty,
+      s"snapshotDiff: empty keys ($keyCols) or compare cols ($cols)")
+    def side(df: DataFrame, tag: Int): DataFrame = {
+      val canon = concat_ws("\\u001f",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\\u001e"))): _*)
+      df.select(keyCols.map(col)
+        :+ graft.ext.PortableHash.hash60(canon).as("__h")
+        :+ lit(tag).as("__side"): _*)
+    }
+    side(a, 0).unionByName(side(b, 1))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(when(col("__side") === 0, col("__h"))).as("__ha"),
+        max(when(col("__side") === 1, col("__h"))).as("__hb"))
+      .withColumn("status",
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed"))
+      .select(keyCols.map(col) :+ col("status"): _*)
+  }
+
+  /** Content manifest of a table — the integrity record a 100 TB
+    * pipeline stamps at every handoff (post-ingest, post-curation,
+    * pre-training) so silent corruption, partial writes, and
+    * re-generation drift are detectable by DIFFING two one-row frames:
+    * row count, per-column null counts, and an order-independent
+    * content checksum (`bit_xor` of the portable 60-bit md5 of each
+    * row's canonical rendering — XOR commutes, so the checksum is
+    * invariant under row order, partitioning, and engine, and any
+    * single-row change flips it). ONE map-side-combinable aggregation
+    * pass; no shuffle beyond the 1-row final combine.
+    *
+    * Canonical rendering = the named columns cast to string (NULL → a
+    * \\u001e sentinel) joined with \\u001f, in the GIVEN column order —
+    * so two manifests only compare if built with the same column list.
+    * Cast-to-string of doubles/timestamps can format differently across
+    * engines; canonicalize such columns yourself (round/unix_micros)
+    * before manifesting if the checksum must be engine-portable.
+    */
   def manifest(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "manifest: empty column list")
     val canon = concat_ws("\u001f",

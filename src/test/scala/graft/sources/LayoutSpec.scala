@@ -166,6 +166,28 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.expireDays(spark, dir, "2024-01-15") === Seq.empty)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged via one key agg, no join") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "z", 3.0))
+      .toDF("id", "tag", "v")
+    val b = Seq((1L, "x", 1.0), (2L, "Y2", 2.0), (4L, "new", 4.0))
+      .toDF("id", "tag", "v")
+    val d = Layout.snapshotDiff(a, b, Seq("id"), Seq("tag", "v"))
+    val statuses = d.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(statuses === Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val plan = d.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), plan)
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+    // null and empty string are DIFFERENT renderings (null takes the
+    // \u001e sentinel), so they diff as changed — not a silent match
+    val withNull = Seq((1L, null.asInstanceOf[String], 1.0)).toDF("id", "tag", "v")
+    val withEmpty = Seq((1L, "", 1.0)).toDF("id", "tag", "v")
+    assert(Layout.snapshotDiff(withNull, withEmpty, Seq("id"),
+      Seq("tag", "v")).collect().head.getString(1) === "changed")
+  }
+
   test("compact merges small files losslessly and restores ts clustering") {
     val events = Tables.events(spark, sfDir)
     val frag = Files.createTempDirectory("graft_c").toString + "/frag"
