@@ -474,6 +474,58 @@ object SparkEntry {
     }
   }
 
+  /** Build-once ts-sorted events layout PLUS its per-file min/max stats
+    * sidecar — the data-skipping fixture under `q_fileskip_scan`. Data
+    * and sidecar share one cache key (a sidecar must describe exactly
+    * one set of part-files), so a regenerated source rebuilds both.
+    */
+  private[graft] def fileStatsLayout(s: SparkSession,
+      dir: String): (String, String) = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val key = s"$dir:${src.length}:${src.lastModified}:sorted32:ts,user_id:us1"
+    val data = Layout.ensureLayoutDir("skipdata", key) { p =>
+      Layout.writeSorted(Tables.events(s, dir), "ts", p, nFiles = 32)
+    }
+    val stats = Layout.ensureLayoutDir("skipstats", key) { p =>
+      Layout.writeFileStats(s, data, Seq("ts", "user_id"), p)
+    }
+    (data, stats)
+  }
+
+  /** Build-once BUCKETED catalog tables for the co-located fact-fact
+    * join under `q_bucketed_join`: lineitem and orders each bucketed
+    * (and in-file sorted) on their order key with the SAME bucket count,
+    * so every later join on that key runs with zero shuffle exchanges —
+    * the layout amortizes the exchange across every query that joins on
+    * the key, which at 100 TB is the difference between one table-sized
+    * shuffle per query and none. Cached per (application, source dir);
+    * a fresh JVM first drops stale catalog entries AND their surviving
+    * warehouse directories (the in-memory catalog forgets locations
+    * across JVMs, the filesystem does not).
+    */
+  private val bucketedBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def bucketedOrdersTables(s: SparkSession,
+      dir: String): (String, String) =
+    bucketedBuilt.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_))
+          .mkString.take(8)
+        val li = s"graft_li_$key"
+        val ord = s"graft_ord_$key"
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(li, ord).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+        }
+        Layout.writeBucketed(Tables.lineitem(s, dir), li, "l_orderkey", 8)
+        Layout.writeBucketed(Tables.orders(s, dir), ord, "o_orderkey", 8)
+        (li, ord)
+      })
+
   /** Build-once day-partitioned events layout, UNEXPIRED — the fixture
     * under `q_scan_days` (a separate cache from [[expiredLayout]], which
     * deletes partitions in place).
@@ -909,6 +961,44 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- CO-LOCATED bucketed fact-fact join: both sides pre-bucketed
+    //      on the order key (same count, in-file sorted), so the sort-
+    //      merge join runs with ZERO shuffle exchanges — the bucketing
+    //      layout pays the shuffle once at write time and every later
+    //      join on the key rides it free (PostureSpec pins the
+    //      exchange-free plan on this exact query); the oracle replays
+    //      the plain join, so the layout must not change one row ----
+    "q_bucketed_join" -> ((s, dir) => {
+      val (li, ord) = bucketedOrdersTables(s, dir)
+      s.table(li).hint("merge")
+        .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- TPC-H Q3-style shipping priority: selective filters on all
+    //      three tables (pushed to each scan), broadcast customer dim
+    //      into the orders⨝lineitem shuffle join, top-10 by revenue
+    //      via TakeOrdered (no global sort) ----
+    "q_shipping_priority" -> ((s, dir) => {
+      val cust = broadcast(Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING"))
+      val orders = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"))
+        .join(li, orders("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     }),
 
     // ---- star-schema join over the remaining dims (part, supplier) ----
@@ -1671,6 +1761,24 @@ object SparkEntry {
           max("event_id").as("max_event_id"))
     }),
 
+    // ---- FILE-LEVEL DATA SKIPPING: a week-range scan answered through
+    //      the per-file min/max sidecar — only files whose [min_ts,
+    //      max_ts] overlaps the range are ever opened (LayoutSpec pins
+    //      the measured file-count reduction); the oracle replays the
+    //      same predicate over the whole table, so an over-eager skip
+    //      (a dropped file that held a matching row) fails the hash ----
+    "q_fileskip_scan" -> ((s, dir) => {
+      val (data, stats) = fileStatsLayout(s, dir)
+      Layout.skipScan(s, data, stats, "ts",
+          lit("2024-01-08 00:00:00").cast("timestamp"),
+          lit("2024-01-14 23:59:59.999999").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("sum_value"),
+          min("event_id").as("min_event_id"),
+          max("event_id").as("max_event_id"))
+    }),
+
     // ---- compaction round-trip integrity: the 48-file fragmented copy
     //      of events compacted to ~4096-row ts-sorted files; the
     //      manifest (count + per-column null counts + order-independent
@@ -2317,6 +2425,27 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate > o_orderdate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The plain join replay — the bucketed layout must be invisible in
+    // the result (the zero-exchange plan itself is pinned by PostureSpec;
+    // physical layout is not SQL-expressible).
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
     "q_part_supplier_rollup" ->
       """SELECT p_brand,
         |  CAST(count(*) AS BIGINT) AS n_lines,
@@ -3371,6 +3500,17 @@ object SparkEntry {
         |FROM events
         |WHERE user_id BETWEEN 10 AND 39
         |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY 1""".stripMargin,
+    // Replayed over the ORIGINAL table: equality proves the sidecar
+    // pruned no file that held a matching row (the file-skip win itself
+    // is pinned by LayoutSpec — engine-internal, not SQL-expressible).
+    "q_fileskip_scan" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-14 23:59:59.999999'
         |GROUP BY 1""".stripMargin,
     // The original table's manifest through the same canonical rendering
     // (chr(31) joins, chr(30) NULL sentinel, epoch-micros ts) — equality

@@ -343,4 +343,72 @@ object Layout {
     df.withColumn("__h", graft.ext.PortableHash.hash60(canon))
       .agg(count(lit(1)).as("row_count"), aggs: _*)
   }
+
+  /** Per-FILE min/max/count statistics sidecar — the data-skipping index
+    * of a plain-parquet lake (what the Delta/Iceberg transaction log
+    * stores per file): one row per part-file with `rows` and
+    * `min_c`/`max_c` for each named column, written as a tiny parquet
+    * table next to (never inside) the data. One aggregation pass over
+    * the data builds it; at 100 TB the sidecar is O(#files) rows —
+    * millions, not billions — so query-time pruning reads kilobytes of
+    * sidecar instead of opening every file's footer. The sidecar
+    * describes a SPECIFIC set of part-files: rebuild it after any
+    * rewrite of `dataPath` (cache both under one key, as
+    * [[ensureLayoutDir]] callers do). Flat (unpartitioned) layouts only
+    * — for `day=`-partitioned lakes, partition pruning already skips at
+    * directory granularity.
+    */
+  def writeFileStats(spark: SparkSession, dataPath: String,
+      cols: Seq[String], statsPath: String): Unit = {
+    require(cols.nonEmpty, "writeFileStats: empty column list")
+    val aggs = count(lit(1)).as("rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+    read(spark, dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath)
+  }
+
+  /** Files of the layout a closed range predicate `lo <= c <= hi` can
+    * possibly match, decided from the [[writeFileStats]] sidecar alone:
+    * a file survives iff its [min_c, max_c] overlaps [lo, hi]. All-null
+    * files carry null min/max and are skipped (a range predicate never
+    * matches NULL) — three-valued logic does this without a special
+    * case: `!(null || null)` is null, which filters. Returns
+    * (surviving file paths, total files in the sidecar); the survivor
+    * list is driver-resident by design — O(#files), the same thing
+    * every table-format planner holds to plan a scan.
+    */
+  def statsSurvivingFiles(spark: SparkSession, statsPath: String,
+      colName: String, lo: Column, hi: Column): (Seq[String], Int) = {
+    val stats = read(spark, statsPath)
+    require(stats.columns.contains(s"min_$colName"),
+      s"stats sidecar at $statsPath has no min_$colName/max_$colName — " +
+        s"built with cols=${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(",")}")
+    val keep = stats
+      .filter(!(col(s"max_$colName") < lo || col(s"min_$colName") > hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+    (keep, stats.count().toInt)
+  }
+
+  /** Manifest-pruned range scan: answer `SELECT … WHERE lo <= c <= hi`
+    * over the layout by reading ONLY the files the sidecar says can
+    * match — file-level data skipping, one tier above parquet row-group
+    * pruning (skipped files are never opened: no footer read, no task).
+    * The predicate is re-applied to the surviving files (stats prune
+    * files, they don't evaluate rows), and still pushes down into them,
+    * so row-group pruning stacks on top. Exact by construction: a
+    * skipped file's [min,max] excludes the range, so it holds no
+    * matching row — the oracle replays the same predicate over the
+    * whole table and must hash-match.
+    */
+  def skipScan(spark: SparkSession, dataPath: String, statsPath: String,
+      colName: String, lo: Column, hi: Column): DataFrame = {
+    val (files, _) = statsSurvivingFiles(spark, statsPath, colName, lo, hi)
+    val pred = col(colName) >= lo && col(colName) <= hi
+    if (files.isEmpty) read(spark, dataPath).filter(pred).limit(0)
+    else spark.read.parquet(files: _*).filter(pred)
+  }
 }

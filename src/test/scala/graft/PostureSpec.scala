@@ -81,6 +81,29 @@ class BucketedJoinSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join must not shuffle:\n$plan")
   }
+
+  test("q_bucketed_join's JOIN runs exchange-free off the bucketed layout") {
+    val df = graft.SparkEntry.queries("q_bucketed_join")(
+      spark, "/root/testdata/sf0.001")
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the only hash exchange allowed is the groupBy(o_orderpriority)
+    // re-partition AFTER the join; neither join key is ever shuffled
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    // and the layout is invisible in the result: equals the plain join
+    val plain = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .join(graft.sources.Tables.orders(spark, "/root/testdata/sf0.001"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+    assert(df.collect().toSeq === plain.collect().toSeq)
+  }
 }
 
 class BandingReuseSpec extends SparkSpec {

@@ -234,4 +234,60 @@ class LayoutSpec extends SparkSpec {
     val shaped = Layout.read(spark, frag).coalesce(2)
     assert(!shaped.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("file-stats sidecar skips non-overlapping files; skipScan equals the full filter") {
+    val base = Files.createTempDirectory("graft_fs").toString
+    val data = base + "/data"
+    val stats = base + "/stats"
+    Layout.writeSorted(grid, "y", data, nFiles = 64)
+    Layout.writeFileStats(spark, data, Seq("y", "x"), stats)
+
+    // y is the clustering column: a 5% range survives in a handful of
+    // the 64 files — file-level skipping, no file even opened
+    val (yFiles, total) =
+      Layout.statsSurvivingFiles(spark, stats, "y", lit(0L), lit(9L))
+    assert(total === 64, s"sidecar rows: $total")
+    assert(yFiles.nonEmpty && yFiles.size <= total / 4,
+      s"y-range survivors: ${yFiles.size} of $total")
+
+    // exact: the pruned scan answers identically to the full-table scan
+    def agg(df: DataFrame) =
+      df.agg(count(lit(1)).as("n"), sum("payload").as("s")).collect().toSeq
+    assert(agg(Layout.skipScan(spark, data, stats, "y", lit(0L), lit(9L))) ===
+      agg(Layout.read(spark, data).filter(col("y").between(0, 9))))
+
+    // x is uniform within every file: stats exclude nothing (the honest
+    // negative — min/max skipping needs clustering, same as row groups)
+    val (xFiles, _) =
+      Layout.statsSurvivingFiles(spark, stats, "x", lit(0L), lit(9L))
+    assert(xFiles.size === total)
+
+    // out-of-range query: zero survivors, empty frame, schema preserved
+    val none = Layout.skipScan(spark, data, stats, "y",
+      lit(10000L), lit(20000L))
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Layout.read(spark, data).columns.toSeq)
+
+    // unknown column names its fix instead of pruning nothing silently
+    val err = intercept[IllegalArgumentException] {
+      Layout.statsSurvivingFiles(spark, stats, "payload", lit(0L), lit(1L))
+    }
+    assert(err.getMessage.contains("min_payload"))
+  }
+
+  test("all-null stats column skips every file for a range predicate") {
+    val base = Files.createTempDirectory("graft_fs").toString
+    val data = base + "/data"
+    val stats = base + "/stats"
+    grid.withColumn("y", lit(null).cast("long"))
+      .repartition(4).write.parquet(data)
+    Layout.writeFileStats(spark, data, Seq("y"), stats)
+    // null min/max = no non-null value in the file: a range predicate
+    // cannot match, three-valued logic drops every row of the sidecar
+    val (files, total) =
+      Layout.statsSurvivingFiles(spark, stats, "y", lit(0L), lit(9L))
+    assert(total === 4 && files.isEmpty, s"($total, ${files.size})")
+    assert(Layout.skipScan(spark, data, stats, "y",
+      lit(0L), lit(9L)).count() === 0L)
+  }
 }
