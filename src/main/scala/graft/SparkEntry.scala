@@ -678,6 +678,20 @@ object SparkEntry {
           col("alert_value"), col("reading_id"), col("r_ts"),
           col("r_value"))),
 
+    // ---- STREAM-STREAM LEFT OUTER interval join: "which alerts saw NO
+    //      normal reading in the 30 minutes after them" — matches emit
+    //      eagerly; unresolved alerts emit null-padded when watermark
+    //      eviction reaches them. The replay closes the bounded stream
+    //      with two-sided flush sentinels (Flink's end-of-input
+    //      watermark, reconstructed), so the oracle is the PLAIN batch
+    //      left join — no finalized-prefix clause ----
+    "q_stream_stream_join_outer" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayStreamStreamJoin(s, dir,
+          window = "30 minutes", joinType = "leftOuter")
+        .select(col("alert_id"), col("alert_ts"), col("event_type"),
+          col("alert_value"), col("reading_id"), col("r_ts"),
+          col("r_value"))),
+
     // ---- TPC-H Q1-style pricing summary: scan + wide agg on lineitem ----
     "q_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -2077,6 +2091,21 @@ object SparkEntry {
         |FROM a JOIN r ON a.event_type = r.event_type
         |  AND r.r_ts >= a.alert_ts
         |  AND r.r_ts <= a.alert_ts + INTERVAL 5 MINUTE""".stripMargin,
+    // The sentinel-flushed outer replay equals the plain batch LEFT
+    // join: matches are eager, and the end-of-input watermark evicted
+    // (= emitted) every unresolved alert, so no prefix clause.
+    "q_stream_stream_join_outer" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value FROM events),
+        |a AS (SELECT event_id AS alert_id, ts AS alert_ts, event_type,
+        |    value AS alert_value FROM e WHERE value >= 200),
+        |r AS (SELECT event_id AS reading_id, ts AS r_ts,
+        |    event_type AS r_type, value AS r_value FROM e WHERE value < 200)
+        |SELECT a.alert_id, a.alert_ts, a.event_type, a.alert_value,
+        |  r.reading_id, r.r_ts, r.r_value
+        |FROM a LEFT JOIN r ON a.event_type = r.r_type
+        |  AND r.r_ts >= a.alert_ts
+        |  AND r.r_ts <= a.alert_ts + INTERVAL 30 MINUTE""".stripMargin,
     "q_session_window" ->
       """WITH o AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
         |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL

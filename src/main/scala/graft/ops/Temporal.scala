@@ -411,11 +411,21 @@ object Temporal {
     * callers rename payload columns apart first (the replay's branches
     * do). Works unchanged on batch frames (`withWatermark` is a no-op
     * there) — the spec pins stream ≡ batch on the same inputs.
+    *
+    * `joinType` admits `leftOuter` too — the "alerts that saw NO reading
+    * in their window" form (matched rows still emit eagerly; an
+    * unmatched left row emits null-padded only when the watermark passes
+    * `leftTs + windowTo` and its state is evicted, so a replay's tail
+    * rows inside the final watermark slack stay unemitted — the
+    * `q_stream_stream_join_outer` oracle's finalized-prefix clause).
     */
   def streamIntervalJoin(left: DataFrame, leftTs: String, leftWm: String,
       right: DataFrame, rightTs: String, rightWm: String,
       keys: Seq[String], windowFrom: String = "0 seconds",
-      windowTo: String = "5 minutes"): DataFrame = {
+      windowTo: String = "5 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "leftOuter").contains(joinType),
+      s"streamIntervalJoin: joinType must be inner|leftOuter, got $joinType")
     require(leftTs != rightTs,
       s"leftTs and rightTs must be distinct column names (both '$leftTs')")
     require(keys.nonEmpty, "at least one equality key is required " +
@@ -429,7 +439,7 @@ object Temporal {
       col(rightTs) >= col(leftTs) + expr(s"INTERVAL $windowFrom") &&
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowTo")
     left.withWatermark(leftTs, leftWm)
-      .join(r2.withWatermark(rightTs, rightWm), cond, "inner")
+      .join(r2.withWatermark(rightTs, rightWm), cond, joinType)
       .drop(rKeys.map(_._2): _*)
   }
 }

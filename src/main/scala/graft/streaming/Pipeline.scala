@@ -221,22 +221,43 @@ object Pipeline {
     * watermark slack, so the replay equals the BATCH interval join
     * row-for-row — the `q_stream_stream_join` oracle replays the plain
     * containment join in DuckDB with no finalized-prefix clause.
+    *
+    * `joinType = "leftOuter"` runs the outer form — "which alerts were
+    * NOT followed by a normal reading": the right side then carries only
+    * sub-threshold readings (with every reading on the right, each alert
+    * would self-match and the outer branch could never fire). Matched
+    * rows emit eagerly as before; an unresolved alert emits null-padded
+    * only when join-state EVICTION reaches it — which Spark runs one
+    * batch behind the watermark, so state from the final data batch
+    * would simply never flush on a bounded replay (measured: a
+    * six-days-stale alert stayed unemitted). The replay therefore closes
+    * the stream the way Flink's bounded sources do — a final
+    * watermark past everything — via two far-future flush-sentinel
+    * batches ([[replayStreamSplit]]'s `flushSentinels`), after which
+    * EVERY unresolved alert has emitted and the oracle is the plain
+    * batch LEFT join, no finalized-prefix clause.
     */
   def replayStreamStreamJoin(spark: SparkSession, dir: String,
       threshold: Double = 200.0, window: String = "5 minutes",
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     def alerts(d: DataFrame) = d.select(
       col("event_id").as("alert_id"), col("ts").as("alert_ts"),
       col("event_type"), col("value").as("alert_value"))
       .where(col("alert_value") >= threshold)
-    def readings(d: DataFrame) = d.select(
-      col("event_id").as("reading_id"), col("ts").as("r_ts"),
-      col("event_type"), col("value").as("r_value"))
+    def readings(d: DataFrame) = {
+      val all = d.select(
+        col("event_id").as("reading_id"), col("ts").as("r_ts"),
+        col("event_type"), col("value").as("r_value"))
+      if (joinType == "leftOuter") all.where(col("r_value") < threshold)
+      else all
+    }
     def plan(d: DataFrame) = graft.ops.Temporal.streamIntervalJoin(
       alerts(d), "alert_ts", watermark,
       readings(d), "r_ts", watermark,
-      Seq("event_type"), windowTo = window)
-    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+      Seq("event_type"), windowTo = window, joinType = joinType)
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4,
+      flushSentinels = if (joinType == "leftOuter") 2 else 0)
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_replay_ssj_out").toString + "/ssj"
     val ckptDir = java.nio.file.Files
@@ -255,8 +276,11 @@ object Pipeline {
         deleteRecursively(streamDir)
       }
     }
-    if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
-    else plan(graft.sources.Tables.events(spark, dir).limit(0))
+    val raw =
+      if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
+      else plan(graft.sources.Tables.events(spark, dir).limit(0))
+    // the flush sentinels wear negative ids; drop their own join rows
+    if (joinType == "leftOuter") raw.filter(col("alert_id") >= 0) else raw
   }
 
   /** Events table as a TIME-SPLIT multi-file stream: `nFiles` range
@@ -270,14 +294,48 @@ object Pipeline {
     * silently dropped as late — a flaky gate).
     */
   private def replayStreamSplit(spark: SparkSession, dir: String,
-      nFiles: Int): (DataFrame, java.nio.file.Path) = {
+      nFiles: Int, flushSentinels: Int = 0): (DataFrame, java.nio.file.Path) = {
     val streamDir = java.nio.file.Files
       .createTempDirectory("graft_replay_split")
     val dataDir = streamDir.resolve("data").toString
-    graft.sources.Tables.events(spark, dir)
+    val events = graft.sources.Tables.events(spark, dir)
+    events
       .repartitionByRange(nFiles, col("ts"))
       .sortWithinPartitions("ts")
       .write.parquet(dataDir)
+    // stream-close sentinels: `flushSentinels` two-row files, each its
+    // own micro-batch, with ts a day+ past everything before it. A
+    // bounded stream should end with watermark → ∞ (Flink's bounded
+    // sources emit exactly that final watermark); Spark has no
+    // end-of-stream watermark and stateful operators evict one batch
+    // behind it, so without these, state that arrived in the LAST data
+    // batch is never flushed (outer-join nulls go unemitted). Each file
+    // carries one far-ABOVE-threshold row and one far-below row because
+    // the global watermark is the MIN across every withWatermark
+    // column: a plan that filter-splits the stream into two watermarked
+    // sides (alerts/readings) stays pinned to whichever side saw data
+    // last unless the sentinel advances BOTH (measured: a one-sided
+    // sentinel left a six-days-stale alert unemitted). Sentinel rows
+    // wear negative event_ids so consumers can drop them from output.
+    if (flushSentinels > 0) {
+      val mx = events.agg(max("ts")).collect().head.getTimestamp(0)
+      (1 to flushSentinels).foreach { i =>
+        val scratch = streamDir.resolve(s"sent$i").toString
+        val at = lit(new java.sql.Timestamp(mx.getTime + i * 86400000L))
+        val one = events.limit(1).withColumn("ts", at)
+        one.withColumn("event_id", lit(-(2L * i - 1)))
+          .withColumn("value", lit(1e9))
+          .unionByName(one.withColumn("event_id", lit(-(2L * i)))
+            .withColumn("value", lit(-1e9)))
+          .coalesce(1).write.parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        // "part-sentinel-…" sorts after every "part-0000N-…" data file,
+        // so the mtime spacing below keeps sentinels strictly last
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(dataDir, s"part-sentinel-$i.parquet"))
+      }
+    }
     val parts = new java.io.File(dataDir).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val base = System.currentTimeMillis() - parts.length * 60000L
