@@ -1906,6 +1906,31 @@ object SparkEntry {
       Rollups.hierarchical(Tables.events(s, dir), "ts", "event_type",
         "value")),
 
+    // ---- mergeable daily-uniques sketches, value-checked: per-day HLL
+    //      estimate vs the exact distinct (computed here as the audit;
+    //      at scale only the sketch is materialized) — within_bound
+    //      must come out TRUE for every day, and the oracle's exact
+    //      counts pin the day partitioning itself ----
+    "q_hll_daily_bound" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = Rollups.dailyUniqueSketch(ev, "ts", "user_id")
+      val exact = ev.withColumn("day", to_date(col("ts")))
+        .groupBy("day").agg(countDistinct("user_id").as("exact_uniques"))
+      daily.join(exact, "day")
+        .select(col("day"), col("exact_uniques"),
+          (abs(col("uniques_est") - col("exact_uniques")) <=
+            greatest(lit(1.0), col("exact_uniques") * 0.05))
+            .as("within_bound"))
+        .orderBy("day")
+    }),
+
+    // ---- GROUPING SETS drill-down: leaves + the per-day panel (a
+    //      non-prefix subtotal ROLLUP cannot express) + grand total,
+    //      one Expand / one shuffle ----
+    "q_grouping_sets" -> ((s, dir) =>
+      Rollups.groupingSetsRollup(Tables.events(s, dir), "ts",
+        "event_type", "value")),
+
     // ---- wide per-user feature row: pivot over the EXPLICIT event-type
     //      vocabulary (no distinct-values pre-query, bounded schema) ----
     "q_pivot_features" -> ((s, dir) =>
@@ -3653,6 +3678,23 @@ object SparkEntry {
         |  GROUPING(event_type, CAST(ts AS DATE)) AS level
         |FROM events
         |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""".stripMargin,
+    // The audit-twin pattern (cf. q_approx_stats_bound): DuckDB replays
+    // the exact distincts and asserts TRUE per day; a sketch estimate
+    // drifting past the 5% bound flips within_bound and fails the hash.
+    "q_hll_daily_bound" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 6) AS avg_value,
+        |  GROUPING(event_type, CAST(ts AS DATE)) AS level
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+        |  (CAST(ts AS DATE)), ())""".stripMargin,
     "q_pivot_features" ->
       """SELECT user_id,
         |  round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,

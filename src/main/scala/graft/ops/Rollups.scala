@@ -226,6 +226,54 @@ object Rollups {
         // under the GroupingSets aggregate itself
         grouping_id().as("level"))
 
+  /** Per-day MERGEABLE distinct-count sketches (Apache DataSketches HLL
+    * via the engine's `hll_sketch_agg`) — the "daily uniques" primitive
+    * a 100 TB dashboard materializes instead of exact distincts: an
+    * exact per-day distinct cannot merge (yesterday's count + today's
+    * count ≠ the two-day uniques), so every cross-day window forces a
+    * re-scan; the sketch is a constant-size (≈2^lgK bytes) binary that
+    * unions losslessly — store one per day partition and ANY date range
+    * collapses to a `hll_union_agg` over its rows, the same
+    * partial-merge shape as the X69 incremental aggregates. One grouped
+    * aggregation pass, map-side combinable; estimate standard error ≈
+    * 1.04/√2^lgK (~1.6% at the default 12).
+    */
+  def dailyUniqueSketch(df: DataFrame, tsCol: String, keyCol: String,
+      lgK: Int = 12): DataFrame =
+    df.withColumn("day", to_date(col(tsCol)))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("uniques_sketch"))
+      .withColumn("uniques_est",
+        hll_sketch_estimate(col("uniques_sketch")))
+
+  /** Range rollup over [[dailyUniqueSketch]] partials: one row with the
+    * union-merged estimate — the read path that never touches raw data.
+    */
+  def mergeUniqueSketches(daily: DataFrame): DataFrame =
+    daily.agg(hll_union_agg(col("uniques_sketch")).as("merged_sketch"))
+      .select(hll_sketch_estimate(col("merged_sketch")).as("uniques_est"))
+
+  /** Explicit GROUPING SETS rollup — the drill-down shapes ROLLUP's
+    * strict hierarchy cannot express: here (key, day) leaves, the
+    * per-DAY panel across all keys (a non-prefix subtotal), and the
+    * grand total, in ONE aggregation. Same execution shape as
+    * [[hierarchical]]: Spark plans a single Expand (one row copy per
+    * set) over one shuffle, instead of three fact-table scans — at
+    * 100 TB the dashboard's three panels cost one pass. `level` is
+    * `grouping_id()` (0 = leaf, 2 = per-day panel, 3 = grand total),
+    * disambiguating subtotal rows from genuinely-null keys.
+    */
+  def groupingSetsRollup(df: DataFrame, tsCol: String, key: String,
+      valueCol: String): DataFrame =
+    df.withColumn("day", to_date(col(tsCol)))
+      .groupingSets(
+        Seq(Seq(col(key), col("day")), Seq(col("day")), Seq.empty),
+        col(key), col("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(valueCol), 2).as(s"sum_$valueCol"),
+        round(avg(valueCol), 6).as(s"avg_$valueCol"),
+        grouping_id().as("level"))
+
   /** Incremental materialized-aggregate maintenance — the dashboard
     * rollup refreshed from each new event batch WITHOUT rescanning
     * history. The state table holds per-(key, day) MERGEABLE partials

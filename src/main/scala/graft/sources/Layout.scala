@@ -371,6 +371,52 @@ object Layout {
       .write.mode("overwrite").parquet(statsPath)
   }
 
+  /** Incremental sidecar maintenance — what makes [[writeFileStats]]
+    * viable as a STANDING process: reconcile the sidecar against the
+    * directory's current part-files, scanning ONLY files the sidecar
+    * has never seen (an appending sink adds files; compaction/expiry
+    * remove them). Cost is O(new data) + O(sidecar), never a rescan of
+    * the table — at 100 TB the nightly update reads the day's arrivals,
+    * not the lake. Files are identified by part-file NAME (unique per
+    * directory by construction — writer UUIDs — and stable across
+    * `file:/` vs `file:///` URI renderings). The rewritten sidecar
+    * lands via temp-and-swap so a concurrent [[skipScan]] never reads a
+    * half-written sidecar. Returns (kept, added, dropped) row counts.
+    */
+  def updateFileStats(spark: SparkSession, dataPath: String,
+      cols: Seq[String], statsPath: String): (Int, Int, Int) = {
+    require(cols.nonEmpty, "updateFileStats: empty column list")
+    val dataDir = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(dataDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => s.getPath.getName -> s.getPath.toUri.toString).toMap
+    val old = read(spark, statsPath)
+      .withColumn("__base", element_at(split(col("file"), "/"), -1))
+    val oldNames = old.select("__base").collect().map(_.getString(0)).toSet
+    val kept = old.filter(col("__base").isInCollection(
+      onDisk.keySet.toSeq match { case Nil => Seq("") case s => s }))
+    val newPaths = (onDisk.keySet -- oldNames).toSeq.sorted.map(onDisk)
+    val aggs = count(lit(1)).as("rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+    val merged =
+      if (newPaths.isEmpty) kept.drop("__base")
+      else kept.drop("__base").unionByName(
+        spark.read.parquet(newPaths: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*))
+    // temp-and-swap: the merged frame READS statsPath, so it must land
+    // elsewhere first; the final rename is the atomic publish step
+    val statsDir = new org.apache.hadoop.fs.Path(statsPath)
+    val tmp = new org.apache.hadoop.fs.Path(statsPath + ".swap")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(statsDir, true)
+    fs.rename(tmp, statsDir)
+    val keptN = oldNames.count(onDisk.contains)
+    (keptN, newPaths.size, oldNames.size - keptN)
+  }
+
   /** Files of the layout a closed range predicate `lo <= c <= hi` can
     * possibly match, decided from the [[writeFileStats]] sidecar alone:
     * a file survives iff its [min_c, max_c] overlaps [lo, hi]. All-null
@@ -383,14 +429,18 @@ object Layout {
     */
   def statsSurvivingFiles(spark: SparkSession, statsPath: String,
       colName: String, lo: Column, hi: Column): (Seq[String], Int) = {
+    // ONE pass over the sidecar: every file name out, tagged keep/skip
+    // (a separate count() would be a second job on the query hot path)
     val stats = read(spark, statsPath)
     require(stats.columns.contains(s"min_$colName"),
       s"stats sidecar at $statsPath has no min_$colName/max_$colName — " +
         s"built with cols=${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(",")}")
-    val keep = stats
-      .filter(!(col(s"max_$colName") < lo || col(s"min_$colName") > hi))
-      .select("file").collect().map(_.getString(0)).toSeq
-    (keep, stats.count().toInt)
+    val tagged = stats
+      .select(col("file"),
+        coalesce(!(col(s"max_$colName") < lo || col(s"min_$colName") > hi),
+          lit(false)).as("__keep"))
+      .collect()
+    (tagged.filter(_.getBoolean(1)).map(_.getString(0)).toSeq, tagged.length)
   }
 
   /** Manifest-pruned range scan: answer `SELECT … WHERE lo <= c <= hi`

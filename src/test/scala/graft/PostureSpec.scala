@@ -93,6 +93,23 @@ class BucketedJoinSpec extends SparkSpec {
     // re-partition AFTER the join; neither join key is ever shuffled
     assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
     assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    // bucket pruning rides the same layout: a point predicate on the
+    // bucket column plans a scan of exactly ONE of the 8 buckets (the
+    // auto-bucketed-scan heuristic turns bucketed reading off for a
+    // lone filter, where it sees no exchange to save — force it on so
+    // the pruning itself is what's pinned)
+    val (li, _) = graft.SparkEntry.bucketedOrdersTables(
+      spark, "/root/testdata/sf0.001")
+    val autoConf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoConf)
+    spark.conf.set(autoConf, "false")
+    try {
+      val point = spark.table(li).filter(col("l_orderkey") === 42L)
+      point.collect()
+      val pointPlan = point.queryExecution.executedPlan.toString
+      assert(pointPlan.contains("SelectedBucketsCount: 1 out of 8"), pointPlan)
+    } finally spark.conf.set(autoConf, prev)
+
     // and the layout is invisible in the result: equals the plain join
     val plain = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .join(graft.sources.Tables.orders(spark, "/root/testdata/sf0.001"),

@@ -289,6 +289,58 @@ class RollupsSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 <= 1, plan)
   }
 
+  test("dailyUniqueSketch: per-day estimates in bound; union of partials equals the one-shot sketch") {
+    val df = spark.range(20000)
+      .select(
+        to_date(concat(lit("2024-01-"),
+          lpad((col("id") % 9 + 1).cast("string"), 2, "0"))).as("day"),
+        // ~1500 distinct keys per day, heavily overlapping across days
+        (col("id") % 4096).as("uid"))
+      .withColumn("ts", col("day").cast("timestamp"))
+    val daily = Rollups.dailyUniqueSketch(df, "ts", "uid")
+    assert(daily.count() === 9)
+    // per-day estimates track the exact distincts within 3*rsd (~5%)
+    val exact = df.groupBy("day")
+      .agg(countDistinct("uid").as("n")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    daily.collect().foreach { r =>
+      val (d, est) = (r.getDate(0).toString, r.getLong(2))
+      assert(math.abs(est - exact(d)) <= math.max(1.0, exact(d) * 0.05),
+        s"$d: est $est vs exact ${exact(d)}")
+    }
+    // THE MERGE PROPERTY: union-of-daily-partials ≡ one-shot sketch of
+    // the whole table, exactly (sketch union is deterministic) — the
+    // invariant that makes per-day materialization answer any range
+    val merged = Rollups.mergeUniqueSketches(daily)
+      .collect().head.getLong(0)
+    val oneShot = df.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(uid, 12))"))
+      .collect().head.getLong(0)
+    assert(merged === oneShot)
+  }
+
+  test("groupingSetsRollup: leaf + per-day panel + grand total, one Expand") {
+    val df = Seq(
+      ("a", "2024-01-01 01:00:00", 1.0),
+      ("a", "2024-01-02 01:00:00", 2.0),
+      ("b", "2024-01-01 01:00:00", 4.0))
+      .toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Rollups.groupingSetsRollup(df, "ts", "k", "v")
+    val byLevel = r.collect().groupBy(_.getAs[Long]("level"))
+    assert(byLevel.keySet === Set(0L, 2L, 3L))
+    assert(byLevel(0L).length === 3)
+    // the per-DAY panel (key dropped) — the set ROLLUP cannot produce
+    assert(byLevel(2L).map(x =>
+      (x.getDate(1).toString, x.getAs[Double]("sum_v"))).toSet ===
+      Set(("2024-01-01", 5.0), ("2024-01-02", 2.0)))
+    assert(byLevel(3L).head.getAs[Double]("sum_v") === 7.0)
+    val plan = r.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), plan)
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+  }
+
   test("pivotMean: explicit vocabulary becomes columns; absent category is null; empty vocab rejected") {
     val df = Seq((1L, "x", 2.0), (1L, "x", 4.0), (2L, "y", 6.0))
       .toDF("id", "cat", "v")

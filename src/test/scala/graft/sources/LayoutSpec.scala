@@ -275,6 +275,47 @@ class LayoutSpec extends SparkSpec {
     assert(err.getMessage.contains("min_payload"))
   }
 
+  test("updateFileStats scans only new files and converges to the full rebuild") {
+    val base = Files.createTempDirectory("graft_fs").toString
+    val data = base + "/data"
+    val stats = base + "/stats"
+    import spark.implicits._
+    val first = grid.filter(col("y") < 100)
+    val second = grid.filter(col("y") >= 100)
+    Layout.writeSorted(first, "y", data, nFiles = 8)
+    Layout.writeFileStats(spark, data, Seq("y"), stats)
+
+    // an appending sink adds files; the update reads ONLY those
+    second.repartitionByRange(4, col("y")).sortWithinPartitions("y")
+      .write.mode("append").parquet(data)
+    val (kept, added, dropped) =
+      Layout.updateFileStats(spark, data, Seq("y"), stats)
+    assert((kept, added, dropped) === (8, 4, 0))
+
+    // converged: identical rows to a from-scratch rebuild
+    val rebuilt = base + "/rebuilt"
+    Layout.writeFileStats(spark, data, Seq("y"), rebuilt)
+    def canon(path: String) = Layout.read(spark, path)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(canon(stats) === canon(rebuilt))
+
+    // a maintenance delete (expiry/compaction) drops sidecar rows too
+    val victim = Layout.partFiles(spark, data).sorted.head
+    new java.io.File(s"$data/$victim").delete()
+    val (kept2, added2, dropped2) =
+      Layout.updateFileStats(spark, data, Seq("y"), stats)
+    assert((kept2, added2, dropped2) === (11, 0, 1))
+    // and the pruned scan stays exact against the surviving data
+    val skip = Layout.skipScan(spark, data, stats, "y", lit(0L), lit(120L))
+      .agg(count(lit(1)), sum("payload")).collect().toSeq
+    val full = Layout.read(spark, data).filter(col("y").between(0, 120))
+      .agg(count(lit(1)), sum("payload")).collect().toSeq
+    assert(skip === full)
+    // idempotent: nothing changed, nothing scanned
+    assert(Layout.updateFileStats(spark, data, Seq("y"), stats) ===
+      ((11, 0, 0)))
+  }
+
   test("all-null stats column skips every file for a range predicate") {
     val base = Files.createTempDirectory("graft_fs").toString
     val data = base + "/data"

@@ -316,6 +316,43 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observe: per-batch quality counters ride the plan; batch reads land in observedMetrics") {
+    // streaming: two micro-batches with known nulls / out-of-domain rows
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Option[Double])]
+    val listener = new Observed.QualityListener
+    spark.streams.addListener(listener)
+    val q = Observed.withQuality(
+        mem.toDF().toDF("id", "v"), "v", lo = 0.0, hi = 100.0)
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      mem.addData((1L, Some(5.0)), (2L, None), (3L, Some(500.0)))
+      q.processAllAvailable()
+      mem.addData((4L, Some(50.0)))
+      q.processAllAvailable()
+      // listener events are async; the observation itself is per-batch
+      val deadline = System.currentTimeMillis() + 20000
+      while (listener.batches.size < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val Seq(b1, b2) = listener.batches.take(2)
+      assert(b1 === Map("n_rows" -> 3L, "n_null" -> 1L, "n_out_of_range" -> 1L))
+      assert(b2 === Map("n_rows" -> 1L, "n_null" -> 0L, "n_out_of_range" -> 0L))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+
+    // batch: same observation surfaces on the QueryExecution
+    val df = Observed.withQuality(
+      Seq((1L, Some(5.0)), (2L, None), (3L, Some(-7.0))).toDF("id", "v"),
+      "v", 0.0, 100.0)
+    df.collect()
+    val m = df.queryExecution.observedMetrics(Observed.MetricName)
+    assert(m.getAs[Long]("n_rows") === 3L)
+    assert(m.getAs[Long]("n_null") === 1L)
+    assert(m.getAs[Long]("n_out_of_range") === 1L)
+  }
+
   test("stream-stream LEFT OUTER interval join: eager matches + null-padded unresolved alerts after finalization") {
     val dir = "/root/testdata/sf0.001"
     val out = Pipeline.replayStreamStreamJoin(spark, dir,
