@@ -954,6 +954,24 @@ object SparkEntry {
         Seq("ts", "event_id"), "value")),
 
     // ---- custom Aggregator: per-group top-k without group sorts ----
+    // ---- analytic-function family over a per-key ordered window: rank
+    //      / dense_rank / percent_rank / cume_dist / ntile in ONE window
+    //      pass (one hash exchange on the key, per-key sort — never a
+    //      global sort); the (value DESC, event_id) ordering is UNIQUE,
+    //      which is what makes ntile deterministic ----
+    "q_window_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir).filter(col("user_id") < 50)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("pct", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w))
+    }),
+
     "q_topk_per_group" -> ((s, dir) =>
       graft.ops.TopK.perGroup(Tables.events(s, dir), "event_type", "value",
         "event_id", k = 3)),
@@ -2465,6 +2483,16 @@ object SparkEntry {
         |    + regr_slope(value, x) * (max(x) + 3600.0), 6) AS forecast,
         |  arg_max(value, event_id) AS current_value
         |FROM x GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS pct,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY event_type
+        |             ORDER BY value DESC, event_id)""".stripMargin,
     "q_topk_per_group" ->
       """SELECT event_type, CAST(rank AS BIGINT) AS rank, value, event_id
         |FROM (SELECT event_type, value, event_id,

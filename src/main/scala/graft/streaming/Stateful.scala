@@ -17,6 +17,18 @@ final case class DeltaReading(
     sensor_id: String, timestamp: Timestamp, temperature: Double,
     delta: Option[Double], gap_seconds: Option[Double])
 
+/** Exponentially-weighted running state per sensor. */
+final case class EwmaState(ewma: Double, n: Long, lastTsMicros: Long)
+
+/** Per-reading EWMA verdict, or the terminal offline marker a key's
+  * event-time timeout emits (temperature/deviation carry the last seen
+  * values; `went_offline = true`, exactly once per silence).
+  */
+final case class EwmaReading(
+    sensor_id: String, timestamp: Timestamp, temperature: Double,
+    ewma: Double, deviation: Double, is_anomaly: Boolean,
+    went_offline: Boolean)
+
 /** Custom streaming state beyond windowed aggregation (SURVEY §2.8 ST5;
   * the prompt's `flatMapGroupsWithState` path): per-sensor
   * previous-reading state producing streaming first differences — the
@@ -25,7 +37,12 @@ final case class DeltaReading(
   * functions).
   *
   * State is one (double, long) per sensor — constant per key, so state
-  * store size is bounded by sensor cardinality, not throughput.
+  * store size is bounded by sensor cardinality, not throughput. That
+  * bound still leaks on an UNBOUNDED key space (devices churn; a retired
+  * sensor's row lives forever under NoTimeout) — [[ewmaAnomalies]] is
+  * the timeout-disciplined form: event-time timeouts evict idle keys
+  * at the watermark AND turn the eviction itself into signal (the
+  * offline-sensor marker), so state size tracks ACTIVE keys only.
   */
 object Stateful {
 
@@ -51,6 +68,70 @@ object Stateful {
           }
           cur.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** Streaming per-sensor EWMA anomaly detection WITH state hygiene —
+    * `flatMapGroupsWithState` + event-time timeout:
+    *
+    *   - each reading updates the key's EWMA (`ewma += α·(x − ewma)`)
+    *     and is emitted with its deviation from the PRE-update EWMA and
+    *     an `is_anomaly` verdict (`deviation > threshold`, first reading
+    *     never anomalous — no baseline yet);
+    *   - after every batch the key re-arms an event-time timeout at
+    *     `last event + idleMs`; when the WATERMARK passes that with
+    *     no new data, the key emits ONE terminal `went_offline` marker
+    *     and its state is REMOVED — the silent-device detector and the
+    *     state-store bound in one mechanism (timeouts fire in the batch
+    *     after the watermark moves, so detection latency is one batch
+    *     past the horizon — the price of event-time discipline).
+    *
+    * Within a batch, rows apply in event-time order so the EWMA chain is
+    * deterministic under shuffle; `alpha` ∈ (0, 1].
+    */
+  def ewmaAnomalies(readings: Dataset[SensorReading],
+      alpha: Double = 0.3, threshold: Double = 5.0,
+      watermark: String = "10 minutes",
+      idleMs: Long = 30 * 60 * 1000L): Dataset[EwmaReading] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(idleMs > 0, s"idleMs must be positive: $idleMs")
+    import readings.sparkSession.implicits._
+    readings
+      .withWatermark("timestamp", watermark)
+      .groupByKey(_.sensor_id)
+      .flatMapGroupsWithState[EwmaState, EwmaReading](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[SensorReading], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(EwmaReading(key,
+              new Timestamp(s.lastTsMicros / 1000L), Double.NaN,
+              s.ewma, 0.0, is_anomaly = false, went_offline = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.timestamp.getTime, r.temperature))
+            var cur = state.getOption
+            val out = sorted.map { r =>
+              val tsMicros = r.timestamp.getTime * 1000L
+              val (dev, anom, next) = cur match {
+                case Some(s) =>
+                  val d = math.abs(r.temperature - s.ewma)
+                  (d, d > threshold,
+                    EwmaState(s.ewma + alpha * (r.temperature - s.ewma),
+                      s.n + 1, math.max(s.lastTsMicros, tsMicros)))
+                case None =>
+                  (0.0, false, EwmaState(r.temperature, 1L, tsMicros))
+              }
+              cur = Some(next)
+              EwmaReading(key, r.timestamp, r.temperature, next.ewma, dev,
+                anom, went_offline = false)
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTsMicros / 1000L + idleMs)
+            }
+            out.iterator
+          }
       }
   }
 }

@@ -273,4 +273,54 @@ class StatefulSpec extends SparkSpec {
       assert(s2.map(_.delta) === Seq(None)) // fresh key, fresh state
     } finally q.stop()
   }
+
+  test("ewmaAnomalies: EWMA chain, anomaly verdicts, and timeout-evicted offline marker") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SensorReading]
+    val q = Stateful.ewmaAnomalies(mem.toDS(), alpha = 0.5, threshold = 5.0,
+        watermark = "10 minutes", idleMs = 30 * 60 * 1000L)
+      .writeStream
+      .format("memory").queryName("ewma_test").outputMode("append").start()
+    try {
+      // batch 1: A establishes a baseline; B reports once then goes silent
+      mem.addData(
+        r("2024-01-01 00:00:00", 20.0, sensor = "A"),
+        r("2024-01-01 00:01:00", 22.0, sensor = "A"),
+        r("2024-01-01 00:00:30", 10.0, sensor = "B"))
+      q.processAllAvailable()
+      // batch 2: A spikes (anomaly vs EWMA 21.0) and advances the
+      // watermark far past B's idle horizon (00:30:30)
+      mem.addData(r("2024-01-01 02:00:00", 40.0, sensor = "A"))
+      q.processAllAvailable()
+      // batch 3: timeouts fire in the batch AFTER the watermark moved
+      mem.addData(r("2024-01-01 02:01:00", 40.0, sensor = "A"))
+      q.processAllAvailable()
+
+      val out = spark.table("ewma_test").as[graft.streaming.EwmaReading]
+        .collect().sortBy(e => (e.sensor_id, e.timestamp.getTime))
+      val a = out.filter(_.sensor_id == "A")
+      // EWMA chain at α=0.5: 20 → 21 → 30.5 → 35.25; deviations vs the
+      // PRE-update EWMA: 0, 2, 19, 9.5 — both spikes flagged
+      assert(a.map(_.ewma) === Seq(20.0, 21.0, 30.5, 35.25))
+      assert(a.map(_.is_anomaly) === Seq(false, false, true, true),
+        a.map(e => (e.deviation, e.is_anomaly)).mkString(", "))
+      assert(a.forall(!_.went_offline))
+      // B: one reading, then exactly one terminal offline marker carrying
+      // its last event time and final EWMA — and its state is gone
+      val b = out.filter(_.sensor_id == "B")
+      assert(b.map(_.went_offline) === Seq(false, true))
+      assert(b(1).timestamp === ts("2024-01-01 00:00:30"))
+      assert(b(1).ewma === 10.0)
+    } finally q.stop()
+  }
+
+  test("ewmaAnomalies rejects degenerate smoothing/idle configs") {
+    val ds = Seq(r("2024-01-01 00:00:00", 1.0)).toDS()
+    intercept[IllegalArgumentException] {
+      Stateful.ewmaAnomalies(ds, alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Stateful.ewmaAnomalies(ds, idleMs = 0L)
+    }
+  }
 }
