@@ -128,7 +128,13 @@ object Stateful {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTsMicros / 1000L + idleMs)
+              // a key whose (late-but-accepted) last event already trails
+              // the watermark by more than idleMs would arm a timeout in
+              // the past — illegal; clamp to just past the watermark so
+              // it fires at the next opportunity instead of throwing
+              state.setTimeoutTimestamp(math.max(
+                s.lastTsMicros / 1000L + idleMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

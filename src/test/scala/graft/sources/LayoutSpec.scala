@@ -145,6 +145,57 @@ class LayoutSpec extends SparkSpec {
         .count())
   }
 
+  test("dynamic partition pruning: a dim-driven day join scans only the dim's partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("graft_dpp").toString + "/lake"
+    Layout.writeByDay(Tables.events(spark, sfDir), "ts", dir)
+    val nDays = Layout.partDirs(spark, dir).size
+    // file-backed dim (severed lineage): one week of interesting days,
+    // known to the engine only at RUNTIME through the join
+    val dimPath = Files.createTempDirectory("graft_dpp").toString + "/dim"
+    spark.range(8, 15)
+      .select(to_date(concat(lit("2024-01-"),
+        lpad(col("id").cast("string"), 2, "0"))).as("day"),
+        lit("wanted").as("tag"))
+      .write.parquet(dimPath)
+    // the dim-side FILTER is what DPP's planner keys on (its
+    // hasSelectivePredicate heuristic): join against the filtered dim
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "wanted")
+    val joined = Layout.read(spark, dir)
+      .join(broadcast(dim), Seq("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+    joined.collect()
+    // the fact scan's partition filter is a runtime (dynamicpruning)
+    // subquery fed by the dim — only its 7 day-dirs are read, out of 30
+    // (walk through AQE's stage wrappers, same shape as rowsScanned)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case s: FileSourceScanExec => Seq(s); case _ => Seq.empty }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val scan = scans(joined.queryExecution.executedPlan)
+      .find(_.metadata("Location").contains("lake")).get
+    assert(scan.metadata("PartitionFilters").contains("dynamicpruning"),
+      scan.metadata("PartitionFilters"))
+    // static listing sees all days; the RUNTIME metric counts what the
+    // dynamic filter let through
+    assert(scan.selectedPartitions.partitionCount === nDays)
+    assert(scan.metrics("numPartitions").value === 7,
+      s"read ${scan.metrics("numPartitions").value} of $nDays days " +
+        s"(metrics: ${scan.metrics.keys.mkString(",")})")
+    // pruning invisible in the result
+    val expect = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14"))
+      .agg(count(lit(1)), round(sum("value"), 2)).collect().head
+    assert(joined.collect().head.toSeq === expect.toSeq)
+  }
+
   test("expireDays drops whole day partitions without reading data, exactly the pre-cutoff ones") {
     val dir = Files.createTempDirectory("graft_ttl").toString + "/days"
     val events = Tables.events(spark, sfDir)
