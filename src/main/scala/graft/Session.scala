@@ -53,4 +53,22 @@ object Session {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** The RocksDB state store provider conf — REQUIRED at 100 TB
+    * streaming state, opt-in here. The default HDFSBackedStateStore
+    * keeps every key's state in executor HEAP (disk is only the
+    * checkpoint), so state capacity is executor memory and large
+    * stateful queries die in GC long before disk fills; RocksDB keeps
+    * the working set on local SSD with a block-cache in native memory —
+    * state bounded by disk, heap pressure flat. Changelog checkpointing
+    * keeps commit cost proportional to the batch's CHANGES instead of
+    * re-uploading full SST files. Apply via
+    * `Session.builder(...).config(rocksdbStateStore).getOrCreate()`;
+    * per-query state-store provider is not a thing — it's session-wide.
+    */
+  def rocksdbStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
 }

@@ -2,8 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig}
 
 import graft.model.SensorReading
 
@@ -139,5 +141,84 @@ object Stateful {
             out.iterator
           }
       }
+  }
+
+  /** [[ewmaAnomalies]] on the `transformWithState` API (Spark 4's
+    * successor to `flatMapGroupsWithState`) — same semantics, pinned
+    * row-identical by the spec, but built from the primitives the old
+    * API fused together: a NAMED `ValueState` (a processor can hold
+    * several independent state variables, each with its own optional
+    * TTL), explicit event-time TIMERS (register/delete per key — the
+    * old API's single implicit timeout generalized to many), and a
+    * dedicated `handleExpiredTimer` callback instead of a
+    * `hasTimedOut` branch inside the input handler. Requires the
+    * RocksDB state store provider ([[graft.Session.rocksdbStateStore]])
+    * — the engine rejects transformWithState on the HDFS-backed
+    * default, which is the right constraint at 100 TB anyway.
+    */
+  def ewmaAnomaliesTws(readings: Dataset[SensorReading],
+      alpha: Double = 0.3, threshold: Double = 5.0,
+      watermark: String = "10 minutes",
+      idleMs: Long = 30 * 60 * 1000L): Dataset[EwmaReading] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(idleMs > 0, s"idleMs must be positive: $idleMs")
+
+    class EwmaProcessor
+        extends StatefulProcessor[String, SensorReading, EwmaReading] {
+      @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[EwmaState] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[EwmaState]("ewma",
+          Encoders.product[EwmaState], TTLConfig.NONE)
+
+      override def handleInputRows(key: String,
+          rows: Iterator[SensorReading],
+          timerValues: TimerValues): Iterator[EwmaReading] = {
+        val sorted = rows.toSeq.sortBy(r => (r.timestamp.getTime, r.temperature))
+        var cur = if (state.exists()) Some(state.get()) else None
+        val out = sorted.map { r =>
+          val tsMicros = r.timestamp.getTime * 1000L
+          val (dev, anom, next) = cur match {
+            case Some(s) =>
+              val d = math.abs(r.temperature - s.ewma)
+              (d, d > threshold,
+                EwmaState(s.ewma + alpha * (r.temperature - s.ewma),
+                  s.n + 1, math.max(s.lastTsMicros, tsMicros)))
+            case None =>
+              (0.0, false, EwmaState(r.temperature, 1L, tsMicros))
+          }
+          cur = Some(next)
+          EwmaReading(key, r.timestamp, r.temperature, next.ewma, dev,
+            anom, went_offline = false)
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // one idle timer per key: re-arm by deleting whatever stands
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(math.max(
+            s.lastTsMicros / 1000L + idleMs,
+            timerValues.getCurrentWatermarkInMs() + 1))
+        }
+        out.iterator
+      }
+
+      override def handleExpiredTimer(key: String,
+          timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[EwmaReading] = {
+        val s = state.get()
+        state.clear()
+        Iterator.single(EwmaReading(key,
+          new Timestamp(s.lastTsMicros / 1000L), Double.NaN,
+          s.ewma, 0.0, is_anomaly = false, went_offline = true))
+      }
+    }
+
+    import readings.sparkSession.implicits._
+    readings
+      .withWatermark("timestamp", watermark)
+      .groupByKey(_.sensor_id)
+      .transformWithState(new EwmaProcessor, TimeMode.EventTime,
+        OutputMode.Append, Encoders.product[EwmaReading])
   }
 }

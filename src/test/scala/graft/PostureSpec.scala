@@ -343,6 +343,47 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaAnomaliesTws (transformWithState) reproduces the flatMapGroupsWithState semantics") {
+    // transformWithState requires the RocksDB provider; scope it to this
+    // query and restore after
+    val confs = graft.Session.rocksdbStateStore
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[SensorReading]
+      val q = Stateful.ewmaAnomaliesTws(mem.toDS(), alpha = 0.5,
+          threshold = 5.0, watermark = "10 minutes",
+          idleMs = 30 * 60 * 1000L)
+        .writeStream
+        .format("memory").queryName("ewma_tws").outputMode("append").start()
+      try {
+        // the exact scenario the flatMapGroupsWithState spec pins
+        mem.addData(
+          r("2024-01-01 00:00:00", 20.0, sensor = "A"),
+          r("2024-01-01 00:01:00", 22.0, sensor = "A"),
+          r("2024-01-01 00:00:30", 10.0, sensor = "B"))
+        q.processAllAvailable()
+        mem.addData(r("2024-01-01 02:00:00", 40.0, sensor = "A"))
+        q.processAllAvailable()
+        mem.addData(r("2024-01-01 02:01:00", 40.0, sensor = "A"))
+        q.processAllAvailable()
+        val out = spark.table("ewma_tws").as[graft.streaming.EwmaReading]
+          .collect().sortBy(e => (e.sensor_id, e.timestamp.getTime))
+        val a = out.filter(_.sensor_id == "A")
+        assert(a.map(_.ewma) === Seq(20.0, 21.0, 30.5, 35.25))
+        assert(a.map(_.is_anomaly) === Seq(false, false, true, true))
+        val b = out.filter(_.sensor_id == "B")
+        assert(b.map(_.went_offline) === Seq(false, true))
+        assert(b(1).timestamp === ts("2024-01-01 00:00:30"))
+        assert(b(1).ewma === 10.0)
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ewmaAnomalies rejects degenerate smoothing/idle configs") {
     val ds = Seq(r("2024-01-01 00:00:00", 1.0)).toDS()
     intercept[IllegalArgumentException] {

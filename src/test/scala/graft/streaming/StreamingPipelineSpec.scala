@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -59,6 +61,42 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(after.length === 1)
       assert(after.head.getAs[Long]("reading_count") === 3L) // unchanged
     } finally query.stop()
+  }
+
+  test("the same watermarked rollup runs (and finalizes identically) on the RocksDB state store") {
+    // the 100 TB state answer: the default HDFS-backed provider holds
+    // state in executor HEAP; RocksDB bounds it by local disk. Pin that
+    // graft's streaming shapes run unchanged on it — same windows, same
+    // finalization — and that the provider was REALLY in use (rocksdb
+    // custom metrics in the progress), not silently defaulted.
+    val confs = graft.Session.rocksdbStateStore
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[SensorReading]
+      val q = Pipeline.watermarkedRollup(mem.toDF()).writeStream
+        .format("memory").queryName("rocks_test").outputMode("append").start()
+      try {
+        mem.addData(reading("2024-01-01 00:01:00", 10.0))
+        mem.addData(reading("2024-01-01 00:04:00", 30.0))
+        q.processAllAvailable()
+        mem.addData(reading("2024-01-01 00:30:00", 99.0)) // flush window
+        q.processAllAvailable()
+        val emitted = spark.table("rocks_test").collect()
+        assert(emitted.length === 1)
+        assert(emitted.head.getAs[Long]("reading_count") === 2L)
+        assert(emitted.head.getAs[Double]("avg_temperature") === 20.0)
+        val prog = q.lastProgress
+        assert(prog.stateOperators.nonEmpty)
+        assert(prog.stateOperators.head.customMetrics.keySet.asScala
+          .exists(_.startsWith("rocksdb")),
+          prog.stateOperators.head.customMetrics.toString)
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("session_window stream: gap-merge, watermark finalization, batch parity") {
