@@ -1509,6 +1509,25 @@ object SparkEntry {
       Curate.sampleByHash(Tables.documents(s, dir), "doc_id", "s1", 0.25)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // ---- epoch upsampling: the pretraining-mixture repeat knob (en
+    //      2.5x, de 0.5x, zh dropped, rest 1x) — integer copies plus a
+    //      deterministic fractional draw, one narrow explode ----
+    "q_upsample_epochs" -> ((s, dir) =>
+      Curate.upsampleEpochs(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang",
+        Map("en" -> 2.5, "de" -> 0.5, "zh" -> 0.0), "ep1")),
+
+    // ---- deterministic corpus shuffle with SCALABLE global positions:
+    //      range-partitioned sort on the md5 draw + per-partition
+    //      offsets + monotonically_increasing_id arithmetic — the
+    //      zipWithIndex idiom, never a one-task global window ----
+    "q_corpus_shuffle" -> ((s, dir) =>
+      Curate.shufflePositions(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", "sh1", nParts = 8)
+        .select(col("doc_id"), col("shuffle_pos"))),
+
     // ---- per-language quota sampling (reproducible stat.sampleBy);
     //      langs outside the budget map are dropped entirely ----
     "q_sample_stratified" -> ((s, dir) =>
@@ -3446,6 +3465,27 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|s1'), 1, 15))::BIGINT
         |      / 1152921504606846976.0 < 0.25""".stripMargin,
+    "q_upsample_epochs" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.5
+        |              WHEN 'zh' THEN 0.0 ELSE 1.0 END AS wt
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |    CAST(floor(wt) AS INTEGER) +
+        |    CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR || '|ep1'), 1, 15))::BIGINT
+        |              / 1152921504606846976.0 < wt - floor(wt)
+        |         THEN 1 ELSE 0 END AS n
+        |  FROM w)
+        |SELECT doc_id, lang, CAST(u.epoch AS INTEGER) AS epoch
+        |FROM c, unnest(generate_series(1, n)) AS u(epoch)""".stripMargin,
+    // The engine's two-pass zipWithIndex enumeration must equal the
+    // one-window global row_number — same draw, same (draw, id) order.
+    "q_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY
+        |    ('0x' || substring(md5(doc_id::VARCHAR || '|sh1'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0, doc_id) - 1 AS shuffle_pos
+        |FROM documents""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|s2'), 1, 15))::BIGINT

@@ -365,6 +365,76 @@ object Curate {
           b => round(b, 6) < round(col(scoreCol), 6)))).as("bin"))
   }
 
+  /** Epoch upsampling — the "repeat the good data" knob of a pretraining
+    * mixture (Wikipedia 3×, books 2.5×, web 1×): each row is replicated
+    * `floor(w)` times plus one more with probability `frac(w)`, the
+    * fractional draw deterministic per (key, salt) through the portable
+    * md5 — so weight 2.5 yields EXACTLY the right expected token count
+    * and the same copies on every run and engine. One narrow
+    * explode — no shuffle, no join; output carries `epoch` (1-based
+    * copy index) so downstream shuffles can interleave copies instead
+    * of clustering them. Weight 0 drops the group (a mixture is also a
+    * filter); weights must be non-negative.
+    */
+  def upsampleEpochs(df: DataFrame, idCol: String, groupCol: String,
+      epochs: Map[String, Double], salt: String,
+      default: Double = 1.0): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && default >= 0,
+      s"upsampleEpochs: negative weight in $epochs / $default")
+    val w = epochs.foldLeft(lit(default)) { case (acc, (g, wt)) =>
+      when(col(groupCol) === g, lit(wt)).otherwise(acc)
+    }
+    df.withColumn("__w", w)
+      .withColumn("__n", floor(col("__w")).cast("int") +
+        when(uniformDraw(col(idCol), salt) < col("__w") - floor(col("__w")),
+          1).otherwise(0))
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("__n"))))
+      .drop("__w", "__n")
+  }
+
+  /** Deterministic corpus shuffle with SCALABLE global enumeration —
+    * the reproducible "shuffle the corpus before training" pass. Each
+    * row draws its position key from the portable md5 (same draw every
+    * run/engine), and the global 0-based `shuffle_pos` is assigned
+    * WITHOUT a single-partition global sort (`row_number()` over an
+    * unpartitioned window is the anti-pattern — one task sorts 100 TB):
+    * range-partition by (draw, key) + in-partition sort gives a
+    * globally sorted layout across `nParts` tasks; per-partition row
+    * counts (nParts numbers to the driver) prefix-sum into offsets; and
+    * `monotonically_increasing_id`'s (partition << 33 | local counter)
+    * structure converts to the global position arithmetically. Two
+    * passes over the data, both parallel — the zipWithIndex idiom in
+    * pure DataFrame API.
+    */
+  def shufflePositions(df: DataFrame, idCol: String, salt: String,
+      nParts: Int): DataFrame = {
+    require(nParts >= 1, s"shufflePositions: nParts=$nParts")
+    val sorted = df
+      .withColumn("__k", uniformDraw(col(idCol), salt))
+      .repartitionByRange(nParts, col("__k"), col(idCol))
+      .sortWithinPartitions(col("__k"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val counts = sorted.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nParts).scanLeft(0L) {
+      (acc, p) => acc + counts.getOrElse(p, 0L)
+    }
+    // offsets ride a broadcast join (nParts rows), not a when-chain —
+    // thousands of partitions must not become thousands of codegen
+    // branches in the row projection
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = (0 until nParts).map(p => (p, offsets(p)))
+      .toDF("__pid", "__off")
+    sorted
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("shuffle_pos",
+        col("__off") + (col("__mid") - (col("__pid").cast("long") * (1L << 33))))
+      .drop("__k", "__pid", "__mid", "__off")
+  }
+
   /** Email / IPv4 / phone patterns shared by count and redaction. Written
     * in the common subset of Java regex and RE2 (no backreferences, no
     * lookaround) so the DuckDB oracle evaluates them identically.

@@ -136,4 +136,43 @@ object GraftProperties extends Properties("graft") {
       Seq(sharded, enriched).forall(alt =>
         alt.exceptAll(plain).isEmpty && plain.exceptAll(alt).isEmpty)
     }
+
+  // random clustered layouts × random (possibly empty/degenerate) ranges:
+  // the sidecar-pruned scan must equal the full-table filter EXACTLY —
+  // the property that makes file skipping an optimization, not a filter
+  private val skipCases: Gen[(List[Long], Int, Long, Long)] = for {
+    vals <- Gen.listOfN(300, Gen.choose(0L, 1000L))
+    nFiles <- Gen.choose(1, 16)
+    a <- Gen.choose(-100L, 1100L)
+    b <- Gen.choose(-100L, 1100L)
+  } yield (vals, nFiles, math.min(a, b), math.max(a, b))
+
+  property("skipScan equals the full filter on any layout and range") =
+    forAll(skipCases) { case (vals, nFiles, lo, hi) =>
+      import graft.sources.Layout
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_skp")
+      val data = base.resolve("d").toString
+      val stats = base.resolve("s").toString
+      try {
+        Layout.writeSorted(
+          vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+            .toDF("v", "id"),
+          "v", data, nFiles)
+        Layout.writeFileStats(spark, data, Seq("v"), stats)
+        val skip = Layout.skipScan(spark, data, stats, "v", lit(lo), lit(hi))
+          .agg(count(lit(1)), coalesce(sum("id"), lit(0L)))
+          .collect().head.toSeq
+        val full = Layout.read(spark, data)
+          .filter(col("v").between(lo, hi))
+          .agg(count(lit(1)), coalesce(sum("id"), lit(0L)))
+          .collect().head.toSeq
+        skip == full
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(base.toFile)
+      }
+    }
 }
