@@ -1509,6 +1509,24 @@ object SparkEntry {
       Curate.sampleByHash(Tables.documents(s, dir), "doc_id", "s1", 0.25)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // ---- BPE tokenizer training, the oracled window: weighted
+    //      adjacent-char pair stats of the un-merged corpus — its
+    //      argmax IS the trainer's first merge (total-ordered, so the
+    //      LIMIT is deterministic) ----
+    "q_bpe_pairs" -> ((s, dir) =>
+      graft.ext.Bpe.pairStats(Tables.documents(s, dir), "text", k = 20)),
+
+    // ---- the trained merge table itself (no oracle: iterative argmax
+    //      is not SQL-expressible; BpeSpec pins the distributed trainer
+    //      ≡ an independent single-machine reference merge-for-merge,
+    //      and q_bpe_pairs oracles the statistic that drives it) ----
+    "q_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Bpe.train(
+        Tables.documents(s, dir).select("text"), "text", nMerges = 16)
+        .toDF("rank", "left", "right")
+    }),
+
     // ---- epoch upsampling: the pretraining-mixture repeat knob (en
     //      2.5x, de 0.5x, zh dropped, rest 1x) — integer copies plus a
     //      deterministic fractional draw, one narrow explode ----
@@ -3465,6 +3483,19 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substring(md5(doc_id::VARCHAR || '|s1'), 1, 15))::BIGINT
         |      / 1152921504606846976.0 < 0.25""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words
+        |  WHERE length(w) > 0 GROUP BY w),
+        |p AS (SELECT substring(w, i, 1) AS "left",
+        |    substring(w, i + 1, 1) AS "right", n
+        |  FROM wc, unnest(generate_series(1, length(w) - 1)) AS g(i)
+        |  WHERE length(w) >= 2)
+        |SELECT "left", "right", CAST(sum(n) AS BIGINT) AS pair_count FROM p
+        |GROUP BY 1, 2
+        |ORDER BY pair_count DESC, "left", "right"
+        |LIMIT 20""".stripMargin,
     "q_upsample_epochs" ->
       """WITH w AS (SELECT doc_id, lang,
         |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.5

@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units") — the tokenizer-
+  * training pass of a training-data pipeline, Spark-shaped:
+  *
+  *   - the corpus first collapses to a (word, count) table — ONE
+  *     aggregation over the text, after which every merge iteration
+  *     touches only the distinct-word vocabulary (bounded; at 100 TB
+  *     this is the difference between scanning terabytes per merge and
+  *     scanning megabytes; it is also exactly how reference trainers
+  *     work, on word-frequency dicts);
+  *   - each iteration is one distributed pair-count aggregation over
+  *     that table (weighted by word count, argmax with a lexicographic
+  *     tie-break so training is DETERMINISTIC), followed by a narrow
+  *     map applying the merge greedily left-to-right per word;
+  *   - `localCheckpoint` truncates the per-iteration lineage so N
+  *     merges cost N shallow jobs, not one N-deep recomputation.
+  *
+  * Simplifications vs a production tokenizer, stated: whitespace
+  * pre-tokenization, no end-of-word marker, no byte fallback — the
+  * DISTRIBUTION shape is the point; the symbol alphabet is orthogonal.
+  */
+object Bpe {
+
+  /** (word, count) over whitespace pre-tokenization — the table every
+    * merge iteration runs against.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+
+  /** Weighted adjacent-CHARACTER-pair statistics of the un-merged corpus
+    * — iteration 1's candidate table, and the oracled window into the
+    * trainer (its argmax IS the first merge). Top `k` by count, then
+    * (left, right) — the trainer's exact tie-break order.
+    */
+  def pairStats(df: DataFrame, textCol: String, k: Int): DataFrame =
+    wordCounts(df, textCol)
+      .filter(length(col("w")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), length(col("w")) - 1)))
+      .select(expr("substring(w, i, 1)").as("left"),
+        expr("substring(w, i + 1, 1)").as("right"), col("n"))
+      .groupBy("left", "right").agg(sum("n").as("pair_count"))
+      .orderBy(desc("pair_count"), asc("left"), asc("right"))
+      .limit(k)
+
+  /** One greedy left-to-right application of merge (a, b) to a symbol
+    * sequence — the same routine the reference implementation in the
+    * spec uses, and [[segment]] replays at encode time.
+    */
+  def applyMerge(syms: List[String], a: String, b: String): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = syms
+    while (rest.nonEmpty) rest match {
+      case x :: y :: tail if x == a && y == b =>
+        out += (a + b); rest = tail
+      case x :: tail =>
+        out += x; rest = tail
+    }
+    out.result()
+  }
+
+  /** Train `nMerges` BPE merges over the corpus. Returns the ordered
+    * merge table (rank, left, right); stops early if no pair occurs at
+    * least twice (merging singletons memorizes the corpus). Ties break
+    * on (count desc, left, right) so the table is reproducible.
+    */
+  def train(df: DataFrame, textCol: String,
+      nMerges: Int): Seq[(Int, String, String)] = {
+    require(nMerges >= 1, s"bpe: nMerges=$nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words: Dataset[(List[String], Long)] =
+      wordCounts(df, textCol).as[(String, Long)]
+        .map { case (w, n) => (w.map(_.toString).toList, n) }
+        .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = words.flatMap { case (syms, n) =>
+        syms.zip(syms.tail).map { case (a, b) => ((a, b), n) }
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), n) => (a, b, n) }
+        .toDF("a", "b", "cnt")
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) done = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((rank, a, b))
+        val prev = words
+        words = words.map { case (syms, n) => (applyMerge(syms, a, b), n) }
+          .localCheckpoint()
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.result()
+  }
+
+  /** Segment one word with a trained merge table (greedy by merge rank —
+    * the standard BPE encode).
+    */
+  def segment(word: String,
+      ranks: Map[(String, String), Int]): List[String] = {
+    var syms = word.map(_.toString).toList
+    var go = true
+    while (go && syms.length >= 2) {
+      val best = syms.zip(syms.tail)
+        .flatMap(p => ranks.get(p).map(r => (r, p)))
+        .sortBy(_._1).headOption
+      best match {
+        case Some((_, (a, b))) => syms = applyMerge(syms, a, b)
+        case None => go = false
+      }
+    }
+    syms
+  }
+
+  /** Per-document token counts under a trained merge table — the "how
+    * many tokens is this corpus under MY tokenizer" budgeting pass
+    * (compare X13's estimator, which assumes a generic tokenizer). The
+    * merge table rides the closure (bounded: nMerges entries).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(Int, String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = merges.map { case (r, a, b) => (a, b) -> r }.toMap
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.split("\\s+").iterator.filter(_.nonEmpty)
+          .map(w => segment(w, ranks).length.toLong).sum
+        (id, n)
+      }
+      .toDF(idCol, "n_bpe_tokens")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** BPE trainer checks: the distributed trainer must reproduce, merge for
+  * merge, an INDEPENDENT single-machine reference implementation (the
+  * classic dict-of-word-counts algorithm, written separately below — no
+  * shared merge-application code), on a real corpus slice.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- independent reference (plain Scala, recursive merge apply) ----
+  private def refApply(syms: List[String], a: String,
+      b: String): List[String] = syms match {
+    case x :: y :: rest if x == a && y == b => (a + b) :: refApply(rest, a, b)
+    case x :: rest => x :: refApply(rest, a, b)
+    case Nil => Nil
+  }
+
+  private def refTrain(texts: Seq[String],
+      nMerges: Int): Seq[(Int, String, String)] = {
+    var words: Map[List[String], Long] = texts
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toList -> g.size.toLong
+      }
+    (1 to nMerges).iterator.map { rank =>
+      val counts = words.toSeq
+        .flatMap { case (syms, n) => syms.zip(syms.tail).map(_ -> n) }
+        .groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+      counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption match {
+        case Some(((a, b), n)) if n >= 2 =>
+          words = words.map { case (syms, c) => refApply(syms, a, b) -> c }
+          Some((rank, a, b))
+        case _ => None
+      }
+    }.takeWhile(_.isDefined).flatten.toSeq
+  }
+
+  private val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    .select("doc_id", "text").limit(120).cache()
+
+  test("distributed train ≡ the independent reference, merge for merge") {
+    val texts = docs.select("text").as[String].collect().toSeq
+    val got = Bpe.train(docs, "text", nMerges = 12)
+    val want = refTrain(texts, 12)
+    assert(got.size === 12, s"only ${got.size} merges learned")
+    assert(got === want)
+  }
+
+  test("pairStats argmax IS the trainer's first merge; oracled shape is total-ordered") {
+    val top = Bpe.pairStats(docs, "text", 5).collect()
+    val firstMerge = Bpe.train(docs, "text", 1).head
+    assert((top.head.getString(0), top.head.getString(1)) ===
+      (firstMerge._2, firstMerge._3))
+    // strictly descending by (count, left, right): LIMIT is deterministic
+    val keys = top.map(r => (-r.getLong(2), r.getString(0), r.getString(1)))
+    assert(keys.toSeq === keys.sorted.toSeq)
+  }
+
+  test("segment applies merges in rank order; tokenCounts sums per doc") {
+    val merges = Seq((1, "a", "b"), (2, "ab", "c"))
+    val ranks = merges.map { case (r, a, b) => (a, b) -> r }.toMap
+    assert(Bpe.segment("abcab", ranks) === List("abc", "ab"))
+    assert(Bpe.segment("xyz", ranks) === List("x", "y", "z"))
+    val out = Bpe.tokenCounts(
+      Seq((1L, "abc ab"), (2L, "zz")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L)) // ["abc"],["ab"] and ["z","z"]
+  }
+
+  test("train stops before merging pairs that occur only once") {
+    val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val merges = Bpe.train(tiny, "text", nMerges = 10)
+    // "ab" occurs twice -> one merge; every pair after that is singleton
+    assert(merges === Seq((1, "a", "b")))
+  }
+}
