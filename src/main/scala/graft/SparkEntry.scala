@@ -483,13 +483,19 @@ object SparkEntry {
       dir: String): (String, String) = {
     val src = new java.io.File(s"$dir/events.parquet")
     val key = s"$dir:${src.length}:${src.lastModified}:sorted32:ts,user_id:us1"
-    val data = Layout.ensureLayoutDir("skipdata", key) { p =>
-      Layout.writeSorted(Tables.events(s, dir), "ts", p, nFiles = 32)
+    // ONE cache entry holding data/ AND stats/ (marker stamped only
+    // after both): the sidecar names the data dir's exact part files
+    // (write-job UUIDs), so two independent cache dirs could pair a
+    // surviving stale sidecar with a rebuilt data dir — a one-sided
+    // tmp eviction would then prune against files that no longer exist
+    val root = Layout.ensureLayoutDir("fileskip", key) { p =>
+      Layout.writeSorted(Tables.events(s, dir), "ts", s"$p/data",
+        nFiles = 32)
+      Layout.writeFileStats(s, s"$p/data", Seq("ts", "user_id"),
+        s"$p/stats")
+      new java.io.File(p, "_SUCCESS").createNewFile()
     }
-    val stats = Layout.ensureLayoutDir("skipstats", key) { p =>
-      Layout.writeFileStats(s, data, Seq("ts", "user_id"), p)
-    }
-    (data, stats)
+    (s"$root/data", s"$root/stats")
   }
 
   /** Build-once BUCKETED catalog tables for the co-located fact-fact

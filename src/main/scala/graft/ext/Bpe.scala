@@ -49,6 +49,17 @@ object Bpe {
       .orderBy(desc("pair_count"), asc("left"), asc("right"))
       .limit(k)
 
+  /** Initial symbols of a word: one per Unicode CODE POINT — matching
+    * SQL `substring`'s character semantics (what [[pairStats]] and its
+    * DuckDB oracle count). Scala's `String#map` iterates UTF-16 code
+    * units, which would split astral-plane characters (emoji, CJK
+    * extensions) into surrogate halves the oracle never sees — and leak
+    * invalid half-surrogate strings into the learned merges.
+    */
+  def initialSymbols(w: String): List[String] =
+    w.codePoints().toArray.toList
+      .map(cp => new String(Character.toChars(cp)))
+
   /** One greedy left-to-right application of merge (a, b) to a symbol
     * sequence — the same routine the reference implementation in the
     * spec uses, and [[segment]] replays at encode time.
@@ -77,7 +88,7 @@ object Bpe {
     import spark.implicits._
     var words: Dataset[(List[String], Long)] =
       wordCounts(df, textCol).as[(String, Long)]
-        .map { case (w, n) => (w.map(_.toString).toList, n) }
+        .map { case (w, n) => (initialSymbols(w), n) }
         .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String)]
     var rank = 1
@@ -110,7 +121,7 @@ object Bpe {
     */
   def segment(word: String,
       ranks: Map[(String, String), Int]): List[String] = {
-    var syms = word.map(_.toString).toList
+    var syms = initialSymbols(word)
     var go = true
     while (go && syms.length >= 2) {
       val best = syms.zip(syms.tail)

@@ -410,12 +410,19 @@ object Curate {
   def shufflePositions(df: DataFrame, idCol: String, salt: String,
       nParts: Int): DataFrame = {
     require(nParts >= 1, s"shufflePositions: nParts=$nParts")
+    // localCheckpoint PINS the partitioning: repartitionByRange SAMPLES
+    // to pick boundaries, seeded per-execution — without materializing,
+    // the counts pass and the final pass are independent executions
+    // whose boundaries (and so per-partition counts) can differ once
+    // partitions exceed the sample, silently duplicating/skipping
+    // positions. It also makes the second pass read blocks, not re-sort.
     val sorted = df
       .withColumn("__k", uniformDraw(col(idCol), salt))
       .repartitionByRange(nParts, col("__k"), col(idCol))
       .sortWithinPartitions(col("__k"), col(idCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
     val counts = sorted.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until nParts).scanLeft(0L) {

@@ -414,10 +414,12 @@ object Temporal {
     *
     * `joinType` admits `leftOuter` too — the "alerts that saw NO reading
     * in their window" form (matched rows still emit eagerly; an
-    * unmatched left row emits null-padded only when the watermark passes
-    * `leftTs + windowTo` and its state is evicted, so a replay's tail
-    * rows inside the final watermark slack stay unemitted — the
-    * `q_stream_stream_join_outer` oracle's finalized-prefix clause).
+    * unmatched left row emits null-padded only when watermark-driven
+    * state EVICTION reaches it, which Spark runs one batch behind — so
+    * a bounded replay must CLOSE the stream or tail-state never
+    * flushes: `Pipeline.replayStreamSplit`'s two-sided flush sentinels
+    * are that close, and the `q_stream_stream_join_outer` oracle is
+    * then the plain batch left join, with no finalized-prefix clause).
     */
   def streamIntervalJoin(left: DataFrame, leftTs: String, leftWm: String,
       right: DataFrame, rightTs: String, rightWm: String,

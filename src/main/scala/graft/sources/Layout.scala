@@ -380,8 +380,13 @@ object Layout {
     * not the lake. Files are identified by part-file NAME (unique per
     * directory by construction — writer UUIDs — and stable across
     * `file:/` vs `file:///` URI renderings). The rewritten sidecar
-    * lands via temp-and-swap so a concurrent [[skipScan]] never reads a
-    * half-written sidecar. Returns (kept, added, dropped) row counts.
+    * lands via temp-and-swap, so a concurrent [[skipScan]] can never
+    * read a PARTIALLY-written sidecar — but the delete→rename gap can
+    * surface to a racing reader as a transient missing path (plain
+    * filesystems have no rename-over-directory): run maintenance
+    * off-peak or give readers one retry; a table format's pointer-swap
+    * log is the fully atomic version of this step. Returns
+    * (kept, added, dropped) row counts.
     */
   def updateFileStats(spark: SparkSession, dataPath: String,
       cols: Seq[String], statsPath: String): (Int, Int, Int) = {

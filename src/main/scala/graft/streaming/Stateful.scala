@@ -91,6 +91,47 @@ object Stateful {
     * Within a batch, rows apply in event-time order so the EWMA chain is
     * deterministic under shuffle; `alpha` ∈ (0, 1].
     */
+  /** The EWMA fold both state APIs share: apply a batch's rows in
+    * event-time order to the prior state, emitting one verdict per row.
+    */
+  private def ewmaBatch(key: String, rows: Iterator[SensorReading],
+      prior: Option[EwmaState], alpha: Double,
+      threshold: Double): (Seq[EwmaReading], Option[EwmaState]) = {
+    val sorted = rows.toSeq.sortBy(r => (r.timestamp.getTime, r.temperature))
+    var cur = prior
+    val out = sorted.map { r =>
+      val tsMicros = r.timestamp.getTime * 1000L
+      val (dev, anom, next) = cur match {
+        case Some(s) =>
+          val d = math.abs(r.temperature - s.ewma)
+          (d, d > threshold,
+            EwmaState(s.ewma + alpha * (r.temperature - s.ewma),
+              s.n + 1, math.max(s.lastTsMicros, tsMicros)))
+        case None =>
+          (0.0, false, EwmaState(r.temperature, 1L, tsMicros))
+      }
+      cur = Some(next)
+      EwmaReading(key, r.timestamp, r.temperature, next.ewma, dev,
+        anom, went_offline = false)
+    }
+    (out, cur)
+  }
+
+  /** The terminal went-offline record an idle key's eviction emits. */
+  private def offlineMarker(key: String, s: EwmaState): EwmaReading =
+    EwmaReading(key, new Timestamp(s.lastTsMicros / 1000L), Double.NaN,
+      s.ewma, 0.0, is_anomaly = false, went_offline = true)
+
+  /** Timeout arm time for an active key, clamped past the watermark.
+    * Defense-in-depth: the engine pre-filters late input for
+    * event-time-timeout stateful ops (spec-pinned), so an accepted
+    * row's `ts + idleMs` normally exceeds the watermark — but arming a
+    * past timeout throws, and this contract is cheap to not depend on.
+    */
+  private def idleTimeoutAt(s: EwmaState, idleMs: Long,
+      watermarkMs: Long): Long =
+    math.max(s.lastTsMicros / 1000L + idleMs, watermarkMs + 1)
+
   def ewmaAnomalies(readings: Dataset[SensorReading],
       alpha: Double = 0.3, threshold: Double = 5.0,
       watermark: String = "10 minutes",
@@ -107,36 +148,14 @@ object Stateful {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(EwmaReading(key,
-              new Timestamp(s.lastTsMicros / 1000L), Double.NaN,
-              s.ewma, 0.0, is_anomaly = false, went_offline = true))
+            Iterator.single(offlineMarker(key, s))
           } else {
-            val sorted = rows.toSeq.sortBy(r => (r.timestamp.getTime, r.temperature))
-            var cur = state.getOption
-            val out = sorted.map { r =>
-              val tsMicros = r.timestamp.getTime * 1000L
-              val (dev, anom, next) = cur match {
-                case Some(s) =>
-                  val d = math.abs(r.temperature - s.ewma)
-                  (d, d > threshold,
-                    EwmaState(s.ewma + alpha * (r.temperature - s.ewma),
-                      s.n + 1, math.max(s.lastTsMicros, tsMicros)))
-                case None =>
-                  (0.0, false, EwmaState(r.temperature, 1L, tsMicros))
-              }
-              cur = Some(next)
-              EwmaReading(key, r.timestamp, r.temperature, next.ewma, dev,
-                anom, went_offline = false)
-            }
+            val (out, cur) =
+              ewmaBatch(key, rows, state.getOption, alpha, threshold)
             cur.foreach { s =>
               state.update(s)
-              // a key whose (late-but-accepted) last event already trails
-              // the watermark by more than idleMs would arm a timeout in
-              // the past — illegal; clamp to just past the watermark so
-              // it fires at the next opportunity instead of throwing
-              state.setTimeoutTimestamp(math.max(
-                s.lastTsMicros / 1000L + idleMs,
-                state.getCurrentWatermarkMs() + 1))
+              state.setTimeoutTimestamp(
+                idleTimeoutAt(s, idleMs, state.getCurrentWatermarkMs()))
             }
             out.iterator
           }
@@ -175,30 +194,14 @@ object Stateful {
       override def handleInputRows(key: String,
           rows: Iterator[SensorReading],
           timerValues: TimerValues): Iterator[EwmaReading] = {
-        val sorted = rows.toSeq.sortBy(r => (r.timestamp.getTime, r.temperature))
-        var cur = if (state.exists()) Some(state.get()) else None
-        val out = sorted.map { r =>
-          val tsMicros = r.timestamp.getTime * 1000L
-          val (dev, anom, next) = cur match {
-            case Some(s) =>
-              val d = math.abs(r.temperature - s.ewma)
-              (d, d > threshold,
-                EwmaState(s.ewma + alpha * (r.temperature - s.ewma),
-                  s.n + 1, math.max(s.lastTsMicros, tsMicros)))
-            case None =>
-              (0.0, false, EwmaState(r.temperature, 1L, tsMicros))
-          }
-          cur = Some(next)
-          EwmaReading(key, r.timestamp, r.temperature, next.ewma, dev,
-            anom, went_offline = false)
-        }
+        val prior = if (state.exists()) Some(state.get()) else None
+        val (out, cur) = ewmaBatch(key, rows, prior, alpha, threshold)
         cur.foreach { s =>
           state.update(s)
           // one idle timer per key: re-arm by deleting whatever stands
           getHandle.listTimers().foreach(getHandle.deleteTimer)
-          getHandle.registerTimer(math.max(
-            s.lastTsMicros / 1000L + idleMs,
-            timerValues.getCurrentWatermarkInMs() + 1))
+          getHandle.registerTimer(
+            idleTimeoutAt(s, idleMs, timerValues.getCurrentWatermarkInMs()))
         }
         out.iterator
       }
@@ -208,9 +211,7 @@ object Stateful {
           expiredTimerInfo: ExpiredTimerInfo): Iterator[EwmaReading] = {
         val s = state.get()
         state.clear()
-        Iterator.single(EwmaReading(key,
-          new Timestamp(s.lastTsMicros / 1000L), Double.NaN,
-          s.ewma, 0.0, is_anomaly = false, went_offline = true))
+        Iterator.single(offlineMarker(key, s))
       }
     }
 

@@ -314,11 +314,13 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("ewmaAnomalies: late-accepted key whose idle horizon trails the watermark arms a clamped timeout instead of throwing") {
+  test("ewmaAnomalies: a row behind the watermark is dropped before the operator — no state, no marker") {
+    // the engine pre-filters late input for event-time-timeout stateful
+    // ops, so a fully-late key can neither corrupt the EWMA chain nor
+    // arm a past-dated timeout (the idleTimeoutAt clamp stays as
+    // defense-in-depth behind this engine behavior, not instead of it)
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SensorReading]
-    // idleMs (1 min) << watermark slack (10 min): a just-accepted late
-    // row's (lastTs + idle) can sit BEHIND the current watermark
     val q = Stateful.ewmaAnomalies(mem.toDS(), alpha = 0.5, threshold = 5.0,
         watermark = "10 minutes", idleMs = 60 * 1000L)
       .writeStream
@@ -328,18 +330,19 @@ class StatefulSpec extends SparkSpec {
         r("2024-01-01 00:00:00", 20.0, sensor = "A"),
         r("2024-01-01 01:00:00", 21.0, sensor = "A")) // watermark → 00:50
       q.processAllAvailable()
-      // C arrives late-but-accepted at 00:55; 00:55 + 1 min < watermark
-      // would be an illegal (past) timeout without the clamp
-      mem.addData(r("2024-01-01 00:55:00", 10.0, sensor = "C"))
+      // C's only row (00:45) is behind the 00:50 watermark
+      mem.addData(r("2024-01-01 00:45:00", 10.0, sensor = "C"))
       q.processAllAvailable()
       mem.addData(r("2024-01-01 02:00:00", 21.0, sensor = "A"))
       q.processAllAvailable()
       mem.addData(r("2024-01-01 02:01:00", 21.0, sensor = "A"))
       q.processAllAvailable()
-      val c = spark.table("ewma_clamp").as[graft.streaming.EwmaReading]
-        .collect().filter(_.sensor_id == "C").sortBy(_.went_offline)
-      // the clamped timeout still FIRES once the watermark moves again
-      assert(c.map(_.went_offline).toSeq === Seq(false, true))
+      val out = spark.table("ewma_clamp").as[graft.streaming.EwmaReading]
+        .collect()
+      // C never existed as far as state is concerned: no reading row,
+      // and no offline marker either (nothing was ever armed)
+      assert(!out.exists(_.sensor_id == "C"), out.mkString(", "))
+      assert(out.count(_.sensor_id == "A") === 4)
     } finally q.stop()
   }
 

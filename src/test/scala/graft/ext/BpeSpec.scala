@@ -21,12 +21,24 @@ class BpeSpec extends SparkSpec {
     case Nil => Nil
   }
 
+  // independent code-point iteration (vs Bpe.initialSymbols' stream)
+  private def refSymbols(w: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toList
+  }
+
   private def refTrain(texts: Seq[String],
       nMerges: Int): Seq[(Int, String, String)] = {
     var words: Map[List[String], Long] = texts
       .flatMap(_.split("\\s+")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, g) =>
-        w.map(_.toString).toList -> g.size.toLong
+        refSymbols(w) -> g.size.toLong
       }
     (1 to nMerges).iterator.map { rank =>
       val counts = words.toSeq
@@ -72,6 +84,19 @@ class BpeSpec extends SparkSpec {
       "doc_id", "text", merges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 2L, 2L -> 2L)) // ["abc"],["ab"] and ["z","z"]
+  }
+
+  test("astral-plane text: symbols are code points, and pairStats still agrees with merge #1") {
+    // U+1F600 is outside the BMP: UTF-16 code-unit splitting would
+    // produce surrogate halves that SQL substring (and DuckDB) never see
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Bpe.initialSymbols(s"a${emoji}b") === List("a", emoji, "b"))
+    val df = Seq((1L, s"x$emoji x$emoji x$emoji ab")).toDF("doc_id", "text")
+    val firstMerge = Bpe.train(df, "text", 1).head
+    val topPair = Bpe.pairStats(df, "text", 1).collect().head
+    assert((topPair.getString(0), topPair.getString(1)) ===
+      (firstMerge._2, firstMerge._3))
+    assert((firstMerge._2, firstMerge._3) === (("x", emoji)))
   }
 
   test("train stops before merging pairs that occur only once") {
