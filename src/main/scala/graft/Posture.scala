@@ -803,6 +803,37 @@ object Posture {
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 
+    // ---- BPE trainer posture ----------------------------------------
+    // The trainer's core claim measured: the one-time wordCounts pass
+    // scales with the CORPUS, but each merge iteration touches only the
+    // (word, count) VOCABULARY. Fixture: 10x by replication (same text,
+    // new doc ids) — word frequencies grow 10x, word identities don't,
+    // which is the natural-language shape (Heaps' law: vocab grows far
+    // sublinearly in corpus size). Healthy = sec_per_merge flat while
+    // the corpus (and its wordCounts pass) grows 10x. The salted dedup
+    // corpus would be the WRONG fixture here — salting multiplies
+    // vocabulary 10x by construction and would charge the trainer for
+    // a vocabulary explosion the measurement itself created.
+    val bpeJson = {
+      val rep10 = (0 until 10)
+        .map(i => base.withColumn("doc_id", col("doc_id") + lit(i * stride)))
+        .reduce(_ unionByName _)
+      val blocks = Seq(("1x", base), ("10x", rep10)).map { case (lbl, d) =>
+        val t0 = System.nanoTime()
+        val vocab = graft.ext.Bpe.wordCounts(d, "text").count()
+        val secWc = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val merges = graft.ext.Bpe.train(d, "text", nMerges = 8)
+        val secTrain = (System.nanoTime() - t1) / 1e9
+        val perMerge = math.max(0.0, secTrain - secWc) / 8
+        f""""$lbl": {"rows": ${d.count()}, "vocab": $vocab, "merges": ${merges.size},
+           |      "sec_wordcounts": $secWc%.2f, "sec_train8": $secTrain%.2f, "sec_per_merge": $perMerge%.2f}""".stripMargin
+      }
+      f"""  "bpe": {
+         |    "what": "BPE merge training at 1x/10x corpus (replication 10x: frequencies scale, vocabulary does not — the Heaps-law shape): sec_wordcounts = the one-time corpus collapse, sec_per_merge = ((train - wordcounts) / 8) per-iteration cost over the bounded vocabulary. Healthy = vocab and sec_per_merge ~flat at 10x while sec_wordcounts grows with the corpus",
+         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     val nDocs = corpora.toMap.apply("1x").count()
     val json =
       s"""{
@@ -819,7 +850,8 @@ object Posture {
          |$layoutJson,
          |$joinJson,
          |$fileskipJson,
-         |$bucketedJson
+         |$bucketedJson,
+         |$bpeJson
          |}""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("POSTURE_10X.json"), json + "\n")

@@ -28,9 +28,11 @@ object StreamBench {
     // tails) — S1-live measured at the same cadence class
     val tail = graft.streaming.SteadyState.measureFileTailStream(spark)
     val cdc = graft.streaming.SteadyState.measureCdcApplyStream(spark)
+    val ewma = graft.streaming.SteadyState.measureEwmaStream(spark, sfDir)
     val combined = env.json.dropRight(1) +
       "," + dedup.json + "," + cur.json + "," + bm25.json + "," +
-      asof.json + "," + ann.json + "," + tail.json + "," + cdc.json + "}"
+      asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
+      "," + ewma.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()

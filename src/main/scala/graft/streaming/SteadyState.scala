@@ -332,6 +332,35 @@ object SteadyState {
       sfDir, rowsPerBatch, minBatches, deadlineSec)
   }
 
+  /** ARBITRARY STATEFUL processing on the live clock: per-sensor EWMA
+    * anomaly detection ([[Stateful.ewmaAnomalies]] — flatMapGroupsWithState
+    * + event-time timeout state) fed by rate-clocked synthetic readings
+    * over a 50-sensor keyspace. Measures the per-batch cost of the
+    * state-store round trip (read state, fold batch, write state, arm
+    * timer) — the envelope row for the custom-state tier the windowed
+    * sections don't exercise.
+    */
+  def measureEwmaStream(spark: SparkSession, sfDir: String,
+      rowsPerBatch: Int = 50, minBatches: Int = 15,
+      deadlineSec: Int = 180): DocEnvelope = {
+    import spark.implicits._
+    measureDocStream(spark, "ewma_state_stream",
+      stream => {
+        val readings = stream.select(
+          concat(lit("S"), pmod(col("doc_id"), lit(50L))).as("sensor_id"),
+          lit("envelope").as("location"),
+          timestamp_micros(lit(1704067200000000L) +
+            (col("doc_id") - 1000000000L) * 1000000L).as("timestamp"),
+          (pmod(col("doc_id"), lit(100L)) * 1.0).as("temperature"),
+          lit(50.0).as("humidity"),
+          lit(1000.0).as("pressure"))
+          .as[graft.model.SensorReading]
+        graft.streaming.Stateful.ewmaAnomalies(readings,
+          watermark = "2 minutes", idleMs = 10 * 60 * 1000L).toDF()
+      },
+      sfDir, rowsPerBatch, minBatches, deadlineSec)
+  }
+
   /** Drives [[Pipeline.startDual]] from [[Sources.rateSimulated]] until the
     * slower (stateful agg) query has processed `minAggBatches` productive
     * micro-batches or `deadlineSec` elapses, then reads the envelope out of
