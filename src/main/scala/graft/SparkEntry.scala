@@ -1001,6 +1001,25 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- FULL OUTER join: two-sided reconciliation of two derived
+    //      user registries (every-29th vs every-37th user) — rows
+    //      landing left-only / right-only / both, the join type the
+    //      semi/anti/left family can't express in one pass ----
+    "q_join_full" -> ((s, dir) => {
+      val a = Layout.read(s, joinDimLayout(s, dir))
+        .select(col("user_id"), col("dim_tag").as("a_tag"))
+      val b = Tables.events(s, dir)
+        .filter(col("user_id") % 37 === 0)
+        .select(col("user_id")).distinct()
+        .withColumn("b_tag", concat(lit("v"), col("user_id")))
+      a.join(b, Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("a_tag"), col("b_tag"),
+          when(col("a_tag").isNotNull && col("b_tag").isNotNull, "both")
+            .when(col("a_tag").isNotNull, "left_only")
+            .otherwise("right_only").as("presence"))
+        .orderBy("user_id")
+    }),
+
     // ---- CO-LOCATED bucketed fact-fact join: both sides pre-bucketed
     //      on the order key (same count, in-file sorted), so the sort-
     //      merge join runs with ZERO shuffle exchanges — the bucketing
@@ -2550,6 +2569,22 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate > o_orderdate
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replays the file-backed every-29th dim against the derived
+    // every-37th registry with DuckDB's FULL JOIN + the same presence
+    // classification.
+    "q_join_full" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    'u' || CAST(user_id AS VARCHAR) AS a_tag
+        |  FROM events WHERE user_id % 29 = 0),
+        |b AS (SELECT DISTINCT user_id,
+        |    'v' || CAST(user_id AS VARCHAR) AS b_tag
+        |  FROM events WHERE user_id % 37 = 0)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id, a_tag, b_tag,
+        |  CASE WHEN a_tag IS NOT NULL AND b_tag IS NOT NULL THEN 'both'
+        |       WHEN a_tag IS NOT NULL THEN 'left_only'
+        |       ELSE 'right_only' END AS presence
+        |FROM a FULL JOIN b ON a.user_id = b.user_id
+        |ORDER BY 1""".stripMargin,
     // The plain join replay — the bucketed layout must be invisible in
     // the result (the zero-exchange plan itself is pinned by PostureSpec;
     // physical layout is not SQL-expressible).
