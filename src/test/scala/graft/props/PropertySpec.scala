@@ -147,6 +147,60 @@ object GraftProperties extends Properties("graft") {
     b <- Gen.choose(-100L, 1100L)
   } yield (vals, nFiles, math.min(a, b), math.max(a, b))
 
+  // snapshotDiff set algebra on random snapshots with unique keys:
+  // classification must partition exactly as key-set membership says,
+  // and a self-diff is all-unchanged
+  private val diffCases: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+    a <- Gen.mapOfN(60, Gen.zip(Gen.choose(0L, 80L), Gen.choose(0L, 5L)))
+    b <- Gen.mapOfN(60, Gen.zip(Gen.choose(0L, 80L), Gen.choose(0L, 5L)))
+  } yield (a.toList, b.toList)
+
+  property("snapshotDiff partitions keys exactly by membership and payload equality") =
+    forAll(diffCases) { case (as, bs) =>
+      import graft.sources.Layout
+      import spark.implicits._
+      val a = as.toDF("id", "v")
+      val b = bs.toDF("id", "v")
+      val got = Layout.snapshotDiff(a, b, Seq("id"), Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val (am, bm) = (as.toMap, bs.toMap)
+      val want = (am.keySet ++ bm.keySet).map { k =>
+        k -> ((am.get(k), bm.get(k)) match {
+          case (Some(x), Some(y)) if x == y => "unchanged"
+          case (Some(_), Some(_)) => "changed"
+          case (Some(_), None) => "removed"
+          case _ => "added"
+        })
+      }.toMap
+      val self = Layout.snapshotDiff(a, a, Seq("id"), Seq("v"))
+        .collect().forall(_.getString(1) == "unchanged")
+      got == want && self
+    }
+
+  // upsampleEpochs copy counts: every id appears floor(w) or ceil(w)
+  // times (exactly floor when w is integral), and identical salt+input
+  // reproduce identical output
+  property("upsampleEpochs emits floor(w) or ceil(w) copies per row, deterministically") =
+    forAll(Gen.choose(0.0, 3.5), Gen.choose(1, 40)) { (w, n) =>
+      import graft.ext.Curate
+      import spark.implicits._
+      val df = (1 to n).map(i => (i.toLong, "g")).toDF("id", "grp")
+      def run() = Curate.upsampleEpochs(df, "id", "grp",
+          Map("g" -> w), "pp1")
+        .groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val counts = run()
+      val lo = math.floor(w).toLong
+      val hi = math.ceil(w).toLong
+      val inBand = (1 to n).forall { i =>
+        counts.getOrElse(i.toLong, 0L) match {
+          case c if w == lo.toDouble => c == lo // integral weight: exact
+          case c => c == lo || c == hi
+        }
+      }
+      inBand && run() == counts
+    }
+
   property("skipScan equals the full filter on any layout and range") =
     forAll(skipCases) { case (vals, nFiles, lo, hi) =>
       import graft.sources.Layout
