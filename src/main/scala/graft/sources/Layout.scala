@@ -239,7 +239,10 @@ object Layout {
     */
   def rowsScanned(df: DataFrame): Long = {
     df.queryExecution.executedPlan // force planning
-    df.collect()
+    // execute THIS queryExecution (a noop write would plan a fresh one,
+    // leaving these scan metrics untouched) without materializing on the
+    // driver — a large result would otherwise land in driver heap
+    df.queryExecution.toRdd.foreach(_ => ())
     def walk(p: SparkPlan): Seq[FileSourceScanExec] = {
       val self = p match {
         case s: FileSourceScanExec => Seq(s)
@@ -436,7 +439,7 @@ object Layout {
       colName: String, lo: Column, hi: Column): (Seq[String], Int) = {
     // ONE pass over the sidecar: every file name out, tagged keep/skip
     // (a separate count() would be a second job on the query hot path)
-    val stats = read(spark, statsPath)
+    val stats = readStatsWithRetry(spark, statsPath)
     require(stats.columns.contains(s"min_$colName"),
       s"stats sidecar at $statsPath has no min_$colName/max_$colName — " +
         s"built with cols=${stats.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).mkString(",")}")
@@ -447,6 +450,21 @@ object Layout {
       .collect()
     (tagged.filter(_.getBoolean(1)).map(_.getString(0)).toSeq, tagged.length)
   }
+
+  /** [[updateFileStats]] publishes via delete-then-rename, so a racing
+    * reader can observe the sidecar path missing for one beat. One
+    * bounded retry bridges the gap so concurrent scans degrade to a
+    * ~100 ms stall instead of a PATH_NOT_FOUND failure; a second miss is
+    * a real absent sidecar and propagates.
+    */
+  private def readStatsWithRetry(spark: SparkSession,
+      statsPath: String): DataFrame =
+    try read(spark, statsPath)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        Thread.sleep(100L)
+        read(spark, statsPath)
+    }
 
   /** Manifest-pruned range scan: answer `SELECT … WHERE lo <= c <= hi`
     * over the layout by reading ONLY the files the sidecar says can

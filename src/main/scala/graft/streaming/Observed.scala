@@ -63,7 +63,13 @@ object Observed {
       val m = e.progress.observedMetrics.get(MetricName)
       if (m != null)
         buf.add(m.schema.fieldNames.zipWithIndex
-          .map { case (f, i) => f -> m.getLong(i) }.toMap)
+          // a watermark-only batch can still execute the plan and publish
+          // count=0 with null sums; read those as 0, not a getLong NPE
+          // (which the listener bus would swallow, silently dropping the
+          // batch)
+          .map { case (f, i) =>
+            f -> (if (m.isNullAt(i)) 0L else m.getLong(i))
+          }.toMap)
     }
   }
 }

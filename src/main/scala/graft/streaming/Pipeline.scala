@@ -318,7 +318,14 @@ object Pipeline {
     // sentinel left a six-days-stale alert unemitted). Sentinel rows
     // wear negative event_ids so consumers can drop them from output.
     if (flushSentinels > 0) {
-      val mx = events.agg(max("ts")).collect().head.getTimestamp(0)
+      val mxRow = events.agg(max("ts")).collect().head
+      // an empty source has no max ts to anchor sentinels on — and
+      // events.limit(1) would yield zero sentinel rows anyway, so the
+      // replay would silently never flush; fail loudly instead
+      require(!mxRow.isNullAt(0),
+        s"replayStreamSplit: events table at $dir is empty; " +
+          "cannot anchor flush sentinels")
+      val mx = mxRow.getTimestamp(0)
       (1 to flushSentinels).foreach { i =>
         val scratch = streamDir.resolve(s"sent$i").toString
         val at = lit(new java.sql.Timestamp(mx.getTime + i * 86400000L))

@@ -23,8 +23,9 @@ final case class DeltaReading(
 final case class EwmaState(ewma: Double, n: Long, lastTsMicros: Long)
 
 /** Per-reading EWMA verdict, or the terminal offline marker a key's
-  * event-time timeout emits (temperature/deviation carry the last seen
-  * values; `went_offline = true`, exactly once per silence).
+  * event-time timeout emits (`ewma` carries the last state; `temperature`
+  * is NaN and `deviation` 0.0 — there is no reading at eviction time;
+  * `went_offline = true`, exactly once per silence).
   */
 final case class EwmaReading(
     sensor_id: String, timestamp: Timestamp, temperature: Double,
@@ -209,6 +210,10 @@ object Stateful {
       override def handleExpiredTimer(key: String,
           timerValues: TimerValues,
           expiredTimerInfo: ExpiredTimerInfo): Iterator[EwmaReading] = {
+        // Unlike fMGWS's hasTimedOut contract, timers here are managed by
+        // hand: a stale timer can fire for a key whose state was already
+        // cleared, and state.get() on empty state would kill the query.
+        if (!state.exists()) return Iterator.empty
         val s = state.get()
         state.clear()
         Iterator.single(offlineMarker(key, s))
