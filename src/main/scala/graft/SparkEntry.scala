@@ -416,6 +416,67 @@ object SparkEntry {
       |      FROM dfc LEFT JOIN tc USING (bucket) JOIN rc USING (bucket), tot
       |      GROUP BY 1)""".stripMargin
 
+  /** FROZEN BPE merge table: the 16 merges `Bpe.train` learns on the
+    * sf0.01 documents corpus, frozen so the ENCODE path is oracle-able
+    * (training's iterative argmax is not SQL-expressible — q_bpe_merges
+    * stays rows-only — but a fixed tokenizer's greedy rank-replay is:
+    * see [[bpeEncodeOracleSql]]). Any fixed table defines a valid
+    * tokenizer, so this stays correct on every SF; freezing the trained
+    * one keeps the segmentations realistic.
+    */
+  private val BpeFrozenMerges: Seq[(Int, String, String)] = Seq(
+    (1, "e", "r"), (2, "i", "n"), (3, "o", "w"), (4, "o", "r"),
+    (5, "s", "t"), (6, "m", "er"), (7, "a", "t"), (8, "l", "u"),
+    (9, "a", "r"), (10, "p", "ar"), (11, "j", "o"), (12, "jo", "in"),
+    (13, "a", "s"), (14, "as", "h"), (15, "h", "ash"), (16, "r", "ow"))
+
+  /** The BPE encode oracle: greedy lowest-rank-first segmentation under
+    * a frozen merge table ≡ applying merges in rank order, each to
+    * exhaustion (a rank's pair cannot contain a later rank's output
+    * symbol — it did not exist when the pair was learned). One
+    * exhaustive pair-merge is a separator-bracketed `replace` iterated
+    * to fixpoint — replace's non-overlapping left-to-right consumption
+    * IS the greedy scan, except that consecutive matches share a
+    * bracket character, which the fixpoint loop repairs. The recursive
+    * CTE steps (word, symbols, rank): re-replace while the string
+    * changes, advance rank when it does not; rank 17 rows are done.
+    * Separator chr(31) is pinned absent from the corpus by the Spark
+    * side's word inventory (words are \\s+ tokens; 31 is not \\s).
+    */
+  private def bpeEncodeOracleSql: String = {
+    val sep = "\u001f"
+    val vals = BpeFrozenMerges.map { case (r, a, b) =>
+      s"($r, '$sep$a$sep$b$sep', '$sep$a$b$sep')"
+    }.mkString(",\n|    ")
+    s"""WITH RECURSIVE
+      |w0 AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+      |       FROM documents),
+      |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w0
+      |       WHERE length(w) > 0 GROUP BY 1
+      |       ORDER BY n DESC, w LIMIT 500),
+      |m(rank, pat, rep) AS (VALUES
+      |    $vals),
+      |init AS (SELECT w, n,
+      |    '$sep' || array_to_string(regexp_split_to_array(w, ''), '$sep')
+      |      || '$sep' AS s
+      |  FROM wc),
+      |enc AS (
+      |  SELECT w, n, s, 1 AS rank FROM init
+      |  UNION ALL
+      |  SELECT enc.w, enc.n,
+      |    replace(enc.s, m.pat, m.rep) AS s,
+      |    CASE WHEN replace(enc.s, m.pat, m.rep) = enc.s
+      |         THEN enc.rank + 1 ELSE enc.rank END AS rank
+      |  FROM enc JOIN m ON m.rank = enc.rank
+      |  WHERE enc.rank <= ${BpeFrozenMerges.length}
+      |)
+      |SELECT w, n,
+      |  CAST(length(s) - length(replace(s, '$sep', '')) - 1 AS BIGINT)
+      |    AS n_tokens,
+      |  replace(trim(s, '$sep'), '$sep', ' ') AS tokens
+      |FROM enc WHERE rank = ${BpeFrozenMerges.length + 1}""".stripMargin
+  }
+
   /** The n-gram Jaccard pair pipeline in DuckDB SQL — shared by the
     * `q_ngram_jaccard` oracle and the `q_neardup_resolve` oracle (which
     * consumes the pairs as a CTE), so the two can never drift.
@@ -780,6 +841,13 @@ object SparkEntry {
     // ---- A8: exact interpolated quartiles per group ----
     "q_quantiles" -> ((s, dir) =>
       Rollups.quantiles(Tables.events(s, dir), "event_type", "value")),
+
+    // ---- A8 scale path, value-checked: per-group percentile_approx
+    //      pinned inside its rank-error envelope against the exact
+    //      quartiles (the q_approx_stats_bound recipe, per group) ----
+    "q_quantiles_approx_bound" -> ((s, dir) =>
+      Rollups.quantilesApproxBound(Tables.events(s, dir), "event_type",
+        "value")),
 
     // ---- A6/A8 scale path: HLL++ distinct + sketch quantiles (no oracle:
     //      approximate by contract; tests pin the error envelope) ----
@@ -1551,6 +1619,14 @@ object SparkEntry {
         Tables.documents(s, dir).select("text"), "text", nMerges = 16)
         .toDF("rank", "left", "right")
     }),
+
+    // ---- the encode path under the FROZEN merge table: vocabulary
+    //      top-500 by count, greedy rank-replay segmentation — the
+    //      oracled half of X81's encode side (the DuckDB twin replays
+    //      the merges as recursive fixpoint rewrites) ----
+    "q_bpe_encode" -> ((s, dir) =>
+      graft.ext.Bpe.encodeWords(Tables.documents(s, dir), "text",
+        BpeFrozenMerges, k = 500)),
 
     // ---- epoch upsampling: the pretraining-mixture repeat knob (en
     //      2.5x, de 0.5x, zh dropped, rest 1x) — integer copies plus a
@@ -2404,6 +2480,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  TRUE AS cd_ok, TRUE AS q1_ok, TRUE AS med_ok, TRUE AS q3_ok
         |FROM events""".stripMargin,
+    // Per-group twin: exact quartiles replayed per group, booleans pinned
+    // TRUE by the sketch's rank-error envelope.
+    "q_quantiles_approx_bound" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS q1,
+        |  round(quantile_cont(value, 0.5), 6) AS median,
+        |  round(quantile_cont(value, 0.75), 6) AS q3,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS q1_ok, TRUE AS med_ok, TRUE AS q3_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "q_histogram" ->
       """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
         |cnt AS (
@@ -3537,6 +3623,7 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY pair_count DESC, "left", "right"
         |LIMIT 20""".stripMargin,
+    "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_upsample_epochs" ->
       """WITH w AS (SELECT doc_id, lang,
         |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.5

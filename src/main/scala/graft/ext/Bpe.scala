@@ -135,6 +135,39 @@ object Bpe {
     syms
   }
 
+  /** Encode the corpus vocabulary with a FROZEN merge table: the top-`k`
+    * words by count (ties broken by word — deterministic), each
+    * greedy-segmented by merge rank. The vocabulary-level view of the
+    * encode path ([[tokenCounts]] is the same segmentation summed per
+    * document): TakeOrdered bounds the result at `k` rows, and the
+    * segmentation itself is a narrow map over those rows — no extra
+    * shuffle beyond [[wordCounts]]'s one aggregation, at any corpus
+    * scale.
+    *
+    * Oracle-able because the merge table is frozen: greedy
+    * lowest-rank-first encode is equivalent to applying the merges
+    * sequentially in rank order, each to exhaustion (rank r's pair can
+    * never contain a symbol created by rank r' > r — that symbol did not
+    * exist when pair r was learned), and one exhaustive pair-merge is a
+    * separator-bracketed string `replace` iterated to fixpoint — which
+    * ANSI SQL expresses as a recursive rewrite.
+    */
+  def encodeWords(df: DataFrame, textCol: String,
+      merges: Seq[(Int, String, String)], k: Int): DataFrame = {
+    require(merges.nonEmpty, "bpe: empty merge table")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = merges.map { case (r, a, b) => (a, b) -> r }.toMap
+    wordCounts(df, textCol)
+      .orderBy(desc("n"), asc("w")).limit(k)
+      .as[(String, Long)]
+      .map { case (w, n) =>
+        val syms = segment(w, ranks)
+        (w, n, syms.length.toLong, syms.mkString(" "))
+      }
+      .toDF("w", "n", "n_tokens", "tokens")
+  }
+
   /** Per-document token counts under a trained merge table — the "how
     * many tokens is this corpus under MY tokenizer" budgeting pass
     * (compare X13's estimator, which assumes a generic tokenizer). The

@@ -195,6 +195,52 @@ object Rollups {
           <= 3 * rsd).as("cd_ok") +: qOks: _*)
   }
 
+  /** The scale-path twin of [[quantiles]], value-checked: at 100 TB the
+    * engine answer to per-group quartiles is `percentile_approx`
+    * (one-pass GK sketch, bounded memory), not the exact sort-based
+    * `percentile`. This audit form computes BOTH — exact quartiles per
+    * group plus booleans asserting each approximate value's possible
+    * rank interval [lt+1, le] intersects the sketch's documented window
+    * (n/accuracy, +1 for target-rank rounding) around the target rank —
+    * the per-group generalization of [[approxStatsBound]]. The DuckDB
+    * oracle replays the exact side and pins the booleans TRUE, so a
+    * Spark-side envelope violation hash-mismatches. Two aggregations
+    * over the input (sketch pass, then rank-count pass against the
+    * broadcast per-group sketch values); group cardinality bounds the
+    * broadcast side.
+    */
+  def quantilesApproxBound(df: DataFrame, key: String, c: String,
+      accuracy: Int = 10000): DataFrame = {
+    val ap = df.groupBy(col(key))
+      .agg(percentile_approx(col(c),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("__aq"))
+    val v = col(c).cast("double")
+    val targets = Seq(("q1", 0.25, 1), ("med", 0.5, 2), ("q3", 0.75, 3))
+    val aggs: Seq[Column] =
+      expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("__q") +:
+        count(lit(1)).as("n") +:
+        targets.flatMap { case (nm, _, i) => Seq(
+          sum(when(v <= element_at(col("__aq"), i), 1L).otherwise(0L))
+            .as(s"__le_$nm"),
+          sum(when(v < element_at(col("__aq"), i), 1L).otherwise(0L))
+            .as(s"__lt_$nm"))
+        }
+    val ranks = df.join(broadcast(ap), Seq(key))
+      .groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    val qOks = targets.map { case (nm, p, _) =>
+      val w = col("n").cast("double") / accuracy + 1.0
+      val target = col("n").cast("double") * p
+      (col(s"__le_$nm") >= target - w &&
+        (col(s"__lt_$nm") + 1) <= target + w).as(s"${nm}_ok")
+    }
+    ranks.select(
+      col(key) +:
+        round(element_at(col("__q"), 1), 6).as("q1") +:
+        round(element_at(col("__q"), 2), 6).as("median") +:
+        round(element_at(col("__q"), 3), 6).as("q3") +:
+        col("n") +: qOks: _*)
+  }
+
   /** Pairwise Pearson correlations in one aggregation pass
     * (reference/streamlit_dashboard.py:657,664 — the 3×3 matrix's
     * distinct off-diagonal cells).

@@ -99,6 +99,40 @@ class BpeSpec extends SparkSpec {
     assert((firstMerge._2, firstMerge._3) === (("x", emoji)))
   }
 
+  test("encodeWords: greedy rank-replay per vocabulary word, top-k deterministic") {
+    val merges = Seq((1, "a", "b"), (2, "ab", "c"))
+    val ranks = merges.map { case (r, a, b) => (a, b) -> r }.toMap
+    val df = Seq((1L, "abcab abcab xyz"), (2L, "xyz abcab")).toDF("doc_id", "text")
+    val rows = Bpe.encodeWords(df, "text", merges, k = 10).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows("abcab") === ((3L, 2L, "abc ab")))
+    assert(rows("xyz") === ((2L, 3L, "x y z")))
+    // each row ≡ segment() on that word
+    rows.foreach { case (w, (_, nTok, toks)) =>
+      val ref = Bpe.segment(w, ranks)
+      assert(toks.split(" ").toList === ref && nTok === ref.length.toLong)
+    }
+    // k bounds the result by (count desc, word asc)
+    val top1 = Bpe.encodeWords(df, "text", merges, k = 1).collect()
+    assert(top1.map(_.getString(0)).toSeq === Seq("abcab"))
+  }
+
+  test("sequential exhaustive merge application ≡ greedy lowest-rank-first (the oracle's equivalence)") {
+    // the property the DuckDB recursive rewrite relies on, pinned on the
+    // consecutive-match shapes where bracketed replace alone would fail
+    val merges = Seq((1, "b", "a"), (2, "a", "a"), (3, "ba", "ba"))
+    val ranks = merges.map { case (r, a, b) => (a, b) -> r }.toMap
+    for (w <- Seq("babababa", "aaaaaaa", "abababab", "baab", "bbaa")) {
+      var syms = Bpe.initialSymbols(w)
+      merges.foreach { case (_, a, b) =>
+        var prev: List[String] = Nil
+        while (prev != syms) { prev = syms; syms = Bpe.applyMerge(syms, a, b) }
+      }
+      assert(syms === Bpe.segment(w, ranks), s"word $w")
+    }
+  }
+
   test("train stops before merging pairs that occur only once") {
     val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val merges = Bpe.train(tiny, "text", nMerges = 10)

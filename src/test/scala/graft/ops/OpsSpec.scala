@@ -444,6 +444,23 @@ class RollupsSpec extends SparkSpec {
     assert(!ok(le = 1000, lt = 950, p = 0.5)) // value above p95 → flagged
   }
 
+  test("quantilesApproxBound: exact side ≡ quantiles, envelope booleans hold per group") {
+    val df = (1 to 400).map(i => (if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("k", "v")
+    val exact = Rollups.quantiles(df, "k", "v").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val got = Rollups.quantilesApproxBound(df, "k", "v").collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      val (q1, med, q3) = exact(r.getString(0))
+      assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) === ((q1, med, q3)))
+      assert(r.getAs[Long]("n") === 200L)
+      Seq("q1_ok", "med_ok", "q3_ok").foreach(c =>
+        assert(r.getAs[Boolean](c), s"$c violated its envelope"))
+    }
+  }
+
   test("globalStats: sample stddev and CV") {
     val df = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0).toDF("v")
     val r = Rollups.globalStats(df, "v").collect().head
