@@ -430,6 +430,28 @@ object SparkEntry {
     (9, "a", "r"), (10, "p", "ar"), (11, "j", "o"), (12, "jo", "in"),
     (13, "a", "s"), (14, "as", "h"), (15, "h", "ash"), (16, "r", "ow"))
 
+  // The replace-to-fixpoint oracle equals greedy segmentation ONLY under
+  // two structural properties of the merge table, checked here so an
+  // edited table fails loudly instead of silently hash-mismatching:
+  //  (a) no self-pair (left == right): for ("a","a"), 'aaaaa' segments
+  //      'aa a aa' under left-to-right replace but 'aa aa a' under
+  //      greedy applyMerge;
+  //  (b) earlier-rank symbols only: each pair symbol is a single char
+  //      or the output of a STRICTLY earlier merge — otherwise "apply
+  //      each rank to exhaustion in order" is not equivalent to the
+  //      greedy lowest-rank-first scan.
+  require(BpeFrozenMerges.forall { case (_, a, b) => a != b },
+    "bpe oracle: self-pair (left==right) breaks the replace-to-fixpoint " +
+      "equivalence with greedy segmentation")
+  require({
+    val avail = scala.collection.mutable.Set.empty[String]
+    BpeFrozenMerges.sortBy(_._1).forall { case (_, a, b) =>
+      val ok = Seq(a, b).forall(s => s.length == 1 || avail.contains(s))
+      avail += (a + b); ok
+    }
+  }, "bpe oracle: a merge pair references a symbol not produced by an " +
+    "earlier-rank merge")
+
   /** The BPE encode oracle: greedy lowest-rank-first segmentation under
     * a frozen merge table ≡ applying merges in rank order, each to
     * exhaustion (a rank's pair cannot contain a later rank's output
@@ -440,8 +462,12 @@ object SparkEntry {
     * bracket character, which the fixpoint loop repairs. The recursive
     * CTE steps (word, symbols, rank): re-replace while the string
     * changes, advance rank when it does not; rank 17 rows are done.
-    * Separator chr(31) is pinned absent from the corpus by the Spark
-    * side's word inventory (words are \\s+ tokens; 31 is not \\s).
+    * Separator chr(31) is NOT whitespace, so a corpus occurrence would
+    * flow INTO a word and corrupt the bracketing — safety rests on the
+    * corpus alphabet, which both sides enforce defensively: the word
+    * inventory drops any word containing chr(31) (same filter in
+    * [[graft.ext.Bpe.encodeWords]] and in the `wc` CTE below, applied
+    * BEFORE the top-k cut so the two sides stay equal).
     */
   private def bpeEncodeOracleSql: String = {
     val sep = "\u001f"
@@ -452,7 +478,8 @@ object SparkEntry {
       |w0 AS (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
       |       FROM documents),
       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w0
-      |       WHERE length(w) > 0 GROUP BY 1
+      |       WHERE length(w) > 0 AND w NOT LIKE '%' || chr(31) || '%'
+      |       GROUP BY 1
       |       ORDER BY n DESC, w LIMIT 500),
       |m(rank, pat, rep) AS (VALUES
       |    $vals),

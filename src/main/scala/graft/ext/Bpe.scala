@@ -158,7 +158,11 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val ranks = merges.map { case (r, a, b) => (a, b) -> r }.toMap
+    // Words containing chr(31) are dropped BEFORE the top-k cut: the SQL
+    // oracle brackets symbols with that separator, so such a word would
+    // corrupt its bracketing (mirrored filter in the oracle's wc CTE).
     wordCounts(df, textCol)
+      .filter(!col("w").contains("\u001f"))
       .orderBy(desc("n"), asc("w")).limit(k)
       .as[(String, Long)]
       .map { case (w, n) =>

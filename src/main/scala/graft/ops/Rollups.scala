@@ -214,24 +214,34 @@ object Rollups {
     val ap = df.groupBy(col(key))
       .agg(percentile_approx(col(c),
         array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("__aq"))
+      .withColumnRenamed(key, "__apk")
     val v = col(c).cast("double")
     val targets = Seq(("q1", 0.25, 1), ("med", 0.5, 2), ("q3", 0.75, 3))
     val aggs: Seq[Column] =
       expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("__q") +:
         count(lit(1)).as("n") +:
+        count(v).as("__nn") +:
         targets.flatMap { case (nm, _, i) => Seq(
           sum(when(v <= element_at(col("__aq"), i), 1L).otherwise(0L))
             .as(s"__le_$nm"),
           sum(when(v < element_at(col("__aq"), i), 1L).otherwise(0L))
             .as(s"__lt_$nm"))
         }
-    val ranks = df.join(broadcast(ap), Seq(key))
+    // Null-safe key equality (<=>): DuckDB's GROUP BY keeps a NULL-key
+    // group, so a plain equi-join here would silently drop it and
+    // row-count-diverge from the oracle.
+    val ranks = df.join(broadcast(ap), col(key) <=> col("__apk"))
       .groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
     val qOks = targets.map { case (nm, p, _) =>
-      val w = col("n").cast("double") / accuracy + 1.0
-      val target = col("n").cast("double") * p
-      (col(s"__le_$nm") >= target - w &&
-        (col(s"__lt_$nm") + 1) <= target + w).as(s"${nm}_ok")
+      // Rank envelope over the NON-NULL value count (percentile and
+      // percentile_approx both ignore NULLs); a group with no non-null
+      // values has NULL exact and sketch quantiles on both sides — the
+      // bound is vacuously TRUE, matching the oracle's literal TRUE.
+      val w = col("__nn").cast("double") / accuracy + 1.0
+      val target = col("__nn").cast("double") * p
+      (col("__nn") === 0L ||
+        (col(s"__le_$nm") >= target - w &&
+          (col(s"__lt_$nm") + 1) <= target + w)).as(s"${nm}_ok")
     }
     ranks.select(
       col(key) +:

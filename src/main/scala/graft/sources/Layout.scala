@@ -461,7 +461,12 @@ object Layout {
       statsPath: String): DataFrame =
     try read(spark, statsPath)
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      // Retry ONLY the missing-path shape the rename race produces;
+      // schema errors and corrupt sidecars are real failures and must
+      // not pay a doomed sleep+reread before surfacing.
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            e.getMessage.contains("Path does not exist") =>
         Thread.sleep(100L)
         read(spark, statsPath)
     }
