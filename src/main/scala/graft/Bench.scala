@@ -78,6 +78,10 @@ object Bench {
     // floor observed across rounds (r9), recorded in the artifact so the
     // normalization is reproducible.
     val SentinelFloorRef = 0.067
+    // run timestamp in the artifact: a bench_detail.json sitting beside
+    // round artifacts must say WHEN it ran, so a stale or concurrent-
+    // window detail file can't be mistaken for the closing run
+    val ranAt = java.time.Instant.now().toString
     val normalizedTotal: Option[Double] =
       if (noiseSamples.isEmpty || sentinel != "q_filter_equality") None
       else Some(total * SentinelFloorRef / noiseSamples.min)
@@ -92,7 +96,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       val norm = normalizedTotal.map(fmt).getOrElse("null")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","normalized_total":$norm,"sentinel_floor_ref":$SentinelFloorRef,"queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","normalized_total":$norm,"sentinel_floor_ref":$SentinelFloorRef,"ran_at":"$ranAt","queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
     }
     // full precision → file (the committed history the judge can read);
     // stdout gets ONE compact line, sized to survive the harness's

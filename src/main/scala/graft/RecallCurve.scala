@@ -95,6 +95,10 @@ object RecallCurve {
     val nVecs = emb.count()
     val pqBooks = Similarity.pqCodebooks(emb, "vec_id", "embedding",
       m = SparkEntry.PqM, codebookK = SparkEntry.PqKc)
+    // the codes frame is index metadata too — encode once, serve every
+    // (query, shortlist) point from it (the pqEncode/pqRerankTopK split)
+    val pqCodes = Similarity.pqEncode(emb, "vec_id", "embedding", pqBooks)
+      .localCheckpoint()
     val exactByQ = qvs.map { case (qid, _) =>
       qid -> Similarity.bruteForceTopKNative(emb, "vec_id", "embedding",
         qid, 10).select(col("vec_id")).collect().map(_.getLong(0)).toSet
@@ -105,7 +109,8 @@ object RecallCurve {
       val recall = qvs.map { case (qid, _) =>
         val got = Similarity.pqRerankTopK(emb, "vec_id", "embedding", qid,
             k = 10, shortlist = s, m = SparkEntry.PqM,
-            codebookK = SparkEntry.PqKc, books = Some(pqBooks))
+            codebookK = SparkEntry.PqKc, books = Some(pqBooks),
+            codes = Some(pqCodes))
           .select(col("vec_id")).collect().map(_.getLong(0)).toSet
         got.intersect(exactByQ(qid)).size / 10.0
       }.sum / qvs.length

@@ -70,5 +70,15 @@ object Session {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true",
+    // one SHARED block cache + write-buffer manager across every store
+    // instance on the executor, capped at maxMemoryUsageMB (Spark
+    // default 500): without it each of the executor's store instances
+    // (one per shuffle partition it hosts) owns a private cache and
+    // native memory scales with partition count — the unbounded-memory
+    // failure mode moved from heap to native. With it, state memory is
+    // bounded BY CONF regardless of key count; overflow goes to SST
+    // files on local disk (measured: POSTURE_10X.json `state`)
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" ->
       "true")
 }

@@ -586,6 +586,30 @@ object SparkEntry {
     (s"$root/data", s"$root/stats")
   }
 
+  /** Build-once TWO-GENERATION layout of the events table — the
+    * additive schema-evolution fixture under `q_schema_evolution`:
+    * generation 1 (even `event_id`) written WITHOUT the derived
+    * `value_bucket` column, generation 2 (odd `event_id`) WITH it, both
+    * as part-files of ONE directory (exactly what a lake looks like the
+    * day after a column ships). Marker stamped only after both
+    * generations land, so a half-built fixture can never be read.
+    */
+  private[graft] def evolvedLayout(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/events.parquet")
+    val root = Layout.ensureLayoutDir("schemaevo",
+      s"$dir:${src.length}:${src.lastModified}:evo1:vb10") { p =>
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.filter(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$p/data")
+      ev.filter(col("event_id") % 2 === 1)
+        .withColumn("value_bucket", floor(col("value") / 10))
+        .write.mode("append").parquet(s"$p/data")
+      new java.io.File(p, "_SUCCESS").createNewFile()
+    }
+    s"$root/data"
+  }
+
   /** Build-once BUCKETED catalog tables for the co-located fact-fact
     * join under `q_bucketed_join`: lineitem and orders each bucketed
     * (and in-file sorted) on their order key with the SAME bucket count,
@@ -1551,6 +1575,21 @@ object SparkEntry {
         "embedding", queryId = 0L, k = 10, shortlist = 100, m = PqM,
         codebookK = PqKc, books = Some(pqBooks(s, dir)))),
 
+    // ---- the SERVING form of q_ann_pq_rerank: identical result from a
+    //      pre-built pqEncode codes frame (the index-build / serve
+    //      split) — the per-query plan reads m small ints per row plus
+    //      the shortlist rows' floats, never the corpus-wide float
+    //      column; same oracle as the inline form, so any drift between
+    //      the two paths hash-fails ----
+    "q_ann_pq_rerank_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val books = pqBooks(s, dir)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      Similarity.pqRerankTopK(emb, "vec_id", "embedding", queryId = 0L,
+        k = 10, shortlist = 100, m = PqM, codebookK = PqKc,
+        books = Some(books), codes = Some(codes))
+    }),
+
     // ---- rerank recall audit: the shortlist multiplier, not the code
     //      error, sets recall — measured ----
     "q_ann_pq_rerank_recall" -> ((s, dir) => {
@@ -1956,6 +1995,22 @@ object SparkEntry {
           round(sum("value"), 2).as("sum_value"),
           min("event_id").as("min_event_id"),
           max("event_id").as("max_event_id"))
+    }),
+
+    // ---- ADDITIVE SCHEMA EVOLUTION: a mergeSchema read over the
+    //      two-generation layout (old files lack value_bucket → NULL);
+    //      the oracle replays the generation split over the flat events
+    //      table, so a dropped new column, a missed generation, or
+    //      wrong NULL semantics all hash-fail. n_gen1 counts the rows
+    //      whose file predates the column ----
+    "q_schema_evolution" -> ((s, dir) => {
+      val p = evolvedLayout(s, dir)
+      Layout.readEvolved(s, p)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value_bucket").isNull, 1L).otherwise(0L))
+            .as("n_gen1"),
+          sum(coalesce(col("value_bucket"), lit(0L))).as("bucket_sum"))
     }),
 
     // ---- FILE-LEVEL DATA SKIPPING: a week-range scan answered through
@@ -3500,6 +3555,18 @@ object SparkEntry {
          |FROM embeddings e JOIN short USING (vec_id), pqq q
          |ORDER BY round(${ListCosSql("CAST(e.embedding AS DOUBLE[])", "q.q")}, 6) DESC, e.vec_id
          |LIMIT 10""".stripMargin,
+    // the codes-serving path must be bit-identical to the inline form:
+    // same oracle verbatim
+    "q_ann_pq_rerank_codes" ->
+      s"""${PqCtes(queryVecId = 0)},
+         |short AS (SELECT vec_id FROM pqsc
+         |          ORDER BY round(dt / (sqrt(n2) * sqrt(qn2)), 6) DESC, vec_id
+         |          LIMIT 100)
+         |SELECT e.vec_id, e.label,
+         |  round(${ListCosSql("CAST(e.embedding AS DOUBLE[])", "q.q")}, 6) AS cosine
+         |FROM embeddings e JOIN short USING (vec_id), pqq q
+         |ORDER BY round(${ListCosSql("CAST(e.embedding AS DOUBLE[])", "q.q")}, 6) DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
     "q_ann_pq_rerank_recall" ->
       s"""${PqCtes(queryVecId = 0)},
          |short AS (SELECT vec_id FROM pqsc
@@ -3809,6 +3876,17 @@ object SparkEntry {
         |WHERE user_id BETWEEN 10 AND 39
         |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
         |GROUP BY 1""".stripMargin,
+    // The generation split replayed over the flat events table: even
+    // event_id rows predate the value_bucket column (NULL under the
+    // mergeSchema read), odd rows carry floor(value/10).
+    "q_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gen1,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1
+        |           THEN CAST(floor(value / 10) AS BIGINT) ELSE 0 END)
+        |       AS BIGINT) AS bucket_sum
+        |FROM events GROUP BY 1""".stripMargin,
     // Replayed over the ORIGINAL table: equality proves the sidecar
     // pruned no file that held a matching row (the file-skip win itself
     // is pinned by LayoutSpec — engine-internal, not SQL-expressible).

@@ -29,10 +29,23 @@ object StreamBench {
     val tail = graft.streaming.SteadyState.measureFileTailStream(spark)
     val cdc = graft.streaming.SteadyState.measureCdcApplyStream(spark)
     val ewma = graft.streaming.SteadyState.measureEwmaStream(spark, sfDir)
+    // the two window families the dual sink doesn't price: hopping
+    // (overlapping ×width/slide state) and session (gap-merge state;
+    // gap 1 min < the 2 min batch cadence, so sessions close per batch)
+    val hop = graft.streaming.SteadyState.measureSensorWindowStream(spark,
+      "hopping_window_stream",
+      r => graft.ops.WindowedAgg.hopping(
+        r.withWatermark("timestamp", "10 minutes"),
+        "timestamp", "sensor_id", "temperature"))
+    val sess = graft.streaming.SteadyState.measureSensorWindowStream(spark,
+      "session_window_stream",
+      r => graft.ops.WindowedAgg.sessionized(
+        r.withWatermark("timestamp", "10 minutes"),
+        "timestamp", "sensor_id", gap = "1 minute"))
     val combined = env.json.dropRight(1) +
       "," + dedup.json + "," + cur.json + "," + bm25.json + "," +
       asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
-      "," + ewma.json + "}"
+      "," + ewma.json + "," + hop.json + "," + sess.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -275,20 +275,20 @@ object Similarity {
       iters: Int = 2, salt: String = "pq",
       keepCols: Seq[String] = Seq("label"),
       books: Option[Seq[Seq[(Int, Seq[Double])]]] = None,
-      queryVec: Option[Seq[Double]] = None): DataFrame = {
+      queryVec: Option[Seq[Double]] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
     require(!df.isStreaming,
       "pqTopK trains codebooks and collects the query vector eagerly and " +
         "is batch-only; on a stream, freeze the codebooks from the batch " +
         "corpus and score inside foreachBatch")
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val emb = withDoubleVec(df, vecCol)
     val trained = books.getOrElse(
       pqCodebooks(df, idCol, vecCol, m, codebookK, iters, salt))
     require(trained.length == m,
       s"pqTopK: ${trained.length} codebooks passed for m = $m subspaces")
     val ds = trained.head.head._2.length
     val q = queryVec.getOrElse {
-      val qRows = emb.filter(col(idCol) === queryId)
+      val qRows = withDoubleVec(df, vecCol).filter(col(idCol) === queryId)
         .select(col("__e")).collect()
       require(qRows.nonEmpty,
         s"pqTopK: query id $queryId not found in $idCol")
@@ -299,10 +299,15 @@ object Similarity {
         "trained on a different vector width")
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     val (dots, norms) = pqAdcTables(trained, q, ds)
-    val coded = emb.filter(col(idCol) =!= queryId)
-      .select((col(idCol) +: keepCols.map(col)) ++
-        (0 until m).map(j => pqCodeCol(trained(j),
-          slice(col("__e"), j * ds + 1, ds)).as(s"__code_$j")): _*)
+    codes.foreach { c =>
+      ((0 until m).map(j => s"__code_$j") ++ (idCol +: keepCols))
+        .foreach(nm => require(c.columns.contains(nm),
+          s"pqTopK: pre-encoded codes frame lacks column $nm — built " +
+            s"with a different m / keepCols? (has ${c.columns.mkString(",")})"))
+    }
+    val coded = codes
+      .getOrElse(pqEncode(df, idCol, vecCol, trained, keepCols))
+      .filter(col(idCol) =!= queryId)
     val dotSum = (0 until m)
       .map(j => pqLookup(col(s"__code_$j"), dots(j))).reduce(_ + _)
     val n2Sum = (0 until m)
@@ -315,31 +320,57 @@ object Similarity {
         round(col("__cos"), 6).as("cosine_pq"): _*)
   }
 
+  /** PQ index build for an UNBUCKETED corpus: one corpus pass emitting
+    * (id, keepCols, `__code_0..m-1`) — the m-small-int codes frame
+    * [[pqTopK]] / [[pqRerankTopK]] serve from. The float column is read
+    * exactly once, HERE, and never again by the ADC pass; persist or
+    * cache the result like any index (same cost class as
+    * [[pqCodebooks]] — the other half of the PQ build). At 100 TB the
+    * codes frame is the artifact a serving tier stores (as
+    * [[writeIvfLayout]] stores `pq_code` inside the bucketed layout).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[(Int, Seq[Double])]],
+      keepCols: Seq[String] = Seq.empty): DataFrame = {
+    require(books.nonEmpty, "pqEncode: empty codebook list")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val ds = books.head.head._2.length
+    withDoubleVec(df, vecCol)
+      .select((col(idCol) +: keepCols.map(col)) ++
+        books.indices.map(j => pqCodeCol(books(j),
+          slice(col("__e"), j * ds + 1, ds)).as(s"__code_$j")): _*)
+  }
+
   /** Two-stage PQ serving: [[pqTopK]]'s ADC scan produces a `shortlist`
     * of candidates, and ONLY those rows are re-scored with the exact
     * float cosine — the standard coarse-filter / refine split of every
     * production PQ deployment (the codes prune 1 − shortlist/N of the
-    * corpus from exact scoring; the floats are read for the shortlist
-    * alone). The shortlist is id METADATA (shortlist ≤ a few hundred
-    * rows), so the refine join broadcasts and the exact pass never
-    * shuffles the corpus. Recall is set by the shortlist multiplier,
-    * not by quantization error — the knob the recall audits measure.
+    * corpus from exact scoring). The shortlist ids come back to the
+    * driver (≤ `shortlist` values — query-serving metadata, the
+    * [[ivfPqRerankTopK]] pattern), so the refine stage pushes
+    * `id IN (…)` INTO the scan: the float column is read for the
+    * shortlist rows alone, never corpus-wide. Recall is set by the
+    * shortlist multiplier, not by quantization error — the knob the
+    * recall audits measure.
     *
-    * ==Unindexed-corpus FALLBACK — not the serving path==
-    * Both stages here scan the WHOLE corpus (the ADC pass touches every
-    * code; measured 3.02× time growth at 10× data, `POSTURE_10X.json`),
-    * because no index exists to prune against. Use this form only when
-    * the corpus has no IVF layout (ad-hoc one-shot queries on raw
-    * embeddings). Anything served repeatedly should build the layout
-    * once ([[writeIvfLayout]]/[[ensureIvfLayout]]) and query
-    * [[ivfPqRerankTopK]], whose both stages read only the probed
-    * buckets (measured 1.07× at 10× — the flat-growth serving shape).
+    * ==Serve from pre-built codes==
+    * Pass `codes` = a persisted [[pqEncode]] frame and the per-query
+    * cost is an ADC scan over m small ints per row plus a pruned float
+    * read of `shortlist` rows — no corpus-wide float pass (measured
+    * ~flat at 10× corpus in `POSTURE_10X.json` `retrieval.pq_rerank`).
+    * With `codes` omitted the corpus is encoded inline per call — an
+    * ad-hoc one-shot convenience that pays the index build inside the
+    * query; anything served repeatedly should pre-encode, or better,
+    * build the bucketed layout ([[ensureIvfLayout]]) and use
+    * [[ivfPqRerankTopK]], which also prunes the ADC pass to the probed
+    * buckets.
     */
   def pqRerankTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, shortlist: Int, m: Int = 2,
       codebookK: Int = 16, iters: Int = 2, salt: String = "pq",
       keepCols: Seq[String] = Seq("label"),
-      books: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
+      books: Option[Seq[Seq[(Int, Seq[Double])]]] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k,
       s"pqRerankTopK: shortlist $shortlist smaller than k = $k")
     // the query vector is collected ONCE and shared with the inner ADC
@@ -350,10 +381,10 @@ object Similarity {
     require(qRows.nonEmpty,
       s"pqRerankTopK: query id $queryId not found in $idCol")
     val q = qRows.head.getSeq[Double](0)
-    val short = pqTopK(df, idCol, vecCol, queryId, shortlist, m,
-      codebookK, iters, salt, Seq.empty, books, Some(q))
-      .select(col(idCol))
-    emb.join(broadcast(short), Seq(idCol))
+    val shortIds = pqTopK(df, idCol, vecCol, queryId, shortlist, m,
+        codebookK, iters, salt, Seq.empty, books, Some(q), codes)
+      .select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
+    emb.filter(col(idCol).isin(shortIds: _*))
       .withColumn("__cos",
         call_function(graft.plans.GraftFunctions.CosineName,
           col("__e"), array(q.map(lit).toIndexedSeq: _*)))
@@ -1080,6 +1111,51 @@ object Similarity {
       .filter(col("__rn") <= k)
       .select(col("qid"), col(idCol), col("ivf_bucket"),
         round(col("__cos"), 6).as("cosine"))
+  }
+
+  /** Minimal `nProbe` meeting a target recall@k, measured ON THE LAYOUT
+    * — the operational knob the `ANN_RECALL.json` sweep documents, as a
+    * driver-side helper so a serving caller never reads the artifact by
+    * hand: pass the query workload (or a sample of it) and a target,
+    * get back `(nProbe, measuredRecall)` to plug into [[ivfProbe]] /
+    * [[ivfSq8Probe]] / [[ivfPqRerankTopK]].
+    *
+    * The exhaustive baseline is [[ivfProbeBatch]] at nProbe =
+    * #centroids (same plan, zero pruning), so approx and exact share
+    * one tie-break order and recall 1.0 is reachable by construction
+    * (probed-bucket supersets are monotone — pinned by the sweep's
+    * `monotone_all`). Cost: one pruned scan per candidate nProbe,
+    * ascending with early exit, plus the one full scan — tuning is a
+    * deploy-time calibration over a BOUNDED query sample (its cost is
+    * amortized over the serving lifetime; at 100 TB run it on the same
+    * query log sample you'd use for any index calibration, not per
+    * query).
+    */
+  def tuneNProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, queries: Seq[(Long, Seq[Double])],
+      k: Int, targetRecall: Double): (Int, Double) = {
+    require(targetRecall > 0 && targetRecall <= 1,
+      s"tuneNProbe: targetRecall $targetRecall not in (0, 1]")
+    require(queries.nonEmpty, "tuneNProbe: no query vectors")
+    val nCent = readQuantizer(spark, path).length
+    def topIds(nProbe: Int): Map[Long, Set[Long]] =
+      ivfProbeBatch(spark, path, idCol, vecCol, queries, k, nProbe)
+        .select(col("qid"), col(idCol)).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = topIds(nCent)
+    var n = 1
+    var recall = 0.0
+    var done = false
+    while (!done) {
+      val got = topIds(n)
+      recall = queries.map { case (qid, _) =>
+        got.getOrElse(qid, Set.empty[Long])
+          .intersect(exact.getOrElse(qid, Set.empty[Long])).size.toDouble / k
+      }.sum / queries.length
+      if (recall >= targetRecall || n >= nCent) done = true else n += 1
+    }
+    (n, recall)
   }
 
   /** One random-hyperplane component, derived from the portable md5

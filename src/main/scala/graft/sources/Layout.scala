@@ -26,6 +26,57 @@ object Layout {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a layout whose part-files span SCHEMA GENERATIONS (columns
+    * added over the table's life — the first gap a fixed-schema lake
+    * like the reference's `init.sql:2-11` hits once it grows). Plain
+    * `spark.read.parquet` takes ONE file's footer as the table schema,
+    * so whether a column added in generation 2 exists at all depends on
+    * which file got sampled — a silent, nondeterministic drop.
+    * `mergeSchema` unions every footer instead: additive evolution
+    * reads correctly, with generation-1 rows NULL in the new columns
+    * (the [[schemaGenerations]] audit says which files those are).
+    *
+    * Scale note: footer-merging is a distributed job over O(#files)
+    * footers — cheap next to the scan, but not free; a production lake
+    * caches the merged schema per [[manifest]] epoch rather than
+    * re-merging per query. Renames/retypes are NOT additive evolution
+    * — parquet will happily merge `a:int` files with `a:string` files
+    * into a read error — gate those through a rewrite ([[compact]]).
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Canonical fingerprint of a schema: md5 over `name:dataType` pairs
+    * in FIELD ORDER. Field order matters (a reordered write is a
+    * different physical generation even if logically equal); case
+    * does too (parquet is case-sensitive at rest).
+    */
+  def schemaHash(schema: org.apache.spark.sql.types.StructType): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(schema.fields
+        .map(f => s"${f.name}:${f.dataType.catalogString}")
+        .mkString("").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Per-file schema audit of a layout: (file, schema_hash, n_cols) —
+    * the versioning record that tells a maintainer WHICH files belong
+    * to which schema generation (and so which rewrite a retype must
+    * touch). Footer reads happen on the driver over the layout's file
+    * list — O(#files) metadata, the same driver-resident class as
+    * [[statsSurvivingFiles]]; this is a maintenance-time audit, not a
+    * query-path op.
+    */
+  def schemaGenerations(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    // partFiles returns bare names — qualify against the layout dir
+    partFiles(spark, path)
+      .map { f =>
+        val s = spark.read.parquet(s"$path/$f").schema
+        (f, schemaHash(s), s.fields.length)
+      }
+      .toDF("file", "schema_hash", "n_cols")
+  }
+
   /** Day-bounded scan over a partitioned layout. The `day` predicate is a
     * partition filter (pruned at planning, zero I/O for other days); the
     * `tsCol` bounds additionally prune row groups within the day.

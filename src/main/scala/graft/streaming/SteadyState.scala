@@ -539,6 +539,71 @@ object SteadyState {
       if (lat.isEmpty) -1 else lat.max, outRows)
   }
 
+  /** Envelope of a WATERMARKED WINDOWED-AGG shape over the sensor rate
+    * stream — the measured halves of the two window families the dual
+    * sink does not cover: hopping (each event lands in width/slide
+    * windows, so the state store holds overlapping windows — the ×2
+    * state fan-out priced here) and session (gap-merge state; sessions
+    * close only when the watermark passes last-event + gap). Same
+    * listener-accumulated telemetry and deadline protocol as
+    * [[measureDocStream]]; throughput counts INPUT readings, out_rows =
+    * finalized windows/sessions the append sink flushed.
+    */
+  def measureSensorWindowStream(spark: SparkSession, kind: String,
+      build: DataFrame => DataFrame, rowsPerBatch: Int = 50,
+      advanceMsPerBatch: Long = 120000L, minBatches: Int = 15,
+      deadlineSec: Int = 180): DocEnvelope = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val out = Files.createTempDirectory(s"graft_${kind}_out").toString + "/out"
+    val ckpt = Files.createTempDirectory(s"graft_${kind}_ckpt")
+    val readings = Sources.rateSimulated(spark, rowsPerBatch = rowsPerBatch,
+      advanceMsPerBatch = advanceMsPerBatch)
+    val qName = s"graft_envelope_$kind"
+    val productive = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == qName && e.progress.numInputRows > 0)
+          productive.add((e.progress.numInputRows,
+            e.progress.durationMs.get("triggerExecution").toLong))
+    }
+    spark.streams.addListener(listener)
+    val q = build(readings)
+      .writeStream
+      .queryName(qName)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val t0 = System.nanoTime()
+    var elapsedSec = 0.0
+    try {
+      val deadline = t0 + deadlineSec * 1000L * 1000 * 1000
+      while (productive.size < minBatches
+          && System.nanoTime() < deadline) Thread.sleep(200)
+      elapsedSec = (System.nanoTime() - t0) / 1e9
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    val prog = {
+      import scala.jdk.CollectionConverters._
+      productive.asScala.toSeq
+    }
+    val lat = prog.map(_._2)
+    val rows = prog.map(_._1).sum
+    val outRows =
+      if (new java.io.File(out).exists()) spark.read.parquet(out).count()
+      else 0L
+    DocEnvelope(kind, rows, elapsedSec, rows / elapsedSec * 60, lat.length,
+      if (lat.isEmpty) -1 else median(lat),
+      if (lat.isEmpty) -1 else lat.max, outRows)
+  }
+
   def measure(spark: SparkSession, rowsPerBatch: Int = 50,
       advanceMsPerBatch: Long = 120000L, minAggBatches: Int = 15,
       deadlineSec: Int = 180): Envelope = {

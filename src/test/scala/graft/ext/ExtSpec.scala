@@ -392,6 +392,23 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopKNative(d, "vec_id", "embedding",
       0L, 2).collect().map(_.getLong(0)).toSeq
     assert(rr === exact)
+    // serving split: a pre-built pqEncode codes frame yields the
+    // IDENTICAL ranking (the q_ann_pq_rerank_codes oracle pins this at
+    // sf0.01 too), with the float column read only for the shortlist
+    val books = Similarity.pqCodebooks(d, "vec_id", "embedding",
+      m = 2, codebookK = 2)
+    val codes = Similarity.pqEncode(d, "vec_id", "embedding", books)
+    val rrCodes = Similarity.pqRerankTopK(d, "vec_id", "embedding", 0L,
+        k = 2, shortlist = 4, m = 2, codebookK = 2,
+        books = Some(books), codes = Some(codes))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rrCodes === rr)
+    // a codes frame missing a code column fails loudly
+    assertThrows[IllegalArgumentException] {
+      Similarity.pqTopK(d, "vec_id", "embedding", 0L, 2, m = 2,
+        codebookK = 2, keepCols = Seq.empty, books = Some(books),
+        codes = Some(codes.withColumnRenamed("__code_1", "__nope")))
+    }
     assertThrows[IllegalArgumentException] {
       Similarity.pqRerankTopK(d, "vec_id", "embedding", 0L, k = 4,
         shortlist = 2)

@@ -112,6 +112,45 @@ class IvfLayoutSpec extends SparkSpec {
     }
   }
 
+  test("tuneNProbe: minimal nProbe for a recall target, monotone, exhaustive at target 1.0") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",
+      Similarity.trainQuantizer(emb, "vec_id", "embedding",
+        k = 8, iters = 2, salt = "batchspec"),
+      s"batch-spec-${System.nanoTime()}")
+    val qvs = emb.filter(col("vec_id").isin(0L, 7L, 23L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+    // the returned nProbe MEETS its target, and the one below it (if
+    // any) does not — minimality, the whole point of the helper
+    val (nMid, rMid) = Similarity.tuneNProbe(spark, path, "vec_id",
+      "embedding", qvs, k = 10, targetRecall = 0.6)
+    assert(rMid >= 0.6, s"nProbe=$nMid recall=$rMid")
+    if (nMid > 1) {
+      val (nLow, rLow) = Similarity.tuneNProbe(spark, path, "vec_id",
+        "embedding", qvs, k = 10, targetRecall = rMid)
+      assert(nLow === nMid && rLow === rMid) // re-tune is deterministic
+    }
+
+    // recall 1.0 is reachable by construction (probe superset monotone);
+    // worst case the tuner answers "all centroids"
+    val (nFull, rFull) = Similarity.tuneNProbe(spark, path, "vec_id",
+      "embedding", qvs, k = 10, targetRecall = 1.0)
+    assert(rFull === 1.0)
+    assert(nFull <= 8)
+
+    // a looser target can never need MORE probes
+    val (nLoose, _) = Similarity.tuneNProbe(spark, path, "vec_id",
+      "embedding", qvs, k = 10, targetRecall = 0.2)
+    assert(nLoose <= nMid)
+
+    assertThrows[IllegalArgumentException] {
+      Similarity.tuneNProbe(spark, path, "vec_id", "embedding", qvs,
+        k = 10, targetRecall = 0.0)
+    }
+  }
+
   test("SQ8-in-layout: codes round-trip, quantized probe prunes and never reads floats") {
     val emb = Tables.embeddings(spark, sf)
     val path = Similarity.ensureIvfLayout(emb, "vec_id", "embedding",

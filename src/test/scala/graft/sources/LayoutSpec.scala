@@ -30,6 +30,43 @@ class LayoutSpec extends SparkSpec {
         col("id").as("payload"))
   }
 
+  test("additive schema evolution: mergeSchema read unions generations; schemaGenerations audits them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evo").toString + "/t"
+    // generation 1: (id, v); generation 2 adds tag
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    Seq((3L, 30.0, "a"), (4L, 40.0, "b")).toDF("id", "v", "tag")
+      .repartition(1).write.mode("append").parquet(dir)
+
+    val merged = Layout.readEvolved(spark, dir)
+    assert(merged.columns.toSet === Set("id", "v", "tag"),
+      merged.columns.mkString(","))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length === 4)
+    // generation-1 rows read NULL in the added column; gen-2 keep values
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("tag"))))
+    assert(rows.drop(2).map(_.getAs[String]("tag")).toSeq === Seq("a", "b"))
+
+    // the audit sees exactly two schema generations, 2 vs 3 columns
+    val gens = Layout.schemaGenerations(spark, dir).collect()
+    assert(gens.length === 2)
+    assert(gens.map(_.getAs[String]("schema_hash")).distinct.length === 2)
+    assert(gens.map(_.getAs[Int]("n_cols")).sorted.toSeq === Seq(2, 3))
+
+    // the fingerprint moves on rename, retype, and reorder — the three
+    // changes that are NOT additive and need a rewrite, not mergeSchema
+    val base = Seq((1L, "x")).toDF("id", "s").schema
+    assert(Layout.schemaHash(base) !==
+      Layout.schemaHash(Seq((1L, "x")).toDF("id2", "s").schema))
+    assert(Layout.schemaHash(base) !==
+      Layout.schemaHash(Seq((1, "x")).toDF("id", "s").schema))
+    assert(Layout.schemaHash(base) !==
+      Layout.schemaHash(Seq(("x", 1L)).toDF("s", "id").schema))
+    assert(Layout.schemaHash(base) ===
+      Layout.schemaHash(Seq((9L, "y")).toDF("id", "s").schema))
+  }
+
   test("z-ordered layout prunes row groups on BOTH dims; single-sort only on its own") {
     val zDir = Files.createTempDirectory("graft_z").toString + "/z"
     val sDir = Files.createTempDirectory("graft_z").toString + "/s"
