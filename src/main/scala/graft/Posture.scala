@@ -941,7 +941,7 @@ object Posture {
         }
       }
       s"""  "skew": {
-         |    "what": "hot-key equi-join (50% of fact rows on ONE key, 1000-key file-backed dim, broadcast disabled, forced sort-merge) at 1x/10x events, three ways: naive = AQE skew-join OFF (the hot key is one reduce task), aqe = skew-join ON with fixture-scaled thresholds (1 MB vs the 256 MB production default — same mapper-range splitting, sized to the fixture), salted = Skew.saltedJoin 16 ways. Healthy = aqe and salted both collapse max_task_ms vs naive and the ratios hold at 10x; where they tie, the explicit rewrite's remaining role is hot-key aggregation state and non-shuffle join strategies AQE cannot split",
+         |    "what": "hot-key equi-join (50% of fact rows on ONE key, 1000-key file-backed dim, broadcast disabled, forced sort-merge) at 1x/10x events, three ways: naive = AQE skew-join OFF (the hot key is one reduce task), aqe = skew-join ON with fixture-scaled thresholds (1 MB vs the 256 MB production default — same mapper-range splitting, sized to the fixture), salted = Skew.saltedJoin 16 ways. The discriminator at this fixture size is peak_task_mem: naive's hot reduce task GROWS with the data (the executor-OOM path a 100 TB hot key rides) while aqe and salted hold flat; max_task_ms sits on the scheduling floor here and separates only once a task is seconds long. Reading: AQE is the default answer (flat memory at the best wall time, zero code); salting matches the flat memory at the cost of dim replication — its remaining role is the shapes AQE cannot split (hot-key aggregation state, non-shuffle join strategies, stream-static joins)",
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 

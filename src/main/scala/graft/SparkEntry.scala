@@ -1320,6 +1320,13 @@ object SparkEntry {
 
     // ---- GPT-style concat-and-chunk sequence packing, shard-local by
     //      source, 2048-token sequences ----
+    // ---- overlapping context-window chunking (RAG split): 64-token
+    //      chunks every 48 (16-token overlap), tail may run short,
+    //      every non-empty doc yields >= 1 chunk — one narrow explode ----
+    "q_chunk_overlap" -> ((s, dir) =>
+      Curate.chunkOverlapping(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)),
+
     "q_seq_pack" -> ((s, dir) =>
       Curate.packSequences(Tables.documents(s, dir), "doc_id", "text",
         "source", budgetTokens = 2048L)),
@@ -3088,6 +3095,25 @@ object SparkEntry {
     // Exact integer arithmetic end-to-end: token counts from the
     // whitespace identity, shard-local running sum, DIV 2048 (Spark DIV
     // and DuckDB // agree on non-negative integers).
+    // Overlapping chunking replayed: same token filter, same
+    // ceil(max(n-overlap,1)/step) chunk count, same inclusive 1-based
+    // token slice per chunk — text AND count must match per (doc, idx).
+    "q_chunk_overlap" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+        |      FROM tok WHERE len(t) > 0),
+        |ix AS (SELECT doc_id, t, n,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(greatest(n - 16, 1) / 48.0) AS BIGINT) - 1)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(t[CAST(chunk_idx * 48 + 1 AS BIGINT)
+        |                   : CAST(chunk_idx * 48 + 64 AS BIGINT)], ' ')
+        |    AS chunk_text,
+        |  least(64, n - chunk_idx * 48) AS n_tokens
+        |FROM ix""".stripMargin,
     "q_seq_pack" ->
       """WITH m AS (SELECT doc_id, source,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens

@@ -154,7 +154,7 @@ object StatePosture {
          |      ${provBlocks.mkString(",\n      ")}}""".stripMargin
     }
     s"""  "state": {
-       |    "what": "streaming state at 1x/10x/100x KEY cardinality (2k/20k/200k live keys, three loaded batches each), heap-backed default vs RocksDB provider (write buffer capped at 1 MB for the measurement so the fixture crosses the memtable-to-SST flush boundary; production keeps the 64 MB default), for the reference windowed rollup and the X78 custom EWMA state. Healthy = state_rows_peak proportional to keys on both providers; on heap, mem_used_mb IS executor heap and grows with keys (the 100 TB failure mode this section demonstrates); on rocksdb, mem_used_mb is NATIVE (off-heap block cache + memtables, bounded by conf not by key count) with growth carried by rocks_sst_mb on local disk; state_rows_after_evict collapses to ~1 once the watermark passes window end / idle timeout (state proportional to ACTIVE keys)",
+       |    "what": "streaming state at 1x/10x/100x KEY cardinality (2k/20k/200k live keys, three loaded batches each), heap-backed default vs RocksDB provider (write buffer capped at 1 MB for the measurement so the fixture crosses the memtable-to-SST flush boundary; production keeps the 64 MB default, under which this whole fixture sits in one memtable), for the reference windowed rollup and the X78 custom EWMA state. Healthy = state_rows_peak proportional to keys on both providers; on heap, mem_used_mb IS executor heap (SizeEstimator over the in-heap version maps) and grows with keys — the GC-death path at 100 TB; on rocksdb, mem_used_mb is NATIVE and GC-exempt (the boundedMemoryUsage SESSION-SHARED cache + memtables, so the absolute figure folds in every store instance the session has touched — compare its conf cap, maxMemoryUsageMB default 500, against executor heap, not the raw number) with overflow carried by rocks_sst_mb on local disk; rocksdb sec_batch at 100x pays the fixture's forced 1 MB flushes, not a provider property; state_rows_after_evict collapses to ~1 once the watermark passes window end / idle timeout (state proportional to ACTIVE keys)",
        |    ${opBlocks.mkString(",\n    ")}}""".stripMargin
   }
 

@@ -165,6 +165,38 @@ object Curate {
     } else split(col(textCol), delim)
   }
 
+  /** Overlapping token-window chunking — the RAG / long-context split
+    * ([[segmentArray]] is the non-overlapping form): each chunk shares
+    * `overlap` tokens with its predecessor so no boundary-spanning fact
+    * is lost to a hard cut. Chunk `i` starts at token `i · step`
+    * (`step = chunkTokens − overlap`); the tail chunk may run short;
+    * `ceil(max(n − overlap, 1) / step)` chunks total, so every
+    * non-empty document yields at least one. ONE narrow explode over
+    * codegen'd array ops — no shuffle, no join, any corpus size —
+    * keyed (id, chunk_idx) for the downstream embed/index pass.
+    */
+  def chunkOverlapping(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0,
+      s"chunkOverlapping: chunkTokens must be positive: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"chunkOverlapping: overlap $overlap not in [0, $chunkTokens)")
+    val step = chunkTokens - overlap
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    df.select(col(idCol), toks.as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        ceil(greatest(col("__n") - lit(overlap.toLong), lit(1L))
+          .cast("double") / lit(step.toDouble)).cast("long") - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("__t"),
+          (col("chunk_idx") * step + 1).cast("int"),
+          lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          col("__n") - col("chunk_idx") * step).as("n_tokens"))
+  }
+
   /** EXACT-N per-group deterministic sample — the quota form the
     * fraction-based [[sampleStratified]] can't promise ("give me exactly
     * 50 eval docs per language"): within each stratum, the `n` rows with

@@ -418,9 +418,17 @@ object Layout {
     val aggs = count(lit(1)).as("rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c")))
-    read(spark, dataPath)
+    val data = read(spark, dataPath)
+    data
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      // the schema the stats were built against, per row: the sidecar's
+      // version record — [[updateFileStats]] stamps appended files with
+      // THEIR schema hash, so distinct schema_hash values in one sidecar
+      // are exactly the layout's schema generations (the maintenance
+      // view [[schemaGenerations]] computes from footers, kept for free
+      // here)
+      .withColumn("schema_hash", lit(schemaHash(data.schema)))
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath)
   }
@@ -450,7 +458,11 @@ object Layout {
     val onDisk = fs.listStatus(dataDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(s => s.getPath.getName -> s.getPath.toUri.toString).toMap
-    val old = read(spark, statsPath)
+    val old0 = read(spark, statsPath)
+    // sidecars written before schema versioning lack the column: carry
+    // a NULL hash forward rather than failing the reconcile
+    val old = (if (old0.columns.contains("schema_hash")) old0
+      else old0.withColumn("schema_hash", lit(null).cast("string")))
       .withColumn("__base", element_at(split(col("file"), "/"), -1))
     val oldNames = old.select("__base").collect().map(_.getString(0)).toSet
     val kept = old.filter(col("__base").isInCollection(
@@ -461,10 +473,18 @@ object Layout {
         max(col(c)).as(s"max_$c")))
     val merged =
       if (newPaths.isEmpty) kept.drop("__base")
-      else kept.drop("__base").unionByName(
-        spark.read.parquet(newPaths: _*)
-          .groupBy(input_file_name().as("file"))
-          .agg(aggs.head, aggs.tail: _*))
+      else {
+        val fresh = spark.read.parquet(newPaths: _*)
+        kept.drop("__base").unionByName(
+          fresh
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+            // appended files are stamped with THEIR schema: a second
+            // distinct schema_hash in the sidecar is the recorded fact
+            // that the layout evolved (and which files are which
+            // generation — the [[readEvolved]] / rewrite decision input)
+            .withColumn("schema_hash", lit(schemaHash(fresh.schema))))
+      }
     // temp-and-swap: the merged frame READS statsPath, so it must land
     // elsewhere first; the final rename is the atomic publish step
     val statsDir = new org.apache.hadoop.fs.Path(statsPath)

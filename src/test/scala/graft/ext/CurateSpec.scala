@@ -7,6 +7,36 @@ import graft.SparkSpec
 class CurateSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkOverlapping: sliding token windows, overlap carried, tail short, empty doc dropped") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens; chunk 5, overlap 2 → starts 0,3,6
+      (2L, "x y"), // shorter than one chunk → exactly one
+      (3L, " ")) // no tokens after the filter → no chunks
+      .toDF("doc_id", "text")
+    val out = Curate.chunkOverlapping(d, "doc_id", "text",
+        chunkTokens = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val c1 = out.filter(_.getLong(0) == 1L)
+    assert(c1.map(_.getString(2)).toSeq ===
+      Seq("a b c d e", "d e f g h", "g h i j"))
+    assert(c1.map(_.getLong(3)).toSeq === Seq(5L, 5L, 4L))
+    // consecutive chunks share exactly `overlap` tokens — the no-lost-
+    // boundary property the op exists for
+    c1.sliding(2).foreach { case Array(p, n) =>
+      assert(p.getString(2).split(" ").takeRight(2).toSeq ===
+        n.getString(2).split(" ").take(2).toSeq)
+    }
+    val c2 = out.filter(_.getLong(0) == 2L)
+    assert(c2.map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq ===
+      Seq((0L, "x y", 2L)))
+    assert(!out.exists(_.getLong(0) == 3L))
+    assertThrows[IllegalArgumentException](
+      Curate.chunkOverlapping(d, "doc_id", "text", 5, 5))
+    assertThrows[IllegalArgumentException](
+      Curate.chunkOverlapping(d, "doc_id", "text", 0, 0))
+  }
+
   test("assignSplits is deterministic, complete, and roughly proportional") {
     val ids = (0L until 2000L).toDF("id")
     val splits = Seq(("train", 0.75), ("val", 0.125), ("test", 0.125))

@@ -54,6 +54,23 @@ class LayoutSpec extends SparkSpec {
     assert(gens.map(_.getAs[String]("schema_hash")).distinct.length === 2)
     assert(gens.map(_.getAs[Int]("n_cols")).sorted.toSeq === Seq(2, 3))
 
+    // the sidecar records the generations too: the original build stamps
+    // one schema_hash, the incremental update stamps appended files with
+    // THEIRS — two distinct hashes = recorded schema evolution
+    val stats = dir + "_stats"
+    // replay the real sequence: sidecar built on gen-1, THEN the append
+    val g1 = Files.createTempDirectory("graft_evo_g1").toString + "/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .repartition(1).write.mode("overwrite").parquet(g1)
+    Layout.writeFileStats(spark, g1, Seq("id"), stats)
+    Seq((5L, 50.0, "c")).toDF("id", "v", "tag")
+      .repartition(1).write.mode("append").parquet(g1)
+    Layout.updateFileStats(spark, g1, Seq("id"), stats)
+    val hashes = Layout.read(spark, stats)
+      .select("schema_hash").collect().map(_.getString(0))
+    assert(hashes.length === 2 && hashes.distinct.length === 2, // 2 gens
+      hashes.mkString(","))
+
     // the fingerprint moves on rename, retype, and reorder — the three
     // changes that are NOT additive and need a rewrite, not mergeSchema
     val base = Seq((1L, "x")).toDF("id", "s").schema
