@@ -940,9 +940,42 @@ object Posture {
              |      "peak_task_mem_mb_1x": ${m1 / 1048576}, "peak_task_mem_mb_10x": ${m10 / 1048576}}""".stripMargin
         }
       }
+      // The join story above reads "AQE wins, salting is residual" — so
+      // MEASURE the residual: hot-key AGGREGATION, where AQE's skew
+      // splitting does not apply (a skewed aggregate partition cannot be
+      // split — merging partial states across splits is exactly what the
+      // aggregate's own partial/final split already does, and only if
+      // the aggregate is mergeable). Exact percentile is the canonical
+      // non-mergeable aggregate: every value of the hot key is buffered
+      // in ONE task, so its state grows with the data. The engine's
+      // rewrite is the mergeable sketch (percentile_approx, the
+      // quantilesApproxBound scale path): map-side partials, bounded
+      // state, same shuffle.
+      val hotAggBlocks = {
+        val variants: Seq[(String, DataFrame => DataFrame)] = Seq(
+          ("hot_agg_exact", f => f.groupBy(col("k"))
+            .agg(expr("percentile(value, 0.5)").as("med"))),
+          ("hot_agg_sketch", f => f.groupBy(col("k"))
+            .agg(percentile_approx(col("value"), lit(0.5), lit(10000))
+              .as("med"))))
+        variants.foreach { case (_, f) =>
+          facts.foreach { case (_, d) => consumeJ(f(d)) } // warmup
+        }
+        variants.map { case (name, f) =>
+          val runs = facts.map { case (lbl, d) =>
+            lbl -> measure3(() => consumeJ(f(d)))
+          }.toMap
+          val (s1, t1, m1) = runs("1x")
+          val (s10, t10, m10) = runs("10x")
+          f""""$name": {"sec_1x": $s1%.2f, "sec_10x": $s10%.2f, "time_growth": ${s10 / s1}%.2f,
+             |      "max_task_ms_1x": $t1, "max_task_ms_10x": $t10,
+             |      "peak_task_mem_mb_1x": ${m1 / 1048576}, "peak_task_mem_mb_10x": ${m10 / 1048576}}""".stripMargin
+        }
+      }
       s"""  "skew": {
-         |    "what": "hot-key equi-join (50% of fact rows on ONE key, 1000-key file-backed dim, broadcast disabled, forced sort-merge) at 1x/10x events, three ways: naive = AQE skew-join OFF (the hot key is one reduce task), aqe = skew-join ON with fixture-scaled thresholds (1 MB vs the 256 MB production default — same mapper-range splitting, sized to the fixture), salted = Skew.saltedJoin 16 ways. The discriminator at this fixture size is peak_task_mem: naive's hot reduce task GROWS with the data (the executor-OOM path a 100 TB hot key rides) while aqe and salted hold flat; max_task_ms sits on the scheduling floor here and separates only once a task is seconds long. Reading: AQE is the default answer (flat memory at the best wall time, zero code); salting matches the flat memory at the cost of dim replication — its remaining role is the shapes AQE cannot split (hot-key aggregation state, non-shuffle join strategies, stream-static joins)",
-         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+         |    "what": "hot-key posture at 1x/10x events (50% of fact rows on ONE key). JOIN half (1000-key file-backed dim, broadcast disabled, forced sort-merge), three ways: naive = AQE skew-join OFF (the hot key is one reduce task), aqe = skew-join ON with fixture-scaled thresholds (1 MB vs the 256 MB production default — same mapper-range splitting, sized to the fixture), salted = Skew.saltedJoin 16 ways. The join discriminator at this fixture size is peak_task_mem: naive's hot reduce task GROWS with the data (the executor-OOM path a 100 TB hot key rides) while aqe and salted hold flat; max_task_ms sits on the scheduling floor here. Reading: AQE is the default join answer (flat memory, best wall time, zero code). AGGREGATION half — the residual AQE cannot touch (a skewed aggregate partition cannot be split; merging partials across splits is the aggregate's own partial/final split, available only to MERGEABLE aggregates): hot_agg_exact = exact percentile per key (every hot-key value buffered in one task — state grows with data), hot_agg_sketch = percentile_approx (mergeable GK sketch, map-side partials, bounded state — the quantilesApproxBound scale path). Healthy = exact's peak_task_mem grows ~10x while sketch holds flat",
+         |    ${blocks.mkString(",\n    ")},
+         |    ${hotAggBlocks.mkString(",\n    ")}}""".stripMargin
     }
 
     // ---- streaming state posture (heap vs RocksDB provider) ---------

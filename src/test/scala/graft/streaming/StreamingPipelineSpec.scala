@@ -63,6 +63,32 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("chunkOverlapping is stateless and streams: per-batch chunks equal the batch run") {
+    // the RAG chunker is a narrow projection (no state, no watermark),
+    // so it runs unchanged at ingest time — chunk documents as they
+    // arrive instead of re-scanning the corpus later
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y"))
+    val q = graft.ext.Curate.chunkOverlapping(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        chunkTokens = 5, overlap = 2)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id", "chunk_idx").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3))).toSeq
+      val got = canon(spark.table("chunk_stream"))
+      val want = canon(graft.ext.Curate.chunkOverlapping(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 5, 2))
+      assert(got.nonEmpty && got === want)
+    } finally q.stop()
+  }
+
   test("the same watermarked rollup runs (and finalizes identically) on the RocksDB state store") {
     // the 100 TB state answer: the default HDFS-backed provider holds
     // state in executor HEAP; RocksDB bounds it by local disk. Pin that
