@@ -952,19 +952,36 @@ object Posture {
       // quantilesApproxBound scale path): map-side partials, bounded
       // state, same shuffle.
       val hotAggBlocks = {
-        val variants: Seq[(String, DataFrame => DataFrame)] = Seq(
-          ("hot_agg_exact", f => f.groupBy(col("k"))
-            .agg(expr("percentile(value, 0.5)").as("med"))),
-          ("hot_agg_sketch", f => f.groupBy(col("k"))
-            .agg(percentile_approx(col("value"), lit(0.5), lit(10000))
-              .as("med"))))
-        variants.foreach { case (_, f) =>
-          facts.foreach { case (_, d) => consumeJ(f(d)) } // warmup
+        // exact percentile's value buffer is UNTRACKED on-heap object
+        // memory (ObjectHashAggregate imperative buffers bypass the
+        // task memory manager — peakExecutionMemory reads 0; that
+        // untrackability is itself part of the hazard: the hot key
+        // dies as GC/OOM, never as a graceful spill). To expose the
+        // growth through a TRACKED observable, the exact variant
+        // disables ObjectHashAggregate so the plan sort-aggregates:
+        // the hot partition's SORT is tracked memory that grows with
+        // the data — the honest, visible proxy for "exact quantile
+        // state scales with the group"
+        val variants: Seq[(String, Seq[(String, String)],
+            DataFrame => DataFrame)] = Seq(
+          ("hot_agg_exact",
+            Seq("spark.sql.execution.useObjectHashAggregateExec" -> "false"),
+            f => f.groupBy(col("k"))
+              .agg(expr("percentile(value, 0.5)").as("med"))),
+          ("hot_agg_sketch", Seq.empty,
+            f => f.groupBy(col("k"))
+              .agg(percentile_approx(col("value"), lit(0.5), lit(10000))
+                .as("med"))))
+        variants.foreach { case (_, confs, f) =>
+          withConfs(confs: _*)(
+            facts.foreach { case (_, d) => consumeJ(f(d)) }) // warmup
         }
-        variants.map { case (name, f) =>
-          val runs = facts.map { case (lbl, d) =>
-            lbl -> measure3(() => consumeJ(f(d)))
-          }.toMap
+        variants.map { case (name, confs, f) =>
+          val runs = withConfs(confs: _*) {
+            facts.map { case (lbl, d) =>
+              lbl -> measure3(() => consumeJ(f(d)))
+            }.toMap
+          }
           val (s1, t1, m1) = runs("1x")
           val (s10, t10, m10) = runs("10x")
           f""""$name": {"sec_1x": $s1%.2f, "sec_10x": $s10%.2f, "time_growth": ${s10 / s1}%.2f,
@@ -973,7 +990,7 @@ object Posture {
         }
       }
       s"""  "skew": {
-         |    "what": "hot-key posture at 1x/10x events (50% of fact rows on ONE key). JOIN half (1000-key file-backed dim, broadcast disabled, forced sort-merge), three ways: naive = AQE skew-join OFF (the hot key is one reduce task), aqe = skew-join ON with fixture-scaled thresholds (1 MB vs the 256 MB production default — same mapper-range splitting, sized to the fixture), salted = Skew.saltedJoin 16 ways. The join discriminator at this fixture size is peak_task_mem: naive's hot reduce task GROWS with the data (the executor-OOM path a 100 TB hot key rides) while aqe and salted hold flat; max_task_ms sits on the scheduling floor here. Reading: AQE is the default join answer (flat memory, best wall time, zero code). AGGREGATION half — the residual AQE cannot touch (a skewed aggregate partition cannot be split; merging partials across splits is the aggregate's own partial/final split, available only to MERGEABLE aggregates): hot_agg_exact = exact percentile per key (every hot-key value buffered in one task — state grows with data), hot_agg_sketch = percentile_approx (mergeable GK sketch, map-side partials, bounded state — the quantilesApproxBound scale path). Healthy = exact's peak_task_mem grows ~10x while sketch holds flat",
+         |    "what": "hot-key posture at 1x/10x events (50% of fact rows on ONE key). JOIN half (1000-key file-backed dim, broadcast disabled, forced sort-merge), three ways: naive = AQE skew-join OFF (the hot key is one reduce task), aqe = skew-join ON with fixture-scaled thresholds (1 MB vs the 256 MB production default — same mapper-range splitting, sized to the fixture), salted = Skew.saltedJoin 16 ways. The join discriminator at this fixture size is peak_task_mem: naive's hot reduce task GROWS with the data (the executor-OOM path a 100 TB hot key rides) while aqe and salted hold flat; max_task_ms sits on the scheduling floor here. Reading: AQE is the default join answer (flat memory, best wall time, zero code). AGGREGATION half — the residual AQE cannot touch (a skewed aggregate partition cannot be split; merging partials across splits is the aggregate's own partial/final split, available only to MERGEABLE aggregates): hot_agg_exact = exact percentile per key, forced onto the sort-aggregate path because the imperative percentile buffer is UNTRACKED on-heap object memory (peakExecutionMemory reads 0 under ObjectHashAggregate — the hot key dies as GC/OOM, never a graceful spill; the tracked hot-partition SORT is the honest visible proxy for state-scales-with-group), hot_agg_sketch = percentile_approx (mergeable GK sketch, map-side partials, bounded state — the quantilesApproxBound scale path). Healthy = exact's peak_task_mem grows with the data while sketch holds flat",
          |    ${blocks.mkString(",\n    ")},
          |    ${hotAggBlocks.mkString(",\n    ")}}""".stripMargin
     }

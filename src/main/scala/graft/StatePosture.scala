@@ -121,13 +121,25 @@ object StatePosture {
   /** The `state` section of `POSTURE_10X.json`. */
   def section(spark: SparkSession): String = {
     val scales = Seq(("1x", 2000), ("10x", 20000), ("100x", 200000))
-    val ops: Seq[(String, MemoryStream[SensorReading]
+    // third op restricted to rocksdb: transformWithState (the Spark 4
+    // successor API, engine-rejected on the heap provider) — same EWMA
+    // semantics but with an EXPLICIT per-key timer registry, so 200k
+    // live keys means 200k registered timers re-armed per batch; this
+    // is the measurement that the timer path (not just ValueState)
+    // holds at key scale
+    val ops: Seq[(String, Set[String], MemoryStream[SensorReading]
         => org.apache.spark.sql.DataFrame)] = Seq(
-      ("windowed_agg", m => Pipeline.watermarkedRollup(m.toDF())),
-      ("ewma_state", m => {
+      ("windowed_agg", Set("heap", "rocksdb"),
+        m => Pipeline.watermarkedRollup(m.toDF())),
+      ("ewma_state", Set("heap", "rocksdb"), m => {
         val sp = m.toDS().sparkSession
         import sp.implicits._
         Stateful.ewmaAnomalies(m.toDS()).toDF()
+      }),
+      ("ewma_state_tws", Set("rocksdb"), m => {
+        val sp = m.toDS().sparkSession
+        import sp.implicits._
+        Stateful.ewmaAnomaliesTws(m.toDS()).toDF()
       }))
     val providers = Seq(
       ("heap", Map.empty[String, String]),
@@ -140,21 +152,22 @@ object StatePosture {
       // zero SST at every scale
       ("rocksdb", Session.rocksdbStateStore +
         ("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "1")))
-    val opBlocks = ops.map { case (opName, op) =>
-      val provBlocks = providers.map { case (provName, confs) =>
-        val rows = withProvider(spark, confs) {
-          scales.map { case (lbl, k) =>
-            val m = run(spark, s"${opName}_${provName}_$lbl", k, op)
-            f""""$lbl": {"keys": ${m.keys}, "state_rows_peak": ${m.rowsPeak}, "mem_used_mb": ${m.memUsedBytes / 1048576.0}%.2f, "rocks_sst_mb": ${m.sstBytes / 1048576.0}%.2f, "rocks_pinned_mb": ${m.pinnedBytes / 1048576.0}%.2f, "state_rows_after_evict": ${m.rowsAfterEvict}, "sec_batch": ${m.batchSec}%.2f}"""
+    val opBlocks = ops.map { case (opName, provFilter, op) =>
+      val provBlocks = providers.filter(p => provFilter(p._1))
+        .map { case (provName, confs) =>
+          val rows = withProvider(spark, confs) {
+            scales.map { case (lbl, k) =>
+              val m = run(spark, s"${opName}_${provName}_$lbl", k, op)
+              f""""$lbl": {"keys": ${m.keys}, "state_rows_peak": ${m.rowsPeak}, "mem_used_mb": ${m.memUsedBytes / 1048576.0}%.2f, "rocks_sst_mb": ${m.sstBytes / 1048576.0}%.2f, "rocks_pinned_mb": ${m.pinnedBytes / 1048576.0}%.2f, "state_rows_after_evict": ${m.rowsAfterEvict}, "sec_batch": ${m.batchSec}%.2f}"""
+            }
           }
+          s""""$provName": {${rows.mkString(",\n        ")}}"""
         }
-        s""""$provName": {${rows.mkString(",\n        ")}}"""
-      }
       s""""$opName": {
          |      ${provBlocks.mkString(",\n      ")}}""".stripMargin
     }
     s"""  "state": {
-       |    "what": "streaming state at 1x/10x/100x KEY cardinality (2k/20k/200k live keys, three loaded batches each), heap-backed default vs RocksDB provider (write buffer capped at 1 MB for the measurement so the fixture crosses the memtable-to-SST flush boundary; production keeps the 64 MB default, under which this whole fixture sits in one memtable), for the reference windowed rollup and the X78 custom EWMA state. Healthy = state_rows_peak proportional to keys on both providers; on heap, mem_used_mb IS executor heap (SizeEstimator over the in-heap version maps) and grows with keys — the GC-death path at 100 TB; on rocksdb, mem_used_mb is NATIVE and GC-exempt (the boundedMemoryUsage SESSION-SHARED cache + memtables, so the absolute figure folds in every store instance the session has touched — compare its conf cap, maxMemoryUsageMB default 500, against executor heap, not the raw number) with overflow carried by rocks_sst_mb on local disk; rocksdb sec_batch at 100x pays the fixture's forced 1 MB flushes, not a provider property; state_rows_after_evict collapses to ~1 once the watermark passes window end / idle timeout (state proportional to ACTIVE keys)",
+       |    "what": "streaming state at 1x/10x/100x KEY cardinality (2k/20k/200k live keys, three loaded batches each), heap-backed default vs RocksDB provider (write buffer capped at 1 MB for the measurement so the fixture crosses the memtable-to-SST flush boundary; production keeps the 64 MB default, under which this whole fixture sits in one memtable), for the reference windowed rollup, the X78 custom EWMA state (flatMapGroupsWithState), and its transformWithState twin (rocksdb-only — the engine rejects TWS on the heap provider; its EXPLICIT per-key timers mean 200k live keys re-arm 200k timers per batch, so this row grades the timer registry at key scale, not just ValueState). Healthy = state_rows_peak proportional to keys on both providers; on heap, mem_used_mb IS executor heap (SizeEstimator over the in-heap version maps) and grows with keys — the GC-death path at 100 TB; on rocksdb, mem_used_mb is NATIVE and GC-exempt (the boundedMemoryUsage SESSION-SHARED cache + memtables, so the absolute figure folds in every store instance the session has touched — compare its conf cap, maxMemoryUsageMB default 500, against executor heap, not the raw number) with overflow carried by rocks_sst_mb on local disk; rocksdb sec_batch at 100x pays the fixture's forced 1 MB flushes, not a provider property; state_rows_after_evict collapses to ~1 once the watermark passes window end / idle timeout (state proportional to ACTIVE keys)",
        |    ${opBlocks.mkString(",\n    ")}}""".stripMargin
   }
 

@@ -201,6 +201,37 @@ object GraftProperties extends Properties("graft") {
       inBand && run() == counts
     }
 
+  property("chunkOverlapping covers every token and reconstructs the document") =
+    forAll(Gen.choose(1, 60), Gen.choose(2, 8), Gen.choose(0, 6)) {
+      (nTok, chunk, ovRaw) =>
+        val overlap = math.min(ovRaw, chunk - 1)
+        val step = chunk - overlap
+        import graft.ext.Curate
+        import spark.implicits._
+        val toks = (0 until nTok).map(i => s"t$i")
+        val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+        val chunks = Curate.chunkOverlapping(df, "doc_id", "text",
+            chunk, overlap)
+          .orderBy("chunk_idx").collect()
+          .map(r => (r.getLong(1), r.getString(2).split(" ").toSeq,
+            r.getLong(3)))
+        val idxOk = chunks.map(_._1).toSeq ==
+          (0L until chunks.length.toLong)
+        // counts: each chunk's n_tokens matches its text; all but the
+        // tail are full
+        val countOk = chunks.forall { case (_, ts, n) => ts.length == n } &&
+          chunks.dropRight(1).forall(_._3 == chunk.toLong)
+        // coverage + reconstruction: chunk 0 whole, then each chunk's
+        // tokens past the overlap continue the document exactly
+        val rebuilt = chunks.headOption.map(_._2).getOrElse(Seq.empty) ++
+          chunks.drop(1).flatMap { case (i, ts, _) =>
+            // tokens past position (prev chunk end - this start)
+            val newFrom = (i - 1) * step + chunk - i * step
+            ts.drop(math.min(newFrom.toInt, ts.length))
+          }
+        idxOk && countOk && rebuilt == toks
+    }
+
   property("skipScan equals the full filter on any layout and range") =
     forAll(skipCases) { case (vals, nFiles, lo, hi) =>
       import graft.sources.Layout
