@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curate, Dedup, Similarity, TextStats}
+import graft.ext.{Classifier, Curate, Dedup, Similarity, TextStats}
 import graft.sources.{Layout, Tables}
 
 /** Empirical 10×-scale posture check for the dedup family — the backstop
@@ -624,6 +624,49 @@ object Posture {
          |    "spill_mb_1x": ${sp1 / 1048576}, "spill_mb_10x": ${sp10 / 1048576}}""".stripMargin
     }
 
+    // ---- distilled-classifier + divergence posture ------------------
+    // X86's two passes and X87's corpus pair at 1x/10x. classifier_score
+    // is a narrow literal-weight projection (the serving claim);
+    // classifier_step is one full-batch GD step — a corpus scan ending
+    // in a (d+1)-double average, the per-iteration training cost;
+    // divergence is two vocab-sized aggregations + one vocab-sized
+    // full-outer join between the even/odd doc_id halves.
+    val distillJson = {
+      val cols = Seq("f_len", "f_wlen", "f_stop")
+      val w = SparkEntry.QualityClassifierWeights
+      def feats(d: DataFrame): DataFrame =
+        Classifier.textFeatures(d, "doc_id", "text")
+          .withColumn("y", Classifier.heuristicLabel(0.5))
+      val ops: Seq[(String, DataFrame => Unit)] = Seq(
+        "classifier_score" -> (d => consume(
+          Classifier.scoreWith(feats(d), cols, w.head, w.tail, "score"))),
+        "classifier_step" -> (d => {
+          Classifier.gradientStep(feats(d), cols, "y",
+            0.0, Seq(0.0, 0.0, 0.0), lr = 5.0)
+          ()
+        }),
+        "divergence" -> (d => {
+          TextStats.corpusDivergence(
+            d.filter(col("doc_id") % 2 === 0),
+            d.filter(col("doc_id") % 2 === 1), "text").head()
+          ()
+        }))
+      val blocks = ops.map { case (name, f) =>
+        corpora.foreach { case (_, d) => f(d) } // warmup
+        val runs = corpora.map { case (lbl, d) =>
+          lbl -> timedRuns(() => f(d))
+        }.toMap
+        val (s1, m1, sp1) = runs("1x")
+        val (s10, m10, sp10) = runs("10x")
+        f""""$name": {"sec_1x": $s1%.2f, "sec_10x": $s10%.2f, "time_growth": ${s10 / s1}%.2f,
+           |      "peak_task_mem_mb_1x": ${m1 / 1048576}, "peak_task_mem_mb_10x": ${m10 / 1048576},
+           |      "spill_mb_1x": ${sp1 / 1048576}, "spill_mb_10x": ${sp10 / 1048576}}""".stripMargin
+      }
+      s"""  "distill": {
+         |    "what": "X86 distilled quality filter + X87 corpus divergence at 1x/10x corpus: classifier_score = frozen-weight serving (narrow literal-weight projection — the zero-shuffle claim), classifier_step = one full-batch GD step (corpus scan ending in a (d+1)-double average — the per-iteration training cost; weights are driver metadata), divergence = even/odd-half KL (two vocab-sized aggregations + one vocab-sized full-outer join + 1-row broadcast totals). Healthy = ~linear time, flat peak_task_mem, spill 0 throughout",
+         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     // ---- z-order layout posture ------------------------------------
     // writeZOrdered's claim is SELECTIVITY PRESERVED UNDER GROWTH: the
     // fraction of the table a selective predicate actually reads should
@@ -1012,6 +1055,7 @@ object Posture {
          |$intervalJson,
          |$lmJson,
          |$boilerJson,
+         |$distillJson,
          |$layoutJson,
          |$joinJson,
          |$fileskipJson,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curate, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Classifier, Curate, Dedup, Multimodal, Similarity, TextStats}
 import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Trend, Upsert, WindowedAgg}
 import graft.sources.{Layout, Tables}
 
@@ -503,6 +503,75 @@ object SparkEntry {
       |  replace(trim(s, '$sep'), '$sep', ' ') AS tokens
       |FROM enc WHERE rank = ${BpeFrozenMerges.length + 1}""".stripMargin
   }
+
+  /** Distilled quality-filter hyperparameters and FROZEN serving weights
+    * — bias followed by the weights for (f_len, f_wlen, f_stop) — from
+    * the sf0.001 training run of [[graft.ext.Classifier.train]] on the
+    * product-heuristic label, rounded to 6 decimals (the same frozen-
+    * artifact pattern as [[BpeFrozenMerges]]: training's iterated float
+    * averages are not SQL-expressible beyond one step — the zero-init
+    * step IS oracled as `q_quality_classifier_grad` — but a fixed
+    * model's scoring pass replays in any engine). `ClassifierSpec`
+    * retrains with these hyperparameters and fails if the freeze goes
+    * stale.
+    */
+  val QualityClassifierIters = 60
+  val QualityClassifierLr = 5.0
+  val QualityClassifierWeights: Seq[Double] =
+    Seq(-4.230046, 9.626046, -1.823516, -0.367106)
+
+  /** The classifier feature projection in DuckDB SQL (a CTE body) —
+    * shared by the scoring and gradient oracles so the feature space
+    * cannot drift between them. Mirrors
+    * [[graft.ext.Classifier.textFeatures]] exactly: integer counts,
+    * int-over-int division is double in both engines.
+    */
+  private val ClassifierFeatureSql: String =
+    """f AS (SELECT doc_id,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+      |      AS n_tokens,
+      |    least(1.0, (length(text) - length(replace(text, ' ', '')) + 1)
+      |      / 100.0) AS f_len,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / (length(text) - length(replace(text, ' ', '')) + 1) / 10.0
+      |      AS f_wlen,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the', 'a'))) AS DOUBLE)
+      |      / (length(text) - length(replace(text, ' ', '')) + 1) AS f_stop
+      |  FROM documents)""".stripMargin
+
+  /** The frozen-weight logit in DuckDB SQL: same left-associated
+    * `bias + Σ f·w` fold as [[graft.ext.Classifier.logisticScore]], so
+    * both engines round the bit-identical double before `exp`.
+    */
+  private def classifierLogitSql: String = {
+    val ws = QualityClassifierWeights
+    s"round(${ws.head} + f_len * (${ws(1)}) + f_wlen * (${ws(2)})" +
+      s" + f_stop * (${ws(3)}), 6)"
+  }
+
+  /** The corpus-divergence CTE chain in DuckDB SQL (en vs non-en
+    * documents, add-one smoothing over the union vocab) — shared by the
+    * `q_corpus_divergence` and `q_divergence_topk` oracles.
+    */
+  private val DivergenceKlSql: String =
+    """ta AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |      FROM documents WHERE lang = 'en'),
+      |tb AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |      FROM documents WHERE lang <> 'en'),
+      |ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_a FROM ta
+      |      WHERE length(tok) > 0 GROUP BY 1),
+      |cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_b FROM tb
+      |      WHERE length(tok) > 0 GROUP BY 1),
+      |j AS (SELECT coalesce(ca.tok, cb.tok) AS token,
+      |        coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      |      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS v,
+      |        CAST(sum(n_a) AS BIGINT) AS na,
+      |        CAST(sum(n_b) AS BIGINT) AS nb FROM j),
+      |k AS (SELECT j.*, (n_a + 1) / (na + v) AS p_a,
+      |        (n_b + 1) / (nb + v) AS p_b
+      |      FROM j, t)""".stripMargin
 
   /** The n-gram Jaccard pair pipeline in DuckDB SQL — shared by the
     * `q_ngram_jaccard` oracle and the `q_neardup_resolve` oracle (which
@@ -1326,6 +1395,58 @@ object SparkEntry {
     "q_chunk_overlap" -> ((s, dir) =>
       Curate.chunkOverlapping(Tables.documents(s, dir), "doc_id", "text",
         chunkTokens = 64, overlap = 16)),
+
+    // ---- distilled quality classifier, SERVING pass: frozen logistic
+    //      weights over the portable text features — the learned
+    //      successor to q_quality_rules' hard gates (logit rounded to 6
+    //      before the sigmoid so both engines exponentiate the identical
+    //      double) ----
+    "q_quality_classifier" -> ((s, dir) => {
+      val cols = Seq("f_len", "f_wlen", "f_stop")
+      Classifier.scoreWith(
+          Classifier.textFeatures(Tables.documents(s, dir), "doc_id", "text"),
+          cols, QualityClassifierWeights.head, QualityClassifierWeights.tail,
+          "score")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("f_len"), 6).as("f_len"),
+          round(col("f_wlen"), 6).as("f_wlen"),
+          round(col("f_stop"), 6).as("f_stop"),
+          col("score"), col("score_keep"))
+    }),
+
+    // ---- distilled quality classifier, one TRAINING step from zero
+    //      init: the sigmoid is exactly 0.5 (no transcendental), so the
+    //      full-batch log-loss gradient replays rationally — the oracled
+    //      slice of the iterative trainer ----
+    "q_quality_classifier_grad" -> ((s, dir) => {
+      val cols = Seq("f_len", "f_wlen", "f_stop")
+      Classifier.gradientFrame(
+          Classifier.textFeatures(Tables.documents(s, dir), "doc_id", "text")
+            .withColumn("y", Classifier.heuristicLabel(0.5)),
+          cols, "y", 0.0, Seq(0.0, 0.0, 0.0))
+        .select(col("n"), round(col("g_bias"), 6).as("g_bias"),
+          round(col("g_f_len"), 6).as("g_f_len"),
+          round(col("g_f_wlen"), 6).as("g_f_wlen"),
+          round(col("g_f_stop"), 6).as("g_f_stop"))
+    }),
+
+    // ---- corpus-divergence scalar: smoothed unigram KL(en ‖ non-en)
+    //      plus vocab/token accounting — the per-(source, reference)
+    //      number a mixing pipeline tracks release-over-release ----
+    "q_corpus_divergence" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextStats.corpusDivergence(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
+    }),
+
+    // ---- corpus-divergence drill-down: top-50 tokens by KL
+    //      contribution (TakeOrderedAndProject over the vocab-sized
+    //      term table) ----
+    "q_divergence_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextStats.divergenceTopK(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text", 50)
+    }),
 
     "q_seq_pack" -> ((s, dir) =>
       Curate.packSequences(Tables.documents(s, dir), "doc_id", "text",
@@ -3114,6 +3235,51 @@ object SparkEntry {
         |    AS chunk_text,
         |  least(64, n - chunk_idx * 48) AS n_tokens
         |FROM ix""".stripMargin,
+    // Frozen-weight logistic scoring replayed feature-for-feature; the
+    // logit is rounded to 6 BEFORE the sigmoid in both engines, so exp
+    // sees the identical double and the 6-decimal score matches.
+    "q_quality_classifier" ->
+      s"""WITH $ClassifierFeatureSql
+        |SELECT doc_id, n_tokens,
+        |  round(f_len, 6) AS f_len, round(f_wlen, 6) AS f_wlen,
+        |  round(f_stop, 6) AS f_stop,
+        |  round(1.0 / (1.0 + exp(-$classifierLogitSql)), 6) AS score,
+        |  round(1.0 / (1.0 + exp(-$classifierLogitSql)), 6) >= 0.5
+        |    AS score_keep
+        |FROM f""".stripMargin,
+    // Zero-init gradient step: sigmoid(0) = 0.5 exactly, so the log-loss
+    // gradient is rational arithmetic over the exact features; only the
+    // averages' float summation order differs (absorbed by round 6).
+    "q_quality_classifier_grad" ->
+      s"""WITH $ClassifierFeatureSql,
+        |l AS (SELECT f.*, CAST(f_len * (1.0 - f_stop) > 0.5 AS INT) AS y
+        |      FROM f)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(0.5 - y), 6) AS g_bias,
+        |  round(avg((0.5 - y) * f_len), 6) AS g_f_len,
+        |  round(avg((0.5 - y) * f_wlen), 6) AS g_f_wlen,
+        |  round(avg((0.5 - y) * f_stop), 6) AS g_f_stop
+        |FROM l""".stripMargin,
+    // Smoothed KL over the union vocab: p ratios are exact long-over-long
+    // doubles, ln is the only transcendental; the scalar sum rounds to 6.
+    "q_corpus_divergence" ->
+      s"""WITH $DivergenceKlSql
+        |SELECT CAST(count(*) AS BIGINT) AS vocab_union,
+        |  CAST(sum(CASE WHEN n_a > 0 AND n_b > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS vocab_shared,
+        |  CAST(sum(n_a) AS BIGINT) AS tokens_a,
+        |  CAST(sum(n_b) AS BIGINT) AS tokens_b,
+        |  CAST(sum(CASE WHEN n_a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS types_a,
+        |  CAST(sum(CASE WHEN n_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS types_b,
+        |  round(sum(p_a * ln(p_a / p_b)), 6) AS kl_ab_nats
+        |FROM k""".stripMargin,
+    "q_divergence_topk" ->
+      s"""WITH $DivergenceKlSql
+        |SELECT token, n_a, n_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+        |  round(p_a * ln(p_a / p_b), 6) AS kl_nats
+        |FROM k ORDER BY kl_nats DESC, token LIMIT 50""".stripMargin,
     "q_seq_pack" ->
       """WITH m AS (SELECT doc_id, source,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens

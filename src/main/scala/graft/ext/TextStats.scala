@@ -533,4 +533,80 @@ object TextStats {
           .partitionBy(col("fp"))))
       .filter(col(idCol) === col("__keep"))
       .drop("__keep")
+
+  /** Smoothed unigram distributions of two corpora joined over their
+    * UNION vocabulary, with the per-token KL(A‖B) contribution — the
+    * shared core of [[divergenceTopK]] and [[corpusDivergence]].
+    * Laplace add-one smoothing over the union vocab keeps every log
+    * finite: p(t) = (c(t) + 1) / (N + V). Token counts are exact longs;
+    * V and the two N totals ride in as a broadcast 1-row cross join (no
+    * driver action), so each p and each `ln` evaluates on identical
+    * doubles in any IEEE engine.
+    */
+  private def divergenceTerms(dfA: DataFrame, dfB: DataFrame,
+      textCol: String): DataFrame = {
+    def counts(d: DataFrame, as: String): DataFrame =
+      d.select(explode(split(col(textCol), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    val joined = counts(dfA, "n_a")
+      .join(counts(dfB, "n_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(
+      count(lit(1)).as("__v"),
+      sum(col("n_a")).as("__na"),
+      sum(col("n_b")).as("__nb"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("p_a",
+        (col("n_a") + lit(1L)) / (col("__na") + col("__v")))
+      .withColumn("p_b",
+        (col("n_b") + lit(1L)) / (col("__nb") + col("__v")))
+      .withColumn("kl_term", col("p_a") * log(col("p_a") / col("p_b")))
+  }
+
+  /** Corpus-divergence drill-down: the top-`k` tokens by their KL(A‖B)
+    * contribution — WHICH tokens make corpus A read differently from
+    * corpus B (the domain-shift / contamination-drift audit run before
+    * mixing a new source into a pretraining recipe; [[Curate.dsirWeights]]
+    * RESAMPLES toward a target, this op EXPLAINS the gap). Per-token
+    * smoothed probabilities and the signed nats contribution, ordered by
+    * (rounded contribution desc, token asc) so the cut is deterministic
+    * cross-engine.
+    *
+    * Shape at 100 TB: two explode→groupBy(token) passes (vocabulary-
+    * sized output), one vocab-sized full-outer join, a 1-row broadcast
+    * totals frame, and a TakeOrderedAndProject limit — never a global
+    * sort, nothing corpus-sized past the first aggregation.
+    */
+  def divergenceTopK(dfA: DataFrame, dfB: DataFrame, textCol: String,
+      k: Int): DataFrame =
+    divergenceTerms(dfA, dfB, textCol)
+      .select(col("token"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"),
+        round(col("p_b"), 6).as("p_b"),
+        round(col("kl_term"), 6).as("kl_nats"))
+      .orderBy(col("kl_nats").desc, col("token"))
+      .limit(k)
+
+  /** Scalar corpus-divergence summary — one row: union vocabulary size,
+    * per-side token totals and distinct-type counts, shared-type count,
+    * and the smoothed KL(A‖B) in nats. The single number a mixing
+    * pipeline tracks per (source, reference) pair release-over-release;
+    * [[divergenceTopK]] is its drill-down. Same two-scan vocab-sized
+    * shape, ending in one scalar aggregation.
+    */
+  def corpusDivergence(dfA: DataFrame, dfB: DataFrame,
+      textCol: String): DataFrame =
+    divergenceTerms(dfA, dfB, textCol)
+      .agg(
+        count(lit(1)).as("vocab_union"),
+        sum(when(col("n_a") > 0 && col("n_b") > 0, 1L).otherwise(0L))
+          .as("vocab_shared"),
+        sum(col("n_a")).as("tokens_a"),
+        sum(col("n_b")).as("tokens_b"),
+        sum(when(col("n_a") > 0, 1L).otherwise(0L)).as("types_a"),
+        sum(when(col("n_b") > 0, 1L).otherwise(0L)).as("types_b"),
+        round(sum(col("kl_term")), 6).as("kl_ab_nats"))
 }

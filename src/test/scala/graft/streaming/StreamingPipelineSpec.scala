@@ -89,6 +89,42 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifier scoring is stateless and streams: frozen-weight scores equal the batch run") {
+    // the distilled quality filter's serving pass is a narrow projection
+    // with literal weights (no state, no corpus statistic at serve
+    // time), so the gate runs at ingest — score-and-filter documents as
+    // they arrive, identical to scoring the batch corpus later
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Classifier
+    val cols = Seq("f_len", "f_wlen", "f_stop")
+    val frozen = graft.SparkEntry.QualityClassifierWeights
+    val mem = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, ("word " * 120).trim), // long, no stopwords → high f_len
+      (2L, "the a the a tiny"), // short, stopword-dense
+      (3L, "medium length text with some a little content here"))
+    def score(df: org.apache.spark.sql.DataFrame) =
+      Classifier.scoreWith(
+        Classifier.textFeatures(df, "doc_id", "text"),
+        cols, frozen.head, frozen.tail, "score")
+    val q = score(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cls_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getAs[Double]("score"),
+            r.getAs[Boolean]("score_keep"))).toSeq
+      val got = canon(spark.table("cls_stream"))
+      val want = canon(score(docs.toDF("doc_id", "text")))
+      assert(got.nonEmpty && got === want)
+      // the gate actually separates this batch
+      assert(got.map(_._3).distinct.length == 2)
+    } finally q.stop()
+  }
+
   test("the same watermarked rollup runs (and finalizes identically) on the RocksDB state store") {
     // the 100 TB state answer: the default HDFS-backed provider holds
     // state in executor HEAP; RocksDB bounds it by local disk. Pin that
