@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, Curate, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Classifier, Curate, Dedup, Mixture, Multimodal, Similarity, TextStats}
 import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Trend, Upsert, WindowedAgg}
 import graft.sources.{Layout, Tables}
 
@@ -572,6 +572,51 @@ object SparkEntry {
       |k AS (SELECT j.*, (n_a + 1) / (na + v) AS p_a,
       |        (n_b + 1) / (nb + v) AS p_b
       |      FROM j, t)""".stripMargin
+
+  /** The water-filling mixture-solver CTE chain in DuckDB SQL (per-source
+    * token inventory → capped-proportional allocation at budget 20000,
+    * maxEpochs 1.0, weights src1→3 / src8→2 / default 1) — shared by the
+    * `q_mixture_solve` oracle and the two `q_mixture_fill*` oracles that
+    * consume the allocation, so solver and consumers cannot drift. Ends
+    * in CTE `ma` with (source, tokens_avail, weight, capped, alloc).
+    * Every sum is over integer-representable doubles (exact weights,
+    * maxEpochs 1.0), so engine summation order cannot shift a bit; the
+    * one division (the water level) evaluates on identical doubles.
+    */
+  private val MixtureSolveSql: String =
+    """mm AS (SELECT source,
+      |    CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+      |      AS BIGINT) AS tokens_avail
+      |  FROM documents GROUP BY source),
+      |mw AS (SELECT mm.*,
+      |    CASE WHEN source = 'src1' THEN 3.0
+      |         WHEN source = 'src8' THEN 2.0 ELSE 1.0 END AS weight,
+      |    CAST(tokens_avail AS DOUBLE) * 1.0 AS capacity FROM mm),
+      |mo AS (SELECT mw.*,
+      |    coalesce(sum(capacity) OVER (ORDER BY capacity / weight, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+      |      AS prev_c,
+      |    coalesce(sum(weight) OVER (ORDER BY capacity / weight, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+      |      AS prev_w,
+      |    sum(capacity) OVER () AS cap_total,
+      |    sum(weight) OVER () AS w_total
+      |  FROM mw),
+      |mc AS (SELECT mo.*, least(20000.0, cap_total) AS b,
+      |    capacity * (w_total - prev_w) <=
+      |      weight * (least(20000.0, cap_total) - prev_c) AS capped
+      |  FROM mo),
+      |ms AS (SELECT coalesce(sum(CASE WHEN capped THEN capacity END), 0.0)
+      |      AS cap_c,
+      |    coalesce(sum(CASE WHEN capped THEN weight END), 0.0) AS cap_w
+      |  FROM mc),
+      |ma AS (SELECT mc.source, mc.tokens_avail, mc.weight, mc.capped,
+      |    CASE WHEN capped THEN capacity
+      |         ELSE least(capacity, weight *
+      |           (CASE WHEN w_total - ms.cap_w > 0
+      |                 THEN (b - ms.cap_c) / (w_total - ms.cap_w)
+      |                 ELSE 0.0 END)) END AS alloc
+      |  FROM mc, ms)""".stripMargin
 
   /** The n-gram Jaccard pair pipeline in DuckDB SQL — shared by the
     * `q_ngram_jaccard` oracle and the `q_neardup_resolve` oracle (which
@@ -1446,6 +1491,61 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       TextStats.divergenceTopK(docs.filter(col("lang") === "en"),
         docs.filter(col("lang") =!= "en"), "text", 50)
+    }),
+
+    // ---- mixture solver: water-filling allocation of a 20k-token
+    //      budget across sources toward target weights (src1→3, src8→2,
+    //      default 1) under per-source capacity caps — the knob
+    //      upsampleEpochs and the budget fills consume ----
+    "q_mixture_solve" -> ((s, dir) =>
+      Mixture.solveBudget(
+        Mixture.domainTokens(Tables.documents(s, dir), "source", "text"),
+        "source", Map("src1" -> 3.0, "src8" -> 2.0),
+        budgetTokens = 20000L)),
+
+    // ---- budget fill, exact form: frozen-classifier scores ranked
+    //      within each source, greedy admission while tokens consumed
+    //      stay under the solver's allocation ----
+    "q_mixture_fill" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cols = Seq("f_len", "f_wlen", "f_stop")
+      val scored = Classifier.scoreWith(
+          Classifier.textFeatures(docs, "doc_id", "text"),
+          cols, QualityClassifierWeights.head, QualityClassifierWeights.tail,
+          "score")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val alloc = Mixture.solveBudget(
+        Mixture.domainTokens(docs, "source", "text"),
+        "source", Map("src1" -> 3.0, "src8" -> 2.0),
+        budgetTokens = 20000L)
+      Mixture.fillByQuality(scored, "doc_id", "source", "n_tokens",
+          "score", alloc)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("score"), col("cum_before"), col("keep"))
+    }),
+
+    // ---- budget fill, binned scale twin: 4096-bin score histogram
+    //      thresholds + marginal-bin leftover, no per-domain sort — the
+    //      oracle replays the EXACT window form, so any admission drift
+    //      between the two constructions hash-fails ----
+    "q_mixture_fill_binned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cols = Seq("f_len", "f_wlen", "f_stop")
+      val scored = Classifier.scoreWith(
+          Classifier.textFeatures(docs, "doc_id", "text"),
+          cols, QualityClassifierWeights.head, QualityClassifierWeights.tail,
+          "score")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val alloc = Mixture.solveBudget(
+        Mixture.domainTokens(docs, "source", "text"),
+        "source", Map("src1" -> 3.0, "src8" -> 2.0),
+        budgetTokens = 20000L)
+      Mixture.applyThresholds(scored, "doc_id", "source", "n_tokens",
+          "score",
+          Mixture.fillThresholds(scored, "source", "n_tokens", "score",
+            alloc))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("score"), col("keep"))
     }),
 
     "q_seq_pack" -> ((s, dir) =>
@@ -3280,6 +3380,50 @@ object SparkEntry {
         |SELECT token, n_a, n_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
         |  round(p_a * ln(p_a / p_b), 6) AS kl_nats
         |FROM k ORDER BY kl_nats DESC, token LIMIT 50""".stripMargin,
+    // Water-filling solver replay: capped-prefix test and water level on
+    // exact integer-representable doubles — identical bits either engine.
+    "q_mixture_solve" ->
+      s"""WITH $MixtureSolveSql
+        |SELECT source, tokens_avail, round(weight, 6) AS weight, capped,
+        |  round(alloc, 6) AS alloc_tokens,
+        |  round(CASE WHEN tokens_avail > 0 THEN alloc / tokens_avail
+        |             ELSE 0.0 END, 6) AS epochs
+        |FROM ma""".stripMargin,
+    // Greedy budget fill: frozen-classifier score ranking + running token
+    // sum per source, admission while cum_before < the rounded allocation.
+    "q_mixture_fill" ->
+      s"""WITH $ClassifierFeatureSql,
+        |$MixtureSolveSql,
+        |msc AS (SELECT f.doc_id, d.source, f.n_tokens,
+        |    round(1.0 / (1.0 + exp(-$classifierLogitSql)), 6) AS score
+        |  FROM f JOIN documents d USING (doc_id)),
+        |mfill AS (SELECT msc.*, round(ma.alloc, 6) AS alloc_r,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY msc.source
+        |      ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM msc JOIN ma ON msc.source = ma.source)
+        |SELECT doc_id, source, n_tokens, score,
+        |  CAST(cum_before AS BIGINT) AS cum_before,
+        |  CAST(cum_before AS DOUBLE) < alloc_r AS keep
+        |FROM mfill""".stripMargin,
+    // The binned twin's oracle IS the exact window form: the histogram
+    // construction must reproduce the same admission set bit-for-bit.
+    "q_mixture_fill_binned" ->
+      s"""WITH $ClassifierFeatureSql,
+        |$MixtureSolveSql,
+        |msc AS (SELECT f.doc_id, d.source, f.n_tokens,
+        |    round(1.0 / (1.0 + exp(-$classifierLogitSql)), 6) AS score
+        |  FROM f JOIN documents d USING (doc_id)),
+        |mfill AS (SELECT msc.*, round(ma.alloc, 6) AS alloc_r,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY msc.source
+        |      ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM msc JOIN ma ON msc.source = ma.source)
+        |SELECT doc_id, source, n_tokens, score,
+        |  CAST(cum_before AS DOUBLE) < alloc_r AS keep
+        |FROM mfill""".stripMargin,
     "q_seq_pack" ->
       """WITH m AS (SELECT doc_id, source,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
