@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, Curate, Dedup, Similarity, TextStats}
+import graft.ext.{Classifier, Curate, Dedup, Mixture, Similarity, TextStats}
 import graft.sources.{Layout, Tables}
 
 /** Empirical 10×-scale posture check for the dedup family — the backstop
@@ -667,6 +667,79 @@ object Posture {
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 
+    // ---- selection-family posture (X89 fill + X91 span removal) -----
+    // span_removal is boilerplate's cost shape at shingle granularity
+    // (one explode + hash-df groupBy + flag-join + per-doc regroup);
+    // removed-token growth must be EXACTLY 10.00 on token-salted shards
+    // (cross-shard shingles never match, so each shard replicates the
+    // base corpus's duplication profile). The fill pair measures X89's
+    // design claim: the exact form's per-domain window sorts each
+    // domain's whole slice in one task (state grows with the corpus),
+    // the binned twin's solver state is #domains × 4096 bin rows and
+    // only the marginal bin's 1/4096 slice ever sorts together.
+    val selectionJson = {
+      def spanRm(d: DataFrame) =
+        Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 8, minDocs = 2)
+      corpora.foreach { case (_, d) => consume(spanRm(d)) } // warmup
+      val srRuns = corpora.map { case (lbl, d) =>
+        var rm = 0L
+        val t = timedRuns(() =>
+          rm = spanRm(d).agg(sum(col("n_removed"))).head.getLong(0))
+        lbl -> ((rm, t))
+      }.toMap
+      // fill inputs precomputed and MATERIALIZED outside the timed body:
+      // the section times the admission pass, not feature scoring or the
+      // #domains-row solve (budget = 10% of each corpus's tokens, so the
+      // admitted volume scales with the corpus)
+      val cols = Seq("f_len", "f_wlen", "f_stop")
+      val wts = SparkEntry.QualityClassifierWeights
+      val fillInputs = corpora.map { case (lbl, d) =>
+        val dom = d.withColumn("dom",
+          concat(lit("d"), (col("doc_id") % 7).cast("string")))
+        val scored = Classifier.scoreWith(
+            Classifier.textFeatures(dom, "doc_id", "text"),
+            cols, wts.head, wts.tail, "score")
+          .join(dom.select(col("doc_id"), col("dom")), Seq("doc_id"))
+        val scPath = s"$scratch/scored_$lbl"
+        scored.write.mode("overwrite").parquet(scPath)
+        val avail = Mixture.domainTokens(dom, "dom", "text")
+        val budget = avail.agg(sum(col("tokens_avail"))).head.getLong(0) / 10
+        val alloc = Mixture.solveBudget(avail, "dom", Map.empty, budget)
+        lbl -> ((spark.read.parquet(scPath), alloc))
+      }.toMap
+      val fillOps: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+        "fill_exact" -> ((sc, al) =>
+          Mixture.fillByQuality(sc, "doc_id", "dom", "n_tokens", "score",
+            al)),
+        "fill_binned" -> ((sc, al) =>
+          Mixture.applyThresholds(sc, "doc_id", "dom", "n_tokens", "score",
+            Mixture.fillThresholds(sc, "dom", "n_tokens", "score", al))))
+      val fillBlocks = fillOps.map { case (name, f) =>
+        fillInputs.foreach { case (_, (sc, al)) => consume(f(sc, al)) }
+        val runs = fillInputs.map { case (lbl, (sc, al)) =>
+          var kept = 0L
+          val t = timedRuns(() =>
+            kept = f(sc, al).filter(col("keep")).count())
+          lbl -> ((kept, t))
+        }.toMap
+        val (k1, (s1, m1, sp1)) = runs("1x")
+        val (k10, (s10, m10, sp10)) = runs("10x")
+        f""""$name": {"kept_1x": $k1, "kept_10x": $k10, "kept_growth": ${k10.toDouble / math.max(1, k1)}%.2f,
+           |      "sec_1x": $s1%.2f, "sec_10x": $s10%.2f, "time_growth": ${s10 / s1}%.2f,
+           |      "peak_task_mem_mb_1x": ${m1 / 1048576}, "peak_task_mem_mb_10x": ${m10 / 1048576},
+           |      "spill_mb_1x": ${sp1 / 1048576}, "spill_mb_10x": ${sp10 / 1048576}}""".stripMargin
+      }
+      val (rm1, (ss1, sm1, ssp1)) = srRuns("1x")
+      val (rm10, (ss10, sm10, ssp10)) = srRuns("10x")
+      f"""  "selection": {
+         |    "what": "X91 span removal + X89 budget fill at 1x/10x corpus: span_removal = cross-doc duplicated-8-shingle cut (explode + hash-df groupBy + flag-join + per-doc regroup; removed_growth must be exactly 10.00 on token-salted shards), fill_exact = per-domain (score desc, id) window with running token sum (each domain sorts whole in one task — the state that grows), fill_binned = 4096-bin histogram thresholds + marginal-bin-only window (solver state bounded by bins). Budget = 10%% of each corpus's tokens so admitted volume scales with the corpus; healthy = ~linear time, binned peak mem <= exact at 10x, spill 0",
+         |    "span_removal": {"removed_1x": $rm1, "removed_10x": $rm10, "removed_growth": ${rm10.toDouble / math.max(1, rm1)}%.2f,
+         |      "sec_1x": $ss1%.2f, "sec_10x": $ss10%.2f, "time_growth": ${ss10 / ss1}%.2f,
+         |      "peak_task_mem_mb_1x": ${sm1 / 1048576}, "peak_task_mem_mb_10x": ${sm10 / 1048576},
+         |      "spill_mb_1x": ${ssp1 / 1048576}, "spill_mb_10x": ${ssp10 / 1048576}},
+         |    ${fillBlocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     // ---- z-order layout posture ------------------------------------
     // writeZOrdered's claim is SELECTIVITY PRESERVED UNDER GROWTH: the
     // fraction of the table a selective predicate actually reads should
@@ -1056,6 +1129,7 @@ object Posture {
          |$lmJson,
          |$boilerJson,
          |$distillJson,
+         |$selectionJson,
          |$layoutJson,
          |$joinJson,
          |$fileskipJson,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Classifier, Curate, Dedup, Mixture, Multimodal, Similarity, TextStats}
+import graft.ext.{Classifier, Curate, Dedup, Eval, Mixture, Multimodal, Similarity, TextStats}
 import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Trend, Upsert, WindowedAgg}
 import graft.sources.{Layout, Tables}
 
@@ -56,6 +56,86 @@ object SparkEntry {
     */
   private def ListCosSql(a: String, b: String): String =
     s"(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)))"
+
+  /** Shared run + qrels for the retrieval-eval registrations: queries =
+    * vectors 0–7, run = brute-force cosine top-10 over the rest (exact
+    * double ordering, vec_id tie-break — the q_ann_batch convention),
+    * qrels = label-match judgments graded 2 on every third vector id and
+    * 1 otherwise (deterministic, replayed verbatim by the oracle). One
+    * builder for both registrations so run and judgments cannot drift.
+    */
+  private def retrievalEvalInputs(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"),
+        col("label"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("__v").as("__qv"),
+        col("label").as("__qlab"))
+    val run = emb.crossJoin(broadcast(q.select(col("qid"), col("__qv"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("__cos", Similarity.cosine(col("__v"), col("__qv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("__cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id"), col("rnk"))
+    val qrels = emb.crossJoin(broadcast(q.select(col("qid"), col("__qlab"))))
+      .filter(col("vec_id") =!= col("qid") && col("label") === col("__qlab"))
+      .select(col("qid"), col("vec_id"),
+        when(col("vec_id") % 3 === 0, 2.0).otherwise(1.0).as("rel"))
+    (run, qrels)
+  }
+
+  /** The retrieval-eval replay in DuckDB SQL (run construction, graded
+    * qrels, per-query DCG/IDCG/MRR/precision/recall) — shared by the
+    * per-query and macro oracles so the two can never drift. Ends in CTE
+    * `pm`, one row per query. Gains are integer-representable
+    * (2^{1,2} − 1); `log2` is the only transcendental, absorbed by the
+    * repo-wide round-6.
+    */
+  private lazy val RetrievalEvalCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |      FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv, label AS qlab FROM e
+       |      WHERE vec_id < 8),
+       |run AS (SELECT qid, vec_id, rnk FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY ${ListCosSql("e.v", "q.qv")} DESC, e.vec_id) AS rnk
+       |    FROM e, q WHERE e.vec_id <> q.qid) WHERE rnk <= 10),
+       |qr AS (SELECT q.qid, e.vec_id,
+       |    CASE WHEN e.vec_id % 3 = 0 THEN 2.0 ELSE 1.0 END AS rel
+       |  FROM e, q WHERE e.vec_id <> q.qid AND e.label = q.qlab),
+       |g AS (SELECT r.qid, r.rnk, coalesce(qr.rel, 0.0) AS rel
+       |  FROM run r LEFT JOIN qr
+       |    ON r.qid = qr.qid AND r.vec_id = qr.vec_id),
+       |pq AS (SELECT qid, count(*) AS n_results,
+       |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rel_ret,
+       |    min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+       |    sum((pow(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg
+       |  FROM g GROUP BY qid),
+       |ideal AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel,
+       |    sum(CASE WHEN irank <= 10
+       |        THEN (pow(2.0, rel) - 1.0) / log2(irank + 1.0) END) AS idcg
+       |  FROM (SELECT qid, vec_id, rel,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY rel DESC, vec_id) AS irank
+       |    FROM qr) GROUP BY qid),
+       |pm AS (SELECT pq.qid, n_results,
+       |    coalesce(n_rel, 0) AS n_rel, n_rel_ret,
+       |    round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+       |    round(dcg, 6) AS dcg,
+       |    round(coalesce(idcg, 0.0), 6) AS idcg,
+       |    round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+       |      AS ndcg,
+       |    round(CAST(n_rel_ret AS DOUBLE) / 10, 6) AS precision_k,
+       |    round(CASE WHEN coalesce(n_rel, 0) > 0
+       |          THEN CAST(n_rel_ret AS DOUBLE) / n_rel ELSE 0.0 END, 6)
+       |      AS recall_k
+       |  FROM pq LEFT JOIN ideal ON pq.qid = ideal.qid)""".stripMargin
 
   /** IVF coarse-quantizer config: a [[Similarity.trainQuantizer]] k-means
     * (k clusters, 2 Lloyd iterations, salted deterministic seeds) — the
@@ -1864,6 +1944,20 @@ object SparkEntry {
         anchors, k = 5, nProbe = 2)
     }),
 
+    // ---- retrieval-quality evaluation: graded MRR / nDCG@10 /
+    //      precision / recall of a brute-force cosine run against
+    //      label-derived graded judgments — per query, then macro ----
+    "q_retrieval_eval" -> ((s, dir) => {
+      val (run, qrels) = retrievalEvalInputs(s, dir)
+      Eval.rankingMetrics(run, qrels, "qid", "vec_id", "rnk", "rel", k = 10)
+    }),
+    "q_retrieval_eval_macro" -> ((s, dir) => {
+      val (run, qrels) = retrievalEvalInputs(s, dir)
+      Eval.macroMetrics(
+        Eval.rankingMetrics(run, qrels, "qid", "vec_id", "rnk", "rel",
+          k = 10), "qid")
+    }),
+
     // ---- SQ8 quality audit: recall@10 of the quantized ranking vs the
     //      exact brute force — both sides replayed in the oracle ----
     "q_ann_sq8_recall" -> ((s, dir) => {
@@ -1970,6 +2064,14 @@ object SparkEntry {
     //      exists to remove), plus its hottest shingle's doc-frequency ----
     "q_dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpanCoverage(Tables.documents(s, dir), "doc_id",
+        "text", k = 8, minDocs = 2)),
+
+    // ---- duplicate-span REMOVAL: the repair behind the q_dup_spans
+    //      audit — every token covered by a cross-doc duplicated
+    //      8-shingle is cut, survivors re-join; output counts both
+    //      removed tokens and maximal removed runs ----
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id",
         "text", k = 8, minDocs = 2)),
 
     // ---- curriculum bins: decile of the quality score via exact
@@ -4129,6 +4231,52 @@ object SparkEntry {
         |    / count(*), 6) AS dup_frac
         |FROM sh JOIN dfq USING (s)
         |GROUP BY 1""".stripMargin,
+    // Span removal replayed on string shingles: duplicated starts expand
+    // ×8 into covered positions; the rebuilt text is the ordered
+    // string_agg of uncovered tokens (≡ Spark's filtered array_join).
+    // A fully-removed doc's NULL string_agg coalesces to '' to match
+    // Spark's empty-array join.
+    "q_span_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, i AS p, array_to_string(t[i:i+7], ' ') AS s
+        |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+        |dup AS (SELECT s FROM (
+        |    SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+        |  WHERE df >= 2),
+        |cov AS (SELECT DISTINCT sh.doc_id, sh.p + o AS cp
+        |        FROM sh JOIN dup USING (s),
+        |          unnest(generate_series(0, 7)) AS g(o)),
+        |pos AS (SELECT doc_id, i, t[i] AS tk
+        |        FROM tok, unnest(generate_series(1, len(t))) AS u2(i)),
+        |kj AS (SELECT pos.doc_id, pos.i, pos.tk,
+        |        cov.cp IS NOT NULL AS rem
+        |       FROM pos LEFT JOIN cov
+        |         ON pos.doc_id = cov.doc_id AND pos.i = cov.cp),
+        |spans AS (SELECT c1.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |          FROM cov c1 LEFT JOIN cov c0
+        |            ON c1.doc_id = c0.doc_id AND c0.cp = c1.cp - 1
+        |          WHERE c0.cp IS NULL GROUP BY 1)
+        |SELECT kj.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN rem THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  coalesce(any_value(spans.n_spans), 0) AS n_spans,
+        |  coalesce(string_agg(CASE WHEN NOT rem THEN tk END, ' ' ORDER BY i),
+        |    '') AS text_clean
+        |FROM kj LEFT JOIN spans ON kj.doc_id = spans.doc_id
+        |GROUP BY 1""".stripMargin,
+    // Retrieval-eval replay: shared CTE chain ending in per-query
+    // metrics `pm`; the macro form averages the already-rounded rows.
+    "q_retrieval_eval" ->
+      s"""WITH $RetrievalEvalCtes
+        |SELECT qid, n_results, n_rel, n_rel_ret, mrr, dcg, idcg, ndcg,
+        |  precision_k, recall_k
+        |FROM pm""".stripMargin,
+    "q_retrieval_eval_macro" ->
+      s"""WITH $RetrievalEvalCtes
+        |SELECT CAST(count(qid) AS BIGINT) AS n_queries,
+        |  round(avg(mrr), 6) AS mrr, round(avg(ndcg), 6) AS ndcg,
+        |  round(avg(precision_k), 6) AS precision_k,
+        |  round(avg(recall_k), 6) AS recall_k
+        |FROM pm""".stripMargin,
     // Exact interpolated decile boundaries (quantile_cont ≡ Spark
     // percentile, the q_quantiles precedent), compared at 6-dp rounding
     // on both sides so an interpolation ulp cannot flip a bin.

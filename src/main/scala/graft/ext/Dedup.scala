@@ -414,6 +414,70 @@ object Dedup {
         round(col("n_dup").cast("double") / col("n_sh"), 6))
   }
 
+  /** Exact duplicate-span REMOVAL (X91): rewrite each document with every
+    * cross-document duplicated span cut out — the repair step behind the
+    * [[duplicateSpanCoverage]] audit (Lee et al. 2022 remove the exact
+    * substrings themselves rather than whole documents, because a
+    * boilerplate header shared by a million pages should not cost the
+    * million distinct bodies attached to it).
+    *
+    * Semantics: a token position is covered iff any k-token shingle
+    * window containing it occurs in ≥ `minDocs` distinct documents
+    * (cross-doc occurrences only — within-doc repetition is X15's
+    * score). Covered tokens are dropped; survivors re-join with single
+    * spaces. Output per doc: `n_tokens`, `n_removed`, `n_spans` (maximal
+    * removed runs), `text_clean`.
+    *
+    * Shape, all corpus-linear: one explode to (doc, start, shingleHash);
+    * doc-frequency via distinct (doc, hash) → one groupBy on the 8-byte
+    * hash (map-side partial combine; output is shingle-TYPE-sized);
+    * one hash-keyed join flags duplicated starts; flagged starts expand
+    * ×k into covered positions and collapse to ONE per-doc sorted array
+    * (doc-bounded state — documents are KB-scale); one id-keyed join
+    * back to the token arrays, after which counting, span-run detection,
+    * and text reconstruction are narrow codegen'd array ops (per-doc
+    * cost O(tokens × covered), both doc-bounded). Nothing pairwise,
+    * nothing corpus-sized in one task. Hash-vs-string counting caveat as
+    * in [[duplicateSpanCoverage]]; the oracle replays strings.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, "removeDuplicateSpans: k must be >= 1")
+    require(minDocs >= 2,
+      "removeDuplicateSpans: minDocs must be >= 2 (cross-doc duplication)")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    // (doc, 1-based start, shingle hash); docs shorter than k yield none
+    val starts = toks
+      .select(col(idCol), posexplode(expr(
+        s"""IF(size(__toks) >= $k,
+           |   transform(sequence(1, size(__toks) - ${k - 1}),
+           |     p -> xxhash64(array_join(slice(__toks, p, $k), ' '))),
+           |   CAST(array() AS ARRAY<BIGINT>))""".stripMargin)))
+      .select(col(idCol), (col("pos") + 1).as("__p"), col("col").as("__sh"))
+    val dup = starts.select(col(idCol), col("__sh")).distinct()
+      .groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__sh"))
+    val covered = starts.join(dup, "__sh")
+      .select(col(idCol),
+        explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__cp"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__cp"))).as("__cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .withColumn("__cov",
+        coalesce(col("__cov"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_removed"),
+        // a covered position opens a new span iff position-1 is uncovered
+        expr("size(filter(__cov, p -> NOT array_contains(__cov, p - 1)))")
+          .cast("long").as("n_spans"),
+        expr("""array_join(
+               |  filter(transform(__toks,
+               |    (t, i) -> IF(array_contains(__cov, i + 1), NULL, t)),
+               |  t -> t IS NOT NULL), ' ')""".stripMargin).as("text_clean"))
+  }
+
   /** MinHash signature: `nPerms` permutation minima over the document's
     * k-shingle set, all in ONE grouped aggregation pass (each "permutation"
     * is the same 64-bit hash salted with the permutation index). Output:

@@ -318,6 +318,88 @@ class DedupSpec extends SparkSpec {
     assert(physical.contains("Window"), physical)
     assert(!physical.contains("Join"), physical)
   }
+
+  test("removeDuplicateSpans: cross-doc span cut, unique text kept") {
+    val d = Seq(
+      (1L, "a b c d e f"), // shares "c d e" with doc 2
+      (2L, "x y c d e z"),
+      (3L, "p q r s t u")  // untouched
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3,
+        minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_tokens"),
+        x.getAs[Long]("n_removed"), x.getAs[Long]("n_spans"),
+        x.getAs[String]("text_clean")))
+    assert(r.toSeq === Seq(
+      (1L, 6L, 3L, 1L, "a b f"),
+      (2L, 6L, 3L, 1L, "x y z"),
+      (3L, 6L, 0L, 0L, "p q r s t u")))
+  }
+
+  test("removeDuplicateSpans: within-doc repetition alone is not cut") {
+    val d = Seq(
+      (1L, "a b c a b c"), // "a b c" twice, but only in THIS doc
+      (2L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3,
+        minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_removed") === 0L)
+    assert(r(0).getAs[String]("text_clean") === "a b c a b c")
+  }
+
+  test("removeDuplicateSpans: overlapping windows merge into one span") {
+    // "a b c d" shared whole: doc-1 starts 1 and 2 both duplicated,
+    // covering 1..4 as ONE maximal run
+    val d = Seq(
+      (1L, "a b c d x"),
+      (2L, "a b c d y")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3,
+        minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_removed") === 4L)
+    assert(r(0).getAs[Long]("n_spans") === 1L)
+    assert(r(0).getAs[String]("text_clean") === "x")
+  }
+
+  test("removeDuplicateSpans: disjoint shared spans count separately") {
+    val d = Seq(
+      (1L, "a b c q q x y z"), // shares "a b c" and "x y z" with doc 2/3
+      (2L, "a b c m m m m m"),
+      (3L, "n n n n n x y z")
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3,
+        minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_spans") === 2L)
+    assert(r(0).getAs[String]("text_clean") === "q q")
+  }
+
+  test("removeDuplicateSpans: full coverage empties the doc") {
+    val d = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3,
+        minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(r.forall(_.getAs[String]("text_clean") === ""))
+    assert(r.forall(_.getAs[Long]("n_removed") === 3L))
+  }
+
+  test("removeDuplicateSpans: docs shorter than k and minDocs gate") {
+    val d = Seq(
+      (1L, "a b"),        // shorter than k — no shingles, untouched
+      (2L, "a b c d e"),
+      (3L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val strict = Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3,
+        minDocs = 3) // only 2 docs share — below the gate
+      .collect()
+    assert(strict.forall(_.getAs[Long]("n_removed") === 0L))
+    intercept[IllegalArgumentException] {
+      Dedup.removeDuplicateSpans(d, "doc_id", "text", k = 3, minDocs = 1)
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
