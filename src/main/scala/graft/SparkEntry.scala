@@ -549,7 +549,7 @@ object SparkEntry {
     * [[graft.ext.Bpe.encodeWords]] and in the `wc` CTE below, applied
     * BEFORE the top-k cut so the two sides stay equal).
     */
-  private def bpeEncodeOracleSql: String = {
+  private def bpeEncodeCtes: String = {
     val sep = "\u001f"
     val vals = BpeFrozenMerges.map { case (r, a, b) =>
       s"($r, '$sep$a$sep$b$sep', '$sep$a$b$sep')"
@@ -564,8 +564,8 @@ object SparkEntry {
       |m(rank, pat, rep) AS (VALUES
       |    $vals),
       |init AS (SELECT w, n,
-      |    '$sep' || array_to_string(regexp_split_to_array(w, ''), '$sep')
-      |      || '$sep' AS s
+      |    '$sep' || array_to_string(regexp_split_to_array(w, ''), '$sep') ||
+      |      '$sep' AS s
       |  FROM wc),
       |enc AS (
       |  SELECT w, n, s, 1 AS rank FROM init
@@ -576,13 +576,17 @@ object SparkEntry {
       |         THEN enc.rank + 1 ELSE enc.rank END AS rank
       |  FROM enc JOIN m ON m.rank = enc.rank
       |  WHERE enc.rank <= ${BpeFrozenMerges.length}
-      |)
-      |SELECT w, n,
+      |),
+      |encoded AS (SELECT w, n,
       |  CAST(length(s) - length(replace(s, '$sep', '')) - 1 AS BIGINT)
       |    AS n_tokens,
       |  replace(trim(s, '$sep'), '$sep', ' ') AS tokens
-      |FROM enc WHERE rank = ${BpeFrozenMerges.length + 1}""".stripMargin
+      |FROM enc WHERE rank = ${BpeFrozenMerges.length + 1})""".stripMargin
   }
+
+  private def bpeEncodeOracleSql: String =
+    s"""$bpeEncodeCtes
+      |SELECT w, n, n_tokens, tokens FROM encoded""".stripMargin
 
   /** Distilled quality-filter hyperparameters and FROZEN serving weights
     * — bias followed by the weights for (f_len, f_wlen, f_stop) — from
@@ -2014,6 +2018,13 @@ object SparkEntry {
     //      the merges as recursive fixpoint rewrites) ----
     "q_bpe_encode" -> ((s, dir) =>
       graft.ext.Bpe.encodeWords(Tables.documents(s, dir), "text",
+        BpeFrozenMerges, k = 500)),
+
+    // ---- tokenizer fertility audit: occurrence-weighted tokens/word,
+    //      chars/token, and single-token fraction over the same frozen
+    //      encode inventory ----
+    "q_bpe_fertility" -> ((s, dir) =>
+      graft.ext.Bpe.fertility(Tables.documents(s, dir), "text",
         BpeFrozenMerges, k = 500)),
 
     // ---- epoch upsampling: the pretraining-mixture repeat knob (en
@@ -4156,6 +4167,20 @@ object SparkEntry {
         |ORDER BY pair_count DESC, "left", "right"
         |LIMIT 20""".stripMargin,
     "q_bpe_encode" -> bpeEncodeOracleSql,
+    // Fertility over the same recursive encode replay: exact integer
+    // weighted sums, three single divisions.
+    "q_bpe_fertility" ->
+      s"""$bpeEncodeCtes
+        |SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n) AS BIGINT) AS occurrences,
+        |  CAST(sum(n * n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(n * n_tokens) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE), 6) AS fertility,
+        |  round(CAST(sum(n * length(w)) AS DOUBLE)
+        |    / CAST(sum(n * n_tokens) AS DOUBLE), 6) AS chars_per_token,
+        |  round(CAST(sum(CASE WHEN n_tokens = 1 THEN n ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS single_token_frac
+        |FROM encoded""".stripMargin,
     "q_upsample_epochs" ->
       """WITH w AS (SELECT doc_id, lang,
         |    CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 0.5

@@ -172,6 +172,29 @@ object Bpe {
       .toDF("w", "n", "n_tokens", "tokens")
   }
 
+  /** Tokenizer fertility / compression audit (X92) over the frozen-table
+    * encode path: occurrence-weighted tokens-per-word (fertility),
+    * chars-per-token (compression), and the single-token word fraction,
+    * aggregated from [[encodeWords]]'s bounded top-`k` inventory — the
+    * one-look numbers a tokenizer change is judged by before paying for
+    * a corpus re-encode. Same cost shape as [[encodeWords]] (one
+    * aggregation + a k-row map); the integer weighted sums are exact, so
+    * the three ratios are single divisions of identical integers in any
+    * engine.
+    */
+  def fertility(df: DataFrame, textCol: String,
+      merges: Seq[(Int, String, String)], k: Int): DataFrame =
+    encodeWords(df, textCol, merges, k).agg(
+      count(lit(1)).as("n_words"),
+      sum(col("n")).as("occurrences"),
+      sum(col("n") * col("n_tokens")).as("total_tokens"),
+      round(sum(col("n") * col("n_tokens")).cast("double") /
+        sum(col("n")), 6).as("fertility"),
+      round(sum(col("n") * length(col("w"))).cast("double") /
+        sum(col("n") * col("n_tokens")), 6).as("chars_per_token"),
+      round(sum(when(col("n_tokens") === 1, col("n")).otherwise(0L))
+        .cast("double") / sum(col("n")), 6).as("single_token_frac"))
+
   /** Per-document token counts under a trained merge table — the "how
     * many tokens is this corpus under MY tokenizer" budgeting pass
     * (compare X13's estimator, which assumes a generic tokenizer). The

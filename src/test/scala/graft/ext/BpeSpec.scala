@@ -118,6 +118,31 @@ class BpeSpec extends SparkSpec {
     assert(top1.map(_.getString(0)).toSeq === Seq("abcab"))
   }
 
+  test("fertility: occurrence-weighted ratios match hand computation") {
+    val merges = Seq((1, "a", "b"), (2, "ab", "c"))
+    // abcab (n=3, 2 tokens, 5 chars), xyz (n=3, 3 tokens, 3 chars),
+    // ab (n=1, 1 token, 2 chars)
+    val df = Seq((1L, "abcab abcab xyz xyz"), (2L, "xyz abcab ab"))
+      .toDF("doc_id", "text")
+    val r = Bpe.fertility(df, "text", merges, k = 10).collect()(0)
+    val occ = 3L + 3L + 1L
+    val totTok = 3 * 2L + 3 * 3L + 1 * 1L
+    val totChar = 3 * 5L + 3 * 3L + 1 * 2L
+    assert(r.getAs[Long]("n_words") === 3L)
+    assert(r.getAs[Long]("occurrences") === occ)
+    assert(r.getAs[Long]("total_tokens") === totTok)
+    assert(r.getAs[Double]("fertility") ===
+      math.rint(totTok.toDouble / occ * 1e6) / 1e6)
+    assert(r.getAs[Double]("chars_per_token") ===
+      math.rint(totChar.toDouble / totTok * 1e6) / 1e6)
+    assert(r.getAs[Double]("single_token_frac") ===
+      math.rint(1.0 / occ * 1e6) / 1e6)
+    // k cuts the inventory before the weighting: only the top word
+    val top1 = Bpe.fertility(df, "text", merges, k = 1).collect()(0)
+    assert(top1.getAs[Long]("n_words") === 1L)
+    assert(top1.getAs[Double]("fertility") === 2.0) // abcab alone
+  }
+
   test("sequential exhaustive merge application ≡ greedy lowest-rank-first (the oracle's equivalence)") {
     // the property the DuckDB recursive rewrite relies on, pinned on the
     // consecutive-match shapes where bracketed replace alone would fail
