@@ -1636,6 +1636,33 @@ object SparkEntry {
       Curate.packSequences(Tables.documents(s, dir), "doc_id", "text",
         "source", budgetTokens = 2048L)),
 
+    // ---- budgeted-curation composition (the X26 pattern for the
+    //      mixture family): frozen-classifier scoring → water-filling
+    //      allocation → per-source quality fill → the ADMITTED docs
+    //      packed into 2048-token training sequences, ONE composed
+    //      plan; the oracle replays the whole chain from the shared
+    //      feature/solver CTEs ----
+    "q_curation_budgeted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cols = Seq("f_len", "f_wlen", "f_stop")
+      val scored = Classifier.scoreWith(
+          Classifier.textFeatures(docs, "doc_id", "text"),
+          cols, QualityClassifierWeights.head, QualityClassifierWeights.tail,
+          "score")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val alloc = Mixture.solveBudget(
+        Mixture.domainTokens(docs, "source", "text"),
+        "source", Map("src1" -> 3.0, "src8" -> 2.0),
+        budgetTokens = 20000L)
+      val kept = Mixture.fillByQuality(scored, "doc_id", "source",
+          "n_tokens", "score", alloc)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+      // the fill already carries n_tokens — pack WITHOUT re-scanning text
+      Curate.packCounted(kept, "doc_id", "source", "n_tokens",
+        budgetTokens = 2048L)
+    }),
+
     // ---- pack fill-level audit over the packed corpus ----
     "q_pack_summary" -> ((s, dir) =>
       Curate.packSummary(
@@ -3537,6 +3564,32 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, score,
         |  CAST(cum_before AS DOUBLE) < alloc_r AS keep
         |FROM mfill""".stripMargin,
+    // The full budgeted-curation chain replayed from the SAME shared
+    // CTEs as its parts (features/logit, solver, fill window), then the
+    // q_seq_pack window over only the admitted docs — any drift in any
+    // stage hash-fails the composition.
+    "q_curation_budgeted" ->
+      s"""WITH $ClassifierFeatureSql,
+        |$MixtureSolveSql,
+        |msc AS (SELECT f.doc_id, d.source, f.n_tokens,
+        |    round(1.0 / (1.0 + exp(-$classifierLogitSql)), 6) AS score
+        |  FROM f JOIN documents d USING (doc_id)),
+        |mfill AS (SELECT msc.*, round(ma.alloc, 6) AS alloc_r,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY msc.source
+        |      ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM msc JOIN ma ON msc.source = ma.source),
+        |kept AS (SELECT doc_id, source, n_tokens FROM mfill
+        |  WHERE CAST(cum_before AS DOUBLE) < alloc_r),
+        |sp AS (SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_tok
+        |  FROM kept)
+        |SELECT doc_id, source, n_tokens, start_tok,
+        |  CAST(start_tok // 2048 AS BIGINT) AS pack_id
+        |FROM sp""".stripMargin,
     "q_seq_pack" ->
       """WITH m AS (SELECT doc_id, source,
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens

@@ -538,9 +538,21 @@ object Curate {
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       shardCol: String, budgetTokens: Long): DataFrame = {
-    require(budgetTokens > 0, "budgetTokens must be positive")
     val nTok = (length(col(textCol))
       - length(regexp_replace(col(textCol), " ", "")) + 1).cast("long")
+    packCounted(df.select(col(idCol), col(shardCol), nTok.as("n_tokens")),
+      idCol, shardCol, "n_tokens", budgetTokens)
+  }
+
+  /** [[packSequences]] over an already-counted frame — the form for
+    * pipelines that carry `tokensCol` from an earlier stage (e.g. the
+    * classifier feature pass), saving the text re-scan the textCol form
+    * pays. Output (`n_tokens`, `start_tok`, `pack_id`) is identical
+    * when the count convention matches.
+    */
+  def packCounted(df: DataFrame, idCol: String, shardCol: String,
+      tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
     // ROWS, not the default RANGE frame: RANGE treats tied ids as peers
     // and would hand every tied row the same (wrong) cumulative sum —
     // the oracle replays the explicit ROWS frame
@@ -548,7 +560,8 @@ object Curate {
       .partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.select(col(idCol), col(shardCol), nTok.as("n_tokens"))
+    df.select(col(idCol), col(shardCol),
+        col(tokensCol).cast("long").as("n_tokens"))
       .withColumn("start_tok",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("pack_id", expr(s"start_tok DIV $budgetTokens"))
