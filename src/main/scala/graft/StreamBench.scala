@@ -21,6 +21,7 @@ object StreamBench {
     // solo after the sensor envelope so the three never contend
     val dedup = graft.streaming.SteadyState.measureDedupStream(spark, sfDir)
     val cur = graft.streaming.SteadyState.measureCurationStream(spark, sfDir)
+    val clf = graft.streaming.SteadyState.measureClassifierStream(spark, sfDir)
     val bm25 = graft.streaming.SteadyState.measureBm25Stream(spark, sfDir)
     val asof = graft.streaming.SteadyState.measureAsofEnrichStream(spark, sfDir)
     val ann = graft.streaming.SteadyState.measureAnnServeStream(spark, sfDir)
@@ -43,7 +44,8 @@ object StreamBench {
         r.withWatermark("timestamp", "10 minutes"),
         "timestamp", "sensor_id", gap = "1 minute"))
     val combined = env.json.dropRight(1) +
-      "," + dedup.json + "," + cur.json + "," + bm25.json + "," +
+      "," + dedup.json + "," + cur.json + "," + clf.json + "," +
+      bm25.json + "," +
       asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
       "," + ewma.json + "," + hop.json + "," + sess.json + "}"
     println(combined)

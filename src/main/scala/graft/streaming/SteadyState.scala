@@ -270,6 +270,26 @@ object SteadyState {
           col("n_phones"), col("clean")),
       sfDir, rowsPerBatch, minBatches, deadlineSec)
 
+  /** Streaming quality-classifier gate envelope: X86's frozen-weight
+    * scoring pass as a pure per-row projection on the stream, with the
+    * admission threshold applied at ingest — the model-based successor
+    * to the hard-rule curation gate, measured. Weights ride the plan as
+    * literals (no broadcast, no state), so the per-batch cost is the
+    * narrow feature+sigmoid projection and nothing else.
+    */
+  def measureClassifierStream(spark: SparkSession, sfDir: String,
+      rowsPerBatch: Int = 50, minBatches: Int = 15,
+      deadlineSec: Int = 180): DocEnvelope = {
+    val cols = Seq("f_len", "f_wlen", "f_stop")
+    val w = graft.SparkEntry.QualityClassifierWeights
+    measureDocStream(spark, "classifier_gate_stream",
+      stream => graft.ext.Classifier.scoreWith(
+          graft.ext.Classifier.textFeatures(stream, "doc_id", "text"),
+          cols, w.head, w.tail, "score")
+        .withColumn("keep", col("score") >= 0.5),
+      sfDir, rowsPerBatch, minBatches, deadlineSec)
+  }
+
   /** Streaming BM25 relevance-scoring envelope: corpus stats (N, avgdl,
     * per-term df) are frozen ONCE from the batch corpus before the clock
     * starts — in production they refresh with index rebuilds — and every

@@ -78,6 +78,20 @@ class SteadyStateSpec extends SparkSpec {
       s"curation wrote ${cur.outRows} of ${cur.docs} docs")
   }
 
+  test("classifier gate stream sustains the >=300 msg/min floor and scores every doc") {
+    val sfDir = "/root/testdata/sf0.01"
+    val clf = SteadyState.measureClassifierStream(spark, sfDir,
+      minBatches = 10, deadlineSec = 120)
+    info(clf.json)
+    assert(clf.msgPerMin >= 300,
+      f"classifier stream ${clf.msgPerMin}%.0f msg/min below the 300 floor")
+    assert(clf.medianMs < 10000,
+      s"classifier micro-batch median ${clf.medianMs} ms breaches <10 s")
+    // same >= convention as the curation gate: annotates, never drops
+    assert(clf.outRows >= clf.docs,
+      s"classifier scored ${clf.outRows} of ${clf.docs} docs")
+  }
+
   test("ANN serving stream answers live query vectors from the frozen layout") {
     // the freeze-then-score recipe on the vector index: every micro-batch
     // of query vectors is served by ONE pruned ivfProbeBatch plan; the
