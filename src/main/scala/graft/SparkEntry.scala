@@ -2112,6 +2112,19 @@ object SparkEntry {
       Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id",
         "text", k = 8, minDocs = 2)),
 
+    // ---- incremental ingest span removal: a new batch (doc_id % 4 = 0)
+    //      cut against the batch+corpus combined doc frequency, with the
+    //      corpus contributing only its pre-built (sh, df) index —
+    //      corpus text never re-scanned, old docs never rewritten ----
+    "q_span_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.removeDuplicateSpansIncremental(
+        docs.filter(col("doc_id") % 4 === 0),
+        Dedup.spanDfIndex(docs.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", k = 8),
+        "doc_id", "text", k = 8, minDocs = 2)
+    }),
+
     // ---- curriculum bins: decile of the quality score via exact
     //      quantile boundaries broadcast back — never a global ntile
     //      window ----
@@ -4321,6 +4334,43 @@ object SparkEntry {
         |dup AS (SELECT s FROM (
         |    SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
         |  WHERE df >= 2),
+        |cov AS (SELECT DISTINCT sh.doc_id, sh.p + o AS cp
+        |        FROM sh JOIN dup USING (s),
+        |          unnest(generate_series(0, 7)) AS g(o)),
+        |pos AS (SELECT doc_id, i, t[i] AS tk
+        |        FROM tok, unnest(generate_series(1, len(t))) AS u2(i)),
+        |kj AS (SELECT pos.doc_id, pos.i, pos.tk,
+        |        cov.cp IS NOT NULL AS rem
+        |       FROM pos LEFT JOIN cov
+        |         ON pos.doc_id = cov.doc_id AND pos.i = cov.cp),
+        |spans AS (SELECT c1.doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |          FROM cov c1 LEFT JOIN cov c0
+        |            ON c1.doc_id = c0.doc_id AND c0.cp = c1.cp - 1
+        |          WHERE c0.cp IS NULL GROUP BY 1)
+        |SELECT kj.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN rem THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  coalesce(any_value(spans.n_spans), 0) AS n_spans,
+        |  coalesce(string_agg(CASE WHEN NOT rem THEN tk END, ' ' ORDER BY i),
+        |    '') AS text_clean
+        |FROM kj LEFT JOIN spans ON kj.doc_id = spans.doc_id
+        |GROUP BY 1""".stripMargin,
+    // Incremental span removal: the batch side replayed on string
+    // shingles; the corpus contributes only its distinct-doc counts
+    // (the index's content), combined with the batch's own.
+    "q_span_dedup_incremental" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents WHERE doc_id % 4 = 0),
+        |sh AS (SELECT doc_id, i AS p, array_to_string(t[i:i+7], ' ') AS s
+        |       FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+        |ctok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents WHERE doc_id % 4 <> 0),
+        |cdf AS (SELECT s, count(DISTINCT doc_id) AS c FROM (
+        |    SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+        |    FROM ctok, unnest(generate_series(1, len(t) - 7)) AS u(i))
+        |  GROUP BY 1),
+        |bdf AS (SELECT s, count(DISTINCT doc_id) AS c FROM sh GROUP BY 1),
+        |dup AS (SELECT bdf.s FROM bdf LEFT JOIN cdf USING (s)
+        |        WHERE bdf.c + coalesce(cdf.c, 0) >= 2),
         |cov AS (SELECT DISTINCT sh.doc_id, sh.p + o AS cp
         |        FROM sh JOIN dup USING (s),
         |          unnest(generate_series(0, 7)) AS g(o)),

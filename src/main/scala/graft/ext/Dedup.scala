@@ -445,20 +445,81 @@ object Dedup {
     require(k >= 1, "removeDuplicateSpans: k must be >= 1")
     require(minDocs >= 2,
       "removeDuplicateSpans: minDocs must be >= 2 (cross-doc duplication)")
-    val toks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
-    // (doc, 1-based start, shingle hash); docs shorter than k yield none
-    val starts = toks
+    val toks = spanToks(df, idCol, textCol)
+    val starts = spanStarts(toks, idCol, k)
+    val dup = starts.select(col(idCol), col("__sh")).distinct()
+      .groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__sh"))
+    cutSpans(toks, starts.join(dup, "__sh"), idCol, k)
+  }
+
+  /** The persisted shingle doc-frequency index of a corpus — X91's
+    * corpus-side state as a public write-side frame (`sh`, `df`), the
+    * [[minhashBandIndex]] pattern for spans: build once per corpus
+    * snapshot and store it; batch ingests consult it through
+    * [[removeDuplicateSpansIncremental]] instead of re-counting the
+    * corpus. Output is shingle-TYPE-sized.
+    */
+  def spanDfIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame =
+    spanStarts(spanToks(corpus, idCol, textCol), idCol, k)
+      .select(col(idCol), col("__sh")).distinct()
+      .groupBy(col("__sh")).agg(count(lit(1)).as("df"))
+      .select(col("__sh").as("sh"), col("df"))
+
+  /** Incremental duplicate-span removal — the corpus-INGESTION shape of
+    * [[removeDuplicateSpans]] (the [[incrementalMinhashCandidates]]
+    * pattern): a NEW batch's spans are cut when their combined
+    * distinct-doc frequency across batch + corpus reaches `minDocs`,
+    * with the corpus contributing only its pre-built [[spanDfIndex]] —
+    * corpus text is never re-scanned and old documents are never
+    * rewritten (their spans were cut at their OWN ingestion). With
+    * disjoint ids, the output equals the full [[removeDuplicateSpans]]
+    * over corpus ∪ batch restricted to batch documents (spec-pinned).
+    * Join cost is proportional to the BATCH's shingles; the index side
+    * is one scan of a shingle-TYPE-sized frame.
+    */
+  def removeDuplicateSpansIncremental(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 1, "removeDuplicateSpansIncremental: k must be >= 1")
+    require(minDocs >= 2,
+      "removeDuplicateSpansIncremental: minDocs must be >= 2")
+    val toks = spanToks(batch, idCol, textCol)
+    val starts = spanStarts(toks, idCol, k)
+    val bdf = starts.select(col(idCol), col("__sh")).distinct()
+      .groupBy(col("__sh")).agg(count(lit(1)).as("__bdf"))
+    val dup = bdf
+      .join(index.select(col("sh").as("__sh"), col("df").as("__cdf")),
+        Seq("__sh"), "left")
+      .filter(col("__bdf") + coalesce(col("__cdf"), lit(0L)) >= minDocs)
+      .select(col("__sh"))
+    cutSpans(toks, starts.join(dup, "__sh"), idCol, k)
+  }
+
+  private def spanToks(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+
+  /** (doc, 1-based start, shingle hash); docs shorter than k yield none. */
+  private def spanStarts(toks: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    toks
       .select(col(idCol), posexplode(expr(
         s"""IF(size(__toks) >= $k,
            |   transform(sequence(1, size(__toks) - ${k - 1}),
            |     p -> xxhash64(array_join(slice(__toks, p, $k), ' '))),
            |   CAST(array() AS ARRAY<BIGINT>))""".stripMargin)))
       .select(col(idCol), (col("pos") + 1).as("__p"), col("col").as("__sh"))
-    val dup = starts.select(col(idCol), col("__sh")).distinct()
-      .groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select(col("__sh"))
-    val covered = starts.join(dup, "__sh")
+
+  /** Shared removal tail: expand flagged starts ×k into per-doc sorted
+    * covered-position arrays (doc-bounded state), join back, and rebuild
+    * counts + text in narrow codegen'd array ops.
+    */
+  private def cutSpans(toks: DataFrame, flagged: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val covered = flagged
       .select(col(idCol),
         explode(expr(s"sequence(__p, __p + ${k - 1})")).as("__cp"))
       .groupBy(col(idCol))

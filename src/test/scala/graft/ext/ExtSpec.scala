@@ -386,6 +386,34 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("n_removed") === 3L))
   }
 
+  test("incremental span removal ≡ full run restricted to the batch") {
+    val corpus = Seq(
+      (2L, "a b c d e f"),  // shares "c d e" with batch doc 1
+      (4L, "m c d e n o"),  // second corpus holder of "c d e"
+      (6L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "z z c d e w"),  // "c d e" already duplicated IN THE CORPUS
+      (3L, "k l m n o q"),  // unique
+      (5L, "k l m n o r")   // shares "k l m" + "l m n" + "m n o" with 3
+    ).toDF("doc_id", "text")
+    val idx = Dedup.spanDfIndex(corpus, "doc_id", "text", k = 3)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_spans"),
+        r.getAs[String]("text_clean"))).sortBy(_._1).toSeq
+    val inc = canon(Dedup.removeDuplicateSpansIncremental(batch, idx,
+      "doc_id", "text", k = 3, minDocs = 2))
+    val full = canon(Dedup.removeDuplicateSpans(corpus.union(batch),
+        "doc_id", "text", k = 3, minDocs = 2)
+      .filter(col("doc_id") % 2 === 1))
+    assert(inc === full)
+    // the corpus-only duplicate reaches the batch through the index
+    assert(inc.head === ((1L, 3L, 1L, "z z w")))
+    // batch-internal duplication is caught without any index hit
+    assert(inc(1)._4 === "q" && inc(2)._4 === "r")
+  }
+
   test("removeDuplicateSpans: docs shorter than k and minDocs gate") {
     val d = Seq(
       (1L, "a b"),        // shorter than k — no shingles, untouched
