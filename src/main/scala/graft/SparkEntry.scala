@@ -108,34 +108,41 @@ object SparkEntry {
        |qr AS (SELECT q.qid, e.vec_id,
        |    CASE WHEN e.vec_id % 3 = 0 THEN 2.0 ELSE 1.0 END AS rel
        |  FROM e, q WHERE e.vec_id <> q.qid AND e.label = q.qlab),
-       |g AS (SELECT r.qid, r.rnk, coalesce(qr.rel, 0.0) AS rel
-       |  FROM run r LEFT JOIN qr
-       |    ON r.qid = qr.qid AND r.vec_id = qr.vec_id),
-       |pq AS (SELECT qid, count(*) AS n_results,
-       |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS n_rel_ret,
-       |    min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
-       |    sum((pow(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg
-       |  FROM g GROUP BY qid),
-       |ideal AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel,
-       |    sum(CASE WHEN irank <= 10
-       |        THEN (pow(2.0, rel) - 1.0) / log2(irank + 1.0) END) AS idcg
-       |  FROM (SELECT qid, vec_id, rel,
-       |      row_number() OVER (PARTITION BY qid
-       |        ORDER BY rel DESC, vec_id) AS irank
-       |    FROM qr) GROUP BY qid),
-       |pm AS (SELECT pq.qid, n_results,
-       |    coalesce(n_rel, 0) AS n_rel, n_rel_ret,
-       |    round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
-       |    round(dcg, 6) AS dcg,
-       |    round(coalesce(idcg, 0.0), 6) AS idcg,
-       |    round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
-       |      AS ndcg,
-       |    round(CAST(n_rel_ret AS DOUBLE) / 10, 6) AS precision_k,
-       |    round(CASE WHEN coalesce(n_rel, 0) > 0
-       |          THEN CAST(n_rel_ret AS DOUBLE) / n_rel ELSE 0.0 END, 6)
-       |      AS recall_k
-       |  FROM pq LEFT JOIN ideal ON pq.qid = ideal.qid)""".stripMargin
+       |$RetrievalMetricsCtes""".stripMargin
+
+  /** The metric chain alone (expects CTEs `run(qid, vec_id, rnk)` and
+    * `qr(qid, vec_id, rel)` upstream; ends in per-query `pm`) — shared
+    * by the brute-force and IVF eval oracles.
+    */
+  private lazy val RetrievalMetricsCtes: String =
+    """g AS (SELECT r.qid, r.rnk, coalesce(qr.rel, 0.0) AS rel
+      |  FROM run r LEFT JOIN qr
+      |    ON r.qid = qr.qid AND r.vec_id = qr.vec_id),
+      |pq AS (SELECT qid, count(*) AS n_results,
+      |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_rel_ret,
+      |    min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+      |    sum((pow(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg
+      |  FROM g GROUP BY qid),
+      |ideal AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel,
+      |    sum(CASE WHEN irank <= 10
+      |        THEN (pow(2.0, rel) - 1.0) / log2(irank + 1.0) END) AS idcg
+      |  FROM (SELECT qid, vec_id, rel,
+      |      row_number() OVER (PARTITION BY qid
+      |        ORDER BY rel DESC, vec_id) AS irank
+      |    FROM qr) GROUP BY qid),
+      |pm AS (SELECT pq.qid, n_results,
+      |    coalesce(n_rel, 0) AS n_rel, n_rel_ret,
+      |    round(coalesce(1.0 / first_rel, 0.0), 6) AS mrr,
+      |    round(dcg, 6) AS dcg,
+      |    round(coalesce(idcg, 0.0), 6) AS idcg,
+      |    round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+      |      AS ndcg,
+      |    round(CAST(n_rel_ret AS DOUBLE) / 10, 6) AS precision_k,
+      |    round(CASE WHEN coalesce(n_rel, 0) > 0
+      |          THEN CAST(n_rel_ret AS DOUBLE) / n_rel ELSE 0.0 END, 6)
+      |      AS recall_k
+      |  FROM pq LEFT JOIN ideal ON pq.qid = ideal.qid)""".stripMargin
 
   /** IVF coarse-quantizer config: a [[Similarity.trainQuantizer]] k-means
     * (k clusters, 2 Lloyd iterations, salted deterministic seeds) — the
@@ -1987,6 +1994,30 @@ object SparkEntry {
       Eval.macroMetrics(
         Eval.rankingMetrics(run, qrels, "qid", "vec_id", "rnk", "rel",
           k = 10), "qid")
+    }),
+
+    // ---- the SAME metric harness over the PRUNED serving path: the
+    //      IVF probe's top-10 (nProbe=2) graded against the identical
+    //      judgments — what pruning costs in nDCG, not just recall ----
+    "q_retrieval_eval_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val path = ivfLayout(s, dir)
+      val qvs = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq.sortBy(_._1)
+      val run = Similarity.ivfProbeBatch(s, path, "vec_id", "embedding",
+          qvs, k = 10, nProbe = 2)
+        // rank the k kept rows on the ROUNDED score (the probe's output
+        // contract) + id — the same ordering the oracle replays
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("vec_id"))))
+        .select(col("qid"), col("vec_id"), col("rnk"))
+      val (_, qrels) = retrievalEvalInputs(s, dir)
+      Eval.rankingMetrics(run, qrels, "qid", "vec_id", "rnk", "rel",
+        k = 10)
     }),
 
     // ---- SQ8 quality audit: recall@10 of the quantized ranking vs the
@@ -4404,6 +4435,38 @@ object SparkEntry {
         |  round(avg(mrr), 6) AS mrr, round(avg(ndcg), 6) AS ndcg,
         |  round(avg(precision_k), 6) AS precision_k,
         |  round(avg(recall_k), 6) AS recall_k
+        |FROM pm""".stripMargin,
+    // The pruned-path eval: the q_ann_batch probe replay generalized to
+    // the 8-query set, the k-cut on the UNROUNDED cosine (the probe's
+    // internal order), ranks on the rounded output score, then the same
+    // shared metric chain and judgments as the brute-force eval.
+    "q_retrieval_eval_ivf" ->
+      s"""$AsgCtes,
+        |q2 AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |pb AS (SELECT qid, b FROM (
+        |    SELECT q2.qid, cent.b,
+        |      row_number() OVER (PARTITION BY q2.qid
+        |        ORDER BY ${ListCosSql("cent.c", "q2.qv")} DESC, cent.b) AS rn
+        |    FROM cent, q2) WHERE rn <= 2),
+        |cand AS (SELECT q2.qid, a.vec_id,
+        |    round(${ListCosSql("a.v", "q2.qv")}, 6) AS c_r,
+        |    row_number() OVER (PARTITION BY q2.qid
+        |      ORDER BY ${ListCosSql("a.v", "q2.qv")} DESC, a.vec_id) AS rn
+        |  FROM asg a
+        |    JOIN pb ON a.ivf_bucket = pb.b
+        |    JOIN q2 ON q2.qid = pb.qid AND a.vec_id <> q2.qid),
+        |run AS (SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY c_r DESC, vec_id) AS rnk
+        |  FROM cand WHERE rn <= 10),
+        |el AS (SELECT vec_id, label FROM embeddings),
+        |qr AS (SELECT q2.qid, el.vec_id,
+        |    CASE WHEN el.vec_id % 3 = 0 THEN 2.0 ELSE 1.0 END AS rel
+        |  FROM el, q2 JOIN el ql ON ql.vec_id = q2.qid
+        |  WHERE el.vec_id <> q2.qid AND el.label = ql.label),
+        |$RetrievalMetricsCtes
+        |SELECT qid, n_results, n_rel, n_rel_ret, mrr, dcg, idcg, ndcg,
+        |  precision_k, recall_k
         |FROM pm""".stripMargin,
     // Exact interpolated decile boundaries (quantile_cont ≡ Spark
     // percentile, the q_quantiles precedent), compared at 6-dp rounding
