@@ -2143,6 +2143,13 @@ object SparkEntry {
       Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id",
         "text", k = 8, minDocs = 2)),
 
+    // ---- winnowing fingerprints (MOSS): per-window hash minima as a
+    //      ~2/(w+1)-sized dup index with the w+k−1 shared-run guarantee;
+    //      pairs from shared fingerprints, hot buckets capped ----
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowCandidates(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, w = 4)),
+
     // ---- incremental ingest span removal: a new batch (doc_id % 4 = 0)
     //      cut against the batch+corpus combined doc frequency, with the
     //      corpus contributing only its pre-built (sh, df) index —
@@ -4385,6 +4392,29 @@ object SparkEntry {
         |    '') AS text_clean
         |FROM kj LEFT JOIN spans ON kj.doc_id = spans.doc_id
         |GROUP BY 1""".stripMargin,
+    // Winnowing replayed VALUE-exact: the same md5-hex-prefix hashes,
+    // window minima as a lateral-window min (lexicographic VARCHAR min ≡
+    // Spark's array_min on fixed-width hex), the same hot-bucket cap.
+    "q_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |h AS (SELECT doc_id, i,
+        |    substring(md5(array_to_string(tk[i:i+4], ' ') || '|wn'), 1, 15)
+        |      AS hh
+        |  FROM t, unnest(generate_series(1, len(tk) - 4)) AS u(i)),
+        |hn AS (SELECT doc_id, count(*) AS nh FROM h GROUP BY 1),
+        |wj AS (SELECT hn.doc_id, u.j FROM hn,
+        |       unnest(generate_series(1, greatest(hn.nh - 3, 1))) AS u(j)),
+        |win AS (SELECT wj.doc_id, wj.j, min(h.hh) AS fp
+        |        FROM wj JOIN h ON h.doc_id = wj.doc_id
+        |          AND h.i BETWEEN wj.j AND wj.j + 3
+        |        GROUP BY 1, 2),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM win),
+        |cap AS (SELECT doc_id, fp FROM fps
+        |        QUALIFY count(*) OVER (PARTITION BY fp) <= 1000)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // Incremental span removal: the batch side replayed on string
     // shingles; the corpus contributes only its distinct-doc counts
     // (the index's content), combined with the batch's own.

@@ -498,6 +498,77 @@ object Dedup {
     cutSpans(toks, starts.join(dup, "__sh"), idCol, k)
   }
 
+  /** Winnowing fingerprints (X95, Schleimer et al. 2003 — the MOSS
+    * algorithm): per document, the k-shingle hash sequence is scanned
+    * with a sliding window of `w` consecutive hashes and each window's
+    * MINIMUM is selected — the selected (distinct) hashes are the
+    * document's fingerprints, ~2/(w+1) of its shingles in expectation.
+    * The winnowing guarantee: any two documents sharing a run of
+    * ≥ w+k−1 consecutive tokens share at least one fingerprint — so the
+    * fingerprint set is a dup DETECTOR like the full shingle set at a
+    * fraction of its index size, the standard lighter-weight alternative
+    * to MinHash when position-anchored matches (plagiarism spans, exact
+    * crawl overlap) are the target.
+    *
+    * Shape: ONE narrow projection builds the ordered hash array and its
+    * window minima per document (codegen'd array ops; O(tokens × w) per
+    * doc — the O(n) deque scan is not expressible as a narrow array op,
+    * and w is a small constant), one explode of the ~n/w selected
+    * hashes, one distinct. Hashes are the PORTABLE md5-hex-prefix form
+    * ([[minhashSignaturesPortable]]'s convention): fixed-width lowercase
+    * hex minima order lexicographically ≡ numerically in any engine, so
+    * the SELECTION (not just equality) replays in the oracle.
+    *
+    * Documents with fewer than `w` windows winnow their whole (short)
+    * hash sequence as one window; docs shorter than `k` tokens yield no
+    * fingerprints.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, "winnowFingerprints: k must be >= 1")
+    require(w >= 1, "winnowFingerprints: w must be >= 1")
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), expr(
+        s"""IF(size(__toks) >= $k,
+           |   transform(sequence(1, size(__toks) - ${k - 1}),
+           |     p -> substring(md5(concat(
+           |       array_join(slice(__toks, p, $k), ' '),
+           |       '|wn')), 1, 15)),
+           |   CAST(array() AS ARRAY<STRING>))""".stripMargin).as("__h"))
+      .select(col(idCol), explode(expr(
+        s"""IF(size(__h) = 0, CAST(array() AS ARRAY<STRING>),
+           |  array_distinct(transform(
+           |    sequence(1, greatest(size(__h) - ${w - 1}, 1)),
+           |    j -> array_min(slice(__h, j, $w)))))""".stripMargin))
+        .as("fp"))
+  }
+
+  /** Candidate pairs from shared winnowing fingerprints: one
+    * fingerprint-keyed self-join (d1 < d2) counting shared fingerprints
+    * per pair — Σ|bucket|² like every generator here, with the same
+    * value-checked `maxBucket` hot-bucket cap (a corpus-wide boilerplate
+    * fingerprint would otherwise expand |bucket|²/2 pairs in one task)
+    * and the [[bandedPairs]] `shuffle_hash` hint so the fingerprint
+    * pipeline is computed ONCE behind a reused exchange, not once per
+    * join side. Index size is the winnowed ~2/(w+1) fraction —
+    * the reason to winnow instead of bucketing full shingle sets.
+    */
+  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("__bn") <= maxBucket)
+      .select(col(idCol), col("fp"))
+      .hint("shuffle_hash")
+    fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp")
+          && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   private def spanToks(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("__toks"))

@@ -414,6 +414,32 @@ class DedupSpec extends SparkSpec {
     assert(inc(1)._4 === "q" && inc(2)._4 === "r")
   }
 
+  test("winnowing: guarantee, compression, short docs, pair detection") {
+    // docs 1 and 2 share a run of 10 tokens >= w+k-1 = 8 → MUST pair
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val d = Seq(
+      (1L, s"a b c $shared d e"),
+      (2L, s"x y $shared z w v"),
+      (3L, "p q r s t u m n o k l j"), // no overlap
+      (4L, "t1 t2 t3") // shorter than k → no fingerprints
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text", k = 5, w = 4)
+    val byDoc = fps.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byDoc.contains(4L)) // < k tokens → nothing
+    // compression: selected fingerprints are a strict subset of shingles
+    val nSh1 = 15 - 5 + 1 // doc 1: 15 tokens → 11 shingles
+    assert(byDoc(1L) < nSh1 && byDoc(1L) >= nSh1 / 4)
+    val pairs = Dedup.winnowCandidates(d, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // the winnowing guarantee
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // determinism
+    val again = Dedup.winnowCandidates(d, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === pairs)
+  }
+
   test("removeDuplicateSpans: docs shorter than k and minDocs gate") {
     val d = Seq(
       (1L, "a b"),        // shorter than k — no shingles, untouched
