@@ -2143,6 +2143,12 @@ object SparkEntry {
       Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id",
         "text", k = 8, minDocs = 2)),
 
+    // ---- vocabulary-coverage audit: token-occurrence OOV rate per
+    //      source under the corpus's top-20 word vocabulary ----
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextStats.vocabularyCoverage(Tables.documents(s, dir), "text",
+        "source", topV = 20)),
+
     // ---- winnowing fingerprints (MOSS): per-window hash minima as a
     //      ~2/(w+1)-sized dup index with the w+k−1 shared-run guarantee;
     //      pairs from shared fingerprints, hot buckets capped ----
@@ -4392,6 +4398,23 @@ object SparkEntry {
         |    '') AS text_clean
         |FROM kj LEFT JOIN spans ON kj.doc_id = spans.doc_id
         |GROUP BY 1""".stripMargin,
+    // OOV per source under the deterministic top-V cut (ties at the
+    // boundary break on the word in both engines).
+    "q_vocab_coverage" ->
+      """WITH wrd AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |       FROM documents),
+        |gw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM wrd
+        |       WHERE length(w) > 0 GROUP BY 1, 2),
+        |voc AS (SELECT w FROM (
+        |    SELECT w, sum(n) AS t FROM gw GROUP BY 1
+        |    ORDER BY t DESC, w LIMIT 20)),
+        |j AS (SELECT gw.source, gw.n, voc.w IS NOT NULL AS inv
+        |      FROM gw LEFT JOIN voc ON gw.w = voc.w)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN NOT inv THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN NOT inv THEN n ELSE 0 END) AS DOUBLE)
+        |    / sum(n), 6) AS oov_rate
+        |FROM j GROUP BY 1""".stripMargin,
     // Winnowing replayed VALUE-exact: the same md5-hex-prefix hashes,
     // window minima as a lateral-window min (lexicographic VARCHAR min ≡
     // Spark's array_min on fixed-width hex), the same hot-bucket cap.

@@ -597,6 +597,38 @@ object TextStats {
     * [[divergenceTopK]] is its drill-down. Same two-scan vocab-sized
     * shape, ending in one scalar aggregation.
     */
+  /** Vocabulary-coverage / OOV audit (X96): fix the vocabulary at the
+    * corpus's top-`topV` words and report, per group (source, lang, …),
+    * the fraction of token OCCURRENCES falling outside it — the
+    * coverage number a tokenizer/vocab choice is sanity-checked against
+    * per source before training (a domain with a high OOV rate under
+    * the shared vocab is about to be tokenized into fragments).
+    *
+    * Shape: ONE corpus explode collapses to (group, word) counts —
+    * everything after runs on that vocab-type-sized frame: the top-V
+    * cut re-aggregates it per word (the (group, word) exchange is
+    * reused across the two consumers, so the corpus is scanned once)
+    * and broadcasts V rows back; ties at the V boundary break on the
+    * word, so the cut is deterministic in any engine.
+    */
+  def vocabularyCoverage(df: DataFrame, textCol: String,
+      groupCol: String, topV: Int): DataFrame = {
+    require(topV >= 1, "vocabularyCoverage: topV must be >= 1")
+    val gw = df
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("__n"))
+    val vocab = gw.groupBy(col("w")).agg(sum(col("__n")).as("__t"))
+      .orderBy(col("__t").desc, col("w")).limit(topV)
+      .select(col("w"), lit(1L).as("__in"))
+    gw.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("__n")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   def corpusDivergence(dfA: DataFrame, dfB: DataFrame,
       textCol: String): DataFrame =
     divergenceTerms(dfA, dfB, textCol)

@@ -739,6 +739,25 @@ class SimilaritySpec extends SparkSpec {
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("vocabularyCoverage: per-group OOV under the deterministic top-V cut") {
+    val docs = Seq(
+      ("A", "x x y"), ("B", "x z")).toDF("source", "text")
+    // counts: x=3, y=1, z=1; top-2 by (count desc, word asc) = {x, y}
+    val r = TextStats.vocabularyCoverage(docs, "text", "source", topV = 2)
+      .collect().map(x => x.getString(0) ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_oov"),
+          x.getAs[Double]("oov_rate")))).toMap
+    assert(r("A") === ((3L, 0L, 0.0)))
+    assert(r("B") === ((2L, 1L, 0.5))) // z is OOV
+    // V >= #types → zero OOV everywhere
+    val all = TextStats.vocabularyCoverage(docs, "text", "source", topV = 10)
+      .collect()
+    assert(all.forall(_.getAs[Long]("n_oov") === 0L))
+    intercept[IllegalArgumentException] {
+      TextStats.vocabularyCoverage(docs, "text", "source", topV = 0)
+    }
+  }
+
   test("tokenVocab: global counts, deterministic tie-break, driver-merged top-k plan") {
     val docs = Seq(
       (1L, "a b a"), (2L, "b c"), (3L, "a"), (4L, "d c")).toDF("doc_id", "text")
