@@ -232,6 +232,62 @@ object GraftProperties extends Properties("graft") {
         idxOk && countOk && rebuilt == toks
     }
 
+  property("removeDuplicateSpans ≡ an independent brute-force reference") =
+    forAll(Gen.listOfN(4, Gen.listOfN(18, Gen.choose(0, 5))),
+      Gen.choose(2, 4)) { (docsRaw, k) =>
+      import graft.ext.Dedup
+      import spark.implicits._
+      // small alphabet forces real cross-doc shingle collisions
+      val docs = docsRaw.zipWithIndex.map { case (ts, i) =>
+        ((i + 1).toLong, ts.map(t => s"w$t").mkString(" "))
+      }
+      // independent reference: flag positions covered by any k-window
+      // whose token string occurs in >= 2 distinct docs
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val shingleDocs = toks.toSeq.flatMap { case (id, ts) =>
+        ts.sliding(k).filter(_.length == k).map(s => (s.mkString(" "), id))
+      }.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val refCovered: Map[Long, Set[Int]] = toks.map { case (id, ts) =>
+        id -> ts.sliding(k).zipWithIndex
+          .filter(_._1.length == k)
+          .filter { case (s, _) => shingleDocs(s.mkString(" ")).size >= 2 }
+          .flatMap { case (_, p) => p until p + k }
+          .toSet
+      }
+      val got = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k = k, minDocs = 2)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("text_clean")))).toMap
+      docs.forall { case (id, _) =>
+        val (nt, nr, clean) = got(id)
+        val ts = toks(id)
+        val refClean = ts.zipWithIndex
+          .filterNot { case (_, i) => refCovered(id)(i) }
+          .map(_._1).mkString(" ")
+        nt == ts.length.toLong && nr == refCovered(id).size.toLong &&
+          clean == refClean
+      }
+    }
+
+  property("winnowing guarantee: a planted shared run of w+k-1 tokens always pairs") =
+    forAll(Gen.choose(2, 4), Gen.choose(2, 4), Gen.choose(0, 8),
+      Gen.choose(0, 8), Gen.choose(0, 3)) { (k, w, off1, off2, extra) =>
+      import graft.ext.Dedup
+      import spark.implicits._
+      val runLen = w + k - 1 + extra
+      val shared = (0 until runLen).map(i => s"s$i")
+      // unique fillers per doc so ONLY the planted run is shared
+      def doc(tag: String, off: Int) =
+        ((0 until off).map(i => s"$tag$i") ++ shared ++
+          (0 until 3).map(i => s"${tag}t$i")).mkString(" ")
+      val d = Seq((1L, doc("a", off1)), (2L, doc("b", off2)))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.winnowCandidates(d, "doc_id", "text", k = k, w = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs.contains((1L, 2L))
+    }
+
   property("skipScan equals the full filter on any layout and range") =
     forAll(skipCases) { case (vals, nFiles, lo, hi) =>
       import graft.sources.Layout
