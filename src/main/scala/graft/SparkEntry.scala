@@ -2143,6 +2143,26 @@ object SparkEntry {
       Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id",
         "text", k = 8, minDocs = 2)),
 
+    // ---- count-min heavy hitters: every distinct token's sketch
+    //      estimate (d=2, w=16 — collisions forced on this 31-type
+    //      corpus) vs its true count; the one-sided CM guarantee
+    //      (est >= true, ALWAYS) is a value-checked output column ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (d, w) = (2, 16)
+      val sketch = TextStats.cmSketch(docs, "text", d, w)
+      val truth = docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+      TextStats.cmEstimate(sketch, truth.select(col("token")), "token",
+          d, w)
+        .join(truth, Seq("token"))
+        .select(col("token"), col("true_cnt"), col("est"),
+          (col("est") >= col("true_cnt")).as("est_ge_true"),
+          (col("est") - col("true_cnt")).as("overestimate"))
+    }),
+
     // ---- vocabulary-coverage audit: token-occurrence OOV rate per
     //      source under the corpus's top-20 word vocabulary ----
     "q_vocab_coverage" -> ((s, dir) =>
@@ -4398,6 +4418,31 @@ object SparkEntry {
         |    '') AS text_clean
         |FROM kj LEFT JOIN spans ON kj.doc_id = spans.doc_id
         |GROUP BY 1""".stripMargin,
+    // Count-min replay: identical portable-hash buckets, identical d×w
+    // cell counts, min-of-rows estimate — sketch CONTENT and guarantee
+    // both value-checked.
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |       FROM documents),
+        |tc AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt FROM tok
+        |       WHERE length(w) > 0 GROUP BY 1),
+        |sk AS (SELECT u.r,
+        |    ('0x' || substring(md5(w || '|cm' || u.r), 1, 15))::BIGINT % 16
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok, unnest(generate_series(0, 1)) AS u(r)
+        |  WHERE length(w) > 0 GROUP BY 1, 2),
+        |cb AS (SELECT tc.w, u.r,
+        |    ('0x' || substring(md5(tc.w || '|cm' || u.r), 1, 15))::BIGINT % 16
+        |      AS bucket
+        |  FROM tc, unnest(generate_series(0, 1)) AS u(r)),
+        |est AS (SELECT cb.w, min(coalesce(sk.cnt, 0)) AS est
+        |  FROM cb LEFT JOIN sk ON sk.r = cb.r AND sk.bucket = cb.bucket
+        |  GROUP BY 1)
+        |SELECT tc.w AS token, true_cnt, est,
+        |  est >= true_cnt AS est_ge_true,
+        |  est - true_cnt AS overestimate
+        |FROM tc JOIN est ON tc.w = est.w""".stripMargin,
     // OOV per source under the deterministic top-V cut (ties at the
     // boundary break on the word in both engines).
     "q_vocab_coverage" ->

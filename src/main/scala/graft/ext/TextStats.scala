@@ -629,6 +629,51 @@ object TextStats {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Count-min sketch over token occurrences (X97, Cormode &
+    * Muthukrishnan 2005): `d` independent hash rows × `w` counter
+    * buckets — the CONSTANT-SIZE frequency structure (d×w rows
+    * regardless of corpus size, vs the unbounded (token, count) table)
+    * that heavy-hitter tracking keeps resident at 100 TB or in a
+    * stream. One corpus explode fans each token occurrence into its d
+    * (row, bucket) cells; ONE map-side-combinable aggregation collapses
+    * to ≤ d×w rows per task before the shuffle. Buckets come from the
+    * engine-portable [[PortableHash.hash60]], so sketch CONTENTS (not
+    * just estimates) replay bit-identically in the oracle. Sketches are
+    * mergeable by cellwise addition (spec-pinned).
+    */
+  def cmSketch(df: DataFrame, textCol: String, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    require(d >= 1, "cmSketch: d must be >= 1")
+    require(w >= 1, "cmSketch: w must be >= 1")
+    df.select(explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .select(posexplode(array((0 until d).map(r =>
+        pmod(PortableHash.hash60(concat(col("__w"), lit(s"|cm$r"))),
+          lit(w.toLong))): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[cmSketch]]: each candidate token's count
+    * estimate is the MINIMUM of its d bucket counters — never below the
+    * true count (every occurrence landed in all d of its cells; the
+    * one-sided CM guarantee), above it only by bucket collisions. The
+    * candidate side explodes into d (row, bucket) probes and joins the
+    * d×w sketch — broadcast-sized by construction.
+    */
+  def cmEstimate(sketch: DataFrame, candidates: DataFrame,
+      tokenCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 1, "cmEstimate: d and w must be >= 1")
+    candidates
+      .select(col(tokenCol), posexplode(array((0 until d).map(r =>
+        pmod(PortableHash.hash60(concat(col(tokenCol), lit(s"|cm$r"))),
+          lit(w.toLong))): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col(tokenCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   def corpusDivergence(dfA: DataFrame, dfB: DataFrame,
       textCol: String): DataFrame =
     divergenceTerms(dfA, dfB, textCol)

@@ -758,6 +758,39 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch: one-sided guarantee, exactness, mergeability") {
+    val a = Seq((1L, "x x x y z"), (2L, "y z w v u t")).toDF("doc_id", "text")
+    val b = Seq((3L, "x q p o n m l k")).toDF("doc_id", "text")
+    def est(docs: org.apache.spark.sql.DataFrame, d: Int, w: Int) = {
+      val sk = TextStats.cmSketch(docs, "text", d, w)
+      val truth = docs.select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").count()
+      TextStats.cmEstimate(sk, truth.select(col("t")), "t", d, w)
+        .join(truth, Seq("t")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("est"), r.getAs[Long]("count")))).toMap
+    }
+    // tiny w forces collisions; the estimate must NEVER undercount
+    val tight = est(a.union(b), d = 2, w = 4)
+    assert(tight.values.forall { case (e, t) => e >= t })
+    assert(tight("x")._1 >= 4L) // 4 occurrences across both frames
+    // w comfortably above #types → exact for every token
+    val exact = est(a.union(b), d = 2, w = 512)
+    assert(exact.values.forall { case (e, t) => e === t })
+    // mergeability: sketch(a ∪ b) = cellwise sum of the two sketches
+    def cells(docs: org.apache.spark.sql.DataFrame) =
+      TextStats.cmSketch(docs, "text", 2, 4).collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("bucket")) ->
+          r.getAs[Long]("cnt")).toMap
+    val merged = (cells(a).keySet ++ cells(b).keySet).map { k =>
+      k -> (cells(a).getOrElse(k, 0L) + cells(b).getOrElse(k, 0L))
+    }.toMap
+    assert(cells(a.union(b)) === merged)
+    intercept[IllegalArgumentException] {
+      TextStats.cmSketch(a, "text", d = 0, w = 4)
+    }
+  }
+
   test("tokenVocab: global counts, deterministic tie-break, driver-merged top-k plan") {
     val docs = Seq(
       (1L, "a b a"), (2L, "b c"), (3L, "a"), (4L, "d c")).toDF("doc_id", "text")
