@@ -109,7 +109,9 @@ object Posture {
         Dedup.simhashCandidates(
           Dedup.simhashPortable(d, "doc_id", "text"), "doc_id", maxDist = 3)),
       "ngram_jaccard" -> (d =>
-        Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 8)))
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 8)),
+      "winnow" -> (d =>
+        Dedup.winnowCandidates(d, "doc_id", "text", k = 5, w = 4)))
 
     // one warmup pass (JIT + codegen + parquet footers), then measured
     val corpora = paths.map { case (lbl, p) => lbl -> spark.read.parquet(p) }

@@ -2276,6 +2276,29 @@ object SparkEntry {
       Dedup.minhashCandidatesPortable(Tables.documents(s, dir), "doc_id",
         "text", k = 8, nPerms = 16, rowsPerBand = 2)),
 
+    // ---- split-leakage audit: near-dup candidate pairs rolled up by
+    //      the (split, split) cell of their endpoints — a cross-split
+    //      cell is train→eval contamination the split draw cannot see
+    //      (it hashes ids, near-dups have different ids) ----
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val splits = Curate.assignSplits(docs.select(col("doc_id")),
+          "doc_id", "v1",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select(col("doc_id"), col("split"))
+      Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+          k = 8, nPerms = 16, rowsPerBand = 2)
+        .join(splits.select(col("doc_id").as("d1"),
+          col("split").as("__s1")), Seq("d1"))
+        .join(splits.select(col("doc_id").as("d2"),
+          col("split").as("__s2")), Seq("d2"))
+        .select(least(col("__s1"), col("__s2")).as("split_a"),
+          greatest(col("__s1"), col("__s2")).as("split_b"))
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_split", col("split_a") =!= col("split_b"))
+    }),
+
     // ---- incremental ingest dedup: a new batch (doc_id % 4 = 0) LSH-
     //      banded against itself and the existing corpus; old-old pairs
     //      never enumerated ----
@@ -3819,6 +3842,34 @@ object SparkEntry {
          |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_bands
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    // Leakage rollup off the SAME signature CTEs and the SAME split
+    // draw as q_split_assign — neither input can drift from its
+    // standalone query.
+    "q_split_leakage" ->
+      s"""WITH $MinhashSigCtes,
+         |bands AS (SELECT doc_id, p // 2 AS band, string_agg(v, '|' ORDER BY p) AS key
+         |          FROM hp GROUP BY 1, 2
+         |          QUALIFY count(*) OVER (PARTITION BY band, key) <= 1000),
+         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |        FROM bands a JOIN bands b
+         |          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN u < 0.75 THEN 'train'
+         |         WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substring(md5(doc_id::VARCHAR || '|v1'), 1, 15))::BIGINT
+         |        / 1152921504606846976.0 AS u
+         |    FROM documents))
+         |SELECT least(s1.split, s2.split) AS split_a,
+         |  greatest(s1.split, s2.split) AS split_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  least(s1.split, s2.split) <> greatest(s1.split, s2.split)
+         |    AS cross_split
+         |FROM prs
+         |  JOIN sp s1 ON prs.d1 = s1.doc_id
+         |  JOIN sp s2 ON prs.d2 = s2.doc_id
          |GROUP BY 1, 2""".stripMargin,
     // The ingestion split replayed off the SAME signature CTEs as
     // q_minhash_candidates; the hot-bucket QUALIFY caps apply per side
