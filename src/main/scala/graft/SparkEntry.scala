@@ -1737,6 +1737,18 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 8)),
 
+    // ---- asymmetric containment (Broder): shared/n per SIDE — jaccard
+    //      misses a short doc quoted whole inside a long one (small
+    //      union ratio, containment 1.0); zero cost beyond the pair
+    //      frame the jaccard query already builds ----
+    "q_containment_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 8)
+        .select(col("d1"), col("d2"), col("shared"), col("n1"), col("n2"),
+          round(col("shared") / col("n1"), 6).as("containment_1"),
+          round(col("shared") / col("n2"), 6).as("containment_2"),
+          (col("shared") === least(col("n1"), col("n2")))
+            .as("full_containment"))),
+
     // ---- LSH parameter audit: minhash-estimated jaccard vs the exact
     //      jaccard, per candidate pair ----
     "q_minhash_estimate" -> ((s, dir) =>
@@ -3729,6 +3741,15 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_dups
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_ngram_jaccard" -> NgramJaccardSql,
+    // Containment off the SAME pair CTE chain — a quoted-whole short doc
+    // reads 1.0 on its side regardless of the long side's size.
+    "q_containment_pairs" ->
+      s"""WITH jp AS ($NgramJaccardSql)
+        |SELECT d1, d2, shared, n1, n2,
+        |  round(shared / n1, 6) AS containment_1,
+        |  round(shared / n2, 6) AS containment_2,
+        |  shared = least(n1, n2) AS full_containment
+        |FROM jp""".stripMargin,
     // Exact pairs joined twice to the replayed signature minima; the
     // estimate is agreeing-perms / 16 (exact in binary, so round-stable).
     "q_minhash_estimate" ->
