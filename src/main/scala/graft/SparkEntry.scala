@@ -1132,6 +1132,17 @@ object SparkEntry {
     "q_iqr_anomaly" -> ((s, dir) =>
       Anomaly.rollup(Tables.events(s, dir), "value", "event_type")),
 
+    // ---- seasonal baseline + residual anomaly: each value judged
+    //      against ITS HOUR-OF-DAY's per-key mean/std — the deviation
+    //      detector the diurnal signal needs (a 14:00 peak is normal at
+    //      14:00; the global-IQR family would flag it) ----
+    "q_seasonal_profile" -> ((s, dir) =>
+      Anomaly.seasonalProfile(Tables.events(s, dir), "ts", "event_type",
+        "value")),
+    "q_seasonal_anomaly" -> ((s, dir) =>
+      Anomaly.seasonalRollup(Tables.events(s, dir), "ts", "event_type",
+        "value", z = 3.0)),
+
     // ---- ML3/P5/P6/P7: row-level threshold alerts ----
     "q_alerts" -> ((s, dir) =>
       Alerts.extract(Tables.events(s, dir), "value", EventThresholds)
@@ -3076,6 +3087,26 @@ object SparkEntry {
         |  round(min(lo), 6) AS lo_bound,
         |  round(max(hi), 6) AS hi_bound
         |FROM events, b GROUP BY 1""".stripMargin,
+    // Per-(key, hour) baseline; mean/std round to 6 BEFORE the residual
+    // and the z-comparison, so both engines compare identical doubles.
+    "q_seasonal_profile" ->
+      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(value), 6) AS seasonal_mean,
+        |  round(stddev_samp(value), 6) AS seasonal_std
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_seasonal_anomaly" ->
+      """WITH p AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS h,
+        |    round(avg(value), 6) AS m, round(stddev_samp(value), 6) AS s
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT e.event_type, e.value, p.m, p.s FROM events e
+        |  JOIN p ON e.event_type = p.event_type
+        |    AND CAST(hour(e.ts) AS INTEGER) = p.h)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN abs(value - m) > 3.0 * s THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies,
+        |  round(max(abs(round(value - m, 6))), 6) AS max_abs_residual
+        |FROM j GROUP BY 1""".stripMargin,
     "q_alerts" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
         |  CASE WHEN value > 200 THEN 'high_value' ELSE 'low_value' END AS alert_type,

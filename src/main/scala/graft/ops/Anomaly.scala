@@ -41,4 +41,51 @@ object Anomaly {
         sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
         round(min(col("lo")), 6).as("lo_bound"),
         round(max(col("hi")), 6).as("hi_bound"))
+
+  /** Seasonal (hour-of-day) baseline per key: mean / sample-stddev /
+    * count of `valCol` in each of the key's 24 hour cells — the profile
+    * the reference's diurnal signal (app.py:84-90's `8·sin((h−6)π/12)`)
+    * makes necessary: against a GLOBAL distribution (the [[iqrBounds]]
+    * family) the 14:00 peak always reads hot and the 02:00 trough always
+    * reads cold; deviation must be judged against the hour's own
+    * baseline. One aggregation; output is #keys × ≤24 rows.
+    */
+  def seasonalProfile(df: DataFrame, tsCol: String, keyCol: String,
+      valCol: String): DataFrame =
+    df.groupBy(col(keyCol), hour(col(tsCol)).as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col(valCol)), 6).as("seasonal_mean"),
+        round(stddev_samp(col(valCol)), 6).as("seasonal_std"))
+
+  /** Residual anomalies against a [[seasonalProfile]]: a row is
+    * seasonally anomalous when it sits more than `z` profile
+    * standard deviations from ITS HOUR's mean. The profile joins back
+    * on (key, hour) — #keys × 24 rows, the scalar-context rule's
+    * grouped form: the fact table is never shuffled, the planner
+    * broadcasts the profile side. Cells with a degenerate profile
+    * (n < 2 → NULL stddev, or zero stddev) flag nothing — comparisons
+    * with NULL are not anomalies, matching the oracle's SQL semantics.
+    */
+  def seasonalResiduals(df: DataFrame, tsCol: String, keyCol: String,
+      valCol: String, profile: DataFrame, z: Double = 3.0): DataFrame =
+    df.withColumn("hour_of_day", hour(col(tsCol)))
+      .join(broadcast(profile), Seq(keyCol, "hour_of_day"))
+      .withColumn("residual",
+        round(col(valCol) - col("seasonal_mean"), 6))
+      .withColumn("is_seasonal_anomaly",
+        coalesce(abs(col(valCol) - col("seasonal_mean")) >
+          lit(z) * col("seasonal_std"), lit(false)))
+
+  /** Per-key tally of [[seasonalResiduals]] — the dashboard row. */
+  def seasonalRollup(df: DataFrame, tsCol: String, keyCol: String,
+      valCol: String, z: Double = 3.0): DataFrame =
+    seasonalResiduals(df, tsCol, keyCol, valCol,
+        seasonalProfile(df, tsCol, keyCol, valCol), z)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("is_seasonal_anomaly"), 1L).otherwise(0L))
+          .as("n_anomalies"),
+        round(max(abs(col("residual"))), 6).as("max_abs_residual"))
 }

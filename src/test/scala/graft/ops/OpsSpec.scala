@@ -75,6 +75,37 @@ class AnomalySpec extends SparkSpec {
     val flagged = Anomaly.flag(df, "v", Anomaly.iqrBounds(df, "v"))
     assert(flagged.filter(col("is_anomaly")).count() === 2)
   }
+
+  test("seasonal residuals judge each value against ITS hour's baseline") {
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 14 runs hot (≈100), hour 2 runs cold (≈10); a 100 at 02:00
+    // is a seasonal anomaly even though 100 is NORMAL globally at 14:00
+    val rows =
+      (0 until 20).map(i => ("k", ts(14, i), 100.0 + (i % 3) - 1)) ++
+      (0 until 20).map(i => ("k", ts(2, i), 10.0 + (i % 3) - 1)) :+
+      (("k", ts(2, 30), 100.0))
+    val df = rows.toDF("key", "t", "v")
+    val prof = Anomaly.seasonalProfile(df, "t", "key", "v")
+    val p = prof.collect().map(r => r.getAs[Int]("hour_of_day") ->
+      r.getAs[Double]("seasonal_mean")).toMap
+    assert(p(14) === 99.95 && p(2) > 10.0 && p(2) < 16.0)
+    val res = Anomaly.seasonalResiduals(df, "t", "key", "v", prof, z = 3.0)
+      .filter(col("is_seasonal_anomaly")).collect()
+    assert(res.length === 1 && res.head.getAs[Double]("v") === 100.0
+      && res.head.getAs[Int]("hour_of_day") === 2)
+    // the global IQR family would NOT have flagged the planted value
+    val iqr = Anomaly.flag(df, "v", Anomaly.iqrBounds(df, "v"))
+      .filter(col("is_anomaly") && col("v") === 100.0).count()
+    assert(iqr === 0L)
+    // a single-row hour has a NULL stddev → never flags
+    val lone = Seq(("k", ts(5, 0), 999.0)).toDF("key", "t", "v")
+    val all = df.union(lone)
+    val res2 = Anomaly.seasonalResiduals(all, "t", "key", "v",
+      Anomaly.seasonalProfile(all, "t", "key", "v"), z = 3.0)
+    assert(res2.filter(col("hour_of_day") === 5)
+      .filter(col("is_seasonal_anomaly")).count() === 0L)
+  }
 }
 
 class AlertsSpec extends SparkSpec {
