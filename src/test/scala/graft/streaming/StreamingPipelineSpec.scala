@@ -89,6 +89,45 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seasonal scoring streams against a frozen profile: per-batch flags equal the batch run") {
+    // the freeze-then-score recipe at the anomaly layer: the hour-of-day
+    // profile is a static frame (refreshed offline), and each micro-batch
+    // resolves its rows through the stream-static broadcast join — same
+    // flags as scoring the batch corpus later
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Anomaly
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val hist = ((0 until 12).map(i => ("k", ts(14, i), 100.0 + i % 3)) ++
+      (0 until 12).map(i => ("k", ts(2, i), 10.0 + i % 3)))
+      .toDF("key", "t", "v")
+    val profile = Anomaly.seasonalProfile(hist, "t", "key", "v")
+    val live = Seq(("k", ts(2, 40), 100.0), ("k", ts(14, 40), 100.5),
+      ("k", ts(2, 45), 10.5))
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = Anomaly.seasonalResiduals(
+        mem.toDF().toDF("key", "t", "v"), "t", "key", "v", profile,
+        z = 3.0)
+      .select(col("key"), col("t"), col("v"), col("is_seasonal_anomaly"))
+      .writeStream.format("memory").queryName("seasonal_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(live: _*)
+      q.processAllAvailable()
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+          .sortBy(_._1).toSeq
+      val got = canon(spark.table("seasonal_stream"))
+      val want = canon(Anomaly.seasonalResiduals(
+        live.toDF("key", "t", "v"), "t", "key", "v", profile, z = 3.0)
+        .select(col("key"), col("t"), col("v"),
+          col("is_seasonal_anomaly")))
+      assert(got === want)
+      // the off-hour excursion flags; the in-hour twin value does not
+      assert(got === Seq((10.5, false), (100.0, true), (100.5, false)))
+    } finally q.stop()
+  }
+
   test("classifier scoring is stateless and streams: frozen-weight scores equal the batch run") {
     // the distilled quality filter's serving pass is a narrow projection
     // with literal weights (no state, no corpus statistic at serve
