@@ -986,8 +986,11 @@ object Posture {
       def factOf(lbl: String, d: DataFrame): DataFrame = {
         val p = s"$scratch/skew_fact_$lbl"
         d.select(
+          // non-hot keys derive from user_id >> 1 so the odd half of
+          // ids covers ALL 1000 residues (user_id % 1000 over odd ids
+          // would only hit the ~500 odd ones)
           when(pmod(col("user_id"), lit(2)) === 0, 0L)
-            .otherwise(pmod(col("user_id"), lit(1000))).as("k"),
+            .otherwise(pmod(shiftright(col("user_id"), 1), lit(1000))).as("k"),
           col("value"))
           .write.mode("overwrite").parquet(p)
         spark.read.parquet(p)

@@ -142,7 +142,12 @@ object StatePosture {
         Stateful.ewmaAnomaliesTws(m.toDS()).toDF()
       }))
     val providers = Seq(
-      ("heap", Map.empty[String, String]),
+      // pin the heap provider explicitly — Map.empty would inherit
+      // whatever providerClass the session carries, so a caller built
+      // with the production RocksDB conf would silently re-measure
+      // RocksDB under the "heap" label and void the comparison
+      ("heap", Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")),
       // write buffer capped at 1 MB FOR THE MEASUREMENT so the fixture's
       // state sizes (up to ~60 MB at 100x) actually cross the
       // memtable→SST flush boundary and the disk tier shows up in

@@ -223,6 +223,6 @@ object Mixture {
         coalesce(col("__bin") > col("marginal_bin") ||
           (col("__bin") === col("marginal_bin") &&
             col("__margBefore") < col("rem_tokens")), lit(false)))
-      .drop("__margBefore")
+      .drop("__margBefore", "__bin")
   }
 }

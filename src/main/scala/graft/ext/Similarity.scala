@@ -1124,8 +1124,10 @@ object Similarity {
     * #centroids (same plan, zero pruning), so approx and exact share
     * one tie-break order and recall 1.0 is reachable by construction
     * (probed-bucket supersets are monotone — pinned by the sweep's
-    * `monotone_all`). Cost: one pruned scan per candidate nProbe,
-    * ascending with early exit, plus the one full scan — tuning is a
+    * `monotone_all`). Cost: O(log nCentroids) pruned scans (geometric
+    * doubling to bracket, then bisection — monotonicity makes the
+    * bisection answer identical to a linear ascent's minimal n), plus
+    * the one full scan — tuning is a
     * deploy-time calibration over a BOUNDED query sample (its cost is
     * amortized over the serving lifetime; at 100 TB run it on the same
     * query log sample you'd use for any index calibration, not per
@@ -1144,18 +1146,36 @@ object Similarity {
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val exact = topIds(nCent)
-    var n = 1
-    var recall = 0.0
-    var done = false
-    while (!done) {
+    def recallAt(n: Int): Double = {
       val got = topIds(n)
-      recall = queries.map { case (qid, _) =>
+      queries.map { case (qid, _) =>
         got.getOrElse(qid, Set.empty[Long])
           .intersect(exact.getOrElse(qid, Set.empty[Long])).size.toDouble / k
       }.sum / queries.length
-      if (recall >= targetRecall || n >= nCent) done = true else n += 1
     }
-    (n, recall)
+    // recall is monotone in nProbe (probed-bucket supersets — the
+    // sweep's monotone_all pin), so: double until the target is met,
+    // then bisect the bracketing interval — O(log nCentroids) pruned
+    // scans instead of one per candidate nProbe
+    var hi = 1
+    var hiRecall = recallAt(hi)
+    while (hiRecall < targetRecall && hi < nCent) {
+      hi = math.min(hi * 2, nCent)
+      hiRecall = recallAt(hi)
+    }
+    if (hiRecall < targetRecall) (nCent, hiRecall) // unreachable target < 1.0 guard
+    else {
+      var lo = hi / 2 // recallAt(lo) < target (or lo == 0 when hi == 1)
+      var best = hi
+      var bestRecall = hiRecall
+      while (hi - lo > 1) {
+        val mid = lo + (hi - lo) / 2
+        val r = recallAt(mid)
+        if (r >= targetRecall) { hi = mid; best = mid; bestRecall = r }
+        else lo = mid
+      }
+      (best, bestRecall)
+    }
   }
 
   /** One random-hyperplane component, derived from the portable md5

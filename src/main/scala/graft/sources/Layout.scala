@@ -474,16 +474,26 @@ object Layout {
     val merged =
       if (newPaths.isEmpty) kept.drop("__base")
       else {
-        val fresh = spark.read.parquet(newPaths: _*)
-        kept.drop("__base").unionByName(
-          fresh
+        // appended files are stamped with THEIR schema: hash each new
+        // file's own footer (as [[schemaGenerations]] does) rather than
+        // one batch-level spark.read over all of them, which samples a
+        // single footer — wrong the day an update batch straddles a
+        // schema change. One stats scan per generation (usually 1,
+        // briefly 2 after a column ships), never per file.
+        val byGen = newPaths
+          .map(p => schemaHash(spark.read.parquet(p).schema) -> p)
+          .groupBy(_._1).toSeq.sortBy(_._1)
+        val freshStats = byGen.map { case (hash, ps) =>
+          spark.read.parquet(ps.map(_._2): _*)
             .groupBy(input_file_name().as("file"))
             .agg(aggs.head, aggs.tail: _*)
-            // appended files are stamped with THEIR schema: a second
-            // distinct schema_hash in the sidecar is the recorded fact
-            // that the layout evolved (and which files are which
-            // generation — the [[readEvolved]] / rewrite decision input)
-            .withColumn("schema_hash", lit(schemaHash(fresh.schema))))
+            // a second distinct schema_hash in the sidecar is the
+            // recorded fact that the layout evolved (and which files
+            // are which generation — the [[readEvolved]] / rewrite
+            // decision input)
+            .withColumn("schema_hash", lit(hash))
+        }.reduce(_.unionByName(_))
+        kept.drop("__base").unionByName(freshStats)
       }
     // temp-and-swap: the merged frame READS statsPath, so it must land
     // elsewhere first; the final rename is the atomic publish step

@@ -84,6 +84,35 @@ class LayoutSpec extends SparkSpec {
       Layout.schemaHash(Seq((9L, "y")).toDF("id", "s").schema))
   }
 
+  test("updateFileStats stamps a mixed-generation batch per FILE, not per batch") {
+    import spark.implicits._
+    // the day-after-a-column-ships scenario: ONE update batch contains
+    // files of TWO schema generations — each new file must get ITS OWN
+    // footer's hash, not one nondeterministically sampled batch hash
+    val dir = Files.createTempDirectory("graft_evo_mix").toString + "/t"
+    val stats = dir + "_stats"
+    Seq((1L, 10.0)).toDF("id", "v")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    Layout.writeFileStats(spark, dir, Seq("id"), stats)
+    // both generations land BEFORE the next sidecar reconcile
+    Seq((2L, 20.0)).toDF("id", "v")
+      .repartition(1).write.mode("append").parquet(dir)
+    Seq((3L, 30.0, "c")).toDF("id", "v", "tag")
+      .repartition(1).write.mode("append").parquet(dir)
+    val (kept, added, dropped) =
+      Layout.updateFileStats(spark, dir, Seq("id"), stats)
+    assert((kept, added, dropped) === (1, 2, 0))
+    // sidecar hashes must agree file-by-file with the footer audit
+    val fromSidecar = Layout.read(spark, stats)
+      .select(element_at(split(col("file"), "/"), -1).as("f"),
+        col("schema_hash"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val fromFooters = Layout.schemaGenerations(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fromSidecar === fromFooters)
+    assert(fromSidecar.values.toSeq.distinct.length === 2) // 2 gens recorded
+  }
+
   test("z-ordered layout prunes row groups on BOTH dims; single-sort only on its own") {
     val zDir = Files.createTempDirectory("graft_z").toString + "/z"
     val sDir = Files.createTempDirectory("graft_z").toString + "/s"
