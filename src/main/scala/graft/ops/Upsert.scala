@@ -183,12 +183,20 @@ object Upsert {
   /** Standing CDC apply: each micro-batch of the change stream is merged
     * into the bucketed snapshot via [[applyPartitioned]] inside
     * `foreachBatch` — the streaming MERGE INTO pattern, with the same
-    * only-touched-buckets cost per batch. Exactly-once effect comes from
-    * idempotence, not the sink: a replayed batch (restart between
-    * foreachBatch and commit) re-applies to the same state. Out-of-order
+    * only-touched-buckets cost per batch. Exactly-once effect is
+    * layered: a batch-id fence ([[graft.streaming.TxnSink.fenced]],
+    * markers in the sibling `<snapshotPath>_txn` dir — the snapshot
+    * itself can be wholesale-overwritten by the empty-marker
+    * transition, so markers cannot live inside it) skips a replayed
+    * batch outright (restart between foreachBatch success and the
+    * checkpoint commit), and [[applyPartitioned]]'s latest-wins
+    * idempotence covers the remaining crash-MID-merge replay, where the
+    * fence correctly re-runs a half-applied batch. Out-of-order
     * delivery converges too — a stale version arriving late loses to
     * the state already written. The checkpoint dir carries source
-    * offsets; pass a durable one in production.
+    * offsets; pass a durable one in production (markers are
+    * per-checkpoint-lineage: reprocessing from a fresh checkpoint needs
+    * a fresh snapshot + marker pair).
     */
   def applyStream(changes: DataFrame, snapshotPath: String,
       keyCols: Seq[String], versionCol: String, nBuckets: Int,
@@ -198,11 +206,12 @@ object Upsert {
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyPartitioned(batch.sparkSession, snapshotPath, batch,
-          keyCols, versionCol, nBuckets, deleteCol)
-        ()
-      }
+      .foreachBatch(graft.streaming.TxnSink.fenced(s"${snapshotPath}_txn") {
+        (batch: DataFrame, _: Long) =>
+          applyPartitioned(batch.sparkSession, snapshotPath, batch,
+            keyCols, versionCol, nBuckets, deleteCol)
+          ()
+      })
       .start()
   }
 }

@@ -50,17 +50,18 @@ object Pipeline {
       .trigger(trigger)
       .start()
 
-  /** The production aggregate sink body: parquet-append each micro-batch
-    * under the non-empty guard (reference write_aggregated_data,
-    * spark_streaming.py:67). Shared by [[startAggSink]] and the replay
-    * gate [[replayWindowedAggIncremental]] so the gate can never drift
-    * from the sink shape it claims to verify.
+  /** The production aggregate sink body: batch-id-fenced transactional
+    * parquet append ([[TxnSink.exactlyOnceParquetSink]]) — exactly-once
+    * where the reference's blind JDBC append (write_aggregated_data,
+    * spark_streaming.py:52-75) re-appends a replayed micro-batch after
+    * a restart between the write and the checkpoint commit. The
+    * reference's non-empty guard (spark_streaming.py:67) survives
+    * inside the sink: an empty batch writes no data files, only the
+    * fence's empty manifest. Shared by [[startAggSink]] and the replay
+    * gates so they can never drift from the sink shape they verify.
     */
   private def parquetAppendSink(dir: String): (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) {
-        batch.write.mode("append").parquet(dir)
-      }
+    TxnSink.exactlyOnceParquetSink(dir)
 
   /** Aggregate sink: append-mode windowed rollup to `$outDir/agg`,
     * non-empty-batch guard preserved
@@ -152,9 +153,10 @@ object Pipeline {
   /** Shared scaffolding of the append-mode finite replays: events file
     * stream → caller's watermarked plan → append output + AvailableNow +
     * [[parquetAppendSink]], state/checkpoint dropped after the replay.
-    * Returns the finalized-prefix rows; `emptyResult` when the replay
-    * finalized nothing (shorter than watermark + window — the non-empty
-    * guard never creates outDir, and the oracle's HAVING is empty too).
+    * Returns the finalized-prefix rows via the sink's committed-manifest
+    * reader; `emptyResult` when the replay finalized nothing (shorter
+    * than watermark + window — empty batches commit no data files, and
+    * the oracle's HAVING is empty too).
     */
   private def replayAppendIncremental(spark: SparkSession, dir: String,
       tag: String, watermark: String)(plan: DataFrame => DataFrame)(
@@ -180,8 +182,7 @@ object Pipeline {
         deleteRecursively(streamDir)
       }
     }
-    if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
-    else emptyResult
+    TxnSink.committedReadOr(spark, outDir)(emptyResult)
   }
 
   /** Streaming SESSIONIZATION — the one stateful shape the engine had
@@ -276,9 +277,8 @@ object Pipeline {
         deleteRecursively(streamDir)
       }
     }
-    val raw =
-      if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
-      else plan(graft.sources.Tables.events(spark, dir).limit(0))
+    val raw = TxnSink.committedReadOr(spark, outDir)(
+      plan(graft.sources.Tables.events(spark, dir).limit(0)))
     // the flush sentinels wear negative ids; drop their own join rows
     if (joinType == "leftOuter") raw.filter(col("alert_id") >= 0) else raw
   }
@@ -472,7 +472,7 @@ object Pipeline {
         deleteRecursively(streamDir)
       }
     }
-    spark.read.parquet(outDir)
+    TxnSink.committedRead(spark, outDir)
   }
 
   /** Streaming exactly-once event dedup: drops re-deliveries of the same

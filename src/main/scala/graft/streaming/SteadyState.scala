@@ -444,13 +444,16 @@ object SteadyState {
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val qs = batch.collect().map(r => (r.getLong(0),
           r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
         if (qs.nonEmpty)
-          graft.ext.Similarity.ivfProbeBatch(spark, path, "vec_id",
-              "embedding", qs, k = 10, nProbe = 2, excludeSelf = false)
-            .write.mode("append").parquet(out)
+          // transactional append — the envelope prices the production
+          // exactly-once sink (staging + manifest), not a blind append
+          TxnSink.append(
+            graft.ext.Similarity.ivfProbeBatch(spark, path, "vec_id",
+              "embedding", qs, k = 10, nProbe = 2, excludeSelf = false),
+            out, batchId)
       }
       .start()
     val t0 = System.nanoTime()
@@ -530,11 +533,14 @@ object SteadyState {
       .outputMode("append")
       .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.ops.Upsert.applyPartitioned(batch.sparkSession, snap, batch,
-          Seq("id"), "ver", nBuckets, deleteCol = Some("del"))
-        ()
-      }
+      // batch-id fence included: the envelope prices the production
+      // applyStream shape (marker write per batch), not the bare merge
+      .foreachBatch(TxnSink.fenced(s"${snap}_txn") {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ops.Upsert.applyPartitioned(batch.sparkSession, snap, batch,
+            Seq("id"), "ver", nBuckets, deleteCol = Some("del"))
+          ()
+      })
       .start()
     val t0 = System.nanoTime()
     var elapsedSec = 0.0
