@@ -101,6 +101,14 @@ object Posture {
     base.write.mode("overwrite").parquet(paths.head._2)
     tenX(base, stride).write.mode("overwrite").parquet(paths(1)._2)
 
+    // tuned simhash knob: calibrated ONCE on the 1x corpus (the
+    // deploy-time calibration tuneMaxDist documents), then applied at
+    // both scales — the tuned family row grades whether a
+    // corpus-appropriate maxDist removes the threshold-edge
+    // superlinearity the inherited maxDist=3 row documents
+    val (tunedMaxDist, tunedRecall, tunedCand1x) =
+      Dedup.tuneMaxDist(base, "doc_id", "text", k = 8)
+
     val families: Seq[(String, DataFrame => DataFrame)] = Seq(
       "minhash_lsh" -> (d =>
         Dedup.minhashCandidatesPortable(d, "doc_id", "text",
@@ -108,6 +116,10 @@ object Posture {
       "simhash_banding" -> (d =>
         Dedup.simhashCandidates(
           Dedup.simhashPortable(d, "doc_id", "text"), "doc_id", maxDist = 3)),
+      "simhash_banding_tuned" -> (d =>
+        Dedup.simhashCandidates(
+          Dedup.simhashPortable(d, "doc_id", "text"), "doc_id",
+          maxDist = tunedMaxDist)),
       "ngram_jaccard" -> (d =>
         Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 8)),
       "winnow" -> (d =>
@@ -207,6 +219,13 @@ object Posture {
          |    "rerolled_hamming0_audit": $h0Json,
          |    "replicated_hamming_hist": ${histJson(h10, _.head == true)},
          |    "per_shard_pairs": ${(0 until 10).map(s => perShard.getOrElse(s.toLong, 0L)).mkString("[", ", ", "]")}}""".stripMargin
+
+    // the tuned knob itself, next to the audit that informs it — the
+    // simhash_banding_tuned family row above carries its 1x/10x growth
+    val simTunedJson =
+      f"""  "simhash_tuned": {
+         |    "what": "Dedup.tuneMaxDist calibrated on the 1x corpus (jaccard>=0.8 true pairs, recall target 0.95): the smallest banding distance meeting the recall target, with the candidate verification mass it buys; the simhash_banding_tuned family row measures its pair growth at 10x against the inherited maxDist=3 row's",
+         |    "max_dist": $tunedMaxDist, "recall_at_tuned": $tunedRecall%.3f, "candidate_pairs_1x": $tunedCand1x}""".stripMargin
 
     // ---- resolution-family posture ---------------------------------
     // Components/rounds/survivors at 1x vs 10x: rounds track cluster
@@ -513,6 +532,11 @@ object Posture {
       spark.conf.set(k, "-1")
       try body finally spark.conf.set(k, prev)
     }
+    // the doc rule closed into a recommendation: tuneBucketSec on the
+    // hot fixture's windows frame — measured below next to the manual
+    // 60 s pick it should land on (one-minute windows → 60)
+    val tunedHotBucket =
+      graft.ops.Temporal.tuneBucketSec(hotWins, "w_start", "w_end")
     val intervalOps: Seq[(String, () => DataFrame, Boolean)] = Seq(
       ("interval_1x", () => intervalOn("1x"), false),
       ("interval_10x", () => intervalOn("10x"), false),
@@ -520,6 +544,7 @@ object Posture {
       ("interval_keyed_10x", () => intervalKeyedOn("10x"), false),
       ("interval_hot_coarse_1cell", () => intervalHot(3600, keyed = false), true),
       ("interval_hot_sized_60s", () => intervalHot(60, keyed = false), true),
+      ("interval_hot_tuned", () => intervalHot(tunedHotBucket, keyed = false), true),
       ("interval_hot_keyed_coarse", () => intervalHot(3600, keyed = true), true))
     val interval = intervalOps.map { case (name, f, shuffledPlan) =>
       def once(): Unit =
@@ -540,12 +565,15 @@ object Posture {
       // flag is documented in "what" rather than per-block
       val hotSized = interval("interval_hot_coarse_1cell")._1 /
         interval("interval_hot_sized_60s")._1
+      val hotTuned = interval("interval_hot_coarse_1cell")._1 /
+        interval("interval_hot_tuned")._1
       val hotKeyed = interval("interval_hot_coarse_1cell")._1 /
         interval("interval_hot_keyed_coarse")._1
       f"""  "interval": {
-         |    "what": "bucketed interval-join posture: unkeyed = FIXED window set vs growing events (healthy ~linear; unkeyed both-sides-growth is intrinsically quadratic output, the keyed form is the scale shape), keyed = both sides grow on disjoint keys (healthy ~linear, flat peak mem); hot = 2k one-minute windows + 200k events inside ONE hour, measured with broadcast DISABLED because that is the 100 TB plan (at this synthetic size AQE broadcasts a side and the funnel never forms; at scale neither side broadcasts): coarse bucketSec=3600 makes the hour a single cell so every pair funnels through ONE shuffle partition's task, sized bucketSec=60 spreads the same work over 60 cells (the 'bucketSec ≈ median window length' doc rule, measured), keyed-at-coarse spreads the cell over the 100 keys instead (the hot-range claim of the keyed form, measured)",
+         |    "what": "bucketed interval-join posture: unkeyed = FIXED window set vs growing events (healthy ~linear; unkeyed both-sides-growth is intrinsically quadratic output, the keyed form is the scale shape), keyed = both sides grow on disjoint keys (healthy ~linear, flat peak mem); hot = 2k one-minute windows + 200k events inside ONE hour, measured with broadcast DISABLED because that is the 100 TB plan (at this synthetic size AQE broadcasts a side and the funnel never forms; at scale neither side broadcasts): coarse bucketSec=3600 makes the hour a single cell so every pair funnels through ONE shuffle partition's task, sized bucketSec=60 spreads the same work over 60 cells (the 'bucketSec ≈ median window length' doc rule, measured), interval_hot_tuned is Temporal.tuneBucketSec's auto-pick on the same fixture (healthy = bucket_sec_tuned_hot 60 and hot_tuned_speedup ~ hot_sized_bucket_speedup), keyed-at-coarse spreads the cell over the 100 keys instead (the hot-range claim of the keyed form, measured)",
          |    "bucket_sec": 1800, "time_growth_10x_unkeyed_fixed_windows": $gU%.2f, "time_growth_10x_keyed": $gK%.2f,
-         |    "hot_sized_bucket_speedup": $hotSized%.2f, "hot_keyed_speedup": $hotKeyed%.2f,
+         |    "bucket_sec_tuned_hot": $tunedHotBucket,
+         |    "hot_sized_bucket_speedup": $hotSized%.2f, "hot_tuned_speedup": $hotTuned%.2f, "hot_keyed_speedup": $hotKeyed%.2f,
          |    ${intervalOps.map(_._1).map(block).mkString(",\n    ")}}""".stripMargin
     }
 
@@ -1127,6 +1155,7 @@ object Posture {
          |  "sf_dir": "$sfDir", "docs_1x": $nDocs, "docs_10x": ${nDocs * 10}, "cpus": $cpus,
          |${results.mkString(",\n")},
          |$simAudit,
+         |$simTunedJson,
          |$resolutionJson,
          |$retrievalJson,
          |$temporalJson,

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions._
+
 
 /** Streaming-envelope benchmark main: runs the steady-state dual-sink
   * measurement ([[graft.streaming.SteadyState]]) solo — no suite
@@ -43,11 +45,34 @@ object StreamBench {
       r => graft.ops.WindowedAgg.sessionized(
         r.withWatermark("timestamp", "10 minutes"),
         "timestamp", "sensor_id", gap = "1 minute"))
+    // the stream-stream interval join under its production dual-watermark
+    // shape (the bench's most expensive replay row, now ALSO priced at
+    // steady state): ~10% of readings become alerts (humidity >= 75 —
+    // deterministic, key-derived), each correlated with the same
+    // sensor's readings over the following 5 minutes; at 2 min/batch the
+    // window spans micro-batches, so matches genuinely wait in join
+    // state and watermark eviction runs continuously
+    val ssj = graft.streaming.SteadyState.measureSensorWindowStream(spark,
+      "stream_stream_join",
+      r => {
+        val alerts = r.where(col("humidity") >= 75.0)
+          .select(col("sensor_id"),
+            col("timestamp").as("alert_ts"),
+            col("temperature").as("alert_temp"))
+        val readings = r.select(col("sensor_id"),
+          col("timestamp").as("r_ts"),
+          col("temperature").as("r_temp"))
+        graft.ops.Temporal.streamIntervalJoin(
+          alerts, "alert_ts", "10 minutes",
+          readings, "r_ts", "10 minutes",
+          Seq("sensor_id"), windowTo = "5 minutes")
+      })
     val combined = env.json.dropRight(1) +
       "," + dedup.json + "," + cur.json + "," + clf.json + "," +
       bm25.json + "," +
       asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
-      "," + ewma.json + "," + hop.json + "," + sess.json + "}"
+      "," + ewma.json + "," + hop.json + "," + sess.json + "," +
+      ssj.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -989,4 +989,49 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Smallest `maxDist` meeting a recall target on TRUE near-duplicates
+    * — the operational knob [[simhashJaccardAudit]] exists to inform,
+    * closed into a recommendation the way `Similarity.tuneNProbe` does
+    * for IVF probes (inheriting `maxDist = 3` is what made the 10×
+    * posture superlinear: threshold-edge hamming-3 collisions on short
+    * docs, not duplicates). A "true" pair is an exact-audit pair with
+    * n-gram jaccard ≥ `jaccardThreshold`; recall(d) is the fraction the
+    * banding would catch at `maxDist = d`. The search space is 0..3 —
+    * the 4×16-bit banding's completeness bound (pigeonhole: only
+    * hamming ≤ 3 guarantees a shared chunk) — so if even 3 misses the
+    * target, the answer is 3 with its sub-target recall reported:
+    * SimHash banding cannot reach it and the jaccard-side generators
+    * (minhash LSH) are the right tool for that corpus.
+    *
+    * Returns (maxDist, recall at it, candidate pairs at it — the
+    * verification mass the knob trades against recall). Cost: one exact
+    * audit + one banding pass, both bucket-bounded; at 100 TB this is a
+    * deploy-time calibration over a corpus SAMPLE, amortized like any
+    * index calibration.
+    */
+  def tuneMaxDist(df: DataFrame, idCol: String, textCol: String, k: Int,
+      jaccardThreshold: Double = 0.8, targetRecall: Double = 0.95,
+      maxBucket: Int = 1000): (Int, Double, Long) = {
+    require(targetRecall > 0 && targetRecall <= 1,
+      s"tuneMaxDist: targetRecall $targetRecall not in (0, 1]")
+    // one pass each, histogrammed by hamming so every candidate d is
+    // answered from driver-side cumulative sums (≤ 65 rows collected)
+    val trueHist = simhashJaccardAudit(df, idCol, textCol, k)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .groupBy(col("hamming")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val candHist = simhashCandidates(
+        simhashPortable(df, idCol, textCol), idCol,
+        maxDist = 3, maxBucket = maxBucket)
+      .groupBy(col("hamming")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val totalTrue = trueHist.values.sum
+    def recallAt(d: Int): Double =
+      if (totalTrue == 0) 1.0 // vacuous: nothing to recall
+      else (0 to d).map(h => trueHist.getOrElse(h, 0L)).sum.toDouble / totalTrue
+    def candAt(d: Int): Long = (0 to d).map(h => candHist.getOrElse(h, 0L)).sum
+    val d = (0 to 3).find(recallAt(_) >= targetRecall).getOrElse(3)
+    (d, recallAt(d), candAt(d))
+  }
 }

@@ -299,7 +299,8 @@ object Temporal {
     * post-filter, instead of the BroadcastNestedLoopJoin Spark must
     * otherwise plan for a θ-only join (quadratic compare, broadcast
     * ceiling). Pick `bucketSec` ≈ the median window length: wider wastes
-    * post-filter work, narrower multiplies the window-side explode.
+    * post-filter work, narrower multiplies the window-side explode —
+    * [[tuneBucketSec]] computes that pick from the windows frame.
     */
   def intervalJoinBucketed(windows: DataFrame, idCol: String,
       startCol: String, endCol: String, events: DataFrame, tsCol: String,
@@ -367,6 +368,34 @@ object Temporal {
       .agg(count(col("__ets")).as("n_events"),
         round(avg(col("__ev")), 6).as("avg_value"))
       .withColumnRenamed("__wk", windowKeyCol)
+  }
+
+  /** The "bucketSec ≈ median window length" doc rule closed into a
+    * recommendation (the `tuneNProbe`/`tuneMaxDist` pattern — the knob
+    * was measured, now it is operable): median span of the valid windows
+    * in seconds, clamped to ≥ 1. Median is the balance point of the
+    * rewrite's two costs — wider cells put more non-matching events
+    * through the containment post-filter; narrower cells multiply the
+    * window-side explode (⌈len/bucket⌉ + 1 cells per window) — and on
+    * the measured hot-range fixture (one-minute windows inside one hour)
+    * it picks the 60 s cell that carried the 6.9× speedup over the
+    * coarse single-cell plan. One `percentile_approx` aggregate over the
+    * windows frame: O(windows) with constant driver state, fine to run
+    * per query at 100 TB (the windows side is the small one by
+    * construction).
+    */
+  def tuneBucketSec(windows: DataFrame, startCol: String,
+      endCol: String): Long = {
+    val med = windows
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) > col(startCol))
+      .agg(percentile_approx(
+        (unix_micros(col(endCol)) - unix_micros(col(startCol))) / 1e6,
+        lit(0.5), lit(10000)).as("m"))
+      .collect().head
+    require(!med.isNullAt(0),
+      "tuneBucketSec: no valid (start < end, non-null) windows to tune on")
+    math.max(1L, math.round(med.getDouble(0)))
   }
 
   /** The guarded cell array a window spans — [[intervalJoinBucketed]]'s

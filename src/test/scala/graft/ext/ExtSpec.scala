@@ -122,6 +122,32 @@ class DedupSpec extends SparkSpec {
     r.values.foreach { case (_, h) => assert(h >= 0 && h <= 64) }
   }
 
+  test("tuneMaxDist: strict threshold needs only hamming 0; knob and cost are monotone in the target") {
+    // only the exact dup (1,4) clears jaccard 0.95, and identical docs
+    // hash to identical signatures — the minimal knob catches it
+    val (d0, r0, c0) = Dedup.tuneMaxDist(docs, "doc_id", "text", k = 5,
+      jaccardThreshold = 0.95, targetRecall = 1.0)
+    assert(d0 === 0 && r0 === 1.0)
+    assert(c0 >= 1) // at least the (1,4) candidate pair at hamming 0
+
+    // loosening the true-pair definition can only RAISE the tuned knob,
+    // and the verification mass follows it monotonically
+    val (d1, r1, c1) = Dedup.tuneMaxDist(docs, "doc_id", "text", k = 5,
+      jaccardThreshold = 0.3, targetRecall = 1.0)
+    assert(d1 >= d0 && c1 >= c0)
+    // the contract: either the target was met, or the banding bound (3)
+    // was hit and the sub-target recall is reported honestly
+    assert(r1 === 1.0 || d1 === 3)
+
+    // deterministic re-tune (the tuneNProbe pin)
+    assert(Dedup.tuneMaxDist(docs, "doc_id", "text", k = 5,
+      jaccardThreshold = 0.3, targetRecall = 1.0) === ((d1, r1, c1)))
+
+    assertThrows[IllegalArgumentException] {
+      Dedup.tuneMaxDist(docs, "doc_id", "text", k = 5, targetRecall = 0.0)
+    }
+  }
+
   test("resolveNearDups keeps the lowest id of each cluster and all singletons") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5)
       .filter($"jaccard" >= 0.8)

@@ -219,6 +219,34 @@ class TemporalSpec extends SparkSpec {
       (13L, 0L, None)))     // null start: kept, matches nothing
   }
 
+  test("tuneBucketSec picks the median window length, ignoring invalid windows") {
+    // the hot-range posture fixture shape: one-minute windows — the
+    // tuned pick must be the 60 s cell that measured the 6.9x speedup
+    // over the coarse single-cell plan (POSTURE_10X interval section)
+    val oneMinute = (0 until 100).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
+        ts(f"2024-01-01 10:${(i + 60) / 60}%02d:${(i + 60) % 60}%02d")))
+      .toDF("id", "s", "e")
+    assert(Temporal.tuneBucketSec(oneMinute, "s", "e") === 60L)
+
+    // median, not mean: one huge window must not drag the cell size up
+    val mixed = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:10")), // 10 s
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:20")), // 20 s
+      (3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))  // 1 h
+    ).toDF("id", "s", "e")
+    assert(Temporal.tuneBucketSec(mixed, "s", "e") === 20L)
+
+    // inverted/null windows are excluded from the tuning population, and
+    // a population of ONLY those fails loudly rather than guessing
+    assert(Temporal.tuneBucketSec(
+      windowsFixture.filter($"id" === 10L || $"id" === 12L || $"id" === 13L),
+      "s", "e") === 3600L)
+    assertThrows[IllegalArgumentException] {
+      Temporal.tuneBucketSec(windowsFixture.filter($"id" >= 12L), "s", "e")
+    }
+  }
+
   test("intervalJoinBucketed bounds the explode for inverted windows") {
     // a year-long inversion would explode into ~52k cells unguarded; the
     // PRODUCTION guard (windowCells — the operator's explode input) must
