@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Classifier, Curate, Dedup, Eval, Mixture, Multimodal, Similarity, TextStats}
 import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Trend, Upsert, WindowedAgg}
-import graft.sources.{Layout, Tables}
+import graft.sources.{Layout, OccTable, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2737,6 +2737,39 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "event_type", "value")
     }),
 
+    // ---- optimistic-concurrency table (X103): init → append → a full
+    //      rewrite RACED by a nested concurrent append — the rewrite
+    //      commits first-try under the AddFile-only rule (it removes
+    //      only what it read), so the appended slice survives
+    //      untransformed while the read slices negate; the final read
+    //      folds the 4-version log. Fresh per-(user, table) scratch,
+    //      cleared on entry (init refuses a live log) ----
+    "q_occ_table" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select("event_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_q_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      OccTable.init(base.filter(col("event_id") % 3 === 0), t)
+      OccTable.append(base.filter(col("event_id") % 3 === 1), t)
+      var raced = false
+      OccTable.rewrite(s, t, d => {
+        if (!raced) {
+          raced = true
+          OccTable.append(base.filter(col("event_id") % 3 === 2), t)
+        }
+        d.withColumn("value", -col("value"))
+      })
+      OccTable.read(s, t)()
+    }),
+
     // ---- snapshot diff: the CDC window's effect audited row-by-row —
     //      diff(base events, latest-wins merged) must classify every key
     //      exactly as the update batch's closed form predicts (%100 →
@@ -4942,6 +4975,13 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // Same replay: the partitioned copy-on-write apply must converge to
     // exactly the monolithic merge's content.
+    // the OCC composition's closed form: slices 0/1 went through the
+    // negating rewrite; the racing append (slice 2) survived it raw
+    "q_occ_table" ->
+      """SELECT event_id, event_type,
+        |       CASE WHEN event_id % 3 = 2 THEN value ELSE -value END AS value
+        |FROM events""".stripMargin,
+
     "q_upsert_partitioned" ->
       """WITH snap AS (
         |  SELECT event_id, ts, user_id, event_type, value,

@@ -1,0 +1,271 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Optimistic-concurrency MULTI-WRITER commits over a plain-parquet
+  * lake — the Delta-style transaction log the maintenance family
+  * (compaction X61, expiry, CDC merge X64/X65) needs the moment two of
+  * those processes run against one table at once. Without it, a
+  * compactor and a merge job racing on the same directory silently
+  * lose one side's files; with it, every commit is an atomic version
+  * claim plus file-level conflict detection, and the loser retries on
+  * the new snapshot instead of corrupting the table.
+  *
+  * Protocol (the published Delta/Iceberg OCC shape, file-granular):
+  *
+  *   - The log at `<dir>/_graft_occ/v<20-digit>` is one file per
+  *     version, each listing `add <file>` / `remove <file>` actions.
+  *     A snapshot at version V = union of adds minus removes over
+  *     v0..vV; data files are UUID-named and IMMUTABLE once committed
+  *     (rewrites add new files and remove old ones — never in-place).
+  *   - A writer stages its data files into the directory first (unique
+  *     names — invisible to readers until referenced by the log), then
+  *     claims version `latest + 1` by ATOMIC EXCLUSIVE CREATE of the
+  *     version file. Losing the race (file exists) means another
+  *     commit landed: re-read the log, re-validate, try `latest + 1`
+  *     again.
+  *   - Conflict rule, file-granular: a commit that REMOVES files
+  *     conflicts with any intervening commit that already removed one
+  *     of them (write-write on the same file — the snapshot this
+  *     writer transformed is gone) → abort/retry the TRANSFORM, not
+  *     just the claim. Pure appends (no removes) never conflict —
+  *     the Delta AddFile-only rule — so ingest never blocks behind
+  *     compaction; a rewrite racing an append keeps the appended file
+  *     (it only removes what it read).
+  *
+  * Crash safety: a writer dying before its claim leaves only
+  * unreferenced staged files — readers never see them; [[vacuum]]
+  * removes them once they cannot belong to an in-flight writer. A
+  * writer dying after the claim has COMMITTED (the version file is
+  * the commit point, written via temp + atomic-create so a torn write
+  * is impossible).
+  *
+  * Scale posture: the log is O(#commits) tiny files and snapshot
+  * reconstruction is a driver-side fold over them — the same
+  * O(metadata) planning cost every table format pays; readers scan
+  * only the live file list (explicit paths, no directory listing of
+  * data). At 100 TB the data never moves for a commit — only names
+  * move through the log.
+  */
+object OccTable {
+
+  private val LogDirName = "_graft_occ"
+
+  final case class Snapshot(version: Long, files: Seq[String])
+
+  /** Thrown when a commit's removes conflict with an intervening
+    * commit and retries are exhausted.
+    */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionPath(dir: String, v: Long): Path =
+    new Path(s"$dir/$LogDirName/v${"%020d".format(v)}")
+
+  private def listVersions(fsys: FileSystem, dir: String): Seq[Long] = {
+    val log = new Path(s"$dir/$LogDirName")
+    if (!fsys.exists(log)) Seq.empty
+    else fsys.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("v").toLong).sorted
+  }
+
+  private def readActions(fsys: FileSystem, dir: String,
+      v: Long): (Seq[String], Seq[String]) = {
+    val in = fsys.open(versionPath(dir, v))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    (lines.collect { case s if s.startsWith("add ") => s.stripPrefix("add ") },
+      lines.collect { case s if s.startsWith("remove ") => s.stripPrefix("remove ") })
+  }
+
+  /** Current snapshot: fold the log. Driver-side, O(#commits + #files). */
+  def snapshot(spark: SparkSession, dir: String): Snapshot = {
+    val fsys = fs(spark, dir)
+    val vs = listVersions(fsys, dir)
+    require(vs.nonEmpty, s"OccTable: no log at $dir/$LogDirName — init first")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    vs.foreach { v =>
+      val (adds, removes) = readActions(fsys, dir, v)
+      removes.foreach(live -= _)
+      adds.foreach(live += _)
+    }
+    Snapshot(vs.last, live.toSeq)
+  }
+
+  /** Read the table at its current version — explicit live-file paths,
+    * never a directory listing (staged-but-uncommitted files are
+    * invisible by construction). `emptyResult` serves a snapshot whose
+    * live set is empty (schema cannot be inferred from zero files).
+    */
+  def read(spark: SparkSession, dir: String)(
+      emptyResult: => DataFrame = throw new IllegalStateException(
+        s"OccTable: empty snapshot at $dir")): DataFrame = {
+    val s = snapshot(spark, dir)
+    if (s.files.isEmpty) emptyResult
+    else spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Stage `df` as UUID-named parquet files in `dir` and return their
+    * names — referenced by no log version yet, so invisible to readers
+    * until a commit lists them.
+    */
+  private def stage(df: DataFrame, dir: String): Seq[String] = {
+    val spark = df.sparkSession
+    val fsys = fs(spark, dir)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new Path(s"$dir/.occ-staging-$tag")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = fsys.listStatus(staging).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val names = parts.map { s =>
+      val name = s"part-$tag-${s.getPath.getName.stripPrefix("part-")}"
+      if (!fsys.rename(s.getPath, new Path(dir, name)))
+        throw new java.io.IOException(
+          s"OccTable: staging rename of ${s.getPath} failed")
+      name
+    }
+    fsys.delete(staging, true)
+    names
+  }
+
+  /** Atomic exclusive publish of a FULLY-WRITTEN version file — the
+    * commit point. True iff WE claimed it. The body always lands in a
+    * hidden temp first, so the version name can never be observed empty
+    * or torn (a create-then-write claim would expose exactly that
+    * window to a racing [[snapshot]]). The atomic exclusive step is a
+    * hard link for `file:` (POSIX link(2) fails with EEXIST) and a
+    * rename for cluster stores (HDFS rename is atomic at the NameNode
+    * and fails on an existing destination; object stores without atomic
+    * rename put a lock service here — the same caveat every table
+    * format documents).
+    */
+  private def claim(fsys: FileSystem, target: Path,
+      body: Array[Byte]): Boolean = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fsys.create(tmp, true)
+    try out.write(body) finally out.close()
+    val won =
+      if (target.toUri.getScheme == null ||
+          target.toUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fsys.exists(target) && fsys.rename(tmp, target)
+    fsys.delete(tmp, false)
+    won
+  }
+
+  /** Initialize the log with `df` as version 0. Fails if a log exists. */
+  def init(df: DataFrame, dir: String): Snapshot = {
+    val spark = df.sparkSession
+    val fsys = fs(spark, dir)
+    require(listVersions(fsys, dir).isEmpty,
+      s"OccTable: log already exists at $dir")
+    fsys.mkdirs(new Path(s"$dir/$LogDirName"))
+    val names = stage(df, dir)
+    val body = names.map(n => s"add $n").mkString("", "\n", "\n")
+    require(claim(fsys, versionPath(dir, 0L), body.getBytes("UTF-8")),
+      s"OccTable: lost the init race at $dir — another writer initialized")
+    Snapshot(0L, names)
+  }
+
+  /** Commit staged `adds`/`removes` read at `readVersion`: claim
+    * versions optimistically, validating the file-granular conflict
+    * rule against every commit that landed after `readVersion`. Pure
+    * appends validate trivially. Returns the committed version or
+    * throws [[ConcurrentWriteException]] once a remove-conflict is
+    * found (the TRANSFORM must rerun — see [[rewrite]]'s loop).
+    */
+  private def commitActions(spark: SparkSession, dir: String,
+      adds: Seq[String], removes: Seq[String], readVersion: Long): Long = {
+    val fsys = fs(spark, dir)
+    val body = (removes.map(n => s"remove $n") ++ adds.map(n => s"add $n"))
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    var attempt = math.max(readVersion + 1, listVersions(fsys, dir)
+      .lastOption.map(_ + 1).getOrElse(0L))
+    while (true) {
+      // validate against everything that landed since we read
+      if (removes.nonEmpty) {
+        val removedMeanwhile = ((readVersion + 1) until attempt)
+          .flatMap(v => readActions(fsys, dir, v)._2).toSet
+        val clash = removes.filter(removedMeanwhile)
+        if (clash.nonEmpty) throw new ConcurrentWriteException(
+          s"OccTable: files ${clash.mkString(", ")} were already removed " +
+            s"by a commit after version $readVersion — rerun the " +
+            "transform on the current snapshot")
+      }
+      if (claim(fsys, versionPath(dir, attempt), body)) return attempt
+      attempt += 1 // lost the claim race: someone committed this version
+    }
+    -1L // unreachable
+  }
+
+  /** Append-only commit: stage and commit. Never conflicts (AddFile-only
+    * rule), so concurrent appends and append-vs-rewrite all succeed.
+    */
+  def append(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val names = stage(df, dir)
+    commitActions(spark, dir, names, Seq.empty,
+      snapshot(spark, dir).version)
+  }
+
+  /** Full-snapshot rewrite (compaction, merge, expiry): read the current
+    * snapshot, write `transform(snapshot)`, commit (adds = new files,
+    * removes = every file read). On a remove-conflict — another rewrite
+    * won on overlapping files — the whole transform RERUNS on the new
+    * snapshot, up to `maxRetries` times, so racing rewrites serialize
+    * into sequential application instead of losing one side. The staged
+    * files of a lost attempt become unreferenced garbage for [[vacuum]].
+    */
+  def rewrite(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, maxRetries: Int = 3): Long = {
+    var tries = 0
+    while (true) {
+      val snap = snapshot(spark, dir)
+      val out = transform(
+        spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*))
+      val names = stage(out, dir)
+      try return commitActions(spark, dir, names, snap.files, snap.version)
+      catch {
+        case e: ConcurrentWriteException =>
+          tries += 1
+          if (tries > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Delete data files no log version references (lost-attempt staging,
+    * crashed writers) and files removed from the snapshot. UNSAFE while
+    * a writer is mid-stage — run it the way every table format runs
+    * vacuum: from the maintenance owner, not concurrently with writers
+    * (a retention window over file mtimes is the production refinement).
+    * Returns the deleted names.
+    */
+  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+    val fsys = fs(spark, dir)
+    val vs = listVersions(fsys, dir)
+    val referenced = snapshot(spark, dir).files.toSet
+    val onDisk = fsys.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName)
+    require(vs.nonEmpty, s"OccTable: no log at $dir")
+    val garbage = onDisk.filterNot(referenced)
+    garbage.foreach(n => fsys.delete(new Path(dir, n), false))
+    garbage
+  }
+}

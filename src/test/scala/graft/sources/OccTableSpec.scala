@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Optimistic-concurrency table tests. The conflict cases are driven
+  * DETERMINISTICALLY by nesting a commit inside another rewrite's
+  * transform (the transform runs between snapshot-read and commit, so a
+  * nested commit is exactly a concurrent writer winning the race) — no
+  * sleeps, no flaky interleavings; a real multi-threaded smoke run
+  * closes the suite.
+  */
+class OccTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_occ").toString + "/t"
+
+  private def table(dir: String) =
+    OccTable.read(spark, dir)().select("id", "v").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+
+  test("init + append + rewrite: versions advance, snapshot is the folded log") {
+    val dir = freshDir()
+    val s0 = OccTable.init(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), dir)
+    assert(s0.version === 0L)
+    assert(table(dir) === Seq((1L, 10L), (2L, 20L)))
+
+    assert(OccTable.append(Seq((3L, 30L)).toDF("id", "v"), dir) === 1L)
+    assert(table(dir) === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+
+    // rewrite replaces the snapshot's files wholesale
+    assert(OccTable.rewrite(spark, dir,
+      d => d.withColumn("v", col("v") * 2)) === 2L)
+    assert(table(dir) === Seq((1L, 20L), (2L, 40L), (3L, 60L)))
+    assert(OccTable.snapshot(spark, dir).version === 2L)
+
+    // a second init on a live table must refuse
+    assertThrows[IllegalArgumentException] {
+      OccTable.init(Seq((9L, 9L)).toDF("id", "v"), dir)
+    }
+  }
+
+  test("staged-but-uncommitted files are invisible; vacuum removes them and dead snapshot files") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
+    // a crashed writer's legacy: a data file referenced by no version
+    Seq((99L, 99L)).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/.crashed")
+    val part = new java.io.File(s"$dir/.crashed").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val orphan = new java.io.File(dir, "part-deadbeef-crashed.parquet")
+    java.nio.file.Files.move(part.toPath, orphan.toPath)
+
+    assert(table(dir) === Seq((1L, 10L))) // reader never lists it
+    // rewrite makes the v0 file dead too; vacuum collects both
+    OccTable.rewrite(spark, dir, d => d.withColumn("v", col("v") + 1))
+    val removed = OccTable.vacuum(spark, dir)
+    assert(removed.contains("part-deadbeef-crashed.parquet"))
+    assert(removed.size >= 2) // orphan + at least the replaced v0 file
+    assert(!orphan.exists())
+    assert(table(dir) === Seq((1L, 11L))) // live snapshot untouched
+  }
+
+  test("racing rewrites serialize: the loser reruns its transform on the winner's snapshot") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
+    var outerRuns = 0
+    OccTable.rewrite(spark, dir, d => {
+      outerRuns += 1
+      if (outerRuns == 1) {
+        // a concurrent writer lands a FULL rewrite between our
+        // snapshot read and our commit — our removes now clash
+        OccTable.rewrite(spark, dir, inner =>
+          inner.withColumn("v", col("v") * 2))
+      }
+      d.withColumn("v", col("v") + 1)
+    })
+    // both transforms applied, in commit order: (10 * 2) + 1 — the
+    // loser's first attempt (+1 on the stale 10) never became visible
+    assert(outerRuns === 2)
+    assert(table(dir) === Seq((1L, 21L)))
+    assert(OccTable.snapshot(spark, dir).version === 2L)
+  }
+
+  test("maxRetries = 0: the losing rewrite aborts with ConcurrentWriteException") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
+    var first = true
+    assertThrows[OccTable.ConcurrentWriteException] {
+      OccTable.rewrite(spark, dir, d => {
+        if (first) {
+          first = false
+          OccTable.rewrite(spark, dir, inner =>
+            inner.withColumn("v", col("v") * 2))
+        }
+        d.withColumn("v", col("v") + 1)
+      }, maxRetries = 0)
+    }
+    assert(table(dir) === Seq((1L, 20L))) // only the winner's commit
+  }
+
+  test("append never conflicts with a racing rewrite (AddFile-only rule)") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
+    var appended = false
+    OccTable.rewrite(spark, dir, d => {
+      if (!appended) {
+        appended = true
+        // lands BETWEEN our snapshot read and our commit
+        OccTable.append(Seq((2L, 20L)).toDF("id", "v"), dir)
+      }
+      d.withColumn("v", col("v") + 1)
+    })
+    // rewrite committed first-try (it removes only what it read; the
+    // append removed nothing) and the appended row SURVIVES untransformed
+    assert(table(dir) === Seq((1L, 11L), (2L, 20L)))
+  }
+
+  test("concurrent appends from many threads: every commit lands, versions are distinct") {
+    val dir = freshDir()
+    OccTable.init(Seq((0L, 0L)).toDF("id", "v"), dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val versions = Await.result(
+      Future.sequence((1 to 4).map { t =>
+        Future {
+          (1 to 3).map { i =>
+            val id = t * 10L + i
+            OccTable.append(Seq((id, id)).toDF("id", "v"), dir)
+          }
+        }
+      }), 120.seconds).flatten
+    assert(versions.distinct.size === 12) // every claim unique
+    assert(versions.max === 12L)          // contiguous through v12
+    assert(table(dir).size === 13)        // init row + 12 appends
+    assert(OccTable.snapshot(spark, dir).version === 12L)
+  }
+}
