@@ -105,9 +105,11 @@ object Posture {
     // deploy-time calibration tuneMaxDist documents), then applied at
     // both scales — the tuned family row grades whether a
     // corpus-appropriate maxDist removes the threshold-edge
-    // superlinearity the inherited maxDist=3 row documents
+    // superlinearity the inherited maxDist=3 row documents. The full
+    // curve is computed once here and reported in simhash_tuned below.
+    val curve1x = Dedup.maxDistCurve(base, "doc_id", "text", k = 8)
     val (tunedMaxDist, tunedRecall, tunedCand1x) =
-      Dedup.tuneMaxDist(base, "doc_id", "text", k = 8)
+      curve1x.find(_._2 >= 0.95).getOrElse(curve1x.last)
 
     val families: Seq[(String, DataFrame => DataFrame)] = Seq(
       "minhash_lsh" -> (d =>
@@ -221,11 +223,32 @@ object Posture {
          |    "per_shard_pairs": ${(0 until 10).map(s => perShard.getOrElse(s.toLong, 0L)).mkString("[", ", ", "]")}}""".stripMargin
 
     // the tuned knob itself, next to the audit that informs it — the
-    // simhash_banding_tuned family row above carries its 1x/10x growth
+    // simhash_banding_tuned family row above carries its 1x/10x growth.
+    // The full recall/cost curve is what makes the pick AUDITABLE: when
+    // recall at d=3 (the banding completeness bound) is still below
+    // target, the tuner's honest answer is the bound itself — no
+    // SimHash knob reaches the target on this corpus, the jaccard-side
+    // generators (minhash at exactly-linear growth, winnowing) are the
+    // right family, and per_dist_candidate_growth shows shrinking d
+    // would NOT buy linear growth anyway (the salted re-roll excess
+    // spans every hamming band).
+    def cum(m: Map[Seq[Any], Long], d: Long,
+        sel: Seq[Any] => Boolean = _ => true): Long =
+      m.collect { case (kk, v)
+        if kk.head.asInstanceOf[Long] <= d && sel(kk.tail) => v }.sum
+    val perDistGrowth = (0L to 3L).map { d =>
+      val c1 = cum(h1, d)
+      f""""$d": ${if (c1 == 0) -1.0 else cum(h10, d).toDouble / c1}%.2f"""
+    }.mkString("{", ", ", "}")
+    val curveJson = curve1x.map { case (d, r, c) =>
+      f""""$d": {"recall": $r%.3f, "candidate_pairs_1x": $c}"""
+    }.mkString("{", ", ", "}")
     val simTunedJson =
       f"""  "simhash_tuned": {
-         |    "what": "Dedup.tuneMaxDist calibrated on the 1x corpus (jaccard>=0.8 true pairs, recall target 0.95): the smallest banding distance meeting the recall target, with the candidate verification mass it buys; the simhash_banding_tuned family row measures its pair growth at 10x against the inherited maxDist=3 row's",
-         |    "max_dist": $tunedMaxDist, "recall_at_tuned": $tunedRecall%.3f, "candidate_pairs_1x": $tunedCand1x}""".stripMargin
+         |    "what": "Dedup.tuneMaxDist calibrated on the 1x corpus (jaccard>=0.8 true pairs, recall target 0.95) with its full recall/cost curve; per_dist_candidate_growth = 10x/1x cumulative candidate growth per maxDist from the audit hists — when recall at the banding bound (3) is below target, banding cannot reach it on this corpus (use minhash/winnow, measured exactly-linear above) and the curve shows smaller d sacrifices recall without buying linear growth",
+         |    "max_dist": $tunedMaxDist, "recall_at_tuned": $tunedRecall%.3f, "candidate_pairs_1x": $tunedCand1x,
+         |    "curve": $curveJson,
+         |    "per_dist_candidate_growth": $perDistGrowth}""".stripMargin
 
     // ---- resolution-family posture ---------------------------------
     // Components/rounds/survivors at 1x vs 10x: rounds track cluster

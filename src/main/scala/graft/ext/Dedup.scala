@@ -1015,8 +1015,25 @@ object Dedup {
       maxBucket: Int = 1000): (Int, Double, Long) = {
     require(targetRecall > 0 && targetRecall <= 1,
       s"tuneMaxDist: targetRecall $targetRecall not in (0, 1]")
-    // one pass each, histogrammed by hamming so every candidate d is
-    // answered from driver-side cumulative sums (≤ 65 rows collected)
+    val curve = maxDistCurve(df, idCol, textCol, k, jaccardThreshold,
+      maxBucket)
+    curve.find(_._2 >= targetRecall).getOrElse(curve.last)
+  }
+
+  /** The whole recall/cost curve behind [[tuneMaxDist]]: for each
+    * `maxDist` 0..3, (d, recall of true pairs, candidate pairs to
+    * verify). One exact audit + one banding pass, both histogrammed by
+    * hamming so every d is answered from driver-side cumulative sums
+    * (≤ 65 rows collected). Reading the curve is how a corpus owner
+    * sees WHICH tool they need: if recall at d = 3 (the banding
+    * completeness bound) is still short of target, no SimHash knob
+    * reaches it and the jaccard-side generators (minhash LSH,
+    * winnowing) are the right family — the tuner can only report that
+    * honestly, not fix it.
+    */
+  def maxDistCurve(df: DataFrame, idCol: String, textCol: String, k: Int,
+      jaccardThreshold: Double = 0.8,
+      maxBucket: Int = 1000): Seq[(Int, Double, Long)] = {
     val trueHist = simhashJaccardAudit(df, idCol, textCol, k)
       .filter(col("jaccard") >= jaccardThreshold)
       .groupBy(col("hamming")).count().collect()
@@ -1031,7 +1048,6 @@ object Dedup {
       if (totalTrue == 0) 1.0 // vacuous: nothing to recall
       else (0 to d).map(h => trueHist.getOrElse(h, 0L)).sum.toDouble / totalTrue
     def candAt(d: Int): Long = (0 to d).map(h => candHist.getOrElse(h, 0L)).sum
-    val d = (0 to 3).find(recallAt(_) >= targetRecall).getOrElse(3)
-    (d, recallAt(d), candAt(d))
+    (0 to 3).map(d => (d, recallAt(d), candAt(d)))
   }
 }
