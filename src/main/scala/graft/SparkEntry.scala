@@ -2770,6 +2770,14 @@ object SparkEntry {
       OccTable.read(s, t)()
     }),
 
+    // ---- OCC × streaming (the lakehouse shape): four micro-batches of
+    //      the events replay land as idempotent fenced OCC appends
+    //      (SetTransaction form) while a compaction rewrite races them
+    //      after slice 3 — AddFile-only means nothing lost or duplicated,
+    //      so the read equals the plain table ----
+    "q_occ_stream_ingest" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayOccIngest(s, dir)),
+
     // ---- snapshot diff: the CDC window's effect audited row-by-row —
     //      diff(base events, latest-wins merged) must classify every key
     //      exactly as the update batch's closed form predicts (%100 →
@@ -4975,6 +4983,11 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // Same replay: the partitioned copy-on-write apply must converge to
     // exactly the monolithic merge's content.
+    // streamed OCC ingest is a pure passthrough (the fence and the
+    // racing compaction must be invisible in the content)
+    "q_occ_stream_ingest" ->
+      "SELECT event_id, event_type, value FROM events",
+
     // the OCC composition's closed form: slices 0/1 went through the
     // negating rewrite; the racing append (slice 2) survived it raw
     "q_occ_table" ->

@@ -52,7 +52,8 @@ object OccTable {
 
   private val LogDirName = "_graft_occ"
 
-  final case class Snapshot(version: Long, files: Seq[String])
+  final case class Snapshot(version: Long, files: Seq[String],
+      txns: Map[String, Long] = Map.empty)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
@@ -75,14 +76,18 @@ object OccTable {
   }
 
   private def readActions(fsys: FileSystem, dir: String,
-      v: Long): (Seq[String], Seq[String]) = {
+      v: Long): (Seq[String], Seq[String], Option[(String, Long)]) = {
     val in = fsys.open(versionPath(dir, v))
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
     (lines.collect { case s if s.startsWith("add ") => s.stripPrefix("add ") },
-      lines.collect { case s if s.startsWith("remove ") => s.stripPrefix("remove ") })
+      lines.collect { case s if s.startsWith("remove ") => s.stripPrefix("remove ") },
+      lines.collectFirst { case s if s.startsWith("txn ") =>
+        val Array(app, ver) = s.stripPrefix("txn ").split(" ", 2)
+        (app, ver.toLong)
+      })
   }
 
   /** Current snapshot: fold the log. Driver-side, O(#commits + #files). */
@@ -91,12 +96,16 @@ object OccTable {
     val vs = listVersions(fsys, dir)
     require(vs.nonEmpty, s"OccTable: no log at $dir/$LogDirName — init first")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
     vs.foreach { v =>
-      val (adds, removes) = readActions(fsys, dir, v)
+      val (adds, removes, txn) = readActions(fsys, dir, v)
       removes.foreach(live -= _)
       adds.foreach(live += _)
+      txn.foreach { case (app, ver) =>
+        txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
+      }
     }
-    Snapshot(vs.last, live.toSeq)
+    Snapshot(vs.last, live.toSeq, txns.toMap)
   }
 
   /** Read the table at its current version — explicit live-file paths,
@@ -190,9 +199,11 @@ object OccTable {
     * found (the TRANSFORM must rerun — see [[rewrite]]'s loop).
     */
   private def commitActions(spark: SparkSession, dir: String,
-      adds: Seq[String], removes: Seq[String], readVersion: Long): Long = {
+      adds: Seq[String], removes: Seq[String], readVersion: Long,
+      txn: Option[(String, Long)] = None): Long = {
     val fsys = fs(spark, dir)
-    val body = (removes.map(n => s"remove $n") ++ adds.map(n => s"add $n"))
+    val body = (removes.map(n => s"remove $n") ++ adds.map(n => s"add $n") ++
+      txn.map { case (app, ver) => s"txn $app $ver" })
       .mkString("", "\n", "\n").getBytes("UTF-8")
     var attempt = math.max(readVersion + 1, listVersions(fsys, dir)
       .lastOption.map(_ + 1).getOrElse(0L))
@@ -222,6 +233,39 @@ object OccTable {
     commitActions(spark, dir, names, Seq.empty,
       snapshot(spark, dir).version)
   }
+
+  /** Idempotent STREAMING append — Delta's SetTransaction action: the
+    * commit carries `txn <appId> <batchId>` and the fold tracks each
+    * appId's highest batch id, so a micro-batch REPLAYED after a
+    * restart (the engine re-offers the same batch id) is skipped by
+    * reading the log it already committed to. This is the
+    * [[graft.streaming.TxnSink]] fence expressed INSIDE the OCC log —
+    * which is what lets a streaming ingest and a concurrent
+    * [[rewrite]]-based compactor share one table: the append never
+    * conflicts (AddFile-only), the compactor folds whatever batches
+    * have landed, and the fence survives the compaction because it is
+    * log state, not file state. The fence targets ENGINE replays
+    * (sequential by construction); two live duplicate queries sharing
+    * an appId are a deployment error, same as Delta's contract.
+    */
+  def appendStream(df: DataFrame, dir: String, appId: String,
+      batchId: Long): Long = {
+    require(!appId.exists(c => c == ' ' || c == '\n' || c == '\r'),
+      s"OccTable: appId must not contain whitespace, got '$appId'")
+    val spark = df.sparkSession
+    val snap = snapshot(spark, dir)
+    if (snap.txns.get(appId).exists(_ >= batchId)) return snap.version
+    val names = stage(df, dir)
+    commitActions(spark, dir, names, Seq.empty, snap.version,
+      Some((appId, batchId)))
+  }
+
+  /** `foreachBatch` form of [[appendStream]]. */
+  def streamingSink(dir: String, appId: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      appendStream(batch, dir, appId, batchId)
+      ()
+    }
 
   /** Full-snapshot rewrite (compaction, merge, expiry): read the current
     * snapshot, write `transform(snapshot)`, commit (adds = new files,

@@ -283,6 +283,64 @@ object Pipeline {
     if (joinType == "leftOuter") raw.filter(col("alert_id") >= 0) else raw
   }
 
+  /** Streaming ingest INTO an OCC table with a maintenance compaction
+    * RACING it mid-stream (X103 × streaming — the lakehouse shape): the
+    * events table replays as a four-slice time-split stream, each
+    * micro-batch lands as an idempotent fenced OCC append
+    * ([[graft.sources.OccTable.appendStream]], Delta's SetTransaction
+    * form: the fence is log state, so it survives compaction), and
+    * after the third slice the SAME foreachBatch also runs a full
+    * compaction rewrite over everything committed so far. The
+    * AddFile-only rule means neither blocks the other: the compactor
+    * removes only files it read, later appends survive, nothing is
+    * lost or duplicated — so the final read equals the plain events
+    * table, which is exactly how the `q_occ_stream_ingest` oracle
+    * checks it (no finalized-prefix clause; passthrough has no
+    * watermark state).
+    */
+  def replayOccIngest(spark: SparkSession, dir: String): DataFrame = {
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    // deterministic per-(user, source) scratch, CLEARED on entry —
+    // OccTable.init refuses a live log (same pattern as the dedup replay)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_occ_ingest_$user", key)
+    deleteRecursively(outRoot)
+    val table = outRoot.toString + "/t"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_occ_ingest_ckpt")
+    val cols = Seq("event_id", "event_type", "value")
+    graft.sources.OccTable.init(
+      graft.sources.Tables.events(spark, dir).select(cols.map(col): _*)
+        .limit(0), table)
+    withReplayParallelism(spark) {
+      val q = stream.select(cols.map(col): _*)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.OccTable.appendStream(batch, table,
+            "occ_ingest", batchId)
+          // the racing maintenance job: compact everything committed so
+          // far while slices are still arriving
+          if (batchId == 2L)
+            graft.sources.OccTable.rewrite(spark, table, d => d.coalesce(1))
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    graft.sources.OccTable.read(spark, table)()
+  }
+
   /** Events table as a TIME-SPLIT multi-file stream: `nFiles` range
     * partitions of `ts` written as one parquet file each, mtimes forced
     * ascending in path (= time) order, `maxFilesPerTrigger = 1` — so an

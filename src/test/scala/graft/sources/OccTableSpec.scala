@@ -120,6 +120,33 @@ class OccTableSpec extends SparkSpec {
     assert(table(dir) === Seq((1L, 11L), (2L, 20L)))
   }
 
+  test("appendStream: a replayed batch id is fenced by LOG state and survives compaction") {
+    val dir = freshDir()
+    OccTable.init(Seq.empty[(Long, Long)].toDF("id", "v"), dir)
+    OccTable.appendStream(Seq((1L, 10L)).toDF("id", "v"), dir, "app", 0L)
+    OccTable.appendStream(Seq((2L, 20L)).toDF("id", "v"), dir, "app", 1L)
+    // engine replay of batch 1, recomputed differently: fenced out
+    OccTable.appendStream(Seq((99L, 99L)).toDF("id", "v"), dir, "app", 1L)
+    assert(table(dir) === Seq((1L, 10L), (2L, 20L)))
+
+    // compaction replaces every data FILE; the fence is log state, so
+    // the replay stays fenced after it
+    OccTable.rewrite(spark, dir, d => d.coalesce(1))
+    OccTable.appendStream(Seq((98L, 98L)).toDF("id", "v"), dir, "app", 1L)
+    assert(table(dir) === Seq((1L, 10L), (2L, 20L)))
+
+    // a NEW batch id proceeds, and appIds fence independently
+    OccTable.appendStream(Seq((3L, 30L)).toDF("id", "v"), dir, "app", 2L)
+    OccTable.appendStream(Seq((4L, 40L)).toDF("id", "v"), dir, "other", 0L)
+    assert(table(dir).map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(OccTable.snapshot(spark, dir).txns ===
+      Map("app" -> 2L, "other" -> 0L))
+
+    assertThrows[IllegalArgumentException] {
+      OccTable.appendStream(Seq((5L, 5L)).toDF("id", "v"), dir, "bad app", 3L)
+    }
+  }
+
   test("concurrent appends from many threads: every commit lands, versions are distinct") {
     val dir = freshDir()
     OccTable.init(Seq((0L, 0L)).toDF("id", "v"), dir)
