@@ -71,41 +71,92 @@ object OccTable {
     val log = new Path(s"$dir/$LogDirName")
     if (!fsys.exists(log)) Seq.empty
     else fsys.listStatus(log).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && !n.endsWith(".tmp"))
+      .filter(_.matches("v\\d{20}"))
       .map(_.stripPrefix("v").toLong).sorted
   }
 
+  private def checkpointPath(dir: String, v: Long): Path =
+    new Path(s"$dir/$LogDirName/v${"%020d".format(v)}.chk")
+
+  private def listCheckpoints(fsys: FileSystem, dir: String): Seq[Long] = {
+    val log = new Path(s"$dir/$LogDirName")
+    if (!fsys.exists(log)) Seq.empty
+    else fsys.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{20}\\.chk"))
+      .map(_.stripPrefix("v").stripSuffix(".chk").toLong).sorted
+  }
+
   private def readActions(fsys: FileSystem, dir: String,
-      v: Long): (Seq[String], Seq[String], Option[(String, Long)]) = {
-    val in = fsys.open(versionPath(dir, v))
+      v: Long): (Seq[String], Seq[String], Seq[(String, Long)]) =
+    parseActions(fsys, versionPath(dir, v))
+
+  private def parseActions(fsys: FileSystem,
+      p: Path): (Seq[String], Seq[String], Seq[(String, Long)]) = {
+    val in = fsys.open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
     (lines.collect { case s if s.startsWith("add ") => s.stripPrefix("add ") },
       lines.collect { case s if s.startsWith("remove ") => s.stripPrefix("remove ") },
-      lines.collectFirst { case s if s.startsWith("txn ") =>
+      lines.collect { case s if s.startsWith("txn ") =>
         val Array(app, ver) = s.stripPrefix("txn ").split(" ", 2)
         (app, ver.toLong)
       })
   }
 
-  /** Current snapshot: fold the log. Driver-side, O(#commits + #files). */
+  /** Current snapshot: fold the latest [[checkpoint]] (if any) plus the
+    * commit tail past it. Driver-side; O(tail + #files) once a
+    * checkpoint exists, instead of O(every commit since init) — the
+    * Delta `_last_checkpoint` shape, and the thing that keeps a
+    * long-lived table's planning cost flat.
+    */
   def snapshot(spark: SparkSession, dir: String): Snapshot = {
     val fsys = fs(spark, dir)
     val vs = listVersions(fsys, dir)
     require(vs.nonEmpty, s"OccTable: no log at $dir/$LogDirName — init first")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
-    vs.foreach { v =>
-      val (adds, removes, txn) = readActions(fsys, dir, v)
+    def fold(adds: Seq[String], removes: Seq[String],
+        txn: Seq[(String, Long)]): Unit = {
       removes.foreach(live -= _)
       adds.foreach(live += _)
       txn.foreach { case (app, ver) =>
         txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
       }
     }
+    val chk = listCheckpoints(fsys, dir).filter(_ <= vs.last).lastOption
+    chk.foreach { c =>
+      val (adds, removes, txn) = parseActions(fsys, checkpointPath(dir, c))
+      fold(adds, removes, txn)
+    }
+    vs.filter(v => chk.forall(v > _)).foreach { v =>
+      val (adds, removes, txn) = readActions(fsys, dir, v)
+      fold(adds, removes, txn)
+    }
     Snapshot(vs.last, live.toSeq, txns.toMap)
+  }
+
+  /** Materialize the current snapshot as a `v<version>.chk` file so
+    * later [[snapshot]] folds read ONE file plus the tail — run it the
+    * way Delta writes checkpoints (every N commits, from the
+    * maintenance owner). Older checkpoints are dropped; the commit
+    * files themselves are KEPT (conflict validation reads the
+    * (readVersion, attempt) window, and time-travel/debugging read the
+    * history — truncating them is a retention decision this engine
+    * leaves to the deployment, the same caveat as [[vacuum]]).
+    * Idempotent; returns the checkpointed version.
+    */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    val fsys = fs(spark, dir)
+    val snap = snapshot(spark, dir)
+    val body = (snap.files.map(n => s"add $n") ++
+      snap.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn $a $v" })
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+    claim(fsys, checkpointPath(dir, snap.version), body) // exists = done
+    listCheckpoints(fsys, dir).filter(_ < snap.version)
+      .foreach(c => fsys.delete(checkpointPath(dir, c), false))
+    snap.version
   }
 
   /** Read the table at its current version — explicit live-file paths,

@@ -224,6 +224,27 @@ object TxnSink {
       }
     }
 
+  /** Delete what no manifest references: leftover `.staging-*` dirs and
+    * batch-prefixed data files from crashed or superseded attempts
+    * (replays clean their OWN batch id's orphans; this collects the
+    * rest). UNSAFE concurrently with a live writer mid-append — run it
+    * from the maintenance owner, the same caveat as every table
+    * format's vacuum. Returns the deleted names.
+    */
+  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+    val fsys = fs(spark, dir)
+    val d = new Path(dir)
+    if (!fsys.exists(d)) return Seq.empty
+    val listed = committedFiles(spark, dir).map(_.stripPrefix(s"$dir/")).toSet
+    val entries = fsys.listStatus(d).toSeq
+    val stale = entries.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(".staging-")) ++
+      entries.filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-") && !listed(s.getPath.getName))
+    stale.foreach(s => fsys.delete(s.getPath, true))
+    stale.map(_.getPath.getName)
+  }
+
   /** Fold every plain manifest at or below the current max id into one
     * `.compact` generation and delete them — the reader then lists one
     * file plus whatever committed after. Safe concurrently with the

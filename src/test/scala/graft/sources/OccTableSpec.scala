@@ -147,6 +147,32 @@ class OccTableSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint: snapshot folds one file plus the tail; view and txn fences preserved") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
+    (2L to 5L).foreach(i => OccTable.appendStream(
+      Seq((i, i * 10L)).toDF("id", "v"), dir, "app", i - 2))
+    val before = table(dir)
+    assert(OccTable.checkpoint(spark, dir) === 4L) // init + 4 appends
+    assert(table(dir) === before)
+
+    // the streaming fence came FROM the checkpoint, not the commits
+    OccTable.appendStream(Seq((99L, 99L)).toDF("id", "v"), dir, "app", 3L)
+    assert(table(dir) === before)
+    assert(OccTable.snapshot(spark, dir).txns === Map("app" -> 3L))
+
+    // commits continue past the checkpoint and fold as the tail
+    OccTable.append(Seq((6L, 60L)).toDF("id", "v"), dir)
+    assert(table(dir) === before :+ ((6L, 60L)))
+
+    // re-checkpoint is idempotent-shaped: one generation survives
+    assert(OccTable.checkpoint(spark, dir) === 5L)
+    val chks = new java.io.File(s"$dir/_graft_occ").listFiles()
+      .map(_.getName).filter(_.endsWith(".chk")).toSeq
+    assert(chks === Seq("v" + "%020d".format(5L) + ".chk"))
+    assert(table(dir) === before :+ ((6L, 60L)))
+  }
+
   test("concurrent appends from many threads: every commit lands, versions are distinct") {
     val dir = freshDir()
     OccTable.init(Seq((0L, 0L)).toDF("id", "v"), dir)

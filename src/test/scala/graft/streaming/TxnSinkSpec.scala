@@ -149,6 +149,28 @@ class TxnSinkSpec extends SparkSpec {
       s"naive append unexpectedly exactly-once: $total rows, $distinct distinct")
   }
 
+  test("vacuum collects crashed-writer staging dirs and unreferenced orphans, never committed files") {
+    val dir = dirFor("vacuum")
+    TxnSink.append(Seq((1L, "a")).toDF("id", "v"), dir, 0L)
+    // a crashed writer's leftovers: a staging dir and an orphan for a
+    // batch id that was never redone
+    Seq((7L, "x")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/.staging-${f"${7L}%020d"}")
+    Seq((8L, "y")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/.tmp-src")
+    val part = new java.io.File(s"$dir/.tmp-src").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, s"part-b${f"${8L}%020d"}-dead.parquet").toPath)
+
+    val removed = TxnSink.vacuum(spark, dir)
+    assert(removed.exists(_.startsWith(".staging-")))
+    assert(removed.exists(_.endsWith("-dead.parquet")))
+    val rows = TxnSink.committedRead(spark, dir).as[(Long, String)].collect()
+    assert(rows.toSeq === Seq((1L, "a")))
+    assert(spark.read.parquet(dir).count() === 1) // disk agrees
+  }
+
   test("fenced effect sink: body runs once per batch id; crash-mid-body re-runs it") {
     val markers = dirFor("fence")
     val ran = new AtomicInteger(0)
