@@ -906,6 +906,53 @@ object Posture {
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 
+    // ---- OCC transaction-log posture ---------------------------------
+    // The X103 log's one scale exposure is the driver-side snapshot
+    // fold: O(#commits since init) until a checkpoint exists, O(tail)
+    // after. Measured at 1x/10x COMMIT counts (30 vs 300 one-row
+    // appends — data size is irrelevant to the fold, only log length):
+    // fold latency before a checkpoint must grow with commits (the
+    // exposure, demonstrated), after a checkpoint it must be ~flat
+    // across the 10x (the fix, demonstrated); append latency itself
+    // must stay flat in log length (stage + claim never fold history —
+    // appendStream does fold for its fence, which the checkpoint also
+    // bounds).
+    val occJson = {
+      import graft.sources.OccTable
+      def foldMs(p: String): Double = {
+        val t = (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          OccTable.snapshot(spark, p)
+          (System.nanoTime() - t0) / 1e6
+        }
+        t.min
+      }
+      val blocks = Seq(("1x", 30), ("10x", 300)).map { case (lbl, n) =>
+        val p = s"$scratch/occ_$lbl/t"
+        val one = spark.range(1).selectExpr("id", "id AS v")
+        OccTable.init(one, p)
+        (1 to n).foreach(_ => OccTable.append(one, p))
+        val foldNoChk = foldMs(p)
+        val t0 = System.nanoTime()
+        OccTable.append(one, p)
+        val appendMs = (System.nanoTime() - t0) / 1e6
+        OccTable.checkpoint(spark, p)
+        val foldChk = foldMs(p)
+        // the FULL maintenance trio: compaction bounds live files (the
+        // checkpoint's add-list length), checkpoint bounds log reads,
+        // truncation bounds the directory listing
+        OccTable.rewrite(spark, p, d => d.coalesce(1))
+        OccTable.checkpoint(spark, p)
+        val foldMaint = foldMs(p)
+        OccTable.truncateLog(spark, p)
+        val foldTrunc = foldMs(p)
+        f""""$lbl": {"commits": ${n + 2}, "fold_ms_no_checkpoint": $foldNoChk%.1f, "fold_ms_checkpointed": $foldChk%.1f, "fold_ms_compacted_checkpointed": $foldMaint%.1f, "fold_ms_truncated": $foldTrunc%.1f, "append_ms": $appendMs%.1f}"""
+      }
+      s"""  "occ_log": {
+         |    "what": "X103 transaction-log fold cost at 1x/10x COMMIT count (30 vs 300 one-row appends; the fold reads log files, so only log length matters): fold_ms_no_checkpoint grows with commits — the documented exposure; fold_ms_checkpointed bounds it to one .chk (whose add-list still grows with LIVE FILES — one per append in this fixture); fold_ms_compacted_checkpointed adds compaction (bounds live files) and leaves only the O(#commits) directory listing; fold_ms_truncated adds log truncation (bounds the listing) and must be ~FLAT across the 10x — the complete maintenance trio; append_ms must stay flat at every log length (stage + atomic claim never fold history)",
+         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     // ---- file-level data-skipping posture ---------------------------
     // The sidecar's value proposition at scale: the fraction of FILES a
     // fixed-week predicate opens must stay ~week/range flat as the table
@@ -1189,6 +1236,7 @@ object Posture {
          |$selectionJson,
          |$layoutJson,
          |$joinJson,
+         |$occJson,
          |$fileskipJson,
          |$bucketedJson,
          |$bpeJson,

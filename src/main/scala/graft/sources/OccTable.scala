@@ -113,8 +113,39 @@ object OccTable {
     */
   def snapshot(spark: SparkSession, dir: String): Snapshot = {
     val fsys = fs(spark, dir)
-    val vs = listVersions(fsys, dir)
-    require(vs.nonEmpty, s"OccTable: no log at $dir/$LogDirName — init first")
+    val last = (listVersions(fsys, dir) ++ listCheckpoints(fsys, dir))
+      .maxOption
+    require(last.nonEmpty, s"OccTable: no log at $dir/$LogDirName — init first")
+    snapshotAt(spark, dir, last.get)
+  }
+
+  /** TIME TRAVEL: the table exactly as of `version` — data files are
+    * immutable and removes are log entries, so every historical
+    * snapshot is reconstructible until [[vacuum]] reclaims its files
+    * (vacuum deletes what the CURRENT snapshot doesn't reference: run
+    * it only once no reader needs the history — the retention contract
+    * every table format ships). The fold uses a checkpoint only when
+    * one exists at or below the asked version. This is what makes a
+    * training run reproducible: record the version a run read, and
+    * `readAt` serves byte-identical inputs later regardless of the
+    * ingest and compaction that happened since.
+    */
+  def snapshotAt(spark: SparkSession, dir: String,
+      version: Long): Snapshot = {
+    val fsys = fs(spark, dir)
+    val vs = listVersions(fsys, dir).toSet
+    val chkAt = listCheckpoints(fsys, dir).filter(_ <= version).lastOption
+    // reconstructible = a checkpoint at/below `version` plus a complete
+    // commit tail up to it, or (no checkpoint) the complete prefix from
+    // v0 — truncation can make old versions unreconstructible, exactly
+    // like every table format's log retention
+    val need = chkAt match {
+      case Some(c) => (c + 1) to version
+      case None => 0L to version
+    }
+    require(need.forall(vs.contains),
+      s"OccTable: version $version is not reconstructible at $dir " +
+        "(commits truncated past it, or it never existed)")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     def fold(adds: Seq[String], removes: Seq[String],
@@ -125,16 +156,24 @@ object OccTable {
         txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
       }
     }
-    val chk = listCheckpoints(fsys, dir).filter(_ <= vs.last).lastOption
-    chk.foreach { c =>
+    chkAt.foreach { c =>
       val (adds, removes, txn) = parseActions(fsys, checkpointPath(dir, c))
       fold(adds, removes, txn)
     }
-    vs.filter(v => chk.forall(v > _)).foreach { v =>
+    need.filter(vs.contains).sorted.foreach { v =>
       val (adds, removes, txn) = readActions(fsys, dir, v)
       fold(adds, removes, txn)
     }
-    Snapshot(vs.last, live.toSeq, txns.toMap)
+    Snapshot(version, live.toSeq, txns.toMap)
+  }
+
+  /** [[read]] at a historical version — see [[snapshotAt]]. */
+  def readAt(spark: SparkSession, dir: String, version: Long)(
+      emptyResult: => DataFrame = throw new IllegalStateException(
+        s"OccTable: empty snapshot at $dir")): DataFrame = {
+    val s = snapshotAt(spark, dir, version)
+    if (s.files.isEmpty) emptyResult
+    else spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)
   }
 
   /** Materialize the current snapshot as a `v<version>.chk` file so
@@ -157,6 +196,30 @@ object OccTable {
     listCheckpoints(fsys, dir).filter(_ < snap.version)
       .foreach(c => fsys.delete(checkpointPath(dir, c), false))
     snap.version
+  }
+
+  /** Drop commit files the latest [[checkpoint]] has absorbed — the log
+    * retention step that keeps the O(#commits) directory listing (the
+    * last growing term in the fold once checkpoint + compaction run)
+    * bounded over a long-lived table. After truncation, versions below
+    * the checkpoint are no longer time-travelable ([[snapshotAt]] says
+    * so explicitly) and a writer whose read version predates it fails
+    * safe as a conflict — so run it with a retention delay from the
+    * maintenance owner, like every table format's log cleanup (Delta
+    * keeps 30 days by default; `keepLast` commits here). Returns the
+    * dropped version ids.
+    */
+  def truncateLog(spark: SparkSession, dir: String,
+      keepLast: Int = 0): Seq[Long] = {
+    require(keepLast >= 0, s"OccTable: keepLast must be >= 0, got $keepLast")
+    val fsys = fs(spark, dir)
+    val chk = listCheckpoints(fsys, dir).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"OccTable: no checkpoint at $dir — checkpoint before truncating"))
+    val dropped = listVersions(fsys, dir)
+      .filter(_ <= chk - keepLast)
+    dropped.foreach(v => fsys.delete(versionPath(dir, v), false))
+    dropped
   }
 
   /** Read the table at its current version — explicit live-file paths,
@@ -232,7 +295,8 @@ object OccTable {
   def init(df: DataFrame, dir: String): Snapshot = {
     val spark = df.sparkSession
     val fsys = fs(spark, dir)
-    require(listVersions(fsys, dir).isEmpty,
+    require(listVersions(fsys, dir).isEmpty &&
+      listCheckpoints(fsys, dir).isEmpty,
       s"OccTable: log already exists at $dir")
     fsys.mkdirs(new Path(s"$dir/$LogDirName"))
     val names = stage(df, dir)
@@ -256,13 +320,26 @@ object OccTable {
     val body = (removes.map(n => s"remove $n") ++ adds.map(n => s"add $n") ++
       txn.map { case (app, ver) => s"txn $app $ver" })
       .mkString("", "\n", "\n").getBytes("UTF-8")
-    var attempt = math.max(readVersion + 1, listVersions(fsys, dir)
-      .lastOption.map(_ + 1).getOrElse(0L))
+    var attempt = math.max(readVersion + 1,
+      (listVersions(fsys, dir) ++ listCheckpoints(fsys, dir))
+        .maxOption.map(_ + 1).getOrElse(0L))
     while (true) {
-      // validate against everything that landed since we read
+      // validate against everything that landed since we read; a
+      // version file MISSING from the window means a concurrent
+      // truncation outran this writer — fail safe as a conflict (we can
+      // no longer prove our removes are clash-free)
       if (removes.nonEmpty) {
         val removedMeanwhile = ((readVersion + 1) until attempt)
-          .flatMap(v => readActions(fsys, dir, v)._2).toSet
+          .flatMap { v =>
+            try readActions(fsys, dir, v)._2
+            catch {
+              case _: java.io.FileNotFoundException =>
+                throw new ConcurrentWriteException(
+                  s"OccTable: commit v$v was truncated while validating " +
+                    s"against read version $readVersion — rerun the " +
+                    "transform on the current snapshot")
+            }
+          }.toSet
         val clash = removes.filter(removedMeanwhile)
         if (clash.nonEmpty) throw new ConcurrentWriteException(
           s"OccTable: files ${clash.mkString(", ")} were already removed " +

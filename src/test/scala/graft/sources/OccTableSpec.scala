@@ -147,6 +147,26 @@ class OccTableSpec extends SparkSpec {
     }
   }
 
+  test("time travel: readAt serves each historical version until vacuum reclaims it") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)                  // v0
+    OccTable.append(Seq((2L, 20L)).toDF("id", "v"), dir)                // v1
+    OccTable.rewrite(spark, dir, d => d.withColumn("v", col("v") * 2))  // v2
+    def at(v: Long) = OccTable.readAt(spark, dir, v)()
+      .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(at(0L) === Seq((1L, 10L)))
+    assert(at(1L) === Seq((1L, 10L), (2L, 20L)))
+    assert(at(2L) === Seq((1L, 20L), (2L, 40L)))
+    // a checkpoint past a version must not poison reads BELOW it
+    OccTable.checkpoint(spark, dir)
+    assert(at(1L) === Seq((1L, 10L), (2L, 20L)))
+    assertThrows[IllegalArgumentException] { OccTable.readAt(spark, dir, 9L)() }
+    // vacuum reclaims history: v1's files are dead in the CURRENT view
+    OccTable.vacuum(spark, dir)
+    assertThrows[Exception] { at(1L) } // historical files gone — documented
+    assert(at(2L) === Seq((1L, 20L), (2L, 40L))) // current still served
+  }
+
   test("checkpoint: snapshot folds one file plus the tail; view and txn fences preserved") {
     val dir = freshDir()
     OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
@@ -171,6 +191,37 @@ class OccTableSpec extends SparkSpec {
       .map(_.getName).filter(_.endsWith(".chk")).toSeq
     assert(chks === Seq("v" + "%020d".format(5L) + ".chk"))
     assert(table(dir) === before :+ ((6L, 60L)))
+  }
+
+  test("truncateLog: the view survives on checkpoint + tail; history below fails loudly; commits continue") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)              // v0
+    OccTable.append(Seq((2L, 20L)).toDF("id", "v"), dir)            // v1
+    OccTable.appendStream(Seq((3L, 30L)).toDF("id", "v"), dir, "app", 0L) // v2
+    OccTable.checkpoint(spark, dir)                                 // chk@2
+    val before = table(dir)
+
+    val dropped = OccTable.truncateLog(spark, dir)
+    assert(dropped === Seq(0L, 1L, 2L)) // everything the checkpoint absorbed
+    assert(table(dir) === before)       // view reconstructed from chk alone
+    assert(OccTable.snapshot(spark, dir).version === 2L)
+    // the streaming fence rode the checkpoint through the truncation
+    OccTable.appendStream(Seq((99L, 99L)).toDF("id", "v"), dir, "app", 0L)
+    assert(table(dir) === before)
+
+    // history below the checkpoint is no longer reconstructible
+    assertThrows[IllegalArgumentException] { OccTable.readAt(spark, dir, 1L)() }
+    // but the checkpointed version itself still serves
+    assert(OccTable.readAt(spark, dir, 2L)().count() === 3)
+
+    // commits continue past the truncated log at the right version
+    assert(OccTable.append(Seq((4L, 40L)).toDF("id", "v"), dir) === 3L)
+    assert(table(dir) === before :+ ((4L, 40L)))
+
+    // a truncated log still refuses re-init
+    assertThrows[IllegalArgumentException] {
+      OccTable.init(Seq((9L, 9L)).toDF("id", "v"), dir)
+    }
   }
 
   test("concurrent appends from many threads: every commit lands, versions are distinct") {
