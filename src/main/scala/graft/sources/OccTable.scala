@@ -408,6 +408,10 @@ object OccTable {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
+      // zero live files = nothing to transform, and a zero-path read
+      // would die in Spark with an unnamed schema error — say why
+      require(snap.files.nonEmpty,
+        s"OccTable: rewrite on an empty snapshot at $dir (v${snap.version})")
       val out = transform(
         spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*))
       val names = stage(out, dir)
