@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Optimistic-concurrency MULTI-WRITER commits over a plain-parquet
   * lake — the Delta-style transaction log the maintenance family
@@ -33,6 +34,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the Delta AddFile-only rule — so ingest never blocks behind
   *     compaction; a rewrite racing an append keeps the appended file
   *     (it only removes what it read).
+  *   - SCHEMA IN THE LOG (X104, the Delta `metaData` action): v0 and
+  *     every evolution commit carry `schema <StructType.json>`; every
+  *     commit under a schema-bearing log is stamped
+  *     `schemaHash <md5-8>` of the schema in force after it. Appends
+  *     whose frame schema is not ADDITIVE against the current log
+  *     schema are REFUSED at the commit boundary (before any file is
+  *     staged), so X82's evolution discipline is enforced by the
+  *     table, not by writer convention. Readers plan with the LOG
+  *     schema, so pre-evolution files serve the new columns as null —
+  *     the `readEvolved` behavior, but from the commit log instead of
+  *     a footer merge. Two concurrent schema-changing commits
+  *     conflict (schema changes serialize); plain appends never
+  *     conflict with an evolution that read their schema.
   *
   * Crash safety: a writer dying before its claim leaves only
   * unreferenced staged files — readers never see them; [[vacuum]]
@@ -52,13 +66,39 @@ object OccTable {
 
   private val LogDirName = "_graft_occ"
 
+  /** Consecutive claim attempts that fail WITHOUT the destination
+    * version existing (a transient-IO rename failure, not a lost race)
+    * before the commit loop surfaces the filesystem error instead of
+    * spinning and burning version numbers.
+    */
+  private val MaxClaimIoFailures = 10
+
   final case class Snapshot(version: Long, files: Seq[String],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      schemaJson: Option[String] = None) {
+    /** The log schema in force at this version, if the log records one
+      * (v0 of every table initialized since X104 does).
+      */
+    def schema: Option[StructType] =
+      schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+  }
+
+  /** The parsed action set of one commit (or checkpoint) file. */
+  final case class Actions(adds: Seq[String], removes: Seq[String],
+      txns: Seq[(String, Long)], schemaJson: Option[String],
+      schemaHash: Option[String])
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
     */
   final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Thrown when a write's frame schema cannot be reconciled with the
+    * log schema under the additive rule — the commit-boundary refusal
+    * that makes X82's discipline enforced rather than conventional.
+    */
+  final class SchemaEvolutionException(msg: String)
     extends RuntimeException(msg)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -86,23 +126,117 @@ object OccTable {
       .map(_.stripPrefix("v").stripSuffix(".chk").toLong).sorted
   }
 
-  private def readActions(fsys: FileSystem, dir: String,
-      v: Long): (Seq[String], Seq[String], Seq[(String, Long)]) =
+  private def readActions(fsys: FileSystem, dir: String, v: Long): Actions =
     parseActions(fsys, versionPath(dir, v))
 
-  private def parseActions(fsys: FileSystem,
-      p: Path): (Seq[String], Seq[String], Seq[(String, Long)]) = {
+  private def parseActions(fsys: FileSystem, p: Path): Actions = {
     val in = fsys.open(p)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
-    (lines.collect { case s if s.startsWith("add ") => s.stripPrefix("add ") },
+    Actions(
+      lines.collect { case s if s.startsWith("add ") => s.stripPrefix("add ") },
       lines.collect { case s if s.startsWith("remove ") => s.stripPrefix("remove ") },
       lines.collect { case s if s.startsWith("txn ") =>
         val Array(app, ver) = s.stripPrefix("txn ").split(" ", 2)
         (app, ver.toLong)
-      })
+      },
+      lines.collectFirst { case s if s.startsWith("schema ") =>
+        s.stripPrefix("schema ") },
+      lines.collectFirst { case s if s.startsWith("schemaHash ") =>
+        s.stripPrefix("schemaHash ") })
+  }
+
+  /** Commit-log versions and their parsed actions over `(after, upTo]`
+    * — the incremental read the streaming tail ([[OccTailSource]])
+    * plans from. Missing versions in the window mean a truncation
+    * outran the reader: fail LOUDLY (a silent skip would silently drop
+    * data from the feed).
+    */
+  def actionsBetween(spark: SparkSession, dir: String, after: Long,
+      upTo: Long): Seq[(Long, Actions)] = {
+    val fsys = fs(spark, dir)
+    val vs = listVersions(fsys, dir).toSet
+    ((after + 1) to upTo).map { v =>
+      if (!vs.contains(v)) throw new IllegalStateException(
+        s"OccTable: commit v$v is gone from $dir/$LogDirName (truncated " +
+          "past the reader's offset) — restart the tail from a " +
+          "reconstructible version")
+      (v, readActions(fsys, dir, v))
+    }
+  }
+
+  /** Highest committed version (commits or checkpoints), if any. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val fsys = fs(spark, dir)
+    (listVersions(fsys, dir) ++ listCheckpoints(fsys, dir)).maxOption
+  }
+
+  private def schemaHashOf(json: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(8)
+
+  /** Schema lines a commit carries: the evolution action itself when
+    * the schema changes, and the audit stamp of the schema in force
+    * after the commit (only once the log records schemas at all —
+    * legacy logs stay stamp-free).
+    */
+  private def schemaLines(newSchemaJson: Option[String],
+      inForceAfter: Option[String]): Seq[String] =
+    newSchemaJson.map(j => s"schema $j").toSeq ++
+      inForceAfter.map(j => s"schemaHash ${schemaHashOf(j)}").toSeq
+
+  /** Reconcile a write's frame schema with the current log schema under
+    * the ADDITIVE rule. Returns None when nothing changes, or
+    * Some(evolved json) when the commit must carry a schema action.
+    * Refuses loudly ([[SchemaEvolutionException]]) when:
+    *   - a shared column changes its data type (no silent widening);
+    *   - the frame omits a log column that is NOT nullable (old
+    *     readers would see impossible nulls).
+    * New columns are recorded nullable (pre-evolution files cannot
+    * fill them). The evolved schema is the UNION — log columns in log order (with
+    * nullability relaxed where either side relaxes it), then the
+    * frame's new columns appended — so two concurrent additive
+    * evolutions converge instead of the later one dropping the
+    * earlier one's column.
+    */
+  private[sources] def resolveSchema(current: Option[String],
+      frame: StructType): Option[String] = current match {
+    case None => None // legacy (pre-X104) log: nothing to enforce
+    case Some(curJson) =>
+      val cur = DataType.fromJson(curJson).asInstanceOf[StructType]
+      val curByName = cur.fields.map(f => f.name -> f).toMap
+      val frameByName = frame.fields.map(f => f.name -> f).toMap
+      val typeClashes = frame.fields.flatMap { f =>
+        curByName.get(f.name).collect {
+          case c if c.dataType != f.dataType =>
+            s"${f.name}: ${c.dataType.simpleString} -> ${f.dataType.simpleString}"
+        }
+      }
+      if (typeClashes.nonEmpty) throw new SchemaEvolutionException(
+        "OccTable: non-additive write refused — column type changes are " +
+          s"not additive: ${typeClashes.mkString("; ")}")
+      val missingRequired = cur.fields
+        .filter(c => !frameByName.contains(c.name) && !c.nullable)
+        .map(_.name)
+      if (missingRequired.nonEmpty) throw new SchemaEvolutionException(
+        "OccTable: non-additive write refused — frame omits non-nullable " +
+          s"log columns: ${missingRequired.mkString(", ")}")
+      // new columns are recorded NULLABLE in the log regardless of the
+      // frame's nullability — pre-evolution files cannot fill them, so
+      // the log-level contract is nullable by construction (Delta's
+      // mergeSchema does the same)
+      val added = frame.fields.filterNot(f => curByName.contains(f.name))
+        .map(_.copy(nullable = true))
+      val merged = StructType(
+        cur.fields.map { c =>
+          val relaxed = frameByName.get(c.name)
+            .exists(f => f.nullable && !c.nullable)
+          if (relaxed) c.copy(nullable = true) else c
+        } ++ added)
+      if (merged == cur) None else Some(merged.json)
   }
 
   /** Current snapshot: fold the latest [[checkpoint]] (if any) plus the
@@ -125,10 +259,11 @@ object OccTable {
     * (vacuum deletes what the CURRENT snapshot doesn't reference: run
     * it only once no reader needs the history — the retention contract
     * every table format ships). The fold uses a checkpoint only when
-    * one exists at or below the asked version. This is what makes a
-    * training run reproducible: record the version a run read, and
-    * `readAt` serves byte-identical inputs later regardless of the
-    * ingest and compaction that happened since.
+    * one exists at or below the asked version, and carries the schema
+    * AS OF that version (time travel serves pre-evolution shape). This
+    * is what makes a training run reproducible: record the version a
+    * run read, and `readAt` serves byte-identical inputs later
+    * regardless of the ingest and compaction that happened since.
     */
   def snapshotAt(spark: SparkSession, dir: String,
       version: Long): Snapshot = {
@@ -148,41 +283,52 @@ object OccTable {
         "(commits truncated past it, or it never existed)")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
-    def fold(adds: Seq[String], removes: Seq[String],
-        txn: Seq[(String, Long)]): Unit = {
-      removes.foreach(live -= _)
-      adds.foreach(live += _)
-      txn.foreach { case (app, ver) =>
+    var schemaJson: Option[String] = None
+    def fold(a: Actions): Unit = {
+      a.removes.foreach(live -= _)
+      a.adds.foreach(live += _)
+      a.txns.foreach { case (app, ver) =>
         txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
       }
+      if (a.schemaJson.nonEmpty) schemaJson = a.schemaJson
     }
-    chkAt.foreach { c =>
-      val (adds, removes, txn) = parseActions(fsys, checkpointPath(dir, c))
-      fold(adds, removes, txn)
-    }
-    need.filter(vs.contains).sorted.foreach { v =>
-      val (adds, removes, txn) = readActions(fsys, dir, v)
-      fold(adds, removes, txn)
-    }
-    Snapshot(version, live.toSeq, txns.toMap)
+    chkAt.foreach(c => fold(parseActions(fsys, checkpointPath(dir, c))))
+    need.filter(vs.contains).sorted.foreach(v =>
+      fold(readActions(fsys, dir, v)))
+    Snapshot(version, live.toSeq, txns.toMap, schemaJson)
   }
 
   /** [[read]] at a historical version — see [[snapshotAt]]. */
   def readAt(spark: SparkSession, dir: String, version: Long)(
       emptyResult: => DataFrame = throw new IllegalStateException(
-        s"OccTable: empty snapshot at $dir")): DataFrame = {
-    val s = snapshotAt(spark, dir, version)
-    if (s.files.isEmpty) emptyResult
-    else spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)
+        s"OccTable: empty snapshot at $dir")): DataFrame =
+    readSnapshot(spark, dir, snapshotAt(spark, dir, version), emptyResult)
+
+  /** Plan the scan from a snapshot: explicit live-file paths with the
+    * LOG schema when the log records one — pre-evolution files serve
+    * the added columns as null, and an empty snapshot serves a typed
+    * empty frame instead of failing schema inference.
+    */
+  private def readSnapshot(spark: SparkSession, dir: String, s: Snapshot,
+      emptyResult: => DataFrame): DataFrame = (s.schema, s.files) match {
+    case (Some(st), Seq()) =>
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    case (None, Seq()) => emptyResult
+    case (Some(st), files) =>
+      spark.read.schema(st).parquet(files.map(f => s"$dir/$f"): _*)
+    case (None, files) =>
+      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
   /** Materialize the current snapshot as a `v<version>.chk` file so
     * later [[snapshot]] folds read ONE file plus the tail — run it the
     * way Delta writes checkpoints (every N commits, from the
-    * maintenance owner). Older checkpoints are dropped; the commit
-    * files themselves are KEPT (conflict validation reads the
-    * (readVersion, attempt) window, and time-travel/debugging read the
-    * history — truncating them is a retention decision this engine
+    * maintenance owner). The checkpoint carries the schema action, so
+    * a truncated log keeps its schema. Older checkpoints are dropped;
+    * the commit files themselves are KEPT (conflict validation reads
+    * the (readVersion, attempt) window, and time-travel/debugging read
+    * the history — truncating them is a retention decision this engine
     * leaves to the deployment, the same caveat as [[vacuum]]).
     * Idempotent; returns the checkpointed version.
     */
@@ -190,7 +336,8 @@ object OccTable {
     val fsys = fs(spark, dir)
     val snap = snapshot(spark, dir)
     val body = (snap.files.map(n => s"add $n") ++
-      snap.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn $a $v" })
+      snap.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn $a $v" } ++
+      schemaLines(snap.schemaJson, snap.schemaJson))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     claim(fsys, checkpointPath(dir, snap.version), body) // exists = done
     listCheckpoints(fsys, dir).filter(_ < snap.version)
@@ -224,16 +371,15 @@ object OccTable {
 
   /** Read the table at its current version — explicit live-file paths,
     * never a directory listing (staged-but-uncommitted files are
-    * invisible by construction). `emptyResult` serves a snapshot whose
-    * live set is empty (schema cannot be inferred from zero files).
+    * invisible by construction). Under a schema-bearing log the scan
+    * plans with the LOG schema (evolved reads, typed empty snapshot);
+    * `emptyResult` only serves legacy logs whose empty snapshot has no
+    * schema to infer from.
     */
   def read(spark: SparkSession, dir: String)(
       emptyResult: => DataFrame = throw new IllegalStateException(
-        s"OccTable: empty snapshot at $dir")): DataFrame = {
-    val s = snapshot(spark, dir)
-    if (s.files.isEmpty) emptyResult
-    else spark.read.parquet(s.files.map(f => s"$dir/$f"): _*)
-  }
+        s"OccTable: empty snapshot at $dir")): DataFrame =
+    readSnapshot(spark, dir, snapshot(spark, dir), emptyResult)
 
   /** Stage `df` as UUID-named parquet files in `dir` and return their
     * names — referenced by no log version yet, so invisible to readers
@@ -291,7 +437,9 @@ object OccTable {
     won
   }
 
-  /** Initialize the log with `df` as version 0. Fails if a log exists. */
+  /** Initialize the log with `df` as version 0 — which records the
+    * table schema as the v0 metadata action. Fails if a log exists.
+    */
   def init(df: DataFrame, dir: String): Snapshot = {
     val spark = df.sparkSession
     val fsys = fs(spark, dir)
@@ -300,66 +448,119 @@ object OccTable {
       s"OccTable: log already exists at $dir")
     fsys.mkdirs(new Path(s"$dir/$LogDirName"))
     val names = stage(df, dir)
-    val body = names.map(n => s"add $n").mkString("", "\n", "\n")
+    val schemaJson = df.schema.json
+    val body = (names.map(n => s"add $n") ++
+      schemaLines(Some(schemaJson), Some(schemaJson)))
+      .mkString("", "\n", "\n")
     require(claim(fsys, versionPath(dir, 0L), body.getBytes("UTF-8")),
       s"OccTable: lost the init race at $dir — another writer initialized")
-    Snapshot(0L, names)
+    Snapshot(0L, names, Map.empty, Some(schemaJson))
   }
 
   /** Commit staged `adds`/`removes` read at `readVersion`: claim
     * versions optimistically, validating the file-granular conflict
     * rule against every commit that landed after `readVersion`. Pure
-    * appends validate trivially. Returns the committed version or
-    * throws [[ConcurrentWriteException]] once a remove-conflict is
-    * found (the TRANSFORM must rerun — see [[rewrite]]'s loop).
+    * appends without a schema action validate trivially. A commit
+    * CARRYING a schema action additionally conflicts with any
+    * intervening schema action (schema changes serialize); a commit
+    * with `conflictOnAnyIntervening` (non-additive overwrite) conflicts
+    * with EVERY intervening commit. Returns the committed version or
+    * throws [[ConcurrentWriteException]] once a conflict is found (the
+    * TRANSFORM must rerun — see [[rewrite]]'s loop). A claim that fails
+    * while the destination does NOT exist is a filesystem fault, not a
+    * lost race — surfaced as an IOException after a bounded number of
+    * consecutive faults instead of spinning through version numbers.
     */
   private def commitActions(spark: SparkSession, dir: String,
       adds: Seq[String], removes: Seq[String], readVersion: Long,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      newSchemaJson: Option[String] = None,
+      schemaInForce: Option[String] = None,
+      conflictOnAnyIntervening: Boolean = false): Long = {
     val fsys = fs(spark, dir)
     val body = (removes.map(n => s"remove $n") ++ adds.map(n => s"add $n") ++
-      txn.map { case (app, ver) => s"txn $app $ver" })
+      txn.map { case (app, ver) => s"txn $app $ver" }.toSeq ++
+      schemaLines(newSchemaJson, schemaInForce))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     var attempt = math.max(readVersion + 1,
       (listVersions(fsys, dir) ++ listCheckpoints(fsys, dir))
         .maxOption.map(_ + 1).getOrElse(0L))
+    var ioFailures = 0
     while (true) {
       // validate against everything that landed since we read; a
       // version file MISSING from the window means a concurrent
       // truncation outran this writer — fail safe as a conflict (we can
       // no longer prove our removes are clash-free)
-      if (removes.nonEmpty) {
-        val removedMeanwhile = ((readVersion + 1) until attempt)
-          .flatMap { v =>
-            try readActions(fsys, dir, v)._2
-            catch {
-              case _: java.io.FileNotFoundException =>
-                throw new ConcurrentWriteException(
-                  s"OccTable: commit v$v was truncated while validating " +
-                    s"against read version $readVersion — rerun the " +
-                    "transform on the current snapshot")
-            }
-          }.toSet
+      if (removes.nonEmpty || newSchemaJson.nonEmpty ||
+          conflictOnAnyIntervening) {
+        val intervening = ((readVersion + 1) until attempt).map { v =>
+          try (v, readActions(fsys, dir, v))
+          catch {
+            case _: java.io.FileNotFoundException =>
+              throw new ConcurrentWriteException(
+                s"OccTable: commit v$v was truncated while validating " +
+                  s"against read version $readVersion — rerun the " +
+                  "transform on the current snapshot")
+          }
+        }
+        if (conflictOnAnyIntervening && intervening.nonEmpty)
+          throw new ConcurrentWriteException(
+            s"OccTable: ${intervening.size} commit(s) landed after read " +
+              s"version $readVersion and this commit replaces the table " +
+              "schema — rerun the transform on the current snapshot")
+        val removedMeanwhile = intervening.flatMap(_._2.removes).toSet
         val clash = removes.filter(removedMeanwhile)
         if (clash.nonEmpty) throw new ConcurrentWriteException(
           s"OccTable: files ${clash.mkString(", ")} were already removed " +
             s"by a commit after version $readVersion — rerun the " +
             "transform on the current snapshot")
+        if (newSchemaJson.nonEmpty &&
+            intervening.exists(_._2.schemaJson.nonEmpty))
+          throw new ConcurrentWriteException(
+            s"OccTable: another schema change landed after read version " +
+              s"$readVersion — re-resolve the evolution on the current " +
+              "snapshot")
       }
       if (claim(fsys, versionPath(dir, attempt), body)) return attempt
-      attempt += 1 // lost the claim race: someone committed this version
+      if (fsys.exists(versionPath(dir, attempt))) {
+        attempt += 1 // lost the claim race: someone committed this version
+        ioFailures = 0
+      } else {
+        // destination absent after a failed claim: the filesystem, not
+        // a racer, rejected the publish — bounded retry then surface
+        ioFailures += 1
+        if (ioFailures >= MaxClaimIoFailures) throw new java.io.IOException(
+          s"OccTable: claim of v$attempt at $dir failed $ioFailures " +
+            "consecutive times with no competing commit observed — " +
+            "filesystem fault, not a lost race")
+      }
     }
     -1L // unreachable
   }
 
-  /** Append-only commit: stage and commit. Never conflicts (AddFile-only
-    * rule), so concurrent appends and append-vs-rewrite all succeed.
+  /** Append-only commit: stage and commit. Never conflicts on files
+    * (AddFile-only rule), so concurrent appends and append-vs-rewrite
+    * all succeed; an append that triggers an additive schema evolution
+    * can conflict with a concurrent evolution and retries by
+    * re-resolving against the merged schema (the staged files stay
+    * valid — the union schema covers them).
     */
   def append(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
+    var snap = snapshot(spark, dir)
+    var evolved = resolveSchema(snap.schemaJson, df.schema) // refuse BEFORE staging
     val names = stage(df, dir)
-    commitActions(spark, dir, names, Seq.empty,
-      snapshot(spark, dir).version)
+    while (true) {
+      try return commitActions(spark, dir, names, Seq.empty, snap.version,
+        newSchemaJson = evolved,
+        schemaInForce = evolved.orElse(snap.schemaJson))
+      catch {
+        case _: ConcurrentWriteException =>
+          snap = snapshot(spark, dir)
+          evolved = resolveSchema(snap.schemaJson, df.schema)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Idempotent STREAMING append — Delta's SetTransaction action: the
@@ -381,11 +582,21 @@ object OccTable {
     require(!appId.exists(c => c == ' ' || c == '\n' || c == '\r'),
       s"OccTable: appId must not contain whitespace, got '$appId'")
     val spark = df.sparkSession
-    val snap = snapshot(spark, dir)
+    var snap = snapshot(spark, dir)
     if (snap.txns.get(appId).exists(_ >= batchId)) return snap.version
+    var evolved = resolveSchema(snap.schemaJson, df.schema)
     val names = stage(df, dir)
-    commitActions(spark, dir, names, Seq.empty, snap.version,
-      Some((appId, batchId)))
+    while (true) {
+      try return commitActions(spark, dir, names, Seq.empty, snap.version,
+        Some((appId, batchId)), newSchemaJson = evolved,
+        schemaInForce = evolved.orElse(snap.schemaJson))
+      catch {
+        case _: ConcurrentWriteException =>
+          snap = snapshot(spark, dir)
+          evolved = resolveSchema(snap.schemaJson, df.schema)
+      }
+    }
+    -1L // unreachable
   }
 
   /** `foreachBatch` form of [[appendStream]]. */
@@ -402,9 +613,17 @@ object OccTable {
     * snapshot, up to `maxRetries` times, so racing rewrites serialize
     * into sequential application instead of losing one side. The staged
     * files of a lost attempt become unreferenced garbage for [[vacuum]].
+    *
+    * Schema: the transform's output must be additive against the log
+    * schema (refused otherwise), UNLESS `overwriteSchema = true` — the
+    * Delta escape hatch for a deliberate migration. An overwrite
+    * replaces every file, so its commit conflicts with ANY intervening
+    * commit (a racing append's files would otherwise carry a schema the
+    * log no longer describes).
     */
   def rewrite(spark: SparkSession, dir: String,
-      transform: DataFrame => DataFrame, maxRetries: Int = 3): Long = {
+      transform: DataFrame => DataFrame, maxRetries: Int = 3,
+      overwriteSchema: Boolean = false): Long = {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
@@ -412,10 +631,18 @@ object OccTable {
       // would die in Spark with an unnamed schema error — say why
       require(snap.files.nonEmpty,
         s"OccTable: rewrite on an empty snapshot at $dir (v${snap.version})")
-      val out = transform(
-        spark.read.parquet(snap.files.map(f => s"$dir/$f"): _*))
+      val out = transform(readSnapshot(spark, dir, snap,
+        throw new IllegalStateException("unreachable: files non-empty")))
+      val evolved =
+        if (overwriteSchema)
+          Some(out.schema.json).filterNot(snap.schemaJson.contains)
+        else resolveSchema(snap.schemaJson, out.schema)
       val names = stage(out, dir)
-      try return commitActions(spark, dir, names, snap.files, snap.version)
+      try return commitActions(spark, dir, names, snap.files, snap.version,
+        newSchemaJson = evolved,
+        schemaInForce = evolved.orElse(snap.schemaJson),
+        conflictOnAnyIntervening =
+          overwriteSchema && evolved.nonEmpty)
       catch {
         case e: ConcurrentWriteException =>
           tries += 1
@@ -426,22 +653,31 @@ object OccTable {
   }
 
   /** Delete data files no log version references (lost-attempt staging,
-    * crashed writers) and files removed from the snapshot. UNSAFE while
-    * a writer is mid-stage — run it the way every table format runs
+    * crashed writers) and files removed from the snapshot — including
+    * `.occ-staging-*` directories a writer that died mid-[[stage]] left
+    * behind (invisible to readers; by the no-concurrent-writers vacuum
+    * contract they cannot belong to a live writer). UNSAFE while a
+    * writer is mid-stage — run it the way every table format runs
     * vacuum: from the maintenance owner, not concurrently with writers
-    * (a retention window over file mtimes is the production refinement).
-    * Returns the deleted names.
+    * (a retention window over file mtimes is the production
+    * refinement). Returns the deleted names.
     */
   def vacuum(spark: SparkSession, dir: String): Seq[String] = {
     val fsys = fs(spark, dir)
-    val vs = listVersions(fsys, dir)
+    // a fully-truncated log is all-checkpoint: still a live table
+    require(listVersions(fsys, dir).nonEmpty ||
+      listCheckpoints(fsys, dir).nonEmpty, s"OccTable: no log at $dir")
     val referenced = snapshot(spark, dir).files.toSet
-    val onDisk = fsys.listStatus(new Path(dir)).toSeq
+    val entries = fsys.listStatus(new Path(dir)).toSeq
+    val garbageFiles = entries
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.getName)
-    require(vs.nonEmpty, s"OccTable: no log at $dir")
-    val garbage = onDisk.filterNot(referenced)
-    garbage.foreach(n => fsys.delete(new Path(dir, n), false))
-    garbage
+      .filterNot(referenced)
+    val crashedStaging = entries
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".occ-staging-"))
+      .map(_.getPath.getName)
+    garbageFiles.foreach(n => fsys.delete(new Path(dir, n), false))
+    crashedStaging.foreach(n => fsys.delete(new Path(dir, n), true))
+    garbageFiles ++ crashedStaging
   }
 }

@@ -257,13 +257,18 @@ object TxnSink {
     val plainIds = listLog(fsys, dir).collect { case (id, false) => id }
     if (plainIds.isEmpty) return latestCompactId(fsys, dir)
     val upTo = plainIds.max
+    // capture the generation being superseded BEFORE the new one lands —
+    // queried after, latestCompactId would return upTo itself and the
+    // old generation would never be reclaimed (one leaked file per
+    // compaction, defeating the bounded-listing goal)
+    val prev = latestCompactId(fsys, dir)
     val all = committedFiles(spark, dir).map(_.stripPrefix(s"$dir/"))
     writeAtomic(fsys, new Path(s"$dir/$LogDirName/${pad(upTo)}$CompactSuffix"),
       all)
     // only now is it safe to drop what the generation absorbed
     plainIds.filter(_ <= upTo)
       .foreach(id => fsys.delete(manifestPath(dir, id), false))
-    latestCompactId(fsys, dir).filter(_ < upTo)
+    prev.filter(_ < upTo)
       .foreach(id => fsys.delete(
         new Path(s"$dir/$LogDirName/${pad(id)}$CompactSuffix"), false))
     Some(upTo)

@@ -224,6 +224,142 @@ class OccTableSpec extends SparkSpec {
     }
   }
 
+  test("schema in the log: additive append evolves; time travel serves the pre-evolution shape") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)                 // v0
+    assert(OccTable.snapshot(spark, dir).schema.map(_.fieldNames.toSeq)
+      === Some(Seq("id", "v")))
+
+    // additive: a new NULLABLE column evolves the log schema
+    OccTable.append(Seq((2L, 20L)).toDF("id", "v")
+      .withColumn("w", lit(7L)), dir)                     // v1
+    assert(OccTable.snapshot(spark, dir).schema.map(_.fieldNames.toSeq)
+      === Some(Seq("id", "v", "w")))
+    // the added column is recorded NULLABLE in the log even though the
+    // frame's literal was not — pre-evolution files cannot fill it
+    assert(OccTable.snapshot(spark, dir).schema.get("w").nullable)
+    // pre-evolution rows serve the added column as null (log-schema scan)
+    val rows = OccTable.read(spark, dir)()
+      .select("id", "v", "w").as[(Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, 10L, None), (2L, 20L, Some(7L))))
+    // time travel serves the OLD shape at v0
+    assert(OccTable.readAt(spark, dir, 0L)().columns.toSeq === Seq("id", "v"))
+
+    // a column-SUBSET append is fine once the omitted column is nullable
+    OccTable.append(Seq((3L, 30L)).toDF("id", "v"), dir)               // v2
+    assert(OccTable.read(spark, dir)().filter(col("id") === 3L)
+      .select("w").as[Option[Long]].collect().toSeq === Seq(None))
+
+    // every commit under the schema-bearing log carries the hash stamp
+    val logDir = new java.io.File(s"$dir/_graft_occ")
+    val stamped = logDir.listFiles().filter(_.getName.matches("v\\d{20}"))
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(stamped.length === 3 &&
+      stamped.forall(_.contains("schemaHash ")))
+  }
+
+  test("non-additive writes are refused at the commit boundary, before staging") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
+    val filesBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+
+    // type change on a shared column
+    assertThrows[OccTable.SchemaEvolutionException] {
+      OccTable.append(Seq((2L, "x")).toDF("id", "v"), dir)
+    }
+    // omitting a NON-nullable log column
+    assertThrows[OccTable.SchemaEvolutionException] {
+      OccTable.append(Seq(Tuple1(3L)).toDF("id"), dir)
+    }
+    // the refusals staged nothing (no garbage for vacuum)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-")) === filesBefore)
+    assert(table(dir) === Seq((1L, 10L)))
+    assert(OccTable.snapshot(spark, dir).version === 0L)
+  }
+
+  test("rewrite schema rules: additive ok; replacement needs overwriteSchema and serializes strictly") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
+
+    // default: replacing a column's type is refused
+    assertThrows[OccTable.SchemaEvolutionException] {
+      OccTable.rewrite(spark, dir,
+        d => d.withColumn("v", col("v").cast("string")))
+    }
+    // explicit overwrite replaces the log schema
+    OccTable.rewrite(spark, dir,
+      d => d.withColumn("v", col("v").cast("string")),
+      overwriteSchema = true)
+    assert(OccTable.snapshot(spark, dir).schema.get("v").dataType
+      === org.apache.spark.sql.types.StringType)
+
+    // an overwrite racing ANY commit loses (strict serialization): a
+    // nested plain append lands between read and commit
+    var appended = false
+    assertThrows[OccTable.ConcurrentWriteException] {
+      OccTable.rewrite(spark, dir, d => {
+        if (!appended) {
+          appended = true
+          OccTable.append(Seq(("2", 2L)).toDF("v", "id")
+            .select(col("id"), col("v")), dir)
+        }
+        d.withColumn("v", col("v").cast("double"))
+      }, maxRetries = 0, overwriteSchema = true)
+    }
+  }
+
+  test("concurrent additive evolutions converge: the loser re-resolves against the union") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
+    var raced = false
+    OccTable.rewrite(spark, dir, d => {
+      if (!raced) {
+        raced = true
+        // a concurrent writer evolves FIRST (adds u)
+        OccTable.append(Seq((2L, 20L)).toDF("id", "v")
+          .withColumn("u", lit(1L)), dir)
+      }
+      d.withColumn("w", lit(2L))
+    })
+    // the rewrite's schema action conflicted, reran, and the union holds both
+    assert(OccTable.snapshot(spark, dir).schema.map(_.fieldNames.toSet)
+      === Some(Set("id", "v", "u", "w")))
+    // a plain same-schema append NEVER conflicts with an evolution
+    // (AddFile-only, no schema action of its own after the union exists)
+    OccTable.append(Seq((3L, 30L)).toDF("id", "v"), dir)
+    // init row + raced-evolution row + this append
+    assert(OccTable.read(spark, dir)().count() === 3)
+  }
+
+  test("schema rides checkpoint + truncation; vacuum collects crashed staging dirs") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
+    OccTable.append(Seq((2L, 20L)).toDF("id", "v")
+      .withColumn("w", lit(5L)), dir)
+    OccTable.checkpoint(spark, dir)
+    OccTable.truncateLog(spark, dir)
+    // the evolved schema came through the checkpoint, not the commits
+    assert(OccTable.snapshot(spark, dir).schema.map(_.fieldNames.toSeq)
+      === Some(Seq("id", "v", "w")))
+    assert(OccTable.read(spark, dir)().filter(col("id") === 1L)
+      .select("w").as[Option[Long]].collect().toSeq === Seq(None))
+
+    // a writer that died mid-stage: its staging dir is invisible and
+    // vacuum reclaims it
+    val crashed = new java.io.File(dir, ".occ-staging-deadcafe")
+    crashed.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(crashed, "part-00000").toPath, Array[Byte](1, 2))
+    assert(OccTable.read(spark, dir)().count() === 2)
+    val removed = OccTable.vacuum(spark, dir)
+    assert(removed.contains(".occ-staging-deadcafe"))
+    assert(!crashed.exists())
+    assert(OccTable.read(spark, dir)().count() === 2)
+  }
+
   test("concurrent appends from many threads: every commit lands, versions are distinct") {
     val dir = freshDir()
     OccTable.init(Seq((0L, 0L)).toDF("id", "v"), dir)
