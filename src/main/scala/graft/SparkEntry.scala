@@ -2778,6 +2778,16 @@ object SparkEntry {
     "q_occ_stream_ingest" -> ((s, dir) =>
       graft.streaming.Pipeline.replayOccIngest(s, dir)),
 
+    // ---- OCC commit-log TAILING (X104, the read-side of the lakehouse
+    //      loop): a live append series on a source OCC table is
+    //      SUBSCRIBED to — offsets = log versions, one micro-batch per
+    //      version — and relayed into a second OCC table through the
+    //      fenced streaming sink, while a checkpoint+compaction races
+    //      the tail mid-log (skipRewrites policy). dst read ≡ src read
+    //      ≡ plain events selection ----
+    "q_occ_stream_read" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayOccTail(s, dir)),
+
     // ---- snapshot diff: the CDC window's effect audited row-by-row —
     //      diff(base events, latest-wins merged) must classify every key
     //      exactly as the update batch's closed form predicts (%100 →
@@ -4986,6 +4996,12 @@ object SparkEntry {
     // streamed OCC ingest is a pure passthrough (the fence and the
     // racing compaction must be invisible in the content)
     "q_occ_stream_ingest" ->
+      "SELECT event_id, event_type, value FROM events",
+
+    // tailed-and-relayed OCC table is a pure passthrough: the version
+    // offsets, the admission cap, the skipped compaction commit, and
+    // the destination fence must all be invisible in the content
+    "q_occ_stream_read" ->
       "SELECT event_id, event_type, value FROM events",
 
     // the OCC composition's closed form: slices 0/1 went through the

@@ -67,12 +67,15 @@ object StreamBench {
           readings, "r_ts", "10 minutes",
           Seq("sensor_id"), windowTo = "5 minutes")
       })
+    // the lakehouse loop live: OCC append-producer + commit-log tail
+    // relaying into a second fenced OCC table, compaction mid-run
+    val occ = graft.streaming.SteadyState.measureOccTailStream(spark)
     val combined = env.json.dropRight(1) +
       "," + dedup.json + "," + cur.json + "," + clf.json + "," +
       bm25.json + "," +
       asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
       "," + ewma.json + "," + hop.json + "," + sess.json + "," +
-      ssj.json + "}"
+      ssj.json + "," + occ.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -1,0 +1,291 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STREAMING SOURCE over an [[OccTable]] commit log (X104) — the
+  * read-side that closes the lakehouse loop: [[OccTable.appendStream]]
+  * ingests into the log exactly-once, and this source lets a standing
+  * pipeline SUBSCRIBE to what lands (Delta's streaming source / change
+  * feed shape). The reference's own architecture is store → dashboard
+  * POLLING (reference/streamlit_dashboard.py:89-121 re-queries the full
+  * store per refresh); commit-log tailing is that read path made
+  * incremental — each refresh reads only the versions that committed
+  * since the last one.
+  *
+  * Offset model: an offset IS a log version — "every commit ≤ v has
+  * been delivered". A micro-batch over (start, end] emits the parsed
+  * ACTIONS of exactly those commits as rows:
+  *
+  *   (version LONG, action STRING, file STRING,
+  *    app_id STRING, txn_version LONG, schema_json STRING)
+  *
+  * with `action` ∈ add | remove | txn | schema (file set on add/remove,
+  * app_id/txn_version on txn, schema_json on schema — the faithful
+  * feed of the log, not just its AddFiles). The engine checkpoints the
+  * version offsets, so restart resumes mid-log with no duplicates and
+  * no gaps; a version range is immutable once committed, so recovery
+  * replays identical batches. A version MISSING from a planned range
+  * (log truncation outran the tail) fails the stream LOUDLY — a silent
+  * skip would silently drop data from the feed.
+  *
+  * [[OccStream.tailTo]] is the DATA tail built on this feed: per
+  * micro-batch it turns the AddFiles into one incremental parquet scan
+  * and hands the frame to an exactly-once sink. Commits that REMOVE
+  * files (compaction, merge, expiry) cannot be represented by an
+  * append-only tail; the `onRewrite` policy mirrors Delta's:
+  * fail (default — like Delta refusing changed data without a flag),
+  * `skipRewrites` (ignore those commits entirely — Delta's
+  * `skipChangeCommits`), `ignoreRemoves` (process their adds too,
+  * accepting reprocessed rows — Delta's `ignoreChanges`).
+  *
+  * Scale posture: the driver plans from the log only (tiny per-version
+  * files — the same O(metadata) cost every table format's source
+  * pays); the data read is a plain parquet scan of ONLY the new files,
+  * with pushdown/pruning intact. Admission control
+  * (`maxVersionsPerTrigger`) bounds a backlogged catch-up to a fixed
+  * number of commits per micro-batch.
+  */
+object OccTailSource {
+  val ShortName = "graft-occ-tail"
+
+  val schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("action", StringType, nullable = false),
+    StructField("file", StringType, nullable = true),
+    StructField("app_id", StringType, nullable = true),
+    StructField("txn_version", LongType, nullable = true),
+    StructField("schema_json", StringType, nullable = true)))
+}
+
+class OccTailSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = OccTailSource.ShortName
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OccTailSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new OccTailTable(new CaseInsensitiveStringMap(properties))
+}
+
+final class OccTailTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val dir = {
+    val d = options.get("dir")
+    require(d != null && d.nonEmpty,
+      s"${OccTailSource.ShortName} requires option 'dir' (the OccTable root)")
+    d
+  }
+  override def name(): String = s"${OccTailSource.ShortName}($dir)"
+  override def schema(): StructType = OccTailSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = OccTailSource.schema
+        override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+          new OccTailMicroBatchStream(dir,
+            startingVersion = Option(options.get("startingVersion"))
+              .getOrElse("earliest"),
+            maxVersions = options.getInt("maxVersionsPerTrigger", 0))
+      }
+    }
+}
+
+/** "Every commit ≤ version has been delivered"; -1 = nothing yet. */
+final case class OccTailOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+final class OccTailMicroBatchStream(dir: String, startingVersion: String,
+    maxVersions: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  require(startingVersion == "earliest" || startingVersion == "latest" ||
+    startingVersion.forall(_.isDigit),
+    s"startingVersion must be 'earliest', 'latest' or a version number, " +
+      s"got '$startingVersion'")
+  require(maxVersions >= 0,
+    s"maxVersionsPerTrigger must be >= 0 (0 = unbounded), got $maxVersions")
+
+  // all offset/planning work is DRIVER-side (the log is metadata)
+  private def spark: SparkSession = SparkSession.active
+  private def latest: Long =
+    OccTable.latestVersion(spark, dir).getOrElse(-1L)
+
+  /** AvailableNow pin: versions committed after prepare() are left for
+    * the next run instead of chasing a live writer forever.
+    */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latest)
+
+  override def initialOffset(): Offset = OccTailOffset(startingVersion match {
+    case "earliest" => -1L
+    case "latest" => latest
+    case n => n.toLong - 1 // version n is the first delivered
+  })
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxVersions > 0) ReadLimit.maxRows(maxVersions.toLong)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this source")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[OccTailOffset].version
+    val l = availableNowTarget.getOrElse(latest)
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(l, s + r.maxRows())
+      case _ => l
+    }
+    OccTailOffset(math.max(s, capped))
+  }
+
+  override def reportLatestOffset(): Offset = OccTailOffset(latest)
+
+  override def deserializeOffset(json: String): Offset =
+    OccTailOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = () // log retention is the table's business
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[OccTailOffset].version
+    val e = end.asInstanceOf[OccTailOffset].version
+    if (e <= s) return Array.empty
+    // driver-side parse of the tiny commit files; fails LOUDLY when a
+    // version in the range was truncated away (OccTable.actionsBetween)
+    OccTable.actionsBetween(spark, dir, s, e).map { case (v, a) =>
+      OccTailPartition(v, a.adds, a.removes, a.txns,
+        a.schemaJson): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OccTailReaderFactory
+}
+
+/** One commit's parsed actions — tiny, shipped to the executor whole. */
+final case class OccTailPartition(version: Long, adds: Seq[String],
+    removes: Seq[String], txns: Seq[(String, Long)],
+    schemaJson: Option[String]) extends InputPartition
+
+final class OccTailReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[OccTailPartition]
+    val u = UTF8String.fromString _
+    // commit-body order: removes, adds, txn, schema
+    val rows: Iterator[InternalRow] =
+      (part.removes.iterator.map(f =>
+        InternalRow(part.version, u("remove"), u(f), null, null, null)) ++
+        part.adds.iterator.map(f =>
+          InternalRow(part.version, u("add"), u(f), null, null, null)) ++
+        part.txns.iterator.map { case (app, ver) =>
+          InternalRow(part.version, u("txn"), null, u(app), ver, null) } ++
+        part.schemaJson.iterator.map(j =>
+          InternalRow(part.version, u("schema"), null, null, null, u(j))))
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The user-facing tails over [[OccTailSource]]. */
+object OccStream {
+
+  /** The raw commit FEED as a streaming DataFrame — offsets are log
+    * versions, rows are the parsed actions of each commit.
+    */
+  def feed(spark: SparkSession, dir: String,
+      startingVersion: String = "earliest",
+      maxVersionsPerTrigger: Int = 0): DataFrame =
+    spark.readStream.format(OccTailSource.ShortName)
+      .option("dir", dir)
+      .option("startingVersion", startingVersion)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+      .load()
+
+  /** The DATA tail: subscribe to the table's appends. Each micro-batch
+    * turns its version range's AddFiles into ONE incremental parquet
+    * scan (planned with the table's log schema, so pre-evolution files
+    * serve evolved columns as null) and hands it to `sink` — compose
+    * with [[OccTable.streamingSink]] or
+    * [[graft.streaming.TxnSink]] for an exactly-once pipeline (the
+    * engine checkpoint replays identical version ranges after a crash;
+    * the sink fence drops the replayed batch). Batches whose range
+    * carries no adds (pure txn/schema commits, or rewrites under
+    * `skipRewrites`) skip the sink call.
+    *
+    * `onRewrite` decides what a commit that REMOVES files means to an
+    * append-only subscriber (see [[OccTailSource]]): "fail" (default),
+    * "skipRewrites", or "ignoreRemoves". Under `skipRewrites` the tail
+    * reads files a later compaction may have REMOVED — run
+    * [[OccTable.vacuum]] with a retention window longer than the
+    * tail's lag, the same contract Delta documents for its source.
+    */
+  def tailTo(spark: SparkSession, dir: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      startingVersion: String = "earliest",
+      maxVersionsPerTrigger: Int = 0,
+      onRewrite: String = "fail",
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      queryName: Option[String] = None): StreamingQuery = {
+    require(Set("fail", "skipRewrites", "ignoreRemoves")(onRewrite),
+      s"onRewrite must be fail | skipRewrites | ignoreRemoves, got '$onRewrite'")
+    val writer = feed(spark, dir, startingVersion, maxVersionsPerTrigger)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // metadata-sized collect: the batch IS the commit log slice
+        val acts = batch.select("version", "action", "file").collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getString(2)))
+        val rewriteVs = acts.collect {
+          case (v, "remove", _) => v
+        }.toSet
+        if (onRewrite == "fail" && rewriteVs.nonEmpty)
+          throw new IllegalStateException(
+            s"OccStream: commit(s) v${rewriteVs.toSeq.sorted.mkString(", v")} " +
+              s"of $dir rewrite files under the tail (compaction/merge/" +
+              "expiry) — an append-only tail cannot represent them. Set " +
+              "onRewrite=skipRewrites to ignore those commits (Delta's " +
+              "skipChangeCommits) or onRewrite=ignoreRemoves to process " +
+              "their adds too (downstream may see reprocessed rows).")
+        val addFiles = acts.collect {
+          case (v, "add", f)
+            if onRewrite == "ignoreRemoves" || !rewriteVs(v) => f
+        }
+        if (addFiles.nonEmpty) {
+          val data = OccTable.snapshot(spark, dir).schema match {
+            case Some(st) => spark.read.schema(st)
+              .parquet(addFiles.map(f => s"$dir/$f").toIndexedSeq: _*)
+            case None => spark.read
+              .parquet(addFiles.map(f => s"$dir/$f").toIndexedSeq: _*)
+          }
+          sink(data, batchId)
+        }
+        ()
+      }
+    queryName.fold(writer)(writer.queryName).start()
+  }
+}

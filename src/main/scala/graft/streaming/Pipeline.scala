@@ -341,6 +341,60 @@ object Pipeline {
     graft.sources.OccTable.read(spark, table)()
   }
 
+  /** OCC commit-log TAILING replayed end-to-end (X104, the read-side
+    * twin of [[replayOccIngest]]): a SOURCE OccTable receives a live
+    * append series — four event slices landing as separate commits — and
+    * an [[graft.sources.OccStream.tailTo]] subscriber (one version per
+    * micro-batch via the admission cap, `skipRewrites` policy) relays
+    * each commit's AddFiles into a SECOND OccTable through the
+    * SetTransaction-fenced streaming sink. A checkpoint + full-snapshot
+    * compaction runs on the source mid-stream: the tail must skip the
+    * rewrite commit (its content was already delivered version by
+    * version) and keep consuming the appends AFTER it, so the
+    * destination table reads ≡ the source table reads ≡ the plain
+    * events selection — the oracle (`q_occ_stream_read`).
+    */
+  def replayOccTail(spark: SparkSession, dir: String): DataFrame = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_occ_tail_$user", key)
+    deleteRecursively(outRoot)
+    val src = outRoot.toString + "/src"
+    val dst = outRoot.toString + "/dst"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_occ_tail_ckpt")
+    val cols = Seq("event_id", "event_type", "value")
+    val base = graft.sources.Tables.events(spark, dir)
+      .select(cols.map(col): _*)
+    def slice(i: Int): DataFrame = base.filter(col("event_id") % 4 === i)
+    withReplayParallelism(spark) {
+      graft.sources.OccTable.init(slice(0), src)                   // v0
+      graft.sources.OccTable.init(base.limit(0), dst)
+      val q = graft.sources.OccStream.tailTo(spark, src, ckpt.toString,
+        graft.sources.OccTable.streamingSink(dst, "occ_tail"),
+        maxVersionsPerTrigger = 1, onRewrite = "skipRewrites")
+      try {
+        q.processAllAvailable()                                    // v0 delivered
+        graft.sources.OccTable.append(slice(1), src)               // v1
+        q.processAllAvailable()
+        graft.sources.OccTable.append(slice(2), src)               // v2
+        // the racing maintenance pass: compact everything committed so
+        // far while the tail is mid-log — delivered content must not
+        // duplicate, later appends must still arrive
+        graft.sources.OccTable.rewrite(spark, src, d => d.coalesce(1)) // v3
+        graft.sources.OccTable.append(slice(3), src)               // v4
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        deleteRecursively(ckpt)
+      }
+    }
+    graft.sources.OccTable.read(spark, dst)()
+  }
+
   /** Events table as a TIME-SPLIT multi-file stream: `nFiles` range
     * partitions of `ts` written as one parquet file each, mtimes forced
     * ascending in path (= time) order, `maxFilesPerTrigger = 1` — so an

@@ -565,6 +565,93 @@ object SteadyState {
       if (lat.isEmpty) -1 else lat.max, outRows)
   }
 
+  /** Envelope of the OCC COMMIT-LOG TAIL (X104) at steady state: an
+    * external producer thread lands one OCC append per second on a
+    * source table while [[graft.sources.OccStream.tailTo]] subscribes
+    * and relays every commit's AddFiles into a SECOND OCC table through
+    * the SetTransaction-fenced sink — the full lakehouse loop (write
+    * side AND read side) priced live. A checkpoint + compaction rewrite
+    * fires on the source mid-run; under `skipRewrites` the tail must
+    * ride through it without duplicating delivered content.
+    * `docs`/msg_per_min = data rows landed in the DESTINATION table
+    * (the relayed end-to-end throughput, not feed-action rows);
+    * out_rows = rows committed to the source by stop time (the gap =
+    * in-flight tail lag). Latencies are the tail query's productive
+    * triggerExecution times.
+    */
+  def measureOccTailStream(spark: SparkSession, rowsPerAppend: Int = 200,
+      appendIntervalMs: Long = 1000L, minBatches: Int = 12,
+      deadlineSec: Int = 180): DocEnvelope = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val kind = "occ_tail_stream"
+    val root = Files.createTempDirectory("graft_occ_tail_env")
+    val src = root.toString + "/src"
+    val dst = root.toString + "/dst"
+    val ckpt = Files.createTempDirectory("graft_occ_tail_env_ckpt")
+    val shape = spark.range(0).select(col("id"),
+      (col("id") % 10).as("sensor"), col("id").cast("double").as("v"))
+    graft.sources.OccTable.init(shape, src)
+    graft.sources.OccTable.init(shape, dst)
+    val qName = s"graft_envelope_$kind"
+    val productive = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == qName && e.progress.numInputRows > 0)
+          productive.add((e.progress.numInputRows,
+            e.progress.durationMs.get("triggerExecution").toLong))
+    }
+    spark.streams.addListener(listener)
+    @volatile var stopProducer = false
+    val producer = new Thread(() => {
+      var batch = 0L
+      while (!stopProducer) {
+        val lo = batch * rowsPerAppend
+        graft.sources.OccTable.append(
+          spark.range(lo, lo + rowsPerAppend).select(col("id"),
+            (col("id") % 10).as("sensor"),
+            col("id").cast("double").as("v")).coalesce(1), src)
+        // mid-run maintenance: the compaction the tail must ride through
+        if (batch == 5L) {
+          graft.sources.OccTable.checkpoint(spark, src)
+          graft.sources.OccTable.rewrite(spark, src, d => d.coalesce(1))
+        }
+        batch += 1
+        Thread.sleep(appendIntervalMs)
+      }
+    }, "graft-occ-tail-producer")
+    val q = graft.sources.OccStream.tailTo(spark, src, ckpt.toString,
+      graft.sources.OccTable.streamingSink(dst, "occ_tail_env"),
+      onRewrite = "skipRewrites", queryName = Some(qName))
+    producer.start()
+    val t0 = System.nanoTime()
+    var elapsedSec = 0.0
+    try {
+      val deadline = t0 + deadlineSec * 1000L * 1000 * 1000
+      while (productive.size < minBatches
+          && System.nanoTime() < deadline) Thread.sleep(200)
+      elapsedSec = (System.nanoTime() - t0) / 1e9
+    } finally {
+      stopProducer = true
+      producer.join(10000)
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    val prog = {
+      import scala.jdk.CollectionConverters._
+      productive.asScala.toSeq
+    }
+    val lat = prog.map(_._2)
+    val delivered = graft.sources.OccTable.read(spark, dst)().count()
+    val srcRows = graft.sources.OccTable.read(spark, src)().count()
+    DocEnvelope(kind, delivered, elapsedSec,
+      delivered / elapsedSec * 60, lat.length,
+      if (lat.isEmpty) -1 else median(lat),
+      if (lat.isEmpty) -1 else lat.max, srcRows)
+  }
+
   /** Envelope of a WATERMARKED WINDOWED-AGG shape over the sensor rate
     * stream — the measured halves of the two window families the dual
     * sink does not cover: hopping (each event lands in width/slide

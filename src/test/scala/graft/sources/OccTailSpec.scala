@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Commit-log tailing (X104): offsets are log versions, micro-batches
+  * are the parsed actions of `(start, end]`, restart resumes mid-log,
+  * rewrites under the tail follow the explicit policy, truncation past
+  * the tail's offset fails loudly.
+  */
+class OccTailSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("feed: one micro-batch per version under the admission cap; actions replay the log faithfully") {
+    val dir = freshDir("graft_occtail_feed")
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)                  // v0
+    OccTable.appendStream(Seq((2L, 20L)).toDF("id", "v"), dir, "app", 7L) // v1
+    OccTable.rewrite(spark, dir, d => d.coalesce(1))                    // v2
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, String)])]
+    val q = OccStream.feed(spark, dir, maxVersionsPerTrigger = 1)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_occtail_feed_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches += ((id, b.select("version", "action")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq))
+        ()
+      }.start()
+    q.awaitTermination()
+
+    // the cap made each version its own micro-batch, in order
+    assert(batches.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(batches.map(_._2.map(_._1).distinct).toSeq
+      === Seq(Seq(0L), Seq(1L), Seq(2L)))
+    val byAction = batches.flatMap(_._2).groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSeq).toMap
+    // v0 = init's metadata action; v2 = the rewrite's one-time
+    // nullability relaxation (a parquet read reports nullable, so the
+    // first rewrite's output schema relaxes the init frame's literals)
+    assert(byAction("schema") === Seq(0L, 2L))
+    assert(byAction("txn") === Seq(1L))           // the SetTransaction fence
+    assert(byAction("remove").forall(_ == 2L))    // only the rewrite removes
+    assert(byAction("add").count(_ == 2L) >= 1)   // rewrite adds its output
+
+    // the txn row carries its fence payload
+    val txn = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val q2 = OccStream.feed(spark, dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_occtail_feed_ckpt2").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          b ++= d.filter(col("action") === "txn")
+            .select("app_id", "txn_version")
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          ()
+        }.start()
+      q2.awaitTermination()
+      b.toSeq
+    }
+    assert(txn === Seq(("app", 7L)))
+  }
+
+  test("tailTo: appends land exactly once across a mid-log restart; a racing compaction is skipped") {
+    val dir = freshDir("graft_occtail_data")
+    val dst = freshDir("graft_occtail_dst")
+    val ckpt = Files.createTempDirectory("graft_occtail_ckpt").toString
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)                  // v0
+    OccTable.append(Seq((2L, 20L)).toDF("id", "v"), dir)                // v1
+    OccTable.init(Seq.empty[(Long, Long)].toDF("id", "v"), dst)
+
+    // run 1: consume v0..v1, then stop (mid-log)
+    val q1 = OccStream.tailTo(spark, dir, ckpt,
+      OccTable.streamingSink(dst, "tail"), onRewrite = "skipRewrites")
+    q1.processAllAvailable()
+    q1.stop()
+    assert(OccTable.read(spark, dst)().as[(Long, Long)].collect().sorted
+      === Array((1L, 10L), (2L, 20L)))
+
+    // while the tail is down: more appends AND a compaction rewrite
+    OccTable.append(Seq((3L, 30L)).toDF("id", "v"), dir)                // v2
+    OccTable.rewrite(spark, dir, d => d.coalesce(1))                    // v3
+    OccTable.append(Seq((4L, 40L)).toDF("id", "v"), dir)                // v4
+
+    // run 2, same checkpoint: resumes at v2 — no duplicates, no gaps,
+    // the rewrite commit skipped (its content was already delivered)
+    val q2 = OccStream.tailTo(spark, dir, ckpt,
+      OccTable.streamingSink(dst, "tail"), onRewrite = "skipRewrites")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(OccTable.read(spark, dst)().as[(Long, Long)].collect().sorted
+      === Array((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // ≡ the plain table read — the tail reconstructed the table
+    assert(OccTable.read(spark, dir)().as[(Long, Long)].collect().sorted
+      === OccTable.read(spark, dst)().as[(Long, Long)].collect().sorted)
+  }
+
+  test("onRewrite=fail: a rewrite under the tail fails the stream loudly") {
+    val dir = freshDir("graft_occtail_fail")
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
+    OccTable.rewrite(spark, dir, d => d.coalesce(1))
+    val q = OccStream.tailTo(spark, dir,
+      Files.createTempDirectory("graft_occtail_fail_ckpt").toString,
+      (_, _) => (), trigger = Trigger.AvailableNow())
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("rewrite files under the tail")
+        && m.contains("skipRewrites")))
+  }
+
+  test("log truncation past the tail's offset fails the restart loudly") {
+    val dir = freshDir("graft_occtail_trunc")
+    val ckpt = Files.createTempDirectory("graft_occtail_trunc_ckpt").toString
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)                  // v0
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q1 = OccStream.tailTo(spark, dir, ckpt,
+      (d, _) => { delivered += d.count(); () })
+    q1.processAllAvailable()
+    q1.stop()                                                           // offset = v0
+
+    OccTable.append(Seq((2L, 20L)).toDF("id", "v"), dir)                // v1
+    OccTable.append(Seq((3L, 30L)).toDF("id", "v"), dir)                // v2
+    OccTable.checkpoint(spark, dir)
+    OccTable.truncateLog(spark, dir) // drops v0..v2 — the tail never saw v1..v2
+
+    val q2 = OccStream.tailTo(spark, dir, ckpt, (_, _) => ())
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("truncated")))
+    try q2.stop() catch { case _: Throwable => () }
+  }
+
+  test("startingVersion=latest subscribes to the future only; ignoreRemoves reprocesses rewrite adds") {
+    val dir = freshDir("graft_occtail_latest")
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)                  // v0
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = OccStream.tailTo(spark, dir,
+      Files.createTempDirectory("graft_occtail_latest_ckpt").toString,
+      (d, _) => { rows ++= d.as[(Long, Long)].collect(); () },
+      startingVersion = "latest", onRewrite = "ignoreRemoves")
+    q.processAllAvailable()
+    assert(rows.isEmpty) // v0 predates the subscription
+    OccTable.append(Seq((2L, 20L)).toDF("id", "v"), dir)                // v1
+    q.processAllAvailable()
+    assert(rows.sorted === Seq((2L, 20L)))
+    // a compaction under ignoreRemoves REPROCESSES the folded content —
+    // the documented at-least-once trade of that mode
+    OccTable.rewrite(spark, dir, d => d.coalesce(1))                    // v2
+    q.processAllAvailable()
+    q.stop()
+    assert(rows.sorted === Seq((1L, 10L), (2L, 20L), (2L, 20L)))
+  }
+}

@@ -110,6 +110,22 @@ class SteadyStateSpec extends SparkSpec {
       s"served ${ann.outRows} result rows for ${ann.docs} queries")
   }
 
+  test("OCC commit-log tail relays a live append series into a fenced table through a compaction") {
+    val occ = SteadyState.measureOccTailStream(spark,
+      rowsPerAppend = 100, appendIntervalMs = 500L, minBatches = 6,
+      deadlineSec = 120)
+    info(occ.json)
+    assert(occ.batches >= 6, s"only ${occ.batches} productive batches")
+    assert(occ.msgPerMin >= 300,
+      f"occ tail ${occ.msgPerMin}%.0f rows/min below the 300 floor")
+    // nothing duplicated through the mid-run compaction (delivered <=
+    // source) and the tail genuinely kept up past the rewrite commit
+    assert(occ.docs <= occ.outRows,
+      s"delivered ${occ.docs} rows > ${occ.outRows} committed — duplicates")
+    assert(occ.docs >= occ.outRows / 2,
+      s"delivered only ${occ.docs} of ${occ.outRows} committed rows")
+  }
+
   test("kafka source contract: reference reader wiring; connector-missing failure is actionable (S1/ST8)") {
     val opts = Sources.kafkaOptions("localhost:9092", "iot-sensor-data", "latest")
     // the exact reader surface of reference/spark_streaming.py:125-130
