@@ -69,6 +69,47 @@ object Bench {
     }
     val failed = results.collect { case (n, None) => "\"" + n + "\"" }
     val total = results.flatMap(_._2).sum
+    // Per-class subtotals: the two stream-stream replays alone are ~10%
+    // of the raw total and drown per-query regression reading — class
+    // the registry so a round-over-round diff can compare scan-path
+    // seconds against scan-path seconds.
+    val maintenanceQs = Set("q_compact", "q_expire", "q_manifest",
+      "q_occ_table", "q_upsert", "q_upsert_partitioned", "q_snapshot_diff",
+      "q_schema_evolution", "q_storage_size", "q_zorder_scan",
+      "q_fileskip_scan")
+    def classOfQuery(n: String): String =
+      if (n.contains("_stream")) "streaming_replay"
+      else if (maintenanceQs(n)) "maintenance"
+      else "scan"
+    val classTotals = results.groupBy { case (n, _) => classOfQuery(n) }
+      .view.mapValues(_.flatMap(_._2).sum).toMap
+    def classesJson(fmt: Double => String): String =
+      Seq("scan", "streaming_replay", "maintenance")
+        .map(c => s""""$c":${fmt(classTotals.getOrElse(c, 0.0))}""")
+        .mkString("{", ",", "}")
+    // Round-over-round diff: when SPARK_GRAFT_PREV_BENCH names a prior
+    // bench JSON, extract its per-query seconds and record every ≥1 s
+    // shift in the detail artifact (the table the next verdict quotes).
+    val vsPrevJson: String =
+      sys.env.get("SPARK_GRAFT_PREV_BENCH")
+        .filter(p => java.nio.file.Files.isReadable(java.nio.file.Paths.get(p)))
+        .map { p =>
+          val text = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+            "UTF-8")
+          val prev = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+            .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
+            .toMap
+          val shifts = results.collect {
+            case (n, Some(cur)) if prev.contains(n)
+              && math.abs(cur - prev(n)) >= 1.0 =>
+              (n, prev(n), cur)
+          }.sortBy { case (_, pv, cur) => -(cur - pv) }
+          val rows = shifts.map { case (n, pv, cur) =>
+            s"""{"q":"$n","prev":$pv,"cur":$cur}"""
+          }.mkString("[", ",", "]")
+          s""","vs_prev":{"path":"$p","shifts_ge_1s":$rows}"""
+        }.getOrElse("")
     // Host-weather normalization: the sentinel is a trivial fixed query,
     // so its best sample measures THIS run's scheduling floor. Dividing
     // by (observed floor / reference floor) re-expresses the total as if
@@ -96,15 +137,17 @@ object Bench {
       }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       val norm = normalizedTotal.map(fmt).getOrElse("null")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","normalized_total":$norm,"sentinel_floor_ref":$SentinelFloorRef,"ran_at":"$ranAt","queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","normalized_total":$norm,"sentinel_floor_ref":$SentinelFloorRef,"ran_at":"$ranAt","classes":${classesJson(fmt)},"queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
     }
     // full precision → file (the committed history the judge can read);
     // stdout gets ONE compact line, sized to survive the harness's
     // 2000-char stdout tail (full-precision lines were truncated there
     // every round → the artifact's parsed field was null). Significant
     // figures shrink until it fits; 75 chars spare for sbt's epilogue.
+    // The detail file additionally carries the vs-prev shift table.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_detail.json"), line(_.toString) + "\n")
+      java.nio.file.Paths.get("bench_detail.json"),
+      line(_.toString).dropRight(1) + vsPrevJson + "}\n")
     def sig(n: Int)(v: Double): String = {
       val s = BigDecimal(v)
         .round(new java.math.MathContext(n)).bigDecimal.toPlainString

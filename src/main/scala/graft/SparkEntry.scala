@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Classifier, Curate, Dedup, Eval, Mixture, Multimodal, Similarity, TextStats}
-import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Trend, Upsert, WindowedAgg}
+import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Sketches, Trend, Upsert, WindowedAgg}
 import graft.sources.{Layout, OccTable, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2640,6 +2640,15 @@ object SparkEntry {
     //      at scale only the sketch is materialized) — within_bound
     //      must come out TRUE for every day, and the oracle's exact
     //      counts pin the day partitioning itself ----
+    // ---- KMV/theta sketch SET OPERATIONS (X106): per-day bottom-64
+    //      sketches of user_id, consecutive-day union/intersection/
+    //      difference ESTIMATES next to the exact counts — the draws are
+    //      portable md5 hash60s and every estimator is deterministic
+    //      arithmetic over them, so the oracle recomputes the identical
+    //      estimates (content equality, not a tolerance check) ----
+    "q_sketch_setops" -> ((s, dir) =>
+      Sketches.dailyOverlap(Tables.events(s, dir), "ts", "user_id", k = 64)),
+
     "q_hll_daily_bound" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val daily = Rollups.dailyUniqueSketch(ev, "ts", "user_id")
@@ -4940,6 +4949,65 @@ object SparkEntry {
     // The audit-twin pattern (cf. q_approx_stats_bound): DuckDB replays
     // the exact distincts and asserts TRUE per day; a sketch estimate
     // drifting past the 5% bound flips within_bound and fails the hash.
+    // same bottom-64 draws, same theta algebra, same arithmetic shape
+    // ((k-1)*2^60)/kth and n*(2^60/tau) — the estimates replay exactly
+    "q_sketch_setops" ->
+      """WITH days AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+        |         CAST(user_id AS VARCHAR) AS k FROM events),
+        |h AS (
+        |  SELECT DISTINCT day,
+        |         ('0x' || substring(md5(k || '|kmv'), 1, 15))::BIGINT AS hv
+        |  FROM days),
+        |ranked AS (
+        |  SELECT day, hv,
+        |         row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+        |  FROM h),
+        |kmv AS (
+        |  SELECT day, list_sort(list(hv)) AS ks
+        |  FROM ranked WHERE rn <= 64 GROUP BY day),
+        |exact AS (SELECT day, CAST(count(*) AS BIGINT) AS n
+        |  FROM days GROUP BY day),
+        |inter AS (
+        |  SELECT x.day AS day, CAST(count(*) AS BIGINT) AS ni
+        |  FROM days x JOIN days y ON y.k = x.k AND y.day = x.day + 1
+        |  GROUP BY x.day),
+        |pairs AS (
+        |  SELECT a.day AS day_a, b.day AS day_b, a.ks AS ka, b.ks AS kb
+        |  FROM kmv a JOIN kmv b ON b.day = a.day + 1),
+        |trimmed AS (
+        |  SELECT day_a, day_b, ka, kb,
+        |    LEAST(
+        |      CASE WHEN len(ka) < 64 THEN 1152921504606846976 ELSE ka[64] END,
+        |      CASE WHEN len(kb) < 64 THEN 1152921504606846976 ELSE kb[64] END)
+        |      AS tau
+        |  FROM pairs),
+        |counted AS (
+        |  SELECT day_a, day_b, tau,
+        |    len(list_filter(ka, x -> x <= tau AND list_contains(kb, x)))
+        |      AS n_inter,
+        |    len(list_filter(ka, x -> x <= tau)) AS n_kept,
+        |    list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, 64)
+        |      AS mg
+        |  FROM trimmed)
+        |SELECT c.day_a, c.day_b,
+        |  round(CASE WHEN len(mg) < 64 THEN CAST(len(mg) AS DOUBLE)
+        |        ELSE 63 * 1152921504606846976.0 / CAST(mg[64] AS DOUBLE) END,
+        |        4) AS est_union,
+        |  round(CAST(n_inter AS DOUBLE)
+        |        * (1152921504606846976.0 / CAST(tau AS DOUBLE)), 4)
+        |    AS est_intersection,
+        |  round(CAST(n_kept - n_inter AS DOUBLE)
+        |        * (1152921504606846976.0 / CAST(tau AS DOUBLE)), 4)
+        |    AS est_difference,
+        |  ea.n + eb.n - i.ni AS exact_union,
+        |  i.ni AS exact_intersection,
+        |  ea.n - i.ni AS exact_difference
+        |FROM counted c
+        |JOIN exact ea ON c.day_a = ea.day
+        |JOIN exact eb ON c.day_b = eb.day
+        |JOIN inter i ON c.day_a = i.day""".stripMargin,
+
     "q_hll_daily_bound" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_uniques,

@@ -5,12 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: comma-separated query names (local iteration only;
-    // the driver always passes exactly sfDir + outDir)
-    val (sfDir, outDir, only) = args match {
-      case Array(s, o)    => (s, o, Option.empty[Set[String]])
-      case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
-    }
+    // optional extra args: query names, comma- or space-separated (local
+    // iteration only; the driver always passes exactly sfDir + outDir)
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [names...]")
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = Option(args.drop(2).flatMap(_.split(",")).toSet)
+      .filter(_.nonEmpty)
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Session.local(cpus)

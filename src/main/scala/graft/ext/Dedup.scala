@@ -1031,6 +1031,51 @@ object Dedup {
     * winnowing) are the right family — the tuner can only report that
     * honestly, not fix it.
     */
+  /** The [[chooseNearDupGenerator]] verdict: which candidate generator
+    * the policy picked, the tuned simhash radius when banding sufficed,
+    * the measured recall at the banding completeness bound (the number
+    * that made the call), and the chosen generator's candidate frame.
+    */
+  final case class NearDupPlan(generator: String, tunedMaxDist: Option[Int],
+      bandingRecallBound: Double, candidates: DataFrame)
+
+  /** X105 — the r14 tuner verdict as EXECUTABLE POLICY instead of an
+    * artifact footnote. Decision rule: calibrate the simhash-banding
+    * recall curve on the corpus (one [[maxDistCurve]] pass — at 100 TB,
+    * on a sample, like any index calibration); if recall at the banding
+    * completeness bound (hamming ≤ 3) meets `targetRecall`, simhash
+    * banding at the TUNED radius is the generator (constant 4-chunk
+    * index — the cheaper shape when it suffices); otherwise NO simhash
+    * knob reaches the target on this corpus (r14's honest negative:
+    * 0.751 at the bound on the documents table) and the jaccard-side
+    * minhash LSH is chosen — measured exactly-linear pair growth at 10×
+    * (`POSTURE_10X.json` `minhash_banding`) with recall set by its
+    * (nPerms, rowsPerBand) S-curve rather than a hamming radius.
+    * Both candidate frames share the (d1, d2, n) pair shape, so the
+    * downstream resolution stages ([[greedySurvivors]], components,
+    * cluster-exact) compose with either.
+    */
+  def chooseNearDupGenerator(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, jaccardThreshold: Double = 0.8,
+      targetRecall: Double = 0.95, maxBucket: Int = 1000,
+      nPerms: Int = 32, rowsPerBand: Int = 4): NearDupPlan = {
+    require(targetRecall > 0 && targetRecall <= 1,
+      s"chooseNearDupGenerator: targetRecall $targetRecall not in (0, 1]")
+    val curve = maxDistCurve(df, idCol, textCol, k, jaccardThreshold,
+      maxBucket)
+    val bound = curve.last._2 // recall at the d=3 completeness bound
+    curve.find(_._2 >= targetRecall) match {
+      case Some((d, _, _)) =>
+        NearDupPlan("simhash", Some(d), bound,
+          simhashCandidates(simhashPortable(df, idCol, textCol), idCol,
+            maxDist = d, maxBucket = maxBucket))
+      case None =>
+        NearDupPlan("minhash", None, bound,
+          minhashCandidatesPortable(df, idCol, textCol, k, nPerms,
+            rowsPerBand, maxBucket))
+    }
+  }
+
   def maxDistCurve(df: DataFrame, idCol: String, textCol: String, k: Int,
       jaccardThreshold: Double = 0.8,
       maxBucket: Int = 1000): Seq[(Int, Double, Long)] = {

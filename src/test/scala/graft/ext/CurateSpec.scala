@@ -423,4 +423,31 @@ class CurateSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("minDocs"))
   }
+
+  test("near-dup generator policy: the tuner verdict picks minhash on this corpus at 0.95 recall") {
+    // r14's tuneMaxDist proved simhash banding tops out at ~0.75 recall
+    // on the documents corpus (the hamming<=3 completeness bound); the
+    // policy must therefore pick minhash for a 0.95 target — the honest
+    // artifact as an executable decision, not a footnote
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val plan = graft.ext.Dedup.chooseNearDupGenerator(
+      docs, "doc_id", "text", k = 5, targetRecall = 0.95)
+    assert(plan.generator === "minhash",
+      s"picked ${plan.generator} with banding bound ${plan.bandingRecallBound}")
+    assert(plan.bandingRecallBound < 0.95)
+    assert(plan.tunedMaxDist.isEmpty)
+    // the chosen generator's candidates are the standard pair frame the
+    // resolution stages consume
+    assert(plan.candidates.columns.toSeq.take(2) === Seq("d1", "d2"))
+    assert(plan.candidates.count() > 0)
+
+    // a target UNDER the measured bound flips the choice to the tuned
+    // simhash radius — banding is the cheaper generator when it suffices
+    val cheap = graft.ext.Dedup.chooseNearDupGenerator(
+      docs, "doc_id", "text", k = 5,
+      targetRecall = math.max(0.05, plan.bandingRecallBound / 2))
+    assert(cheap.generator === "simhash")
+    assert(cheap.tunedMaxDist.nonEmpty && cheap.tunedMaxDist.get <= 3)
+  }
 }
