@@ -149,6 +149,31 @@ class OccTailSpec extends SparkSpec {
     try q2.stop() catch { case _: Throwable => () }
   }
 
+  test("schema evolution mid-tail propagates through the loop: the destination table evolves additively") {
+    val src = freshDir("graft_occtail_evo_src")
+    val dst = freshDir("graft_occtail_evo_dst")
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), src)                  // v0
+    OccTable.init(Seq.empty[(Long, Long)].toDF("id", "v"), dst)
+    val q = OccStream.tailTo(spark, src,
+      Files.createTempDirectory("graft_occtail_evo_ckpt").toString,
+      OccTable.streamingSink(dst, "evo_tail"))
+    q.processAllAvailable()                                             // v0 delivered
+    // the source evolves additively mid-tail (new nullable column)...
+    OccTable.append(Seq((2L, 20L)).toDF("id", "v")
+      .withColumn("w", lit(7L)), src)                                   // v1
+    q.processAllAvailable()
+    q.stop()
+    // ...and the batch frame (planned with the evolved log schema)
+    // carried the evolution into the DESTINATION's log via the fenced
+    // append — both tables now read the same evolved content
+    assert(OccTable.snapshot(spark, dst).schema.map(_.fieldNames.toSeq)
+      === Some(Seq("id", "v", "w")))
+    val rows = OccTable.read(spark, dst)()
+      .select("id", "v", "w").as[(Long, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, 10L, None), (2L, 20L, Some(7L))))
+  }
+
   test("startingVersion=latest subscribes to the future only; ignoreRemoves reprocesses rewrite adds") {
     val dir = freshDir("graft_occtail_latest")
     OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)                  // v0
