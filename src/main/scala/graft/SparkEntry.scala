@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Classifier, Curate, Dedup, Eval, Mixture, Multimodal, Similarity, TextStats}
-import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Rollups, Scans, Sketches, Trend, Upsert, WindowedAgg}
+import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Kll, Rollups, Scans, Sketches, Trend, Upsert, WindowedAgg}
 import graft.sources.{Layout, OccTable, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1104,6 +1104,15 @@ object SparkEntry {
     "q_quantiles_approx_bound" -> ((s, dir) =>
       Rollups.quantilesApproxBound(Tables.events(s, dir), "event_type",
         "value")),
+
+    // ---- X107: KLL-style MERGEABLE quantile sketch, value-checked —
+    //      exact per-group quartiles next to booleans pinning each KLL
+    //      answer inside the sketch's GUARANTEED (deterministic,
+    //      order/merge-independent) rank-error bound, plus the weight-
+    //      conservation gate n_ok; oracle replays the exact side and
+    //      literal TRUEs ----
+    "q_kll_quantile_bound" -> ((s, dir) =>
+      Kll.quantileBound(Tables.events(s, dir), "event_type", "value")),
 
     // ---- A6/A8 scale path: HLL++ distinct + sketch quantiles (no oracle:
     //      approximate by contract; tests pin the error envelope) ----
@@ -3115,6 +3124,18 @@ object SparkEntry {
         |FROM events""".stripMargin,
     // Per-group twin: exact quartiles replayed per group, booleans pinned
     // TRUE by the sketch's rank-error envelope.
+    // X107 twin: same exact-replay + literal-TRUE pattern, but the
+    // booleans certify the CUSTOM mergeable sketch's deterministic
+    // worst-case envelope (a theorem, not a probabilistic bound — no
+    // flake risk) and n_ok pins weight conservation.
+    "q_kll_quantile_bound" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS q1,
+        |  round(quantile_cont(value, 0.5), 6) AS median,
+        |  round(quantile_cont(value, 0.75), 6) AS q3,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS n_ok, TRUE AS q1_ok, TRUE AS med_ok, TRUE AS q3_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "q_quantiles_approx_bound" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS q1,
