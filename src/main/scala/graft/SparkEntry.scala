@@ -1114,6 +1114,15 @@ object SparkEntry {
     "q_kll_quantile_bound" -> ((s, dir) =>
       Kll.quantileBound(Tables.events(s, dir), "event_type", "value")),
 
+    // ---- X107 two-level form: per-(key, day) sketch PARTIALS — the
+    //      state you'd persist at ingest — merged per key (the X76
+    //      dailyUniqueSketch shape for quantiles); same audit, so the
+    //      materialize-then-merge path is pinned to the same guaranteed
+    //      envelope without ever re-scanning rows ----
+    "q_kll_daily_bound" -> ((s, dir) =>
+      Kll.dailyQuantileBound(Tables.events(s, dir), "event_type",
+        to_date(col("ts")), "value")),
+
     // ---- A6/A8 scale path: HLL++ distinct + sketch quantiles (no oracle:
     //      approximate by contract; tests pin the error envelope) ----
     "q_approx_stats" -> ((s, dir) =>
@@ -3129,6 +3138,18 @@ object SparkEntry {
     // worst-case envelope (a theorem, not a probabilistic bound — no
     // flake risk) and n_ok pins weight conservation.
     "q_kll_quantile_bound" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS q1,
+        |  round(quantile_cont(value, 0.5), 6) AS median,
+        |  round(quantile_cont(value, 0.75), 6) AS q3,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS n_ok, TRUE AS q1_ok, TRUE AS med_ok, TRUE AS q3_ok
+        |FROM events GROUP BY 1""".stripMargin,
+    // Two-level twin: the day split is internal to the Spark side (the
+    // partials merge back to the whole group), so the oracle is the
+    // same exact replay — the booleans certify the merged sketch's own
+    // guaranteed envelope.
+    "q_kll_daily_bound" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS q1,
         |  round(quantile_cont(value, 0.5), 6) AS median,

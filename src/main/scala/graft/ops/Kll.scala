@@ -198,10 +198,46 @@ object Kll {
     override def outputEncoder: Encoder[KllBuf] = ExpressionEncoder[KllBuf]()
   }
 
+  /** Merge aggregator over MATERIALIZED sketch states (the read side of
+    * [[KllSketchAgg]]): input rows are `KllBuf` structs — e.g. per-day
+    * partials persisted to parquet — merged losslessly and finished into
+    * quantile answers. This is the two-level shape that never re-scans
+    * history: stage 1 sketches each day's rows once at ingest; any later
+    * window query aggregates only the tiny partials.
+    */
+  class KllMergeQuantiles(k: Int, probs: Seq[Double])
+      extends Aggregator[KllBuf, KllBuf, KllOut] {
+    override def zero: KllBuf = empty(k)
+    override def reduce(b: KllBuf, a: KllBuf): KllBuf = Kll.merge(b, a)
+    override def merge(x: KllBuf, y: KllBuf): KllBuf = Kll.merge(x, y)
+    override def finish(b: KllBuf): KllOut =
+      KllOut(b.n, b.minV, b.maxV, b.levels.length, errBound(b),
+        probs.map(p => quantile(b, p)))
+    override def bufferEncoder: Encoder[KllBuf] = ExpressionEncoder[KllBuf]()
+    override def outputEncoder: Encoder[KllOut] = ExpressionEncoder[KllOut]()
+  }
+
   /** DataFrame-facing quartile column. */
   def quartilesColumn(k: Int, c: Column): Column = {
     val fn = udaf(new KllQuantiles(k, Seq(0.25, 0.5, 0.75)))
     fn(c.cast("double"))
+  }
+
+  /** Raw sketch-state column (a `KllBuf` struct — materializable). */
+  def sketchColumn(k: Int, c: Column): Column = {
+    val fn = udaf(new KllSketchAgg(k))
+    fn(c.cast("double"))
+  }
+
+  /** Quartile column over materialized `KllBuf` struct rows. A product
+    * input encoder flattens to one argument per case-class field, so
+    * the struct column is expanded here — callers just pass the struct.
+    */
+  def mergeQuartilesColumn(k: Int, sketches: Column): Column = {
+    val fn = udaf(new KllMergeQuantiles(k, Seq(0.25, 0.5, 0.75)),
+      ExpressionEncoder[KllBuf]())
+    fn(Seq("k", "n", "minV", "maxV", "coins", "levels")
+      .map(sketches.getField): _*)
   }
 
   /** The value-checked CONTRACT query (the `q_quantiles_approx_bound`
@@ -225,6 +261,33 @@ object Kll {
       .groupBy(col(key))
       .agg(quartilesColumn(k, col(c)).as("__kll"))
       .withColumnRenamed(key, "__apk")
+    rankAudit(df, key, c, ap)
+  }
+
+  /** [[quantileBound]]'s two-level twin (X76's `dailyUniqueSketch`
+    * shape for quantiles): stage 1 sketches per (key, day) — the
+    * partial you'd persist at ingest; stage 2 merges ONLY the partials
+    * per key. Answers carry the merged sketch's own guaranteed bound,
+    * so the same rank audit pins that the materialize-then-merge path
+    * loses nothing it promised.
+    */
+  def dailyQuantileBound(df: DataFrame, key: String, day: Column,
+      c: String, k: Int = 256): DataFrame = {
+    val partials = df.filter(col(c).isNotNull)
+      .groupBy(col(key), day.as("__day"))
+      .agg(sketchColumn(k, col(c)).as("__sk"))
+    val ap = partials.groupBy(col(key))
+      .agg(mergeQuartilesColumn(k, col("__sk")).as("__kll"))
+      .withColumnRenamed(key, "__apk")
+    rankAudit(df, key, c, ap)
+  }
+
+  /** Shared audit: join the raw rows to the per-group sketch answers
+    * `ap` (`__apk`, `__kll: KllOut`) and certify each answer's true
+    * rank interval against the sketch's own guaranteed bound.
+    */
+  private def rankAudit(df: DataFrame, key: String, c: String,
+      ap: DataFrame): DataFrame = {
     val v = col(c).cast("double")
     val targets = Seq(("q1", 0.25, 1), ("med", 0.5, 2), ("q3", 0.75, 3))
     val aggs: Seq[Column] =

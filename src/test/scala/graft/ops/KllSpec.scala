@@ -153,6 +153,49 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("sketch state survives a parquet round-trip and merges losslessly (materialized partials)") {
+    val rows = vals(9000, seed = 13L).zipWithIndex.map { case (v, i) =>
+      (s"g${i % 2}", i % 5, v) // (group, "day", value)
+    }
+    val df = rows.toDF("g", "day", "v")
+    val partials = df.groupBy($"g", $"day")
+      .agg(Kll.sketchColumn(128, $"v").as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("kll-partials").toString
+    partials.write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir)
+      .groupBy($"g").agg(Kll.mergeQuartilesColumn(128, $"sk").as("o"))
+      .select($"g", $"o.n", $"o.errBound", $"o.qs")
+      .as[(String, Long, Long, Seq[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    for (g <- Seq("g0", "g1")) {
+      val mine = rows.filter(_._1 == g).map(_._3).sorted
+      val (_, n, err, qs) = { val t = out(g); (t._1, t._2, t._3, t._4) }
+      assert(n === mine.length.toLong, g)
+      Seq(0.25, 0.5, 0.75).zip(qs).foreach { case (p, est) =>
+        val t = math.ceil(p * mine.length).toLong
+        val r = mine.count(_ <= est).toLong
+        assert(math.abs(r - t) <= err, s"$g p=$p after parquet round-trip")
+      }
+    }
+  }
+
+  test("dailyQuantileBound: two-level partials-merge path emits all-TRUE booleans") {
+    val rows = vals(6000, seed = 17L).zipWithIndex.map { case (v, i) =>
+      (s"t${i % 3}", i % 7, v)
+    }
+    val out = Kll.dailyQuantileBound(rows.toDF("g", "day", "v"), "g",
+        $"day", "v", k = 128)
+      .orderBy("g")
+      .as[(String, Double, Double, Double, Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    assert(out.length === 3)
+    out.foreach { case (g, q1, med, q3, n, nOk, q1Ok, medOk, q3Ok) =>
+      assert(n === 2000L, g)
+      assert(nOk && q1Ok && medOk && q3Ok, s"$g bounds not all TRUE")
+      assert(q1 < med && med < q3, g)
+    }
+  }
+
   test("config gates: odd or tiny k refused, mixed-k merge refused, empty sketch NaN") {
     intercept[IllegalArgumentException](Kll.empty(7))
     intercept[IllegalArgumentException](Kll.empty(4))
