@@ -1123,6 +1123,16 @@ object SparkEntry {
       Kll.dailyQuantileBound(Tables.events(s, dir), "event_type",
         to_date(col("ts")), "value")),
 
+    // ---- X107 STREAMING form — the first ORACLED custom-state stream:
+    //      per-key KLL sketches in the flatMapGroupsWithState state
+    //      store across a 4-micro-batch replay (exactly-once sink),
+    //      latest snapshot per key audited by the same rank gate; the
+    //      booleans survive ANY arrival order because the sketch's
+    //      bound is deterministic and order-independent ----
+    "q_kll_stream_bound" -> ((s, dir) =>
+      Kll.sketchBound(Tables.events(s, dir), "event_type", "value",
+        graft.streaming.Pipeline.replayKllQuantiles(s, dir))),
+
     // ---- A6/A8 scale path: HLL++ distinct + sketch quantiles (no oracle:
     //      approximate by contract; tests pin the error envelope) ----
     "q_approx_stats" -> ((s, dir) =>
@@ -3150,6 +3160,18 @@ object SparkEntry {
     // same exact replay — the booleans certify the merged sketch's own
     // guaranteed envelope.
     "q_kll_daily_bound" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS q1,
+        |  round(quantile_cont(value, 0.5), 6) AS median,
+        |  round(quantile_cont(value, 0.75), 6) AS q3,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS n_ok, TRUE AS q1_ok, TRUE AS med_ok, TRUE AS q3_ok
+        |FROM events GROUP BY 1""".stripMargin,
+    // Streaming twin: the sketch was built as custom state across
+    // micro-batches; the exact columns are order-independent and the
+    // booleans are pinned TRUE by the sketch's deterministic bound, so
+    // the oracle is the same exact replay.
+    "q_kll_stream_bound" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS q1,
         |  round(quantile_cont(value, 0.5), 6) AS median,

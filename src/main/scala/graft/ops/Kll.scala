@@ -282,6 +282,24 @@ object Kll {
     rankAudit(df, key, c, ap)
   }
 
+  /** Audit EXTERNALLY-BUILT sketch states against the raw rows they
+    * summarize — the gate behind the STREAMING form
+    * ([[graft.streaming.Stateful.kllSnapshots]]): `sketches` carries one
+    * final `KllBuf` struct per key (column `sketch`); its quartile reads
+    * are certified by the same rank audit. Because the sketch's bound is
+    * order-independent, this holds for state built in ANY micro-batch
+    * arrival order. Keys with multiple rows would DOUBLE-COUNT (cumulative
+    * snapshots are not disjoint partials) — callers pick the latest
+    * snapshot (argmax n) first.
+    */
+  def sketchBound(df: DataFrame, key: String, c: String,
+      sketches: DataFrame, k: Int = 256): DataFrame = {
+    val ap = sketches.groupBy(col(key))
+      .agg(mergeQuartilesColumn(k, col("sketch")).as("__kll"))
+      .withColumnRenamed(key, "__apk")
+    rankAudit(df, key, c, ap)
+  }
+
   /** Shared audit: join the raw rows to the per-group sketch answers
     * `ap` (`__apk`, `__kll: KllOut`) and certify each answer's true
     * rank interval against the sketch's own guaranteed bound.

@@ -587,6 +587,61 @@ object Pipeline {
     TxnSink.committedRead(spark, outDir)
   }
 
+  /** Streaming per-key KLL quantile state gate — the CUSTOM-STATE
+    * streaming member of the oracled family (`q_kll_stream_bound`):
+    * the events table replayed as 4 time-ranged micro-batches through
+    * [[Stateful.kllSnapshots]] (one KLL sketch per event_type in the
+    * state store, snapshot emitted per batch), exactly-once into the
+    * txn sink. Returns the LATEST snapshot per key (argmax n — n is
+    * strictly increasing, so the append sink needs no upsert), as
+    * (event_type, sketch) rows for [[graft.ops.Kll.sketchBound]]'s
+    * rank audit. The audit's booleans are certified by the sketch's
+    * ORDER-INDEPENDENT deterministic bound, which is what lets a
+    * custom-state streaming result face a value oracle at all: the
+    * exact columns replay in DuckDB, the sketch columns are pinned by
+    * a theorem that no arrival order can break.
+    */
+  def replayKllQuantiles(spark: SparkSession, dir: String,
+      k: Int = 256): DataFrame = {
+    import spark.implicits._
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_kll_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/snapshots"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_kll_ckpt")
+    withReplayParallelism(spark) {
+      val typed = stream
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double"))
+        .as[(String, Double)]
+      val q = Stateful.kllSnapshots(typed, k)
+        .toDF()
+        .select(col("key").as("event_type"), col("sketch"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val snaps = TxnSink.committedRead(spark, outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("sketch.n").desc)
+    snaps.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Streaming exactly-once event dedup: drops re-deliveries of the same
     * (sensor_id, timestamp) reading arriving within the watermark — the
     * streaming member of the dedup family (at-least-once sources like the

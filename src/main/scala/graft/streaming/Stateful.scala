@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   TTLConfig}
 
 import graft.model.SensorReading
+import graft.ops.{Kll, KllBuf}
 
 /** Last observed reading per sensor, carried across micro-batches. */
 final case class SensorState(lastTemp: Double, lastTsMicros: Long)
@@ -227,4 +228,38 @@ object Stateful {
       .transformWithState(new EwmaProcessor, TimeMode.EventTime,
         OutputMode.Append, Encoders.product[EwmaReading])
   }
+
+  /** Streaming per-key value-distribution monitoring (X107's streaming
+    * form): each key carries ONE KLL sketch ([[graft.ops.Kll]]) in the
+    * state store and emits its updated SNAPSHOT once per micro-batch it
+    * received data in — bounded-memory running quantiles, the streaming
+    * fix for the reference dashboard's recompute-quartiles-per-refresh
+    * (streamlit_dashboard.py:657). State per key is the sketch
+    * (≤ ~H·k doubles), independent of stream length; the emitted
+    * snapshot's `n` is strictly increasing per key, so "latest" is
+    * `argmax n` — an append sink needs no upsert to recover the current
+    * answer. The sketch's deterministic worst-case rank-error bound is
+    * ORDER-INDEPENDENT, so every snapshot's quantile reads are certified
+    * regardless of micro-batch arrival order — what makes the streaming
+    * answer oracle-able (`q_kll_stream_bound`) where an order-sensitive
+    * statistic would not be.
+    */
+  def kllSnapshots(values: Dataset[(String, Double)],
+      k: Int = 256): Dataset[KllSnapshot] = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KllBuf, KllSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)],
+            state: GroupState[KllBuf]) =>
+          var cur = state.getOption.getOrElse(Kll.empty(k))
+          rows.foreach(r => cur = Kll.update(cur, r._2))
+          state.update(cur)
+          Iterator.single(KllSnapshot(key, cur))
+      }
+  }
 }
+
+/** One key's running quantile-sketch state as of some micro-batch. */
+final case class KllSnapshot(key: String, sketch: KllBuf)

@@ -396,4 +396,41 @@ class StatefulSpec extends SparkSpec {
       Stateful.ewmaAnomalies(ds, idleMs = 0L)
     }
   }
+
+  test("kllSnapshots: sketch state accumulates across micro-batches; latest snapshot within bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val q = Stateful.kllSnapshots(mem.toDS(), k = 64).writeStream
+      .format("memory").queryName("kll_snap_test").outputMode("append").start()
+    // deterministic value stream, delivered as three batches per key
+    var x = 99L
+    def nextV(): Double = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (x & 0xffffffL).toDouble / 1000.0
+    }
+    val all = Vector.fill(3)(Vector.fill(400)(nextV()))
+    try {
+      all.foreach { batch =>
+        mem.addData(batch.map(v => ("a", v)) ++ batch.take(50).map(v => ("b", v)))
+        q.processAllAvailable()
+      }
+      val snaps = spark.table("kll_snap_test")
+        .as[graft.streaming.KllSnapshot].collect()
+      // one snapshot per key per batch it received data in, n monotone
+      val aNs = snaps.filter(_.key == "a").map(_.sketch.n).sorted
+      assert(aNs === Seq(400L, 800L, 1200L))
+      assert(snaps.filter(_.key == "b").map(_.sketch.n).sorted === Seq(50L, 100L, 150L))
+      // latest per key = argmax n; its quantiles sit inside the sketch's
+      // own guaranteed (order-independent) bound vs the exact ranks
+      val latest = snaps.filter(_.key == "a").maxBy(_.sketch.n).sketch
+      val exact = all.flatten.sorted
+      val err = graft.ops.Kll.errBound(latest)
+      for (p <- Seq(0.25, 0.5, 0.75)) {
+        val t = math.ceil(p * 1200).toLong
+        val rk = exact.count(_ <= graft.ops.Kll.quantile(latest, p)).toLong
+        assert(math.abs(rk - t) <= err, s"p=$p outside bound after 3 batches")
+      }
+      assert(latest.minV === exact.head && latest.maxV === exact.last)
+    } finally q.stop()
+  }
 }
