@@ -1133,6 +1133,27 @@ object SparkEntry {
       Kll.sketchBound(Tables.events(s, dir), "event_type", "value",
         graft.streaming.Pipeline.replayKllQuantiles(s, dir))),
 
+    // ---- X108: two-sample Kolmogorov–Smirnov DRIFT per key — first vs
+    //      second half of the time range. Integer cumulative counts +
+    //      IEEE-exact division ⇒ the statistic itself replays
+    //      bit-identically in DuckDB: a FULL value oracle on a
+    //      distributional statistic ----
+    "q_ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ops.Drift.ksExact(ev, "event_type", "value",
+        graft.ops.Drift.secondHalf(ev, "ts"))
+    }),
+
+    // ---- X108 scale twin: each side collapsed to a KLL sketch, KS read
+    //      off the two estimated CDFs (sup over retained points = sup
+    //      over ℝ); booleans pin the estimate inside the deterministic
+    //      errA/nA + errB/nB envelope next to the exact replayable KS ----
+    "q_ks_drift_bound" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ops.Drift.ksSketchBound(ev, "event_type", "value",
+        graft.ops.Drift.secondHalf(ev, "ts"))
+    }),
+
     // ---- A6/A8 scale path: HLL++ distinct + sketch quantiles (no oracle:
     //      approximate by contract; tests pin the error envelope) ----
     "q_approx_stats" -> ((s, dir) =>
@@ -3167,6 +3188,64 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  TRUE AS n_ok, TRUE AS q1_ok, TRUE AS med_ok, TRUE AS q3_ok
         |FROM events GROUP BY 1""".stripMargin,
+    // X108: the KS statistic replays EXACTLY — integer cumulative side
+    // counts over distinct values, one IEEE-exact division per side,
+    // identical max/abs/round shape in both engines.
+    "q_ks_drift" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(CAST(min(ts) AS TIMESTAMP)) +
+        |          epoch_us(CAST(max(ts) AS TIMESTAMP))) // 2 AS mid
+        |  FROM events),
+        |pv AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+        |        THEN 0 ELSE 1 END) AS a,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+        |        THEN 1 ELSE 0 END) AS bb
+        |  FROM events, b WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    sum(a) OVER (PARTITION BY event_type ORDER BY v) AS ca,
+        |    sum(bb) OVER (PARTITION BY event_type ORDER BY v) AS cb,
+        |    sum(a) OVER (PARTITION BY event_type) AS na,
+        |    sum(bb) OVER (PARTITION BY event_type) AS nb
+        |  FROM pv)
+        |SELECT event_type,
+        |  CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) -
+        |                CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks
+        |FROM cum GROUP BY 1
+        |HAVING max(na) > 0 AND max(nb) > 0""".stripMargin,
+    // X108 sketch twin: exact KS replayed as above; booleans pinned TRUE
+    // by the deterministic sketch envelope.
+    "q_ks_drift_bound" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(CAST(min(ts) AS TIMESTAMP)) +
+        |          epoch_us(CAST(max(ts) AS TIMESTAMP))) // 2 AS mid
+        |  FROM events),
+        |pv AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+        |        THEN 0 ELSE 1 END) AS a,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+        |        THEN 1 ELSE 0 END) AS bb
+        |  FROM events, b WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    sum(a) OVER (PARTITION BY event_type ORDER BY v) AS ca,
+        |    sum(bb) OVER (PARTITION BY event_type ORDER BY v) AS cb,
+        |    sum(a) OVER (PARTITION BY event_type) AS na,
+        |    sum(bb) OVER (PARTITION BY event_type) AS nb
+        |  FROM pv)
+        |SELECT event_type,
+        |  CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) -
+        |                CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks,
+        |  TRUE AS n_ok, TRUE AS ks_ok
+        |FROM cum GROUP BY 1
+        |HAVING max(na) > 0 AND max(nb) > 0""".stripMargin,
     // Streaming twin: the sketch was built as custom state across
     // micro-batches; the exact columns are order-independent and the
     // booleans are pinned TRUE by the sketch's deterministic bound, so
