@@ -114,6 +114,80 @@ object Drift {
     }.toDF("__k", "__na", "__nb", "__ksEst", "__bound")
   }
 
+  /** CUSUM changepoint localization (X109) — WHEN did the drift start,
+    * the sequential companion to [[ksExact]]'s did-it-drift verdict
+    * (Page 1954's cumulative-sum control chart). Per key, against a
+    * baseline mean learned on the FIRST HALF of the time range:
+    *
+    *   S⁺_i = max(0, S⁺_{i−1} + (x_i − μ₀ − κ))   (upward drift)
+    *   S⁻_i = max(0, S⁻_{i−1} + (μ₀ − x_i − κ))   (downward)
+    *
+    * alarm at the first i with S ≥ h. The nonlinear recurrence is NOT a
+    * SQL window op — but the classic identity S_i = P_i − min(0,
+    * min_{j≤i} P_j) (P = prefix sum of the drift terms) turns it into
+    * cumulative-sum + cumulative-min windows, both per-key and
+    * row-bounded.
+    *
+    * EXACT cross-engine replay by integer arithmetic: values scale to
+    * micro-units (×1e6, half-up — identical in both engines), the
+    * baseline mean is never divided out (terms multiply through by n₀:
+    * d_i = n₀·x_i − s₀ − κ·n₀), so every prefix sum is a bigint and
+    * order-independent-associative — the one FP step is the final
+    * display division, identical shape both sides. Magnitudes: \|d\| ≤
+    * n₀·(range + κ)·1e6 ≈ 1e13 at sf0.1, prefix < 1e18 — inside long;
+    * a 100 TB deployment shards the series (per day) or widens to
+    * decimal.
+    *
+    * Total order is pinned by (ts, x, `idCol`) with `idCol` unique, so
+    * both engines walk the same sequence. Keys with an empty baseline
+    * half are dropped. Emits per key: n, n_baseline, baseline,
+    * max_cusum_up/dn (in value units, 6 dp), alarm_up/dn_ts (first
+    * crossing, null if never).
+    */
+  def cusumChangepoint(df: DataFrame, key: String, tsCol: String,
+      c: String, idCol: String, h: Double = 500.0,
+      slack: Double = 25.0): DataFrame = {
+    require(h > 0 && slack >= 0, s"cusum: h=$h slack=$slack")
+    val hS = math.round(h * 1e6)
+    val kS = math.round(slack * 1e6)
+    val v = col(c).cast("double")
+    val sideB = secondHalf(df, tsCol)
+    val base = df.filter(v.isNotNull)
+      .withColumn("__x", round(v * lit(1e6), 0).cast("long"))
+      .withColumn("__first", !sideB)
+    val tot = Window.partitionBy(col(key))
+    val ord = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("__x"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scaleDiv = (nc: Column) => nc.cast("double") /
+      (max(col("__n0")) * lit(1000000L)).cast("double")
+    base
+      .withColumn("__n0",
+        sum(when(col("__first"), 1L).otherwise(0L)).over(tot))
+      .withColumn("__s0",
+        sum(when(col("__first"), col("__x")).otherwise(0L)).over(tot))
+      .filter(col("__n0") > 0)
+      .withColumn("__pu", sum(col("__n0") * col("__x") - col("__s0") -
+        lit(kS) * col("__n0")).over(ord))
+      .withColumn("__pd", sum(col("__s0") - col("__n0") * col("__x") -
+        lit(kS) * col("__n0")).over(ord))
+      .withColumn("__su",
+        col("__pu") - least(min(col("__pu")).over(ord), lit(0L)))
+      .withColumn("__sd",
+        col("__pd") - least(min(col("__pd")).over(ord), lit(0L)))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("__n0")).as("n_baseline"),
+        round(scaleDiv(max(col("__s0"))), 6).as("baseline"),
+        round(scaleDiv(max(col("__su"))), 6).as("max_cusum_up"),
+        round(scaleDiv(max(col("__sd"))), 6).as("max_cusum_dn"),
+        min(when(col("__su") >= lit(hS) * col("__n0"), col(tsCol)))
+          .as("alarm_up_ts"),
+        min(when(col("__sd") >= lit(hS) * col("__n0"), col(tsCol)))
+          .as("alarm_dn_ts"))
+  }
+
   /** The oracled audit twin: exact KS (replayable) next to booleans
     * pinning the sketch estimate inside its deterministic envelope and
     * the sketch side counts against the exact ones. A Spark-side

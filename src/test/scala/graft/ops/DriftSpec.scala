@@ -72,6 +72,61 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("cusumChangepoint: alarm fires at the hand-computed first crossing; stationary key silent; baseline-less key dropped") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // cp: 20 baseline rows at 10, then a level shift to 30 at minute 20.
+    // With κ=5, h=50: S⁺ grows 15/row after the shift → crosses 50 on
+    // the 4th shifted row (minute 23).
+    val cp = (0 until 20).map(i => ("cp", ts(i), 10.0, i.toLong)) ++
+      (20 until 40).map(i => ("cp", ts(i), 30.0, i.toLong))
+    val flat = (0 until 40).map(i => ("flat", ts(i), 10.0, 100L + i))
+    val late = (30 until 40).map(i => ("late", ts(i), 99.0, 200L + i))
+    val df = (cp ++ flat ++ late).toDF("g", "ts", "v", "id")
+    val out = Drift.cusumChangepoint(df, "g", "ts", "v", "id",
+        h = 50.0, slack = 5.0)
+      .as[(String, Long, Long, Double, Double, Double,
+        Option[java.sql.Timestamp], Option[java.sql.Timestamp])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!out.contains("late"), "key with empty baseline half must drop")
+    val c = out("cp")
+    assert(c._2 === 40L && c._3 === 20L && c._4 === 10.0)
+    assert(c._5 === 300.0) // 20 shifted rows × (30−10−5)
+    assert(c._6 === 0.0)
+    assert(c._7 === Some(ts(23)) && c._8 === None)
+    val f = out("flat")
+    assert(f._4 === 10.0 && f._5 === 0.0 && f._6 === 0.0)
+    assert(f._7 === None && f._8 === None)
+  }
+
+  test("cusum prefix identity matches the direct recurrence on noisy data") {
+    def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
+    val xs = vals(300, 21L).map(v => v / 100.0 + 50.0) // ~[50, 218)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", ts(i), v, i.toLong) }
+      .toDF("g", "ts", "v", "id")
+    val kappa = 25.0
+    val out = Drift.cusumChangepoint(df, "g", "ts", "v", "id",
+        h = 500.0, slack = kappa)
+      .as[(String, Long, Long, Double, Double, Double,
+        Option[java.sql.Timestamp], Option[java.sql.Timestamp])]
+      .collect().head
+    // direct recurrence with the same scaled-integer arithmetic
+    val n0 = 150L
+    val xsS = xs.map(v => math.round(v * 1e6))
+    val s0 = xsS.take(150).sum
+    val kS = math.round(kappa * 1e6)
+    var su = 0L; var sd = 0L; var mu = 0L; var md = 0L
+    xsS.foreach { x =>
+      su = math.max(0L, su + (n0 * x - s0 - kS * n0))
+      sd = math.max(0L, sd + (s0 - n0 * x - kS * n0))
+      mu = math.max(mu, su); md = math.max(md, sd)
+    }
+    def toVal(s: Long): Double =
+      BigDecimal(s.toDouble / (n0 * 1000000L).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._5 === toVal(mu), "max_cusum_up != direct recurrence")
+    assert(out._6 === toVal(md), "max_cusum_dn != direct recurrence")
+  }
+
   test("secondHalf splits on the integer epoch-micros midpoint; empty frame is all-A") {
     val df = Seq(
       ("2024-01-01 00:00:00", 1.0), ("2024-01-01 00:10:00", 2.0),
