@@ -1269,6 +1269,59 @@ object Posture {
          |    ${hotAggBlocks.mkString(",\n    ")}}""".stripMargin
     }
 
+    // ---- drift / value-sketch posture -------------------------------
+    // X107/X108/X109 at 1x/10x events. The 10x fixture perturbs value
+    // by shard (+i·1e-7) so DISTINCT values grow 10x with the rows —
+    // replicated identical values would hand exact KS a flat distinct
+    // set and flatter its scaling. Healthy: kll_build and ks_sketch
+    // shuffle ~FLAT (a sketch per (key, side) crosses the wire, never
+    // values) while ks_exact's shuffle grows with the distinct values;
+    // cusum time ~linear (per-key window sort, keys independent).
+    val driftJson = {
+      def evTenXv: DataFrame = (0 until 10)
+        .map(i => ev
+          .withColumn("user_id", col("user_id") + lit(i * uMax))
+          .withColumn("value", col("value") + lit(i * 1e-7)))
+        .reduce(_ unionByName _)
+      def consumeD(d: DataFrame): Unit =
+        d.write.format("noop").mode("overwrite").save()
+      def measureS(body: () => Unit): (Double, Long) = {
+        val samples = (1 to 3).map { _ =>
+          metrics.reset()
+          val t0 = System.nanoTime()
+          body()
+          ((System.nanoTime() - t0) / 1e9, metrics.shuffled())
+        }
+        (samples.map(_._1).min, samples.map(_._2).max)
+      }
+      val scales = Seq(("1x", ev), ("10x", evTenXv))
+      val variants: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "kll_build" -> (d => d.groupBy(col("event_type"))
+          .agg(graft.ops.Kll.sketchColumn(256, col("value")).as("sk"))),
+        "ks_exact" -> (d => graft.ops.Drift.ksExact(
+          d, "event_type", "value", graft.ops.Drift.secondHalf(d, "ts"))),
+        "ks_sketch" -> (d => graft.ops.Drift.ksSketch(
+          d, "event_type", "value", graft.ops.Drift.secondHalf(d, "ts"), 256)),
+        "cusum" -> (d => graft.ops.Drift.cusumChangepoint(
+          d, "event_type", "ts", "value", "event_id")))
+      // warmup per (variant, scale), same protocol as every family
+      variants.foreach { case (_, f) =>
+        scales.foreach { case (_, d) => consumeD(f(d)) }
+      }
+      val blocks = variants.map { case (name, f) =>
+        val runs = scales.map { case (lbl, d) =>
+          lbl -> measureS(() => consumeD(f(d)))
+        }.toMap
+        val (s1, sh1) = runs("1x")
+        val (s10, sh10) = runs("10x")
+        f""""$name": {"sec_1x": $s1%.2f, "sec_10x": $s10%.2f, "time_growth": ${s10 / s1}%.2f,
+           |      "shuffle_mb_1x": ${sh1 / 1048576}, "shuffle_mb_10x": ${sh10 / 1048576}}""".stripMargin
+      }
+      s"""  "drift": {
+         |    "what": "value-distribution operators at 1x/10x events (values perturbed per shard so distinct values scale with rows): kll_build = per-key KLL sketch aggregation (X107), ks_exact = exact two-sample KS via distinct-value cumulative windows (X108), ks_sketch = KS off two KLL sketches, cusum = integer CUSUM changepoint windows (X109). Healthy = kll_build/ks_sketch shuffle ~flat (constant-size sketch states cross the wire, not values) while ks_exact shuffle grows with distinct values; cusum/ks_exact time ~linear",
+         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     // ---- streaming state posture (heap vs RocksDB provider) ---------
     // measured by the dedicated harness; see [[StatePosture]]
     val stateJson = StatePosture.section(spark)
@@ -1298,6 +1351,7 @@ object Posture {
          |$bucketedJson,
          |$bpeJson,
          |$skewJson,
+         |$driftJson,
          |$stateJson
          |}""".stripMargin
     java.nio.file.Files.writeString(

@@ -1153,6 +1153,15 @@ object SparkEntry {
       graft.ops.Drift.cusumChangepoint(Tables.events(s, dir),
         "event_type", "ts", "value", "event_id").orderBy("event_type")),
 
+    // ---- X109 STREAMING form: baselines learned offline, then the
+    //      4-micro-batch replay folds the SAME all-integer registers in
+    //      flatMapGroupsWithState — EXACT equality with the batch
+    //      oracle (hash-equal, not bound-certified): integer state in
+    //      the windows' total order makes micro-batch boundaries
+    //      invisible by construction ----
+    "q_cusum_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayCusum(s, dir).orderBy("event_type")),
+
     // ---- X108 scale twin: each side collapsed to a KLL sketch, KS read
     //      off the two estimated CDFs (sup over retained points = sup
     //      over ℝ); booleans pin the estimate inside the deterministic
@@ -3231,6 +3240,51 @@ object SparkEntry {
     // clamped prefix-min, same (ts, x, event_id) total order; the only
     // FP is the final display division, same shape both engines.
     "q_cusum_changepoint" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(CAST(min(ts) AS TIMESTAMP)) +
+        |          epoch_us(CAST(max(ts) AS TIMESTAMP))) // 2 AS mid
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(round(CAST(value AS DOUBLE) * 1000000, 0) AS BIGINT) AS x,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) < mid) AS fst
+        |  FROM events, b WHERE value IS NOT NULL),
+        |t AS (
+        |  SELECT *,
+        |    sum(CASE WHEN fst THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type) AS n0,
+        |    sum(CASE WHEN fst THEN x ELSE 0 END)
+        |      OVER (PARTITION BY event_type) AS s0
+        |  FROM r),
+        |p AS (
+        |  SELECT *,
+        |    sum(n0 * x - s0 - 25000000 * n0) OVER w AS pu,
+        |    sum(s0 - n0 * x - 25000000 * n0) OVER w AS pd
+        |  FROM t WHERE n0 > 0
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, x, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT *,
+        |    pu - least(min(pu) OVER w, 0) AS su,
+        |    pd - least(min(pd) OVER w, 0) AS sd
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, x, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(n0) AS BIGINT) AS n_baseline,
+        |  round(CAST(max(s0) AS DOUBLE) /
+        |        CAST(max(n0) * 1000000 AS DOUBLE), 6) AS baseline,
+        |  round(CAST(max(su) AS DOUBLE) /
+        |        CAST(max(n0) * 1000000 AS DOUBLE), 6) AS max_cusum_up,
+        |  round(CAST(max(sd) AS DOUBLE) /
+        |        CAST(max(n0) * 1000000 AS DOUBLE), 6) AS max_cusum_dn,
+        |  min(CASE WHEN su >= 500000000 * n0 THEN ts END) AS alarm_up_ts,
+        |  min(CASE WHEN sd >= 500000000 * n0 THEN ts END) AS alarm_dn_ts
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // X109 streaming twin: EXACT replay of the same integer construction
+    // — the streamed registers are hash-equal to the batch windows.
+    "q_cusum_stream" ->
       """WITH b AS (
         |  SELECT (epoch_us(CAST(min(ts) AS TIMESTAMP)) +
         |          epoch_us(CAST(max(ts) AS TIMESTAMP))) // 2 AS mid

@@ -144,6 +144,21 @@ object Drift {
     * max_cusum_up/dn (in value units, 6 dp), alarm_up/dn_ts (first
     * crossing, null if never).
     */
+  /** Per-key in-control baselines for CUSUM: (key, n0, s0) over the
+    * FIRST half of the time range, in the same micro-unit scaling the
+    * recurrence uses. Metadata-sized (one row per key) — the offline
+    * aggregate [[graft.streaming.CusumStream]] broadcasts.
+    */
+  def cusumBaselines(df: DataFrame, key: String, tsCol: String,
+      c: String): DataFrame = {
+    val v = col(c).cast("double")
+    val sideB = secondHalf(df, tsCol)
+    df.filter(v.isNotNull && !sideB)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n0"),
+        sum(round(v * lit(1e6), 0).cast("long")).as("s0"))
+  }
+
   def cusumChangepoint(df: DataFrame, key: String, tsCol: String,
       c: String, idCol: String, h: Double = 500.0,
       slack: Double = 25.0): DataFrame = {

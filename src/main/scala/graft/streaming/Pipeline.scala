@@ -642,6 +642,77 @@ object Pipeline {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming CUSUM changepoint gate (`q_cusum_stream`): baselines
+    * learned offline (one metadata-sized aggregate), then the events
+    * table replayed as 4 time-ranged micro-batches through
+    * [[CusumStream.monitor]]'s all-integer per-key registers and the
+    * exactly-once sink. Unlike the KLL stream gate (bound-certified),
+    * this one is EXACT: integer registers folded in the batch windows'
+    * (ts, x, id) total order make the streamed statistic hash-equal to
+    * [[graft.ops.Drift.cusumChangepoint]] — same oracle SQL, micro-batch
+    * boundaries invisible by construction.
+    */
+  def replayCusum(spark: SparkSession, dir: String, h: Double = 500.0,
+      slack: Double = 25.0): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+    val bl = graft.ops.Drift.cusumBaselines(ev, "event_type", "ts", "value")
+    val baseMap = bl.as[(String, Long, Long)].collect()
+      .map { case (k, n0, s0) => k -> (n0, s0) }.toMap
+    val hS = math.round(h * 1e6)
+    val kS = math.round(slack * 1e6)
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$h|$slack".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_cusum_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/snapshots"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_cusum_ckpt")
+    withReplayParallelism(spark) {
+      val typed = stream.filter(col("value").isNotNull)
+        .select(col("event_type"), unix_micros(col("ts")),
+          round(col("value").cast("double") * lit(1e6), 0).cast("long"),
+          col("event_id").cast("long"))
+        .as[(String, Long, Long, Long)]
+      val q = CusumStream.monitor(typed, baseMap, hS, kS)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val snaps = TxnSink.committedRead(spark, outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("n").desc)
+    val latest = snaps.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // batch-schema projection: identical integer registers, identical
+    // final-division shape — hash-equal to the batch oracle
+    val den = (nc: org.apache.spark.sql.Column) =>
+      nc.cast("double") / (col("n0") * lit(1000000L)).cast("double")
+    latest.join(broadcast(bl), latest("key") === bl("event_type"))
+      .select(col("event_type"), col("n"), col("n0").as("n_baseline"),
+        round(den(col("s0")), 6).as("baseline"),
+        round(den(col("maxUp")), 6).as("max_cusum_up"),
+        round(den(col("maxDn")), 6).as("max_cusum_dn"),
+        when(col("alarmUpUs") >= 0L, timestamp_micros(col("alarmUpUs")))
+          .as("alarm_up_ts"),
+        when(col("alarmDnUs") >= 0L, timestamp_micros(col("alarmDnUs")))
+          .as("alarm_dn_ts"))
+  }
+
   /** Streaming exactly-once event dedup: drops re-deliveries of the same
     * (sensor_id, timestamp) reading arriving within the watermark — the
     * streaming member of the dedup family (at-least-once sources like the

@@ -263,3 +263,67 @@ object Stateful {
 
 /** One key's running quantile-sketch state as of some micro-batch. */
 final case class KllSnapshot(key: String, sketch: KllBuf)
+
+/** Per-key integer CUSUM registers (X109's streaming state): scaled
+  * prefix accumulators, running maxima, first-crossing micros (−1 =
+  * no alarm yet), and the cumulative row count.
+  */
+final case class CusumState(su: Long, sd: Long, maxUp: Long, maxDn: Long,
+    alarmUpUs: Long, alarmDnUs: Long, n: Long)
+
+/** A key's CUSUM snapshot after a micro-batch (`n` strictly increasing
+  * per key — latest = argmax n, as with [[KllSnapshot]]).
+  */
+final case class CusumSnapshot(key: String, su: Long, sd: Long,
+    maxUp: Long, maxDn: Long, alarmUpUs: Long, alarmDnUs: Long, n: Long)
+
+/** Streaming CUSUM changepoint monitor (X109's deployment shape): the
+  * per-key baselines `(n₀, s₀)` are learned OFFLINE on the in-control
+  * period ([[graft.ops.Drift.cusumChangepoint]]'s first-half
+  * aggregation — metadata-sized, broadcast into the closure), then the
+  * live stream folds the SAME all-integer recurrence row by row:
+  * S⁺ += n₀·x − s₀ − κ·n₀ clamped at 0 (and the mirrored S⁻), first
+  * h-crossing recorded once. Because every register is an integer and
+  * rows apply in the same (ts, x, id) total order the batch windows
+  * use, a time-split replay is EXACTLY the batch statistic — not
+  * within-a-bound but hash-equal (`q_cusum_stream`), micro-batch
+  * boundaries invisible by construction. Keys absent from `baselines`
+  * are ignored (no in-control period — the batch form drops them too).
+  */
+object CusumStream {
+  import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+  def monitor(rows: Dataset[(String, Long, Long, Long)],
+      baselines: Map[String, (Long, Long)], hScaled: Long,
+      slackScaled: Long): Dataset[CusumSnapshot] = {
+    import rows.sparkSession.implicits._
+    rows
+      .filter(r => baselines.contains(r._1))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Long, Long)],
+            state: GroupState[CusumState]) =>
+          val (n0, s0) = baselines(key)
+          var s = state.getOption.getOrElse(
+            CusumState(0L, 0L, 0L, 0L, -1L, -1L, 0L))
+          // (ts, x, id) order within the batch; time-split batches make
+          // the cross-batch concatenation the global total order
+          val sorted = it.toSeq.sortBy(r => (r._2, r._3, r._4))
+          sorted.foreach { case (_, tsUs, x, _) =>
+            val drift = slackScaled * n0
+            val su = math.max(0L, s.su + (n0 * x - s0 - drift))
+            val sd = math.max(0L, s.sd + (s0 - n0 * x - drift))
+            val h = hScaled * n0
+            s = CusumState(su, sd,
+              math.max(s.maxUp, su), math.max(s.maxDn, sd),
+              if (s.alarmUpUs >= 0L || su < h) s.alarmUpUs else tsUs,
+              if (s.alarmDnUs >= 0L || sd < h) s.alarmDnUs else tsUs,
+              s.n + 1)
+          }
+          state.update(s)
+          Iterator.single(CusumSnapshot(key, s.su, s.sd, s.maxUp,
+            s.maxDn, s.alarmUpUs, s.alarmDnUs, s.n))
+      }
+  }
+}

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.model.SensorReading
 import graft.ops.Skew
 import graft.sources.Layout
-import graft.streaming.Stateful
+import graft.streaming.{CusumStream, Stateful}
 
 /** Scale-posture components: partition pruning, skew salting, custom
   * streaming state.
@@ -395,6 +395,53 @@ class StatefulSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Stateful.ewmaAnomalies(ds, idleMs = 0L)
     }
+  }
+
+  test("CusumStream.monitor replays the batch CUSUM exactly across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // level shift at minute 20 (the DriftSpec fixture): κ=5, h=50 →
+    // upward alarm at minute 23
+    val rows = ((0 until 20).map(i => ("cp", t(i), 10.0, i.toLong)) ++
+      (20 until 40).map(i => ("cp", t(i), 30.0, i.toLong)) ++
+      (0 until 40).map(i => ("flat", t(i), 10.0, 100L + i))).toVector
+    val df = rows.toDF("g", "ts", "v", "id")
+    val batch = graft.ops.Drift.cusumChangepoint(
+        df, "g", "ts", "v", "id", h = 50.0, slack = 5.0)
+      .as[(String, Long, Long, Double, Double, Double,
+        Option[java.sql.Timestamp], Option[java.sql.Timestamp])]
+      .collect().map(r => r._1 -> r).toMap
+    val bl = graft.ops.Drift.cusumBaselines(df, "g", "ts", "v")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n0, s0) => k -> (n0, s0) }.toMap
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val q = CusumStream.monitor(mem.toDS(), bl,
+        math.round(50.0 * 1e6), math.round(5.0 * 1e6))
+      .writeStream.format("memory").queryName("cusum_stream_test")
+      .outputMode("append").start()
+    try {
+      def tup(r: (String, java.sql.Timestamp, Double, Long)) =
+        (r._1, r._2.getTime * 1000L, math.round(r._3 * 1e6), r._4)
+      // three ragged time-split batches — boundaries must be invisible
+      Seq(rows.take(25), rows.slice(25, 41), rows.drop(41)).foreach { b =>
+        mem.addData(b.map(tup)); q.processAllAvailable()
+      }
+      val latest = spark.table("cusum_stream_test")
+        .as[graft.streaming.CusumSnapshot].collect()
+        .groupBy(_.key).map { case (k, xs) => k -> xs.maxBy(_.n) }
+      latest.foreach { case (k, s) =>
+        val (n0, _) = bl(k)
+        val b = batch(k)
+        assert(s.n === b._2, s"$k n")
+        assert(s.maxUp.toDouble / (n0 * 1e6) === b._5, s"$k maxUp")
+        assert(s.maxDn.toDouble / (n0 * 1e6) === b._6, s"$k maxDn")
+        assert(s.alarmUpUs ===
+          b._7.map(_.getTime * 1000L).getOrElse(-1L), s"$k alarmUp")
+        assert(s.alarmDnUs ===
+          b._8.map(_.getTime * 1000L).getOrElse(-1L), s"$k alarmDn")
+      }
+      assert(latest.keySet === Set("cp", "flat"))
+    } finally q.stop()
   }
 
   test("kllSnapshots: sketch state accumulates across micro-batches; latest snapshot within bound") {
