@@ -1199,6 +1199,18 @@ object SparkEntry {
     "q_iqr_anomaly" -> ((s, dir) =>
       Anomaly.rollup(Tables.events(s, dir), "value", "event_type")),
 
+    // ---- X110: MAD robust anomaly rollup — median-based twin of IQR
+    //      (one wild reading cannot drag the baseline); med/mad rounded
+    //      to 6 dp in both engines BEFORE the comparison ----
+    "q_mad_anomaly" -> ((s, dir) =>
+      Anomaly.madRollup(Tables.events(s, dir), "event_type", "value")),
+
+    // ---- X110: outage/downtime report — every inter-event gap > 1 h
+    //      per key, exact (integer micros until display) ----
+    "q_gap_report" -> ((s, dir) =>
+      Anomaly.gaps(Tables.events(s, dir), "event_type", "ts",
+        "event_id", 3600L)),
+
     // ---- seasonal baseline + residual anomaly: each value judged
     //      against ITS HOUR-OF-DAY's per-key mean/std — the deviation
     //      detector the diurnal signal needs (a 14:00 peak is normal at
@@ -3400,6 +3412,42 @@ object SparkEntry {
         |  round(min(lo), 6) AS lo_bound,
         |  round(max(hi), 6) AS hi_bound
         |FROM events, b GROUP BY 1""".stripMargin,
+    // X110: med/mad rounded to 6 dp in both engines before the
+    // comparison — an interpolation ulp cannot flip a boundary row.
+    "q_mad_anomaly" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  WHERE e.value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(m.med) AS med,
+        |  min(d.mad) AS mad,
+        |  CAST(sum(CASE WHEN abs(round(CAST(e.value AS DOUBLE), 6) - m.med)
+        |    > 3.0 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM events e
+        |JOIN med m USING (event_type)
+        |JOIN mad d USING (event_type)
+        |WHERE e.value IS NOT NULL GROUP BY 1""".stripMargin,
+    // X110: same lag window, integer-micros gap, same display division.
+    "q_gap_report" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |      AS prev,
+        |    ts
+        |  FROM events)
+        |SELECT event_type, prev AS outage_start, ts AS outage_end,
+        |  round(CAST(epoch_us(CAST(ts AS TIMESTAMP)) -
+        |             epoch_us(CAST(prev AS TIMESTAMP)) AS DOUBLE)
+        |        / 1000000.0, 6) AS gap_seconds
+        |FROM g
+        |WHERE epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      epoch_us(CAST(prev AS TIMESTAMP)) > 3600000000""".stripMargin,
     // Per-(key, hour) baseline; mean/std round to 6 BEFORE the residual
     // and the z-comparison, so both engines compare identical doubles.
     "q_seasonal_profile" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IQR anomaly detection (SURVEY.md §2.9 ML1).
@@ -88,4 +89,64 @@ object Anomaly {
         sum(when(col("is_seasonal_anomaly"), 1L).otherwise(0L))
           .as("n_anomalies"),
         round(max(abs(col("residual"))), 6).as("max_abs_residual"))
+
+  /** Outage / downtime report (X110): per key, every inter-event gap
+    * longer than `thresholdSec` — the reference's freshness panel
+    * (max-ts staleness, S12) generalized to the FULL availability
+    * history the batch table can answer: when was each silence, how
+    * long, bounded by which events. One per-key lag window ordered by
+    * (ts, id) with `idCol` unique, so the report replays exactly;
+    * gap duration stays in integer micros until the final 6-dp display
+    * division. The streaming complement is [[graft.streaming.Stateful
+    * .ewmaAnomalies]]'s went-offline marker — that detects silence
+    * live; this audits it after the fact.
+    */
+  def gaps(df: DataFrame, key: String, tsCol: String, idCol: String,
+      thresholdSec: Long): DataFrame = {
+    require(thresholdSec > 0, s"gaps: thresholdSec=$thresholdSec")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col(idCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__gapUs",
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")))
+      .filter(col("__gapUs") > lit(thresholdSec * 1000000L))
+      .select(col(key), col("__prev").as("outage_start"),
+        col(tsCol).as("outage_end"),
+        round(col("__gapUs").cast("double") / lit(1e6), 6)
+          .as("gap_seconds"))
+  }
+
+  /** MAD robust anomaly rollup (X110) — the median-based twin of the
+    * IQR family: per key, med = median(c), mad = median(\|c − med\|),
+    * a row is anomalous when \|c − med\| > k·mad (k = 3 ≈ 4.45σ on
+    * normal data; unlike mean/stddev, one wild reading cannot drag the
+    * baseline toward itself). Cross-engine determinism: med and mad are
+    * ROUNDED to 6 dp before the comparison in BOTH engines, so an
+    * interpolation ulp cannot flip a row at the boundary. Two exact
+    * percentile passes + a broadcast join of the per-key 1-row stats —
+    * the fact table is never shuffled; at 100 TB swap the exact medians
+    * for [[Kll]] quantiles (same plan, mergeable partials).
+    */
+  def madRollup(df: DataFrame, key: String, c: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(c).cast("double")
+    val med = df.filter(v.isNotNull).groupBy(col(key))
+      .agg(round(expr(s"percentile($c, 0.5)"), 6).as("med"))
+      .withColumnRenamed(key, "__mk")
+    val mad = df.filter(v.isNotNull)
+      .join(broadcast(med), col(key) === col("__mk"))
+      .groupBy(col(key))
+      .agg(round(expr(s"percentile(abs($c - med), 0.5)"), 6).as("mad"))
+      .withColumnRenamed(key, "__ak")
+    df.filter(v.isNotNull)
+      .join(broadcast(med), col(key) === col("__mk"))
+      .join(broadcast(mad), col(key) === col("__ak"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(abs(round(v, 6) - col("med")) > lit(k) * col("mad"),
+          1L).otherwise(0L)).as("n_anomalies"))
+  }
 }

@@ -76,6 +76,43 @@ class AnomalySpec extends SparkSpec {
     assert(flagged.filter(col("is_anomaly")).count() === 2)
   }
 
+  test("madRollup: hand-computed med/mad; a wild outlier cannot drag the baseline") {
+    // 9× 10.0 plus one wild 1000.0: med = 10, |v−med| = {0×9, 990} →
+    // mad = 0 — every deviation > 0 flags, i.e. only the outlier
+    val df = ((1 to 9).map(_ => ("k", 10.0)) :+ ("k", 1000.0))
+      .toDF("g", "v")
+    val r = Anomaly.madRollup(df, "g", "v").collect().head
+    assert(r.getAs[Double]("med") === 10.0)
+    assert(r.getAs[Double]("mad") === 0.0)
+    assert(r.getAs[Long]("n_anomalies") === 1L)
+    // spread data incl. the outlier: med{1..9, 20} = 5.5, deviations
+    // sorted {0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,14.5} → mad = 2.5;
+    // k=3 → |v−5.5| > 7.5 flags only 20
+    val df2 = ((1 to 9).map(i => ("s", i.toDouble)) :+ ("s", 20.0))
+      .toDF("g", "v")
+    val r2 = Anomaly.madRollup(df2, "g", "v").collect().head
+    assert(r2.getAs[Double]("med") === 5.5)
+    assert(r2.getAs[Double]("mad") === 2.5)
+    assert(r2.getAs[Long]("n_anomalies") === 1L)
+  }
+
+  test("gaps: only gaps above threshold emit, bounded by the right events; first row never a gap") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", t("2024-01-01 00:00:00"), 1L),
+      ("a", t("2024-01-01 00:30:00"), 2L), // 30 min — under 1 h
+      ("a", t("2024-01-01 02:30:00"), 3L), // 2 h gap → emit
+      ("b", t("2024-01-01 09:00:00"), 4L)) // lone row, no gap
+      .toDF("g", "ts", "id")
+    val out = Anomaly.gaps(df, "g", "ts", "id", 3600L)
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Double)]
+      .collect()
+    assert(out.length === 1)
+    assert(out.head === (("a", t("2024-01-01 00:30:00"),
+      t("2024-01-01 02:30:00"), 7200.0)))
+    intercept[IllegalArgumentException](Anomaly.gaps(df, "g", "ts", "id", 0L))
+  }
+
   test("seasonal residuals judge each value against ITS hour's baseline") {
     def ts(h: Int, m: Int) =
       java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
