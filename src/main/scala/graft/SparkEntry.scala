@@ -1133,6 +1133,22 @@ object SparkEntry {
       Kll.sketchBound(Tables.events(s, dir), "event_type", "value",
         graft.streaming.Pipeline.replayKllQuantiles(s, dir))),
 
+    // ---- X107 CDF-read audit: sketch CDF at fixed splits next to the
+    //      EXACT empirical CDF (replayable integer ratio); cdf_ok pins
+    //      the deterministic errBound/n envelope ----
+    "q_kll_cdf_bound" -> ((s, dir) =>
+      Kll.cdfBound(Tables.events(s, dir), "event_type", "value",
+        Seq(10.0, 25.0, 50.0, 100.0, 200.0))),
+
+    // ---- X111: sketch-derived equi-depth range-layout boundaries —
+    //      each edge's true rank certified within the sketch's
+    //      guaranteed bound of i·n/B (stable, persistable boundaries:
+    //      the append-safe alternative to repartitionByRange's
+    //      per-write re-sampling) ----
+    "q_range_layout_balance" -> ((s, dir) =>
+      Layout.rangeBinAudit(Tables.events(s, dir), "value", 8)
+        .orderBy("edge")),
+
     // ---- X108: two-sample Kolmogorov–Smirnov DRIFT per key — first vs
     //      second half of the time range. Integer cumulative counts +
     //      IEEE-exact division ⇒ the statistic itself replays
@@ -3218,6 +3234,25 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  TRUE AS n_ok, TRUE AS q1_ok, TRUE AS med_ok, TRUE AS q3_ok
         |FROM events GROUP BY 1""".stripMargin,
+    // X107 CDF audit: exact side is an integer count ratio; booleans
+    // certified by the deterministic envelope.
+    "q_kll_cdf_bound" ->
+      """SELECT event_type, split,
+        |  round(CAST(sum(CASE WHEN CAST(value AS DOUBLE) <= split
+        |    THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS exact_cdf,
+        |  TRUE AS cdf_ok
+        |FROM events,
+        |  (SELECT unnest([10.0, 25.0, 50.0, 100.0, 200.0]) AS split) s
+        |WHERE value IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // X111: edges are sketch-derived (not replayable); n is the exact
+    // side, rank_ok certified by the deterministic bound.
+    "q_range_layout_balance" ->
+      """SELECT CAST(i AS BIGINT) AS edge,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE value IS NOT NULL) AS n,
+        |  TRUE AS rank_ok
+        |FROM generate_series(1, 7) t(i) ORDER BY 1""".stripMargin,
     // X108: the KS statistic replays EXACTLY — integer cumulative side
     // counts over distinct values, one IEEE-exact division per side,
     // identical max/abs/round shape in both engines.

@@ -282,6 +282,46 @@ object Kll {
     rankAudit(df, key, c, ap)
   }
 
+  /** CDF-read audit (the [[cdf]] read path value-checked): per (key,
+    * split) the sketch's estimated CDF next to the EXACT empirical CDF
+    * — exact_cdf is fully replayable (integer count ratio, IEEE-exact
+    * division), and `cdf_ok` pins \|est − exact\| ≤ errBound/n, the
+    * same deterministic envelope as the quantile reads. Splits are
+    * caller-fixed literals so both engines evaluate the same points.
+    */
+  def cdfBound(df: DataFrame, key: String, c: String,
+      splits: Seq[Double], k: Int = 256): DataFrame = {
+    require(splits.nonEmpty, "cdfBound: need at least one split")
+    import df.sparkSession.implicits._
+    val v = col(c).cast("double")
+    val sketches = df.filter(v.isNotNull)
+      .groupBy(col(key))
+      .agg(sketchColumn(k, col(c)).as("__sk"))
+      .withColumnRenamed(key, "__ck")
+      .as[(String, KllBuf)]
+    val ests = sketches.flatMap { case (kk, b) =>
+      splits.map(s => (kk, s, rank(b, s).toDouble / b.n,
+        errBound(b).toDouble / b.n))
+    }.toDF("__ck", "split", "__est", "__eps")
+    val exact = df.filter(v.isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("__n"),
+        splits.zipWithIndex.map { case (s, i) =>
+          sum(when(v <= lit(s), 1L).otherwise(0L)).as(s"__le_$i")
+        }: _*)
+    val exploded = splits.zipWithIndex.map { case (s, i) =>
+      exact.select(col(key), lit(s).as("__split"),
+        (col(s"__le_$i").cast("double") / col("__n").cast("double"))
+          .as("__exact"))
+    }.reduce(_ unionByName _)
+    exploded.join(ests,
+        col(key) === col("__ck") && col("__split") === col("split"))
+      .select(col(key), col("split"),
+        round(col("__exact"), 6).as("exact_cdf"),
+        (abs(col("__est") - col("__exact")) <= col("__eps") + lit(1e-12))
+          .as("cdf_ok"))
+  }
+
   /** Audit EXTERNALLY-BUILT sketch states against the raw rows they
     * summarize — the gate behind the STREAMING form
     * ([[graft.streaming.Stateful.kllSnapshots]]): `sketches` carries one

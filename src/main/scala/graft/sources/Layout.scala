@@ -199,6 +199,101 @@ object Layout {
       .parquet(path)
   }
 
+  /** Equi-depth range boundaries from a KLL sketch (X111): the B−1
+    * interior quantiles of `c` at i/B, read from ONE mergeable sketch
+    * aggregation — the scale answer to `repartitionByRange`'s
+    * driver-side re-SAMPLING: a sample is cheap but unstable (every
+    * write draws new boundaries, so two incremental writes of the same
+    * table disagree about where bins fall), while the sketch is built
+    * from the partials the lake already materializes (X107's per-day
+    * state), is deterministic, and carries a GUARANTEED rank error —
+    * each boundary's true rank is within errBound of i·n/B, so bin
+    * balance is a theorem, not a sample's luck. Persist the returned
+    * boundaries and every later append bins identically.
+    */
+  def rangeBoundaries(df: DataFrame, c: String, nBins: Int,
+      k: Int = 256): Seq[Double] = {
+    require(nBins >= 2, s"rangeBoundaries: nBins=$nBins")
+    import df.sparkSession.implicits._
+    val buf = df.filter(col(c).isNotNull)
+      .agg(graft.ops.Kll.sketchColumn(k, col(c)).as("sk"))
+      .select(col("sk.*")).as[graft.ops.KllBuf].head()
+    (1 until nBins).map(i => graft.ops.Kll.quantile(buf, i.toDouble / nBins))
+  }
+
+  /** Bin id (1-based) for a value under FIXED boundaries: 1 + number of
+    * boundaries strictly below the value — a narrow codegen'd
+    * projection, no shuffle, no lookup table.
+    */
+  def rangeBin(c: Column, bounds: Seq[Double]): Column =
+    lit(1) + size(filter(
+      array(bounds.map(lit(_)): _*), b => b < c.cast("double")))
+
+  /** Range-binned layout write under FIXED boundaries: one directory
+    * per bin (`bin=i/`), rows sorted by `c` within files. APPEND-SAFE
+    * BY CONSTRUCTION: because the boundaries are pinned (not re-sampled
+    * per write), a later append lands its rows in the same bins — bin
+    * directories stay value-disjoint across any number of incremental
+    * writes, so a range predicate keeps pruning to the same O(1/B)
+    * slice of directories forever. (`repartitionByRange` re-draws
+    * boundaries per write: two appends overlap every file's range and
+    * pruning decays toward full scans.)
+    */
+  def writeRangeBinned(df: DataFrame, c: String, bounds: Seq[Double],
+      path: String, mode: String = "overwrite"): Unit = {
+    require(bounds.nonEmpty, "writeRangeBinned: empty boundaries")
+    df.filter(col(c).isNotNull)
+      .withColumn("bin", rangeBin(col(c), bounds))
+      .repartition(bounds.size + 1, col("bin"))
+      .sortWithinPartitions(col(c))
+      .write.partitionBy("bin").mode(mode).parquet(path)
+  }
+
+  /** Range query over a [[writeRangeBinned]] table: the value predicate
+    * is REWRITTEN onto the bin partition column using the same fixed
+    * boundaries (`bin ∈ [1+#{b<lo}, 1+#{b≤hi}]`), so the scan
+    * partition-prunes to O((hi−lo)/range · B) directories — and because
+    * boundaries never move, that rewrite stays correct across every
+    * append. The residual value filter keeps exactness at the edges.
+    */
+  def rangeBinnedScan(t: DataFrame, c: String, bounds: Seq[Double],
+      lo: Double, hi: Double): DataFrame = {
+    val binLo = 1 + bounds.count(_ < lo)
+    val binHi = 1 + bounds.count(_ <= hi)
+    t.filter(col("bin") >= lit(binLo) && col("bin") <= lit(binHi) &&
+      col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+
+  /** Oracled audit for [[rangeBoundaries]] (`q_range_layout_balance`):
+    * per interior edge i, certify the boundary's TRUE rank interval
+    * against target i·n/B within the sketch's own guaranteed bound
+    * (the [[graft.ops.Kll.quantileBound]] audit at B−1 probes). `n` is
+    * the replayable exact side; the booleans are theorems.
+    */
+  def rangeBinAudit(df: DataFrame, c: String, nBins: Int,
+      k: Int = 256): DataFrame = {
+    import df.sparkSession.implicits._
+    val v = col(c).cast("double")
+    val buf = df.filter(v.isNotNull)
+      .agg(graft.ops.Kll.sketchColumn(k, col(c)).as("sk"))
+      .select(col("sk.*")).as[graft.ops.KllBuf].head()
+    val err = graft.ops.Kll.errBound(buf).toDouble
+    val bounds = (1 until nBins)
+      .map(i => graft.ops.Kll.quantile(buf, i.toDouble / nBins))
+    val aggs = count(lit(1)).as("n") +:
+      bounds.zipWithIndex.flatMap { case (b, i) => Seq(
+        sum(when(v <= lit(b), 1L).otherwise(0L)).as(s"__le_$i"),
+        sum(when(v < lit(b), 1L).otherwise(0L)).as(s"__lt_$i"))
+      }
+    val row = df.filter(v.isNotNull).agg(aggs.head, aggs.tail: _*)
+    bounds.indices.map { i =>
+      val target = ceil(col("n").cast("double") * ((i + 1).toDouble / nBins))
+      row.select(lit((i + 1).toLong).as("edge"), col("n"),
+        (col(s"__le_$i") >= target - lit(err) &&
+          (col(s"__lt_$i") + 1) <= target + lit(err)).as("rank_ok"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Time-partition expiry — the retention sweep of a [[writeByDay]]
     * layout: drops every `day=…` partition directory strictly before
     * `beforeDay` (ISO date). A METADATA operation: O(partitions)

@@ -196,6 +196,25 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("cdfBound: exact CDF replay plus in-envelope sketch estimates") {
+    val rows = vals(5000, seed = 23L).zipWithIndex.map { case (v, i) =>
+      (s"c${i % 2}", v)
+    }
+    val out = Kll.cdfBound(rows.toDF("g", "v"), "g", "v",
+        Seq(1000.0, 8000.0), k = 128)
+      .as[(String, Double, Double, Boolean)].collect()
+    assert(out.length === 4)
+    out.foreach { case (g, s, exact, ok) =>
+      val mine = rows.filter(_._1 == g).map(_._2)
+      val expect = BigDecimal(mine.count(_ <= s).toDouble / mine.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(exact === expect, s"$g@$s exact mismatch")
+      assert(ok, s"$g@$s not within envelope")
+    }
+    intercept[IllegalArgumentException](
+      Kll.cdfBound(rows.toDF("g", "v"), "g", "v", Nil))
+  }
+
   test("config gates: odd or tiny k refused, mixed-k merge refused, empty sketch NaN") {
     intercept[IllegalArgumentException](Kll.empty(7))
     intercept[IllegalArgumentException](Kll.empty(4))

@@ -322,6 +322,49 @@ class LayoutSpec extends SparkSpec {
       Seq("tag", "v")).collect().head.getString(1) === "changed")
   }
 
+  test("range-binned layout: stable boundaries keep appends bin-disjoint; rewritten scans partition-prune and stay exact") {
+    import spark.implicits._
+    def batch(from: Long, to: Long): DataFrame =
+      spark.range(from, to).select(
+        ((col("id") * 2654435761L % 100000) / 100.0).as("v"),
+        col("id").as("payload"))
+    val d1 = batch(0, 20000)
+    val bounds = Layout.rangeBoundaries(d1, "v", nBins = 8)
+    assert(bounds.size === 7 && bounds === bounds.sorted)
+    val dir = Files.createTempDirectory("graft_range_binned").toString
+    Layout.writeRangeBinned(d1, "v", bounds, dir)
+    // incremental append under the SAME boundaries — no re-sampling
+    Layout.writeRangeBinned(batch(20000, 30000), "v", bounds, dir,
+      mode = "append")
+    val all = spark.read.parquet(dir)
+    assert(all.count() === 30000L)
+    // bins stay value-disjoint across the append
+    val ranges = all.groupBy(col("bin"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy("bin")
+      .as[(Int, Double, Double)].collect()
+    assert(ranges.map(_._1).toSeq === (1 to 8))
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"bins ${a._1}/${b._1} overlap after append")
+    }
+    // rough balance (the audit query certifies the rank bound exactly)
+    val counts = all.groupBy("bin").count().as[(Int, Long)].collect()
+      .map(_._2)
+    assert(counts.min > 1500 && counts.max < 7000, counts.toSeq.toString)
+    // rewritten range scan: exact vs the plain filter, and the plan
+    // partition-prunes on bin
+    val lo = bounds(1) + 0.01
+    val hi = bounds(3) - 0.01
+    val pruned = Layout.rangeBinnedScan(all, "v", bounds, lo, hi)
+    val plain = all.filter(col("v") >= lo && col("v") <= hi)
+    assert(pruned.count() === plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("bin"),
+      "bin partition filters missing from the scan")
+    Layout.rangeBinnedScan(all, "v", bounds, lo, hi).collect() // smoke
+  }
+
   test("compact merges small files losslessly and restores ts clustering") {
     val events = Tables.events(spark, sfDir)
     val frag = Files.createTempDirectory("graft_c").toString + "/frag"
