@@ -1160,6 +1160,14 @@ object SparkEntry {
         graft.ops.Drift.secondHalf(ev, "ts"))
     }),
 
+    // ---- X108 STREAMING form: baseline distribution sketched offline,
+    //      monitored half streamed through per-key KLL state, KS read
+    //      off (baseline, streamed) sketch pairs — the live drift score,
+    //      audited against the exact batch KS by the order-independent
+    //      envelope ----
+    "q_ks_stream_bound" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayKsDrift(s, dir)),
+
     // ---- X109: CUSUM changepoint localization — WHEN did the drift
     //      start. The nonlinear recurrence via the prefix-sum −
     //      prefix-min identity; ALL-INTEGER arithmetic (micro-unit
@@ -3376,6 +3384,35 @@ object SparkEntry {
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // X108 sketch twin: exact KS replayed as above; booleans pinned TRUE
     // by the deterministic sketch envelope.
+    // X108 streaming twin: same exact replay; the streamed sketch's
+    // booleans hold for any arrival order (deterministic envelope).
+    "q_ks_stream_bound" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(CAST(min(ts) AS TIMESTAMP)) +
+        |          epoch_us(CAST(max(ts) AS TIMESTAMP))) // 2 AS mid
+        |  FROM events),
+        |pv AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+        |        THEN 0 ELSE 1 END) AS a,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >= mid
+        |        THEN 1 ELSE 0 END) AS bb
+        |  FROM events, b WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    sum(a) OVER (PARTITION BY event_type ORDER BY v) AS ca,
+        |    sum(bb) OVER (PARTITION BY event_type ORDER BY v) AS cb,
+        |    sum(a) OVER (PARTITION BY event_type) AS na,
+        |    sum(bb) OVER (PARTITION BY event_type) AS nb
+        |  FROM pv)
+        |SELECT event_type,
+        |  CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) -
+        |                CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks,
+        |  TRUE AS n_ok, TRUE AS ks_ok
+        |FROM cum GROUP BY 1
+        |HAVING max(na) > 0 AND max(nb) > 0""".stripMargin,
     "q_ks_drift_bound" ->
       """WITH b AS (
         |  SELECT (epoch_us(CAST(min(ts) AS TIMESTAMP)) +

@@ -70,12 +70,23 @@ object StreamBench {
     // the lakehouse loop live: OCC append-producer + commit-log tail
     // relaying into a second fenced OCC table, compaction mid-run
     val occ = graft.streaming.SteadyState.measureOccTailStream(spark)
+    // per-sensor KLL quantile monitoring (X107's streaming form): one
+    // sketch per key in the fMGWS state store, snapshot per batch —
+    // the bounded-memory replacement for recompute-quartiles-per-refresh
+    val kll = {
+      import spark.implicits._
+      graft.streaming.SteadyState.measureSensorWindowStream(spark,
+        "kll_monitor_stream",
+        r => graft.streaming.Stateful.kllSnapshots(
+          r.select(col("sensor_id"), col("temperature").cast("double"))
+            .as[(String, Double)], k = 128).toDF())
+    }
     val combined = env.json.dropRight(1) +
       "," + dedup.json + "," + cur.json + "," + clf.json + "," +
       bm25.json + "," +
       asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
       "," + ewma.json + "," + hop.json + "," + sess.json + "," +
-      ssj.json + "," + occ.json + "}"
+      ssj.json + "," + occ.json + "," + kll.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -99,6 +99,16 @@ object Drift {
       .filter(col("__ska").isNotNull && col("__skb").isNotNull)
       .withColumnRenamed(key, "__k")
       .as[(String, KllBuf, KllBuf)]
+    ksFromSketchPairs(paired)
+  }
+
+  /** KS estimate + deterministic bound from per-key (sketchA, sketchB)
+    * pairs — the read shared by the batch ([[ksSketch]]) and streaming
+    * ([[graft.streaming.Pipeline.replayKsDrift]]) paths.
+    */
+  private[graft] def ksFromSketchPairs(
+      paired: org.apache.spark.sql.Dataset[(String, KllBuf, KllBuf)]): DataFrame = {
+    import paired.sparkSession.implicits._
     paired.map { case (kk, a, b) =>
       // estimated CDFs are constant between retained points, so the sup
       // over the union of retained points is the sup over all x
@@ -209,9 +219,15 @@ object Drift {
     * violation hash-mismatches against the all-TRUE oracle.
     */
   def ksSketchBound(df: DataFrame, key: String, c: String,
-      sideB: Column, k: Int = 256): DataFrame = {
+      sideB: Column, k: Int = 256): DataFrame =
+    ksAudit(df, key, c, sideB, ksSketch(df, key, c, sideB, k))
+
+  /** Exact-vs-estimate audit shared by the batch and streaming forms:
+    * `est` carries (__k, __na, __nb, __ksEst, __bound) per key.
+    */
+  private[graft] def ksAudit(df: DataFrame, key: String, c: String,
+      sideB: Column, est: DataFrame): DataFrame = {
     val exact = ksExact(df, key, c, sideB)
-    val est = ksSketch(df, key, c, sideB, k)
     exact.join(est, col(key) === col("__k"), "left")
       .select(col(key), col("n_a"), col("n_b"), col("ks"),
         (col("__na") === col("n_a") && col("__nb") === col("n_b"))

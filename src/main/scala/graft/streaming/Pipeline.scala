@@ -642,6 +642,73 @@ object Pipeline {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming KS drift monitor gate (`q_ks_stream_bound`) — X108's
+    * LIVE form: the in-control distribution is sketched OFFLINE (first
+    * half of the time range, one KLL per key), the monitored period
+    * streams through [[Stateful.kllSnapshots]] (one sketch per key in
+    * the state store), and KS is read off (baseline sketch, streamed
+    * sketch) pairs. Audited against the exact batch KS by the same
+    * deterministic errA/nA + errB/nB envelope — valid for ANY
+    * micro-batch arrival order, which is what makes a live drift score
+    * oracle-able. Production shape: the baseline is a persisted
+    * artifact; each trigger's snapshot yields a current drift score per
+    * key without ever re-scanning history.
+    */
+  def replayKsDrift(spark: SparkSession, dir: String,
+      k: Int = 256): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+    val sideB = graft.ops.Drift.secondHalf(ev, "ts")
+    val baseMap = ev
+      .filter(col("value").isNotNull && !sideB)
+      .groupBy(col("event_type"))
+      .agg(graft.ops.Kll.sketchColumn(k, col("value")).as("sketch"))
+      .select(col("event_type"), col("sketch"))
+      .as[(String, graft.ops.KllBuf)].collect().toMap
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|ks|$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_ksdrift_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/snapshots"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_ksdrift_ckpt")
+    withReplayParallelism(spark) {
+      val typed = stream
+        .filter(col("value").isNotNull && sideB)
+        .select(col("event_type"), col("value").cast("double"))
+        .as[(String, Double)]
+      val q = Stateful.kllSnapshots(typed, k)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val snaps = TxnSink.committedRead(spark, outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("sketch.n").desc)
+    val latest = snaps.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("key"), col("sketch"))
+      .as[(String, graft.ops.KllBuf)]
+    val paired = latest
+      .filter(s => baseMap.contains(s._1))
+      .map { case (kk, streamed) => (kk, baseMap(kk), streamed) }
+    graft.ops.Drift.ksAudit(ev, "event_type", "value", sideB,
+      graft.ops.Drift.ksFromSketchPairs(paired))
+  }
+
   /** Streaming CUSUM changepoint gate (`q_cusum_stream`): baselines
     * learned offline (one metadata-sized aggregate), then the events
     * table replayed as 4 time-ranged micro-batches through
