@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Classifier, Curate, Dedup, Eval, Mixture, Multimodal, Similarity, TextStats}
-import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Geo, Kll, Rollups, Scans, Sketches, Trend, Upsert, WindowedAgg}
+import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Freq, Geo, Kll, Rollups, Scans, Sketches, Trend, Upsert, WindowedAgg}
 import graft.sources.{Layout, OccTable, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2752,6 +2752,34 @@ object SparkEntry {
     "q_sketch_setops" -> ((s, dir) =>
       Sketches.dailyOverlap(Tables.events(s, dir), "ts", "user_id", k = 64)),
 
+    // ---- X112: Misra–Gries heavy-hitters sketch, value-checked: per
+    //      (lang, token) the EXACT count next to booleans pinning the
+    //      sketch estimate inside its guaranteed two-sided window
+    //      est ∈ [cnt − n/(k+1), cnt]. ALL-INTEGER comparisons, and a
+    //      theorem for EVERY item (retained by decrement accounting,
+    //      evicted because eviction proves f ≤ n/(k+1)) under any data
+    //      order — so the oracle pins literal TRUE. k=16 is below the
+    //      corpus's 31-token vocabulary, so decrements genuinely fire ----
+    "q_heavy_hitters_bound" -> ((s, dir) =>
+      Freq.heavyHittersBound(
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0),
+        "lang", "token", k = 16)),
+
+    // ---- X112 two-level twin: per-(lang, source) MG partials — the
+    //      state you'd persist at ingest — merged per lang by the
+    //      PODS'12 rule (pointwise sum, subtract the (k+1)-th largest),
+    //      which preserves the combined-n envelope; the SAME audit
+    //      certifies the materialize-then-merge path ----
+    "q_heavy_hitters_merged" -> ((s, dir) =>
+      Freq.heavyHittersMergedBound(
+        Tables.documents(s, dir)
+          .select(col("lang"), col("source"),
+            explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0),
+        "lang", col("source"), "token", k = 16)),
+
     "q_hll_daily_bound" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val daily = Rollups.dailyUniqueSketch(ev, "ts", "user_id")
@@ -5380,6 +5408,35 @@ object SparkEntry {
         |JOIN exact ea ON c.day_a = ea.day
         |JOIN exact eb ON c.day_b = eb.day
         |JOIN inter i ON c.day_a = i.day""".stripMargin,
+
+    // X112 audit-twin: DuckDB replays the exact (lang, token) counts and
+    // per-lang totals; the sketch-side booleans are theorems of the MG
+    // two-sided window (all-integer comparison), so TRUE is pinned — an
+    // estimate outside [cnt − n/(k+1), cnt] would hash-mismatch.
+    "q_heavy_hitters_bound" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |f AS (SELECT lang, token FROM t WHERE token <> ''),
+        |tok AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM f GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |        FROM f GROUP BY 1)
+        |SELECT tok.lang, tok.token, tok.cnt, tot.n,
+        |  TRUE AS upper_ok, TRUE AS lower_ok
+        |FROM tok JOIN tot ON tok.lang = tot.lang""".stripMargin,
+    // X112 two-level twin: merging per-(lang, source) partials preserves
+    // the combined-n envelope (PODS'12), so the identical replay holds.
+    "q_heavy_hitters_merged" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |f AS (SELECT lang, token FROM t WHERE token <> ''),
+        |tok AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM f GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |        FROM f GROUP BY 1)
+        |SELECT tok.lang, tok.token, tok.cnt, tot.n,
+        |  TRUE AS upper_ok, TRUE AS lower_ok
+        |FROM tok JOIN tot ON tok.lang = tot.lang""".stripMargin,
 
     "q_hll_daily_bound" ->
       """SELECT CAST(ts AS DATE) AS day,
