@@ -1168,6 +1168,14 @@ object SparkEntry {
     "q_ks_stream_bound" -> ((s, dir) =>
       graft.streaming.Pipeline.replayKsDrift(s, dir)),
 
+    // ---- X112 STREAMING form: one MG sketch per event_type in the
+    //      fMGWS state store (items = floor(value) buckets), 4-batch
+    //      exactly-once replay; latest snapshot audited against the
+    //      exact batch counts — the two-sided window holds for any
+    //      arrival order, so the booleans are oracle-able ----
+    "q_hh_stream_bound" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayHeavyHitters(s, dir)),
+
     // ---- X109: CUSUM changepoint localization — WHEN did the drift
     //      start. The nonlinear recurrence via the prefix-sum −
     //      prefix-min identity; ALL-INTEGER arithmetic (micro-unit
@@ -5424,6 +5432,19 @@ object SparkEntry {
         |SELECT tok.lang, tok.token, tok.cnt, tot.n,
         |  TRUE AS upper_ok, TRUE AS lower_ok
         |FROM tok JOIN tot ON tok.lang = tot.lang""".stripMargin,
+    // X112 streaming twin: same audit shape over events floor-buckets;
+    // the streamed sketch's booleans hold for any arrival order.
+    "q_hh_stream_bound" ->
+      """WITH f AS (SELECT event_type,
+        |    CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS bucket
+        |  FROM events WHERE value IS NOT NULL),
+        |tok AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM f GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |        FROM f GROUP BY 1)
+        |SELECT tok.event_type, tok.bucket, tok.cnt, tot.n,
+        |  TRUE AS upper_ok, TRUE AS lower_ok
+        |FROM tok JOIN tot ON tok.event_type = tot.event_type""".stripMargin,
     // X112 two-level twin: merging per-(lang, source) partials preserves
     // the combined-n envelope (PODS'12), so the identical replay holds.
     "q_heavy_hitters_merged" ->

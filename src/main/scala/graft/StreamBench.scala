@@ -81,12 +81,24 @@ object StreamBench {
           r.select(col("sensor_id"), col("temperature").cast("double"))
             .as[(String, Double)], k = 128).toDF())
     }
+    // per-sensor Misra–Gries heavy-hitter monitoring (X112's streaming
+    // form): k counters per key in the fMGWS state store — the
+    // constant-memory "what dominates" twin of the KLL monitor
+    val mg = {
+      import spark.implicits._
+      graft.streaming.SteadyState.measureSensorWindowStream(spark,
+        "hh_monitor_stream",
+        r => graft.streaming.Stateful.mgSnapshots(
+          r.select(col("sensor_id"),
+            floor(col("temperature")).cast("long").cast("string"))
+            .as[(String, String)], k = 32).toDF())
+    }
     val combined = env.json.dropRight(1) +
       "," + dedup.json + "," + cur.json + "," + clf.json + "," +
       bm25.json + "," +
       asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
       "," + ewma.json + "," + hop.json + "," + sess.json + "," +
-      ssj.json + "," + occ.json + "," + kll.json + "}"
+      ssj.json + "," + occ.json + "," + kll.json + "," + mg.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -642,6 +642,63 @@ object Pipeline {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming heavy-hitters gate (`q_hh_stream_bound`) — X112's
+    * streaming form: the events table replayed as 4 time-ranged
+    * micro-batches through [[Stateful.mgSnapshots]] (one Misra–Gries
+    * sketch per event_type in the state store, items = floor(value)
+    * buckets, snapshot per batch), exactly-once into the txn sink; the
+    * LATEST snapshot per key (argmax n) faces [[graft.ops.Freq]]'s
+    * window audit against the exact batch counts. Oracle-able because
+    * MG's two-sided est ∈ [f − n/(k+1), f] holds for ANY single-stream
+    * arrival order — micro-batch boundaries cannot break the booleans,
+    * and the exact columns replay in DuckDB.
+    */
+  def replayHeavyHitters(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val itemCol = floor(col("value")).cast("long").cast("string")
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|hh|$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_hh_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/snapshots"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_hh_ckpt")
+    withReplayParallelism(spark) {
+      val typed = stream
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), itemCol.as("bucket"))
+        .as[(String, String)]
+      val q = Stateful.mgSnapshots(typed, k)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val snaps = TxnSink.committedRead(spark, outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("sketch.n").desc)
+    val latest = snaps.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("key").as("__g"), col("sketch").as("__mg"))
+    val items = graft.sources.Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), itemCol.as("bucket"))
+    graft.ops.Freq.audit(items, "event_type", "bucket", k, latest)
+  }
+
   /** Streaming KS drift monitor gate (`q_ks_stream_bound`) — X108's
     * LIVE form: the in-control distribution is sketched OFFLINE (first
     * half of the time range, one KLL per key), the monitored period

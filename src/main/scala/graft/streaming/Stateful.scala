@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   TTLConfig}
 
 import graft.model.SensorReading
-import graft.ops.{Kll, KllBuf}
+import graft.ops.{Freq, Kll, KllBuf, MgBuf}
 
 /** Last observed reading per sensor, carried across micro-batches. */
 final case class SensorState(lastTemp: Double, lastTsMicros: Long)
@@ -259,7 +259,39 @@ object Stateful {
           Iterator.single(KllSnapshot(key, cur))
       }
   }
+
+  /** Streaming per-key heavy-hitters monitoring (X112's streaming
+    * form): each key carries ONE Misra–Gries sketch
+    * ([[graft.ops.Freq]]) in the state store and emits its updated
+    * SNAPSHOT once per micro-batch it received data in —
+    * constant-memory "what dominates this stream" (k counters per key,
+    * independent of stream length and item cardinality), the streaming
+    * fix for the reference dashboard's per-refresh value_counts
+    * recompute. `n` is strictly increasing per key, so latest =
+    * argmax n through an append sink. MG's two-sided window
+    * est ∈ [f − n/(k+1), f] holds for ANY single-stream arrival order
+    * (and any partial merge), which is what lets the streamed state
+    * face a value oracle (`q_hh_stream_bound`).
+    */
+  def mgSnapshots(items: Dataset[(String, String)],
+      k: Int = 64): Dataset[MgSnapshot] = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgBuf, MgSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+            state: GroupState[MgBuf]) =>
+          var cur = state.getOption.getOrElse(Freq.empty(k))
+          rows.foreach(r => cur = Freq.update(cur, r._2))
+          state.update(cur)
+          Iterator.single(MgSnapshot(key, cur))
+      }
+  }
 }
+
+/** One key's running heavy-hitters state as of some micro-batch. */
+final case class MgSnapshot(key: String, sketch: MgBuf)
 
 /** One key's running quantile-sketch state as of some micro-batch. */
 final case class KllSnapshot(key: String, sketch: KllBuf)

@@ -480,4 +480,38 @@ class StatefulSpec extends SparkSpec {
       assert(latest.minV === exact.head && latest.maxV === exact.last)
     } finally q.stop()
   }
+
+  test("mgSnapshots: MG state accumulates across ragged batches; window holds vs exact counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = Stateful.mgSnapshots(mem.toDS(), k = 8).writeStream
+      .format("memory").queryName("mg_snap_test").outputMode("append").start()
+    // skewed item stream (item_i ~ 1/i head), cardinality >> k=8,
+    // delivered as three ragged batches
+    var x = 7L
+    def nextItem(): String = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      val u = ((x & 0xffffffL).toDouble + 1.0) / 16777217.0
+      s"item_${math.min(200, math.max(1, math.exp(u * math.log(200.0)).toInt))}"
+    }
+    val batches = Vector(Vector.fill(500)(nextItem()),
+      Vector.fill(37)(nextItem()), Vector.fill(800)(nextItem()))
+    try {
+      batches.foreach { b => mem.addData(b.map(("g", _))); q.processAllAvailable() }
+      val snaps = spark.table("mg_snap_test")
+        .as[graft.streaming.MgSnapshot].collect()
+      // n strictly increasing per batch (latest = argmax n)
+      assert(snaps.map(_.sketch.n).sorted === Seq(500L, 537L, 1337L))
+      val latest = snaps.maxBy(_.sketch.n).sketch
+      assert(latest.keys.length <= 8)
+      // the two-sided window vs exact counts of everything streamed —
+      // order-independent, so batch boundaries cannot break it
+      val f = batches.flatten.groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+      for ((item, cnt) <- f) {
+        val est = graft.ops.Freq.estimate(latest, item)
+        assert(est <= cnt, s"$item overestimated: $est > $cnt")
+        assert(est * 9 >= cnt * 9 - 1337L, s"$item below window: $est vs $cnt")
+      }
+    } finally q.stop()
+  }
 }
