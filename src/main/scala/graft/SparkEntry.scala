@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Classifier, Curate, Dedup, Eval, Mixture, Multimodal, Similarity, TextStats}
-import graft.ops.{Alerts, Anomaly, Cleanse, Forecast, Freq, Geo, Kll, Rollups, Scans, Sketches, Trend, Upsert, WindowedAgg}
+import graft.ops.{Alerts, Anomaly, Behavior, Cleanse, Forecast, Freq, Geo, Kll, Rollups, Scans, Sketches, Trend, Upsert, WindowedAgg}
 import graft.sources.{Layout, OccTable, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2760,6 +2760,21 @@ object SparkEntry {
     "q_sketch_setops" -> ((s, dir) =>
       Sketches.dailyOverlap(Tables.events(s, dir), "ts", "user_id", k = 64)),
 
+    // ---- X113: ordered conversion funnel — per user the FIRST entry
+    //      event, then each later step strictly after the previous and
+    //      within the horizon of funnel start; per-step user counts +
+    //      exact average seconds from start. ALL-INTEGER micros until
+    //      one display division → full value oracle ----
+    "q_funnel" -> ((s, dir) =>
+      Behavior.funnel(Tables.events(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"), horizonSec = 86400L)),
+
+    // ---- X114: cohort retention matrix — cohort = first active day
+    //      per user; per (cohort day, day offset) distinct active
+    //      users, cohort size, and the rounded retention rate ----
+    "q_cohort_retention" -> ((s, dir) =>
+      Behavior.cohortRetention(Tables.events(s, dir), "user_id", "ts")),
+
     // ---- X112: Misra–Gries heavy-hitters sketch, value-checked: per
     //      (lang, token) the EXACT count next to booleans pinning the
     //      sketch estimate inside its guaranteed two-sided window
@@ -5417,6 +5432,59 @@ object SparkEntry {
         |JOIN exact eb ON c.day_b = eb.day
         |JOIN inter i ON c.day_a = i.day""".stripMargin,
 
+    // X113: full value oracle — identical successive first-occurrence
+    // joins in integer epoch-micros; sums of integer-valued doubles are
+    // exact below 2^53, so the one display division replays exactly.
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT s0.user_id, s0.t0,
+        |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t1
+        |  FROM s0 JOIN events e ON e.user_id = s0.user_id
+        |    AND e.event_type = 'click'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s0.t0
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s0.t0 + 86400000000
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT s1.user_id, s1.t0,
+        |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+        |  FROM s1 JOIN events e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t1
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s1.t0 + 86400000000
+        |  GROUP BY 1, 2)
+        |SELECT 0 AS step_idx, 'view' AS step,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(sum(t0 - t0) AS DOUBLE) /
+        |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
+        |    AS avg_sec_from_start
+        |FROM s0
+        |UNION ALL
+        |SELECT 1, 'click', CAST(count(*) AS BIGINT),
+        |  round(CAST(sum(t1 - t0) AS DOUBLE) /
+        |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
+        |FROM s1
+        |UNION ALL
+        |SELECT 2, 'purchase', CAST(count(*) AS BIGINT),
+        |  round(CAST(sum(t2 - t0) AS DOUBLE) /
+        |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
+        |FROM s2""".stripMargin,
+    // X114: integer distinct counts + one rounded division.
+    "q_cohort_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |fst AS (SELECT u, min(day) AS cohort_day FROM ud GROUP BY 1),
+        |act AS (SELECT cohort_day,
+        |    CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |    CAST(count(DISTINCT ud.u) AS BIGINT) AS n_active
+        |  FROM ud JOIN fst ON ud.u = fst.u GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM fst GROUP BY 1)
+        |SELECT act.cohort_day, act.day_offset, act.n_active,
+        |  sz.cohort_size,
+        |  round(CAST(act.n_active AS DOUBLE) /
+        |        CAST(sz.cohort_size AS DOUBLE), 6) AS retention
+        |FROM act JOIN sz ON act.cohort_day = sz.cohort_day""".stripMargin,
     // X112 audit-twin: DuckDB replays the exact (lang, token) counts and
     // per-lang totals; the sketch-side booleans are theorems of the MG
     // two-sided window (all-integer comparison), so TRUE is pinned — an

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the event stream (X113 funnel
+  * conversion, X114 cohort retention) — the ordered-sequence and
+  * lifecycle questions the reference's per-type counts
+  * (streamlit_dashboard.py value_counts panels) cannot answer: "of the
+  * users who did A, how many went on to do B then C, and how fast" and
+  * "how many of each day's new users come back N days later".
+  *
+  * Both are FULL value oracles: every intermediate is integer
+  * (epoch-micros timestamps, distinct-user counts), with one final
+  * display division of identical shape in both engines.
+  */
+object Behavior {
+
+  /** Ordered conversion funnel: per user, the FIRST occurrence of
+    * `steps(0)`, then the first occurrence of each later step STRICTLY
+    * AFTER the previous step's time, all within `horizonSec` of the
+    * funnel start. Emits one row per step: users reaching it and the
+    * exact average seconds from funnel start (integer micros summed —
+    * sums of integer-valued doubles are exact below 2^53, so the one
+    * display division replays bit-identically).
+    *
+    * Shape at scale: one hash aggregation for the entry step, then per
+    * later step ONE equi-join on the user key + re-aggregation — all
+    * stages shuffle on the same user key (co-partitioned under AQE; no
+    * window over the full event history, no per-user sort of raw rows).
+    * The per-step rollups are metadata-sized single-row aggregates.
+    */
+  def funnel(ev: DataFrame, user: String, typ: String, ts: String,
+      steps: Seq[String], horizonSec: Long): DataFrame = {
+    require(steps.length >= 2, "funnel: need at least 2 steps")
+    require(steps.distinct.length == steps.length, "funnel: duplicate step")
+    require(horizonSec > 0, "funnel: horizon must be positive")
+    val horizonUs = horizonSec * 1000000L
+    val entry = ev.filter(col(typ) === steps.head)
+      .groupBy(col(user))
+      .agg(min(unix_micros(col(ts))).as("__t0"))
+      .withColumn("__tp", col("__t0"))
+    val frames = steps.tail.scanLeft(entry) { (prev, st) =>
+      val nxt = ev.filter(col(typ) === st)
+        .select(col(user).as("__u"), unix_micros(col(ts)).as("__ts"))
+      prev.join(nxt, col(user) === col("__u"))
+        .filter(col("__ts") > col("__tp") &&
+          col("__ts") <= col("__t0") + lit(horizonUs))
+        .groupBy(col(user), col("__t0"))
+        .agg(min(col("__ts")).as("__tp"))
+    }
+    frames.zip(steps).zipWithIndex.map { case ((f, st), i) =>
+      f.agg(count(lit(1)).as("n_users"),
+          sum(col("__tp") - col("__t0")).as("__sum_us"))
+        .select(lit(i).cast("int").as("step_idx"),
+          lit(st).as("step"),
+          col("n_users"),
+          round(col("__sum_us").cast("double") /
+            (col("n_users").cast("double") * lit(1000000.0)), 6)
+            .as("avg_sec_from_start"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention matrix: cohort = each user's first active day;
+    * for every (cohort day, day offset) the distinct users active, the
+    * cohort size, and the retention rate (one rounded division). Two
+    * shuffles on the user key + one on the (cohort, offset) pair; the
+    * cohort-size side is group-cardinality-bounded and broadcast.
+    */
+  def cohortRetention(ev: DataFrame, user: String, ts: String): DataFrame = {
+    val ud = ev.select(col(user).as("__u"), to_date(col(ts)).as("__day"))
+      .distinct()
+    val first = ud.groupBy(col("__u")).agg(min(col("__day")).as("cohort_day"))
+    val act = ud.join(first, "__u")
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct(col("__u")).as("n_active"))
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+      .withColumnRenamed("cohort_day", "__cd")
+    act.join(broadcast(sizes), col("cohort_day") === col("__cd"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** X113/X114 — funnel conversion and cohort retention: hand-computed
+  * ordering/horizon semantics and the retention matrix on a tiny
+  * fixture where every number is checkable by eye.
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel: strict ordering, first occurrences, horizon cut") {
+    val rows = Seq(
+      // u1 converts fully: view 10:00, click 10:05, purchase 10:20
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "click", t("2024-01-01 10:05:00")),
+      (1L, "purchase", t("2024-01-01 10:20:00")),
+      // u2: click BEFORE first view → not a conversion; no click after
+      (2L, "click", t("2024-01-01 09:00:00")),
+      (2L, "view", t("2024-01-01 09:30:00")),
+      // u3: view then click outside the 1h horizon
+      (3L, "view", t("2024-01-01 08:00:00")),
+      (3L, "click", t("2024-01-01 09:30:00")),
+      // u4: full chain but purchase lands past horizon from START
+      (4L, "view", t("2024-01-01 12:00:00")),
+      (4L, "click", t("2024-01-01 12:30:00")),
+      (4L, "purchase", t("2024-01-01 13:30:00")),
+      // noise: never viewed
+      (5L, "purchase", t("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Behavior.funnel(rows, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), horizonSec = 3600L)
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("view", 4L), ("click", 2L), ("purchase", 1L)))
+    // avg seconds from start: view = 0; click = (300 + 1800)/2; purchase = 1200
+    assert(out(0).getDouble(3) === 0.0)
+    assert(out(1).getDouble(3) === 1050.0)
+    assert(out(2).getDouble(3) === 1200.0)
+  }
+
+  test("funnel: later step must be strictly after the previous, not just after entry") {
+    // u1: purchase sits between view and click — wrong order, no conversion
+    val rows = Seq(
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "purchase", t("2024-01-01 10:02:00")),
+      (1L, "click", t("2024-01-01 10:04:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Behavior.funnel(rows, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), horizonSec = 3600L)
+      .orderBy("step_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 1L, 0L))
+  }
+
+  test("cohortRetention: offsets, sizes, and rates on a hand fixture") {
+    val rows = Seq(
+      // cohort 2024-01-01: u1 (returns day+1, day+2), u2 (returns day+2)
+      (1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-02 10:00:00")),
+      (1L, t("2024-01-03 10:00:00")),
+      (2L, t("2024-01-01 11:00:00")), (2L, t("2024-01-03 09:00:00")),
+      // duplicate same-day activity collapses
+      (2L, t("2024-01-01 23:00:00")),
+      // cohort 2024-01-02: u3 never returns
+      (3L, t("2024-01-02 08:00:00")))
+      .toDF("user_id", "ts")
+    val out = Behavior.cohortRetention(rows, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("2024-01-01", 0L)) === ((2L, 2L, 1.0)))
+    assert(out(("2024-01-01", 1L)) === ((1L, 2L, 0.5)))
+    assert(out(("2024-01-01", 2L)) === ((2L, 2L, 1.0)))
+    assert(out(("2024-01-02", 0L)) === ((1L, 1L, 1.0)))
+    assert(out.size === 4)
+  }
+}
