@@ -2769,6 +2769,13 @@ object SparkEntry {
       Behavior.funnel(Tables.events(s, dir), "user_id", "event_type",
         "ts", Seq("view", "click", "purchase"), horizonSec = 86400L)),
 
+    // ---- X115: first-order event transition matrix — per user,
+    //      consecutive event pairs in pinned (ts, event_id) order;
+    //      per (from, to) the count and P(to | from) ----
+    "q_transitions" -> ((s, dir) =>
+      Behavior.transitions(Tables.events(s, dir), "user_id",
+        "event_type", "ts", "event_id")),
+
     // ---- X114: cohort retention matrix — cohort = first active day
     //      per user; per (cohort day, day offset) distinct active
     //      users, cohort size, and the rounded retention rate ----
@@ -5469,6 +5476,21 @@ object SparkEntry {
         |  round(CAST(sum(t2 - t0) AS DOUBLE) /
         |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
         |FROM s2""".stripMargin,
+    // X115: identical pinned (ts, event_id) lag order both engines →
+    // integer pair counts + one rounded division.
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
+        |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin,
     // X114: integer distinct counts + one rounded division.
     "q_cohort_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day

@@ -61,6 +61,37 @@ object Behavior {
     }.reduce(_ unionByName _)
   }
 
+  /** First-order event transition matrix (X115): per user, consecutive
+    * event pairs in (ts, id) total order → per (from, to) the
+    * transition count and its probability given `from` (one rounded
+    * division). The behavioral "what happens next" view — next-step
+    * probabilities the funnel's fixed step list doesn't enumerate.
+    *
+    * One window per user (key-partitioned, never global) + one hash
+    * aggregation on the (from, to) pair; the per-from totals reuse the
+    * same aggregate re-grouped (vocabulary-sized) and broadcast back.
+    * The total order is pinned by (ts, `id`) so the lag is identical in
+    * any engine — a FULL value oracle.
+    */
+  def transitions(ev: DataFrame, user: String, typ: String, ts: String,
+      id: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(user)).orderBy(col(ts), col(id))
+    val pairs = ev
+      .select(col(user), col(typ).as("to_type"),
+        lag(col(typ), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+      .withColumnRenamed("from_type", "__f")
+    pairs.join(broadcast(totals), col("from_type") === col("__f"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("p"))
+  }
+
   /** Cohort retention matrix: cohort = each user's first active day;
     * for every (cohort day, day offset) the distinct users active, the
     * cohort size, and the retention rate (one rounded division). Two

@@ -57,6 +57,24 @@ class BehaviorSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq === Seq(1L, 1L, 0L))
   }
 
+  test("transitions: per-user consecutive pairs, no cross-user pair, pinned tie order") {
+    val rows = Seq(
+      // u1: view -> click -> view  (ties broken by event_id)
+      (1L, 10L, "view", t("2024-01-01 10:00:00")),
+      (1L, 11L, "click", t("2024-01-01 10:05:00")),
+      (1L, 12L, "view", t("2024-01-01 10:05:00")), // same ts as 11: id orders it after
+      // u2: single event — no pair; and must NOT chain onto u1
+      (2L, 13L, "purchase", t("2024-01-01 10:06:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Behavior.transitions(rows, "user_id", "event_type", "ts",
+      "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.size === 2)
+    assert(out(("view", "click")) === ((1L, 1L, 1.0)))
+    assert(out(("click", "view")) === ((1L, 1L, 1.0)))
+  }
+
   test("cohortRetention: offsets, sizes, and rates on a hand fixture") {
     val rows = Seq(
       // cohort 2024-01-01: u1 (returns day+1, day+2), u2 (returns day+2)
