@@ -2760,6 +2760,14 @@ object SparkEntry {
     "q_sketch_setops" -> ((s, dir) =>
       Sketches.dailyOverlap(Tables.events(s, dir), "ts", "user_id", k = 64)),
 
+    // ---- X116: deterministic weighted systematic sampling — stride
+    //      selection over cumulative integer weights in the portable
+    //      hash order; Σ n_copies = m exactly, all-integer, so the
+    //      selected multiset replays bit-identically ----
+    "q_weighted_sample" -> ((s, dir) =>
+      Curate.weightedSystematicSample(Tables.documents(s, dir),
+        "doc_id", "n_chars", "ws1", m = 50, nParts = 8)),
+
     // ---- X113: ordered conversion funnel — per user the FIRST entry
     //      event, then each later step strictly after the previous and
     //      within the horizon of funnel start; per-step user counts +
@@ -5439,6 +5447,24 @@ object SparkEntry {
         |JOIN exact eb ON c.day_b = eb.day
         |JOIN inter i ON c.day_a = i.day""".stripMargin,
 
+    // X116: the identical integer stride arithmetic over the identical
+    // portable-hash cumulative order — full multiset equality.
+    "q_weighted_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|ws1'),
+        |     1, 15))::BIGINT AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    COALESCE(sum(w) OVER (ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+        |    sum(w) OVER () AS tw
+        |  FROM base)
+        |SELECT doc_id, w AS weight,
+        |  CAST((cw + w) * 50 // tw - cw * 50 // tw AS BIGINT) AS n_copies
+        |FROM c
+        |WHERE (cw + w) * 50 // tw - cw * 50 // tw > 0""".stripMargin,
     // X113: full value oracle — identical successive first-occurrence
     // joins in integer epoch-micros; sums of integer-valued doubles are
     // exact below 2^53, so the one display division replays exactly.

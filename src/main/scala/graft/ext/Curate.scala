@@ -474,6 +474,75 @@ object Curate {
       .drop("__k", "__pid", "__mid", "__off")
   }
 
+  /** Deterministic weighted systematic sampling (X116): inclusion
+    * probability ∝ weight, WITHOUT randomness — the classic cumulative-
+    * weight stride selection over a portable-hash order. Row i (in
+    * ascending (hash60(key|salt), key) order, cumulative exclusive
+    * weight C_i, total W) is emitted with
+    *
+    *   n_copies = floor((C_i + w_i)·m / W) − floor(C_i·m / W)
+    *
+    * — the count of the m stride points j·W/m landing inside its weight
+    * interval. Σ n_copies = m EXACTLY, every arithmetic step is integer
+    * (bigint products — requires m·W < 2^63, i.e. fine up to ~10^14
+    * total token-weight at m=10^4), and the hash order is the portable
+    * md5 draw, so the SELECTED MULTISET replays bit-identically in any
+    * engine: a FULL value oracle on a weighted sampler, where an
+    * `A-ExpJ`-style `u^(1/w)` key would hinge on cross-engine `pow`
+    * ulps. Rows with heavy weight (≥ W/m) are always selected, with
+    * proportional multiplicity — standard systematic-sampling
+    * semantics (the DSIR/upsampling shape X79 consumes).
+    *
+    * Scale shape: the [[shufflePositions]] two-pass idiom with weights —
+    * NO unpartitioned window. Range-partition by the draw (pinned by
+    * `localCheckpoint`, same reasoning as X80), per-partition weight
+    * sums (nParts longs) prefix into offsets on the driver, and the
+    * in-partition exclusive cumsum runs under a window PARTITIONED by
+    * the range bucket. Two parallel passes, broadcast offsets.
+    *
+    * Null/non-positive weights are refused loudly (a silent drop would
+    * skew every downstream mixture).
+    */
+  def weightedSystematicSample(df: DataFrame, idCol: String,
+      weightCol: String, salt: String, m: Int, nParts: Int): DataFrame = {
+    require(m >= 1, s"weightedSystematicSample: m=$m")
+    require(nParts >= 1, s"weightedSystematicSample: nParts=$nParts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wChecked = when(col(weightCol).isNull || col(weightCol) <= 0,
+      raise_error(lit("graft.ext.Curate: null/non-positive weight in " +
+        "weightedSystematicSample — filter or fix weights first")))
+      .otherwise(col(weightCol).cast("long"))
+    val sorted = df
+      .withColumn("__k", PortableHash.hash60(
+        concat(col(idCol).cast("string"), lit("|" + salt))))
+      .withColumn("__w", wChecked)
+      .repartitionByRange(nParts, col("__k"), col(idCol))
+      .sortWithinPartitions(col("__k"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wsums = sorted.groupBy("__pid").agg(sum("__w").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nParts).scanLeft(0L) {
+      (acc, p) => acc + wsums.getOrElse(p, 0L)
+    }
+    val totalW = offsets.last
+    require(totalW > 0, "weightedSystematicSample: empty input")
+    val offsetDf = (0 until nParts).map(p => (p, offsets(p)))
+      .toDF("__pid", "__off")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__k"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sorted
+      .withColumn("__local", coalesce(sum(col("__w")).over(win), lit(0L)))
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("__c", col("__off") + col("__local"))
+      .withColumn("n_copies",
+        expr(s"(__c + __w) * ${m}L DIV ${totalW}L - __c * ${m}L DIV ${totalW}L"))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col("__w").as("weight"), col("n_copies"))
+  }
+
   /** Email / IPv4 / phone patterns shared by count and redaction. Written
     * in the common subset of Java regex and RE2 (no backreferences, no
     * lookaround) so the DuckDB oracle evaluates them identically.

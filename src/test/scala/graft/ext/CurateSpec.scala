@@ -450,4 +450,42 @@ class CurateSpec extends SparkSpec {
     assert(cheap.generator === "simhash")
     assert(cheap.tunedMaxDist.nonEmpty && cheap.tunedMaxDist.get <= 3)
   }
+
+  test("weightedSystematicSample: sum of copies = m exactly; heavy rows multi-selected; deterministic") {
+    // 200 rows of weight 1..200; one whale of weight 10000 (> W/m stride)
+    val rows = (1L to 200L).map(i => (i, i)) :+ (999L, 10000L)
+    val df = rows.toDF("id", "w")
+    val out = Curate.weightedSystematicSample(df, "id", "w", "s1",
+      m = 40, nParts = 4).collect()
+    val total = rows.map(_._2).sum // 20100 + 10000 = 30100
+    assert(out.map(_.getLong(2)).sum === 40L)
+    // the whale holds w·m/W ≈ 13.3 stride points → 13 or 14 copies
+    val whale = out.find(_.getLong(0) === 999L).get.getLong(2)
+    assert(whale >= 10000L * 40 / total && whale <= 10000L * 40 / total + 1)
+    // inclusion ∝ weight: nothing below its guaranteed floor, nothing above ceil
+    for (r <- out) {
+      val w = r.getLong(1)
+      assert(r.getLong(2) >= w * 40 / total)
+      assert(r.getLong(2) <= w * 40 / total + 1)
+    }
+    // deterministic: a re-run with different partitioning is identical
+    val out2 = Curate.weightedSystematicSample(df, "id", "w", "s1",
+      m = 40, nParts = 7).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq ===
+      out2.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq)
+    // a different salt draws a different order (selection can differ)
+    val out3 = Curate.weightedSystematicSample(df, "id", "w", "s2",
+      m = 40, nParts = 4).collect()
+    assert(out3.map(_.getLong(2)).sum === 40L)
+  }
+
+  test("weightedSystematicSample: null or non-positive weight fails loudly") {
+    val df = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Curate.weightedSystematicSample(df, "id", "w", "s1", m = 2,
+        nParts = 2).collect()
+    }
+    assert(ex.getMessage.contains("non-positive weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-positive weight")))
+  }
 }
