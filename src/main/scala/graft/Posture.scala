@@ -1322,6 +1322,62 @@ object Posture {
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 
+    // ---- behavior / frequency-sketch posture ------------------------
+    // X112/X113/X114/X115 at 1x/10x events. The 10x fixture shifts
+    // user_id per shard (users scale with rows — per-user funnel/cohort
+    // work stays constant per user) and shifts value by +i·1000 per
+    // shard (floor-bucket item cardinality scales 10x — stresses MG
+    // eviction instead of handing it a fixed vocabulary). Healthy:
+    // funnel/cohort/transitions time+shuffle ~linear (user-keyed
+    // joins/windows, no global window); mg_build shuffle ~FLAT (k
+    // counters per group cross the wire, never items).
+    val behaviorJson = {
+      def evTenXb: DataFrame = (0 until 10)
+        .map(i => ev
+          .withColumn("user_id", col("user_id") + lit(i * uMax))
+          .withColumn("value", col("value") + lit(i * 1000.0)))
+        .reduce(_ unionByName _)
+      def consumeB(d: DataFrame): Unit =
+        d.write.format("noop").mode("overwrite").save()
+      def measureB(body: () => Unit): (Double, Long) = {
+        val samples = (1 to 3).map { _ =>
+          metrics.reset()
+          val t0 = System.nanoTime()
+          body()
+          ((System.nanoTime() - t0) / 1e9, metrics.shuffled())
+        }
+        (samples.map(_._1).min, samples.map(_._2).max)
+      }
+      val scales = Seq(("1x", ev), ("10x", evTenXb))
+      val variants: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "funnel" -> (d => graft.ops.Behavior.funnel(
+          d, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), 86400L)),
+        "cohort" -> (d => graft.ops.Behavior.cohortRetention(
+          d, "user_id", "ts")),
+        "transitions" -> (d => graft.ops.Behavior.transitions(
+          d, "user_id", "event_type", "ts", "event_id")),
+        "mg_build" -> (d => d.filter(col("value").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(graft.ops.Freq.mgColumn(64,
+            floor(col("value")).cast("long").cast("string")).as("sk"))))
+      variants.foreach { case (_, f) =>
+        scales.foreach { case (_, d) => consumeB(f(d)) }
+      }
+      val blocks = variants.map { case (name, f) =>
+        val runs = scales.map { case (lbl, d) =>
+          lbl -> measureB(() => consumeB(f(d)))
+        }.toMap
+        val (s1, sh1) = runs("1x")
+        val (s10, sh10) = runs("10x")
+        f""""$name": {"sec_1x": $s1%.2f, "sec_10x": $s10%.2f, "time_growth": ${s10 / s1}%.2f,
+           |      "shuffle_mb_1x": ${sh1 / 1048576}, "shuffle_mb_10x": ${sh10 / 1048576}}""".stripMargin
+      }
+      s"""  "behavior_freq": {
+         |    "what": "behavioral analytics + frequency sketch at 1x/10x events (user_id shifted per shard so users scale with rows; value shifted +1000/shard so MG item cardinality scales): funnel = 3-step 24h conversion (X113), cohort = retention matrix (X114), transitions = first-order event pairs (X115), mg_build = per-type Misra-Gries k=64 over floor(value) buckets (X112). Healthy = funnel/cohort/transitions time+shuffle ~linear (user-keyed joins and windows, no global window); mg_build shuffle ~flat (k counters per group cross the wire, never items)",
+         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     // ---- streaming state posture (heap vs RocksDB provider) ---------
     // measured by the dedicated harness; see [[StatePosture]]
     val stateJson = StatePosture.section(spark)
@@ -1352,6 +1408,7 @@ object Posture {
          |$bpeJson,
          |$skewJson,
          |$driftJson,
+         |$behaviorJson,
          |$stateJson
          |}""".stripMargin
     java.nio.file.Files.writeString(

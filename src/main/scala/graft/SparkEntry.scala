@@ -1168,6 +1168,13 @@ object SparkEntry {
     "q_ks_stream_bound" -> ((s, dir) =>
       graft.streaming.Pipeline.replayKsDrift(s, dir)),
 
+    // ---- X106 STREAMING form: bottom-64 distinct user_id draws per
+    //      event_type in fMGWS state, 4-batch exactly-once replay; the
+    //      bottom-k of a SET is order-independent, so the streamed
+    //      estimate replays bit-identically (content equality) ----
+    "q_kmv_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayKmvStream(s, dir)),
+
     // ---- X112 STREAMING form: one MG sketch per event_type in the
     //      fMGWS state store (items = floor(value) buckets), 4-batch
     //      exactly-once replay; latest snapshot audited against the
@@ -5548,6 +5555,31 @@ object SparkEntry {
         |SELECT tok.lang, tok.token, tok.cnt, tot.n,
         |  TRUE AS upper_ok, TRUE AS lower_ok
         |FROM tok JOIN tot ON tok.lang = tot.lang""".stripMargin,
+    // X106 streaming twin: the window-ranked bottom-64 construction over
+    // the same portable draws — the estimate arithmetic has the exact
+    // shape of the Spark read ((k-1)*2^60 / kth), so content equality.
+    "q_kmv_stream" ->
+      """WITH u AS (SELECT DISTINCT event_type,
+        |    CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT event_type,
+        |    ('0x' || substring(md5(k || '|kmv'), 1, 15))::BIGINT AS hv
+        |  FROM u),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |km AS (SELECT event_type,
+        |    max(hv) FILTER (rn = 64) AS kth,
+        |    count(*) FILTER (rn <= 64) AS nk
+        |  FROM r GROUP BY 1),
+        |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_uniques
+        |       FROM u GROUP BY 1)
+        |SELECT km.event_type,
+        |  round(CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+        |        ELSE 63 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END,
+        |        4) AS est_uniques,
+        |  ex.exact_uniques
+        |FROM km JOIN ex ON km.event_type = ex.event_type""".stripMargin,
     // X112 streaming twin: same audit shape over events floor-buckets;
     // the streamed sketch's booleans hold for any arrival order.
     "q_hh_stream_bound" ->

@@ -26,14 +26,18 @@ object PortableHash {
   def uniform01(c: Column): Column =
     hash60(c).cast("double") / lit(Pow60)
 
-  /** Driver-side twin of [[uniform01]] — bit-identical to evaluating the
-    * Column form on the same UTF-8 string (java MessageDigest md5 ≡ SQL
-    * md5; same 15-hex-char parse; same double division).
+  /** Scalar twin of the Column [[hash60]] — bit-identical to evaluating
+    * it on the same UTF-8 string (java MessageDigest md5 ≡ SQL md5;
+    * same 15-hex-char parse). For JVM-side state (streaming sketch
+    * updates) that must agree with Column-built sketches exactly.
     */
-  def uniform01(key: String): Double = {
+  def hash60(key: String): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16) / Pow60
+    java.lang.Long.parseLong(hex, 16)
   }
+
+  /** Driver-side twin of the Column [[uniform01]]. */
+  def uniform01(key: String): Double = hash60(key) / Pow60
 }

@@ -642,6 +642,65 @@ object Pipeline {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming distinct-count sketch gate (`q_kmv_stream`) — X106's
+    * streaming form: events replayed as 4 time-ranged micro-batches
+    * through [[Stateful.kmvSnapshots]] (bottom-64 distinct user_id
+    * draws per event_type in the state store), exactly-once into the
+    * txn sink. The bottom-k of a SET is order-independent, so the
+    * latest streamed state is EXACTLY the batch sketch — the emitted
+    * estimate replays bit-identically in DuckDB (content equality,
+    * like `q_sketch_setops`), next to the exact distinct count.
+    */
+  def replayKmvStream(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|kmv|$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_kmv_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/snapshots"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_kmv_ckpt")
+    withReplayParallelism(spark) {
+      val typed = stream
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id").cast("string"))
+        .as[(String, String)]
+      val q = Stateful.kmvSnapshots(typed, k)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val snaps = TxnSink.committedRead(spark, outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("n").desc)
+    val latest = snaps.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("key").as("event_type"),
+        round(graft.ops.Sketches.kmvEstimate(col("ks"), k), 4)
+          .as("est_uniques"))
+    val exact = graft.sources.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_uniques"))
+      .withColumnRenamed("event_type", "__e")
+    latest.join(exact, col("event_type") === col("__e"))
+      .select(col("event_type"), col("est_uniques"), col("exact_uniques"))
+  }
+
   /** Streaming heavy-hitters gate (`q_hh_stream_bound`) — X112's
     * streaming form: the events table replayed as 4 time-ranged
     * micro-batches through [[Stateful.mgSnapshots]] (one Misra–Gries

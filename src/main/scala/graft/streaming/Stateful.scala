@@ -288,10 +288,57 @@ object Stateful {
           Iterator.single(MgSnapshot(key, cur))
       }
   }
+
+  /** Streaming per-key distinct-count sketch (X106's streaming form):
+    * each key carries the BOTTOM-K set of portable hash60 draws of the
+    * items it has seen — k longs per key, independent of stream length
+    * and item cardinality. Because the bottom-k of a SET is
+    * order-independent, the streamed state is EXACTLY the batch
+    * [[graft.ops.Sketches.kmvSketch]] of the same rows — hash-equal,
+    * not within-a-bound — so the streamed estimate faces a full value
+    * oracle (`q_kmv_stream`), and the snapshots still support the
+    * X106 theta set algebra across keys/windows. `n` counts rows
+    * processed (strictly increasing per emitting batch: latest =
+    * argmax n through an append sink).
+    */
+  def kmvSnapshots(items: Dataset[(String, String)], k: Int = 64,
+      salt: String = "kmv"): Dataset[KmvSnapshot] = {
+    import items.sparkSession.implicits._
+    require(k >= 2, s"kmvSnapshots: k must be >= 2, got $k")
+    items
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvSnapshot, KmvSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+            state: GroupState[KmvSnapshot]) =>
+          val prev = state.getOption.getOrElse(KmvSnapshot(key, 0L, Vector.empty))
+          var ks = prev.ks.toVector
+          var n = prev.n
+          rows.foreach { r =>
+            n += 1
+            val h = graft.ext.PortableHash.hash60(r._2 + "|" + salt)
+            val i = ks.search(h)(Ordering.Long) match {
+              case scala.collection.Searching.Found(_) => -1
+              case scala.collection.Searching.InsertionPoint(p) => p
+            }
+            // insert only a NEW draw that beats the current k-th
+            if (i >= 0 && (ks.length < k || i < k)) {
+              ks = (ks.take(i) :+ h) ++ ks.drop(i)
+              if (ks.length > k) ks = ks.take(k)
+            }
+          }
+          val cur = KmvSnapshot(key, n, ks)
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
 }
 
 /** One key's running heavy-hitters state as of some micro-batch. */
 final case class MgSnapshot(key: String, sketch: MgBuf)
+
+/** One key's running bottom-k distinct sketch as of some micro-batch. */
+final case class KmvSnapshot(key: String, n: Long, ks: Seq[Long])
 
 /** One key's running quantile-sketch state as of some micro-batch. */
 final case class KllSnapshot(key: String, sketch: KllBuf)

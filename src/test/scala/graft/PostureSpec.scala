@@ -481,6 +481,36 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvSnapshots: streamed bottom-k state is EXACTLY the batch sketch (order-independent set)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = Stateful.kmvSnapshots(mem.toDS(), k = 16).writeStream
+      .format("memory").queryName("kmv_snap_test").outputMode("append").start()
+    // 300 items over ~80 distinct values (> k), ragged batches, duplicates
+    var x = 3L
+    def nextItem(): String = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      s"u_${(x & 0x7fffffffL) % 80}"
+    }
+    val batches = Vector(Vector.fill(120)(nextItem()),
+      Vector.fill(9)(nextItem()), Vector.fill(171)(nextItem()))
+    try {
+      batches.foreach { b => mem.addData(b.map(("g", _))); q.processAllAvailable() }
+      val snaps = spark.table("kmv_snap_test")
+        .as[graft.streaming.KmvSnapshot].collect()
+      assert(snaps.map(_.n).sorted === Seq(120L, 129L, 300L))
+      val latest = snaps.maxBy(_.n)
+      // batch twin on the SAME rows: identical array, not just close
+      val batch = graft.ops.Sketches.kmvSketch(
+        batches.flatten.map(("g", _)).toDF("g", "item"),
+        Seq("g"), "item", k = 16)
+        .select("kmv").as[Seq[Long]].head()
+      assert(latest.ks === batch)
+      assert(latest.ks.length === 16)
+      assert(latest.ks === latest.ks.sorted)
+    } finally q.stop()
+  }
+
   test("mgSnapshots: MG state accumulates across ragged batches; window holds vs exact counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
