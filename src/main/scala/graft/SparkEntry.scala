@@ -2955,6 +2955,46 @@ object SparkEntry {
       OccTable.read(s, t)()
     }),
 
+    // ---- X117: per-file column stats IN THE OCC LOG + planning-time
+    //      file skipping (Delta data skipping): four time-sliced
+    //      appends record ts/value stats on their add actions; a
+    //      checkpoint carries them; readPruned plans only the files
+    //      whose [min, max] intersects the asked range (+ exact
+    //      residual), so the result ≡ the plain filtered table ----
+    "q_occ_skip" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|skip".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_skip_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val q = (hi - lo) / 4
+      val slices = (0 until 4).map { i =>
+        val a = lo + i * q
+        val z = if (i == 3) hi + 1 else lo + (i + 1) * q
+        ev.filter(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < z)
+          .coalesce(2)
+      }
+      val statsCols = Seq("ts", "value")
+      OccTable.init(slices.head, t, statsColumns = statsCols)
+      slices.tail.foreach(sl =>
+        OccTable.append(sl, t, statsColumns = statsCols))
+      OccTable.checkpoint(s, t) // stats must survive the checkpoint fold
+      OccTable.readPruned(s, t, "ts",
+          (lo + q).toDouble, (lo + 3 * q).toDouble)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // ---- OCC × streaming (the lakehouse shape): four micro-batches of
     //      the events replay land as idempotent fenced OCC appends
     //      (SetTransaction form) while a compaction rewrite races them
@@ -5677,6 +5717,21 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |       CASE WHEN event_id % 3 = 2 THEN value ELSE -value END AS value
         |FROM events""".stripMargin,
+    // X117: pruning must be invisible in the result — the middle-half
+    // time-range rollup replays over the plain table (same integer
+    // quarter arithmetic; the residual filter keeps edge exactness).
+    "q_occ_skip" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, value FROM events, b
+        |  WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= lo + (hi - lo) // 4
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) <= lo + 3 * ((hi - lo) // 4))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM f GROUP BY 1""".stripMargin,
 
     "q_upsert_partitioned" ->
       """WITH snap AS (

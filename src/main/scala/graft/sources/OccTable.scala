@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum, unix_micros, when}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructField, StructType, TimestampType}
 
 /** Optimistic-concurrency MULTI-WRITER commits over a plain-parquet
   * lake — the Delta-style transaction log the maintenance family
@@ -75,7 +76,8 @@ object OccTable {
 
   final case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      stats: Map[String, String] = Map.empty) {
     /** The log schema in force at this version, if the log records one
       * (v0 of every table initialized since X104 does).
       */
@@ -83,10 +85,16 @@ object OccTable {
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
   }
 
-  /** The parsed action set of one commit (or checkpoint) file. */
+  /** The parsed action set of one commit (or checkpoint) file.
+    * `addStats` carries the per-file column statistics of X117's
+    * extended add action (`add <name>\t<stats>`); `adds` always holds
+    * the bare names, so every pre-X117 consumer (tail source, fold,
+    * vacuum) reads both log generations identically.
+    */
   final case class Actions(adds: Seq[String], removes: Seq[String],
       txns: Seq[(String, Long)], schemaJson: Option[String],
-      schemaHash: Option[String])
+      schemaHash: Option[String],
+      addStats: Map[String, String] = Map.empty)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
@@ -135,8 +143,14 @@ object OccTable {
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
+    val addPairs = lines.collect {
+      case s if s.startsWith("add ") => s.stripPrefix("add ")
+    }.map { l =>
+      val i = l.indexOf('\t')
+      if (i < 0) (l, None) else (l.substring(0, i), Some(l.substring(i + 1)))
+    }
     Actions(
-      lines.collect { case s if s.startsWith("add ") => s.stripPrefix("add ") },
+      addPairs.map(_._1),
       lines.collect { case s if s.startsWith("remove ") => s.stripPrefix("remove ") },
       lines.collect { case s if s.startsWith("txn ") =>
         val Array(app, ver) = s.stripPrefix("txn ").split(" ", 2)
@@ -145,7 +159,8 @@ object OccTable {
       lines.collectFirst { case s if s.startsWith("schema ") =>
         s.stripPrefix("schema ") },
       lines.collectFirst { case s if s.startsWith("schemaHash ") =>
-        s.stripPrefix("schemaHash ") })
+        s.stripPrefix("schemaHash ") },
+      addPairs.collect { case (n, Some(s)) => n -> s }.toMap)
   }
 
   /** Commit-log versions and their parsed actions over `(after, upTo]`
@@ -187,6 +202,135 @@ object OccTable {
       inForceAfter: Option[String]): Seq[String] =
     newSchemaJson.map(j => s"schema $j").toSeq ++
       inForceAfter.map(j => s"schemaHash ${schemaHashOf(j)}").toSeq
+
+  /** One add action line: `add <name>` or, when the commit carries
+    * per-file column statistics (X117), `add <name>\t<stats>` — the
+    * tab-extended Delta `AddFile.stats` shape. Pre-X117 readers of the
+    * bare form and X117 readers of either form agree on the file set.
+    */
+  private def addLine(name: String, stats: Option[String]): String =
+    stats match {
+      case Some(s) => s"add $name\t$s"
+      case None => s"add $name"
+    }
+
+  /** Per-file stats encoding: `rows=<n>|<col>=<min>,<max>,<nulls>|…`
+    * with min/max as `Double.toString` of the column's STAT PROJECTION
+    * (numerics cast to double; timestamps as epoch micros — exact in a
+    * double below 2^53) and empty when the file's column is all-NULL.
+    * Deterministic and order-fixed, so checkpoints re-emit byte-equal
+    * lines.
+    */
+  private def encodeStats(rows: Long,
+      cols: Seq[(String, Option[Double], Option[Double], Long)]): String =
+    (s"rows=$rows" +: cols.map { case (c, mn, mx, nulls) =>
+      s"$c=${mn.map(_.toString).getOrElse("")}," +
+        s"${mx.map(_.toString).getOrElse("")},$nulls"
+    }).mkString("|")
+
+  /** Parse one column's (min, max) out of a stats string; None when the
+    * column is untracked, Some((None, None, …)) when all-NULL.
+    */
+  private[sources] def statsFor(stats: String, c: String)
+      : Option[(Option[Double], Option[Double])] =
+    stats.split('|').toSeq.collectFirst {
+      case s if s.startsWith(s"$c=") =>
+        val parts = s.stripPrefix(s"$c=").split(",", -1)
+        (Option(parts(0)).filter(_.nonEmpty).map(_.toDouble),
+          Option(parts(1)).filter(_.nonEmpty).map(_.toDouble))
+    }
+
+  /** The STAT PROJECTION of a column — what min/max are computed over
+    * and what [[readPruned]]'s bounds are expressed in: timestamps as
+    * epoch micros, numerics as double. Refuses other types loudly (a
+    * silently-untracked column would read as "never prunable").
+    */
+  private def statProjection(schema: StructType, c: String): Column =
+    schema(c).dataType match {
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case DateType => col(c).cast("timestamp").cast("long").cast("double")
+      case _: NumericType => col(c).cast("double")
+      case dt => throw new IllegalArgumentException(
+        s"OccTable stats: unsupported type ${dt.simpleString} for column $c")
+    }
+
+  /** Per-file (rows, min, max, nulls) of `cols` over just-staged files —
+    * ONE column-pruned scan of the new batch only (the append-time cost
+    * Delta pays for the same stats), grouped by file. Zero-row part
+    * files simply get no stats (unprunable, safe).
+    */
+  private def collectStats(spark: SparkSession, dir: String,
+      names: Seq[String], cols: Seq[String]): Map[String, String] = {
+    if (cols.isEmpty || names.isEmpty) return Map.empty
+    cols.foreach(c => require(!c.exists("|=,\t\n".contains(_)),
+      s"OccTable stats: column name '$c' contains a reserved character"))
+    val scan = spark.read.parquet(names.map(n => s"$dir/$n"): _*)
+    val schema = scan.schema
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      min(statProjection(schema, c)).as(s"__mn$i"),
+      max(statProjection(schema, c)).as(s"__mx$i"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl$i"))
+    }
+    val rows = scan.groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect()
+    rows.map { r =>
+      val fname = r.getAs[String]("__f").split('/').last
+      val entries = cols.zipWithIndex.map { case (c, i) =>
+        val mn = Option(r.getAs[java.lang.Double](s"__mn$i")).map(_.doubleValue)
+        val mx = Option(r.getAs[java.lang.Double](s"__mx$i")).map(_.doubleValue)
+        (c, mn, mx, r.getAs[Long](s"__nl$i"))
+      }
+      fname -> encodeStats(r.getAs[Long]("__rows"), entries)
+    }.toMap
+  }
+
+  /** Planning-time FILE SKIPPING off the log stats (X117 — Delta data
+    * skipping inside the OCC table): plan only the live files whose
+    * recorded [min, max] of `c`'s stat projection intersects
+    * [lo, hi], with the residual filter kept for edge exactness. Files
+    * without stats (legacy commits, stats-free appends, zero-row
+    * parts) are NEVER pruned; an all-NULL file IS pruned (an interval
+    * filter excludes nulls). Bounds are in the stat projection's units
+    * (epoch micros for timestamps). Returns the filtered frame; the
+    * pruning itself is metadata-only — O(#live files) driver work off
+    * the snapshot, no data read for skipped files.
+    */
+  def readPruned(spark: SparkSession, dir: String, c: String,
+      lo: Double, hi: Double): DataFrame = {
+    val snap = snapshot(spark, dir)
+    val kept = prunedFiles(snap, c, lo, hi)
+    val st = snap.schema
+    val base = (st, kept) match {
+      case (Some(s), Seq()) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (None, Seq()) => throw new IllegalStateException(
+        s"OccTable: empty pruned snapshot at $dir with no log schema")
+      case (Some(s), files) =>
+        spark.read.schema(s).parquet(files.map(f => s"$dir/$f"): _*)
+      case (None, files) =>
+        spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    }
+    val proj = statProjection(
+      st.getOrElse(base.schema), c)
+    base.filter(proj >= lit(lo) && proj <= lit(hi))
+  }
+
+  /** The file-skipping decision, exposed for audits: live files whose
+    * stats interval for `c` intersects [lo, hi] (or which carry no
+    * usable stats).
+    */
+  private[sources] def prunedFiles(snap: Snapshot, c: String,
+      lo: Double, hi: Double): Seq[String] =
+    snap.files.filter { f =>
+      snap.stats.get(f).flatMap(statsFor(_, c)) match {
+        case None => true // no stats for this file/column: cannot prune
+        case Some((None, None)) => false // all-NULL: interval excludes
+        case Some((mn, mx)) =>
+          mx.forall(_ >= lo) && mn.forall(_ <= hi)
+      }
+    }
 
   /** Reconcile a write's frame schema with the current log schema under
     * the ADDITIVE rule. Returns None when nothing changes, or
@@ -283,10 +427,17 @@ object OccTable {
         "(commits truncated past it, or it never existed)")
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
+    val stats = scala.collection.mutable.Map.empty[String, String]
     var schemaJson: Option[String] = None
     def fold(a: Actions): Unit = {
-      a.removes.foreach(live -= _)
-      a.adds.foreach(live += _)
+      a.removes.foreach { n => live -= n; stats -= n }
+      a.adds.foreach { n =>
+        live += n
+        a.addStats.get(n) match {
+          case Some(s) => stats(n) = s
+          case None => stats -= n
+        }
+      }
       a.txns.foreach { case (app, ver) =>
         txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
       }
@@ -295,7 +446,7 @@ object OccTable {
     chkAt.foreach(c => fold(parseActions(fsys, checkpointPath(dir, c))))
     need.filter(vs.contains).sorted.foreach(v =>
       fold(readActions(fsys, dir, v)))
-    Snapshot(version, live.toSeq, txns.toMap, schemaJson)
+    Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap)
   }
 
   /** [[read]] at a historical version — see [[snapshotAt]]. */
@@ -335,7 +486,7 @@ object OccTable {
   def checkpoint(spark: SparkSession, dir: String): Long = {
     val fsys = fs(spark, dir)
     val snap = snapshot(spark, dir)
-    val body = (snap.files.map(n => s"add $n") ++
+    val body = (snap.files.map(n => addLine(n, snap.stats.get(n))) ++
       snap.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn $a $v" } ++
       schemaLines(snap.schemaJson, snap.schemaJson))
       .mkString("", "\n", "\n").getBytes("UTF-8")
@@ -439,8 +590,10 @@ object OccTable {
 
   /** Initialize the log with `df` as version 0 — which records the
     * table schema as the v0 metadata action. Fails if a log exists.
+    * `statsColumns` opts the table's v0 files into X117 per-file stats.
     */
-  def init(df: DataFrame, dir: String): Snapshot = {
+  def init(df: DataFrame, dir: String,
+      statsColumns: Seq[String] = Seq.empty): Snapshot = {
     val spark = df.sparkSession
     val fsys = fs(spark, dir)
     require(listVersions(fsys, dir).isEmpty &&
@@ -448,13 +601,14 @@ object OccTable {
       s"OccTable: log already exists at $dir")
     fsys.mkdirs(new Path(s"$dir/$LogDirName"))
     val names = stage(df, dir)
+    val stats = collectStats(spark, dir, names, statsColumns)
     val schemaJson = df.schema.json
-    val body = (names.map(n => s"add $n") ++
+    val body = (names.map(n => addLine(n, stats.get(n))) ++
       schemaLines(Some(schemaJson), Some(schemaJson)))
       .mkString("", "\n", "\n")
     require(claim(fsys, versionPath(dir, 0L), body.getBytes("UTF-8")),
       s"OccTable: lost the init race at $dir — another writer initialized")
-    Snapshot(0L, names, Map.empty, Some(schemaJson))
+    Snapshot(0L, names, Map.empty, Some(schemaJson), stats)
   }
 
   /** Commit staged `adds`/`removes` read at `readVersion`: claim
@@ -476,9 +630,11 @@ object OccTable {
       txn: Option[(String, Long)] = None,
       newSchemaJson: Option[String] = None,
       schemaInForce: Option[String] = None,
-      conflictOnAnyIntervening: Boolean = false): Long = {
+      conflictOnAnyIntervening: Boolean = false,
+      addStats: Map[String, String] = Map.empty): Long = {
     val fsys = fs(spark, dir)
-    val body = (removes.map(n => s"remove $n") ++ adds.map(n => s"add $n") ++
+    val body = (removes.map(n => s"remove $n") ++
+      adds.map(n => addLine(n, addStats.get(n))) ++
       txn.map { case (app, ver) => s"txn $app $ver" }.toSeq ++
       schemaLines(newSchemaJson, schemaInForce))
       .mkString("", "\n", "\n").getBytes("UTF-8")
@@ -545,15 +701,18 @@ object OccTable {
     * re-resolving against the merged schema (the staged files stay
     * valid — the union schema covers them).
     */
-  def append(df: DataFrame, dir: String): Long = {
+  def append(df: DataFrame, dir: String,
+      statsColumns: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     var snap = snapshot(spark, dir)
     var evolved = resolveSchema(snap.schemaJson, df.schema) // refuse BEFORE staging
     val names = stage(df, dir)
+    val stats = collectStats(spark, dir, names, statsColumns)
     while (true) {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         newSchemaJson = evolved,
-        schemaInForce = evolved.orElse(snap.schemaJson))
+        schemaInForce = evolved.orElse(snap.schemaJson),
+        addStats = stats)
       catch {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
@@ -578,7 +737,7 @@ object OccTable {
     * an appId are a deployment error, same as Delta's contract.
     */
   def appendStream(df: DataFrame, dir: String, appId: String,
-      batchId: Long): Long = {
+      batchId: Long, statsColumns: Seq[String] = Seq.empty): Long = {
     require(!appId.exists(c => c == ' ' || c == '\n' || c == '\r'),
       s"OccTable: appId must not contain whitespace, got '$appId'")
     val spark = df.sparkSession
@@ -586,10 +745,12 @@ object OccTable {
     if (snap.txns.get(appId).exists(_ >= batchId)) return snap.version
     var evolved = resolveSchema(snap.schemaJson, df.schema)
     val names = stage(df, dir)
+    val stats = collectStats(spark, dir, names, statsColumns)
     while (true) {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         Some((appId, batchId)), newSchemaJson = evolved,
-        schemaInForce = evolved.orElse(snap.schemaJson))
+        schemaInForce = evolved.orElse(snap.schemaJson),
+        addStats = stats)
       catch {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
@@ -623,7 +784,8 @@ object OccTable {
     */
   def rewrite(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame, maxRetries: Int = 3,
-      overwriteSchema: Boolean = false): Long = {
+      overwriteSchema: Boolean = false,
+      statsColumns: Seq[String] = Seq.empty): Long = {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
@@ -638,11 +800,13 @@ object OccTable {
           Some(out.schema.json).filterNot(snap.schemaJson.contains)
         else resolveSchema(snap.schemaJson, out.schema)
       val names = stage(out, dir)
+      val stats = collectStats(spark, dir, names, statsColumns)
       try return commitActions(spark, dir, names, snap.files, snap.version,
         newSchemaJson = evolved,
         schemaInForce = evolved.orElse(snap.schemaJson),
         conflictOnAnyIntervening =
-          overwriteSchema && evolved.nonEmpty)
+          overwriteSchema && evolved.nonEmpty,
+        addStats = stats)
       catch {
         case e: ConcurrentWriteException =>
           tries += 1

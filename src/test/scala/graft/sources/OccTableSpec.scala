@@ -381,4 +381,78 @@ class OccTableSpec extends SparkSpec {
     assert(table(dir).size === 13)        // init row + 12 appends
     assert(OccTable.snapshot(spark, dir).version === 12L)
   }
+
+  test("stats in the log (X117): recorded per file, pruning skips files, result exact") {
+    val dir = freshDir()
+    // three value-disjoint single-file commits: [0,99], [100,199], [200,299]
+    def slice(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 100L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+    OccTable.init(slice(0L), dir, statsColumns = Seq("v"))
+    OccTable.append(slice(100L), dir, statsColumns = Seq("v"))
+    OccTable.append(slice(200L), dir, statsColumns = Seq("v"))
+    val snap = OccTable.snapshot(spark, dir)
+    assert(snap.files.size === 3)
+    assert(snap.stats.keySet === snap.files.toSet) // every file has stats
+    // pruning decision: [120, 180] must keep exactly the middle file
+    val kept = OccTable.prunedFiles(snap, "v", 120.0, 180.0)
+    assert(kept.size === 1)
+    // result ≡ plain filter (residual keeps edge exactness)
+    val pruned = OccTable.readPruned(spark, dir, "v", 120.0, 180.0)
+      .select("id").as[Long].collect().sorted
+    assert(pruned === (120L to 180L).toArray)
+    // boundary intersection: [99, 100] touches two files
+    assert(OccTable.prunedFiles(snap, "v", 99.0, 100.0).size === 2)
+    // disjoint range prunes everything; read still answers (empty, typed)
+    assert(OccTable.prunedFiles(snap, "v", 1000.0, 2000.0).isEmpty)
+    assert(OccTable.readPruned(spark, dir, "v", 1000.0, 2000.0).count() === 0L)
+  }
+
+  test("stats ride checkpoint + truncation; stats-free and legacy files are never pruned") {
+    val dir = freshDir()
+    def slice(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 50L).map(i => (i, i)).toDF("id", "v").coalesce(1)
+    OccTable.init(slice(0L), dir, statsColumns = Seq("v"))
+    OccTable.append(slice(50L), dir, statsColumns = Seq("v"))
+    // a stats-FREE append (legacy writer): its file must never be pruned
+    OccTable.append(slice(100L), dir)
+    OccTable.checkpoint(spark, dir)
+    OccTable.truncateLog(spark, dir)
+    val snap = OccTable.snapshot(spark, dir) // folded from the checkpoint
+    assert(snap.files.size === 3 && snap.stats.size === 2)
+    // range inside the FIRST file: keeps file 1 (stats) + file 3 (no stats)
+    val kept = OccTable.prunedFiles(snap, "v", 10.0, 20.0)
+    assert(kept.size === 2)
+    val got = OccTable.readPruned(spark, dir, "v", 10.0, 20.0)
+      .select("id").as[Long].collect().sorted
+    assert(got === (10L to 20L).toArray)
+  }
+
+  test("stats: all-NULL file pruned, rewrite refreshes stats, timestamps prune in micros") {
+    val dir = freshDir()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    val withTs = (0 until 48).map(h => (h.toLong, ts(h), h.toDouble))
+      .toDF("id", "ts", "x").coalesce(1)
+    OccTable.init(withTs.filter(col("id") < 24), dir,
+      statsColumns = Seq("ts", "x"))
+    OccTable.append(withTs.filter(col("id") >= 24), dir,
+      statsColumns = Seq("ts", "x"))
+    // an all-NULL x file: interval filters exclude nulls, so it prunes
+    OccTable.append(Seq((99L, ts(100), null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "ts", "x").coalesce(1), dir, statsColumns = Seq("ts", "x"))
+    val snap = OccTable.snapshot(spark, dir)
+    assert(OccTable.prunedFiles(snap, "x", 0.0, 100.0).size === 2)
+    // timestamp pruning in epoch micros: hours [24, 47] = second file only
+    val loUs = (t0.getTime + 24 * 3600000L) * 1000.0
+    val hiUs = (t0.getTime + 47 * 3600000L) * 1000.0
+    assert(OccTable.prunedFiles(snap, "ts", loUs, hiUs).size === 1)
+    assert(OccTable.readPruned(spark, dir, "ts", loUs, hiUs).count() === 24L)
+    // rewrite with stats: the compacted files carry fresh stats
+    OccTable.rewrite(spark, dir, d => d.filter(col("id") =!= 99L).coalesce(1),
+      statsColumns = Seq("ts", "x"))
+    val snap2 = OccTable.snapshot(spark, dir)
+    assert(snap2.stats.keySet === snap2.files.toSet)
+    assert(OccTable.readPruned(spark, dir, "x", 30.0, 40.0)
+      .count() === 11L)
+  }
 }
