@@ -1244,6 +1244,15 @@ object SparkEntry {
     "q_mad_anomaly" -> ((s, dir) =>
       Anomaly.madRollup(Tables.events(s, dir), "event_type", "value")),
 
+    // ---- X110 scale twin, value-checked: both medians off KLL
+    //      sketches (mergeable partials — exact percentile state
+    //      cannot split); exact med/mad replay next to rank-bound
+    //      booleans certified by each sketch's own deterministic
+    //      envelope ----
+    "q_mad_sketch_bound" -> ((s, dir) =>
+      Anomaly.madRollupSketchBound(Tables.events(s, dir), "event_type",
+        "value")),
+
     // ---- X110: outage/downtime report — every inter-event gap > 1 h
     //      per key, exact (integer micros until display) ----
     "q_gap_report" -> ((s, dir) =>
@@ -3614,6 +3623,26 @@ object SparkEntry {
         |  min(d.mad) AS mad,
         |  CAST(sum(CASE WHEN abs(round(CAST(e.value AS DOUBLE), 6) - m.med)
         |    > 3.0 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM events e
+        |JOIN med m USING (event_type)
+        |JOIN mad d USING (event_type)
+        |WHERE e.value IS NOT NULL GROUP BY 1""".stripMargin,
+    // X110 scale twin: exact med/mad replay (the q_mad_anomaly
+    // construction); the sketch booleans are theorems → literal TRUE.
+    "q_mad_sketch_bound" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  WHERE e.value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(m.med) AS med,
+        |  min(d.mad) AS mad,
+        |  TRUE AS med_ok, TRUE AS mad_ok
         |FROM events e
         |JOIN med m USING (event_type)
         |JOIN mad d USING (event_type)

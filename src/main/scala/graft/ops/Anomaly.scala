@@ -127,6 +127,74 @@ object Anomaly {
     * the fact table is never shuffled; at 100 TB swap the exact medians
     * for [[Kll]] quantiles (same plan, mergeable partials).
     */
+  /** [[madRollup]]'s 100 TB SCALE TWIN, value-checked — the swap the
+    * exact form's contract promises: both medians read off X107 KLL
+    * sketches (mergeable partials; exact `percentile`'s imperative
+    * buffer holds the group's values and cannot split). Same two-pass
+    * shape — sketch v per key, broadcast the median estimates back,
+    * sketch \|v − med_est\| per key — with group-cardinality-bounded
+    * driver state (one sketch answer per key, the CUSUM-baseline
+    * pattern).
+    *
+    * The audit emits the EXACT med/mad/n (replayable — the
+    * `q_mad_anomaly` construction) next to `med_ok`/`mad_ok`:
+    * each estimate's true rank interval intersects
+    * [target − errBound, target + errBound] for ITS OWN sketch — the
+    * deterministic order/merge-independent KLL guarantee, so TRUE is a
+    * theorem the DuckDB oracle pins (`q_mad_sketch_bound`). mad's
+    * audit ranks the estimate within \|v − med_est\| — the population
+    * the second sketch actually summarized.
+    */
+  def madRollupSketchBound(df: DataFrame, key: String, c: String,
+      k: Int = 256): DataFrame = {
+    import df.sparkSession.implicits._
+    val v = col(c).cast("double")
+    val filtered = df.filter(v.isNotNull)
+    val sk1 = filtered.groupBy(col(key))
+      .agg(Kll.sketchColumn(k, col(c)).as("sk"))
+      .withColumnRenamed(key, "__k")
+      .as[(String, KllBuf)].collect()
+    val medDf = sk1.toSeq.map { case (kk, b) =>
+      (kk, Kll.quantile(b, 0.5), Kll.errBound(b))
+    }.toDF("__mk", "__medEst", "__err1")
+    val dev = filtered
+      .join(broadcast(medDf), col(key) === col("__mk"))
+      .withColumn("__dev", abs(v - col("__medEst")))
+    val sk2 = dev.groupBy(col(key))
+      .agg(Kll.sketchColumn(k, col("__dev")).as("sk"))
+      .withColumnRenamed(key, "__k")
+      .as[(String, KllBuf)].collect()
+    val madDf = sk2.toSeq.map { case (kk, b) =>
+      (kk, Kll.quantile(b, 0.5), Kll.errBound(b))
+    }.toDF("__ak", "__madEst", "__err2")
+    // exact med per key (the replayable side), joined back for exact mad
+    val exactMed = filtered.groupBy(col(key))
+      .agg(round(expr(s"percentile($c, 0.5)"), 6).as("__medX"))
+      .withColumnRenamed(key, "__xk")
+    val audited = dev
+      .join(broadcast(madDf), col(key) === col("__ak"))
+      .join(broadcast(exactMed), col(key) === col("__xk"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("__medX")).as("med"),
+        round(expr(s"percentile(abs($c - __medX), 0.5)"), 6).as("mad"),
+        sum(when(v <= col("__medEst"), 1L).otherwise(0L)).as("__le1"),
+        sum(when(v < col("__medEst"), 1L).otherwise(0L)).as("__lt1"),
+        sum(when(col("__dev") <= col("__madEst"), 1L).otherwise(0L)).as("__le2"),
+        sum(when(col("__dev") < col("__madEst"), 1L).otherwise(0L)).as("__lt2"),
+        min(col("__err1")).as("__e1"),
+        min(col("__err2")).as("__e2"))
+    def ok(le: String, lt: String, e: String) = {
+      val target = ceil(col("n_rows").cast("double") * 0.5)
+      val w = col(e).cast("double")
+      (col(le) >= target - w && (col(lt) + 1) <= target + w)
+    }
+    audited.select(col(key), col("n_rows"), col("med"), col("mad"),
+      ok("__le1", "__lt1", "__e1").as("med_ok"),
+      ok("__le2", "__lt2", "__e2").as("mad_ok"))
+  }
+
   def madRollup(df: DataFrame, key: String, c: String,
       k: Double = 3.0): DataFrame = {
     val v = col(c).cast("double")

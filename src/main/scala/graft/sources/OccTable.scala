@@ -297,9 +297,21 @@ object OccTable {
     * the snapshot, no data read for skipped files.
     */
   def readPruned(spark: SparkSession, dir: String, c: String,
-      lo: Double, hi: Double): DataFrame = {
+      lo: Double, hi: Double): DataFrame =
+    readPrunedMulti(spark, dir, Seq((c, lo, hi)))
+
+  /** [[readPruned]] over a CONJUNCTION of intervals: a file survives
+    * only if EVERY predicate's stats interval intersects — pruning
+    * power multiplies across independent columns (the z-order
+    * use case: a layout clustered on two keys skips on both).
+    */
+  def readPrunedMulti(spark: SparkSession, dir: String,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    require(preds.nonEmpty, "OccTable.readPrunedMulti: no predicates")
     val snap = snapshot(spark, dir)
-    val kept = prunedFiles(snap, c, lo, hi)
+    val kept = preds.foldLeft(snap.files) { case (fs0, (c, lo, hi)) =>
+      prunedFiles(snap.copy(files = fs0), c, lo, hi)
+    }
     val st = snap.schema
     val base = (st, kept) match {
       case (Some(s), Seq()) =>
@@ -312,9 +324,10 @@ object OccTable {
       case (None, files) =>
         spark.read.parquet(files.map(f => s"$dir/$f"): _*)
     }
-    val proj = statProjection(
-      st.getOrElse(base.schema), c)
-    base.filter(proj >= lit(lo) && proj <= lit(hi))
+    preds.foldLeft(base) { case (d, (c, lo, hi)) =>
+      val proj = statProjection(st.getOrElse(base.schema), c)
+      d.filter(proj >= lit(lo) && proj <= lit(hi))
+    }
   }
 
   /** The file-skipping decision, exposed for audits: live files whose

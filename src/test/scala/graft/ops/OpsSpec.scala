@@ -96,6 +96,25 @@ class AnomalySpec extends SparkSpec {
     assert(r2.getAs[Long]("n_anomalies") === 1L)
   }
 
+  test("madRollupSketchBound: rank booleans hold at small k on skewed data; exact side matches madRollup") {
+    // deterministic skewed stream, 5k rows, k=64 << distinct values →
+    // both sketches genuinely estimate
+    var x = 11L
+    val rows = Vector.fill(5000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      ("k", ((x & 0xffffL).toDouble / 97.0))
+    }
+    val df = rows.toDF("g", "v")
+    val out = Anomaly.madRollupSketchBound(df, "g", "v", k = 64)
+      .collect().head
+    assert(out.getAs[Long]("n_rows") === 5000L)
+    assert(out.getAs[Boolean]("med_ok") && out.getAs[Boolean]("mad_ok"))
+    // exact columns are the madRollup construction, bit-equal
+    val exact = Anomaly.madRollup(df, "g", "v").collect().head
+    assert(out.getAs[Double]("med") === exact.getAs[Double]("med"))
+    assert(out.getAs[Double]("mad") === exact.getAs[Double]("mad"))
+  }
+
   test("gaps: only gaps above threshold emit, bounded by the right events; first row never a gap") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(

@@ -455,4 +455,25 @@ class OccTableSpec extends SparkSpec {
     assert(OccTable.readPruned(spark, dir, "x", 30.0, 40.0)
       .count() === 11L)
   }
+
+  test("readPrunedMulti: conjunction prunes on every column and filters exactly") {
+    val dir = freshDir()
+    // two files: (v in [0,99], w all 5) and (v in [100,199], w all 7)
+    OccTable.init((0L until 100L).map(i => (i, i, 5L)).toDF("id", "v", "w")
+      .coalesce(1), dir, statsColumns = Seq("v", "w"))
+    OccTable.append((100L until 200L).map(i => (i, i, 7L)).toDF("id", "v", "w")
+      .coalesce(1), dir, statsColumns = Seq("v", "w"))
+    val snap = OccTable.snapshot(spark, dir)
+    // v range spans both files, but w = 7 keeps only the second
+    val kept = OccTable.prunedFiles(snap, "v", 50.0, 150.0)
+    assert(kept.size === 2)
+    val got = OccTable.readPrunedMulti(spark, dir,
+      Seq(("v", 50.0, 150.0), ("w", 7.0, 7.0)))
+      .select("id").as[Long].collect().sorted
+    assert(got === (100L to 150L).toArray)
+    // and the conjunction's FILE decision drops the w=5 file
+    val keptBoth = OccTable.prunedFiles(
+      snap.copy(files = kept), "w", 7.0, 7.0)
+    assert(keptBoth.size === 1)
+  }
 }
