@@ -2800,6 +2800,13 @@ object SparkEntry {
       Behavior.transitions(Tables.events(s, dir), "user_id",
         "event_type", "ts", "event_id")),
 
+    // ---- X113 STREAMING form: per-user funnel state machine in fMGWS
+    //      across a 4-batch in-order replay — the streamed reach times
+    //      are exactly the batch funnel's, so the rollup faces
+    //      q_funnel's oracle HASH-EQUAL ----
+    "q_funnel_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayFunnelStream(s, dir)),
+
     // ---- X114: cohort retention matrix — cohort = first active day
     //      per user; per (cohort day, day offset) distinct active
     //      users, cohort size, and the rounded retention rate ----
@@ -3057,6 +3064,44 @@ object SparkEntry {
   /** The as-of replay shared by `q_asof_join` and `q_asof_join_sharded`
     * (one semantics, two physical plans).
     */
+  /** Funnel replay shared by `q_funnel` (batch) and `q_funnel_stream`
+    * (per-user state machine, hash-equal by the in-order contract).
+    */
+  private val FunnelOracleSql =
+      """WITH s0 AS (SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT s0.user_id, s0.t0,
+        |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t1
+        |  FROM s0 JOIN events e ON e.user_id = s0.user_id
+        |    AND e.event_type = 'click'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s0.t0
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s0.t0 + 86400000000
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT s1.user_id, s1.t0,
+        |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+        |  FROM s1 JOIN events e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t1
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s1.t0 + 86400000000
+        |  GROUP BY 1, 2)
+        |SELECT 0 AS step_idx, 'view' AS step,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(sum(t0 - t0) AS DOUBLE) /
+        |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
+        |    AS avg_sec_from_start
+        |FROM s0
+        |UNION ALL
+        |SELECT 1, 'click', CAST(count(*) AS BIGINT),
+        |  round(CAST(sum(t1 - t0) AS DOUBLE) /
+        |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
+        |FROM s1
+        |UNION ALL
+        |SELECT 2, 'purchase', CAST(count(*) AS BIGINT),
+        |  round(CAST(sum(t2 - t0) AS DOUBLE) /
+        |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
+        |FROM s2""".stripMargin
+
   private val AsofOracleSql =
     """WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
       |  FROM events WHERE event_type = 'click'),
@@ -5544,40 +5589,8 @@ object SparkEntry {
     // X113: full value oracle — identical successive first-occurrence
     // joins in integer epoch-micros; sums of integer-valued doubles are
     // exact below 2^53, so the one display division replays exactly.
-    "q_funnel" ->
-      """WITH s0 AS (SELECT user_id,
-        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
-        |  FROM events WHERE event_type = 'view' GROUP BY 1),
-        |s1 AS (SELECT s0.user_id, s0.t0,
-        |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t1
-        |  FROM s0 JOIN events e ON e.user_id = s0.user_id
-        |    AND e.event_type = 'click'
-        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s0.t0
-        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s0.t0 + 86400000000
-        |  GROUP BY 1, 2),
-        |s2 AS (SELECT s1.user_id, s1.t0,
-        |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
-        |  FROM s1 JOIN events e ON e.user_id = s1.user_id
-        |    AND e.event_type = 'purchase'
-        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t1
-        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s1.t0 + 86400000000
-        |  GROUP BY 1, 2)
-        |SELECT 0 AS step_idx, 'view' AS step,
-        |  CAST(count(*) AS BIGINT) AS n_users,
-        |  round(CAST(sum(t0 - t0) AS DOUBLE) /
-        |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
-        |    AS avg_sec_from_start
-        |FROM s0
-        |UNION ALL
-        |SELECT 1, 'click', CAST(count(*) AS BIGINT),
-        |  round(CAST(sum(t1 - t0) AS DOUBLE) /
-        |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
-        |FROM s1
-        |UNION ALL
-        |SELECT 2, 'purchase', CAST(count(*) AS BIGINT),
-        |  round(CAST(sum(t2 - t0) AS DOUBLE) /
-        |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6)
-        |FROM s2""".stripMargin,
+    "q_funnel" -> FunnelOracleSql,
+    "q_funnel_stream" -> FunnelOracleSql,
     // X115: identical pinned (ts, event_id) lag order both engines →
     // integer pair counts + one rounded division.
     "q_transitions" ->

@@ -642,6 +642,70 @@ object Pipeline {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Streaming funnel gate (`q_funnel_stream`) — X113's live form: the
+    * events table replayed as 4 TIME-RANGED micro-batches (in-order
+    * delivery, the contract [[Stateful.funnelSnapshots]] documents)
+    * through per-user funnel state, exactly-once into the txn sink;
+    * the latest snapshots roll up to the identical per-step output as
+    * [[graft.ops.Behavior.funnel]], so the gate reuses `q_funnel`'s
+    * oracle HASH-EQUAL — a streaming conversion tracker whose numbers
+    * are provably the batch ones.
+    */
+  def replayFunnelStream(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      horizonSec: Long = 86400L): DataFrame = {
+    import spark.implicits._
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|funnel|${steps.mkString(",")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_funnel_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/snapshots"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_funnel_ckpt")
+    withReplayParallelism(spark) {
+      val typed = stream
+        .select(col("user_id").cast("string"), col("event_type"),
+          unix_micros(col("ts")), col("event_id"))
+        .as[(String, String, Long, Long)]
+      val q = Stateful.funnelSnapshots(typed, steps, horizonSec)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val snaps = TxnSink.committedRead(spark, outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("n").desc)
+    val latest = snaps.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("times"))
+    steps.zipWithIndex.map { case (st, i) =>
+      latest.filter(size(col("times")) > i)
+        .agg(count(lit(1)).as("n_users"),
+          sum(element_at(col("times"), i + 1) -
+            element_at(col("times"), 1)).as("__sum_us"))
+        .select(lit(i).cast("int").as("step_idx"),
+          lit(st).as("step"),
+          col("n_users"),
+          round(col("__sum_us").cast("double") /
+            (col("n_users").cast("double") * lit(1000000.0)), 6)
+            .as("avg_sec_from_start"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Streaming distinct-count sketch gate (`q_kmv_stream`) — X106's
     * streaming form: events replayed as 4 time-ranged micro-batches
     * through [[Stateful.kmvSnapshots]] (bottom-64 distinct user_id

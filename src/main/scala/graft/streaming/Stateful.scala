@@ -332,10 +332,63 @@ object Stateful {
           Iterator.single(cur)
       }
   }
+
+  /** Streaming per-user FUNNEL tracking (X113's live form): each user
+    * carries the ordered step-reach times in the state store and
+    * advances the same first-occurrence machine the batch
+    * [[graft.ops.Behavior.funnel]] computes — entry at the first
+    * `steps(0)` event, each later step at the first event of its type
+    * STRICTLY after the previous step and within the horizon of entry;
+    * a converted user's state freezes. Rows are sorted by (ts, id)
+    * WITHIN each batch; correctness across batches assumes in-order
+    * (time-ranged) delivery per key — the replay harness guarantees
+    * it, and a production form would buffer to the watermark first.
+    * Under that contract the streamed reach times are EXACTLY the
+    * batch funnel's (first occurrence = min in sorted order), so the
+    * streamed rollup faces `q_funnel`'s own oracle hash-equal
+    * (`q_funnel_stream`). `n` counts rows processed (latest =
+    * argmax n).
+    */
+  def funnelSnapshots(rows: Dataset[(String, String, Long, Long)],
+      steps: Seq[String], horizonSec: Long): Dataset[FunnelSnapshot] = {
+    import rows.sparkSession.implicits._
+    require(steps.length >= 2, "funnelSnapshots: need at least 2 steps")
+    val horizonUs = horizonSec * 1000000L
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelSnapshot, FunnelSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, String, Long, Long)],
+            state: GroupState[FunnelSnapshot]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelSnapshot(key, 0L, Vector.empty))
+          var times = prev.times.toVector
+          var n = prev.n
+          it.toVector.sortBy(r => (r._3, r._4)).foreach {
+            case (_, typ, ts, _) =>
+              n += 1
+              if (times.isEmpty) {
+                if (typ == steps.head) times = Vector(ts)
+              } else if (times.length < steps.length &&
+                  typ == steps(times.length) && ts > times.last &&
+                  ts <= times.head + horizonUs) {
+                times = times :+ ts
+              }
+          }
+          val cur = FunnelSnapshot(key, n, times)
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
 }
 
 /** One key's running heavy-hitters state as of some micro-batch. */
 final case class MgSnapshot(key: String, sketch: MgBuf)
+
+/** One user's funnel progress as of some micro-batch: the reach time
+  * (epoch micros) of each step completed so far, in step order.
+  */
+final case class FunnelSnapshot(key: String, n: Long, times: Seq[Long])
 
 /** One key's running bottom-k distinct sketch as of some micro-batch. */
 final case class KmvSnapshot(key: String, n: Long, ks: Seq[Long])

@@ -481,6 +481,56 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelSnapshots: in-order ragged batches reproduce the batch funnel exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val steps = Seq("view", "click", "purchase")
+    val q = Stateful.funnelSnapshots(mem.toDS(), steps, horizonSec = 3600L)
+      .writeStream.format("memory").queryName("funnel_snap_test")
+      .outputMode("append").start()
+    val us = 1000000L
+    // u1 converts across batch boundaries; u2 has click-before-view;
+    // u3's click lands outside the horizon; u4 purchases between view
+    // and click (wrong order — must not convert)
+    val all = Seq(
+      ("u1", "view", 1000L * us, 1L), ("u2", "click", 1100L * us, 2L),
+      ("u2", "view", 1200L * us, 3L), ("u3", "view", 1300L * us, 4L),
+      ("u4", "view", 1400L * us, 5L),
+      // --- batch 2 ---
+      ("u1", "click", 2000L * us, 6L), ("u4", "purchase", 2100L * us, 7L),
+      ("u4", "click", 2200L * us, 8L),
+      // --- batch 3 ---
+      ("u1", "purchase", 3000L * us, 9L),
+      ("u3", "click", (1300L + 3700L) * us, 10L)) // past the 3600 s horizon
+    try {
+      Seq(all.take(5), all.slice(5, 8), all.drop(8)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val latest = spark.table("funnel_snap_test")
+        .as[graft.streaming.FunnelSnapshot].collect()
+        .groupBy(_.key).map { case (k, v) => k -> v.maxBy(_.n).times }
+      assert(latest("u1") === Seq(1000L * us, 2000L * us, 3000L * us))
+      assert(latest("u2") === Seq(1200L * us)) // pre-entry click ignored
+      assert(latest("u3") === Seq(1300L * us)) // horizon cut
+      assert(latest("u4") === Seq(1400L * us, 2200L * us)) // wrong-order purchase ignored
+      // the rollup matches the batch operator on the same rows
+      val batchDf = all.map { case (u, t, ts, id) =>
+        (u, t, new java.sql.Timestamp(ts / 1000L), id) }
+        .toDF("user_id", "event_type", "ts", "event_id")
+      val batch = graft.ops.Behavior.funnel(batchDf, "user_id",
+        "event_type", "ts", steps, 3600L)
+        .orderBy("step_idx").collect()
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      val streamed = steps.zipWithIndex.map { case (_, i) =>
+        val reached = latest.values.filter(_.length > i)
+        (reached.size.toLong,
+          reached.map(t => t(i) - t.head).sum.toDouble /
+            (reached.size * 1000000.0))
+      }
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("kmvSnapshots: streamed bottom-k state is EXACTLY the batch sketch (order-independent set)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
