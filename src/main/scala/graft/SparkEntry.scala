@@ -2800,6 +2800,12 @@ object SparkEntry {
       Behavior.transitions(Tables.events(s, dir), "user_id",
         "event_type", "ts", "event_id")),
 
+    // ---- X115 STREAMING form: per-user O(1) last-event state emits
+    //      each (from, to) pair live; committed pairs aggregate
+    //      HASH-EQUAL to the batch matrix ----
+    "q_transitions_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayTransitionsStream(s, dir)),
+
     // ---- X113 STREAMING form: per-user funnel state machine in fMGWS
     //      across a 4-batch in-order replay — the streamed reach times
     //      are exactly the batch funnel's, so the rollup faces
@@ -3067,6 +3073,24 @@ object SparkEntry {
   /** Funnel replay shared by `q_funnel` (batch) and `q_funnel_stream`
     * (per-user state machine, hash-equal by the in-order contract).
     */
+  /** Transition-matrix replay shared by `q_transitions` (batch lag
+    * window) and `q_transitions_stream` (per-user O(1) state pairs —
+    * hash-equal under the in-order contract).
+    */
+  private val TransitionsOracleSql =
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
+        |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin
+
   private val FunnelOracleSql =
       """WITH s0 AS (SELECT user_id,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
@@ -5593,19 +5617,8 @@ object SparkEntry {
     "q_funnel_stream" -> FunnelOracleSql,
     // X115: identical pinned (ts, event_id) lag order both engines →
     // integer pair counts + one rounded division.
-    "q_transitions" ->
-      """WITH p AS (
-        |  SELECT lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type,
-        |    event_type AS to_type
-        |  FROM events),
-        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-        |      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
-        |      FROM c GROUP BY 1)
-        |SELECT c.from_type, c.to_type, c.n, t.n_from,
-        |  round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
-        |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin,
+    "q_transitions" -> TransitionsOracleSql,
+    "q_transitions_stream" -> TransitionsOracleSql,
     // X114: integer distinct counts + one rounded division.
     "q_cohort_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day

@@ -706,6 +706,57 @@ object Pipeline {
     }.reduce(_ unionByName _)
   }
 
+  /** Streaming transition-matrix gate (`q_transitions_stream`) —
+    * X115's live form: per-user O(1) state ([[Stateful.transitionPairs]])
+    * emits each (from, to) pair as its completing event arrives, the
+    * exactly-once sink commits the pair stream, and the final
+    * aggregation over committed pairs is HASH-EQUAL to the batch
+    * lag-window matrix (`q_transitions`' own oracle).
+    */
+  def replayTransitionsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|trans".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_trans_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/pairs"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_trans_ckpt")
+    withReplayParallelism(spark) {
+      val typed = stream
+        .select(col("user_id").cast("string"), col("event_type"),
+          unix_micros(col("ts")), col("event_id"))
+        .as[(String, String, Long, Long)]
+      val q = Stateful.transitionPairs(typed)
+        .toDF("user_id", "from_type", "to_type")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val pairs = TxnSink.committedRead(spark, outDir)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+      .withColumnRenamed("from_type", "__f")
+    pairs.join(broadcast(totals), col("from_type") === col("__f"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("p"))
+  }
+
   /** Streaming distinct-count sketch gate (`q_kmv_stream`) — X106's
     * streaming form: events replayed as 4 time-ranged micro-batches
     * through [[Stateful.kmvSnapshots]] (bottom-64 distinct user_id

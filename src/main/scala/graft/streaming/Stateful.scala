@@ -380,6 +380,38 @@ object Stateful {
           Iterator.single(cur)
       }
   }
+
+  /** Streaming per-user event-pair formation (X115's live form): the
+    * state is ONE row — the user's last event — and each arriving
+    * event emits the (from, to) transition it completes. Rows sorted
+    * (ts, id) within each batch; in-order delivery per key across
+    * batches (same contract as [[funnelSnapshots]]). The emitted pair
+    * STREAM is exactly the batch lag-window's pair set, so any
+    * downstream aggregation of the committed pairs (counts,
+    * P(to\|from)) is hash-equal to the batch transition matrix
+    * (`q_transitions_stream`). State per user is O(1) — the smallest
+    * possible stateful enrichment.
+    */
+  def transitionPairs(rows: Dataset[(String, String, Long, Long)])
+      : Dataset[(String, String, String)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Long), (String, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, String, Long, Long)],
+            state: GroupState[(String, Long, Long)]) =>
+          var last = state.getOption
+          val out = Vector.newBuilder[(String, String, String)]
+          it.toVector.sortBy(r => (r._3, r._4)).foreach {
+            case (_, typ, ts, id) =>
+              last.foreach { case (from, _, _) => out += ((key, from, typ)) }
+              last = Some((typ, ts, id))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }
 
 /** One key's running heavy-hitters state as of some micro-batch. */

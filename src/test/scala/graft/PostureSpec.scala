@@ -531,6 +531,31 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transitionPairs: pairs form across batch boundaries from O(1) state; none across users") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val q = Stateful.transitionPairs(mem.toDS())
+      .toDF("u", "from", "to")
+      .writeStream.format("memory").queryName("trans_pairs_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 view→click forms in-batch; u2 single event, no pair
+      mem.addData(Seq(("u1", "view", 10L, 1L), ("u1", "click", 20L, 2L),
+        ("u2", "purchase", 30L, 3L)))
+      q.processAllAvailable()
+      // batch 2: u1's purchase pairs with the STORED click (cross-batch);
+      // u2's view pairs with the stored purchase; same-ts id tiebreak
+      mem.addData(Seq(("u1", "purchase", 40L, 4L),
+        ("u2", "view", 50L, 5L), ("u2", "error", 50L, 6L)))
+      q.processAllAvailable()
+      val got = spark.table("trans_pairs_test")
+        .as[(String, String, String)].collect().sorted.toSeq
+      assert(got === Seq(
+        ("u1", "click", "purchase"), ("u1", "view", "click"),
+        ("u2", "purchase", "view"), ("u2", "view", "error")))
+    } finally q.stop()
+  }
+
   test("kmvSnapshots: streamed bottom-k state is EXACTLY the batch sketch (order-independent set)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
