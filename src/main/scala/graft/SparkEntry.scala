@@ -2819,6 +2819,12 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, dir) =>
       Behavior.cohortRetention(Tables.events(s, dir), "user_id", "ts")),
 
+    // ---- X114 STREAMING form: state-deduped first-occurrence
+    //      (user, cohort, offset) emission; committed rows count to
+    //      the distinct-user matrix HASH-EQUAL to batch ----
+    "q_cohort_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayCohortStream(s, dir)),
+
     // ---- X112: Misra–Gries heavy-hitters sketch, value-checked: per
     //      (lang, token) the EXACT count next to booleans pinning the
     //      sketch estimate inside its guaranteed two-sided window
@@ -3090,6 +3096,26 @@ object SparkEntry {
         |SELECT c.from_type, c.to_type, c.n, t.n_from,
         |  round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
         |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin
+
+  /** Cohort-retention replay shared by `q_cohort_retention` (batch)
+    * and `q_cohort_stream` (state-deduped streaming emission —
+    * hash-equal under the in-order contract).
+    */
+  private val CohortOracleSql =
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |fst AS (SELECT u, min(day) AS cohort_day FROM ud GROUP BY 1),
+        |act AS (SELECT cohort_day,
+        |    CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |    CAST(count(DISTINCT ud.u) AS BIGINT) AS n_active
+        |  FROM ud JOIN fst ON ud.u = fst.u GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM fst GROUP BY 1)
+        |SELECT act.cohort_day, act.day_offset, act.n_active,
+        |  sz.cohort_size,
+        |  round(CAST(act.n_active AS DOUBLE) /
+        |        CAST(sz.cohort_size AS DOUBLE), 6) AS retention
+        |FROM act JOIN sz ON act.cohort_day = sz.cohort_day""".stripMargin
 
   private val FunnelOracleSql =
       """WITH s0 AS (SELECT user_id,
@@ -5620,21 +5646,8 @@ object SparkEntry {
     "q_transitions" -> TransitionsOracleSql,
     "q_transitions_stream" -> TransitionsOracleSql,
     // X114: integer distinct counts + one rounded division.
-    "q_cohort_retention" ->
-      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
-        |            FROM events),
-        |fst AS (SELECT u, min(day) AS cohort_day FROM ud GROUP BY 1),
-        |act AS (SELECT cohort_day,
-        |    CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
-        |    CAST(count(DISTINCT ud.u) AS BIGINT) AS n_active
-        |  FROM ud JOIN fst ON ud.u = fst.u GROUP BY 1, 2),
-        |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
-        |       FROM fst GROUP BY 1)
-        |SELECT act.cohort_day, act.day_offset, act.n_active,
-        |  sz.cohort_size,
-        |  round(CAST(act.n_active AS DOUBLE) /
-        |        CAST(sz.cohort_size AS DOUBLE), 6) AS retention
-        |FROM act JOIN sz ON act.cohort_day = sz.cohort_day""".stripMargin,
+    "q_cohort_retention" -> CohortOracleSql,
+    "q_cohort_stream" -> CohortOracleSql,
     // X112 audit-twin: DuckDB replays the exact (lang, token) counts and
     // per-lang totals; the sketch-side booleans are theorems of the MG
     // two-sided window (all-integer comparison), so TRUE is pinned — an

@@ -757,6 +757,63 @@ object Pipeline {
           .as("p"))
   }
 
+  /** Streaming cohort-retention gate (`q_cohort_stream`) — X114's live
+    * form: per-user state-deduped first-occurrence emission of
+    * (user, cohort, day-offset) activity ([[Stateful.cohortActivity]])
+    * through the exactly-once sink; plain count(*) per (cohort,
+    * offset) over the committed rows IS the distinct-user matrix —
+    * hash-equal to the batch [[graft.ops.Behavior.cohortRetention]]
+    * (`q_cohort_retention`'s own oracle).
+    */
+  def replayCohortStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|cohort".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_cohort_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/activity"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_cohort_ckpt")
+    withReplayParallelism(spark) {
+      val typed = stream
+        .select(col("user_id").cast("string"),
+          unix_date(col("ts").cast("date")).cast("long"))
+        .as[(String, Long)]
+      val q = Stateful.cohortActivity(typed)
+        .toDF("user_id", "cohort_epoch_day", "day_offset")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val acts = TxnSink.committedRead(spark, outDir)
+    val matrix = acts.groupBy(col("cohort_epoch_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    // every user emits offset 0 on its first day → sizes from the
+    // same committed stream, no second scan of the raw data
+    val sizes = acts.filter(col("day_offset") === 0L)
+      .groupBy(col("cohort_epoch_day")).agg(count(lit(1)).as("cohort_size"))
+      .withColumnRenamed("cohort_epoch_day", "__cd")
+    matrix.join(broadcast(sizes), col("cohort_epoch_day") === col("__cd"))
+      .select(
+        date_from_unix_date(col("cohort_epoch_day").cast("int"))
+          .as("cohort_day"),
+        col("day_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
   /** Streaming distinct-count sketch gate (`q_kmv_stream`) — X106's
     * streaming form: events replayed as 4 time-ranged micro-batches
     * through [[Stateful.kmvSnapshots]] (bottom-64 distinct user_id

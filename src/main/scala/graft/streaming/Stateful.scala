@@ -412,6 +412,47 @@ object Stateful {
           out.result().iterator
       }
   }
+
+  /** Streaming cohort-activity emission (X114's live form): per user,
+    * the state is the cohort day (first active day, fixed once seen)
+    * plus the set of day-offsets already emitted; each NEW
+    * (user, day) activity emits ONE (user, cohortDayEpoch, dayOffset)
+    * row — state-deduped first-occurrence emission, so a plain
+    * count(*) per (cohort, offset) over the committed append stream
+    * IS the distinct-user retention matrix, hash-equal to the batch
+    * [[graft.ops.Behavior.cohortRetention]] under the in-order
+    * contract (the cohort day must be the true first day, which
+    * in-order delivery guarantees). State per user is O(active days),
+    * bounded by the tracking horizon.
+    */
+  def cohortActivity(rows: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)],
+            state: GroupState[(Long, Seq[Long])]) =>
+          val days = it.map(_._2).toVector.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            val (cohort, seen0) = state.getOption
+              .getOrElse((days.head, Vector.empty[Long]))
+            var seen = seen0.toSet
+            val out = Vector.newBuilder[(String, Long, Long)]
+            days.foreach { d =>
+              val off = d - cohort
+              if (off >= 0 && !seen.contains(off)) {
+                seen += off
+                out += ((key, cohort, off))
+              }
+            }
+            state.update((cohort, seen.toVector.sorted))
+            out.result().iterator
+          }
+      }
+  }
 }
 
 /** One key's running heavy-hitters state as of some micro-batch. */

@@ -556,6 +556,28 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cohortActivity: one emission per (user, offset); cohort fixed by first batch; duplicates silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = Stateful.cohortActivity(mem.toDS())
+      .toDF("u", "cohort", "off")
+      .writeStream.format("memory").queryName("cohort_act_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 first seen day 100 (emits off 0), also day 101
+      mem.addData(Seq(("u1", 100L), ("u1", 101L), ("u2", 100L)))
+      q.processAllAvailable()
+      // batch 2: u1 day 101 AGAIN (silent), new day 102; u2 day 103
+      mem.addData(Seq(("u1", 101L), ("u1", 102L), ("u2", 103L)))
+      q.processAllAvailable()
+      val got = spark.table("cohort_act_test")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got === Seq(
+        ("u1", 100L, 0L), ("u1", 100L, 1L), ("u1", 100L, 2L),
+        ("u2", 100L, 0L), ("u2", 100L, 3L)))
+    } finally q.stop()
+  }
+
   test("kmvSnapshots: streamed bottom-k state is EXACTLY the batch sketch (order-independent set)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
