@@ -93,12 +93,30 @@ object StreamBench {
             floor(col("temperature")).cast("long").cast("string"))
             .as[(String, String)], k = 32).toDF())
     }
+    // per-sensor transition-pair enrichment (X115's streaming form):
+    // O(1) last-event state per key, one emitted pair per arriving row
+    // — the smallest stateful enrichment, measured live over
+    // temperature bands as the event alphabet
+    val trans = {
+      import spark.implicits._
+      graft.streaming.SteadyState.measureSensorWindowStream(spark,
+        "transition_stream",
+        r => graft.streaming.Stateful.transitionPairs(
+          r.select(col("sensor_id"),
+            when(col("temperature") < 15, "low")
+              .when(col("temperature") < 30, "mid").otherwise("high"),
+            unix_micros(col("timestamp")),
+            xxhash64(col("temperature")))
+            .as[(String, String, Long, Long)])
+          .toDF("sensor_id", "from_band", "to_band"))
+    }
     val combined = env.json.dropRight(1) +
       "," + dedup.json + "," + cur.json + "," + clf.json + "," +
       bm25.json + "," +
       asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
       "," + ewma.json + "," + hop.json + "," + sess.json + "," +
-      ssj.json + "," + occ.json + "," + kll.json + "," + mg.json + "}"
+      ssj.json + "," + occ.json + "," + kll.json + "," + mg.json +
+      "," + trans.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))
     spark.stop()
