@@ -2806,6 +2806,14 @@ object SparkEntry {
     "q_transitions_stream" -> ((s, dir) =>
       graft.streaming.Pipeline.replayTransitionsStream(s, dir)),
 
+    // ---- X118: RFM segmentation — per-user recency/frequency/monetary
+    //      binned by ntile(4) over PINNED (metric, user) orders
+    //      (deterministic in any engine, unlike percentile-boundary
+    //      binning), rolled up per segment with exact-integer means ----
+    "q_rfm_segments" -> ((s, dir) =>
+      Behavior.rfmSegments(Tables.events(s, dir), "user_id", "ts",
+        "value")),
+
     // ---- X113 STREAMING form: per-user funnel state machine in fMGWS
     //      across a 4-batch in-order replay — the streamed reach times
     //      are exactly the batch funnel's, so the rollup faces
@@ -5641,6 +5649,28 @@ object SparkEntry {
     // exact below 2^53, so the one display division replays exactly.
     "q_funnel" -> FunnelOracleSql,
     "q_funnel_stream" -> FunnelOracleSql,
+    // X118: identical pinned ntile orders (metric, user) both engines;
+    // summed cents/counts exact, one display division each.
+    "q_rfm_segments" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    round(sum(COALESCE(value, 0.0)), 2) AS mon
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |tiled AS (
+        |  SELECT CAST(round(mon * 100.0, 0) AS BIGINT) AS cents, freq,
+        |    ntile(4) OVER (ORDER BY rec, user_id) AS r_tile,
+        |    ntile(4) OVER (ORDER BY freq, user_id) AS f_tile,
+        |    ntile(4) OVER (ORDER BY mon, user_id) AS m_tile
+        |  FROM pu)
+        |SELECT r_tile, f_tile, m_tile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(sum(cents) AS DOUBLE) /
+        |        (CAST(count(*) AS DOUBLE) * 100.0), 6) AS avg_monetary,
+        |  round(CAST(sum(freq) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS avg_frequency
+        |FROM tiled GROUP BY 1, 2, 3""".stripMargin,
     // X115: identical pinned (ts, event_id) lag order both engines →
     // integer pair counts + one rounded division.
     "q_transitions" -> TransitionsOracleSql,

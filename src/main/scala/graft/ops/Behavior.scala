@@ -92,6 +92,50 @@ object Behavior {
           .as("p"))
   }
 
+  /** RFM segmentation (X118): per user recency (last-seen micros),
+    * frequency (event count), monetary (summed value, 2 dp), each
+    * binned into quartiles by `ntile(4)` over a PINNED total order
+    * (metric, then user id) — deterministic in any engine, unlike
+    * percentile-boundary binning where one FP ulp flips boundary
+    * users. Returns the segment rollup: (r, f, m) → users + the
+    * segment's exact aggregate means (integer/2-dp sums, one display
+    * division each).
+    *
+    * One user-keyed aggregation + three vocabulary-sized window passes
+    * over the 1-row-per-user frame (NOT the raw events) + one hash
+    * aggregation on the 64-cell segment space. The per-user frame is
+    * the only window input, so the unpartitioned ntile windows sort
+    * #users rows, not #events — at 100 TB shard them by range exactly
+    * like X80 if #users outgrows a task.
+    */
+  def rfmSegments(ev: DataFrame, user: String, ts: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = ev
+      .filter(col(user).isNotNull)
+      .groupBy(col(user))
+      .agg(max(unix_micros(col(ts))).as("__rec"),
+        count(lit(1)).as("__freq"),
+        round(sum(coalesce(col(value), lit(0.0))), 2).as("__mon"))
+    def tile(metric: String) = ntile(4).over(
+      Window.orderBy(col(metric), col(user)))
+    perUser
+      // integer cents: summing 2-dp doubles is order-sensitive in the
+      // last ulp; summed longs are exact, one display division
+      .withColumn("__cents",
+        round(col("__mon") * lit(100.0), 0).cast("long"))
+      .withColumn("r_tile", tile("__rec"))
+      .withColumn("f_tile", tile("__freq"))
+      .withColumn("m_tile", tile("__mon"))
+      .groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("__cents")).cast("double") /
+          (count(lit(1)).cast("double") * lit(100.0)), 6)
+          .as("avg_monetary"),
+        round(sum(col("__freq")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_frequency"))
+  }
+
   /** Cohort retention matrix: cohort = each user's first active day;
     * for every (cohort day, day offset) the distinct users active, the
     * cohort size, and the retention rate (one rounded division). Two

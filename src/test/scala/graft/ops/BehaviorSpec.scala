@@ -75,6 +75,25 @@ class BehaviorSpec extends SparkSpec {
     assert(out(("click", "view")) === ((1L, 1L, 1.0)))
   }
 
+  test("rfmSegments: pinned ntile quartiles and exact segment means on a hand fixture") {
+    // 8 users; user i has i events at value 10·i, last seen at hour i —
+    // all three metrics share the same user order, so tiles align:
+    // users {1,2}→tile1, {3,4}→2, {5,6}→3, {7,8}→4 on every dimension
+    val rows = (1 to 8).flatMap { i =>
+      (1 to i).map(j => (i.toLong, t(f"2024-01-01 $i%02d:00:00"), 10.0 * i))
+    }.toDF("user_id", "ts", "value")
+    val out = Behavior.rfmSegments(rows, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.size === 4)
+    // tile 1 = users 1,2: monetary sums 10·1·1=10 and 10·2·2=40 → avg 25;
+    // frequency avg 1.5
+    assert(out((1, 1, 1)) === ((2L, 25.0, 1.5)))
+    // tile 4 = users 7,8: sums 490 and 640 → avg 565; freq avg 7.5
+    assert(out((4, 4, 4)) === ((2L, 565.0, 7.5)))
+  }
+
   test("cohortRetention: offsets, sizes, and rates on a hand fixture") {
     val rows = Seq(
       // cohort 2024-01-01: u1 (returns day+1, day+2), u2 (returns day+2)
