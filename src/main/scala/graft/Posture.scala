@@ -1360,7 +1360,13 @@ object Posture {
         "mg_build" -> (d => d.filter(col("value").isNotNull)
           .groupBy(col("event_type"))
           .agg(graft.ops.Freq.mgColumn(64,
-            floor(col("value")).cast("long").cast("string")).as("sk"))))
+            floor(col("value")).cast("long").cast("string")).as("sk"))),
+        "rfm" -> (d => graft.ops.Behavior.rfmSegments(
+          d, "user_id", "ts", "value")),
+        "weighted_sample" -> (d => graft.ext.Curate.weightedSystematicSample(
+          d.filter(col("value").isNotNull)
+            .withColumn("__w", (floor(col("value")) + lit(1L)).cast("long")),
+          "event_id", "__w", "ps1", m = 1000, nParts = 32)))
       variants.foreach { case (_, f) =>
         scales.foreach { case (_, d) => consumeB(f(d)) }
       }
@@ -1374,7 +1380,7 @@ object Posture {
            |      "shuffle_mb_1x": ${sh1 / 1048576}, "shuffle_mb_10x": ${sh10 / 1048576}}""".stripMargin
       }
       s"""  "behavior_freq": {
-         |    "what": "behavioral analytics + frequency sketch at 1x/10x events (user_id shifted per shard so users scale with rows; value shifted +1000/shard so MG item cardinality scales): funnel = 3-step 24h conversion (X113), cohort = retention matrix (X114), transitions = first-order event pairs (X115), mg_build = per-type Misra-Gries k=64 over floor(value) buckets (X112). Healthy = funnel/cohort/transitions time+shuffle ~linear (user-keyed joins and windows, no global window); mg_build shuffle ~flat (k counters per group cross the wire, never items)",
+         |    "what": "behavioral analytics + frequency sketch at 1x/10x events (user_id shifted per shard so users scale with rows; value shifted +1000/shard so MG item cardinality scales): funnel = 3-step 24h conversion (X113), cohort = retention matrix (X114), transitions = first-order event pairs (X115), mg_build = per-type Misra-Gries k=64 over floor(value) buckets (X112), rfm = ntile-quartile segmentation (X118, windows over the 1-row-per-user frame), weighted_sample = m=1000 integer stride selection (X116, two-pass range-partitioned prefix sums). Healthy = funnel/cohort/transitions/rfm/weighted_sample time+shuffle ~linear (user- or range-keyed, no global window over raw events); mg_build shuffle ~flat (k counters per group cross the wire, never items)",
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 
