@@ -87,11 +87,22 @@ object Bench {
       Seq("scan", "streaming_replay", "maintenance")
         .map(c => s""""$c":${fmt(classTotals.getOrElse(c, 0.0))}""")
         .mkString("{", ",", "}")
-    // Round-over-round diff: when SPARK_GRAFT_PREV_BENCH names a prior
-    // bench JSON, extract its per-query seconds and record every ≥1 s
-    // shift in the detail artifact (the table the next verdict quotes).
+    // Round-over-round diff: SPARK_GRAFT_PREV_BENCH names a prior bench
+    // JSON; when unset, default to the newest committed BENCH_r*.json so
+    // an env-less regeneration (the driver's round-close run) still
+    // carries the regression table the next verdict quotes.
+    val newestRoundBench: Option[String] = {
+      val d = new java.io.File(".")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.stripPrefix("BENCH_r")
+          .stripSuffix(".json").toInt)
+        .lastOption.map(_.getPath)
+    }
+    def jsonEscape(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     val vsPrevJson: String =
-      sys.env.get("SPARK_GRAFT_PREV_BENCH")
+      sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse(newestRoundBench)
         .filter(p => java.nio.file.Files.isReadable(java.nio.file.Paths.get(p)))
         .map { p =>
           val text = new String(
@@ -108,7 +119,7 @@ object Bench {
           val rows = shifts.map { case (n, pv, cur) =>
             s"""{"q":"$n","prev":$pv,"cur":$cur}"""
           }.mkString("[", ",", "]")
-          s""","vs_prev":{"path":"$p","shifts_ge_1s":$rows}"""
+          s""","vs_prev":{"path":"${jsonEscape(p)}","shifts_ge_1s":$rows}"""
         }.getOrElse("")
     // Host-weather normalization: the sentinel is a trivial fixed query,
     // so its best sample measures THIS run's scheduling floor. Dividing

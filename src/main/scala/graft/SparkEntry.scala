@@ -5572,7 +5572,8 @@ object SparkEntry {
     "q_sketch_setops" ->
       """WITH days AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day,
-        |         CAST(user_id AS VARCHAR) AS k FROM events),
+        |         CAST(user_id AS VARCHAR) AS k FROM events
+        |  WHERE user_id IS NOT NULL),
         |h AS (
         |  SELECT DISTINCT day,
         |         ('0x' || substring(md5(k || '|kmv'), 1, 15))::BIGINT AS hv

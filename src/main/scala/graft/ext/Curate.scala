@@ -500,8 +500,9 @@ object Curate {
     * in-partition exclusive cumsum runs under a window PARTITIONED by
     * the range bucket. Two parallel passes, broadcast offsets.
     *
-    * Null/non-positive weights are refused loudly (a silent drop would
-    * skew every downstream mixture).
+    * Null, non-positive, and NON-INTEGRAL weights are refused loudly
+    * (a silent drop or truncation would skew every downstream
+    * mixture); fractional-weight callers scale to integer units first.
     */
   def weightedSystematicSample(df: DataFrame, idCol: String,
       weightCol: String, salt: String, m: Int, nParts: Int): DataFrame = {
@@ -509,9 +510,16 @@ object Curate {
     require(nParts >= 1, s"weightedSystematicSample: nParts=$nParts")
     val spark = df.sparkSession
     import spark.implicits._
-    val wChecked = when(col(weightCol).isNull || col(weightCol) <= 0,
-      raise_error(lit("graft.ext.Curate: null/non-positive weight in " +
-        "weightedSystematicSample — filter or fix weights first")))
+    // Non-integral weights are ALSO refused: casting 0.6 to long would
+    // silently drop the row (and 1.9 would halve its inclusion mass),
+    // skewing the mixture the doc promises to protect. Callers with
+    // fractional weights must scale to integer units first.
+    val wChecked = when(col(weightCol).isNull || col(weightCol) <= 0 ||
+        col(weightCol).cast("double") =!=
+          col(weightCol).cast("long").cast("double"),
+      raise_error(lit("graft.ext.Curate: null/non-positive/non-integral " +
+        "weight in weightedSystematicSample — scale fractional weights " +
+        "to integer units first")))
       .otherwise(col(weightCol).cast("long"))
     val sorted = df
       .withColumn("__k", PortableHash.hash60(

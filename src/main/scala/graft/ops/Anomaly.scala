@@ -116,17 +116,6 @@ object Anomaly {
           .as("gap_seconds"))
   }
 
-  /** MAD robust anomaly rollup (X110) — the median-based twin of the
-    * IQR family: per key, med = median(c), mad = median(\|c − med\|),
-    * a row is anomalous when \|c − med\| > k·mad (k = 3 ≈ 4.45σ on
-    * normal data; unlike mean/stddev, one wild reading cannot drag the
-    * baseline toward itself). Cross-engine determinism: med and mad are
-    * ROUNDED to 6 dp before the comparison in BOTH engines, so an
-    * interpolation ulp cannot flip a row at the boundary. Two exact
-    * percentile passes + a broadcast join of the per-key 1-row stats —
-    * the fact table is never shuffled; at 100 TB swap the exact medians
-    * for [[Kll]] quantiles (same plan, mergeable partials).
-    */
   /** [[madRollup]]'s 100 TB SCALE TWIN, value-checked — the swap the
     * exact form's contract promises: both medians read off X107 KLL
     * sketches (mergeable partials; exact `percentile`'s imperative
@@ -195,6 +184,18 @@ object Anomaly {
       ok("__le2", "__lt2", "__e2").as("mad_ok"))
   }
 
+  /** MAD robust anomaly rollup (X110) — the median-based twin of the
+    * IQR family: per key, med = median(c), mad = median(\|c − med\|),
+    * a row is anomalous when \|c − med\| > k·mad (k = 3 ≈ 4.45σ on
+    * normal data; unlike mean/stddev, one wild reading cannot drag the
+    * baseline toward itself). Cross-engine determinism: med and mad are
+    * ROUNDED to 6 dp before the comparison in BOTH engines, so an
+    * interpolation ulp cannot flip a row at the boundary. Two exact
+    * percentile passes + a broadcast join of the per-key 1-row stats —
+    * the fact table is never shuffled; at 100 TB swap the exact medians
+    * for [[Kll]] quantiles (same plan, mergeable partials —
+    * [[madRollupSketchBound]] is that swap, value-checked).
+    */
   def madRollup(df: DataFrame, key: String, c: String,
       k: Double = 3.0): DataFrame = {
     val v = col(c).cast("double")

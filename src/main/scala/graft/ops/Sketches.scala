@@ -42,13 +42,18 @@ object Sketches {
   /** Bottom-k sketch of `keyCol`'s distinct values per group: `kmv` is
     * the ascending array of the k smallest distinct hash60 draws (fewer
     * = the group is exact). Deterministic, so the window-ranked oracle
-    * form selects the identical set.
+    * form selects the identical set. Null keys are excluded BEFORE
+    * hashing — a null key is not a distinct value, and keeping it
+    * would diverge from any SQL oracle whose ranked list retains a
+    * NULL hash inside the bottom-k (oracles add the matching
+    * `WHERE key IS NOT NULL` so both engines agree by construction).
     */
   def kmvSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
       k: Int, salt: String = "kmv"): DataFrame = {
     require(k >= 2, s"kmvSketch: k must be >= 2, got $k")
     val gs = groupCols.map(col)
-    df.select(gs :+ PortableHash.hash60(
+    df.filter(col(keyCol).isNotNull)
+      .select(gs :+ PortableHash.hash60(
         concat(col(keyCol).cast("string"), lit(s"|$salt"))).as("__h"): _*)
       // phase 1: per (group, input partition) partial bottom-k — state
       // bounded by one partition's rows, completes map-side
@@ -105,8 +110,11 @@ object Sketches {
     */
   def dailyOverlap(df: DataFrame, tsCol: String, keyCol: String,
       k: Int): DataFrame = {
-    val days = df.select(to_date(col(tsCol)).as("day"),
-      col(keyCol).cast("string").as("__k")).distinct()
+    // null keys excluded up front (both the sketch AND the exact side —
+    // the oracle's days CTE carries the same IS NOT NULL predicate)
+    val days = df.filter(col(keyCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"),
+        col(keyCol).cast("string").as("__k")).distinct()
     val sk = kmvSketch(days, Seq("day"), "__k", k)
     val exact = days.groupBy(col("day"))
       .agg(count(lit(1)).as("__n")) // days is already distinct

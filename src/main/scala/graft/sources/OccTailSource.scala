@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -148,10 +148,17 @@ final class OccTailMicroBatchStream(dir: String, startingVersion: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[OccTailOffset].version
     val l = availableNowTarget.getOrElse(latest)
-    val capped = limit match {
-      case r: ReadMaxRows => math.min(l, s + r.maxRows())
-      case _ => l
+    // Spark may hand a CompositeReadLimit (e.g. Trigger.AvailableNow
+    // combined with admission options) — honor the tightest ReadMaxRows
+    // among the sub-limits instead of silently planning the whole log.
+    def maxRowsOf(rl: ReadLimit): Option[Long] = rl match {
+      case r: ReadMaxRows => Some(r.maxRows())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(maxRowsOf)
+          .reduceOption((a: Long, b: Long) => math.min(a, b))
+      case _ => None
     }
+    val capped = maxRowsOf(limit).map(m => math.min(l, s + m)).getOrElse(l)
     OccTailOffset(math.max(s, capped))
   }
 

@@ -485,7 +485,28 @@ class CurateSpec extends SparkSpec {
       Curate.weightedSystematicSample(df, "id", "w", "s1", m = 2,
         nParts = 2).collect()
     }
-    assert(ex.getMessage.contains("non-positive weight") ||
-      Option(ex.getCause).exists(_.getMessage.contains("non-positive weight")))
+    def hits(t: Throwable): Boolean = t != null &&
+      (t.getMessage != null && t.getMessage.contains("non-integral") ||
+        hits(t.getCause))
+    assert(hits(ex))
+  }
+
+  test("weightedSystematicSample: fractional weight refused, not truncated") {
+    // 0.6 would cast to 0 (silent drop) and 1.9 to 1 (halved mass) —
+    // the contract refuses both instead of skewing the mixture
+    val df = Seq((1L, 0.6), (2L, 1.9), (3L, 4.0)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Curate.weightedSystematicSample(df, "id", "w", "s1", m = 2,
+        nParts = 2).collect()
+    }
+    def hits(t: Throwable): Boolean = t != null &&
+      (t.getMessage != null && t.getMessage.contains("non-integral") ||
+        hits(t.getCause))
+    assert(hits(ex))
+    // integer-valued doubles still pass the integrality guard
+    val ok = Curate.weightedSystematicSample(
+      Seq((1L, 2.0), (2L, 3.0)).toDF("id", "w"), "id", "w", "s1",
+      m = 5, nParts = 2).collect()
+    assert(ok.map(_.getLong(2)).sum === 5L)
   }
 }

@@ -194,4 +194,31 @@ class OccTailSpec extends SparkSpec {
     q.stop()
     assert(rows.sorted === Seq((1L, 10L), (2L, 20L), (2L, 20L)))
   }
+
+  test("latestOffset honors ReadMaxRows inside a CompositeReadLimit (AvailableNow + admission options)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = freshDir("graft_occtail_composite")
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)     // v0
+    (1 to 4).foreach(i =>
+      OccTable.append(Seq((i.toLong, i * 10L)).toDF("id", "v"), dir)) // v1..v4
+    val ms = new OccTailMicroBatchStream(dir, "earliest", maxVersions = 2)
+    val start = OccTailOffset(-1L)
+    // bare ReadMaxRows: advance by exactly the cap
+    val bare = ms.latestOffset(start, ReadLimit.maxRows(2L))
+    assert(bare === OccTailOffset(1L))
+    // composite (AvailableNow wraps the admission cap): the tightest
+    // ReadMaxRows still applies — a backlogged catch-up must NOT plan
+    // the whole log in one trigger
+    val composite = ReadLimit.compositeLimit(
+      Array(ReadLimit.allAvailable(), ReadLimit.maxRows(2L)))
+    assert(ms.latestOffset(start, composite) === OccTailOffset(1L))
+    // two ReadMaxRows in one composite: the minimum wins
+    val two = ReadLimit.compositeLimit(
+      Array(ReadLimit.maxRows(3L), ReadLimit.maxRows(1L)))
+    assert(ms.latestOffset(start, two) === OccTailOffset(0L))
+    // a composite with no row cap falls back to all available
+    val none = ReadLimit.compositeLimit(
+      Array(ReadLimit.allAvailable(), ReadLimit.allAvailable()))
+    assert(ms.latestOffset(start, none) === OccTailOffset(4L))
+  }
 }
