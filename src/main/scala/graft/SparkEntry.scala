@@ -2806,6 +2806,22 @@ object SparkEntry {
     "q_transitions_stream" -> ((s, dir) =>
       graft.streaming.Pipeline.replayTransitionsStream(s, dir)),
 
+    // ---- X115 SESSION-BOUNDED form: consecutive events more than 2 h
+    //      apart are a session boundary, not a transition — the gap
+    //      rule whose pure event-time arithmetic makes the streaming
+    //      form's watermark eviction invisible to the output ----
+    "q_transitions_sessions" -> ((s, dir) =>
+      Behavior.transitions(Tables.events(s, dir), "user_id",
+        "event_type", "ts", "event_id", maxGapSec = 7200L)),
+
+    // ---- X115 SESSION-BOUNDED STREAMING form: same 2 h gap, with
+    //      idle keys EVICTED at the watermark (X78 timeout
+    //      discipline) — faces the SAME oracle as the batch form, so
+    //      the hash gate proves eviction never changes the answer ----
+    "q_transitions_sessions_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayTransitionsStream(s, dir,
+        maxGapSec = 7200L)),
+
     // ---- X118: RFM segmentation — per-user recency/frequency/monetary
     //      binned by ntile(4) over PINNED (metric, user) orders
     //      (deterministic in any engine, unlike percentile-boundary
@@ -2832,6 +2848,22 @@ object SparkEntry {
     //      the distinct-user matrix HASH-EQUAL to batch ----
     "q_cohort_stream" -> ((s, dir) =>
       graft.streaming.Pipeline.replayCohortStream(s, dir)),
+
+    // ---- X114 BOUNDED-RETENTION form: activity more than 7 days
+    //      after the cohort start re-enters the user as a NEW cohort
+    //      (sequential per-user fold over distinct days); the oracle
+    //      replays the reset chain with a recursive CTE ----
+    "q_cohort_bounded" -> ((s, dir) =>
+      Behavior.cohortRetentionBounded(Tables.events(s, dir), "user_id",
+        "ts", horizonDays = 7L)),
+
+    // ---- X114 BOUNDED-RETENTION STREAMING form: same 7-day horizon,
+    //      with fully-aged keys EVICTED at the watermark (X78 timeout
+    //      discipline) — faces the SAME recursive-CTE oracle as the
+    //      batch form, proving eviction is garbage collection only ----
+    "q_cohort_bounded_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayCohortStream(s, dir,
+        retentionDays = 7L)),
 
     // ---- X112: Misra–Gries heavy-hitters sketch, value-checked: per
     //      (lang, token) the EXACT count next to booleans pinning the
@@ -3109,6 +3141,59 @@ object SparkEntry {
     * and `q_cohort_stream` (state-deduped streaming emission —
     * hash-equal under the in-order contract).
     */
+  /** Session-bounded transition matrix shared by
+    * `q_transitions_sessions` (batch lag window with the gap
+    * predicate) and `q_transitions_sessions_stream` (watermark-evicted
+    * per-user state — hash-equal because the gap rule is pure
+    * event-time arithmetic).
+    */
+  private val TransitionsSessionsOracleSql =
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER w AS from_type,
+        |    event_type AS to_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE from_type IS NOT NULL
+        |        AND gap_us <= 7200000000 GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
+        |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin
+
+  /** Bounded-retention cohort matrix shared by `q_cohort_bounded`
+    * (batch per-user fold) and `q_cohort_bounded_stream` (watermark-
+    * evicted streaming state). The reset chain is inherently
+    * sequential, so the oracle walks it with a recursive CTE over the
+    * per-user day sequence.
+    */
+  private val CohortBoundedOracleSql =
+      """WITH RECURSIVE
+        |days AS (SELECT DISTINCT user_id AS u,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS d
+        |  FROM events),
+        |nd AS (SELECT u, d,
+        |    row_number() OVER (PARTITION BY u ORDER BY d) AS rn FROM days),
+        |seg AS (
+        |  SELECT u, d, rn, d AS cohort FROM nd WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.u, n.d, n.rn,
+        |    CASE WHEN n.d - s.cohort > 7 THEN n.d ELSE s.cohort END
+        |  FROM nd n JOIN seg s ON n.u = s.u AND n.rn = s.rn + 1),
+        |act AS (SELECT cohort, CAST(d - cohort AS BIGINT) AS day_offset,
+        |    CAST(count(*) AS BIGINT) AS n_active FROM seg GROUP BY 1, 2),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        |    FROM seg WHERE d = cohort GROUP BY 1)
+        |SELECT DATE '1970-01-01' + CAST(act.cohort AS INTEGER) AS cohort_day,
+        |  act.day_offset, act.n_active, sz.cohort_size,
+        |  round(CAST(act.n_active AS DOUBLE) /
+        |        CAST(sz.cohort_size AS DOUBLE), 6) AS retention
+        |FROM act JOIN sz ON act.cohort = sz.cohort""".stripMargin
+
   private val CohortOracleSql =
       """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
         |            FROM events),
@@ -5676,9 +5761,13 @@ object SparkEntry {
     // integer pair counts + one rounded division.
     "q_transitions" -> TransitionsOracleSql,
     "q_transitions_stream" -> TransitionsOracleSql,
+    "q_transitions_sessions" -> TransitionsSessionsOracleSql,
+    "q_transitions_sessions_stream" -> TransitionsSessionsOracleSql,
     // X114: integer distinct counts + one rounded division.
     "q_cohort_retention" -> CohortOracleSql,
     "q_cohort_stream" -> CohortOracleSql,
+    "q_cohort_bounded" -> CohortBoundedOracleSql,
+    "q_cohort_bounded_stream" -> CohortBoundedOracleSql,
     // X112 audit-twin: DuckDB replays the exact (lang, token) counts and
     // per-lang totals; the sketch-side booleans are theorems of the MG
     // two-sided window (all-integer comparison), so TRUE is pinned — an

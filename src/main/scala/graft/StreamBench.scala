@@ -96,18 +96,22 @@ object StreamBench {
     // per-sensor transition-pair enrichment (X115's streaming form):
     // O(1) last-event state per key, one emitted pair per arriving row
     // — the smallest stateful enrichment, measured live over
-    // temperature bands as the event alphabet
+    // temperature bands as the event alphabet. The 10-min session gap
+    // (X78 timeout discipline) evicts idle sensors at the watermark,
+    // so the state store tracks ACTIVE keys only.
     val trans = {
       import spark.implicits._
       graft.streaming.SteadyState.measureSensorWindowStream(spark,
         "transition_stream",
         r => graft.streaming.Stateful.transitionPairs(
-          r.select(col("sensor_id"),
+          r.select(col("sensor_id").as("user_id"),
             when(col("temperature") < 15, "low")
-              .when(col("temperature") < 30, "mid").otherwise("high"),
-            unix_micros(col("timestamp")),
-            xxhash64(col("temperature")))
-            .as[(String, String, Long, Long)])
+              .when(col("temperature") < 30, "mid").otherwise("high")
+              .as("event_type"),
+            col("timestamp").as("ts"),
+            xxhash64(col("temperature")).as("event_id"))
+            .withWatermark("ts", "10 seconds")
+            .as[graft.streaming.UserEvent], maxGapSec = 600L)
           .toDF("sensor_id", "from_band", "to_band"))
     }
     val combined = env.json.dropRight(1) +

@@ -72,15 +72,27 @@ object Behavior {
     * same aggregate re-grouped (vocabulary-sized) and broadcast back.
     * The total order is pinned by (ts, `id`) so the lag is identical in
     * any engine — a FULL value oracle.
+    *
+    * `maxGapSec` (default: unbounded) applies the session-boundary
+    * rule the streaming form's eviction depends on: consecutive events
+    * more than `maxGapSec` apart form NO transition — a long silence
+    * is a session break, not a behavioral step. With the bound set,
+    * this is the exact batch twin of
+    * [[graft.streaming.Stateful.transitionPairs]] with the same gap.
     */
   def transitions(ev: DataFrame, user: String, typ: String, ts: String,
-      id: String): DataFrame = {
+      id: String, maxGapSec: Long = Long.MaxValue): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(user)).orderBy(col(ts), col(id))
+    val gapPred =
+      if (maxGapSec >= Long.MaxValue / 1000000L) lit(true)
+      else unix_micros(col(ts)) - lag(unix_micros(col(ts)), 1).over(w) <=
+        lit(maxGapSec * 1000000L)
     val pairs = ev
       .select(col(user), col(typ).as("to_type"),
-        lag(col(typ), 1).over(w).as("from_type"))
-      .filter(col("from_type").isNotNull)
+        lag(col(typ), 1).over(w).as("from_type"),
+        gapPred.as("__in_gap"))
+      .filter(col("from_type").isNotNull && col("__in_gap"))
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
     val totals = pairs.groupBy(col("from_type"))
@@ -157,6 +169,54 @@ object Behavior {
     act.join(broadcast(sizes), col("cohort_day") === col("__cd"))
       .select(col("cohort_day"), col("day_offset"), col("n_active"),
         col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
+  /** Bounded-retention cohort matrix — the batch twin of
+    * [[graft.streaming.Stateful.cohortActivity]] with a retention
+    * horizon: a user's cohort is their first active day, and activity
+    * more than `horizonDays` after the cohort start RESETS the cohort
+    * to that day (the user re-enters as new). Fixed-window-from-start
+    * sessionization is inherently sequential (each reset depends on
+    * the previous cohort start), so it folds per user over the sorted
+    * DISTINCT day list — per-user state is that day list, bounded by
+    * data span / retention policy, never the raw events. One distinct
+    * aggregation + one user-keyed fold + the vocabulary-sized matrix
+    * rollup; oracle-able in SQL via a recursive CTE
+    * (`q_cohort_bounded`). Within a segment days are distinct, so
+    * offsets are unique — no dedup needed (the streaming form's `seen`
+    * set covers duplicate DELIVERY, which `distinct()` covers here).
+    */
+  def cohortRetentionBounded(ev: DataFrame, user: String, ts: String,
+      horizonDays: Long): DataFrame = {
+    require(horizonDays > 0, s"cohortRetentionBounded: $horizonDays")
+    import ev.sparkSession.implicits._
+    val acts = ev
+      .select(col(user).cast("string").as("__u"),
+        unix_date(to_date(col(ts))).cast("long").as("__d"))
+      .distinct()
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (u: String, it: Iterator[(String, Long)]) =>
+        val days = it.map(_._2).toVector.sorted
+        var cohort = days.head
+        days.iterator.map { d =>
+          if (d - cohort > horizonDays) cohort = d
+          (u, cohort, d - cohort)
+        }
+      }
+      .toDF("__u", "cohort_epoch_day", "day_offset")
+    val matrix = acts.groupBy(col("cohort_epoch_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = acts.filter(col("day_offset") === 0L)
+      .groupBy(col("cohort_epoch_day")).agg(count(lit(1)).as("cohort_size"))
+      .withColumnRenamed("cohort_epoch_day", "__cd")
+    matrix.join(broadcast(sizes), col("cohort_epoch_day") === col("__cd"))
+      .select(
+        date_from_unix_date(col("cohort_epoch_day").cast("int"))
+          .as("cohort_day"),
+        col("day_offset"), col("n_active"), col("cohort_size"),
         round(col("n_active").cast("double") /
           col("cohort_size").cast("double"), 6).as("retention"))
   }

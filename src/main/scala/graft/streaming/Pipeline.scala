@@ -669,9 +669,10 @@ object Pipeline {
       .createTempDirectory("graft_replay_funnel_ckpt")
     withReplayParallelism(spark) {
       val typed = stream
-        .select(col("user_id").cast("string"), col("event_type"),
-          unix_micros(col("ts")), col("event_id"))
-        .as[(String, String, Long, Long)]
+        .select(col("user_id").cast("string").as("user_id"),
+          col("event_type"), col("ts"), col("event_id"))
+        .withWatermark("ts", "0 seconds")
+        .as[UserEvent]
       val q = Stateful.funnelSnapshots(typed, steps, horizonSec)
         .toDF()
         .writeStream
@@ -687,8 +688,14 @@ object Pipeline {
       }
     }
     val snaps = TxnSink.committedRead(spark, outDir)
+    // latest = argmax n, tie-broken by EARLIEST funnel entry: terminal
+    // snapshots wear n = Long.MaxValue, so a post-eviction SECOND
+    // funnel (possible once the first's state is freed) never outranks
+    // the first — the consumer answers with the batch semantics (the
+    // funnel from the user's first entry) regardless of eviction timing
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("key").orderBy(col("n").desc)
+      .partitionBy("key")
+      .orderBy(col("n").desc, element_at(col("times"), 1).asc)
     val latest = snaps.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .select(col("times"))
@@ -712,14 +719,22 @@ object Pipeline {
     * exactly-once sink commits the pair stream, and the final
     * aggregation over committed pairs is HASH-EQUAL to the batch
     * lag-window matrix (`q_transitions`' own oracle).
+    *
+    * `maxGapSec` bounds per-user state lifetime: with it set, pairs
+    * across a longer silence are session boundaries (dropped in BOTH
+    * engines — `q_transitions_sessions`' oracle carries the same lag
+    * predicate) and idle keys are evicted at the watermark, so the
+    * state store tracks ACTIVE users only.
     */
-  def replayTransitionsStream(spark: SparkSession, dir: String): DataFrame = {
+  def replayTransitionsStream(spark: SparkSession, dir: String,
+      maxGapSec: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
     val user = sys.props.getOrElse("user.name", "anon")
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|trans".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$dir|trans|$maxGapSec".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val outRoot = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_replay_trans_$user", key)
     deleteRecursively(outRoot)
@@ -728,10 +743,11 @@ object Pipeline {
       .createTempDirectory("graft_replay_trans_ckpt")
     withReplayParallelism(spark) {
       val typed = stream
-        .select(col("user_id").cast("string"), col("event_type"),
-          unix_micros(col("ts")), col("event_id"))
-        .as[(String, String, Long, Long)]
-      val q = Stateful.transitionPairs(typed)
+        .select(col("user_id").cast("string").as("user_id"),
+          col("event_type"), col("ts"), col("event_id"))
+        .withWatermark("ts", "0 seconds")
+        .as[UserEvent]
+      val q = Stateful.transitionPairs(typed, maxGapSec)
         .toDF("user_id", "from_type", "to_type")
         .writeStream
         .outputMode("append")
@@ -764,14 +780,23 @@ object Pipeline {
     * offset) over the committed rows IS the distinct-user matrix —
     * hash-equal to the batch [[graft.ops.Behavior.cohortRetention]]
     * (`q_cohort_retention`'s own oracle).
+    *
+    * `retentionDays` bounds per-user state lifetime: with it set,
+    * activity past the horizon re-enters the user as a NEW cohort
+    * (the semantics [[graft.ops.Behavior.cohortRetentionBounded]]
+    * computes in batch and `q_cohort_bounded`'s recursive-CTE oracle
+    * replays) and fully-aged keys are evicted at the watermark, so
+    * the state store tracks ACTIVE users only.
     */
-  def replayCohortStream(spark: SparkSession, dir: String): DataFrame = {
+  def replayCohortStream(spark: SparkSession, dir: String,
+      retentionDays: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
     val user = sys.props.getOrElse("user.name", "anon")
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|cohort".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$dir|cohort|$retentionDays".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val outRoot = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_replay_cohort_$user", key)
     deleteRecursively(outRoot)
@@ -780,10 +805,11 @@ object Pipeline {
       .createTempDirectory("graft_replay_cohort_ckpt")
     withReplayParallelism(spark) {
       val typed = stream
-        .select(col("user_id").cast("string"),
-          unix_date(col("ts").cast("date")).cast("long"))
-        .as[(String, Long)]
-      val q = Stateful.cohortActivity(typed)
+        .select(col("user_id").cast("string").as("user_id"), col("ts"),
+          unix_date(col("ts").cast("date")).cast("long").as("epoch_day"))
+        .withWatermark("ts", "0 seconds")
+        .as[CohortEvent]
+      val q = Stateful.cohortActivity(typed, retentionDays)
         .toDF("user_id", "cohort_epoch_day", "day_offset")
         .writeStream
         .outputMode("append")

@@ -333,51 +333,96 @@ object Stateful {
       }
   }
 
+  /** Micros of a `Timestamp` — exact (getTime carries millis; getNanos
+    * the full fractional second), so parquet TIMESTAMP_MICROS values
+    * round-trip bit-identically through the typed encoders.
+    */
+  private def micros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** Streaming per-user FUNNEL tracking (X113's live form): each user
     * carries the ordered step-reach times in the state store and
     * advances the same first-occurrence machine the batch
     * [[graft.ops.Behavior.funnel]] computes — entry at the first
     * `steps(0)` event, each later step at the first event of its type
-    * STRICTLY after the previous step and within the horizon of entry;
-    * a converted user's state freezes. Rows are sorted by (ts, id)
-    * WITHIN each batch; correctness across batches assumes in-order
-    * (time-ranged) delivery per key — the replay harness guarantees
-    * it, and a production form would buffer to the watermark first.
-    * Under that contract the streamed reach times are EXACTLY the
-    * batch funnel's (first occurrence = min in sorted order), so the
-    * streamed rollup faces `q_funnel`'s own oracle hash-equal
-    * (`q_funnel_stream`). `n` counts rows processed (latest =
-    * argmax n).
+    * STRICTLY after the previous step and within the horizon of entry.
+    * Rows are sorted by (ts, id) WITHIN each batch; correctness across
+    * batches assumes in-order (time-ranged) delivery per key — the
+    * replay harness guarantees it, and a production form would buffer
+    * to the watermark first. Under that contract the streamed reach
+    * times are EXACTLY the batch funnel's (first occurrence = min in
+    * sorted order), so the streamed rollup faces `q_funnel`'s own
+    * oracle hash-equal (`q_funnel_stream`).
+    *
+    * State tracks LIVE funnels only (the X78 timeout discipline —
+    * callers must `withWatermark` the `ts` column):
+    *   - a user who never reached `steps(0)` keeps NO state (the
+    *     machine for an un-entered funnel is stateless);
+    *   - conversion emits a terminal snapshot with `n = Long.MaxValue`
+    *     and FREES the state (the outcome is final);
+    *   - an un-converted funnel arms an event-time timeout at
+    *     `entry + horizon`; when the watermark passes it the frozen
+    *     outcome is equally final (in-order delivery: every event that
+    *     could still advance it has ts ≤ entry + horizon and has
+    *     already arrived), so eviction emits the same terminal
+    *     snapshot and removes the state.
+    * A post-eviction event can start a SECOND funnel (the engine no
+    * longer remembers the first), but its snapshots carry small `n`
+    * and a later entry time, so the consumer rule — latest = argmax
+    * (n, then EARLIEST entry) — always answers with the FIRST funnel,
+    * i.e. the batch semantics, regardless of watermark timing:
+    * eviction is garbage collection, not a semantic knob. `n` counts
+    * rows processed within the funnel's lifetime (strictly increasing
+    * per live funnel).
     */
-  def funnelSnapshots(rows: Dataset[(String, String, Long, Long)],
+  def funnelSnapshots(rows: Dataset[UserEvent],
       steps: Seq[String], horizonSec: Long): Dataset[FunnelSnapshot] = {
     import rows.sparkSession.implicits._
     require(steps.length >= 2, "funnelSnapshots: need at least 2 steps")
     val horizonUs = horizonSec * 1000000L
     rows
-      .groupByKey(_._1)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelSnapshot, FunnelSnapshot](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[(String, String, Long, Long)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[UserEvent],
             state: GroupState[FunnelSnapshot]) =>
-          val prev = state.getOption.getOrElse(
-            FunnelSnapshot(key, 0L, Vector.empty))
-          var times = prev.times.toVector
-          var n = prev.n
-          it.toVector.sortBy(r => (r._3, r._4)).foreach {
-            case (_, typ, ts, _) =>
+          if (state.hasTimedOut) {
+            // horizon passed: the outcome froze — terminal snapshot
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelSnapshot(key, Long.MaxValue, s.times))
+          } else {
+            val prev = state.getOption
+            var times = prev.map(_.times.toVector).getOrElse(Vector.empty)
+            var n = prev.map(_.n).getOrElse(0L)
+            it.toVector.sortBy(r => (micros(r.ts), r.event_id)).foreach { r =>
+              val ts = micros(r.ts)
               n += 1
               if (times.isEmpty) {
-                if (typ == steps.head) times = Vector(ts)
+                if (r.event_type == steps.head) times = Vector(ts)
               } else if (times.length < steps.length &&
-                  typ == steps(times.length) && ts > times.last &&
+                  r.event_type == steps(times.length) && ts > times.last &&
                   ts <= times.head + horizonUs) {
                 times = times :+ ts
               }
+            }
+            if (times.isEmpty) {
+              // never entered: nothing to track, nothing to say
+              if (state.exists) state.remove()
+              Iterator.empty
+            } else if (times.length == steps.length) {
+              // converted: terminal snapshot now, state freed
+              if (state.exists) state.remove()
+              Iterator.single(FunnelSnapshot(key, Long.MaxValue, times))
+            } else {
+              val cur = FunnelSnapshot(key, n, times)
+              state.update(cur)
+              state.setTimeoutTimestamp(math.max(
+                (times.head + horizonUs) / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+              Iterator.single(cur)
+            }
           }
-          val cur = FunnelSnapshot(key, n, times)
-          state.update(cur)
-          Iterator.single(cur)
       }
   }
 
@@ -391,69 +436,150 @@ object Stateful {
     * P(to\|from)) is hash-equal to the batch transition matrix
     * (`q_transitions_stream`). State per user is O(1) — the smallest
     * possible stateful enrichment.
+    *
+    * `maxGapSec` bounds state lifetime (the X78 timeout discipline —
+    * callers must `withWatermark` the `ts` column): a pair forms ONLY
+    * when the two events are at most `maxGapSec` apart (a longer
+    * silence is a session boundary, not a transition), and a key idle
+    * past that gap is evicted at the watermark emitting nothing.
+    * Because the gap test is pure event-time arithmetic, eviction
+    * timing cannot change the emitted pair set — a post-eviction
+    * event's would-be pair had gap > maxGapSec and is dropped by the
+    * predicate in any interleaving; state tracks ACTIVE users only.
+    * The default (no gap) reproduces the plain lag semantics and never
+    * arms a timeout.
     */
-  def transitionPairs(rows: Dataset[(String, String, Long, Long)])
+  def transitionPairs(rows: Dataset[UserEvent],
+      maxGapSec: Long = Long.MaxValue)
       : Dataset[(String, String, String)] = {
     import rows.sparkSession.implicits._
+    require(maxGapSec > 0, s"transitionPairs: maxGapSec=$maxGapSec")
+    val unbounded = maxGapSec >= Long.MaxValue / 1000000L
+    val gapUs = if (unbounded) Long.MaxValue else maxGapSec * 1000000L
     rows
-      .groupByKey(_._1)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[(String, Long, Long), (String, String, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[(String, String, Long, Long)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[UserEvent],
             state: GroupState[(String, Long, Long)]) =>
-          var last = state.getOption
-          val out = Vector.newBuilder[(String, String, String)]
-          it.toVector.sortBy(r => (r._3, r._4)).foreach {
-            case (_, typ, ts, id) =>
-              last.foreach { case (from, _, _) => out += ((key, from, typ)) }
-              last = Some((typ, ts, id))
-          }
-          last.foreach(state.update)
-          out.result().iterator
-      }
-  }
-
-  /** Streaming cohort-activity emission (X114's live form): per user,
-    * the state is the cohort day (first active day, fixed once seen)
-    * plus the set of day-offsets already emitted; each NEW
-    * (user, day) activity emits ONE (user, cohortDayEpoch, dayOffset)
-    * row — state-deduped first-occurrence emission, so a plain
-    * count(*) per (cohort, offset) over the committed append stream
-    * IS the distinct-user retention matrix, hash-equal to the batch
-    * [[graft.ops.Behavior.cohortRetention]] under the in-order
-    * contract (the cohort day must be the true first day, which
-    * in-order delivery guarantees). State per user is O(active days),
-    * bounded by the tracking horizon.
-    */
-  def cohortActivity(rows: Dataset[(String, Long)])
-      : Dataset[(String, Long, Long)] = {
-    import rows.sparkSession.implicits._
-    rows
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Seq[Long]), (String, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[(String, Long)],
-            state: GroupState[(Long, Seq[Long])]) =>
-          val days = it.map(_._2).toVector.sorted
-          if (days.isEmpty) Iterator.empty
-          else {
-            val (cohort, seen0) = state.getOption
-              .getOrElse((days.head, Vector.empty[Long]))
-            var seen = seen0.toSet
-            val out = Vector.newBuilder[(String, Long, Long)]
-            days.foreach { d =>
-              val off = d - cohort
-              if (off >= 0 && !seen.contains(off)) {
-                seen += off
-                out += ((key, cohort, off))
+          if (state.hasTimedOut) {
+            // idle past the gap: no future event can pair with this
+            // state (in-order delivery ⇒ its gap would exceed maxGap)
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption
+            val out = Vector.newBuilder[(String, String, String)]
+            it.toVector.sortBy(r => (micros(r.ts), r.event_id)).foreach { r =>
+              val ts = micros(r.ts)
+              last.foreach { case (from, lastTs, _) =>
+                if (ts - lastTs <= gapUs) out += ((key, from, r.event_type))
               }
+              last = Some((r.event_type, ts, r.event_id))
             }
-            state.update((cohort, seen.toVector.sorted))
+            last.foreach { s =>
+              state.update(s)
+              if (!unbounded) state.setTimeoutTimestamp(math.max(
+                s._2 / 1000L + gapUs / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
             out.result().iterator
           }
       }
   }
+
+  /** Streaming cohort-activity emission (X114's live form): per user,
+    * the state is the cohort day (first active day) plus the set of
+    * day-offsets already emitted; each NEW (user, day) activity emits
+    * ONE (user, cohortDayEpoch, dayOffset) row — state-deduped
+    * first-occurrence emission, so a plain count(*) per (cohort,
+    * offset) over the committed append stream IS the distinct-user
+    * retention matrix, hash-equal to the batch
+    * [[graft.ops.Behavior.cohortRetention]] under the in-order
+    * contract (the cohort day must be the true first day, which
+    * in-order delivery guarantees).
+    *
+    * `retentionDays` bounds state lifetime (the X78 timeout
+    * discipline — callers must `withWatermark` the `ts` column):
+    * activity more than `retentionDays` after the cohort start RESETS
+    * the user's cohort to that day (fixed-window-from-start
+    * re-cohorting: tracking stops at the horizon and the user
+    * re-enters as a NEW cohort on their next activity;
+    * [[graft.ops.Behavior.cohortRetentionBounded]]
+    * is the batch twin), and a key whose horizon fully passed the
+    * watermark is evicted. Because the reset test is pure event-time
+    * arithmetic, eviction timing cannot change the emitted rows: a
+    * post-eviction event has offset > retentionDays by construction
+    * (the watermark passed cohort + retention before it arrived) and
+    * re-creates exactly the state the reset path would have built —
+    * eviction is garbage collection; state tracks ACTIVE users only,
+    * each at most `retentionDays + 1` offsets. The default (no bound)
+    * reproduces the fixed-cohort semantics and never arms a timeout.
+    */
+  def cohortActivity(rows: Dataset[CohortEvent],
+      retentionDays: Long = Long.MaxValue)
+      : Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    require(retentionDays > 0, s"cohortActivity: retentionDays=$retentionDays")
+    val unbounded = retentionDays >= 100000000L // ~270,000 years of days
+    rows
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[CohortEvent],
+            state: GroupState[(Long, Seq[Long])]) =>
+          if (state.hasTimedOut) {
+            // horizon fully behind the watermark: any future activity
+            // resets the cohort anyway — the state is dead weight
+            state.remove()
+            Iterator.empty
+          } else {
+            val days = it.map(_.epoch_day).toVector.sorted
+            if (days.isEmpty) Iterator.empty
+            else {
+              val init = state.getOption
+                .getOrElse((days.head, Vector.empty[Long]))
+              var cohort = init._1
+              var seen = init._2.toSet
+              val out = Vector.newBuilder[(String, Long, Long)]
+              days.foreach { d =>
+                val off = d - cohort
+                if (!unbounded && off > retentionDays) {
+                  // past the tracking horizon: new cohort at this day
+                  cohort = d
+                  seen = Set(0L)
+                  out += ((key, d, 0L))
+                } else if (off >= 0 && !seen.contains(off)) {
+                  seen += off
+                  out += ((key, cohort, off))
+                }
+              }
+              state.update((cohort, seen.toVector.sorted))
+              if (!unbounded) state.setTimeoutTimestamp(math.max(
+                (cohort + retentionDays + 1L) * 86400000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+              out.result().iterator
+            }
+          }
+      }
+  }
 }
+
+/** One user event feeding the behavioral streaming states (X113/X115
+  * live forms). `ts` is the event-time column callers watermark —
+  * event-time timeouts require it, and keeping it in the row (rather
+  * than pre-converted micros) lets the engine pre-filter late input
+  * exactly as [[Stateful.ewmaAnomalies]] does.
+  */
+final case class UserEvent(user_id: String, event_type: String,
+    ts: Timestamp, event_id: Long)
+
+/** One user-day activity row feeding [[Stateful.cohortActivity]]:
+  * `ts` is the watermark column, `epoch_day` its pre-derived day
+  * (callers pin the derivation so batch and stream agree).
+  */
+final case class CohortEvent(user_id: String, ts: Timestamp,
+    epoch_day: Long)
 
 /** One key's running heavy-hitters state as of some micro-batch. */
 final case class MgSnapshot(key: String, sketch: MgBuf)

@@ -481,11 +481,31 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** (user, type, tsMicros, id) tuples → the watermarked UserEvent
+    * stream the behavioral states consume (event-time timeouts
+    * require the watermark even when unbounded).
+    */
+  private def userEvents(mem: MemoryStream[(String, String, Long, Long)]) =
+    mem.toDS()
+      .select(col("_1").as("user_id"), col("_2").as("event_type"),
+        timestamp_micros(col("_3")).as("ts"), col("_4").as("event_id"))
+      .withWatermark("ts", "0 seconds")
+      .as[graft.streaming.UserEvent]
+
+  /** (user, epochDay) tuples → the watermarked CohortEvent stream. */
+  private def cohortEvents(mem: MemoryStream[(String, Long)]) =
+    mem.toDS()
+      .select(col("_1").as("user_id"),
+        timestamp_seconds(col("_2") * 86400L).as("ts"),
+        col("_2").as("epoch_day"))
+      .withWatermark("ts", "0 seconds")
+      .as[graft.streaming.CohortEvent]
+
   test("funnelSnapshots: in-order ragged batches reproduce the batch funnel exactly") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, Long, Long)]
     val steps = Seq("view", "click", "purchase")
-    val q = Stateful.funnelSnapshots(mem.toDS(), steps, horizonSec = 3600L)
+    val q = Stateful.funnelSnapshots(userEvents(mem), steps, horizonSec = 3600L)
       .writeStream.format("memory").queryName("funnel_snap_test")
       .outputMode("append").start()
     val us = 1000000L
@@ -534,7 +554,7 @@ class StatefulSpec extends SparkSpec {
   test("transitionPairs: pairs form across batch boundaries from O(1) state; none across users") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, Long, Long)]
-    val q = Stateful.transitionPairs(mem.toDS())
+    val q = Stateful.transitionPairs(userEvents(mem))
       .toDF("u", "from", "to")
       .writeStream.format("memory").queryName("trans_pairs_test")
       .outputMode("append").start()
@@ -559,7 +579,7 @@ class StatefulSpec extends SparkSpec {
   test("cohortActivity: one emission per (user, offset); cohort fixed by first batch; duplicates silent") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
-    val q = Stateful.cohortActivity(mem.toDS())
+    val q = Stateful.cohortActivity(cohortEvents(mem))
       .toDF("u", "cohort", "off")
       .writeStream.format("memory").queryName("cohort_act_test")
       .outputMode("append").start()
@@ -575,6 +595,116 @@ class StatefulSpec extends SparkSpec {
       assert(got === Seq(
         ("u1", 100L, 0L), ("u1", 100L, 1L), ("u1", 100L, 2L),
         ("u2", 100L, 0L), ("u2", 100L, 3L)))
+    } finally q.stop()
+  }
+
+  /** State rows in the last completed micro-batch of `q` — the direct
+    * observation that eviction actually REMOVED store rows (not just
+    * that emissions look right).
+    */
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .last.stateOperators.head.numRowsTotal
+
+  test("funnelSnapshots eviction: horizon passage emits the terminal snapshot, frees state, and a second funnel never outranks the first") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val q = Stateful.funnelSnapshots(userEvents(mem),
+        Seq("view", "click", "purchase"), horizonSec = 3600L)
+      .writeStream.format("memory").queryName("funnel_evict_test")
+      .outputMode("append").start()
+    val us = 1000000L
+    try {
+      // u1 enters at t=1000 s; horizon ends 4600 s
+      mem.addData(Seq(("u1", "view", 1000L * us, 1L)))
+      q.processAllAvailable()
+      // watermark → 10000 s (past u1's horizon) via another key; the
+      // watermark-change follow-up batch fires u1's timeout
+      mem.addData(Seq(("ux", "view", 10000L * us, 2L)))
+      q.processAllAvailable()
+      // ux advances INSIDE its own horizon (13600 s) so only u1 evicts
+      mem.addData(Seq(("ux", "click", 12000L * us, 3L)))
+      q.processAllAvailable()
+      val afterEvict = spark.table("funnel_evict_test")
+        .as[graft.streaming.FunnelSnapshot].collect()
+      val term = afterEvict.filter(s => s.key == "u1" && s.n == Long.MaxValue)
+      assert(term.length === 1, "exactly one terminal snapshot on eviction")
+      assert(term.head.times === Seq(1000L * us), "frozen at the horizon")
+      // state freed: only ux (live funnel from its view) remains stored
+      assert(stateRows(q) === 1L)
+      // a post-eviction SECOND u1 funnel emits small-n snapshots only;
+      // the consumer rule (argmax n, then earliest entry) still answers
+      // with the FIRST funnel — eviction is GC, not a semantic knob
+      mem.addData(Seq(("u1", "view", 30000L * us, 4L)))
+      q.processAllAvailable()
+      val snaps = spark.table("funnel_evict_test")
+        .as[graft.streaming.FunnelSnapshot].collect().filter(_.key == "u1")
+      val latest = snaps.maxBy(s => (s.n, -s.times.head))
+      assert(latest.times === Seq(1000L * us))
+    } finally q.stop()
+  }
+
+  test("transitionPairs eviction: session gap drops the pair in any interleaving and idle keys leave the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, Long)]
+    val q = Stateful.transitionPairs(userEvents(mem), maxGapSec = 100L)
+      .toDF("u", "from", "to")
+      .writeStream.format("memory").queryName("trans_evict_test")
+      .outputMode("append").start()
+    val us = 1000000L
+    try {
+      // in-gap pair forms; ux is a watermark driver (gaps always > 100 s)
+      mem.addData(Seq(("u1", "A", 10L * us, 1L), ("u1", "B", 50L * us, 2L)))
+      q.processAllAvailable()
+      // 150 s silence: session boundary — NO pair, state re-arms
+      mem.addData(Seq(("u1", "C", 200L * us, 3L), ("ux", "D", 500L * us, 4L)))
+      q.processAllAvailable()
+      // watermark 500 s passes u1's timeout (200+100+ε) → u1 evicted
+      mem.addData(Seq(("ux", "D", 1000L * us, 5L)))
+      q.processAllAvailable()
+      assert(stateRows(q) === 1L, "idle u1 evicted; only ux remains")
+      // post-eviction event forms no pair — its would-be gap (900 s)
+      // exceeds maxGap anyway: eviction timing cannot change the output
+      mem.addData(Seq(("u1", "E", 1100L * us, 6L)))
+      q.processAllAvailable()
+      val got = spark.table("trans_evict_test")
+        .as[(String, String, String)].collect().sorted.toSeq
+      assert(got === Seq(("u1", "A", "B")))
+    } finally q.stop()
+  }
+
+  test("cohortActivity eviction: dormancy past the retention horizon re-enters the user as a NEW cohort; aged keys leave the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = Stateful.cohortActivity(cohortEvents(mem), retentionDays = 5L)
+      .toDF("u", "cohort", "off")
+      .writeStream.format("memory").queryName("cohort_evict_test")
+      .outputMode("append").start()
+    try {
+      // u1 cohort day 100, active day 103 (offset 3 ≤ 5)
+      mem.addData(Seq(("u1", 100L), ("u1", 103L)))
+      q.processAllAvailable()
+      // day 110 is offset 10 > 5 → RESET to a new cohort at 110
+      mem.addData(Seq(("u1", 110L), ("u2", 111L)))
+      q.processAllAvailable()
+      // watermark → day 130; u1 horizon (116) and u2's (117) both passed
+      mem.addData(Seq(("ux", 130L)))
+      q.processAllAvailable()
+      mem.addData(Seq(("ux", 131L)))
+      q.processAllAvailable()
+      assert(stateRows(q) === 1L, "aged u1/u2 evicted; only ux remains")
+      // post-eviction activity re-creates exactly the reset path's
+      // state (day 132: strictly past the watermark — a row AT the
+      // watermark is dropped as late, the same contract as production)
+      mem.addData(Seq(("u1", 132L)))
+      q.processAllAvailable()
+      val got = spark.table("cohort_evict_test")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got === Seq(
+        ("u1", 100L, 0L), ("u1", 100L, 3L), ("u1", 110L, 0L),
+        ("u1", 132L, 0L),
+        ("u2", 111L, 0L),
+        ("ux", 130L, 0L), ("ux", 130L, 1L)))
     } finally q.stop()
   }
 
