@@ -3063,6 +3063,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // ---- Delta-parity partitionValues IN THE OCC LOG: the table is
+    //      written partitioned by event_type, each add action records
+    //      its file's partition value, and readPartitionPruned plans
+    //      ONLY the asked partition's files (composed with an X117
+    //      value-stats interval — pruning power multiplies) — result
+    //      ≡ the plain doubly-filtered table ----
+    "q_occ_partition_prune" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|pvprune".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_pv_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      // two partitioned commits so pruning spans init AND append adds
+      OccTable.init(ev.filter(col("event_id") % 2 === 0), t,
+        statsColumns = Seq("value"), partitionBy = Seq("event_type"))
+      OccTable.append(ev.filter(col("event_id") % 2 === 1), t,
+        statsColumns = Seq("value"), partitionBy = Seq("event_type"))
+      OccTable.checkpoint(s, t) // pv must survive the checkpoint fold
+      OccTable.readPartitionPruned(s, t,
+          Seq("event_type" -> "click"), Seq(("value", 20.0, 80.0)))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
     // ---- OCC × streaming (the lakehouse shape): four micro-batches of
     //      the events replay land as idempotent fenced OCC appends
     //      (SetTransaction form) while a compaction rewrite races them
@@ -5920,6 +5952,13 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM f GROUP BY 1""".stripMargin,
+
+    // Partition pruning must be invisible in the result — the pruned
+    // read replays as a plain conjunctive filter over the same table.
+    "q_occ_partition_prune" ->
+      """SELECT event_id, event_type, round(value, 6) AS value
+        |FROM events
+        |WHERE event_type = 'click' AND value >= 20 AND value <= 80""".stripMargin,
 
     "q_upsert_partitioned" ->
       """WITH snap AS (

@@ -77,7 +77,8 @@ object OccTable {
   final case class Snapshot(version: Long, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
-      stats: Map[String, String] = Map.empty) {
+      stats: Map[String, String] = Map.empty,
+      pvs: Map[String, Map[String, String]] = Map.empty) {
     /** The log schema in force at this version, if the log records one
       * (v0 of every table initialized since X104 does).
       */
@@ -87,14 +88,17 @@ object OccTable {
 
   /** The parsed action set of one commit (or checkpoint) file.
     * `addStats` carries the per-file column statistics of X117's
-    * extended add action (`add <name>\t<stats>`); `adds` always holds
-    * the bare names, so every pre-X117 consumer (tail source, fold,
-    * vacuum) reads both log generations identically.
+    * extended add action (`add <name>\t<stats>`); `addPvs` the
+    * per-file partition values of the Delta-parity `partitionValues`
+    * extension (`add <name>\t<stats>\tpv=…`); `adds` always holds the
+    * bare names, so every pre-X117 consumer (tail source, fold,
+    * vacuum) reads every log generation identically.
     */
   final case class Actions(adds: Seq[String], removes: Seq[String],
       txns: Seq[(String, Long)], schemaJson: Option[String],
       schemaHash: Option[String],
-      addStats: Map[String, String] = Map.empty)
+      addStats: Map[String, String] = Map.empty,
+      addPvs: Map[String, Map[String, String]] = Map.empty)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
@@ -108,6 +112,20 @@ object OccTable {
     */
   final class SchemaEvolutionException(msg: String)
     extends RuntimeException(msg)
+
+  /** Thrown by [[snapshotAt]]/[[readAt]] when the asked version's data
+    * files may have been reclaimed by a [[vacuum]] — the loud guard
+    * that turns a would-be missing-file scan error deep in a job into
+    * a named refusal at plan time. `vacuumedThrough` is the highest
+    * version vacuum stopped guaranteeing; `vacuumedThrough + 1` is the
+    * earliest readable history.
+    */
+  final class VacuumedVersionException(
+      val version: Long, val vacuumedThrough: Long)
+    extends RuntimeException(
+      s"OccTable: version $version was vacuumed away (history " +
+        s"reclaimed through $vacuumedThrough; earliest readable " +
+        s"version is ${vacuumedThrough + 1})")
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -126,6 +144,29 @@ object OccTable {
   private def checkpointPath(dir: String, v: Long): Path =
     new Path(s"$dir/$LogDirName/v${"%020d".format(v)}.chk")
 
+  private def vacuumMarkerPath(dir: String): Path =
+    new Path(s"$dir/$LogDirName/vacuumedThrough")
+
+  /** Highest version [[vacuum]] stopped guaranteeing (−1 = never
+    * vacuumed / full history intact).
+    */
+  def vacuumedThrough(spark: SparkSession, dir: String): Long = {
+    val fsys = fs(spark, dir)
+    val p = vacuumMarkerPath(dir)
+    if (!fsys.exists(p)) -1L
+    else {
+      val in = fsys.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeVacuumMarker(fsys: FileSystem, dir: String,
+      through: Long): Unit = {
+    val out = fsys.create(vacuumMarkerPath(dir), true)
+    try out.write(s"$through\n".getBytes("UTF-8")) finally out.close()
+  }
+
   private def listCheckpoints(fsys: FileSystem, dir: String): Seq[Long] = {
     val log = new Path(s"$dir/$LogDirName")
     if (!fsys.exists(log)) Seq.empty
@@ -143,11 +184,17 @@ object OccTable {
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
+    // add-line fields after the name: a non-`pv=` non-empty field is
+    // the stats payload, a `pv=` field the partition values — position
+    // -independent, so every log generation parses identically
     val addPairs = lines.collect {
       case s if s.startsWith("add ") => s.stripPrefix("add ")
     }.map { l =>
-      val i = l.indexOf('\t')
-      if (i < 0) (l, None) else (l.substring(0, i), Some(l.substring(i + 1)))
+      val fields = l.split('\t')
+      val name = fields.head
+      val stats = fields.tail.find(f => f.nonEmpty && !f.startsWith("pv="))
+      val pv = fields.tail.find(_.startsWith("pv=")).map(parsePv)
+      (name, stats, pv)
     }
     Actions(
       addPairs.map(_._1),
@@ -160,7 +207,8 @@ object OccTable {
         s.stripPrefix("schema ") },
       lines.collectFirst { case s if s.startsWith("schemaHash ") =>
         s.stripPrefix("schemaHash ") },
-      addPairs.collect { case (n, Some(s)) => n -> s }.toMap)
+      addPairs.collect { case (n, Some(s), _) => n -> s }.toMap,
+      addPairs.collect { case (n, _, Some(p)) => n -> p }.toMap)
   }
 
   /** Commit-log versions and their parsed actions over `(after, upTo]`
@@ -203,16 +251,39 @@ object OccTable {
     newSchemaJson.map(j => s"schema $j").toSeq ++
       inForceAfter.map(j => s"schemaHash ${schemaHashOf(j)}").toSeq
 
-  /** One add action line: `add <name>` or, when the commit carries
-    * per-file column statistics (X117), `add <name>\t<stats>` — the
-    * tab-extended Delta `AddFile.stats` shape. Pre-X117 readers of the
-    * bare form and X117 readers of either form agree on the file set.
+  /** One add action line: `add <name>`, `add <name>\t<stats>` (X117,
+    * the tab-extended Delta `AddFile.stats` shape), or with the file's
+    * partition values as a third tab field (Delta `AddFile
+    * .partitionValues` parity): `add <name>\t<stats>\tpv=k=v;…` —
+    * stats empty when the commit carries partition values but no
+    * stats. Keys and values are URL-encoded, so the `=`/`;`/tab
+    * separators are unambiguous. Pre-extension readers of any form
+    * agree on the file set.
     */
-  private def addLine(name: String, stats: Option[String]): String =
-    stats match {
-      case Some(s) => s"add $name\t$s"
-      case None => s"add $name"
+  private def addLine(name: String, stats: Option[String],
+      pv: Option[Map[String, String]] = None): String = {
+    val pvField = pv.filter(_.nonEmpty).map(m =>
+      "pv=" + m.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${urlEnc(k)}=${urlEnc(v)}" }.mkString(";"))
+    (pvField, stats) match {
+      case (Some(p), s) => s"add $name\t${s.getOrElse("")}\t$p"
+      case (None, Some(s)) => s"add $name\t$s"
+      case (None, None) => s"add $name"
     }
+  }
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def urlDec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def parsePv(field: String): Map[String, String] =
+    field.stripPrefix("pv=").split(';').iterator.filter(_.nonEmpty).map {
+      kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"OccTable: malformed partition-value entry '$kv'")
+        urlDec(kv.substring(0, i)) -> urlDec(kv.substring(i + 1))
+    }.toMap
 
   /** Per-file stats encoding: `rows=<n>|<col>=<min>,<max>,<nulls>|…`
     * with min/max as `Double.toString` of the column's STAT PROJECTION
@@ -306,10 +377,29 @@ object OccTable {
     * use case: a layout clustered on two keys skips on both).
     */
   def readPrunedMulti(spark: SparkSession, dir: String,
-      preds: Seq[(String, Double, Double)]): DataFrame = {
-    require(preds.nonEmpty, "OccTable.readPrunedMulti: no predicates")
+      preds: Seq[(String, Double, Double)]): DataFrame =
+    readPartitionPruned(spark, dir, Seq.empty, preds)
+
+  /** PARTITION PRUNING off the log (Delta `partitionValues` parity,
+    * composed with X117 stats skipping): plan only the live files
+    * whose log-recorded partition values equal every `pvEq` entry AND
+    * whose stats intervals intersect every `preds` entry. Values
+    * compare in string form (the form the log records — a value's
+    * `cast("string")` at write time); files without recorded values
+    * for an asked key (legacy commits, compaction rewrites) are NEVER
+    * pruned, and the exact residual filter keeps the result identical
+    * to the unpruned scan regardless. Metadata-only: O(#live files)
+    * driver work off the snapshot, untouched partitions' files never
+    * enter the plan.
+    */
+  def readPartitionPruned(spark: SparkSession, dir: String,
+      pvEq: Seq[(String, String)],
+      preds: Seq[(String, Double, Double)] = Seq.empty): DataFrame = {
+    require(pvEq.nonEmpty || preds.nonEmpty,
+      "OccTable.readPartitionPruned: no predicates")
     val snap = snapshot(spark, dir)
-    val kept = preds.foldLeft(snap.files) { case (fs0, (c, lo, hi)) =>
+    val pvKept = partitionPrunedFiles(snap, pvEq)
+    val kept = preds.foldLeft(pvKept) { case (fs0, (c, lo, hi)) =>
       prunedFiles(snap.copy(files = fs0), c, lo, hi)
     }
     val st = snap.schema
@@ -324,11 +414,27 @@ object OccTable {
       case (None, files) =>
         spark.read.parquet(files.map(f => s"$dir/$f"): _*)
     }
-    preds.foldLeft(base) { case (d, (c, lo, hi)) =>
+    val withPv = pvEq.foldLeft(base) { case (d, (k, v)) =>
+      d.filter(col(k).cast("string") === lit(v))
+    }
+    preds.foldLeft(withPv) { case (d, (c, lo, hi)) =>
       val proj = statProjection(st.getOrElse(base.schema), c)
       d.filter(proj >= lit(lo) && proj <= lit(hi))
     }
   }
+
+  /** The partition-pruning decision, exposed for audits: live files
+    * whose recorded partition values equal every asked (key, value) —
+    * files without a recorded value for an asked key survive (cannot
+    * prune what the log does not know).
+    */
+  private[sources] def partitionPrunedFiles(snap: Snapshot,
+      pvEq: Seq[(String, String)]): Seq[String] =
+    snap.files.filter { f =>
+      pvEq.forall { case (k, v) =>
+        snap.pvs.get(f).flatMap(_.get(k)).forall(_ == v)
+      }
+    }
 
   /** The file-skipping decision, exposed for audits: live files whose
     * stats interval for `c` intersects [lo, hi] (or which carry no
@@ -425,6 +531,11 @@ object OccTable {
   def snapshotAt(spark: SparkSession, dir: String,
       version: Long): Snapshot = {
     val fsys = fs(spark, dir)
+    // loud vacuum guard: a version at/below the marker may reference
+    // reclaimed files — refuse by name at plan time, not scan time
+    val through = vacuumedThrough(spark, dir)
+    if (version <= through)
+      throw new VacuumedVersionException(version, through)
     val vs = listVersions(fsys, dir).toSet
     val chkAt = listCheckpoints(fsys, dir).filter(_ <= version).lastOption
     // reconstructible = a checkpoint at/below `version` plus a complete
@@ -441,14 +552,19 @@ object OccTable {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     val stats = scala.collection.mutable.Map.empty[String, String]
+    val pvs = scala.collection.mutable.Map.empty[String, Map[String, String]]
     var schemaJson: Option[String] = None
     def fold(a: Actions): Unit = {
-      a.removes.foreach { n => live -= n; stats -= n }
+      a.removes.foreach { n => live -= n; stats -= n; pvs -= n }
       a.adds.foreach { n =>
         live += n
         a.addStats.get(n) match {
           case Some(s) => stats(n) = s
           case None => stats -= n
+        }
+        a.addPvs.get(n) match {
+          case Some(p) => pvs(n) = p
+          case None => pvs -= n
         }
       }
       a.txns.foreach { case (app, ver) =>
@@ -459,7 +575,8 @@ object OccTable {
     chkAt.foreach(c => fold(parseActions(fsys, checkpointPath(dir, c))))
     need.filter(vs.contains).sorted.foreach(v =>
       fold(readActions(fsys, dir, v)))
-    Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap)
+    Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap,
+      pvs.toMap)
   }
 
   /** [[read]] at a historical version — see [[snapshotAt]]. */
@@ -499,7 +616,8 @@ object OccTable {
   def checkpoint(spark: SparkSession, dir: String): Long = {
     val fsys = fs(spark, dir)
     val snap = snapshot(spark, dir)
-    val body = (snap.files.map(n => addLine(n, snap.stats.get(n))) ++
+    val body = (snap.files.map(n =>
+      addLine(n, snap.stats.get(n), snap.pvs.get(n))) ++
       snap.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn $a $v" } ++
       schemaLines(snap.schemaJson, snap.schemaJson))
       .mkString("", "\n", "\n").getBytes("UTF-8")
@@ -549,23 +667,80 @@ object OccTable {
     * names — referenced by no log version yet, so invisible to readers
     * until a commit lists them.
     */
-  private def stage(df: DataFrame, dir: String): Seq[String] = {
+  private def stage(df: DataFrame, dir: String): Seq[String] =
+    stagePartitioned(df, dir, Seq.empty)._1
+
+  /** Directory prefix of the throwaway partition columns the
+    * partitioned stage writes by — never lands in file content or the
+    * committed layout, only in staging paths.
+    */
+  private val PvStagePrefix = "__occ_pv_"
+
+  /** [[stage]] with log-recorded partition values (Delta
+    * `partitionValues` parity): when `partitionBy` is non-empty the
+    * frame is written `partitionBy` DUPLICATE string columns — the
+    * real columns stay in file content, so a flat scan needs no
+    * partition-column re-injection — then every staged file is
+    * flattened into the table root and its values (parsed from the
+    * staging path) are returned for the add action. The LOG is the
+    * source of partitioning truth; the committed layout stays flat,
+    * so no reader ever depends on directory conventions.
+    */
+  private def stagePartitioned(df: DataFrame, dir: String,
+      partitionBy: Seq[String])
+      : (Seq[String], Map[String, Map[String, String]]) = {
     val spark = df.sparkSession
     val fsys = fs(spark, dir)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(s"$dir/.occ-staging-$tag")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val parts = fsys.listStatus(staging).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-    val names = parts.map { s =>
-      val name = s"part-$tag-${s.getPath.getName.stripPrefix("part-")}"
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"OccTable: partition column '$c' not in frame " +
+        s"(${df.columns.mkString(", ")})"))
+    val (toWrite, dupCols) =
+      if (partitionBy.isEmpty) (df, Seq.empty[String])
+      else {
+        val dups = partitionBy.map(c => PvStagePrefix + c)
+        (partitionBy.zip(dups).foldLeft(df) { case (d, (c, dup)) =>
+          d.withColumn(dup, col(c).cast("string")) }, dups)
+      }
+    if (dupCols.isEmpty)
+      toWrite.write.mode("overwrite").parquet(staging.toString)
+    else
+      toWrite.write.mode("overwrite").partitionBy(dupCols: _*)
+        .parquet(staging.toString)
+    // walk the staging tree: flat for the plain form, one directory
+    // level per partition column for the partitioned form
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fsys.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.startsWith("part-")) Seq(s)
+        else Seq.empty
+      }
+    var i = 0
+    val stagingQ = fsys.makeQualified(staging).toString
+    val staged = walk(staging).map { s =>
+      // partition values from the staging path segments
+      // `__occ_pv_<col>=<escaped>`; Spark escapes path-hostile chars
+      // as %xx (Hive convention) — decode restores the string value
+      val rel = fsys.makeQualified(s.getPath).toString
+        .stripPrefix(stagingQ).stripPrefix("/")
+      val pv = rel.split('/').dropRight(1).toSeq.map { seg =>
+        val j = seg.indexOf('=')
+        require(j > 0 && seg.startsWith(PvStagePrefix),
+          s"OccTable: unexpected staging path segment '$seg'")
+        val k = seg.substring(PvStagePrefix.length, j)
+        val v = urlDec(seg.substring(j + 1).replace("+", "%2B"))
+        k -> v
+      }.toMap
+      val name = s"part-$tag-$i-${s.getPath.getName.stripPrefix("part-")}"
+      i += 1
       if (!fsys.rename(s.getPath, new Path(dir, name)))
         throw new java.io.IOException(
           s"OccTable: staging rename of ${s.getPath} failed")
-      name
+      name -> pv
     }
     fsys.delete(staging, true)
-    names
+    (staged.map(_._1), staged.filter(_._2.nonEmpty).toMap)
   }
 
   /** Atomic exclusive publish of a FULLY-WRITTEN version file — the
@@ -606,22 +781,23 @@ object OccTable {
     * `statsColumns` opts the table's v0 files into X117 per-file stats.
     */
   def init(df: DataFrame, dir: String,
-      statsColumns: Seq[String] = Seq.empty): Snapshot = {
+      statsColumns: Seq[String] = Seq.empty,
+      partitionBy: Seq[String] = Seq.empty): Snapshot = {
     val spark = df.sparkSession
     val fsys = fs(spark, dir)
     require(listVersions(fsys, dir).isEmpty &&
       listCheckpoints(fsys, dir).isEmpty,
       s"OccTable: log already exists at $dir")
     fsys.mkdirs(new Path(s"$dir/$LogDirName"))
-    val names = stage(df, dir)
+    val (names, pvs) = stagePartitioned(df, dir, partitionBy)
     val stats = collectStats(spark, dir, names, statsColumns)
     val schemaJson = df.schema.json
-    val body = (names.map(n => addLine(n, stats.get(n))) ++
+    val body = (names.map(n => addLine(n, stats.get(n), pvs.get(n))) ++
       schemaLines(Some(schemaJson), Some(schemaJson)))
       .mkString("", "\n", "\n")
     require(claim(fsys, versionPath(dir, 0L), body.getBytes("UTF-8")),
       s"OccTable: lost the init race at $dir — another writer initialized")
-    Snapshot(0L, names, Map.empty, Some(schemaJson), stats)
+    Snapshot(0L, names, Map.empty, Some(schemaJson), stats, pvs)
   }
 
   /** Commit staged `adds`/`removes` read at `readVersion`: claim
@@ -644,10 +820,11 @@ object OccTable {
       newSchemaJson: Option[String] = None,
       schemaInForce: Option[String] = None,
       conflictOnAnyIntervening: Boolean = false,
-      addStats: Map[String, String] = Map.empty): Long = {
+      addStats: Map[String, String] = Map.empty,
+      addPvs: Map[String, Map[String, String]] = Map.empty): Long = {
     val fsys = fs(spark, dir)
     val body = (removes.map(n => s"remove $n") ++
-      adds.map(n => addLine(n, addStats.get(n))) ++
+      adds.map(n => addLine(n, addStats.get(n), addPvs.get(n))) ++
       txn.map { case (app, ver) => s"txn $app $ver" }.toSeq ++
       schemaLines(newSchemaJson, schemaInForce))
       .mkString("", "\n", "\n").getBytes("UTF-8")
@@ -715,17 +892,18 @@ object OccTable {
     * valid — the union schema covers them).
     */
   def append(df: DataFrame, dir: String,
-      statsColumns: Seq[String] = Seq.empty): Long = {
+      statsColumns: Seq[String] = Seq.empty,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     var snap = snapshot(spark, dir)
     var evolved = resolveSchema(snap.schemaJson, df.schema) // refuse BEFORE staging
-    val names = stage(df, dir)
+    val (names, pvs) = stagePartitioned(df, dir, partitionBy)
     val stats = collectStats(spark, dir, names, statsColumns)
     while (true) {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         newSchemaJson = evolved,
         schemaInForce = evolved.orElse(snap.schemaJson),
-        addStats = stats)
+        addStats = stats, addPvs = pvs)
       catch {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
@@ -829,22 +1007,48 @@ object OccTable {
     -1L // unreachable
   }
 
-  /** Delete data files no log version references (lost-attempt staging,
-    * crashed writers) and files removed from the snapshot — including
+  /** Delete data files no RETAINED log version references — lost-
+    * attempt staging, crashed writers, and files only historical
+    * snapshots outside the retention window still point at — including
     * `.occ-staging-*` directories a writer that died mid-[[stage]] left
     * behind (invisible to readers; by the no-concurrent-writers vacuum
-    * contract they cannot belong to a live writer). UNSAFE while a
-    * writer is mid-stage — run it the way every table format runs
-    * vacuum: from the maintenance owner, not concurrently with writers
-    * (a retention window over file mtimes is the production
-    * refinement). Returns the deleted names.
+    * contract they cannot belong to a live writer).
+    *
+    * `retainVersions` is the retention window: every file referenced
+    * by ANY of the newest `retainVersions` reconstructible snapshots
+    * survives, so [[readAt]]/[[snapshotAt]] keep serving that history
+    * (and a lagging [[OccTailSource]] whose lag is shorter than the
+    * window keeps reading). The default (1) keeps only the current
+    * snapshot — maximal reclaim. Vacuum records the highest version it
+    * stopped guaranteeing in a `vacuumedThrough` marker (monotone
+    * across runs); time travel at/below it fails loudly with
+    * [[VacuumedVersionException]] instead of a missing-file scan error.
+    *
+    * UNSAFE while a writer is mid-stage — run it the way every table
+    * format runs vacuum: from the maintenance owner, not concurrently
+    * with writers. Returns the deleted names.
     */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+  def vacuum(spark: SparkSession, dir: String,
+      retainVersions: Long = 1L): Seq[String] = {
+    require(retainVersions >= 1L,
+      s"OccTable.vacuum: retainVersions must be >= 1, got $retainVersions")
     val fsys = fs(spark, dir)
     // a fully-truncated log is all-checkpoint: still a live table
     require(listVersions(fsys, dir).nonEmpty ||
       listCheckpoints(fsys, dir).nonEmpty, s"OccTable: no log at $dir")
-    val referenced = snapshot(spark, dir).files.toSet
+    val latest = snapshot(spark, dir).version
+    val floor = math.max(0L, latest - retainVersions + 1L)
+    val alreadyThrough = vacuumedThrough(spark, dir)
+    // union of live files across the retained window; versions the log
+    // can no longer reconstruct (truncated commits, prior vacuum) are
+    // not readable anyway and hold no retention claim
+    val referenced = (floor to latest).flatMap { v =>
+      try snapshotAt(spark, dir, v).files
+      catch {
+        case _: VacuumedVersionException => Seq.empty
+        case _: IllegalArgumentException => Seq.empty
+      }
+    }.toSet
     val entries = fsys.listStatus(new Path(dir)).toSeq
     val garbageFiles = entries
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -855,6 +1059,10 @@ object OccTable {
       .map(_.getPath.getName)
     garbageFiles.foreach(n => fsys.delete(new Path(dir, n), false))
     crashedStaging.foreach(n => fsys.delete(new Path(dir, n), true))
+    // the marker is monotone: a later, longer-retention vacuum never
+    // re-promises history a shorter one already reclaimed
+    val through = math.max(alreadyThrough, floor - 1L)
+    if (through > alreadyThrough) writeVacuumMarker(fsys, dir, through)
     garbageFiles ++ crashedStaging
   }
 }

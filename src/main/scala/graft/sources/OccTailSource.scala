@@ -282,6 +282,31 @@ object OccStream {
           case (v, "add", f)
             if onRewrite == "ignoreRemoves" || !rewriteVs(v) => f
         }
+        // vacuum-lag guard: adds at or below the vacuumedThrough marker
+        // may reference reclaimed files (added then removed outside the
+        // retention window). For exactly those versions, probe the
+        // driver-side metadata and refuse BY NAME instead of failing
+        // with a missing-file error mid-scan — the "retention window
+        // longer than the tail's lag" contract, enforced. Adds above
+        // the marker are never probed: vacuum guarantees them.
+        if (addFiles.nonEmpty) {
+          val through = OccTable.vacuumedThrough(spark, dir)
+          val laggedAdds = acts.collect {
+            case (v, "add", f) if v <= through => (v, f)
+          }
+          if (laggedAdds.nonEmpty) {
+            val fsys = new org.apache.hadoop.fs.Path(dir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val gone = laggedAdds.filterNot { case (_, f) =>
+              fsys.exists(new org.apache.hadoop.fs.Path(dir, f)) }
+            if (gone.nonEmpty) throw new IllegalStateException(
+              s"OccStream: tail lag exceeded the vacuum retention of " +
+                s"$dir — file(s) ${gone.map(_._2).mkString(", ")} of " +
+                s"version(s) v${gone.map(_._1).distinct.sorted.mkString(", v")} " +
+                s"were reclaimed (vacuumedThrough=$through). Vacuum " +
+                "with a retention window longer than the tail's lag.")
+          }
+        }
         if (addFiles.nonEmpty) {
           val data = OccTable.snapshot(spark, dir).schema match {
             case Some(st) => spark.read.schema(st)

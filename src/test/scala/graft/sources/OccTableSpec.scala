@@ -65,6 +65,104 @@ class OccTableSpec extends SparkSpec {
     assert(table(dir) === Seq((1L, 11L))) // live snapshot untouched
   }
 
+  test("retention-aware vacuum: time travel inside the window survives, below it fails by name, reclaim shrinks with retention") {
+    def build(): String = {
+      val d = freshDir()
+      OccTable.init(Seq((1L, 10L)).toDF("id", "v"), d)                 // v0
+      OccTable.rewrite(spark, d, x => x.withColumn("v", col("v") + 1)) // v1
+      OccTable.rewrite(spark, d, x => x.withColumn("v", col("v") + 1)) // v2
+      OccTable.rewrite(spark, d, x => x.withColumn("v", col("v") + 1)) // v3
+      d
+    }
+    val dir = build()
+    def at(v: Long) = OccTable.readAt(spark, dir, v)()
+      .select("id", "v").as[(Long, Long)].collect().toSeq
+    // reclaim shrinks with retention: an identically-built twin
+    // vacuumed at retain-1 reclaims strictly more than retain-3 here
+    val removed3 = OccTable.vacuum(spark, dir, retainVersions = 3L)
+    val removedTwin1 = OccTable.vacuum(spark, build(), retainVersions = 1L)
+    assert(removed3.nonEmpty && removedTwin1.size > removed3.size,
+      s"retain-3 kept v1..v3's files: $removed3 vs twin $removedTwin1")
+    assert(OccTable.vacuumedThrough(spark, dir) === 0L)
+    // inside the window: v1..v3 still served byte-identically
+    assert(at(1L) === Seq((1L, 11L)))
+    assert(at(2L) === Seq((1L, 12L)))
+    assert(at(3L) === Seq((1L, 13L)))
+    // below the window: the NAMED refusal, at plan time
+    val e = intercept[OccTable.VacuumedVersionException] { at(0L) }
+    assert(e.version === 0L && e.vacuumedThrough === 0L)
+    // a second, tighter vacuum shrinks the window further and the
+    // marker moves monotonically
+    val removed1 = OccTable.vacuum(spark, dir, retainVersions = 1L)
+    assert(removed1.nonEmpty, "retain-1 then reclaims v1+v2's files")
+    assert(OccTable.vacuumedThrough(spark, dir) === 2L)
+    assert(intercept[OccTable.VacuumedVersionException] { at(1L) }
+      .vacuumedThrough === 2L)
+    assert(at(3L) === Seq((1L, 13L)))
+    // a LONGER-retention vacuum later never re-promises reclaimed
+    // history: marker stays at 2
+    OccTable.vacuum(spark, dir, retainVersions = 100L)
+    assert(OccTable.vacuumedThrough(spark, dir) === 2L)
+    assertThrows[OccTable.VacuumedVersionException] { at(2L) }
+  }
+
+  test("partitionValues in the log: equality pruning never plans untouched partitions and composes with stats skipping") {
+    val dir = freshDir()
+    OccTable.init(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L),
+        (5L, "c", 50L)).toDF("id", "k", "v"),
+      dir, statsColumns = Seq("v"), partitionBy = Seq("k"))
+    OccTable.append(Seq((6L, "a", 60L), (7L, "c", 70L)).toDF("id", "k", "v"),
+      dir, statsColumns = Seq("v"), partitionBy = Seq("k"))
+    val snap = OccTable.snapshot(spark, dir)
+    // every live file records its partition value; layout stays FLAT
+    assert(snap.files.forall(f => snap.pvs.get(f).exists(_.contains("k"))))
+    assert(snap.files.forall(!_.contains("/")))
+    // the pruning decision itself: only k=a files survive
+    val keptA = OccTable.partitionPrunedFiles(snap, Seq("k" -> "a"))
+    assert(keptA.nonEmpty && keptA.size < snap.files.size)
+    assert(keptA.forall(f => snap.pvs(f)("k") == "a"))
+    // planned scan ≡ plain filter; untouched partitions never planned
+    val pruned = OccTable.readPartitionPruned(spark, dir, Seq("k" -> "a"))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 6L))
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(p => keptA.exists(p.endsWith)),
+      s"planned ${pruned.inputFiles.toSeq} beyond kept $keptA")
+    // partition equality composes with the X117 stats interval
+    val both = OccTable.readPartitionPruned(spark, dir, Seq("k" -> "a"),
+      Seq(("v", 55.0, 100.0)))
+    assert(both.select("id").as[Long].collect().toSeq === Seq(6L))
+    assert(both.inputFiles.length < pruned.inputFiles.length)
+    // checkpoint re-emits pv lines byte-faithfully
+    OccTable.checkpoint(spark, dir)
+    OccTable.truncateLog(spark, dir)
+    assert(OccTable.snapshot(spark, dir).pvs === snap.pvs)
+    // a whole-table rewrite loses pv (unprunable, still correct)
+    OccTable.rewrite(spark, dir, d => d.withColumn("v", col("v") + 1))
+    val after = OccTable.snapshot(spark, dir)
+    assert(after.pvs.isEmpty)
+    assert(OccTable.readPartitionPruned(spark, dir, Seq("k" -> "a"))
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 6L))
+  }
+
+  test("partitionValues: path-hostile values round-trip the staging escape and the log encoding") {
+    val dir = freshDir()
+    val weird = Seq("sp ace", "eq=sign", "semi;colon", "pct%20", "plus+x",
+      "colon:slash/")
+    val rows = weird.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    OccTable.init(rows.toDF("id", "k"), dir, partitionBy = Seq("k"))
+    val snap = OccTable.snapshot(spark, dir)
+    val recorded = snap.pvs.values.map(_("k")).toSet
+    assert(recorded === weird.toSet,
+      s"recorded $recorded != written ${weird.toSet}")
+    weird.foreach { w =>
+      val got = OccTable.readPartitionPruned(spark, dir, Seq("k" -> w))
+        .select("id").as[Long].collect().toSeq
+      assert(got === Seq(rows.find(_._2 == w).get._1), s"value '$w'")
+    }
+  }
+
   test("racing rewrites serialize: the loser reruns its transform on the winner's snapshot") {
     val dir = freshDir()
     OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)
