@@ -1211,6 +1211,18 @@ object SparkEntry {
         graft.ops.Drift.secondHalf(ev, "ts"))
     }),
 
+    // ---- X120: ROLLING-WINDOW KS drift — the production monitor form
+    //      of q_ks_stream_bound: per-(key, 2-day-bucket) KLL sketches
+    //      in streaming state, only the trailing 4 buckets live, KS
+    //      vs the offline baseline read off the LOSSLESS MERGE of the
+    //      trailing window so old drift ages out of the answer; the
+    //      exact side replays the identical per-key trailing filter
+    //      in batch and the booleans are theorems of the order- and
+    //      merge-independent KLL envelope ----
+    "q_ks_rolling_bound" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayKsRolling(s, dir)
+        .orderBy("event_type")),
+
     // ---- A6/A8 scale path: HLL++ distinct + sketch quantiles (no oracle:
     //      approximate by contract; tests pin the error envelope) ----
     "q_approx_stats" -> ((s, dir) =>
@@ -1638,6 +1650,14 @@ object SparkEntry {
     "q_curation" -> ((s, dir) =>
       TextStats.curate(Tables.documents(s, dir), "doc_id", "text",
         minQuality = 0.5, lang = "en")),
+
+    // ---- X119: the lakehouse loop as ONE standing process — OCC tail
+    //      → per-micro-batch X14 curation → fenced OCC append, with a
+    //      compaction racing mid-log. Fp-hash-sharded ingest makes the
+    //      shard-local dedup globally exact, so the standing pipeline's
+    //      destination table faces q_curation's oracle VERBATIM ----
+    "q_lakehouse_pipeline" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayLakehousePipeline(s, dir)),
 
     // ---- within-document repetition signals (Gopher-style quality
     //      filters): distinct-token ratio + duplicate-2-gram fraction ----
@@ -3155,6 +3175,29 @@ object SparkEntry {
     * window) and `q_transitions_stream` (per-user O(1) state pairs —
     * hash-equal under the in-order contract).
     */
+  /** X14 curation pipeline oracle shared by `q_curation` (one-shot
+    * batch) and `q_lakehouse_pipeline` (the standing tail→curate→
+    * fenced-append loop over an fp-sharded source — shard-local dedup
+    * is globally exact, so both faces hash-equal).
+    */
+  private val CurationOracleSql =
+      """WITH fp AS (SELECT doc_id, text,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |s AS (SELECT f.doc_id, f.text, f.fp FROM fp f JOIN keep USING (doc_id)),
+        |scored AS (SELECT doc_id, fp,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
+        |      * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+        |        / (length(text) - length(replace(text, ' ', '')) + 1)), 6) AS quality_score,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'a'))) > 0 THEN 'en' ELSE 'other' END AS predicted_lang
+        |  FROM s)
+        |SELECT doc_id, n_tokens, quality_score, fp
+        |FROM scored
+        |WHERE quality_score >= 0.5 AND predicted_lang = 'en'""".stripMargin
+
   private val TransitionsOracleSql =
       """WITH p AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id
@@ -3782,6 +3825,45 @@ object SparkEntry {
         |  TRUE AS n_ok, TRUE AS ks_ok
         |FROM cum GROUP BY 1
         |HAVING max(na) > 0 AND max(nb) > 0""".stripMargin,
+    // X120: the exact replay carries the rolling monitor's trailing
+    // filter — per key, only second-half rows in the newest 4
+    // two-day buckets count toward side B; booleans are theorems of
+    // the merge-independent KLL envelope, pinned TRUE.
+    "q_ks_rolling_bound" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(CAST(min(ts) AS TIMESTAMP)) +
+        |          epoch_us(CAST(max(ts) AS TIMESTAMP))) // 2 AS mid
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) >= mid AS sb,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 172800000000 AS bk
+        |  FROM events, b WHERE value IS NOT NULL),
+        |mx AS (SELECT event_type, max(bk) AS maxb FROM r WHERE sb
+        |       GROUP BY 1),
+        |f AS (SELECT r.* FROM r JOIN mx USING (event_type)
+        |      WHERE NOT sb OR bk > maxb - 4),
+        |pv AS (
+        |  SELECT event_type, v,
+        |    sum(CASE WHEN sb THEN 0 ELSE 1 END) AS a,
+        |    sum(CASE WHEN sb THEN 1 ELSE 0 END) AS bb
+        |  FROM f GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    sum(a) OVER (PARTITION BY event_type ORDER BY v) AS ca,
+        |    sum(bb) OVER (PARTITION BY event_type ORDER BY v) AS cb,
+        |    sum(a) OVER (PARTITION BY event_type) AS na,
+        |    sum(bb) OVER (PARTITION BY event_type) AS nb
+        |  FROM pv)
+        |SELECT event_type,
+        |  CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) -
+        |                CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks,
+        |  TRUE AS n_ok, TRUE AS ks_ok
+        |FROM cum GROUP BY 1
+        |HAVING max(na) > 0 AND max(nb) > 0
+        |ORDER BY event_type""".stripMargin,
     // Streaming twin: the sketch was built as custom state across
     // micro-batches; the exact columns are order-independent and the
     // booleans are pinned TRUE by the sketch's deterministic bound, so
@@ -4540,23 +4622,8 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, start_tok,
         |  CAST(start_tok // 2048 AS BIGINT) AS pack_id
         |FROM s""".stripMargin,
-    "q_curation" ->
-      """WITH fp AS (SELECT doc_id, text,
-        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |  FROM documents),
-        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
-        |s AS (SELECT f.doc_id, f.text, f.fp FROM fp f JOIN keep USING (doc_id)),
-        |scored AS (SELECT doc_id, fp,
-        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
-        |    round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 100.0)
-        |      * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
-        |        / (length(text) - length(replace(text, ' ', '')) + 1)), 6) AS quality_score,
-        |    CASE WHEN len(list_filter(string_split(text, ' '),
-        |      w -> w IN ('the', 'a'))) > 0 THEN 'en' ELSE 'other' END AS predicted_lang
-        |  FROM s)
-        |SELECT doc_id, n_tokens, quality_score, fp
-        |FROM scored
-        |WHERE quality_score >= 0.5 AND predicted_lang = 'en'""".stripMargin,
+    "q_curation" -> CurationOracleSql,
+    "q_lakehouse_pipeline" -> CurationOracleSql,
     "q_dedup_docs" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,

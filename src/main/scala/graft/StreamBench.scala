@@ -70,6 +70,10 @@ object StreamBench {
     // the lakehouse loop live: OCC append-producer + commit-log tail
     // relaying into a second fenced OCC table, compaction mid-run
     val occ = graft.streaming.SteadyState.measureOccTailStream(spark)
+    // X119: the SAME loop with the X14 curation pipeline applied to
+    // every relayed micro-batch — tail → curate → fenced append, the
+    // standing form of q_lakehouse_pipeline priced live
+    val lake = graft.streaming.SteadyState.measureLakehouseStream(spark)
     // per-sensor KLL quantile monitoring (X107's streaming form): one
     // sketch per key in the fMGWS state store, snapshot per batch —
     // the bounded-memory replacement for recompute-quartiles-per-refresh
@@ -119,7 +123,8 @@ object StreamBench {
       bm25.json + "," +
       asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
       "," + ewma.json + "," + hop.json + "," + sess.json + "," +
-      ssj.json + "," + occ.json + "," + kll.json + "," + mg.json +
+      ssj.json + "," + occ.json + "," + lake.json + "," + kll.json +
+      "," + mg.json +
       "," + trans.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))

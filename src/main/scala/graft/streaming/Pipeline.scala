@@ -395,6 +395,76 @@ object Pipeline {
     graft.sources.OccTable.read(spark, dst)()
   }
 
+  /** X119: the lakehouse loop closed END-TO-END as one standing
+    * process — an OCC commit-log tail (X104) subscribes to a documents
+    * source table, runs the FULL X14 curation pipeline
+    * (normalize-fingerprint dedup → quality scoring → language-ID →
+    * survivor selection) on EVERY micro-batch, and lands survivors in
+    * a second OCC table through the fenced exactly-once sink (X101's
+    * SetTransaction form) — while a compaction races the tail mid-log
+    * (skipRewrites, Delta's skipChangeCommits posture).
+    *
+    * The source ingest is SHARDED BY CONTENT FINGERPRINT (documents
+    * with equal normalized text land in the same commit), which is
+    * what makes the per-micro-batch dedup globally exact: the
+    * window-min over `fp` within a shard IS the corpus-wide min, so
+    * the standing pipeline's destination table EQUALS the one-shot
+    * batch curation of the whole source — `q_lakehouse_pipeline`
+    * faces `q_curation`'s oracle SQL verbatim. At 100 TB this is the
+    * production shape: route by fp-hash once at ingest (the same
+    * shuffle the batch dedup pays), and curation stays shard-local
+    * forever after — no cross-shard state, no global barrier, the
+    * curation stage scales with writer parallelism.
+    */
+  def replayLakehousePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|lakehouse".getBytes("UTF-8")).map("%02x".format(_))
+      .mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_lakehouse_$user", key)
+    deleteRecursively(outRoot)
+    val src = outRoot.toString + "/src"
+    val dst = outRoot.toString + "/dst"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_lakehouse_ckpt")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text")
+    // fp-hash routing: all copies of a normalized text co-shard
+    val fpExpr = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val sharded = docs.withColumn("__shard",
+      pmod(xxhash64(fpExpr), lit(4)))
+    def slice(i: Int): DataFrame =
+      sharded.filter(col("__shard") === i).drop("__shard")
+    def curateBatch(b: DataFrame): DataFrame =
+      graft.ext.TextStats.curate(b, "doc_id", "text",
+        minQuality = 0.5, lang = "en")
+    withReplayParallelism(spark) {
+      graft.sources.OccTable.init(slice(0), src)                    // v0
+      graft.sources.OccTable.init(curateBatch(docs.limit(0)), dst)
+      val q = graft.sources.OccStream.tailTo(spark, src, ckpt.toString,
+        (batch, ver) => graft.sources.OccTable
+          .streamingSink(dst, "lakehouse_curate")(curateBatch(batch), ver),
+        maxVersionsPerTrigger = 1, onRewrite = "skipRewrites")
+      try {
+        q.processAllAvailable()                                     // v0 curated
+        graft.sources.OccTable.append(slice(1), src)                // v1
+        q.processAllAvailable()
+        graft.sources.OccTable.append(slice(2), src)                // v2
+        // the racing maintenance pass mid-log: the tail must neither
+        // duplicate compacted content nor miss the append after it
+        graft.sources.OccTable.rewrite(spark, src, d => d.coalesce(1)) // v3
+        graft.sources.OccTable.append(slice(3), src)                // v4
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        deleteRecursively(ckpt)
+      }
+    }
+    graft.sources.OccTable.read(spark, dst)()
+  }
+
   /** Events table as a TIME-SPLIT multi-file stream: `nFiles` range
     * partitions of `ts` written as one parquet file each, mtimes forced
     * ascending in path (= time) order, `maxFilesPerTrigger = 1` — so an
@@ -1021,6 +1091,89 @@ object Pipeline {
       .map { case (kk, streamed) => (kk, baseMap(kk), streamed) }
     graft.ops.Drift.ksAudit(ev, "event_type", "value", sideB,
       graft.ops.Drift.ksFromSketchPairs(paired))
+  }
+
+  /** Rolling-window KS drift gate (`q_ks_rolling_bound`, X120):
+    * [[replayKsDrift]] compares the offline baseline against the
+    * CUMULATIVE monitored stream — old drift dilutes but never leaves.
+    * This is the production form: the second half replays through
+    * [[Stateful.kllWindowedSnapshots]] (one KLL sketch per
+    * `bucketSec`-wide event-time bucket, only the trailing
+    * `windowBuckets` live), so the final KS-vs-baseline reads over the
+    * TRAILING WINDOW only and drift older than the window has aged
+    * out of the answer entirely. The audit's exact side replays the
+    * identical trailing filter (per-key max bucket − window) in
+    * batch, and the KLL envelope is order- and merge-independent, so
+    * `ks_ok` is a theorem the oracle pins TRUE.
+    */
+  def replayKsRolling(spark: SparkSession, dir: String, k: Int = 256,
+      bucketSec: Long = 172800L, windowBuckets: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+    val sideB = graft.ops.Drift.secondHalf(ev, "ts")
+    val baseMap = ev
+      .filter(col("value").isNotNull && !sideB)
+      .groupBy(col("event_type"))
+      .agg(graft.ops.Kll.sketchColumn(k, col("value")).as("sketch"))
+      .select(col("event_type"), col("sketch"))
+      .as[(String, graft.ops.KllBuf)].collect().toMap
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|ksroll|$k|$bucketSec|$windowBuckets".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_ksroll_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/snapshots"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_ksroll_ckpt")
+    withReplayParallelism(spark) {
+      val typed = stream
+        .filter(col("value").isNotNull && sideB)
+        .select(col("event_type").as("key"), col("ts"),
+          col("value").cast("double").as("v"))
+        .withWatermark("ts", "0 seconds")
+        .as[KeyedReading]
+      val q = Stateful.kllWindowedSnapshots(typed, k, bucketSec,
+          windowBuckets)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val snaps = TxnSink.committedRead(spark, outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("n").desc)
+    val latest = snaps.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col("key"), col("sketch"))
+      .as[(String, graft.ops.KllBuf)]
+    val paired = latest
+      .filter(s => baseMap.contains(s._1))
+      .map { case (kk, streamed) => (kk, baseMap(kk), streamed) }
+    val est = graft.ops.Drift.ksFromSketchPairs(paired)
+    // exact side over first half ∪ the SAME per-key trailing window
+    val bucketUs = bucketSec * 1000000L
+    val withB = ev.filter(col("value").isNotNull)
+      .withColumn("__bk",
+        floor(unix_micros(col("ts")) / lit(bucketUs)).cast("long"))
+      .withColumn("__sb", sideB)
+    val maxb = withB.filter(col("__sb")).groupBy(col("event_type"))
+      .agg(max(col("__bk")).as("__maxb"))
+    val trailed = withB.join(broadcast(maxb), Seq("event_type"))
+      .filter(!col("__sb") || col("__bk") > col("__maxb") - windowBuckets)
+    graft.ops.Drift.ksAudit(trailed, "event_type", "value",
+      col("__sb"), est)
   }
 
   /** Streaming CUSUM changepoint gate (`q_cusum_stream`): baselines

@@ -260,6 +260,80 @@ object Stateful {
       }
   }
 
+  /** Streaming per-(key, time-bucket) KLL monitoring with a TRAILING
+    * WINDOW (X120, the rolling form of [[kllSnapshots]]): each key
+    * keeps one sketch PER `bucketSec`-wide event-time bucket, only the
+    * newest `windowBuckets` buckets stay live, and every snapshot
+    * carries the LOSSLESS KLL MERGE over the live window — "the
+    * trailing 24 h vs baseline" drift monitor, where old drift AGES
+    * OUT instead of being diluted into a cumulative sketch.
+    *
+    * State hygiene is two-tier (the X78 discipline — callers must
+    * `withWatermark` the `ts` column):
+    *   - WITHIN a live key, buckets at or below `maxBucket −
+    *     windowBuckets` are dropped the moment the key's frontier
+    *     advances (state per key is ≤ `windowBuckets` sketches, ever);
+    *   - a fully idle key is evicted at the watermark once even a
+    *     brand-new event could no longer share a trailing window with
+    *     its newest bucket (timeout at `(maxBucket + windowBuckets +
+    *     1) · bucketSec`) — eviction emits nothing and is invisible:
+    *     a post-eviction event's window contains only new buckets by
+    *     construction.
+    *
+    * A row older than the live window start (possible only under
+    * late/out-of-order delivery beyond the watermark contract) is
+    * skipped without counting. `n` counts rows absorbed and is
+    * strictly increasing per key under in-order delivery (latest =
+    * argmax n). The KLL rank-error envelope is order- AND
+    * merge-independent, so every snapshot's KS-vs-baseline read is
+    * certified regardless of how rows split across buckets and
+    * micro-batches — what makes the rolling monitor oracle-able
+    * (`q_ks_rolling_bound`).
+    */
+  def kllWindowedSnapshots(rows: Dataset[KeyedReading], k: Int,
+      bucketSec: Long, windowBuckets: Int): Dataset[KllWinSnapshot] = {
+    import rows.sparkSession.implicits._
+    require(bucketSec > 0, s"kllWindowedSnapshots: bucketSec=$bucketSec")
+    require(windowBuckets >= 1,
+      s"kllWindowedSnapshots: windowBuckets=$windowBuckets")
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KllWinState, KllWinSnapshot](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[KeyedReading],
+            state: GroupState[KllWinState]) =>
+          if (state.hasTimedOut) {
+            // every live bucket is beyond any future trailing window
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(KllWinState(0L, Seq.empty))
+            var n = prev.n
+            val bufs = scala.collection.mutable.LinkedHashMap(
+              prev.buckets.map(x => x.b -> x.sk): _*)
+            var maxB =
+              if (bufs.isEmpty) Long.MinValue else bufs.keys.max
+            it.toVector.sortBy(r => (micros(r.ts), r.v)).foreach { r =>
+              val b = Math.floorDiv(micros(r.ts) / 1000000L, bucketSec)
+              if (b > maxB) maxB = b
+              if (b > maxB - windowBuckets) {
+                bufs(b) = Kll.update(bufs.getOrElse(b, Kll.empty(k)), r.v)
+                n += 1
+              } // else: older than the live window — aged out, skip
+            }
+            val live = bufs.toSeq.filter(_._1 > maxB - windowBuckets)
+              .sortBy(_._1)
+            val merged = live.map(_._2).reduceLeft(Kll.merge)
+            state.update(KllWinState(n,
+              live.map { case (b, s) => KllBucket(b, s) }))
+            state.setTimeoutTimestamp(math.max(
+              (maxB + windowBuckets + 1L) * bucketSec * 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(KllWinSnapshot(key, n, live.map(_._1), merged))
+          }
+      }
+  }
+
   /** Streaming per-key heavy-hitters monitoring (X112's streaming
     * form): each key carries ONE Misra–Gries sketch
     * ([[graft.ops.Freq]]) in the state store and emits its updated
@@ -591,6 +665,23 @@ final case class FunnelSnapshot(key: String, n: Long, times: Seq[Long])
 
 /** One key's running bottom-k distinct sketch as of some micro-batch. */
 final case class KmvSnapshot(key: String, n: Long, ks: Seq[Long])
+
+/** One keyed, event-timed reading feeding
+  * [[Stateful.kllWindowedSnapshots]] — `ts` is the watermark column.
+  */
+final case class KeyedReading(key: String, ts: Timestamp, v: Double)
+
+/** One live (bucket, sketch) pair of a key's trailing window. */
+final case class KllBucket(b: Long, sk: KllBuf)
+
+/** A key's trailing-window state: rows absorbed + live buckets. */
+final case class KllWinState(n: Long, buckets: Seq[KllBucket])
+
+/** One key's trailing-window snapshot: `buckets` are the live bucket
+  * ids (ascending), `sketch` their lossless KLL merge.
+  */
+final case class KllWinSnapshot(key: String, n: Long,
+    buckets: Seq[Long], sketch: KllBuf)
 
 /** One key's running quantile-sketch state as of some micro-batch. */
 final case class KllSnapshot(key: String, sketch: KllBuf)

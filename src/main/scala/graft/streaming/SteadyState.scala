@@ -582,17 +582,64 @@ object SteadyState {
   def measureOccTailStream(spark: SparkSession, rowsPerAppend: Int = 200,
       appendIntervalMs: Long = 1000L, minBatches: Int = 12,
       deadlineSec: Int = 180): DocEnvelope = {
+    def shape(lo: Long, n: Long) = spark.range(lo, lo + n).select(col("id"),
+      (col("id") % 10).as("sensor"), col("id").cast("double").as("v"))
+    measureOccRelayStream(spark, "occ_tail_stream", "occ_tail_env",
+      shape, identity, rowsPerAppend, appendIntervalMs, minBatches,
+      deadlineSec)
+  }
+
+  /** Envelope of the FULL lakehouse loop (X119) at steady state:
+    * the [[measureOccTailStream]] harness with the X14 curation
+    * pipeline (fingerprint dedup → quality → language-ID → survivor
+    * selection) applied to EVERY relayed micro-batch before the fenced
+    * append — tail → curate → exactly-once append, priced live with
+    * the mid-run checkpoint + compaction on the source. Synthetic
+    * documents alternate survivor/reject shapes so both filter
+    * branches stay hot; `docs`/msg_per_min counts CURATED rows landed
+    * in the destination (end-to-end useful throughput).
+    */
+  def measureLakehouseStream(spark: SparkSession, rowsPerAppend: Int = 200,
+      appendIntervalMs: Long = 1000L, minBatches: Int = 12,
+      deadlineSec: Int = 180): DocEnvelope = {
+    def docShape(lo: Long, n: Long) = spark.range(lo, lo + n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 3 === 0,
+        concat(lit("short doc "), col("id")))
+        .otherwise(concat(lit("the quick document number "), col("id"),
+          lit(" carries a long enough body of plain words to pass "),
+          lit("the quality gate and the stopword language test "),
+          lit("because the text repeats a few common english words "),
+          lit("the a the a the end of document "), col("id")))
+        .as("text"))
+    measureOccRelayStream(spark, "lakehouse_pipeline_stream",
+      "lakehouse_env",
+      docShape,
+      b => graft.ext.TextStats.curate(b, "doc_id", "text",
+        minQuality = 0.5, lang = "en"),
+      rowsPerAppend, appendIntervalMs, minBatches, deadlineSec)
+  }
+
+  /** The shared OCC relay harness: producer thread lands one append
+    * per interval on the source table, a commit-log tail relays
+    * `relay(batch)` into the destination through the fenced sink, a
+    * checkpoint + compaction fires mid-run. `delivered` counts rows in
+    * the DESTINATION at stop time.
+    */
+  private def measureOccRelayStream(spark: SparkSession, kind: String,
+      appId: String, mkRows: (Long, Long) => DataFrame,
+      relay: DataFrame => DataFrame, rowsPerAppend: Int,
+      appendIntervalMs: Long, minBatches: Int,
+      deadlineSec: Int): DocEnvelope = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import org.apache.spark.sql.streaming.StreamingQueryListener._
-    val kind = "occ_tail_stream"
-    val root = Files.createTempDirectory("graft_occ_tail_env")
+    val root = Files.createTempDirectory(s"graft_${kind}_env")
     val src = root.toString + "/src"
     val dst = root.toString + "/dst"
-    val ckpt = Files.createTempDirectory("graft_occ_tail_env_ckpt")
-    val shape = spark.range(0).select(col("id"),
-      (col("id") % 10).as("sensor"), col("id").cast("double").as("v"))
+    val ckpt = Files.createTempDirectory(s"graft_${kind}_env_ckpt")
+    val shape = mkRows(0L, 0L)
     graft.sources.OccTable.init(shape, src)
-    graft.sources.OccTable.init(shape, dst)
+    graft.sources.OccTable.init(relay(shape), dst)
     val qName = s"graft_envelope_$kind"
     val productive = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     val listener = new StreamingQueryListener {
@@ -610,9 +657,7 @@ object SteadyState {
       while (!stopProducer) {
         val lo = batch * rowsPerAppend
         graft.sources.OccTable.append(
-          spark.range(lo, lo + rowsPerAppend).select(col("id"),
-            (col("id") % 10).as("sensor"),
-            col("id").cast("double").as("v")).coalesce(1), src)
+          mkRows(lo, rowsPerAppend.toLong).coalesce(1), src)
         // mid-run maintenance: the compaction the tail must ride through
         if (batch == 5L) {
           graft.sources.OccTable.checkpoint(spark, src)
@@ -621,9 +666,10 @@ object SteadyState {
         batch += 1
         Thread.sleep(appendIntervalMs)
       }
-    }, "graft-occ-tail-producer")
+    }, s"graft-$kind-producer")
     val q = graft.sources.OccStream.tailTo(spark, src, ckpt.toString,
-      graft.sources.OccTable.streamingSink(dst, "occ_tail_env"),
+      (batch, ver) => graft.sources.OccTable
+        .streamingSink(dst, appId)(relay(batch), ver),
       onRewrite = "skipRewrites", queryName = Some(qName))
     producer.start()
     val t0 = System.nanoTime()

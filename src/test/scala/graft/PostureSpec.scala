@@ -708,6 +708,58 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kllWindowedSnapshots: trailing window evicts old buckets, drift ages out of the KS read, idle keys leave the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Kll, KllBuf}
+    val mem = MemoryStream[(String, Long, Double)] // (key, tsSec, v)
+    val stream = mem.toDS()
+      .select(col("_1").as("key"), timestamp_seconds(col("_2")).as("ts"),
+        col("_3").as("v"))
+      .withWatermark("ts", "0 seconds")
+      .as[graft.streaming.KeyedReading]
+    val q = Stateful.kllWindowedSnapshots(stream, k = 64,
+        bucketSec = 100L, windowBuckets = 2)
+      .writeStream.format("memory").queryName("kll_win_test")
+      .outputMode("append").start()
+    def ks(a: KllBuf, b: KllBuf): Double = {
+      val pts = (Kll.weighted(a).map(_._1) ++ Kll.weighted(b).map(_._1))
+        .distinct
+      pts.map(x => math.abs(Kll.rank(a, x).toDouble / a.n -
+        Kll.rank(b, x).toDouble / b.n)).max
+    }
+    val baseline = (0 until 100).foldLeft(Kll.empty(64)) {
+      (s, i) => Kll.update(s, i.toDouble) }
+    try {
+      // bucket 0: a SHIFTED segment (drift vs baseline)
+      mem.addData((0 until 100).map(i => ("a", i.toLong, 1000.0 + i)))
+      q.processAllAvailable()
+      // buckets 1 and 2: back in-distribution — bucket 0 must age out
+      mem.addData((0 until 100).map(i => ("a", 100L + i, i.toDouble)))
+      q.processAllAvailable()
+      mem.addData((0 until 100).map(i => ("a", 200L + i, i.toDouble)))
+      q.processAllAvailable()
+      val snaps = spark.table("kll_win_test")
+        .as[graft.streaming.KllWinSnapshot].collect()
+        .filter(_.key == "a").sortBy(_.n)
+      // the trailing window never holds more than windowBuckets buckets
+      assert(snaps.map(_.buckets.toList) ===
+        Seq(List(0L), List(0L, 1L), List(1L, 2L)))
+      // drift while the shifted bucket is live; gone once it ages out
+      assert(ks(baseline, snaps(0).sketch) > 0.9)
+      assert(ks(baseline, snaps(2).sketch) <=
+        Kll.errBound(baseline).toDouble / baseline.n +
+        Kll.errBound(snaps(2).sketch).toDouble / snaps(2).sketch.n + 1e-9,
+        "shifted segment aged out: KS back inside the sketch envelope")
+      assert(snaps(2).sketch.n === 200L)
+      // idle-key eviction: watermark far past a's horizon frees its state
+      mem.addData(Seq(("w", 1000L, 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(("w", 1100L, 2.0)))
+      q.processAllAvailable()
+      assert(stateRows(q) === 1L, "idle key a evicted; only w remains")
+    } finally q.stop()
+  }
+
   test("kmvSnapshots: streamed bottom-k state is EXACTLY the batch sketch (order-independent set)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
