@@ -1282,6 +1282,15 @@ object SparkEntry {
       Anomaly.seasonalRollup(Tables.events(s, dir), "ts", "event_type",
         "value", z = 3.0)),
 
+    // ---- X121: the seasonal profile's STREAMING form — per-key
+    //      24-hour cells of exact integer partials (n, Σv_micro,
+    //      Σv_micro² in BigInt) in fMGWS state; integer sums commute,
+    //      so the streamed profile is bit-identical to batch under ANY
+    //      batch split and the derived mean/std face a full value
+    //      oracle replaying the same HUGEINT construction ----
+    "q_seasonal_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replaySeasonalStream(s, dir)),
+
     // ---- ML3/P5/P6/P7: row-level threshold alerts ----
     "q_alerts" -> ((s, dir) =>
       Alerts.extract(Tables.events(s, dir), "value", EventThresholds)
@@ -3972,6 +3981,24 @@ object SparkEntry {
         |  round(avg(value), 6) AS seasonal_mean,
         |  round(stddev_samp(value), 6) AS seasonal_std
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // X121: the streamed profile's integer partials replayed in
+    // HUGEINT; mean/std derive from exact sums through the identical
+    // double-op shapes, so every column is a full value check.
+    "q_seasonal_stream" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(round(value * 1000000) AS HUGEINT)) AS s1,
+        |    sum(CAST(round(value * 1000000) AS HUGEINT) *
+        |        CAST(round(value * 1000000) AS HUGEINT)) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, hour_of_day, n, CAST(s1 AS BIGINT) AS sum_micro,
+        |  round(CAST(s1 AS DOUBLE) / 1000000.0 / n, 6) AS seasonal_mean,
+        |  CASE WHEN n < 2 THEN NULL ELSE
+        |    round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1))
+        |          / 1000000.0, 6)
+        |  END AS seasonal_std
+        |FROM p""".stripMargin,
     "q_seasonal_anomaly" ->
       """WITH p AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS h,
         |    round(avg(value), 6) AS m, round(stddev_samp(value), 6) AS s

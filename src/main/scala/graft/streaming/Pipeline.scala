@@ -1176,6 +1176,77 @@ object Pipeline {
       col("__sb"), est)
   }
 
+  /** Streaming seasonal-profile gate (`q_seasonal_stream`, X121): the
+    * events table replayed as 4 micro-batches through
+    * [[Stateful.seasonalSnapshots]]'s exact-integer hour cells; the
+    * latest snapshot per key explodes to (key, hour) rows with the
+    * mean/std DERIVED from the integer partials — a deterministic
+    * function of exact sums, so the streamed profile faces a full
+    * value oracle replaying the identical HUGEINT construction. No
+    * in-order contract needed: integer sums commute.
+    */
+  def replaySeasonalStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|seasonal".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_replay_seasonal_$user", key)
+    deleteRecursively(outRoot)
+    val outDir = outRoot.toString + "/snapshots"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_seasonal_ckpt")
+    withReplayParallelism(spark) {
+      val typed = stream
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), hour(col("ts")).cast("int"),
+          round(col("value").cast("double") * lit(1e6), 0).cast("long"))
+        .as[(String, Int, Long)]
+      val q = Stateful.seasonalSnapshots(typed)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(parquetAppendSink(outDir))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val snaps = TxnSink.committedRead(spark, outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("n").desc)
+    snaps.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("key"), explode(col("cells")).as("c"))
+      .as[(String, HourCell)]
+      .map { case (k, c) =>
+        // derived stats: the same double-op shapes the oracle replays
+        // over its HUGEINT partials — deterministic cross-engine
+        val mean = java.math.BigDecimal
+          .valueOf(c.s1.toDouble / 1e6 / c.n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        val std =
+          if (c.n < 2) None
+          else {
+            val d = (BigInt(c.n) * BigInt(c.s2) -
+              BigInt(c.s1) * BigInt(c.s1)).doubleValue
+            Some(java.math.BigDecimal
+              .valueOf(math.sqrt(d / c.n / (c.n - 1)) / 1e6)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+          }
+        (k, c.hour, c.n, c.s1, mean, std)
+      }
+      .toDF("event_type", "hour_of_day", "n", "sum_micro",
+        "seasonal_mean", "seasonal_std")
+  }
+
   /** Streaming CUSUM changepoint gate (`q_cusum_stream`): baselines
     * learned offline (one metadata-sized aggregate), then the events
     * table replayed as 4 time-ranged micro-batches through

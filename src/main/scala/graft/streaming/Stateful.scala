@@ -334,6 +334,50 @@ object Stateful {
       }
   }
 
+  /** Streaming SEASONAL PROFILE (X121, X100's live form): each key
+    * carries 24 hour-of-day cells of EXACT INTEGER partials — (n,
+    * Σv_micro as long, Σv_micro² as a stringified BigInt) — and emits
+    * the full updated profile once per micro-batch it received data
+    * in. Integer sums commute, so the streamed profile is
+    * bit-identical to the batch aggregate under ANY arrival order or
+    * micro-batch split — no in-order contract, no error envelope: the
+    * one construction that lets a mean/stddev profile face a full
+    * value oracle (`q_seasonal_stream`). Values scale to micro-units
+    * half-up (the CUSUM discipline); Σv² runs in BigInt because at
+    * 100 TB it overflows a long (~1e16 per row), stored as a string
+    * cell — decimal state would hit the 38-digit encoder ceiling.
+    * State per key is ≤ 24 cells regardless of stream length; `n` is
+    * strictly increasing (latest = argmax n). Keyed on a bounded
+    * vocabulary (event types), so NoTimeout is the correct hygiene —
+    * the same contract as the KLL/MG monitor family.
+    */
+  def seasonalSnapshots(rows: Dataset[(String, Int, Long)])
+      : Dataset[SeasonalSnapshot] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeasonalSnapshot, SeasonalSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Int, Long)],
+            state: GroupState[SeasonalSnapshot]) =>
+          val prev = state.getOption
+            .getOrElse(SeasonalSnapshot(key, 0L, Seq.empty))
+          var n = prev.n
+          val cells = scala.collection.mutable.Map(
+            prev.cells.map(c => c.hour -> (c.n, c.s1, BigInt(c.s2))): _*)
+          it.foreach { case (_, h, v) =>
+            val (cn, cs1, cs2) = cells.getOrElse(h, (0L, 0L, BigInt(0)))
+            cells(h) = (cn + 1L, cs1 + v, cs2 + BigInt(v) * BigInt(v))
+            n += 1L
+          }
+          val cur = SeasonalSnapshot(key, n,
+            cells.toSeq.sortBy(_._1).map { case (h, (cn, s1, s2)) =>
+              HourCell(h, cn, s1, s2.toString) })
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
   /** Streaming per-key heavy-hitters monitoring (X112's streaming
     * form): each key carries ONE Misra–Gries sketch
     * ([[graft.ops.Freq]]) in the state store and emits its updated
@@ -670,6 +714,16 @@ final case class KmvSnapshot(key: String, n: Long, ks: Seq[Long])
   * [[Stateful.kllWindowedSnapshots]] — `ts` is the watermark column.
   */
 final case class KeyedReading(key: String, ts: Timestamp, v: Double)
+
+/** One hour-of-day cell of a key's seasonal profile: exact integer
+  * partials (`s2` is Σv_micro² as a stringified BigInt — exact at any
+  * scale, encoder-friendly).
+  */
+final case class HourCell(hour: Int, n: Long, s1: Long, s2: String)
+
+/** One key's full seasonal profile as of some micro-batch. */
+final case class SeasonalSnapshot(key: String, n: Long,
+    cells: Seq[HourCell])
 
 /** One live (bucket, sketch) pair of a key's trailing window. */
 final case class KllBucket(b: Long, sk: KllBuf)

@@ -760,6 +760,34 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seasonalSnapshots: integer hour cells accumulate across ragged batches; state stays <= 24 cells per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, Long)]
+    val q = Stateful.seasonalSnapshots(mem.toDS())
+      .writeStream.format("memory").queryName("seasonal_snap_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: hour 3 twice, hour 7 once; batch 2: hour 3 again +
+      // every other hour once (24-cell ceiling exercised)
+      mem.addData(Seq(("a", 3, 1000000L), ("a", 3, 3000000L),
+        ("a", 7, 2000000L)))
+      q.processAllAvailable()
+      mem.addData((0 until 24).map(h => ("a", h, 1000000L * (h + 1))))
+      q.processAllAvailable()
+      val snaps = spark.table("seasonal_snap_test")
+        .as[graft.streaming.SeasonalSnapshot].collect().sortBy(_.n)
+      assert(snaps.map(_.n).toSeq === Seq(3L, 27L))
+      val latest = snaps.last
+      assert(latest.cells.length === 24) // bounded regardless of rows
+      val h3 = latest.cells.find(_.hour == 3).get
+      // exact integer partials: 1 + 3 + 4 (micro-million units)
+      assert(h3.n === 3L && h3.s1 === 8000000L)
+      assert(BigInt(h3.s2) ===
+        BigInt(1000000L) * 1000000L + BigInt(3000000L) * 3000000L +
+        BigInt(4000000L) * 4000000L)
+    } finally q.stop()
+  }
+
   test("kmvSnapshots: streamed bottom-k state is EXACTLY the batch sketch (order-independent set)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
