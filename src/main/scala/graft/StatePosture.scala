@@ -118,6 +118,79 @@ object StatePosture {
     }
   }
 
+  /** The behavioral states' eviction audit (the r16 X78 discipline on
+    * X113–X115's live forms): `k` users each open a funnel / arm a
+    * transition gap / register cohort activity, then the watermark
+    * sails past every horizon. Healthy = rows_after_evict collapses to
+    * ~1 (the watermark-driver key) — state tracks ACTIVE users only,
+    * where the r15 NoTimeout forms held `k` rows forever.
+    */
+  private[graft] def behaviorEviction(spark: SparkSession,
+      scales: Seq[Int] = Seq(2000, 20000)): String = {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val us = 1000000L
+    def userEvents(mem: MemoryStream[(String, String, Long, Long)]) =
+      mem.toDS()
+        .select(col("_1").as("user_id"), col("_2").as("event_type"),
+          timestamp_micros(col("_3")).as("ts"), col("_4").as("event_id"))
+        .withWatermark("ts", "0 seconds")
+        .as[graft.streaming.UserEvent]
+    def drive(name: String, k: Int,
+        build: MemoryStream[(String, String, Long, Long)]
+          => org.apache.spark.sql.DataFrame,
+        load: Int => Seq[(String, String, Long, Long)]): String = {
+      val mem = MemoryStream[(String, String, Long, Long)]
+      val q = build(mem).writeStream.format("memory")
+        .queryName(s"behavior_evict_$name").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        mem.addData(load(k))
+        q.processAllAvailable()
+        val batchSec = (System.nanoTime() - t0) / 1e9
+        val peak = q.lastProgress.stateOperators.head.numRowsTotal
+        // watermark far past every horizon; follow-up batch fires timers
+        mem.addData(Seq(("W", "view", 1000000L * us, -1L)))
+        q.processAllAvailable()
+        mem.addData(Seq(("W", "view", 1001000L * us, -2L)))
+        q.processAllAvailable()
+        val after = q.lastProgress.stateOperators.head.numRowsTotal
+        f""""$name": {"keys": $k, "state_rows_peak": $peak, "state_rows_after_evict": $after, "sec_load_batch": $batchSec%.2f}"""
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(s"behavior_evict_$name")
+      }
+    }
+    val blocks = scales.flatMap { k =>
+      Seq(
+        drive(s"funnel_$k", k,
+          m => Stateful.funnelSnapshots(userEvents(m),
+            Seq("view", "click", "purchase"), horizonSec = 3600L).toDF(),
+          kk => (0 until kk).map(i =>
+            (f"U$i%07d", "view", (i % 600 + 1).toLong * us, i.toLong))),
+        drive(s"transitions_$k", k,
+          m => Stateful.transitionPairs(userEvents(m), maxGapSec = 600L)
+            .toDF("u", "f", "t"),
+          kk => (0 until kk).flatMap(i => Seq(
+            (f"U$i%07d", "view", (i % 600 + 1).toLong * us, 2L * i),
+            (f"U$i%07d", "click", ((i % 600) + 11).toLong * us, 2L * i + 1)))),
+        drive(s"cohort_$k", k,
+          m => Stateful.cohortActivity(m.toDS()
+            .select(col("_1").as("user_id"),
+              timestamp_micros(col("_3")).as("ts"),
+              (col("_3") / lit(86400L * us)).cast("long").as("epoch_day"))
+            .withWatermark("ts", "0 seconds")
+            .as[graft.streaming.CohortEvent], retentionDays = 1L)
+            .toDF("u", "c", "o"),
+          kk => (0 until kk).map(i =>
+            (f"U$i%07d", "view", (i % 600 + 1).toLong * us, i.toLong))))
+    }
+    s""""behavior_eviction": {
+       |      "what": "X113-X115 live forms under the r16 timeout discipline: k users load state, the watermark passes every horizon (funnel entry+1h, transition 10-min gap, cohort day+1), the follow-up batch fires the timers. Healthy = state_rows_after_evict ~1 (the watermark-driver key): state tracks ACTIVE users, not users-ever-seen",
+       |      ${blocks.mkString(",\n      ")}}""".stripMargin
+  }
+
   /** The `state` section of `POSTURE_10X.json`. */
   def section(spark: SparkSession): String = {
     val scales = Seq(("1x", 2000), ("10x", 20000), ("100x", 200000))
@@ -173,7 +246,8 @@ object StatePosture {
     }
     s"""  "state": {
        |    "what": "streaming state at 1x/10x/100x KEY cardinality (2k/20k/200k live keys, three loaded batches each), heap-backed default vs RocksDB provider (write buffer capped at 1 MB for the measurement so the fixture crosses the memtable-to-SST flush boundary; production keeps the 64 MB default, under which this whole fixture sits in one memtable), for the reference windowed rollup, the X78 custom EWMA state (flatMapGroupsWithState), and its transformWithState twin (rocksdb-only — the engine rejects TWS on the heap provider; its EXPLICIT per-key timers mean 200k live keys re-arm 200k timers per batch, so this row grades the timer registry at key scale, not just ValueState). Healthy = state_rows_peak proportional to keys on both providers; on heap, mem_used_mb IS executor heap (SizeEstimator over the in-heap version maps) and grows with keys — the GC-death path at 100 TB; on rocksdb, mem_used_mb is NATIVE and GC-exempt (the boundedMemoryUsage SESSION-SHARED cache + memtables, so the absolute figure folds in every store instance the session has touched — compare its conf cap, maxMemoryUsageMB default 500, against executor heap, not the raw number) with overflow carried by rocks_sst_mb on local disk; rocksdb sec_batch at 100x pays the fixture's forced 1 MB flushes, not a provider property; state_rows_after_evict collapses to ~1 once the watermark passes window end / idle timeout (state proportional to ACTIVE keys)",
-       |    ${opBlocks.mkString(",\n    ")}}""".stripMargin
+       |    ${opBlocks.mkString(",\n    ")},
+       |    ${behaviorEviction(spark)}}""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {

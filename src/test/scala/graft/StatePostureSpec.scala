@@ -74,4 +74,15 @@ class StatePostureSpec extends SparkSpec {
       assert(m1.rowsAfterEvict <= 2 && m10.rowsAfterEvict <= 2)
     }
   }
+
+  test("behavior_eviction block: funnel/transition/cohort state collapses to the watermark driver after the horizons pass") {
+    val json = StatePosture.behaviorEviction(spark, scales = Seq(200))
+    for (op <- Seq("funnel_200", "transitions_200", "cohort_200")) {
+      val block = json.split("\"" + op + "\"")(1).split("\\}")(0)
+      assert(block.contains("\"state_rows_peak\": 200"),
+        s"$op peak: $block")
+      assert(block.contains("\"state_rows_after_evict\": 1"),
+        s"$op did not evict to the driver key alone: $block")
+    }
+  }
 }
