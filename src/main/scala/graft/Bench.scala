@@ -77,8 +77,10 @@ object Bench {
       "q_occ_table", "q_upsert", "q_upsert_partitioned", "q_snapshot_diff",
       "q_schema_evolution", "q_storage_size", "q_zorder_scan",
       "q_fileskip_scan")
+    // replay harnesses without "_stream" in the name, classed by shape
+    val replayQs = Set("q_lakehouse_pipeline", "q_ks_rolling_bound")
     def classOfQuery(n: String): String =
-      if (n.contains("_stream")) "streaming_replay"
+      if (n.contains("_stream") || replayQs(n)) "streaming_replay"
       else if (maintenanceQs(n)) "maintenance"
       else "scan"
     val classTotals = results.groupBy { case (n, _) => classOfQuery(n) }
