@@ -3124,6 +3124,33 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
     }),
 
+    // ---- X122: Delta-parity RESTORE — a bad rewrite undone as a NEW
+    //      commit (pure log work, zero bytes copied; history above the
+    //      restore point stays time-travelable). Restore returns the
+    //      table to pre-rewrite state, so the read ≡ the plain
+    //      projection as if the rewrite never happened ----
+    "q_occ_restore" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select("event_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|restore".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_restore_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      OccTable.init(base.filter(col("event_id") % 2 === 0), t)       // v0
+      OccTable.append(base.filter(col("event_id") % 2 === 1), t)     // v1
+      OccTable.rewrite(s, t,
+        d => d.withColumn("value", -col("value")))                   // v2
+      OccTable.restore(s, t, 1L)                                     // v3
+      OccTable.read(s, t)()
+    }),
+
     // ---- OCC × streaming (the lakehouse shape): four micro-batches of
     //      the events replay land as idempotent fenced OCC appends
     //      (SetTransaction form) while a compaction rewrite races them
@@ -6047,6 +6074,10 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM f GROUP BY 1""".stripMargin,
 
+    // X122: restore undoes the rewrite entirely — the read is the
+    // plain projection, as if the negation never happened.
+    "q_occ_restore" ->
+      """SELECT event_id, event_type, value FROM events""".stripMargin,
     // Partition pruning must be invisible in the result — the pruned
     // read replays as a plain conjunctive filter over the same table.
     "q_occ_partition_prune" ->

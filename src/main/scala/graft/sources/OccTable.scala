@@ -1007,6 +1007,42 @@ object OccTable {
     -1L // unreachable
   }
 
+  /** Delta-parity RESTORE: make the CURRENT snapshot equal the table
+    * as of `version` — as a NEW COMMIT, not a rewind: history above
+    * the restore point stays time-travelable, and the restore itself
+    * is an ordinary log entry a tail subscriber sees as a rewrite.
+    * Data files are immutable and commits never delete them, so the
+    * restore is PURE LOG WORK — adds = files live at `version` but
+    * not now, removes = files live now but not at `version`; zero
+    * bytes copied. Restored files carry their original stats and
+    * partition values (log state rides the re-add). The schema in
+    * force at `version` is restored too (Delta semantics — a restore
+    * can undo an additive evolution; readers of post-evolution files
+    * through the older schema simply stop seeing the added columns).
+    * Conflict-safe through the standard OCC commit path: a racing
+    * rewrite's remove clash surfaces as [[ConcurrentWriteException]].
+    * Below the vacuum marker [[snapshotAt]] refuses by name — the
+    * files to re-add may be reclaimed.
+    */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val cur = snapshot(spark, dir)
+    require(version <= cur.version,
+      s"OccTable.restore: version $version is ahead of ${cur.version}")
+    if (version == cur.version) return cur.version
+    val tgt = snapshotAt(spark, dir, version)
+    val curSet = cur.files.toSet
+    val tgtSet = tgt.files.toSet
+    val adds = tgt.files.filterNot(curSet)
+    val removes = cur.files.filterNot(tgtSet)
+    val schemaChange =
+      if (tgt.schemaJson != cur.schemaJson) tgt.schemaJson else None
+    commitActions(spark, dir, adds, removes, cur.version,
+      newSchemaJson = schemaChange,
+      schemaInForce = tgt.schemaJson.orElse(cur.schemaJson),
+      addStats = tgt.stats.filter { case (n, _) => adds.contains(n) },
+      addPvs = tgt.pvs.filter { case (n, _) => adds.contains(n) })
+  }
+
   /** Delete data files no RETAINED log version references — lost-
     * attempt staging, crashed writers, and files only historical
     * snapshots outside the retention window still point at — including

@@ -146,6 +146,38 @@ class OccTableSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 6L))
   }
 
+  test("restore: a NEW commit returns the snapshot to a prior version; history above survives; stats and pv ride the re-add") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v"),
+      dir, statsColumns = Seq("v"), partitionBy = Seq("k"))        // v0
+    OccTable.append(Seq((3L, "a", 30L)).toDF("id", "k", "v"),
+      dir, statsColumns = Seq("v"), partitionBy = Seq("k"))        // v1
+    OccTable.rewrite(spark, dir,
+      d => d.withColumn("v", -col("v")))                           // v2
+    assert(OccTable.restore(spark, dir, 1L) === 3L)                // v3
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows(OccTable.read(spark, dir)())
+      === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // the rewrite's version is history, not erased by the restore
+    assert(rows(OccTable.readAt(spark, dir, 2L)())
+      === Seq((1L, -10L), (2L, -20L), (3L, -30L)))
+    // stats and partition values rode the re-add: pruning works again
+    val snap = OccTable.snapshot(spark, dir)
+    assert(snap.files.forall(f => snap.pvs.get(f).exists(_.contains("k"))))
+    assert(rows(OccTable.readPartitionPruned(spark, dir, Seq("k" -> "a")))
+      === Seq((1L, 10L), (3L, 30L)))
+    assert(rows(OccTable.readPruned(spark, dir, "v", 25.0, 100.0))
+      === Seq((3L, 30L)))
+    // a second restore to the same state is a no-op-shaped commit
+    assert(OccTable.restore(spark, dir, 3L) === 3L)
+    // below the vacuum marker the restore refuses by name
+    OccTable.vacuum(spark, dir, retainVersions = 1L)
+    assertThrows[OccTable.VacuumedVersionException] {
+      OccTable.restore(spark, dir, 1L)
+    }
+  }
+
   test("partitionValues: path-hostile values round-trip the staging escape and the log encoding") {
     val dir = freshDir()
     val weird = Seq("sp ace", "eq=sign", "semi;colon", "pct%20", "plus+x",
