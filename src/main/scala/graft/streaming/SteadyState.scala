@@ -602,15 +602,18 @@ object SteadyState {
   def measureLakehouseStream(spark: SparkSession, rowsPerAppend: Int = 200,
       appendIntervalMs: Long = 1000L, minBatches: Int = 12,
       deadlineSec: Int = 180): DocEnvelope = {
+    // survivors need quality >= 0.5 = min(1, n_tokens/100) x
+    // (1 - stopword_frac) and an 'en' verdict (>= 1 stopword): the
+    // long shape is ~130 mostly-non-stopword words; the short shape
+    // fails the quality gate, keeping the reject branch hot
+    val body = Array.tabulate(120)(i => s"word$i").mkString(" ")
     def docShape(lo: Long, n: Long) = spark.range(lo, lo + n).select(
       col("id").as("doc_id"),
       when(col("id") % 3 === 0,
         concat(lit("short doc "), col("id")))
-        .otherwise(concat(lit("the quick document number "), col("id"),
-          lit(" carries a long enough body of plain words to pass "),
-          lit("the quality gate and the stopword language test "),
-          lit("because the text repeats a few common english words "),
-          lit("the a the a the end of document "), col("id")))
+        .otherwise(concat(lit("the unique document "), col("id"),
+          lit(s" begins here and carries the body $body end of "),
+          col("id")))
         .as("text"))
     measureOccRelayStream(spark, "lakehouse_pipeline_stream",
       "lakehouse_env",
