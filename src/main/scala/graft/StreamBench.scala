@@ -85,6 +85,21 @@ object StreamBench {
           r.select(col("sensor_id"), col("temperature").cast("double"))
             .as[(String, Double)], k = 128).toDF())
     }
+    // rolling drift monitor (X120's live form): per-(sensor, 10-min
+    // bucket) KLL sketches in state, only the trailing 3 buckets live —
+    // the rate stream advances 2 min per batch, so bucket turnover and
+    // in-key eviction run continuously during the measurement
+    val roll = {
+      import spark.implicits._
+      graft.streaming.SteadyState.measureSensorWindowStream(spark,
+        "rolling_drift_stream",
+        r => graft.streaming.Stateful.kllWindowedSnapshots(
+          r.select(col("sensor_id").as("key"), col("timestamp").as("ts"),
+            col("temperature").cast("double").as("v"))
+            .withWatermark("ts", "10 seconds")
+            .as[graft.streaming.KeyedReading],
+          k = 128, bucketSec = 600L, windowBuckets = 3).toDF())
+    }
     // per-sensor Misra–Gries heavy-hitter monitoring (X112's streaming
     // form): k counters per key in the fMGWS state store — the
     // constant-memory "what dominates" twin of the KLL monitor
@@ -124,7 +139,7 @@ object StreamBench {
       asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
       "," + ewma.json + "," + hop.json + "," + sess.json + "," +
       ssj.json + "," + occ.json + "," + lake.json + "," + kll.json +
-      "," + mg.json +
+      "," + roll.json + "," + mg.json +
       "," + trans.json + "}"
     println(combined)
     Files.write(Paths.get(outPath), (combined + "\n").getBytes("UTF-8"))

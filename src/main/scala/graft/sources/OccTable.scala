@@ -579,6 +579,44 @@ object OccTable {
       pvs.toMap)
   }
 
+  /** Delta-parity TIMESTAMP AS OF: the last version whose commit time
+    * — the version file's filesystem mtime, the same clock Delta's
+    * timestamp time travel reads — is at or before `tsMillis`.
+    * Wall-clock mapping is deployment-local by nature (mtimes exist
+    * in no other engine), so this is spec-pinned rather than oracled.
+    * Mirrors Delta's two refusals: a timestamp before the earliest
+    * reconstructible commit and one after the latest commit both fail
+    * loudly (serving "latest" for a future timestamp would race any
+    * concurrent writer). Versions a truncation absorbed into a
+    * checkpoint have no commit file and are not addressable — the
+    * earliest-commit guard names the earliest that is.
+    */
+  def versionAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): Long = {
+    val fsys = fs(spark, dir)
+    val vs = listVersions(fsys, dir)
+    require(vs.nonEmpty, s"OccTable: no commit files at $dir " +
+      "(fully truncated log has no timestamp history)")
+    val stamped = vs.map(v =>
+      (v, fsys.getFileStatus(versionPath(dir, v)).getModificationTime))
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"OccTable: timestamp $tsMillis predates the earliest " +
+        s"addressable commit (v${stamped.head._1} at ${stamped.head._2})")
+    // future timestamp: refuse like Delta — a concurrent commit could
+    // land between the check and the read
+    require(tsMillis <= stamped.last._2,
+      s"OccTable: timestamp $tsMillis is after the latest commit " +
+        s"(v${stamped.last._1} at ${stamped.last._2})")
+    eligible.last._1
+  }
+
+  /** [[read]] as of a wall-clock timestamp — see [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long)(
+      emptyResult: => DataFrame = throw new IllegalStateException(
+        s"OccTable: empty snapshot at $dir")): DataFrame =
+    readAt(spark, dir, versionAsOf(spark, dir, tsMillis))(emptyResult)
+
   /** [[read]] at a historical version — see [[snapshotAt]]. */
   def readAt(spark: SparkSession, dir: String, version: Long)(
       emptyResult: => DataFrame = throw new IllegalStateException(

@@ -178,6 +178,34 @@ class OccTableSpec extends SparkSpec {
     }
   }
 
+  test("versionAsOf: wall-clock time travel maps commit mtimes to versions with Delta's two refusals") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)            // v0
+    OccTable.append(Seq((2L, 20L)).toDF("id", "v"), dir)          // v1
+    OccTable.append(Seq((3L, 30L)).toDF("id", "v"), dir)          // v2
+    // pin commit times deterministically — no sleeps, no flakes
+    def pin(v: Long, t: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dir, "_graft_occ", f"v$v%020d"),
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    pin(0L, 1000000L); pin(1L, 2000000L); pin(2L, 3000000L)
+    assert(OccTable.versionAsOf(spark, dir, 1000000L) === 0L)
+    assert(OccTable.versionAsOf(spark, dir, 1999999L) === 0L)
+    assert(OccTable.versionAsOf(spark, dir, 2000000L) === 1L)
+    assert(OccTable.versionAsOf(spark, dir, 2500000L) === 1L)
+    assert(OccTable.versionAsOf(spark, dir, 3000000L) === 2L)
+    // before the earliest commit / after the latest: loud, like Delta
+    assertThrows[IllegalArgumentException] {
+      OccTable.versionAsOf(spark, dir, 999999L)
+    }
+    assertThrows[IllegalArgumentException] {
+      OccTable.versionAsOf(spark, dir, 3000001L)
+    }
+    assert(OccTable.readAsOf(spark, dir, 2500000L)()
+      .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      === Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("partitionValues: path-hostile values round-trip the staging escape and the log encoding") {
     val dir = freshDir()
     val weird = Seq("sp ace", "eq=sign", "semi;colon", "pct%20", "plus+x",
