@@ -2866,6 +2866,13 @@ object SparkEntry {
     "q_funnel_stream" -> ((s, dir) =>
       graft.streaming.Pipeline.replayFunnelStream(s, dir)),
 
+    // ---- X113 on transformWithState (the Spark 4 successor API):
+    //      same funnel machine, horizon eviction on an EXPLICIT
+    //      per-key timer under the RocksDB provider — SAME oracle as
+    //      the fMGWS form, so the API swap is value-checked ----
+    "q_funnel_stream_tws" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayFunnelStream(s, dir, useTws = true)),
+
     // ---- X114: cohort retention matrix — cohort = first active day
     //      per user; per (cohort day, day offset) distinct active
     //      users, cohort size, and the rounded retention rate ----
@@ -5888,6 +5895,7 @@ object SparkEntry {
     // exact below 2^53, so the one display division replays exactly.
     "q_funnel" -> FunnelOracleSql,
     "q_funnel_stream" -> FunnelOracleSql,
+    "q_funnel_stream_tws" -> FunnelOracleSql,
     // X118: identical pinned ntile orders (metric, user) both engines;
     // summed cents/counts exact, one display division each.
     "q_rfm_segments" ->

@@ -723,13 +723,13 @@ object Pipeline {
     */
   def replayFunnelStream(spark: SparkSession, dir: String,
       steps: Seq[String] = Seq("view", "click", "purchase"),
-      horizonSec: Long = 86400L): DataFrame = {
+      horizonSec: Long = 86400L, useTws: Boolean = false): DataFrame = {
     import spark.implicits._
     val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
     val user = sys.props.getOrElse("user.name", "anon")
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|funnel|${steps.mkString(",")}".getBytes("UTF-8"))
+      .digest(s"$dir|funnel|${steps.mkString(",")}|$useTws".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val outRoot = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_replay_funnel_$user", key)
@@ -743,16 +743,29 @@ object Pipeline {
           col("event_type"), col("ts"), col("event_id"))
         .withWatermark("ts", "0 seconds")
         .as[UserEvent]
-      val q = Stateful.funnelSnapshots(typed, steps, horizonSec)
-        .toDF()
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckptDir.toString)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch(parquetAppendSink(outDir))
-        .start()
-      try q.awaitTermination() finally {
-        q.stop()
+      // the TWS twin needs the RocksDB provider for the query's
+      // lifetime (the engine rejects transformWithState on the
+      // HDFS-backed default)
+      def start(): Unit = {
+        val snapsDs =
+          if (useTws) Stateful.funnelSnapshotsTws(typed, steps, horizonSec)
+          else Stateful.funnelSnapshots(typed, steps, horizonSec)
+        val q = snapsDs
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir.toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch(parquetAppendSink(outDir))
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      try {
+        if (useTws)
+          graft.StatePosture.withProvider(spark,
+            graft.Session.rocksdbStateStore)(start())
+        else start()
+      } finally {
         deleteRecursively(ckptDir)
         deleteRecursively(streamDir)
       }

@@ -458,6 +458,85 @@ object Stateful {
   private def micros(ts: Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  /** [[funnelSnapshots]] on `transformWithState` — the Spark 4
+    * successor API, same machine, same terminal-snapshot consumer
+    * rule, but the horizon eviction runs on an EXPLICIT per-key timer
+    * instead of fMGWS's implicit timeout slot, and the timer registry
+    * is managed by hand: delete + re-arm each batch, and a stale
+    * timer can legitimately fire for a key whose conversion already
+    * cleared the state (the empty-state guard, not an error).
+    * Requires the RocksDB provider — the engine rejects TWS on the
+    * HDFS-backed default. Faces the SAME oracle as the fMGWS form
+    * (`q_funnel_stream_tws` shares `q_funnel`'s SQL).
+    */
+  def funnelSnapshotsTws(rows: Dataset[UserEvent],
+      steps: Seq[String], horizonSec: Long): Dataset[FunnelSnapshot] = {
+    import rows.sparkSession.implicits._
+    require(steps.length >= 2, "funnelSnapshotsTws: need at least 2 steps")
+    val horizonUs = horizonSec * 1000000L
+
+    class FunnelProcessor
+        extends StatefulProcessor[String, UserEvent, FunnelSnapshot] {
+      @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[FunnelSnapshot] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[FunnelSnapshot]("funnel",
+          Encoders.product[FunnelSnapshot], TTLConfig.NONE)
+
+      private def clearTimers(): Unit =
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+
+      override def handleInputRows(key: String,
+          it: Iterator[UserEvent],
+          timerValues: TimerValues): Iterator[FunnelSnapshot] = {
+        val prev = if (state.exists()) Some(state.get()) else None
+        var times = prev.map(_.times.toVector).getOrElse(Vector.empty)
+        var n = prev.map(_.n).getOrElse(0L)
+        it.toVector.sortBy(r => (micros(r.ts), r.event_id)).foreach { r =>
+          val ts = micros(r.ts)
+          n += 1
+          if (times.isEmpty) {
+            if (r.event_type == steps.head) times = Vector(ts)
+          } else if (times.length < steps.length &&
+              r.event_type == steps(times.length) && ts > times.last &&
+              ts <= times.head + horizonUs) {
+            times = times :+ ts
+          }
+        }
+        if (times.isEmpty) {
+          if (state.exists()) { state.clear(); clearTimers() }
+          Iterator.empty
+        } else if (times.length == steps.length) {
+          state.clear(); clearTimers()
+          Iterator.single(FunnelSnapshot(key, Long.MaxValue, times))
+        } else {
+          val cur = FunnelSnapshot(key, n, times)
+          state.update(cur)
+          clearTimers()
+          getHandle.registerTimer(math.max(
+            (times.head + horizonUs) / 1000L + 1L,
+            timerValues.getCurrentWatermarkInMs() + 1L))
+          Iterator.single(cur)
+        }
+      }
+
+      override def handleExpiredTimer(key: String,
+          timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelSnapshot] = {
+        if (!state.exists()) return Iterator.empty
+        val s = state.get()
+        state.clear()
+        Iterator.single(FunnelSnapshot(key, Long.MaxValue, s.times))
+      }
+    }
+
+    rows
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.EventTime,
+        OutputMode.Append, Encoders.product[FunnelSnapshot])
+  }
+
   /** Streaming per-user FUNNEL tracking (X113's live form): each user
     * carries the ordered step-reach times in the state store and
     * advances the same first-occurrence machine the batch

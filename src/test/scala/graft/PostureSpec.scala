@@ -644,6 +644,40 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelSnapshotsTws: the explicit-timer twin reproduces the fMGWS eviction semantics under RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    StatePosture.withProvider(spark, Session.rocksdbStateStore) {
+      val mem = MemoryStream[(String, String, Long, Long)]
+      val q = Stateful.funnelSnapshotsTws(userEvents(mem),
+          Seq("view", "click", "purchase"), horizonSec = 3600L)
+        .writeStream.format("memory").queryName("funnel_tws_test")
+        .outputMode("append").start()
+      val us = 1000000L
+      try {
+        mem.addData(Seq(("u1", "view", 1000L * us, 1L)))
+        q.processAllAvailable()
+        // u2 converts in one batch: state cleared, timer deleted — the
+        // stale-timer guard path is exactly what must NOT emit later
+        mem.addData(Seq(("u2", "view", 1500L * us, 2L),
+          ("u2", "click", 1600L * us, 3L),
+          ("u2", "purchase", 1700L * us, 4L)))
+        q.processAllAvailable()
+        // watermark past u1's horizon (4600 s); follow-up fires the timer
+        mem.addData(Seq(("ux", "view", 10000L * us, 5L)))
+        q.processAllAvailable()
+        mem.addData(Seq(("ux", "click", 12000L * us, 6L)))
+        q.processAllAvailable()
+        val snaps = spark.table("funnel_tws_test")
+          .as[graft.streaming.FunnelSnapshot].collect()
+        val termU1 = snaps.filter(s => s.key == "u1" && s.n == Long.MaxValue)
+        assert(termU1.length === 1 && termU1.head.times === Seq(1000L * us))
+        // exactly one terminal for converted u2 (no stale-timer double)
+        assert(snaps.count(s => s.key == "u2" && s.n == Long.MaxValue) === 1)
+        assert(stateRows(q) === 1L, "only ux's live funnel remains stored")
+      } finally q.stop()
+    }
+  }
+
   test("transitionPairs eviction: session gap drops the pair in any interleaving and idle keys leave the store") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, Long, Long)]
