@@ -209,9 +209,13 @@ object Behavior {
       .toDF("__u", "cohort_epoch_day", "day_offset")
     val matrix = acts.groupBy(col("cohort_epoch_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_active"))
-    val sizes = acts.filter(col("day_offset") === 0L)
-      .groupBy(col("cohort_epoch_day")).agg(count(lit(1)).as("cohort_size"))
-      .withColumnRenamed("cohort_epoch_day", "__cd")
+    // cohort size IS the matrix's own offset-0 cell (every segment
+    // emits offset 0 exactly once) — deriving it from the aggregate
+    // keeps the per-user fold single-execution (AQE reuses the
+    // matrix exchange; a second fold branch would re-run MapGroups)
+    val sizes = matrix.filter(col("day_offset") === 0L)
+      .select(col("cohort_epoch_day").as("__cd"),
+        col("n_active").as("cohort_size"))
     matrix.join(broadcast(sizes), col("cohort_epoch_day") === col("__cd"))
       .select(
         date_from_unix_date(col("cohort_epoch_day").cast("int"))

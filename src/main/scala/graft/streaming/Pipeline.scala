@@ -909,11 +909,12 @@ object Pipeline {
     val acts = TxnSink.committedRead(spark, outDir)
     val matrix = acts.groupBy(col("cohort_epoch_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_active"))
-    // every user emits offset 0 on its first day → sizes from the
-    // same committed stream, no second scan of the raw data
-    val sizes = acts.filter(col("day_offset") === 0L)
-      .groupBy(col("cohort_epoch_day")).agg(count(lit(1)).as("cohort_size"))
-      .withColumnRenamed("cohort_epoch_day", "__cd")
+    // every user emits offset 0 once per cohort segment → the cohort
+    // size IS the matrix's own offset-0 cell: one aggregation, one
+    // committed-stream scan (AQE reuses the matrix exchange)
+    val sizes = matrix.filter(col("day_offset") === 0L)
+      .select(col("cohort_epoch_day").as("__cd"),
+        col("n_active").as("cohort_size"))
     matrix.join(broadcast(sizes), col("cohort_epoch_day") === col("__cd"))
       .select(
         date_from_unix_date(col("cohort_epoch_day").cast("int"))
