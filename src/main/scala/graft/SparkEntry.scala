@@ -2822,6 +2822,15 @@ object SparkEntry {
       Behavior.funnel(Tables.events(s, dir), "user_id", "event_type",
         "ts", Seq("view", "click", "purchase"), horizonSec = 86400L)),
 
+    // ---- X113's per-user FACT TABLE: one row per (user, reached
+    //      step) with exact integer micros from funnel start — the
+    //      joinable form cohort/LTV and latency-distribution reads
+    //      consume; all-integer, zero FP surface ----
+    "q_funnel_times" -> ((s, dir) =>
+      Behavior.funnelTimes(Tables.events(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        horizonSec = 86400L)),
+
     // ---- X115: first-order event transition matrix — per user,
     //      consecutive event pairs in pinned (ts, event_id) order;
     //      per (from, to) the count and P(to | from) ----
@@ -3129,6 +3138,35 @@ object SparkEntry {
           Seq("event_type" -> "click"), Seq(("value", 20.0, 80.0)))
         .select(col("event_id"), col("event_type"),
           round(col("value"), 6).as("value"))
+    }),
+
+    // ---- X123: Delta-CDF-style change feed between versions — keys
+    //      whose rows were added/removed/changed from v0 to v2, read
+    //      by scanning ONLY the churned files (immutable files common
+    //      to both snapshots are provably all-unchanged); the rewrite
+    //      negates values on a 1-in-10 subset so added and changed
+    //      classes both appear ----
+    "q_occ_changes" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select("event_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|changes".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_changes_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      OccTable.init(base.filter(col("event_id") % 2 === 0), t)       // v0
+      OccTable.append(base.filter(col("event_id") % 2 === 1), t)     // v1
+      OccTable.rewrite(s, t, d => d.withColumn("value",
+        when(col("event_id") % 10 === 0, -col("value"))
+          .otherwise(col("value"))))                                 // v2
+      OccTable.tableChanges(s, t, 0L, 2L,
+        Seq("event_id"), Seq("event_type", "value"))
     }),
 
     // ---- X122: Delta-parity RESTORE — a bad rewrite undone as a NEW
@@ -5896,6 +5934,32 @@ object SparkEntry {
     "q_funnel" -> FunnelOracleSql,
     "q_funnel_stream" -> FunnelOracleSql,
     "q_funnel_stream_tws" -> FunnelOracleSql,
+    // X113 fact table: the same first-occurrence CTE chain, emitted
+    // per user instead of rolled up — all-integer columns.
+    "q_funnel_times" ->
+      """WITH s0 AS (SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT s0.user_id, s0.t0,
+        |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t1
+        |  FROM s0 JOIN events e ON e.user_id = s0.user_id
+        |    AND e.event_type = 'click'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s0.t0
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s0.t0 + 86400000000
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT s1.user_id, s1.t0,
+        |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
+        |  FROM s1 JOIN events e ON e.user_id = s1.user_id
+        |    AND e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t1
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= s1.t0 + 86400000000
+        |  GROUP BY 1, 2)
+        |SELECT user_id, 0 AS step_idx, 'view' AS step,
+        |  CAST(t0 - t0 AS BIGINT) AS us_from_start FROM s0
+        |UNION ALL
+        |SELECT user_id, 1, 'click', CAST(t1 - t0 AS BIGINT) FROM s1
+        |UNION ALL
+        |SELECT user_id, 2, 'purchase', CAST(t2 - t0 AS BIGINT) FROM s2""".stripMargin,
     // X118: identical pinned ntile orders (metric, user) both engines;
     // summed cents/counts exact, one display division each.
     "q_rfm_segments" ->
@@ -6082,6 +6146,15 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value
         |FROM f GROUP BY 1""".stripMargin,
 
+    // X123: the change feed replays as closed-form classification —
+    // appended odd keys read 'added', the rewrite's 1-in-10 negation
+    // reads 'changed', everything else is unchanged hence absent.
+    "q_occ_changes" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 1 THEN 'added'
+        |       ELSE 'changed' END AS status
+        |FROM events
+        |WHERE event_id % 2 = 1 OR event_id % 10 = 0""".stripMargin,
     // X122: restore undoes the rewrite entirely — the read is the
     // plain projection, as if the negation never happened.
     "q_occ_restore" ->

@@ -30,8 +30,13 @@ object Behavior {
     * window over the full event history, no per-user sort of raw rows).
     * The per-step rollups are metadata-sized single-row aggregates.
     */
-  def funnel(ev: DataFrame, user: String, typ: String, ts: String,
-      steps: Seq[String], horizonSec: Long): DataFrame = {
+  /** The shared per-step reach frames: frame i holds one row per user
+    * who reached step i, with `__t0` (funnel start) and `__tp` (step-i
+    * reach time) in epoch micros.
+    */
+  private def funnelFrames(ev: DataFrame, user: String, typ: String,
+      ts: String, steps: Seq[String],
+      horizonSec: Long): Seq[DataFrame] = {
     require(steps.length >= 2, "funnel: need at least 2 steps")
     require(steps.distinct.length == steps.length, "funnel: duplicate step")
     require(horizonSec > 0, "funnel: horizon must be positive")
@@ -40,7 +45,7 @@ object Behavior {
       .groupBy(col(user))
       .agg(min(unix_micros(col(ts))).as("__t0"))
       .withColumn("__tp", col("__t0"))
-    val frames = steps.tail.scanLeft(entry) { (prev, st) =>
+    steps.tail.scanLeft(entry) { (prev, st) =>
       val nxt = ev.filter(col(typ) === st)
         .select(col(user).as("__u"), unix_micros(col(ts)).as("__ts"))
       prev.join(nxt, col(user) === col("__u"))
@@ -49,6 +54,27 @@ object Behavior {
         .groupBy(col(user), col("__t0"))
         .agg(min(col("__ts")).as("__tp"))
     }
+  }
+
+  /** Per-user funnel FACT TABLE — the joinable building block behind
+    * [[funnel]]'s rollup: one row per (user, reached step) with the
+    * exact integer micros from funnel start, which is what cohort/LTV
+    * joins and conversion-latency distribution reads consume. Same
+    * user-keyed join chain as [[funnel]]; ALL-INTEGER output — a full
+    * value oracle with zero FP surface.
+    */
+  def funnelTimes(ev: DataFrame, user: String, typ: String, ts: String,
+      steps: Seq[String], horizonSec: Long): DataFrame =
+    funnelFrames(ev, user, typ, ts, steps, horizonSec)
+      .zip(steps).zipWithIndex.map { case ((f, st), i) =>
+        f.select(col(user),
+          lit(i).cast("int").as("step_idx"), lit(st).as("step"),
+          (col("__tp") - col("__t0")).cast("long").as("us_from_start"))
+      }.reduce(_ unionByName _)
+
+  def funnel(ev: DataFrame, user: String, typ: String, ts: String,
+      steps: Seq[String], horizonSec: Long): DataFrame = {
+    val frames = funnelFrames(ev, user, typ, ts, steps, horizonSec)
     frames.zip(steps).zipWithIndex.map { case ((f, st), i) =>
       f.agg(count(lit(1)).as("n_users"),
           sum(col("__tp") - col("__t0")).as("__sum_us"))

@@ -1045,6 +1045,56 @@ object OccTable {
     -1L // unreachable
   }
 
+  /** Delta-CDF-style CHANGES between two versions: every key whose row
+    * was added, removed, or changed from `fromVersion` to `toVersion`
+    * (unchanged keys are omitted — the change feed, not a full diff).
+    *
+    * The scale property is CHURN-ONLY SCANNING: data files are
+    * immutable, so a file present in BOTH snapshots contributes
+    * identical rows to both sides — with per-snapshot-unique keys its
+    * keys are provably unchanged and the file never enters the plan.
+    * Only the symmetric difference of the two file sets is read: at
+    * 0.1% churn a 100 TB table diffs by scanning ~0.2% of its bytes,
+    * where a naive two-snapshot diff reads 200 TB. The row-level
+    * classification is [[graft.sources.Layout.snapshotDiff]]'s
+    * union-tag + one key aggregation (never a full outer join).
+    * Compare columns missing on one side (additive evolution between
+    * the versions) read as NULL there, matching the evolved-read
+    * contract. Keys must be unique per snapshot.
+    */
+  def tableChanges(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(fromVersion < toVersion,
+      s"OccTable.tableChanges: need fromVersion < toVersion, got " +
+        s"$fromVersion >= $toVersion")
+    val sa = snapshotAt(spark, dir, fromVersion)
+    val sb = snapshotAt(spark, dir, toVersion)
+    val inB = sb.files.toSet
+    val inA = sa.files.toSet
+    def sideRead(s: Snapshot, names: Seq[String]): DataFrame = {
+      val base = (s.schema, names) match {
+        case (Some(st), Seq()) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        case (None, Seq()) => throw new IllegalStateException(
+          s"OccTable: no churned files and no log schema at $dir")
+        case (Some(st), fs0) =>
+          spark.read.schema(st).parquet(fs0.map(f => s"$dir/$f"): _*)
+        case (None, fs0) =>
+          spark.read.parquet(fs0.map(f => s"$dir/$f"): _*)
+      }
+      (keyCols ++ cols).foldLeft(base) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null)) // pre-evolution side: NULL
+      }
+    }
+    val ra = sideRead(sa, sa.files.filterNot(inB))
+    val rb = sideRead(sb, sb.files.filterNot(inA))
+    Layout.snapshotDiff(ra, rb, keyCols, cols)
+      .filter(col("status") =!= "unchanged")
+  }
+
   /** Delta-parity RESTORE: make the CURRENT snapshot equal the table
     * as of `version` — as a NEW COMMIT, not a rewind: history above
     * the restore point stays time-travelable, and the restore itself

@@ -178,6 +178,33 @@ class OccTableSpec extends SparkSpec {
     }
   }
 
+  test("tableChanges: change feed classifies added/removed/changed; files common to both versions never enter the plan") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), dir)   // v0
+    OccTable.append(Seq((3L, 30L)).toDF("id", "v"), dir)            // v1
+    OccTable.append(Seq((4L, 40L)).toDF("id", "v"), dir)            // v2
+    // append-only window: only v2's new file is churned
+    val ch12 = OccTable.tableChanges(spark, dir, 1L, 2L,
+      Seq("id"), Seq("v"))
+    assert(ch12.select("id", "status").as[(Long, String)]
+      .collect().toSeq === Seq((4L, "added")))
+    val churn = OccTable.snapshotAt(spark, dir, 2L).files
+      .filterNot(OccTable.snapshotAt(spark, dir, 1L).files.toSet)
+    assert(ch12.inputFiles.nonEmpty &&
+      ch12.inputFiles.forall(p => churn.exists(p.endsWith)),
+      s"planned ${ch12.inputFiles.toSeq} beyond churned $churn")
+    // a rewrite that drops id 2 and changes id 1: full classification
+    OccTable.rewrite(spark, dir, d => d.filter(col("id") =!= 2L)
+      .withColumn("v", when(col("id") === 1L, col("v") + 5)
+        .otherwise(col("v"))))                                      // v3
+    val ch03 = OccTable.tableChanges(spark, dir, 0L, 3L,
+      Seq("id"), Seq("v"))
+      .select("id", "status").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(ch03 === Seq((1L, "changed"), (2L, "removed"),
+      (3L, "added"), (4L, "added")))
+  }
+
   test("versionAsOf: wall-clock time travel maps commit mtimes to versions with Delta's two refusals") {
     val dir = freshDir()
     OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)            // v0
