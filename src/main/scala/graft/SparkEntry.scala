@@ -3169,6 +3169,14 @@ object SparkEntry {
         Seq("event_id"), Seq("event_type", "value"))
     }),
 
+    // ---- X125: the STREAMING change feed (Delta readChangeFeed
+    //      parity) — changesTo subscribes at per-version granularity
+    //      and commits each version's row-level (key, status) delta;
+    //      the rewrite's version emits ONLY its genuinely changed
+    //      rows, which an append-only tail cannot represent ----
+    "q_occ_changes_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayOccChanges(s, dir)),
+
     // ---- X122: Delta-parity RESTORE — a bad rewrite undone as a NEW
     //      commit (pure log work, zero bytes copied; history above the
     //      restore point stays time-travelable). Restore returns the
@@ -6155,6 +6163,20 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM events
         |WHERE event_id % 2 = 1 OR event_id % 10 = 0""".stripMargin,
+    // X125: the streamed per-version change rows replay closed-form —
+    // version from the key's build slice (%3: 0→v0, 1→v1, 2→v3), plus
+    // the rewrite's v2 emitting exactly the 1-in-10 negated keys that
+    // existed before it.
+    "q_occ_changes_stream" ->
+      """SELECT event_id,
+        |  CAST(CASE WHEN event_id % 3 = 0 THEN 0
+        |            WHEN event_id % 3 = 1 THEN 1
+        |            ELSE 3 END AS BIGINT) AS version,
+        |  'added' AS status
+        |FROM events
+        |UNION ALL
+        |SELECT event_id, CAST(2 AS BIGINT), 'changed' FROM events
+        |WHERE event_id % 10 = 0 AND event_id % 3 <> 2""".stripMargin,
     // X122: restore undoes the rewrite entirely — the read is the
     // plain projection, as if the negation never happened.
     "q_occ_restore" ->

@@ -1065,11 +1065,17 @@ object OccTable {
   def tableChanges(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String],
       cols: Seq[String]): DataFrame = {
-    require(fromVersion < toVersion,
-      s"OccTable.tableChanges: need fromVersion < toVersion, got " +
-        s"$fromVersion >= $toVersion")
-    val sa = snapshotAt(spark, dir, fromVersion)
+    require(fromVersion >= -1L && fromVersion < toVersion,
+      s"OccTable.tableChanges: need -1 <= fromVersion < toVersion, got " +
+        s"($fromVersion, $toVersion)")
     val sb = snapshotAt(spark, dir, toVersion)
+    // fromVersion = -1 is the PRE-CREATION table: every row of the
+    // target snapshot is an add (the change-feed subscriber's first
+    // batch from 'earliest')
+    val sa =
+      if (fromVersion == -1L)
+        Snapshot(-1L, Seq.empty, schemaJson = sb.schemaJson)
+      else snapshotAt(spark, dir, fromVersion)
     val inB = sb.files.toSet
     val inA = sa.files.toSet
     def sideRead(s: Snapshot, names: Seq[String]): DataFrame = {

@@ -320,4 +320,51 @@ object OccStream {
       }
     queryName.fold(writer)(writer.queryName).start()
   }
+
+  /** The CHANGE-FEED tail (X125, Delta's streaming `readChangeFeed`
+    * parity): subscribe to the table's ROW-LEVEL changes. Each
+    * micro-batch covers a commit-version range (s, e] and hands
+    * `sink` the [[OccTable.tableChanges]] frame between snapshot s
+    * and snapshot e (keys added/removed/changed over the range, with
+    * a `to_version` column stamping e), reading only the range's
+    * CHURNED files. Unlike [[tailTo]], rewrites are first-class: a
+    * pure compaction's version shows up as ZERO change rows (files
+    * churn, rows do not) — exactly the CDF promise an append-only
+    * tail cannot make. The first batch from `earliest` diffs against
+    * the pre-creation empty table, so v0's rows arrive as adds.
+    * `maxVersionsPerTrigger = 1` gives per-version granularity;
+    * larger ranges coalesce to NET changes over the range (a row
+    * added then removed inside one range emits nothing — Delta
+    * coalesces the same way only at version granularity, so run
+    * per-version when the consumer needs every intermediate).
+    * Requires per-snapshot-unique `keyCols`, the same contract as
+    * [[OccTable.tableChanges]].
+    */
+  def changesTo(spark: SparkSession, dir: String, checkpointDir: String,
+      keyCols: Seq[String], cols: Seq[String],
+      sink: (DataFrame, Long) => Unit,
+      startingVersion: String = "earliest",
+      maxVersionsPerTrigger: Int = 0,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      queryName: Option[String] = None): StreamingQuery = {
+    val writer = feed(spark, dir, startingVersion, maxVersionsPerTrigger)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // metadata-sized: the batch IS the commit-log slice
+        val vs = batch.select("version").collect().map(_.getLong(0))
+        if (vs.nonEmpty) {
+          val to = vs.max
+          val from = vs.min - 1L // exclusive lower bound of the range
+          val changes = OccTable
+            .tableChanges(spark, dir, from, to, keyCols, cols)
+            .withColumn("to_version", org.apache.spark.sql.functions.lit(to))
+          sink(changes, to)
+        }
+        ()
+      }
+    queryName.fold(writer)(writer.queryName).start()
+  }
 }

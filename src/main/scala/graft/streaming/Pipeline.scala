@@ -395,6 +395,53 @@ object Pipeline {
     graft.sources.OccTable.read(spark, dst)()
   }
 
+  /** Streaming change-feed gate (`q_occ_changes_stream`, X125): a
+    * four-version table (init → append → 1-in-10 negating rewrite →
+    * append) subscribed through [[graft.sources.OccStream.changesTo]]
+    * at per-version granularity; the committed change rows replay as
+    * closed-form (key, version, status) classification — including
+    * the rewrite's version emitting ONLY the genuinely changed rows,
+    * which an append-only tail cannot represent at all.
+    */
+  def replayOccChanges(spark: SparkSession, dir: String): DataFrame = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|occchanges".getBytes("UTF-8")).map("%02x".format(_))
+      .mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_occ_changes_str_$user", key)
+    deleteRecursively(outRoot)
+    val t = outRoot.toString + "/t"
+    val outDir = outRoot.toString + "/changes"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_occ_changes_ckpt")
+    val base = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "event_type", "value")
+    withReplayParallelism(spark) {
+      graft.sources.OccTable.init(
+        base.filter(col("event_id") % 3 === 0), t)                  // v0
+      graft.sources.OccTable.append(
+        base.filter(col("event_id") % 3 === 1), t)                  // v1
+      graft.sources.OccTable.rewrite(spark, t, d => d.withColumn(
+        "value", when(col("event_id") % 10 === 0, -col("value"))
+          .otherwise(col("value"))))                                // v2
+      graft.sources.OccTable.append(
+        base.filter(col("event_id") % 3 === 2), t)                  // v3
+      val q = graft.sources.OccStream.changesTo(spark, t,
+        ckpt.toString, Seq("event_id"), Seq("event_type", "value"),
+        (changes, v) => parquetAppendSink(outDir)(changes, v),
+        maxVersionsPerTrigger = 1, trigger = Trigger.AvailableNow())
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckpt)
+      }
+    }
+    TxnSink.committedRead(spark, outDir)
+      .select(col("event_id"), col("to_version").as("version"),
+        col("status"))
+  }
+
   /** X119: the lakehouse loop closed END-TO-END as one standing
     * process — an OCC commit-log tail (X104) subscribes to a documents
     * source table, runs the FULL X14 curation pipeline
