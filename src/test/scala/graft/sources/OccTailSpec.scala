@@ -18,6 +18,34 @@ class OccTailSpec extends SparkSpec {
   private def freshDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString + "/t"
 
+  test("changesTo: a pure compaction emits ZERO change rows; per-version granularity separates adds from changes") {
+    val dir = freshDir("graft_occtail_cdc")
+    OccTable.init(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), dir)    // v0
+    OccTable.append(Seq((3L, 30L)).toDF("id", "v"), dir)             // v1
+    OccTable.rewrite(spark, dir, d => d.coalesce(1))                 // v2: pure compaction
+    OccTable.rewrite(spark, dir,
+      d => d.withColumn("v", when(col("id") === 1L, col("v") + 1)
+        .otherwise(col("v"))))                                       // v3: real change
+    val perVersion = scala.collection.mutable.Map
+      .empty[Long, Seq[(Long, String)]]
+    val q = OccStream.changesTo(spark, dir,
+      Files.createTempDirectory("graft_occtail_cdc_ckpt").toString,
+      Seq("id"), Seq("v"),
+      (changes, to) => {
+        perVersion(to) = changes.select("id", "status")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        ()
+      },
+      maxVersionsPerTrigger = 1, trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(perVersion(0L).sorted === Seq((1L, "added"), (2L, "added")))
+    assert(perVersion(1L) === Seq((3L, "added")))
+    // the CDF promise: files churned, rows did not — zero change rows
+    assert(perVersion(2L) === Seq.empty,
+      s"pure compaction leaked changes: ${perVersion(2L)}")
+    assert(perVersion(3L) === Seq((1L, "changed")))
+  }
+
   test("feed: one micro-batch per version under the admission cap; actions replay the log faithfully") {
     val dir = freshDir("graft_occtail_feed")
     OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)                  // v0
