@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Classifier, Curate, Dedup, Eval, Mixture, Multimodal, Similarity, TextStats}
 import graft.ops.{Alerts, Anomaly, Behavior, Cleanse, Forecast, Freq, Geo, Kll, Rollups, Scans, Sketches, Trend, Upsert, WindowedAgg}
-import graft.sources.{Layout, OccTable, Tables}
+import graft.sources.{Layout, OccBloom, OccTable, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -3140,6 +3140,91 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
     }),
 
+    // ---- X126: per-file BLOOM INDEX in the OCC log (Delta bloom-
+    //      filter-index parity) — the table is ts-sliced, so event_id
+    //      min/max stats cannot prune an identity lookup; the bloom
+    //      sidecars skip every file whose filter says the looked-up
+    //      ids are definitely absent, and the exact isin residual
+    //      keeps the result ≡ the plain modulus filter ----
+    "q_occ_bloom_skip" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|bloomskip".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_bloom_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val q = (hi - lo) / 4
+      val blooms = Seq(OccBloom.BloomCol("event_id",
+        numItems = 100000L, fpp = 0.01))
+      val slices = (0 until 4).map { i =>
+        val a = lo + i * q
+        val z = if (i == 3) hi + 1 else lo + (i + 1) * q
+        ev.filter(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < z)
+          .coalesce(2)
+      }
+      OccTable.init(slices.head, t, bloomColumns = blooms)
+      slices.tail.foreach(sl =>
+        OccTable.append(sl, t, bloomColumns = blooms))
+      OccTable.checkpoint(s, t) // bloom params must survive the fold
+      val ids = ev.filter(col("event_id") % 997 === 0)
+        .select(col("event_id").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      OccTable.readEqualityPruned(s, t, "event_id", ids)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
+    // ---- X127: Delta-parity MERGE — update-all / insert-all / a CDC
+    //      delete flag, applied by rewriting ONLY the files whose
+    //      X117 stats admit a source key (the insert keys sit beyond
+    //      every file's interval and touch nothing); result ≡ the
+    //      latest-wins SQL over snapshot ∪ source ----
+    "q_occ_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|merge".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_merge_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val qId = maxId / 4
+      // key-clustered layout: 8 files of disjoint event_id ranges, so
+      // the low-quarter update batch touches ~2 of them
+      OccTable.init(ev.repartitionByRange(8, col("event_id")), t,
+        statsColumns = Seq("event_id"))
+      val upd = ev
+        .filter(col("event_id") % 10 === 0 && col("event_id") <= qId)
+        .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+        .withColumn("value", -col("value"))
+        .withColumn("deleted", col("event_id") % 100 === 0)
+      val ins = ev
+        .filter(col("event_id") % 10 === 5 && col("event_id") <= qId)
+        .withColumn("event_id", col("event_id") + maxId)
+        .withColumn("deleted", lit(false))
+      OccTable.merge(s, t, upd.unionByName(ins), Seq("event_id"),
+        deleteCol = Some("deleted"), statsColumns = Seq("event_id"))
+      OccTable.read(s, t)()
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), round(col("value"), 6).as("value"))
+    }),
+
     // ---- X123: Delta-CDF-style change feed between versions — keys
     //      whose rows were added/removed/changed from v0 to v2, read
     //      by scanning ONLY the churned files (immutable files common
@@ -6187,6 +6272,40 @@ object SparkEntry {
       """SELECT event_id, event_type, round(value, 6) AS value
         |FROM events
         |WHERE event_type = 'click' AND value >= 20 AND value <= 80""".stripMargin,
+    // X126: bloom skipping must be invisible too — the lookup of every
+    // 997th event id replays as the plain modulus filter.
+    "q_occ_bloom_skip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_id % 997 = 0 GROUP BY 1""".stripMargin,
+    // X127: MERGE replays as latest-wins over snapshot ∪ source with
+    // source-side updates, inserts shifted past max(event_id), and
+    // delete-flagged keys dropped.
+    "q_occ_merge" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events),
+        |snap AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         false AS deleted, 0 AS side FROM events),
+        |upd AS (
+        |  SELECT event_id, ts + INTERVAL 60 DAY AS ts, user_id,
+        |         event_type, -value AS value,
+        |         (event_id % 100 = 0) AS deleted, 1 AS side
+        |  FROM events, mx
+        |  WHERE event_id % 10 = 0 AND event_id <= m // 4),
+        |ins AS (
+        |  SELECT event_id + m AS event_id, ts, user_id, event_type,
+        |         value, false AS deleted, 1 AS side
+        |  FROM events, mx
+        |  WHERE event_id % 10 = 5 AND event_id <= m // 4),
+        |merged AS (
+        |  SELECT * FROM snap UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |win AS (
+        |  SELECT * FROM merged QUALIFY row_number() OVER (
+        |    PARTITION BY event_id ORDER BY side DESC) = 1)
+        |SELECT event_id, ts, user_id, event_type,
+        |  round(value, 6) AS value
+        |FROM win WHERE NOT deleted""".stripMargin,
 
     "q_upsert_partitioned" ->
       """WITH snap AS (
