@@ -3184,6 +3184,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // ---- X128: Delta-parity OPTIMIZE ZORDER — a streaming-shaped
+    //      tail of 8 small ts-sliced commits re-clusters on the
+    //      (value, ts) Morton curve; the doubly-pruned read off the
+    //      recomputed stats ≡ the plain conjunctive filter ----
+    "q_occ_optimize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|optimize".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_opt_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val q8 = (hi - lo) / 8
+      val slices = (0 until 8).map { i =>
+        val a = lo + i * q8
+        val z = if (i == 7) hi + 1 else lo + (i + 1) * q8
+        ev.filter(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < z)
+          .coalesce(1)
+      }
+      OccTable.init(slices.head, t)
+      slices.tail.foreach(sl => OccTable.append(sl, t))
+      OccTable.optimize(s, t, targetFileBytes = 64L << 10,
+        zorderBy = Seq("value", "ts"), statsColumns = Seq("value", "ts"))
+      val q = (hi - lo) / 4
+      OccTable.readPrunedMulti(s, t, Seq(
+          ("value", 20.0, 80.0),
+          ("ts", (lo + q).toDouble, (lo + 3 * q).toDouble)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // ---- X127: Delta-parity MERGE — update-all / insert-all / a CDC
     //      delete flag, applied by rewriting ONLY the files whose
     //      X117 stats admit a source key (the insert keys sit beyond
@@ -6272,6 +6312,21 @@ object SparkEntry {
       """SELECT event_id, event_type, round(value, 6) AS value
         |FROM events
         |WHERE event_type = 'click' AND value >= 20 AND value <= 80""".stripMargin,
+    // X128: the compaction + re-cluster must be invisible too — the
+    // doubly-pruned read replays as the plain conjunctive filter.
+    "q_occ_optimize" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, value FROM events, b
+        |  WHERE value >= 20 AND value <= 80
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) >= lo + (hi - lo) // 4
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) <= lo + 3 * ((hi - lo) // 4))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM f GROUP BY 1""".stripMargin,
     // X126: bloom skipping must be invisible too — the lookup of every
     // 997th event id replays as the plain modulus filter.
     "q_occ_bloom_skip" ->

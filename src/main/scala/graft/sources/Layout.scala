@@ -125,22 +125,39 @@ object Layout {
     */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
       nFiles: Int, bits: Int = 16, bloomCols: Seq[String] = Nil): Unit = {
-    require(cols.size >= 2,
-      s"writeZOrdered: need >=2 clustering columns, got $cols — use a " +
-        "plain sortWithinPartitions for one")
-    require(bits >= 1 && bits * cols.size <= 62,
-      s"writeZOrdered: $bits bits x ${cols.size} cols overflows a long")
-    require(nFiles >= 1, s"writeZOrdered: nFiles=$nFiles")
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val clustered = zOrdered(df, cols, nFiles, bits)
     // empty input, or ANY clustering column entirely null (its min/max
     // are null and no curve coordinate exists): degrade to a plain
     // rewrite instead of NPE-ing on the null aggregate
-    if ((0 until row.length).exists(row.isNullAt)) {
-      df.write.mode("overwrite").parquet(path)
-      return
-    }
+    val w = clustered.getOrElse(df).write.mode("overwrite")
+    // bloom sidecars for point lookups on columns the curve scrambles
+    // (see writeSorted's bloomCols doc)
+    bloomCols.foldLeft(w)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(path)
+  }
+
+  /** The z-order clustering TRANSFORM behind [[writeZOrdered]], exposed
+    * so table-format compaction ([[OccTable.optimize]]'s ZORDER BY) can
+    * stage the clustered frame through its own commit path: scale each
+    * column to `bits`-bit curve coordinates off one min/max aggregate,
+    * Morton-interleave, range-partition + in-file sort on the curve
+    * key. None when the input is empty or any clustering column is
+    * entirely null — no curve coordinate exists; the caller degrades to
+    * its plain rewrite.
+    */
+  def zOrdered(df: DataFrame, cols: Seq[String], nFiles: Int,
+      bits: Int = 16): Option[DataFrame] = {
+    require(cols.size >= 2,
+      s"zOrdered: need >=2 clustering columns, got $cols — use a " +
+        "plain sortWithinPartitions for one")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"zOrdered: $bits bits x ${cols.size} cols overflows a long")
+    require(nFiles >= 1, s"zOrdered: nFiles=$nFiles")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    if ((0 until row.length).exists(row.isNullAt)) return None
     val top = (1L << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, i) =>
       val mn = row.getDouble(2 * i)
@@ -151,16 +168,10 @@ object Layout {
         floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn))
           / lit(span) * lit((top + 1).toDouble)).cast("long")))
     }
-    val w = df.withColumn("__z", interleaveBits(scaled, bits))
+    Some(df.withColumn("__z", interleaveBits(scaled, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite")
-    // bloom sidecars for point lookups on columns the curve scrambles
-    // (see writeSorted's bloomCols doc)
-    bloomCols.foldLeft(w)((w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
-      .parquet(path)
+      .drop("__z"))
   }
 
   /** Morton interleave: bit `b` of column `ci` lands at position

@@ -1333,6 +1333,96 @@ object OccTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** [[optimize]]'s outcome: committed version (unchanged when nothing
+    * qualified), files rewritten, files left untouched, files written.
+    */
+  final case class OptimizeResult(version: Long, compacted: Int,
+      kept: Int, outputFiles: Int)
+
+  /** Delta-parity OPTIMIZE (X128): compact the snapshot's SMALL files
+    * into ~`targetFileBytes` outputs, leaving already-right-sized files
+    * PHYSICALLY untouched — unlike [[rewrite]], which replaces every
+    * file, this is the maintenance verb a streaming ingest actually
+    * needs: a tail of per-micro-batch files folds into row-group-sized
+    * parquet while the bulk of a 100 TB table never moves. Rows are
+    * never added or dropped; the read is identical before and after.
+    *
+    * Partitioned tables compact PER PARTITION (Delta semantics): files
+    * are grouped by their log-recorded partition values, each group
+    * packs separately, and the outputs carry the group's `pv` — so
+    * partition pruning keeps working across compactions. Files whose
+    * commit recorded no pv form their own group.
+    *
+    * `zorderBy` turns the pack into OPTIMIZE ZORDER BY: EVERY selected
+    * partition's files (small or not — clustering is global within the
+    * partition) rewrite through [[Layout.zOrdered]]'s Morton curve
+    * (two+ columns) or a plain range-cluster (one column), and
+    * `statsColumns` on the clustered columns then gives
+    * [[readPrunedMulti]] multiplicative skipping on BOTH dimensions.
+    *
+    * Concurrency: adds-only commits never conflict with this; a racing
+    * rewrite/merge/optimize on overlapping files serializes through
+    * the remove-clash rule and the loser reruns (up to `maxRetries`).
+    */
+  def optimize(spark: SparkSession, dir: String,
+      smallFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20,
+      zorderBy: Seq[String] = Seq.empty,
+      maxRetries: Int = 3,
+      statsColumns: Seq[String] = Seq.empty,
+      bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty): OptimizeResult = {
+    require(smallFileBytes >= 1L && targetFileBytes >= 1L,
+      s"OccTable.optimize: bad thresholds ($smallFileBytes, $targetFileBytes)")
+    val fsys = fs(spark, dir)
+    def cluster(d: DataFrame, n: Int): DataFrame = zorderBy match {
+      case Seq() => d.coalesce(n) // pure pack: no shuffle, partitions merge
+      case Seq(c) => d.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+      case cs => Layout.zOrdered(d, cs, n).getOrElse(d.coalesce(n))
+    }
+    var tries = 0
+    while (true) {
+      val snap = snapshot(spark, dir)
+      val sized = snap.files.map(f =>
+        f -> fsys.getFileStatus(new Path(dir, f)).getLen)
+      val selected =
+        if (zorderBy.nonEmpty) sized // re-clustering rewrites the partition
+        else sized.filter(_._2 < smallFileBytes)
+      // group by log partition values; a group re-packs only when the
+      // pack can shrink it (>1 file) or a re-cluster was asked
+      val work = selected.groupBy { case (f, _) => snap.pvs.get(f) }
+        .toSeq.sortBy(_._1.map(_.toSeq.sorted.mkString(";")).getOrElse(""))
+        .filter { case (_, fs0) => zorderBy.nonEmpty || fs0.size > 1 }
+      if (work.isEmpty)
+        return OptimizeResult(snap.version, 0, snap.files.size, 0)
+      val staged = work.map { case (pv, fs0) =>
+        val names0 = fs0.map(_._1)
+        val bytes = fs0.map(_._2).sum
+        val nOut = math.max(1L, math.min(names0.size.toLong,
+          (bytes + targetFileBytes - 1L) / targetFileBytes)).toInt
+        val dfIn = readSnapshot(spark, dir, snap.copy(files = names0),
+          throw new IllegalStateException("unreachable: group non-empty"))
+        (pv, names0, stage(cluster(dfIn, nOut), dir))
+      }
+      val adds = staged.flatMap(_._3)
+      val removes = staged.flatMap(_._2)
+      val addPvs = staged.collect { case (Some(pv), _, names) =>
+        names.map(_ -> pv) }.flatten.toMap
+      val stats = collectStats(spark, dir, adds, statsColumns)
+      val blooms = collectBlooms(spark, dir, adds, bloomColumns)
+      try return OptimizeResult(
+        commitActions(spark, dir, adds, removes, snap.version,
+          schemaInForce = snap.schemaJson,
+          addStats = stats, addPvs = addPvs, addBlooms = blooms),
+        removes.size, snap.files.size - removes.size, adds.size)
+      catch {
+        case e: ConcurrentWriteException =>
+          tries += 1
+          if (tries > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Delta-CDF-style CHANGES between two versions: every key whose row
     * was added, removed, or changed from `fromVersion` to `toVersion`
     * (unchanged keys are omitted — the change feed, not a full diff).
