@@ -3265,6 +3265,13 @@ object SparkEntry {
           col("event_type"), round(col("value"), 6).as("value"))
     }),
 
+    // ---- X129: STREAMING MERGE (Delta's foreachBatch-merge idiom) —
+    //      the same CDC source applied as four key-disjoint
+    //      micro-batches through the fenced merge sink; faces
+    //      q_occ_merge's latest-wins oracle verbatim ----
+    "q_occ_merge_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayOccMerge(s, dir)),
+
     // ---- X123: Delta-CDF-style change feed between versions — keys
     //      whose rows were added/removed/changed from v0 to v2, read
     //      by scanning ONLY the churned files (immutable files common
@@ -6337,6 +6344,33 @@ object SparkEntry {
     // source-side updates, inserts shifted past max(event_id), and
     // delete-flagged keys dropped.
     "q_occ_merge" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events),
+        |snap AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         false AS deleted, 0 AS side FROM events),
+        |upd AS (
+        |  SELECT event_id, ts + INTERVAL 60 DAY AS ts, user_id,
+        |         event_type, -value AS value,
+        |         (event_id % 100 = 0) AS deleted, 1 AS side
+        |  FROM events, mx
+        |  WHERE event_id % 10 = 0 AND event_id <= m // 4),
+        |ins AS (
+        |  SELECT event_id + m AS event_id, ts, user_id, event_type,
+        |         value, false AS deleted, 1 AS side
+        |  FROM events, mx
+        |  WHERE event_id % 10 = 5 AND event_id <= m // 4),
+        |merged AS (
+        |  SELECT * FROM snap UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |win AS (
+        |  SELECT * FROM merged QUALIFY row_number() OVER (
+        |    PARTITION BY event_id ORDER BY side DESC) = 1)
+        |SELECT event_id, ts, user_id, event_type,
+        |  round(value, 6) AS value
+        |FROM win WHERE NOT deleted""".stripMargin,
+    // X129: the streamed apply is key-disjoint across micro-batches,
+    // so it faces the batch MERGE's oracle verbatim.
+    "q_occ_merge_stream" ->
       """WITH mx AS (SELECT max(event_id) AS m FROM events),
         |snap AS (
         |  SELECT event_id, ts, user_id, event_type, value,

@@ -1145,6 +1145,25 @@ object OccTable {
       ()
     }
 
+  /** `foreachBatch` form of [[merge]] — Delta's streaming-merge idiom
+    * (X129): each CDC micro-batch upserts into the table with the
+    * SetTransaction fence making restarts exactly-once, and the
+    * touched-file discovery keeping each apply O(files the batch's
+    * keys could live in). Per-batch source keys must be unique (the
+    * usual CDC compaction contract: last image per key per batch).
+    */
+  def mergeSink(dir: String, appId: String, keyCols: Seq[String],
+      deleteCol: Option[String] = None,
+      statsColumns: Seq[String] = Seq.empty,
+      bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      merge(batch.sparkSession, dir, batch, keyCols,
+        deleteCol = deleteCol, statsColumns = statsColumns,
+        bloomColumns = bloomColumns, txn = Some((appId, batchId)))
+      ()
+    }
+
   /** Full-snapshot rewrite (compaction, merge, expiry): read the current
     * snapshot, write `transform(snapshot)`, commit (adds = new files,
     * removes = every file read). On a remove-conflict — another rewrite
@@ -1236,7 +1255,8 @@ object OccTable {
       keyCols: Seq[String], deleteCol: Option[String] = None,
       maxRetries: Int = 3,
       statsColumns: Seq[String] = Seq.empty,
-      bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty): MergeResult = {
+      bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty,
+      txn: Option[(String, Long)] = None): MergeResult = {
     require(keyCols.nonEmpty, "OccTable.merge: no key columns")
     keyCols.foreach(c => require(source.columns.contains(c),
       s"OccTable.merge: key column '$c' not in source " +
@@ -1289,6 +1309,14 @@ object OccTable {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
+      // SetTransaction fence ([[appendStream]]'s semantics for MERGE —
+      // Delta's streaming foreachBatch-merge idiom): a replayed
+      // micro-batch is skipped by reading the log it already committed
+      // to, making the streaming CDC apply exactly-once
+      txn.foreach { case (appId, batchId) =>
+        if (snap.txns.get(appId).exists(_ >= batchId))
+          return MergeResult(snap.version, 0, snap.files.size)
+      }
       val sourceData = deleteCol.map(source.drop(_)).getOrElse(source)
       val evolved = resolveSchema(snap.schemaJson, sourceData.schema)
       val candidates =
@@ -1320,6 +1348,7 @@ object OccTable {
       val blooms = collectBlooms(spark, dir, names, bloomColumns)
       try return MergeResult(
         commitActions(spark, dir, names, candidates, snap.version,
+          txn = txn,
           newSchemaJson = evolved,
           schemaInForce = evolved.orElse(snap.schemaJson),
           addStats = stats, addBlooms = blooms),

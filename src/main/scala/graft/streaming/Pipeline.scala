@@ -395,6 +395,68 @@ object Pipeline {
     graft.sources.OccTable.read(spark, dst)()
   }
 
+  /** Streaming MERGE gate (`q_occ_merge_stream`, X129 — Delta's
+    * foreachBatch-merge idiom): the q_occ_merge CDC batch splits into
+    * four key-disjoint micro-batches that upsert into a key-clustered
+    * OCC table through [[graft.sources.OccTable.mergeSink]] — each
+    * apply discovers its touched files off the X117 stats, replaces
+    * matched rows, inserts the shifted keys, drops the delete-flagged
+    * ones, and carries the SetTransaction fence. Keys are disjoint
+    * across batches, so the streamed apply faces q_occ_merge's
+    * latest-wins oracle VERBATIM: batch order cannot matter.
+    */
+  def replayOccMerge(spark: SparkSession, dir: String): DataFrame = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|mergestream".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_occ_mergestream_$user", key)
+    deleteRecursively(outRoot)
+    val table = outRoot.toString + "/t"
+    val cdcDir = outRoot.toString + "/cdc"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_occ_merge_ckpt")
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val maxId = ev.agg(max("event_id")).head.getLong(0)
+    val qId = maxId / 4
+    graft.sources.OccTable.init(
+      ev.repartitionByRange(8, col("event_id")), table,
+      statsColumns = Seq("event_id"))
+    val upd = ev
+      .filter(col("event_id") % 10 === 0 && col("event_id") <= qId)
+      .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+      .withColumn("value", -col("value"))
+      .withColumn("deleted", col("event_id") % 100 === 0)
+    val ins = ev
+      .filter(col("event_id") % 10 === 5 && col("event_id") <= qId)
+      .withColumn("event_id", col("event_id") + maxId)
+      .withColumn("deleted", lit(false))
+    val cdc = upd.unionByName(ins)
+    cdc.repartitionByRange(4, col("event_id")).write.parquet(cdcDir)
+    withReplayParallelism(spark) {
+      val stream = spark.readStream.schema(cdc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(cdcDir)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(graft.sources.OccTable.mergeSink(table,
+          "occ_merge_stream", Seq("event_id"),
+          deleteCol = Some("deleted"), statsColumns = Seq("event_id")))
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckpt)
+      }
+    }
+    graft.sources.OccTable.read(spark, table)()
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), round(col("value"), 6).as("value"))
+  }
+
   /** Streaming change-feed gate (`q_occ_changes_stream`, X125): a
     * four-version table (init → append → 1-in-10 negating rewrite →
     * append) subscribed through [[graft.sources.OccStream.changesTo]]

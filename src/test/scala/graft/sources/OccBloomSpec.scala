@@ -175,6 +175,28 @@ class OccBloomSpec extends SparkSpec {
     }
   }
 
+  test("merge: the SetTransaction fence makes a replayed micro-batch a no-op") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), dir)
+    val batch = Seq((1L, 100.0), (3L, 30.0)).toDF("id", "v")
+    val r1 = OccTable.merge(spark, dir, batch, Seq("id"),
+      txn = Some(("cdc", 0L)))
+    val v1 = r1.version
+    // the engine re-offers batch 0 after a restart: skipped by the log
+    val r2 = OccTable.merge(spark, dir, batch, Seq("id"),
+      txn = Some(("cdc", 0L)))
+    assert(r2.version === v1)
+    assert(OccTable.snapshot(spark, dir).version === v1)
+    // the next batch id applies normally
+    val r3 = OccTable.merge(spark, dir,
+      Seq((2L, 200.0)).toDF("id", "v"), Seq("id"),
+      txn = Some(("cdc", 1L)))
+    assert(r3.version === v1 + 1)
+    val rows = OccTable.read(spark, dir)()
+      .select("id", "v").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, 100.0), (2L, 200.0), (3L, 30.0)))
+  }
+
   test("merge: bloom-only discovery on a string key, and additive schema evolution") {
     val dir = freshDir()
     val base = (1L to 400L).map(i => (i, s"u$i", i.toDouble))
