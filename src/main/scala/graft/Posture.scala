@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Classifier, Curate, Dedup, Mixture, Similarity, TextStats}
-import graft.sources.{Layout, Tables}
+import graft.sources.{Layout, OccBloom, OccTable, Tables}
 
 /** Empirical 10×-scale posture check for the dedup family — the backstop
   * for the "subquadratic candidates, no hot-bucket OOM" claims the plan
@@ -1040,6 +1040,55 @@ object Posture {
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 
+    // ---- OCC maintenance posture (bloom lookup + merge churn) -------
+    // X126/X127's value proposition at scale: a point lookup's PLANNED
+    // file count must stay ~holders + fpp x total as the table's file
+    // count grows 10x (the fraction drops; the absolute count barely
+    // moves), and a fixed-key-range MERGE must rewrite ~the same few
+    // candidate files while everything else passes through untouched.
+    val occMaintJson = {
+      val eMax = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+      def evTenXIds: DataFrame = (0 until 10)
+        .map(i => ev.withColumn("event_id", col("event_id") + lit(i * eMax)))
+        .reduce(_ unionByName _)
+      val blocks = Seq(("1x", ev, 24), ("10x", evTenXIds, 240)).map {
+        case (lbl, d, nFiles) =>
+          val t = s"$scratch/occmaint_$lbl/t"
+          OccTable.init(d.repartitionByRange(nFiles, col("event_id")), t,
+            statsColumns = Seq("event_id"),
+            bloomColumns = Seq(OccBloom.BloomCol("event_id",
+              numItems = 100000L, fpp = 0.01)))
+          val filesTotal = OccTable.snapshot(spark, t).files.size
+          // 16 identity lookups scattered over the BASE id range — the
+          // same values exist at both scales
+          val ids = (1 to 16).map(i => (i.toLong * (eMax / 17L)).toString)
+          var planned = 0
+          val secLookup = timedRuns { () =>
+            val pruned = OccTable.readEqualityPruned(spark, t,
+              "event_id", ids)
+            planned = pruned.inputFiles.length
+            pruned.agg(count(lit(1)), sum("value")).collect()
+            ()
+          }._1
+          // fixed-key-range CDC batch: every 10th id in the lowest
+          // ~2-file stride; single-shot (a merge commits — min-of-3
+          // would time the post-merge table, not the apply)
+          val src = d.filter(col("event_id") % 10 === 0 &&
+            col("event_id") <= eMax / 12L)
+            .withColumn("value", -col("value"))
+          val t0 = System.nanoTime()
+          val res = OccTable.merge(spark, t, src, Seq("event_id"),
+            statsColumns = Seq("event_id"))
+          val secMerge = (System.nanoTime() - t0) / 1e9
+          f""""$lbl": {"files_total": $filesTotal, "lookup_planned": $planned,
+             |      "lookup_frac": ${planned.toDouble / filesTotal}%.3f, "sec_lookup": $secLookup%.2f,
+             |      "merge_candidates": ${res.candidateFiles}, "merge_total": ${res.totalFiles}, "sec_merge": $secMerge%.2f}""".stripMargin
+      }
+      f"""  "occ_maintenance": {
+         |    "what": "X126 bloom lookup + X127 merge churn on a key-clustered OCC table whose file count grows with rows (24 -> 240): lookup_planned = files the 16-id equality read plans (bloom sidecar probes; healthy = ~holder files + fpp x total, so lookup_frac DROPS ~10x while the absolute count barely moves), merge_candidates/merge_total = files a fixed-key-range CDC merge rewrites vs the table (healthy = flat absolute candidates; everything else passes through physically). sec_merge is single-shot (a merge commits; re-running would time the post-merge table)",
+         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     // ---- co-located bucketed join posture ---------------------------
     // The exchange-elimination claim as numbers: the same fact-fact
     // user_id join measured plain (both sides shuffled every query) vs
@@ -1410,6 +1459,7 @@ object Posture {
          |$joinJson,
          |$occJson,
          |$fileskipJson,
+         |$occMaintJson,
          |$bucketedJson,
          |$bpeJson,
          |$skewJson,
