@@ -3265,6 +3265,44 @@ object SparkEntry {
           col("event_type"), round(col("value"), 6).as("value"))
     }),
 
+    // ---- X130: Delta-parity DELETE — a retention range delete (the
+    //      second id-quarter: covered files drop as pure log removes,
+    //      straddlers rewrite) followed by a bloom-discovered identity
+    //      delete of every 499th user (the GDPR shape); the read ≡ the
+    //      doubly-negated filter ----
+    "q_occ_delete" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|delete".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_del_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val qId = maxId / 4
+      val blooms = Seq(OccBloom.BloomCol("user_id",
+        numItems = 100000L, fpp = 0.01))
+      OccTable.init(ev.repartitionByRange(8, col("event_id")), t,
+        statsColumns = Seq("event_id"), bloomColumns = blooms)
+      OccTable.deleteRange(s, t, "event_id",
+        (qId + 1).toDouble, (2 * qId).toDouble,
+        statsColumns = Seq("event_id"), bloomColumns = blooms)
+      val victims = ev.filter(col("user_id") % 499 === 0)
+        .select(col("user_id").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      OccTable.deleteEquality(s, t, "user_id", victims,
+        statsColumns = Seq("event_id"), bloomColumns = blooms)
+      OccTable.read(s, t)()
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
     // ---- X129: STREAMING MERGE (Delta's foreachBatch-merge idiom) —
     //      the same CDC source applied as four key-disjoint
     //      micro-batches through the fenced merge sink; faces
@@ -6368,6 +6406,15 @@ object SparkEntry {
         |SELECT event_id, ts, user_id, event_type,
         |  round(value, 6) AS value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // X130: both delete forms must be invisible beyond their predicates
+    // — the surviving table replays as the doubly-negated filter.
+    "q_occ_delete" ->
+      """WITH mx AS (SELECT max(event_id) // 4 AS q FROM events)
+        |SELECT event_id, user_id, event_type,
+        |  round(value, 6) AS value
+        |FROM events, mx
+        |WHERE NOT (event_id >= q + 1 AND event_id <= 2 * q)
+        |  AND user_id % 499 <> 0""".stripMargin,
     // X129: the streamed apply is key-disjoint across micro-batches,
     // so it faces the batch MERGE's oracle verbatim.
     "q_occ_merge_stream" ->

@@ -328,6 +328,16 @@ object OccTable {
           Option(parts(1)).filter(_.nonEmpty).map(_.toDouble))
     }
 
+  /** The column's recorded null count — what lets [[deleteRange]] prove
+    * a file is ALL-match (droppable without reading): a null never
+    * satisfies an interval predicate, so full-drop needs nulls == 0.
+    */
+  private[sources] def statsNullsFor(stats: String, c: String): Option[Long] =
+    stats.split('|').toSeq.collectFirst {
+      case s if s.startsWith(s"$c=") =>
+        s.stripPrefix(s"$c=").split(",", -1)(2).toLong
+    }
+
   /** The STAT PROJECTION of a column — what min/max are computed over
     * and what [[readPruned]]'s bounds are expressed in: timestamps as
     * epoch micros, numerics as double. Refuses other types loudly (a
@@ -1353,6 +1363,122 @@ object OccTable {
           schemaInForce = evolved.orElse(snap.schemaJson),
           addStats = stats, addBlooms = blooms),
         candidates.size, snap.files.size)
+      catch {
+        case e: ConcurrentWriteException =>
+          tries += 1
+          if (tries > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[deleteRange]]/[[deleteEquality]]'s outcome: committed version
+    * (unchanged when nothing matched), files dropped as pure log
+    * removes, files rewritten, files untouched.
+    */
+  final case class DeleteResult(version: Long, droppedFiles: Int,
+      rewrittenFiles: Int, keptFiles: Int)
+
+  /** Delta-parity `DELETE FROM t WHERE c BETWEEN lo AND hi` (X130):
+    * rows whose STAT PROJECTION of `c` falls in [lo, hi] leave the
+    * table; NULLs never match an interval and are kept — SQL
+    * semantics. THE SCALE PROPERTY is the three-way file
+    * classification off the X117 stats, all free of false negatives:
+    *   - interval DISJOINT from [lo, hi] (or all-NULL file): the file
+    *     provably holds no match — PASS THROUGH physically;
+    *   - interval CONTAINED in [lo, hi] with zero recorded nulls: the
+    *     file is provably all-match — DROPPED as a pure log remove,
+    *     zero bytes read (retention deletes of old partitions cost
+    *     O(metadata), the Delta behavior);
+    *   - anything else (straddling files, stats-free legacy commits):
+    *     REWRITE keeping the non-matching rows.
+    * Racing writers serialize through the remove-clash rule.
+    */
+  def deleteRange(spark: SparkSession, dir: String, c: String,
+      lo: Double, hi: Double, maxRetries: Int = 3,
+      statsColumns: Seq[String] = Seq.empty,
+      bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty): DeleteResult = {
+    require(lo <= hi, s"OccTable.deleteRange: lo=$lo > hi=$hi")
+    var tries = 0
+    while (true) {
+      val snap = snapshot(spark, dir)
+      val classified = snap.files.map { f =>
+        val verdict = snap.stats.get(f).map { s =>
+          (statsFor(s, c), statsNullsFor(s, c)) match {
+            case (Some((None, None)), _) => "keep" // all-NULL: no match
+            case (Some((Some(mn), Some(mx))), nulls) =>
+              if (mx < lo || mn > hi) "keep"
+              else if (mn >= lo && mx <= hi && nulls.contains(0L)) "drop"
+              else "rewrite"
+            case _ => "rewrite" // untracked column: cannot prove anything
+          }
+        }.getOrElse("rewrite")
+        f -> verdict
+      }
+      val kept = classified.collect { case (f, "keep") => f }
+      val dropped = classified.collect { case (f, "drop") => f }
+      val toRewrite = classified.collect { case (f, "rewrite") => f }
+      if (dropped.isEmpty && toRewrite.isEmpty)
+        return DeleteResult(snap.version, 0, 0, kept.size)
+      val names =
+        if (toRewrite.isEmpty) Seq.empty[String]
+        else {
+          val d = readSnapshot(spark, dir, snap.copy(files = toRewrite),
+            throw new IllegalStateException("unreachable: non-empty"))
+          val proj = statProjection(snap.schema.getOrElse(d.schema), c)
+          stage(d.filter(proj.isNull || proj < lit(lo) || proj > lit(hi)),
+            dir)
+        }
+      val stats = collectStats(spark, dir, names, statsColumns)
+      val blooms = collectBlooms(spark, dir, names, bloomColumns)
+      try return DeleteResult(
+        commitActions(spark, dir, names, dropped ++ toRewrite,
+          snap.version, schemaInForce = snap.schemaJson,
+          addStats = stats, addBlooms = blooms),
+        dropped.size, toRewrite.size, kept.size)
+      catch {
+        case e: ConcurrentWriteException =>
+          tries += 1
+          if (tries > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Delta-parity `DELETE FROM t WHERE c IN (values)` (X130's identity
+    * form — the GDPR/right-to-be-forgotten shape: erase a user from a
+    * 100 TB table): candidate files are discovered through the X126
+    * BLOOM index (no false negatives — a file whose filter clears
+    * every value provably holds none of them and PASSES THROUGH
+    * physically), candidates rewrite keeping the non-matching rows.
+    * Values compare in the build-time string form (`cast("string")`);
+    * NULLs never equal anything and are kept. Without a bloom on `c`
+    * every file is a candidate — correct, just a full rewrite.
+    */
+  def deleteEquality(spark: SparkSession, dir: String, c: String,
+      values: Seq[String], maxRetries: Int = 3,
+      statsColumns: Seq[String] = Seq.empty,
+      bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty): DeleteResult = {
+    require(values.nonEmpty, "OccTable.deleteEquality: no values")
+    val fsys = fs(spark, dir)
+    var tries = 0
+    while (true) {
+      val snap = snapshot(spark, dir)
+      val candidates = bloomPrunedFiles(fsys, dir, snap, c, values)
+      val kept = snap.files.filterNot(candidates.toSet)
+      if (candidates.isEmpty)
+        return DeleteResult(snap.version, 0, 0, kept.size)
+      val d = readSnapshot(spark, dir, snap.copy(files = candidates),
+        throw new IllegalStateException("unreachable: non-empty"))
+      val names = stage(d.filter(col(c).isNull ||
+        !col(c).cast("string").isin(values: _*)), dir)
+      val stats = collectStats(spark, dir, names, statsColumns)
+      val blooms = collectBlooms(spark, dir, names, bloomColumns)
+      try return DeleteResult(
+        commitActions(spark, dir, names, candidates, snap.version,
+          schemaInForce = snap.schemaJson,
+          addStats = stats, addBlooms = blooms),
+        0, candidates.size, kept.size)
       catch {
         case e: ConcurrentWriteException =>
           tries += 1
