@@ -2791,6 +2791,13 @@ object SparkEntry {
       Rollups.hierarchical(Tables.events(s, dir), "ts", "event_type",
         "value")),
 
+    // ---- CUBE: all four (event_type × day) drill-down panels in one
+    //      Expand-based pass — the cross-tab completion of ROLLUP
+    //      (q_rollup_levels) and GROUPING SETS (q_grouping_sets) ----
+    "q_cube_levels" -> ((s, dir) =>
+      Rollups.cubeRollup(Tables.events(s, dir), "ts", "event_type",
+        "value")),
+
     // ---- mergeable daily-uniques sketches, value-checked: per-day HLL
     //      estimate vs the exact distinct (computed here as the audit;
     //      at scale only the sketch is materialized) — within_bound
@@ -3263,6 +3270,36 @@ object SparkEntry {
       OccTable.read(s, t)()
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), round(col("value"), 6).as("value"))
+    }),
+
+    // ---- X131: DESCRIBE HISTORY — the commit log as a DataFrame,
+    //      operation names stamped by each writing verb; a
+    //      deterministic five-verb build replays as a closed-form
+    //      VALUES oracle ----
+    "q_occ_history" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select("event_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|history".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_hist_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      OccTable.init(base.filter(col("event_id") % 2 === 0)
+        .coalesce(1), t)                                           // v0
+      OccTable.append(base.filter(col("event_id") % 2 === 1)
+        .coalesce(1), t)                                           // v1
+      OccTable.rewrite(s, t, d => d.withColumn("value",
+        -col("value")).coalesce(1))                                // v2
+      OccTable.restore(s, t, 1L)                                   // v3
+      OccTable.history(s, t)
+        .select(col("version"), col("operation"), col("n_adds"),
+          col("n_removes"), col("schema_changed"))
     }),
 
     // ---- X130: Delta-parity DELETE — a retention range delete (the
@@ -6025,6 +6062,14 @@ object SparkEntry {
         |  GROUPING(event_type, CAST(ts AS DATE)) AS level
         |FROM events
         |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""".stripMargin,
+    "q_cube_levels" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(avg(value), 6) AS avg_value,
+        |  GROUPING(event_type, CAST(ts AS DATE)) AS level
+        |FROM events
+        |GROUP BY CUBE(event_type, CAST(ts AS DATE))""".stripMargin,
     // The audit-twin pattern (cf. q_approx_stats_bound): DuckDB replays
     // the exact distincts and asserts TRUE per day; a sketch estimate
     // drifting past the 5% bound flips within_bound and fails the hash.
@@ -6406,6 +6451,19 @@ object SparkEntry {
         |SELECT event_id, ts, user_id, event_type,
         |  round(value, 6) AS value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // X131: the four-verb build's history is closed-form — one staged
+    // file per commit (coalesce(1)), restore re-adds v1's two files
+    // and removes the rewrite's one; only init carries a schema action.
+    "q_occ_history" ->
+      """SELECT CAST(version AS BIGINT) AS version, operation,
+        |  CAST(n_adds AS BIGINT) AS n_adds,
+        |  CAST(n_removes AS BIGINT) AS n_removes, schema_changed
+        |FROM (VALUES
+        |  (0, 'init', 1, 0, true),
+        |  (1, 'append', 1, 0, false),
+        |  (2, 'rewrite', 1, 2, false),
+        |  (3, 'restore', 2, 1, false))
+        |  AS t(version, operation, n_adds, n_removes, schema_changed)""".stripMargin,
     // X130: both delete forms must be invisible beyond their predicates
     // — the surviving table replays as the doubly-negated filter.
     "q_occ_delete" ->

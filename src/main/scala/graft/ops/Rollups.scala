@@ -330,6 +330,25 @@ object Rollups {
         round(avg(valueCol), 6).as(s"avg_$valueCol"),
         grouping_id().as("level"))
 
+  /** CUBE — every subset of (key, day) in ONE aggregation: the
+    * cross-tab view ("filter by either dimension, both, or neither")
+    * that ROLLUP's strict hierarchy cannot express and GROUPING SETS
+    * only reaches by hand-enumerating all 2^n subsets. Same execution
+    * shape as [[hierarchical]]/[[groupingSetsRollup]]: one Expand (2^n
+    * row copies for n dims — keep n small by design) over ONE shuffle,
+    * so at 100 TB all four dashboard panels cost a single fact-table
+    * pass. `level` = `grouping_id()` (0 leaf, 1 per-key, 2 per-day,
+    * 3 grand total) disambiguates subtotals from genuinely-null keys.
+    */
+  def cubeRollup(df: DataFrame, tsCol: String, key: String,
+      valueCol: String): DataFrame =
+    df.withColumn("day", to_date(col(tsCol)))
+      .cube(col(key), col("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(valueCol), 2).as(s"sum_$valueCol"),
+        round(avg(valueCol), 6).as(s"avg_$valueCol"),
+        grouping_id().as("level"))
+
   /** Incremental materialized-aggregate maintenance — the dashboard
     * rollup refreshed from each new event batch WITHOUT rescanning
     * history. The state table holds per-(key, day) MERGEABLE partials

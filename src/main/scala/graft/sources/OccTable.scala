@@ -100,7 +100,8 @@ object OccTable {
       schemaHash: Option[String],
       addStats: Map[String, String] = Map.empty,
       addPvs: Map[String, Map[String, String]] = Map.empty,
-      addBlooms: Map[String, Map[String, (Int, Int)]] = Map.empty)
+      addBlooms: Map[String, Map[String, (Int, Int)]] = Map.empty,
+      op: Option[String] = None)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
@@ -214,7 +215,9 @@ object OccTable {
         s.stripPrefix("schemaHash ") },
       addPairs.collect { case (n, Some(s), _, _) => n -> s }.toMap,
       addPairs.collect { case (n, _, Some(p), _) => n -> p }.toMap,
-      addPairs.collect { case (n, _, _, Some(b)) => n -> b }.toMap)
+      addPairs.collect { case (n, _, _, Some(b)) => n -> b }.toMap,
+      lines.collectFirst { case s if s.startsWith("op ") =>
+        s.stripPrefix("op ") })
   }
 
   /** Commit-log versions and their parsed actions over `(after, upTo]`
@@ -984,9 +987,9 @@ object OccTable {
     val stats = collectStats(spark, dir, names, statsColumns)
     val blooms = collectBlooms(spark, dir, names, bloomColumns)
     val schemaJson = df.schema.json
-    val body = (names.map(n =>
+    val body = ("op init" +: (names.map(n =>
       addLine(n, stats.get(n), pvs.get(n), blooms.get(n))) ++
-      schemaLines(Some(schemaJson), Some(schemaJson)))
+      schemaLines(Some(schemaJson), Some(schemaJson))))
       .mkString("", "\n", "\n")
     require(claim(fsys, versionPath(dir, 0L), body.getBytes("UTF-8")),
       s"OccTable: lost the init race at $dir — another writer initialized")
@@ -1015,9 +1018,11 @@ object OccTable {
       conflictOnAnyIntervening: Boolean = false,
       addStats: Map[String, String] = Map.empty,
       addPvs: Map[String, Map[String, String]] = Map.empty,
-      addBlooms: Map[String, Map[String, (Int, Int)]] = Map.empty): Long = {
+      addBlooms: Map[String, Map[String, (Int, Int)]] = Map.empty,
+      op: Option[String] = None): Long = {
     val fsys = fs(spark, dir)
-    val body = (removes.map(n => s"remove $n") ++
+    val body = (op.map(o => s"op $o").toSeq ++
+      removes.map(n => s"remove $n") ++
       adds.map(n => addLine(n, addStats.get(n), addPvs.get(n),
         addBlooms.get(n))) ++
       txn.map { case (app, ver) => s"txn $app $ver" }.toSeq ++
@@ -1100,7 +1105,8 @@ object OccTable {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         newSchemaJson = evolved,
         schemaInForce = evolved.orElse(snap.schemaJson),
-        addStats = stats, addPvs = pvs, addBlooms = blooms)
+        addStats = stats, addPvs = pvs, addBlooms = blooms,
+        op = Some("append"))
       catch {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
@@ -1138,7 +1144,7 @@ object OccTable {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         Some((appId, batchId)), newSchemaJson = evolved,
         schemaInForce = evolved.orElse(snap.schemaJson),
-        addStats = stats)
+        addStats = stats, op = Some("append_stream"))
       catch {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
@@ -1215,7 +1221,7 @@ object OccTable {
         schemaInForce = evolved.orElse(snap.schemaJson),
         conflictOnAnyIntervening =
           overwriteSchema && evolved.nonEmpty,
-        addStats = stats, addBlooms = blooms)
+        addStats = stats, addBlooms = blooms, op = Some("rewrite"))
       catch {
         case e: ConcurrentWriteException =>
           tries += 1
@@ -1361,7 +1367,7 @@ object OccTable {
           txn = txn,
           newSchemaJson = evolved,
           schemaInForce = evolved.orElse(snap.schemaJson),
-          addStats = stats, addBlooms = blooms),
+          addStats = stats, addBlooms = blooms, op = Some("merge")),
         candidates.size, snap.files.size)
       catch {
         case e: ConcurrentWriteException =>
@@ -1434,7 +1440,7 @@ object OccTable {
       try return DeleteResult(
         commitActions(spark, dir, names, dropped ++ toRewrite,
           snap.version, schemaInForce = snap.schemaJson,
-          addStats = stats, addBlooms = blooms),
+          addStats = stats, addBlooms = blooms, op = Some("delete")),
         dropped.size, toRewrite.size, kept.size)
       catch {
         case e: ConcurrentWriteException =>
@@ -1477,7 +1483,7 @@ object OccTable {
       try return DeleteResult(
         commitActions(spark, dir, names, candidates, snap.version,
           schemaInForce = snap.schemaJson,
-          addStats = stats, addBlooms = blooms),
+          addStats = stats, addBlooms = blooms, op = Some("delete")),
         0, candidates.size, kept.size)
       catch {
         case e: ConcurrentWriteException =>
@@ -1567,7 +1573,8 @@ object OccTable {
       try return OptimizeResult(
         commitActions(spark, dir, adds, removes, snap.version,
           schemaInForce = snap.schemaJson,
-          addStats = stats, addPvs = addPvs, addBlooms = blooms),
+          addStats = stats, addPvs = addPvs, addBlooms = blooms,
+          op = Some("optimize")),
         removes.size, snap.files.size - removes.size, adds.size)
       catch {
         case e: ConcurrentWriteException =>
@@ -1634,6 +1641,32 @@ object OccTable {
       .filter(col("status") =!= "unchanged")
   }
 
+  /** Delta `DESCRIBE HISTORY` parity (X131): the table's commit log as
+    * a DataFrame — one row per addressable commit file with the
+    * operation name the writing verb stamped (`op …` commit-info
+    * line), add/remove counts, schema-change flag, the SetTransaction
+    * identity if any, and the commit wall-clock (the version file's
+    * mtime, [[versionAsOf]]'s clock — deployment-local by nature, so
+    * value oracles select the deterministic columns). O(#commits)
+    * driver metadata work; commits a truncation absorbed into a
+    * checkpoint are no longer addressable and don't appear, same as
+    * Delta's history after log cleanup. Pre-extension commits read
+    * operation `unknown`.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fsys = fs(spark, dir)
+    import spark.implicits._
+    listVersions(fsys, dir).map { v =>
+      val a = readActions(fsys, dir, v)
+      (v, a.op.getOrElse("unknown"), a.adds.size.toLong,
+        a.removes.size.toLong, a.schemaJson.nonEmpty,
+        a.txns.headOption.map(_._1), a.txns.headOption.map(_._2),
+        new java.sql.Timestamp(
+          fsys.getFileStatus(versionPath(dir, v)).getModificationTime))
+    }.toDF("version", "operation", "n_adds", "n_removes",
+      "schema_changed", "txn_app", "txn_batch", "commit_ts")
+  }
+
   /** Delta-parity RESTORE: make the CURRENT snapshot equal the table
     * as of `version` — as a NEW COMMIT, not a rewind: history above
     * the restore point stays time-travelable, and the restore itself
@@ -1668,7 +1701,8 @@ object OccTable {
       schemaInForce = tgt.schemaJson.orElse(cur.schemaJson),
       addStats = tgt.stats.filter { case (n, _) => adds.contains(n) },
       addPvs = tgt.pvs.filter { case (n, _) => adds.contains(n) },
-      addBlooms = tgt.blooms.filter { case (n, _) => adds.contains(n) })
+      addBlooms = tgt.blooms.filter { case (n, _) => adds.contains(n) },
+      op = Some("restore"))
   }
 
   /** Delete data files no RETAINED log version references — lost-
