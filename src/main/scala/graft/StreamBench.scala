@@ -70,6 +70,9 @@ object StreamBench {
     // the lakehouse loop live: OCC append-producer + commit-log tail
     // relaying into a second fenced OCC table, compaction mid-run
     val occ = graft.streaming.SteadyState.measureOccTailStream(spark)
+    // X129: the streaming MERGE — the cdc_apply shape applied INSIDE
+    // the table format (fenced mergeSink, stats-discovered candidates)
+    val occMerge = graft.streaming.SteadyState.measureOccMergeStream(spark)
     // X119: the SAME loop with the X14 curation pipeline applied to
     // every relayed micro-batch — tail → curate → fenced append, the
     // standing form of q_lakehouse_pipeline priced live
@@ -138,7 +141,8 @@ object StreamBench {
       bm25.json + "," +
       asof.json + "," + ann.json + "," + tail.json + "," + cdc.json +
       "," + ewma.json + "," + hop.json + "," + sess.json + "," +
-      ssj.json + "," + occ.json + "," + lake.json + "," + kll.json +
+      ssj.json + "," + occ.json + "," + occMerge.json + "," +
+      lake.json + "," + kll.json +
       "," + roll.json + "," + mg.json +
       "," + trans.json + "}"
     println(combined)

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, max, min, sum, unix_micros, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, input_file_name, lit, max, min, sum, unix_micros, when}
 import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructField, StructType, TimestampType}
 
 /** Optimistic-concurrency MULTI-WRITER commits over a plain-parquet
@@ -79,7 +79,8 @@ object OccTable {
       schemaJson: Option[String] = None,
       stats: Map[String, String] = Map.empty,
       pvs: Map[String, Map[String, String]] = Map.empty,
-      blooms: Map[String, Map[String, (Int, Int)]] = Map.empty) {
+      blooms: Map[String, Map[String, (Int, Int)]] = Map.empty,
+      constraints: Map[String, String] = Map.empty) {
     /** The log schema in force at this version, if the log records one
       * (v0 of every table initialized since X104 does).
       */
@@ -101,12 +102,22 @@ object OccTable {
       addStats: Map[String, String] = Map.empty,
       addPvs: Map[String, Map[String, String]] = Map.empty,
       addBlooms: Map[String, Map[String, (Int, Int)]] = Map.empty,
-      op: Option[String] = None)
+      op: Option[String] = None,
+      constraintAdds: Seq[(String, String)] = Seq.empty,
+      constraintDrops: Seq[String] = Seq.empty)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
     */
   final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Thrown when a write's rows (or, for [[addCheckConstraint]], the
+    * table's existing rows) violate a CHECK constraint — the
+    * commit-boundary refusal that keeps a declared invariant true for
+    * every row every reader ever sees.
+    */
+  final class ConstraintViolationException(msg: String)
     extends RuntimeException(msg)
 
   /** Thrown when a write's frame schema cannot be reconciled with the
@@ -217,7 +228,13 @@ object OccTable {
       addPairs.collect { case (n, _, Some(p), _) => n -> p }.toMap,
       addPairs.collect { case (n, _, _, Some(b)) => n -> b }.toMap,
       lines.collectFirst { case s if s.startsWith("op ") =>
-        s.stripPrefix("op ") })
+        s.stripPrefix("op ") },
+      lines.collect { case s if s.startsWith("constraint ") =>
+        val Array(n, e) = s.stripPrefix("constraint ").split(" ", 2)
+        (n, urlDec(e))
+      },
+      lines.collect { case s if s.startsWith("dropconstraint ") =>
+        s.stripPrefix("dropconstraint ") })
   }
 
   /** Commit-log versions and their parsed actions over `(after, upTo]`
@@ -703,9 +720,12 @@ object OccTable {
     val pvs = scala.collection.mutable.Map.empty[String, Map[String, String]]
     val blooms =
       scala.collection.mutable.Map.empty[String, Map[String, (Int, Int)]]
+    val constraints = scala.collection.mutable.Map.empty[String, String]
     var schemaJson: Option[String] = None
     def fold(a: Actions): Unit = {
       a.removes.foreach { n => live -= n; stats -= n; pvs -= n; blooms -= n }
+      a.constraintAdds.foreach { case (n, e) => constraints(n) = e }
+      a.constraintDrops.foreach(constraints -= _)
       a.adds.foreach { n =>
         live += n
         a.addStats.get(n) match {
@@ -730,7 +750,7 @@ object OccTable {
     need.filter(vs.contains).sorted.foreach(v =>
       fold(readActions(fsys, dir, v)))
     Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap,
-      pvs.toMap, blooms.toMap)
+      pvs.toMap, blooms.toMap, constraints.toMap)
   }
 
   /** Delta-parity TIMESTAMP AS OF: the last version whose commit time
@@ -812,6 +832,8 @@ object OccTable {
       addLine(n, snap.stats.get(n), snap.pvs.get(n),
         snap.blooms.get(n))) ++
       snap.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn $a $v" } ++
+      snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"constraint $n ${urlEnc(e)}" } ++
       schemaLines(snap.schemaJson, snap.schemaJson))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     claim(fsys, checkpointPath(dir, snap.version), body) // exists = done
@@ -1019,13 +1041,15 @@ object OccTable {
       addStats: Map[String, String] = Map.empty,
       addPvs: Map[String, Map[String, String]] = Map.empty,
       addBlooms: Map[String, Map[String, (Int, Int)]] = Map.empty,
-      op: Option[String] = None): Long = {
+      op: Option[String] = None,
+      extraMeta: Seq[String] = Seq.empty): Long = {
     val fsys = fs(spark, dir)
     val body = (op.map(o => s"op $o").toSeq ++
       removes.map(n => s"remove $n") ++
       adds.map(n => addLine(n, addStats.get(n), addPvs.get(n),
         addBlooms.get(n))) ++
       txn.map { case (app, ver) => s"txn $app $ver" }.toSeq ++
+      extraMeta ++
       schemaLines(newSchemaJson, schemaInForce))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     var attempt = math.max(readVersion + 1,
@@ -1084,6 +1108,71 @@ object OccTable {
     -1L // unreachable
   }
 
+  /** Refuse `df` if any row violates a CHECK constraint (X132 — Delta
+    * `CHECK` semantics: a violation is the expression evaluating to
+    * FALSE; NULL passes, like SQL). ONE aggregation over the batch
+    * counts every constraint's violations in a single pass — the
+    * write-time cost Delta pays for the same guarantee.
+    */
+  private def enforceConstraints(df: DataFrame,
+      constraints: Map[String, String], what: String): Unit = {
+    if (constraints.isEmpty) return
+    val named = constraints.toSeq.sortBy(_._1)
+    val aggs = named.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(expr(e) === lit(false), 1L).otherwise(0L)).as(s"__v$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val violated = named.zipWithIndex.collect {
+      case ((n, e), i) if row.getLong(i) > 0 =>
+        s"$n (${row.getLong(i)} rows violate `$e`)"
+    }
+    if (violated.nonEmpty) throw new ConstraintViolationException(
+      s"OccTable: $what violates CHECK constraint(s) " +
+        violated.mkString("; "))
+  }
+
+  /** Delta-parity `ALTER TABLE ADD CONSTRAINT` (X132): record a named
+    * CHECK expression in the log after validating EVERY existing row
+    * against it (one scan — the price Delta pays too). From this
+    * commit on, every append/merge/rewrite refuses batches that
+    * violate it at the commit boundary, so readers never observe a
+    * violating row. The commit conflicts with ANY intervening commit
+    * (a racing append between validation and claim could smuggle a
+    * violating row past the scan).
+    */
+  def addCheckConstraint(spark: SparkSession, dir: String, name: String,
+      sqlExpr: String): Long = {
+    require(name.nonEmpty && !name.exists(c =>
+      c == ' ' || c == '\n' || c == '\r'),
+      s"OccTable: bad constraint name '$name'")
+    val snap = snapshot(spark, dir)
+    require(!snap.constraints.contains(name),
+      s"OccTable: constraint '$name' already exists " +
+        s"(`${snap.constraints(name)}`) — drop it first")
+    if (snap.files.nonEmpty)
+      enforceConstraints(readSnapshot(spark, dir, snap,
+        throw new IllegalStateException("unreachable: files non-empty")),
+        Map(name -> sqlExpr), "existing table data")
+    commitActions(spark, dir, Seq.empty, Seq.empty, snap.version,
+      schemaInForce = snap.schemaJson,
+      conflictOnAnyIntervening = true,
+      op = Some("add_constraint"),
+      extraMeta = Seq(s"constraint $name ${urlEnc(sqlExpr)}"))
+  }
+
+  /** Delta-parity `ALTER TABLE DROP CONSTRAINT`. */
+  def dropCheckConstraint(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val snap = snapshot(spark, dir)
+    require(snap.constraints.contains(name),
+      s"OccTable: no constraint '$name' to drop " +
+        s"(have: ${snap.constraints.keys.toSeq.sorted.mkString(", ")})")
+    commitActions(spark, dir, Seq.empty, Seq.empty, snap.version,
+      schemaInForce = snap.schemaJson,
+      op = Some("drop_constraint"),
+      extraMeta = Seq(s"dropconstraint $name"))
+  }
+
   /** Append-only commit: stage and commit. Never conflicts on files
     * (AddFile-only rule), so concurrent appends and append-vs-rewrite
     * all succeed; an append that triggers an additive schema evolution
@@ -1098,6 +1187,7 @@ object OccTable {
     val spark = df.sparkSession
     var snap = snapshot(spark, dir)
     var evolved = resolveSchema(snap.schemaJson, df.schema) // refuse BEFORE staging
+    enforceConstraints(df, snap.constraints, "append batch")
     val (names, pvs) = stagePartitioned(df, dir, partitionBy)
     val stats = collectStats(spark, dir, names, statsColumns)
     val blooms = collectBlooms(spark, dir, names, bloomColumns)
@@ -1138,6 +1228,7 @@ object OccTable {
     var snap = snapshot(spark, dir)
     if (snap.txns.get(appId).exists(_ >= batchId)) return snap.version
     var evolved = resolveSchema(snap.schemaJson, df.schema)
+    enforceConstraints(df, snap.constraints, s"streaming batch $batchId")
     val names = stage(df, dir)
     val stats = collectStats(spark, dir, names, statsColumns)
     while (true) {
@@ -1213,6 +1304,7 @@ object OccTable {
         if (overwriteSchema)
           Some(out.schema.json).filterNot(snap.schemaJson.contains)
         else resolveSchema(snap.schemaJson, out.schema)
+      enforceConstraints(out, snap.constraints, "rewrite output")
       val names = stage(out, dir)
       val stats = collectStats(spark, dir, names, statsColumns)
       val blooms = collectBlooms(spark, dir, names, bloomColumns)
@@ -1355,6 +1447,9 @@ object OccTable {
         keyCols, "left_anti"))
       val inserts = deleteCol.foldLeft(source)((d, c) =>
         d.filter(!coalesce(col(c), lit(false))).drop(c))
+      // survivors came from the table and addCheckConstraint validated
+      // the table — only the source-derived rows need checking
+      enforceConstraints(inserts, snap.constraints, "merge source")
       val out = survivors match {
         case Some(sv) => sv.unionByName(inserts, allowMissingColumns = true)
         case None => inserts

@@ -565,6 +565,85 @@ object SteadyState {
       if (lat.isEmpty) -1 else lat.max, outRows)
   }
 
+  /** Envelope of the STREAMING MERGE (X129) at steady state — the same
+    * CDC shape as [[measureCdcApplyStream]] but applied INSIDE the
+    * table format: each rate-source micro-batch upserts into an OCC
+    * table through [[graft.sources.OccTable.mergeSink]] (SetTransaction
+    * fence, stats-discovered touched files, delete flags). The bucket
+    * store's apply touches only its keys' buckets; the format MERGE
+    * re-stages every candidate file — at this hot-table scale with
+    * scattered keys that is most of the table per batch, so this
+    * envelope prices the WORST-case merge cadence, not the clustered
+    * one. `out_rows` = live rows in the table at stop.
+    */
+  def measureOccMergeStream(spark: SparkSession,
+      rowsPerBatch: Int = 50, minBatches: Int = 10,
+      deadlineSec: Int = 180): DocEnvelope = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val kind = "occ_merge_stream"
+    val table = Files.createTempDirectory("graft_occ_menv").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_occ_menv_ckpt")
+    val nKeys = 100000L
+    graft.sources.OccTable.init(
+      spark.range(nKeys).select(col("id"), lit(0L).as("ver"),
+        (col("id") % 997).cast("double").as("x"))
+        .repartitionByRange(16, col("id")),
+      table, statsColumns = Seq("id"))
+    val stream = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", 1704067200000L)
+      .option("advanceMillisPerBatch", 60000L)
+      .load()
+      .select(
+        pmod(col("value") * lit(2654435761L), lit(nKeys)).as("id"),
+        (col("value") + 1L).as("ver"),
+        col("value").cast("double").as("x"),
+        (col("value") % 50 === 0).as("del"))
+    val qName = s"graft_envelope_$kind"
+    val productive = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == qName && e.progress.numInputRows > 0)
+          productive.add((e.progress.numInputRows,
+            e.progress.durationMs.get("triggerExecution").toLong))
+    }
+    spark.streams.addListener(listener)
+    val q = stream.writeStream
+      .queryName(qName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .foreachBatch(graft.sources.OccTable.mergeSink(table,
+        "occ_merge_env", Seq("id"), deleteCol = Some("del"),
+        statsColumns = Seq("id")))
+      .start()
+    val t0 = System.nanoTime()
+    var elapsedSec = 0.0
+    try {
+      val deadline = t0 + deadlineSec * 1000L * 1000 * 1000
+      while (productive.size < minBatches
+          && System.nanoTime() < deadline) Thread.sleep(200)
+      elapsedSec = (System.nanoTime() - t0) / 1e9
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    val prog = {
+      import scala.jdk.CollectionConverters._
+      productive.asScala.toSeq
+    }
+    val lat = prog.map(_._2)
+    val docs = prog.map(_._1).sum
+    val outRows = graft.sources.OccTable.read(spark, table)().count()
+    DocEnvelope(kind, docs, elapsedSec, docs / elapsedSec * 60, lat.length,
+      if (lat.isEmpty) -1 else median(lat),
+      if (lat.isEmpty) -1 else lat.max, outRows)
+  }
+
   /** Envelope of the OCC COMMIT-LOG TAIL (X104) at steady state: an
     * external producer thread lands one OCC append per second on a
     * source table while [[graft.sources.OccStream.tailTo]] subscribes
