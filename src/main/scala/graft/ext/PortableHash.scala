@@ -26,16 +26,28 @@ object PortableHash {
   def uniform01(c: Column): Column =
     hash60(c).cast("double") / lit(Pow60)
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** Scalar twin of the Column [[hash60]] — bit-identical to evaluating
     * it on the same UTF-8 string (java MessageDigest md5 ≡ SQL md5;
     * same 15-hex-char parse). For JVM-side state (streaming sketch
-    * updates) that must agree with Column-built sketches exactly.
+    * updates) and bloom builds/probes (X126, two calls per value) that
+    * must agree with Column-built values exactly. Hot path: the digest
+    * is thread-local-reused and the top 60 bits read straight off the
+    * first eight digest bytes — the first 15 hex chars are bytes 0–6
+    * plus byte 7's high nibble, so `(b0..b6 << 4) | (b7 >>> 4)` is
+    * exactly `parseLong(hex.take(15), 16)`.
     */
   def hash60(key: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(key.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
   /** Driver-side twin of the Column [[uniform01]]. */
