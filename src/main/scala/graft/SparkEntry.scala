@@ -3272,6 +3272,34 @@ object SparkEntry {
           col("event_type"), round(col("value"), 6).as("value"))
     }),
 
+    // ---- X133: SHALLOW CLONE — zero-copy fork of the evens table,
+    //      odds appended to the CLONE, a negating rewrite hits the
+    //      SOURCE after the fork; the clone read must serve the full
+    //      original-valued table (absolute-path refs to immutable
+    //      pre-rewrite files + its own local append) ----
+    "q_occ_clone" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select("event_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|clone".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_clone_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val (src, dst) = (root.toString + "/src", root.toString + "/dst")
+      OccTable.init(base.filter(col("event_id") % 2 === 0), src)
+      OccTable.clone(s, src, dst)
+      OccTable.append(base.filter(col("event_id") % 2 === 1), dst)
+      OccTable.rewrite(s, src, d => d.withColumn("value", -col("value")))
+      OccTable.read(s, dst)()
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
     // ---- X131: DESCRIBE HISTORY — the commit log as a DataFrame,
     //      operation names stamped by each writing verb; a
     //      deterministic five-verb build replays as a closed-form
@@ -6451,6 +6479,12 @@ object SparkEntry {
         |SELECT event_id, ts, user_id, event_type,
         |  round(value, 6) AS value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // X133: the clone serves the ORIGINAL values — the source-side
+    // rewrite after the fork must be invisible, so the read is the
+    // plain projection.
+    "q_occ_clone" ->
+      """SELECT event_id, event_type, round(value, 6) AS value
+        |FROM events""".stripMargin,
     // X131: the four-verb build's history is closed-form — one staged
     // file per commit (coalesce(1)), restore re-adds v1's two files
     // and removes the rewrite's one; only init carries a schema action.

@@ -144,6 +144,16 @@ object OccTable {
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A log file name resolves against the table directory UNLESS it is
+    * absolute — the Delta `AddFile.path` convention that makes shallow
+    * CLONE (X133) possible: a clone's v0 references the source's data
+    * files by absolute path, zero bytes copied. Locally-staged names
+    * are always relative, so there is no collision.
+    */
+  private[sources] def resolvePath(dir: String, name: String): String =
+    if (new Path(name).isAbsolute ||
+        name.contains(":/")) name else s"$dir/$name"
+
   private def versionPath(dir: String, v: Long): Path =
     new Path(s"$dir/$LogDirName/v${"%020d".format(v)}")
 
@@ -382,7 +392,7 @@ object OccTable {
     if (cols.isEmpty || names.isEmpty) return Map.empty
     cols.foreach(c => require(!c.exists("|=,\t\n".contains(_)),
       s"OccTable stats: column name '$c' contains a reserved character"))
-    val scan = spark.read.parquet(names.map(n => s"$dir/$n"): _*)
+    val scan = spark.read.parquet(names.map(n => resolvePath(dir, n)): _*)
     val schema = scan.schema
     val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
       min(statProjection(schema, c)).as(s"__mn$i"),
@@ -426,7 +436,7 @@ object OccTable {
     val dirStr = dir
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val scan = spark.read.parquet(names.map(n => s"$dir/$n"): _*)
+    val scan = spark.read.parquet(names.map(n => resolvePath(dir, n)): _*)
     val projected = scan.select(
       input_file_name().as("__f") +:
         blooms.map(b => col(b.col).cast("string").as(b.col)): _*)
@@ -492,9 +502,9 @@ object OccTable {
       case (None, Seq()) => throw new IllegalStateException(
         s"OccTable: empty bloom-pruned snapshot at $dir with no log schema")
       case (Some(s), files) =>
-        spark.read.schema(s).parquet(files.map(f => s"$dir/$f"): _*)
+        spark.read.schema(s).parquet(files.map(f => resolvePath(dir, f)): _*)
       case (None, files) =>
-        spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+        spark.read.parquet(files.map(f => resolvePath(dir, f)): _*)
     }
     val withEq = base.filter(col(c).cast("string").isin(values: _*))
     preds.foldLeft(withEq) { case (d, (sc, lo, hi)) =>
@@ -575,9 +585,9 @@ object OccTable {
       case (None, Seq()) => throw new IllegalStateException(
         s"OccTable: empty pruned snapshot at $dir with no log schema")
       case (Some(s), files) =>
-        spark.read.schema(s).parquet(files.map(f => s"$dir/$f"): _*)
+        spark.read.schema(s).parquet(files.map(f => resolvePath(dir, f)): _*)
       case (None, files) =>
-        spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+        spark.read.parquet(files.map(f => resolvePath(dir, f)): _*)
     }
     val withPv = pvEq.foldLeft(base) { case (d, (k, v)) =>
       d.filter(col(k).cast("string") === lit(v))
@@ -809,9 +819,9 @@ object OccTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     case (None, Seq()) => emptyResult
     case (Some(st), files) =>
-      spark.read.schema(st).parquet(files.map(f => s"$dir/$f"): _*)
+      spark.read.schema(st).parquet(files.map(f => resolvePath(dir, f)): _*)
     case (None, files) =>
-      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      spark.read.parquet(files.map(f => resolvePath(dir, f)): _*)
   }
 
   /** Materialize the current snapshot as a `v<version>.chk` file so
@@ -1639,7 +1649,7 @@ object OccTable {
     while (true) {
       val snap = snapshot(spark, dir)
       val sized = snap.files.map(f =>
-        f -> fsys.getFileStatus(new Path(dir, f)).getLen)
+        f -> fsys.getFileStatus(new Path(resolvePath(dir, f))).getLen)
       val selected =
         if (zorderBy.nonEmpty) sized // re-clustering rewrites the partition
         else sized.filter(_._2 < smallFileBytes)
@@ -1721,9 +1731,9 @@ object OccTable {
         case (None, Seq()) => throw new IllegalStateException(
           s"OccTable: no churned files and no log schema at $dir")
         case (Some(st), fs0) =>
-          spark.read.schema(st).parquet(fs0.map(f => s"$dir/$f"): _*)
+          spark.read.schema(st).parquet(fs0.map(f => resolvePath(dir, f)): _*)
         case (None, fs0) =>
-          spark.read.parquet(fs0.map(f => s"$dir/$f"): _*)
+          spark.read.parquet(fs0.map(f => resolvePath(dir, f)): _*)
       }
       (keyCols ++ cols).foldLeft(base) { (d, c) =>
         if (d.columns.contains(c)) d
@@ -1734,6 +1744,58 @@ object OccTable {
     val rb = sideRead(sb, sb.files.filterNot(inA))
     Layout.snapshotDiff(ra, rb, keyCols, cols)
       .filter(col("status") =!= "unchanged")
+  }
+
+  /** Delta-parity SHALLOW CLONE (X133): fork `srcDir`'s current
+    * snapshot into a NEW table at `dstDir` by committing a v0 whose
+    * add actions reference the source's data files BY ABSOLUTE PATH —
+    * zero bytes copied (the `AddFile.path`-may-be-absolute convention
+    * Delta's shallow clone rides). The clone then lives its own life:
+    * appends/merges/deletes/optimizes commit locally, never touching
+    * the source; a clone-side OPTIMIZE rewrites referenced files into
+    * LOCAL ones (the localization path from shallow to deep). Stats,
+    * partition values, the schema, and CHECK constraints ride the
+    * clone (log state); bloom params do NOT — their sidecar bits live
+    * beside the SOURCE's files and are not copied, so cloned files
+    * read as bloom-free (unprunable, never wrong) until a local
+    * rewrite rebuilds them.
+    *
+    * The Delta caveat applies verbatim: a VACUUM on the source
+    * reclaims files the clone still references (the source cannot see
+    * clone readers). Clone from a version you retain, or localize
+    * (optimize) before source-side vacuums.
+    */
+  def clone(spark: SparkSession, srcDir: String,
+      dstDir: String): Snapshot = {
+    val s = snapshot(spark, srcDir)
+    val fsys = fs(spark, dstDir)
+    require(listVersions(fsys, dstDir).isEmpty &&
+      listCheckpoints(fsys, dstDir).isEmpty,
+      s"OccTable: log already exists at $dstDir")
+    val srcFs = fs(spark, srcDir)
+    def absolute(n: String): String =
+      if (new Path(n).isAbsolute || n.contains(":/")) n
+      else {
+        val q = srcFs.makeQualified(new Path(resolvePath(srcDir, n)))
+        val u = q.toUri
+        if (u.getScheme == null || u.getScheme == "file") u.getPath
+        else q.toString
+      }
+    val names = s.files.map(absolute)
+    val renm = s.files.zip(names).toMap
+    fsys.mkdirs(new Path(s"$dstDir/$LogDirName"))
+    val body = ("op clone" +:
+      (s.files.map(n => addLine(renm(n), s.stats.get(n), s.pvs.get(n))) ++
+        s.constraints.toSeq.sortBy(_._1).map { case (cn, e) =>
+          s"constraint $cn ${urlEnc(e)}" } ++
+        schemaLines(s.schemaJson, s.schemaJson)))
+      .mkString("", "\n", "\n")
+    require(claim(fsys, versionPath(dstDir, 0L), body.getBytes("UTF-8")),
+      s"OccTable: lost the clone-init race at $dstDir")
+    Snapshot(0L, names, Map.empty, s.schemaJson,
+      s.stats.map { case (n, v) => renm(n) -> v },
+      s.pvs.map { case (n, v) => renm(n) -> v },
+      Map.empty, s.constraints)
   }
 
   /** Delta `DESCRIBE HISTORY` parity (X131): the table's commit log as

@@ -310,9 +310,9 @@ object OccStream {
         if (addFiles.nonEmpty) {
           val data = OccTable.snapshot(spark, dir).schema match {
             case Some(st) => spark.read.schema(st)
-              .parquet(addFiles.map(f => s"$dir/$f").toIndexedSeq: _*)
+              .parquet(addFiles.map(f => OccTable.resolvePath(dir, f)).toIndexedSeq: _*)
             case None => spark.read
-              .parquet(addFiles.map(f => s"$dir/$f").toIndexedSeq: _*)
+              .parquet(addFiles.map(f => OccTable.resolvePath(dir, f)).toIndexedSeq: _*)
           }
           sink(data, batchId)
         }
