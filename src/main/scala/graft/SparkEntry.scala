@@ -3272,6 +3272,46 @@ object SparkEntry {
           col("event_type"), round(col("value"), 6).as("value"))
     }),
 
+    // ---- X134: DELETION VECTORS — the second ts-quarter marked
+    //      deleted as sidecar row positions (zero data files
+    //      rewritten), every 499th user erased through the
+    //      bloom-discovered DV path, then PURGE materializes both
+    //      away; the read must equal the doubly-negated filter at
+    //      every step, so the purged read faces the oracle ----
+    "q_occ_delete_dv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|deletedv".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_dv_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val q = (hi - lo) / 4
+      val blooms = Seq(OccBloom.BloomCol("user_id",
+        numItems = 100000L, fpp = 0.01))
+      OccTable.init(ev.repartitionByRange(8, col("ts")), t,
+        statsColumns = Seq("ts"), bloomColumns = blooms)
+      OccTable.deleteRangeDv(s, t, "ts",
+        (lo + q).toDouble, (lo + 2 * q).toDouble)
+      val victims = ev.filter(col("user_id") % 499 === 0)
+        .select(col("user_id").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      OccTable.deleteEqualityDv(s, t, "user_id", victims)
+      OccTable.purgeDvs(s, t)
+      OccTable.read(s, t)()
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    }),
+
     // ---- X133: SHALLOW CLONE — zero-copy fork of the evens table,
     //      odds appended to the CLONE, a negating rewrite hits the
     //      SOURCE after the fork; the clone read must serve the full
@@ -6479,6 +6519,19 @@ object SparkEntry {
         |SELECT event_id, ts, user_id, event_type,
         |  round(value, 6) AS value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // X134: DV deletes then purge must be invisible beyond their
+    // predicates — the survivors replay as the doubly-negated filter.
+    "q_occ_delete_dv" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+        |  FROM events)
+        |SELECT event_id, user_id, event_type,
+        |  round(value, 6) AS value
+        |FROM events, b
+        |WHERE NOT (epoch_us(CAST(ts AS TIMESTAMP)) >= lo + (hi - lo) // 4
+        |       AND epoch_us(CAST(ts AS TIMESTAMP)) <= lo + 2 * ((hi - lo) // 4))
+        |  AND user_id % 499 <> 0""".stripMargin,
     // X133: the clone serves the ORIGINAL values — the source-side
     // rewrite after the fork must be invisible, so the read is the
     // plain projection.

@@ -80,7 +80,8 @@ object OccTable {
       stats: Map[String, String] = Map.empty,
       pvs: Map[String, Map[String, String]] = Map.empty,
       blooms: Map[String, Map[String, (Int, Int)]] = Map.empty,
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      dvs: Map[String, String] = Map.empty) {
     /** The log schema in force at this version, if the log records one
       * (v0 of every table initialized since X104 does).
       */
@@ -104,7 +105,8 @@ object OccTable {
       addBlooms: Map[String, Map[String, (Int, Int)]] = Map.empty,
       op: Option[String] = None,
       constraintAdds: Seq[(String, String)] = Seq.empty,
-      constraintDrops: Seq[String] = Seq.empty)
+      constraintDrops: Seq[String] = Seq.empty,
+      addDvs: Map[String, String] = Map.empty)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
@@ -153,6 +155,12 @@ object OccTable {
   private[sources] def resolvePath(dir: String, name: String): String =
     if (new Path(name).isAbsolute ||
         name.contains(":/")) name else s"$dir/$name"
+
+  /** The scan-visible identity of a log name: `_metadata.file_name` is
+    * a basename, and basenames stay uuid-unique across clones' absolute
+    * references — DV sidecars key on it.
+    */
+  private def baseName(n: String): String = n.split('/').last
 
   private def versionPath(dir: String, v: Long): Path =
     new Path(s"$dir/$LogDirName/v${"%020d".format(v)}")
@@ -218,10 +226,13 @@ object OccTable {
       val fields = l.split('\t')
       val name = fields.head
       val stats = fields.tail.find(f => f.nonEmpty &&
-        !f.startsWith("pv=") && !f.startsWith("bf="))
+        !f.startsWith("pv=") && !f.startsWith("bf=") &&
+        !f.startsWith("dv="))
       val pv = fields.tail.find(_.startsWith("pv=")).map(parsePv)
       val bf = fields.tail.find(_.startsWith("bf=")).map(parseBf)
-      (name, stats, pv, bf)
+      val dv = fields.tail.find(_.startsWith("dv="))
+        .map(f => urlDec(f.stripPrefix("dv=")))
+      (name, stats, pv, bf, dv)
     }
     Actions(
       addPairs.map(_._1),
@@ -234,9 +245,9 @@ object OccTable {
         s.stripPrefix("schema ") },
       lines.collectFirst { case s if s.startsWith("schemaHash ") =>
         s.stripPrefix("schemaHash ") },
-      addPairs.collect { case (n, Some(s), _, _) => n -> s }.toMap,
-      addPairs.collect { case (n, _, Some(p), _) => n -> p }.toMap,
-      addPairs.collect { case (n, _, _, Some(b)) => n -> b }.toMap,
+      addPairs.collect { case (n, Some(s), _, _, _) => n -> s }.toMap,
+      addPairs.collect { case (n, _, Some(p), _, _) => n -> p }.toMap,
+      addPairs.collect { case (n, _, _, Some(b), _) => n -> b }.toMap,
       lines.collectFirst { case s if s.startsWith("op ") =>
         s.stripPrefix("op ") },
       lines.collect { case s if s.startsWith("constraint ") =>
@@ -244,7 +255,8 @@ object OccTable {
         (n, urlDec(e))
       },
       lines.collect { case s if s.startsWith("dropconstraint ") =>
-        s.stripPrefix("dropconstraint ") })
+        s.stripPrefix("dropconstraint ") },
+      addPairs.collect { case (n, _, _, _, Some(d)) => n -> d }.toMap)
   }
 
   /** Commit-log versions and their parsed actions over `(after, upTo]`
@@ -298,14 +310,17 @@ object OccTable {
     */
   private def addLine(name: String, stats: Option[String],
       pv: Option[Map[String, String]] = None,
-      bf: Option[Map[String, (Int, Int)]] = None): String = {
+      bf: Option[Map[String, (Int, Int)]] = None,
+      dv: Option[String] = None): String = {
     val pvField = pv.filter(_.nonEmpty).map(m =>
       "pv=" + m.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${urlEnc(k)}=${urlEnc(v)}" }.mkString(";"))
     val bfField = bf.filter(_.nonEmpty).map(m =>
       "bf=" + m.toSeq.sortBy(_._1).map { case (c, (mm, kk)) =>
         s"${urlEnc(c)}:$mm:$kk" }.mkString(";"))
-    val fields = stats.toSeq ++ pvField.toSeq ++ bfField.toSeq
+    val dvField = dv.map(n => s"dv=${urlEnc(n)}")
+    val fields = stats.toSeq ++ pvField.toSeq ++ bfField.toSeq ++
+      dvField.toSeq
     if (fields.isEmpty) s"add $name"
     else s"add $name\t${fields.mkString("\t")}"
   }
@@ -502,9 +517,11 @@ object OccTable {
       case (None, Seq()) => throw new IllegalStateException(
         s"OccTable: empty bloom-pruned snapshot at $dir with no log schema")
       case (Some(s), files) =>
-        spark.read.schema(s).parquet(files.map(f => resolvePath(dir, f)): _*)
+        applyDvs(spark, dir, snap,
+          spark.read.schema(s).parquet(files.map(f => resolvePath(dir, f)): _*))
       case (None, files) =>
-        spark.read.parquet(files.map(f => resolvePath(dir, f)): _*)
+        applyDvs(spark, dir, snap,
+          spark.read.parquet(files.map(f => resolvePath(dir, f)): _*))
     }
     val withEq = base.filter(col(c).cast("string").isin(values: _*))
     preds.foldLeft(withEq) { case (d, (sc, lo, hi)) =>
@@ -585,9 +602,11 @@ object OccTable {
       case (None, Seq()) => throw new IllegalStateException(
         s"OccTable: empty pruned snapshot at $dir with no log schema")
       case (Some(s), files) =>
-        spark.read.schema(s).parquet(files.map(f => resolvePath(dir, f)): _*)
+        applyDvs(spark, dir, snap,
+          spark.read.schema(s).parquet(files.map(f => resolvePath(dir, f)): _*))
       case (None, files) =>
-        spark.read.parquet(files.map(f => resolvePath(dir, f)): _*)
+        applyDvs(spark, dir, snap,
+          spark.read.parquet(files.map(f => resolvePath(dir, f)): _*))
     }
     val withPv = pvEq.foldLeft(base) { case (d, (k, v)) =>
       d.filter(col(k).cast("string") === lit(v))
@@ -731,9 +750,11 @@ object OccTable {
     val blooms =
       scala.collection.mutable.Map.empty[String, Map[String, (Int, Int)]]
     val constraints = scala.collection.mutable.Map.empty[String, String]
+    val dvs = scala.collection.mutable.Map.empty[String, String]
     var schemaJson: Option[String] = None
     def fold(a: Actions): Unit = {
-      a.removes.foreach { n => live -= n; stats -= n; pvs -= n; blooms -= n }
+      a.removes.foreach { n =>
+        live -= n; stats -= n; pvs -= n; blooms -= n; dvs -= n }
       a.constraintAdds.foreach { case (n, e) => constraints(n) = e }
       a.constraintDrops.foreach(constraints -= _)
       a.adds.foreach { n =>
@@ -750,6 +771,10 @@ object OccTable {
           case Some(b) => blooms(n) = b
           case None => blooms -= n
         }
+        a.addDvs.get(n) match {
+          case Some(d) => dvs(n) = d
+          case None => dvs -= n
+        }
       }
       a.txns.foreach { case (app, ver) =>
         txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
@@ -760,7 +785,7 @@ object OccTable {
     need.filter(vs.contains).sorted.foreach(v =>
       fold(readActions(fsys, dir, v)))
     Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap,
-      pvs.toMap, blooms.toMap, constraints.toMap)
+      pvs.toMap, blooms.toMap, constraints.toMap, dvs.toMap)
   }
 
   /** Delta-parity TIMESTAMP AS OF: the last version whose commit time
@@ -819,9 +844,11 @@ object OccTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     case (None, Seq()) => emptyResult
     case (Some(st), files) =>
-      spark.read.schema(st).parquet(files.map(f => resolvePath(dir, f)): _*)
+      applyDvs(spark, dir, s,
+        spark.read.schema(st).parquet(files.map(f => resolvePath(dir, f)): _*))
     case (None, files) =>
-      spark.read.parquet(files.map(f => resolvePath(dir, f)): _*)
+      applyDvs(spark, dir, s,
+        spark.read.parquet(files.map(f => resolvePath(dir, f)): _*))
   }
 
   /** Materialize the current snapshot as a `v<version>.chk` file so
@@ -840,7 +867,7 @@ object OccTable {
     val snap = snapshot(spark, dir)
     val body = (snap.files.map(n =>
       addLine(n, snap.stats.get(n), snap.pvs.get(n),
-        snap.blooms.get(n))) ++
+        snap.blooms.get(n), snap.dvs.get(n))) ++
       snap.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn $a $v" } ++
       snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
         s"constraint $n ${urlEnc(e)}" } ++
@@ -1052,12 +1079,13 @@ object OccTable {
       addPvs: Map[String, Map[String, String]] = Map.empty,
       addBlooms: Map[String, Map[String, (Int, Int)]] = Map.empty,
       op: Option[String] = None,
-      extraMeta: Seq[String] = Seq.empty): Long = {
+      extraMeta: Seq[String] = Seq.empty,
+      addDvs: Map[String, String] = Map.empty): Long = {
     val fsys = fs(spark, dir)
     val body = (op.map(o => s"op $o").toSeq ++
       removes.map(n => s"remove $n") ++
       adds.map(n => addLine(n, addStats.get(n), addPvs.get(n),
-        addBlooms.get(n))) ++
+        addBlooms.get(n), addDvs.get(n))) ++
       txn.map { case (app, ver) => s"txn $app $ver" }.toSeq ++
       extraMeta ++
       schemaLines(newSchemaJson, schemaInForce))
@@ -1599,6 +1627,193 @@ object OccTable {
     throw new IllegalStateException("unreachable")
   }
 
+  private val DvDirName = "_graft_occ_dv"
+
+  /** Filter a planned scan through the snapshot's deletion vectors
+    * (X134): the DV sidecars are parquet (file_name, row_index) row
+    * sets; the scan anti-joins on the parquet reader's `_metadata`
+    * (file_name, row_index) — the deleted positions never reach the
+    * consumer. With no DVs the plan is untouched (zero overhead for
+    * DV-free tables). The DV relation is a normal parquet scan, so
+    * Catalyst broadcasts it when it is small — the usual case: DVs
+    * hold DELETED rows only, and compaction re-materializes files
+    * whose DVs grow large.
+    */
+  private def applyDvs(spark: SparkSession, dir: String, s: Snapshot,
+      base: DataFrame): DataFrame = {
+    if (s.dvs.isEmpty) return base
+    val dvPaths = s.dvs.values.toSeq.distinct
+      .map(n => s"$dir/$DvDirName/$n")
+    // sidecar rows and the scan's _metadata.file_name are BASENAMES
+    // (uuid-unique even across a clone's absolute log names)
+    val marked = s.dvs.keySet.map(baseName)
+    val dv = spark.read.parquet(dvPaths: _*)
+      // a shared sidecar may carry rows for files a later commit
+      // re-added DV-free (restore): honor only CURRENTLY-marked files
+      .filter(col("file_name").isin(marked.toSeq: _*))
+      .select(col("file_name").as("__dv_fn"),
+        col("row_index").as("__dv_ri"))
+    base
+      .withColumn("__dv_fn", col("_metadata.file_name"))
+      .withColumn("__dv_ri", col("_metadata.row_index"))
+      .join(dv, Seq("__dv_fn", "__dv_ri"), "left_anti")
+      .drop("__dv_fn", "__dv_ri")
+  }
+
+  /** [[deleteRangeDv]]/[[deleteEqualityDv]]'s outcome: committed
+    * version, rows marked deleted by THIS call, files whose DV changed,
+    * files untouched. Zero data files are ever rewritten.
+    */
+  final case class DvDeleteResult(version: Long, markedRows: Long,
+      markedFiles: Int, keptFiles: Int)
+
+  private def deleteDvCore(spark: SparkSession, dir: String,
+      candidates: Snapshot => Seq[String], rowFilter: DataFrame => Column,
+      maxRetries: Int): DvDeleteResult = {
+    var tries = 0
+    while (true) {
+      val snap = snapshot(spark, dir)
+      val cand = candidates(snap)
+      if (cand.isEmpty)
+        return DvDeleteResult(snap.version, 0L, 0, snap.files.size)
+      // materialize the scan identity into REAL columns up front — a
+      // join would sever `_metadata` resolution downstream
+      val base = spark.read.parquet(
+          cand.map(f => resolvePath(dir, f)): _*)
+        .withColumn("__dv_fn", col("_metadata.file_name"))
+        .withColumn("__dv_ri", col("_metadata.row_index"))
+      val candSet = cand.toSet
+      val existingPaths = snap.dvs.filter { case (f, _) => candSet(f) }
+        .values.toSeq.distinct.map(n => s"$dir/$DvDirName/$n")
+      val existing =
+        if (existingPaths.isEmpty) None
+        else Some(spark.read.parquet(existingPaths: _*)
+          .filter(col("file_name").isin(cand.map(baseName): _*))
+          .select(col("file_name").as("__dv_fn"),
+            col("row_index").as("__dv_ri")))
+      val live = existing.fold(base)(ex =>
+        base.join(ex, Seq("__dv_fn", "__dv_ri"), "left_anti"))
+      val matching = live.filter(rowFilter(live))
+        .select(col("__dv_fn").as("file_name"),
+          col("__dv_ri").as("row_index"))
+      // union with the candidates' EXISTING deleted rows — a second
+      // delete layers on the first, never resurrects
+      val newDv = existing.fold(matching)(ex =>
+        matching.unionByName(ex.select(col("__dv_fn").as("file_name"),
+          col("__dv_ri").as("row_index"))))
+      val perFile = newDv.groupBy(col("file_name"))
+        .agg(count(lit(1)).as("__n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // touched = files that now carry any deleted row; a candidate
+      // with zero matches and no prior DV stays untouched. perFile is
+      // keyed by BASENAME (the scan's _metadata identity)
+      val touched = cand.filter(f => perFile.contains(baseName(f)))
+      val markedNow = matching.count()
+      if (touched.isEmpty || (markedNow == 0L &&
+          touched.forall(f => snap.dvs.contains(f))))
+        return DvDeleteResult(snap.version, 0L, 0, snap.files.size)
+      val dvName = s"dv-${java.util.UUID.randomUUID().toString}"
+      newDv.filter(col("file_name").isin(touched.map(baseName): _*))
+        .write.parquet(s"$dir/$DvDirName/$dvName")
+      try return DvDeleteResult(
+        commitActions(spark, dir, touched, touched, snap.version,
+          schemaInForce = snap.schemaJson,
+          addStats = snap.stats.filter { case (f, _) => touched.contains(f) },
+          addPvs = snap.pvs.filter { case (f, _) => touched.contains(f) },
+          addBlooms =
+            snap.blooms.filter { case (f, _) => touched.contains(f) },
+          op = Some("delete_dv"),
+          addDvs = touched.map(_ -> dvName).toMap),
+        markedNow, touched.size, snap.files.size - touched.size)
+      catch {
+        case e: ConcurrentWriteException =>
+          tries += 1
+          if (tries > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** X134 — `DELETE WHERE c BETWEEN lo AND hi` as DELETION VECTORS:
+    * matching rows are marked deleted in a parquet sidecar of
+    * (file_name, row_index) positions and the commit RE-ADDS the same
+    * immutable data files with a `dv=` pointer — ZERO data bytes
+    * rewritten, so a hundred-row delete on a 100 TB table costs the
+    * matching scan plus a sidecar write (Delta's deletion-vector
+    * feature, re-expressed). Candidate files come from X117 stats (no
+    * false negatives); rows already marked stay marked (layered
+    * deletes union); NULLs never match. [[read]]/[[readAt]] honor DVs
+    * via the `_metadata.row_index` anti-join; pruned readers, change
+    * feeds, and the tail REFUSE by name on DV-carrying snapshots —
+    * compact ([[rewriteDvFiles]] or [[rewrite]]/[[optimize]]) to
+    * materialize. Stats stay prune-SAFE (they cover a superset).
+    */
+  def deleteRangeDv(spark: SparkSession, dir: String, c: String,
+      lo: Double, hi: Double, maxRetries: Int = 3): DvDeleteResult = {
+    require(lo <= hi, s"OccTable.deleteRangeDv: lo=$lo > hi=$hi")
+    deleteDvCore(spark, dir,
+      snap => snap.files.filter { f =>
+        snap.stats.get(f).flatMap(statsFor(_, c)) match {
+          case Some((None, None)) => false
+          case Some((Some(mn), Some(mx))) => mx >= lo && mn <= hi
+          case _ => true
+        }
+      },
+      d => {
+        val proj = statProjection(d.schema, c)
+        proj >= lit(lo) && proj <= lit(hi)
+      }, maxRetries)
+  }
+
+  /** X134's identity form — the GDPR erase without rewriting a byte:
+    * candidates discovered through the X126 bloom, matching rows
+    * marked in the DV sidecar. Values compare in the build-time
+    * string form.
+    */
+  def deleteEqualityDv(spark: SparkSession, dir: String, c: String,
+      values: Seq[String], maxRetries: Int = 3): DvDeleteResult = {
+    require(values.nonEmpty, "OccTable.deleteEqualityDv: no values")
+    deleteDvCore(spark, dir,
+      snap => bloomPrunedFiles(fs(spark, dir), dir, snap, c, values),
+      d => col(c).cast("string").isin(values: _*), maxRetries)
+  }
+
+  /** Materialize a table's deletion vectors away: rewrite ONLY the
+    * DV-carrying files into clean local ones (DV applied), leaving
+    * everything else physically untouched — the Delta `REORG TABLE …
+    * APPLY (PURGE)` verb, and the path that re-enables the pruned
+    * readers after X134 deletes.
+    */
+  def purgeDvs(spark: SparkSession, dir: String,
+      maxRetries: Int = 3,
+      statsColumns: Seq[String] = Seq.empty,
+      bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty): Long = {
+    var tries = 0
+    while (true) {
+      val snap = snapshot(spark, dir)
+      val marked = snap.files.filter(snap.dvs.contains)
+      if (marked.isEmpty) return snap.version
+      val base = spark.read.parquet(
+        marked.map(f => resolvePath(dir, f)): _*)
+      val clean = snap.schema
+        .map(st => applyDvs(spark, dir, snap.copy(files = marked), base)
+          .select(st.fieldNames.map(col).toIndexedSeq: _*))
+        .getOrElse(applyDvs(spark, dir, snap.copy(files = marked), base))
+      val names = stage(clean, dir)
+      val stats = collectStats(spark, dir, names, statsColumns)
+      val blooms = collectBlooms(spark, dir, names, bloomColumns)
+      try return commitActions(spark, dir, names, marked, snap.version,
+        schemaInForce = snap.schemaJson,
+        addStats = stats, addBlooms = blooms, op = Some("purge_dv"))
+      catch {
+        case e: ConcurrentWriteException =>
+          tries += 1
+          if (tries > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** [[optimize]]'s outcome: committed version (unchanged when nothing
     * qualified), files rewritten, files left untouched, files written.
     */
@@ -1721,8 +1936,14 @@ object OccTable {
       if (fromVersion == -1L)
         Snapshot(-1L, Seq.empty, schemaJson = sb.schemaJson)
       else snapshotAt(spark, dir, fromVersion)
-    val inB = sb.files.toSet
-    val inA = sa.files.toSet
+    // a file is COMMON (provably all-unchanged, skipped on both sides)
+    // only when its name AND its deletion-vector state match — a
+    // delete_dv commit re-adds the same file name with a new dv, and
+    // its row losses must surface as 'removed' (X134)
+    def churnKey(s: Snapshot, f: String): (String, Option[String]) =
+      (f, s.dvs.get(f))
+    val inB = sb.files.map(churnKey(sb, _)).toSet
+    val inA = sa.files.map(churnKey(sa, _)).toSet
     def sideRead(s: Snapshot, names: Seq[String]): DataFrame = {
       val base = (s.schema, names) match {
         case (Some(st), Seq()) =>
@@ -1731,17 +1952,19 @@ object OccTable {
         case (None, Seq()) => throw new IllegalStateException(
           s"OccTable: no churned files and no log schema at $dir")
         case (Some(st), fs0) =>
-          spark.read.schema(st).parquet(fs0.map(f => resolvePath(dir, f)): _*)
+          applyDvs(spark, dir, s.copy(files = names),
+            spark.read.schema(st).parquet(fs0.map(f => resolvePath(dir, f)): _*))
         case (None, fs0) =>
-          spark.read.parquet(fs0.map(f => resolvePath(dir, f)): _*)
+          applyDvs(spark, dir, s.copy(files = names),
+            spark.read.parquet(fs0.map(f => resolvePath(dir, f)): _*))
       }
       (keyCols ++ cols).foldLeft(base) { (d, c) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null)) // pre-evolution side: NULL
       }
     }
-    val ra = sideRead(sa, sa.files.filterNot(inB))
-    val rb = sideRead(sb, sb.files.filterNot(inA))
+    val ra = sideRead(sa, sa.files.filterNot(f => inB(churnKey(sa, f))))
+    val rb = sideRead(sb, sb.files.filterNot(f => inA(churnKey(sb, f))))
     Layout.snapshotDiff(ra, rb, keyCols, cols)
       .filter(col("status") =!= "unchanged")
   }
@@ -1784,8 +2007,17 @@ object OccTable {
     val names = s.files.map(absolute)
     val renm = s.files.zip(names).toMap
     fsys.mkdirs(new Path(s"$dstDir/$LogDirName"))
+    // deletion vectors ride the clone: the sidecars are metadata-scale
+    // (deleted positions only), so copying them keeps the zero-DATA-
+    // copy claim while the clone keeps serving the right rows. Sidecar
+    // rows key on BASENAMES, which cloning preserves — copy verbatim.
+    s.dvs.values.toSeq.distinct.foreach { dvName =>
+      spark.read.parquet(s"$srcDir/$DvDirName/$dvName")
+        .write.parquet(s"$dstDir/$DvDirName/$dvName")
+    }
     val body = ("op clone" +:
-      (s.files.map(n => addLine(renm(n), s.stats.get(n), s.pvs.get(n))) ++
+      (s.files.map(n => addLine(renm(n), s.stats.get(n), s.pvs.get(n),
+        None, s.dvs.get(n))) ++
         s.constraints.toSeq.sortBy(_._1).map { case (cn, e) =>
           s"constraint $cn ${urlEnc(e)}" } ++
         schemaLines(s.schemaJson, s.schemaJson)))
@@ -1849,7 +2081,13 @@ object OccTable {
     val tgt = snapshotAt(spark, dir, version)
     val curSet = cur.files.toSet
     val tgtSet = tgt.files.toSet
-    val adds = tgt.files.filterNot(curSet)
+    // files live in BOTH versions whose per-file deletion-vector state
+    // differs must be RE-ADDED so the fold re-establishes the target's
+    // DV (a row-level delete after the restore point would otherwise
+    // survive the restore) — an add of a live file updates its state
+    val dvChanged = tgt.files.filter(curSet)
+      .filter(f => cur.dvs.get(f) != tgt.dvs.get(f))
+    val adds = tgt.files.filterNot(curSet) ++ dvChanged
     val removes = cur.files.filterNot(tgtSet)
     val schemaChange =
       if (tgt.schemaJson != cur.schemaJson) tgt.schemaJson else None
@@ -1859,7 +2097,8 @@ object OccTable {
       addStats = tgt.stats.filter { case (n, _) => adds.contains(n) },
       addPvs = tgt.pvs.filter { case (n, _) => adds.contains(n) },
       addBlooms = tgt.blooms.filter { case (n, _) => adds.contains(n) },
-      op = Some("restore"))
+      op = Some("restore"),
+      addDvs = tgt.dvs.filter { case (n, _) => adds.contains(n) })
   }
 
   /** Delete data files no RETAINED log version references — lost-
@@ -1897,13 +2136,15 @@ object OccTable {
     // union of live files across the retained window; versions the log
     // can no longer reconstruct (truncated commits, prior vacuum) are
     // not readable anyway and hold no retention claim
-    val referenced = (floor to latest).flatMap { v =>
-      try snapshotAt(spark, dir, v).files
+    val retainedSnaps = (floor to latest).flatMap { v =>
+      try Some(snapshotAt(spark, dir, v))
       catch {
-        case _: VacuumedVersionException => Seq.empty
-        case _: IllegalArgumentException => Seq.empty
+        case _: VacuumedVersionException => None
+        case _: IllegalArgumentException => None
       }
-    }.toSet
+    }
+    val referenced = retainedSnaps.flatMap(_.files).toSet
+    val referencedDvs = retainedSnaps.flatMap(_.dvs.values).toSet
     val entries = fsys.listStatus(new Path(dir)).toSeq
     val garbageFiles = entries
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
@@ -1921,14 +2162,23 @@ object OccTable {
       else fsys.listStatus(bloomDir).toSeq.filter(_.isFile)
         .map(_.getPath.getName)
         .filter(n => OccBloom.sidecarDataFile(n).forall(!referenced(_)))
+    // DV sidecars (X134) are parquet directories named by the dv id;
+    // reclaim those no retained snapshot references
+    val dvDir = new Path(s"$dir/$DvDirName")
+    val orphanDvs =
+      if (!fsys.exists(dvDir)) Seq.empty[String]
+      else fsys.listStatus(dvDir).toSeq.map(_.getPath.getName)
+        .filterNot(referencedDvs)
     garbageFiles.foreach(n => fsys.delete(new Path(dir, n), false))
     crashedStaging.foreach(n => fsys.delete(new Path(dir, n), true))
     orphanSidecars.foreach(n => fsys.delete(new Path(bloomDir, n), false))
+    orphanDvs.foreach(n => fsys.delete(new Path(dvDir, n), true))
     // the marker is monotone: a later, longer-retention vacuum never
     // re-promises history a shorter one already reclaimed
     val through = math.max(alreadyThrough, floor - 1L)
     if (through > alreadyThrough) writeVacuumMarker(fsys, dir, through)
     garbageFiles ++ crashedStaging ++
-      orphanSidecars.map(n => s"${OccBloom.BloomDirName}/$n")
+      orphanSidecars.map(n => s"${OccBloom.BloomDirName}/$n") ++
+      orphanDvs.map(n => s"$DvDirName/$n")
   }
 }
