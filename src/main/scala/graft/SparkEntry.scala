@@ -3312,6 +3312,13 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
     }),
 
+    // ---- X134 × X125: the streaming change feed ACROSS a
+    //      deletion-vector commit — the delete_dv version rewrites
+    //      zero files yet must stream exactly its deleted keys as
+    //      'removed' (dv-aware churn keys) ----
+    "q_occ_changes_dv_stream" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayOccChangesDv(s, dir)),
+
     // ---- X133: SHALLOW CLONE — zero-copy fork of the evens table,
     //      odds appended to the CLONE, a negating rewrite hits the
     //      SOURCE after the fork; the clone read must serve the full
@@ -6519,6 +6526,20 @@ object SparkEntry {
         |SELECT event_id, ts, user_id, event_type,
         |  round(value, 6) AS value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // X134 x X125: the streamed per-version change rows replay
+    // closed-form — evens added at v0, the DV-deleted low-fifth evens
+    // removed at v1, odds added at v2.
+    "q_occ_changes_dv_stream" ->
+      """WITH mx AS (SELECT max(event_id) // 5 AS q FROM events)
+        |SELECT event_id, CAST(0 AS BIGINT) AS version,
+        |       'added' AS status
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, CAST(1 AS BIGINT), 'removed'
+        |FROM events, mx WHERE event_id % 2 = 0 AND event_id <= q
+        |UNION ALL
+        |SELECT event_id, CAST(2 AS BIGINT), 'added'
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
     // X134: DV deletes then purge must be invisible beyond their
     // predicates — the survivors replay as the doubly-negated filter.
     "q_occ_delete_dv" ->

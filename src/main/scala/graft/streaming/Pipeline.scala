@@ -504,6 +504,52 @@ object Pipeline {
         col("status"))
   }
 
+  /** Streaming change feed ACROSS A DELETION-VECTOR COMMIT
+    * (`q_occ_changes_dv_stream`, X134 × X125): the subscription rides
+    * an init → deleteRangeDv → append log. The delete_dv version
+    * rewrites ZERO data files — same names, new `dv=` pointer — and
+    * the dv-aware churn keys must still surface exactly its deleted
+    * keys as `removed` rows (an append-only or name-keyed diff would
+    * emit nothing at all for it).
+    */
+  def replayOccChangesDv(spark: SparkSession, dir: String): DataFrame = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|occchangesdv".getBytes("UTF-8")).map("%02x".format(_))
+      .mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_occ_changes_dv_$user", key)
+    deleteRecursively(outRoot)
+    val t = outRoot.toString + "/t"
+    val outDir = outRoot.toString + "/changes"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_occ_changes_dv_ckpt")
+    val base = graft.sources.Tables.events(spark, dir)
+      .select("event_id", "event_type", "value")
+    val q5 = base.agg(max("event_id")).head.getLong(0) / 5
+    withReplayParallelism(spark) {
+      graft.sources.OccTable.init(
+        base.filter(col("event_id") % 2 === 0), t,
+        statsColumns = Seq("event_id"))                             // v0
+      graft.sources.OccTable.deleteRangeDv(spark, t, "event_id",
+        0.0, q5.toDouble)                                           // v1
+      graft.sources.OccTable.append(
+        base.filter(col("event_id") % 2 === 1), t)                  // v2
+      val q = graft.sources.OccStream.changesTo(spark, t,
+        ckpt.toString, Seq("event_id"), Seq("event_type", "value"),
+        (changes, v) => parquetAppendSink(outDir)(changes, v),
+        maxVersionsPerTrigger = 1, trigger = Trigger.AvailableNow())
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckpt)
+      }
+    }
+    TxnSink.committedRead(spark, outDir)
+      .select(col("event_id"), col("to_version").as("version"),
+        col("status"))
+  }
+
   /** X119: the lakehouse loop closed END-TO-END as one standing
     * process — an OCC commit-log tail (X104) subscribes to a documents
     * source table, runs the FULL X14 curation pipeline
