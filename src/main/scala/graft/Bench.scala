@@ -78,7 +78,7 @@ object Bench {
       "q_schema_evolution", "q_storage_size", "q_zorder_scan",
       "q_fileskip_scan", "q_occ_merge", "q_occ_optimize",
       "q_occ_bloom_skip", "q_occ_delete", "q_occ_history", "q_occ_clone",
-      "q_occ_delete_dv")
+      "q_occ_delete_dv", "q_occ_detail")
     // replay harnesses without "_stream" in the name, classed by shape
     val replayQs = Set("q_lakehouse_pipeline", "q_ks_rolling_bound")
     def classOfQuery(n: String): String =

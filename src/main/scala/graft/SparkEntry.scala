@@ -3312,6 +3312,40 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
     }),
 
+    // ---- X131's table-level twin: DESCRIBE DETAIL — a deterministic
+    //      build (one staged file per commit, one partitioned commit,
+    //      one constraint, one DV delete) summarizes closed-form;
+    //      size_bytes is environment-dependent and excluded ----
+    "q_occ_detail" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select("event_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|detail".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_detail_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      OccTable.init(base.filter(col("event_id") % 2 === 0).coalesce(1),
+        t, statsColumns = Seq("event_id"))                           // v0
+      OccTable.append(base.filter(col("event_id") % 2 === 1)
+        .withColumn("side", lit("odd")).coalesce(1), t,
+        partitionBy = Seq("side"))                                   // v1
+      OccTable.addCheckConstraint(s, t, "id_nonneg", "event_id >= 0") // v2
+      // a point delete hitting ONLY the evens file: the stats-free odds
+      // file is a conservative candidate but has zero matches, so it
+      // stays unmarked — num_dv_files pins the touched-file honesty
+      OccTable.deleteRangeDv(s, t, "event_id", 2.0, 2.0)             // v3
+      OccTable.detail(s, t)
+        .select(col("version"), col("num_files"), col("num_dv_files"),
+          col("num_bloom_files"), col("partition_columns"),
+          col("num_constraints"), col("vacuumed_through"))
+    }),
+
     // ---- X134 × X125: the streaming change feed ACROSS a
     //      deletion-vector commit — the delete_dv version rewrites
     //      zero files yet must stream exactly its deleted keys as
@@ -6526,6 +6560,20 @@ object SparkEntry {
         |SELECT event_id, ts, user_id, event_type,
         |  round(value, 6) AS value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // DESCRIBE DETAIL of the deterministic build is a single
+    // closed-form row: 2 data files (one per coalesce(1) commit),
+    // 1 dv-marked file (the point delete matches only the evens file;
+    // the stats-free odds candidate has zero matches and stays
+    // unmarked), the odd side's partition column, 1 constraint,
+    // never vacuumed.
+    "q_occ_detail" ->
+      """SELECT CAST(3 AS BIGINT) AS version,
+        |  CAST(2 AS BIGINT) AS num_files,
+        |  CAST(1 AS BIGINT) AS num_dv_files,
+        |  CAST(0 AS BIGINT) AS num_bloom_files,
+        |  'side' AS partition_columns,
+        |  CAST(1 AS BIGINT) AS num_constraints,
+        |  CAST(-1 AS BIGINT) AS vacuumed_through""".stripMargin,
     // X134 x X125: the streamed per-version change rows replay
     // closed-form — evens added at v0, the DV-deleted low-fifth evens
     // removed at v1, odds added at v2.

@@ -2056,6 +2056,31 @@ object OccTable {
       "schema_changed", "txn_app", "txn_batch", "commit_ts")
   }
 
+  /** Delta `DESCRIBE DETAIL` parity (X131's table-level twin): one row
+    * summarizing the CURRENT snapshot — version, file/byte counts, how
+    * many files carry deletion vectors or bloom indexes, declared
+    * partition columns (from the log's pv state), CHECK-constraint
+    * count, and the vacuum horizon. Pure metadata: O(#live files)
+    * driver work off the snapshot fold plus one `getFileStatus` per
+    * file for bytes (skipped files' sizes are log-external by design —
+    * the log records names, not lengths).
+    */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
+    val fsys = fs(spark, dir)
+    val s = snapshot(spark, dir)
+    val bytes = s.files.map(f =>
+      fsys.getFileStatus(new Path(resolvePath(dir, f))).getLen).sum
+    val partCols = s.pvs.values.flatMap(_.keys).toSeq.distinct.sorted
+    import spark.implicits._
+    Seq((s.version, s.files.size.toLong, bytes,
+      s.dvs.size.toLong, s.blooms.size.toLong,
+      partCols.mkString(","), s.constraints.size.toLong,
+      vacuumedThrough(spark, dir)))
+      .toDF("version", "num_files", "size_bytes", "num_dv_files",
+        "num_bloom_files", "partition_columns", "num_constraints",
+        "vacuumed_through")
+  }
+
   /** Delta-parity RESTORE: make the CURRENT snapshot equal the table
     * as of `version` — as a NEW COMMIT, not a rewind: history above
     * the restore point stays time-travelable, and the restore itself
