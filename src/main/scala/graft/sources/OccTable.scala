@@ -493,60 +493,80 @@ object OccTable {
     * identical to the unpruned scan regardless of false positives.
     * Files without a bloom on `c` (legacy commits, bloom-free appends)
     * are NEVER pruned; a missing or header-mismatched sidecar degrades
-    * to unprunable. Driver cost: one sidecar load (≤ 1 MiB) per
-    * stats-surviving candidate file — the planning-time trade Delta's
-    * index makes; at extreme file counts the probe belongs in the scan
-    * tasks, which the residual filter already makes correct.
+    * to unprunable. Probe cost: one sidecar load (≤ 1 MiB) per
+    * stats-surviving candidate file, DISTRIBUTED across executors
+    * above [[BloomProbeDriverMax]] candidates — the driver receives
+    * only the MAYBE names (true holders + fpp × #files), so planning a
+    * point lookup over 10⁵–10⁶ files costs one short Spark job, not
+    * minutes of serial driver filesystem reads.
     */
   def readEqualityPruned(spark: SparkSession, dir: String, c: String,
       values: Seq[String],
-      preds: Seq[(String, Double, Double)] = Seq.empty): DataFrame = {
-    require(values.nonEmpty, "OccTable.readEqualityPruned: no values")
-    val snap = snapshot(spark, dir)
-    val statsKept = preds.foldLeft(snap.files) { case (fs0, (sc, lo, hi)) =>
-      prunedFiles(snap.copy(files = fs0), sc, lo, hi)
+      preds: Seq[(String, Double, Double)] = Seq.empty): DataFrame =
+    readFiltered(spark, dir, intervals = preds,
+      equality = Some((c, values)))
+
+  /** Probe-able file counts up to this run the sidecar probe as a
+    * serial driver loop (small tables: no job-scheduling overhead);
+    * above it the probe DISTRIBUTES across executors — at 100 TB file
+    * counts (10⁵–10⁶ live files) a serial loop is that many sequential
+    * filesystem reads per point lookup, minutes of driver stall on
+    * object storage before the query even plans. Delta probes its
+    * bloom index executor-side for the same reason.
+    */
+  private[sources] val BloomProbeDriverMax = 64
+
+  /** One sidecar probe: MAYBE-contains any of `values`, with every
+    * unreadable/mismatched sidecar degrading to unprunable (true).
+    * Called on the driver below [[BloomProbeDriverMax]] probe-able
+    * files and inside executor tasks above it — same bytes, same
+    * verdict, by construction.
+    */
+  private def probeSidecar(fsys: FileSystem, dir: String, f: String,
+      c: String, values: Seq[String], m: Int, k: Int): Boolean =
+    OccBloom.load(fsys, OccBloom.sidecarPath(dir, f, c), m, k) match {
+      case None => true // sidecar unreadable: degrade to unprunable
+      case Some(bits) =>
+        values.exists(v => OccBloom.maybeContains(bits, c, v, m, k))
     }
-    val fsys = fs(spark, dir)
-    val kept = bloomPrunedFiles(fsys, dir, snap.copy(files = statsKept),
-      c, values)
-    val st = snap.schema
-    val base = (st, kept) match {
-      case (Some(s), Seq()) =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      case (None, Seq()) => throw new IllegalStateException(
-        s"OccTable: empty bloom-pruned snapshot at $dir with no log schema")
-      case (Some(s), files) =>
-        applyDvs(spark, dir, snap,
-          spark.read.schema(s).parquet(files.map(f => resolvePath(dir, f)): _*))
-      case (None, files) =>
-        applyDvs(spark, dir, snap,
-          spark.read.parquet(files.map(f => resolvePath(dir, f)): _*))
-    }
-    val withEq = base.filter(col(c).cast("string").isin(values: _*))
-    preds.foldLeft(withEq) { case (d, (sc, lo, hi)) =>
-      val proj = statProjection(st.getOrElse(base.schema), sc)
-      d.filter(proj >= lit(lo) && proj <= lit(hi))
-    }
-  }
 
   /** The bloom-skipping decision, exposed for audits: live files whose
     * bloom for `c` admits at least one of `values`, plus every file
     * that cannot be probed (no recorded bloom, missing sidecar).
+    * Sidecar IO is distributed across executors above
+    * [[BloomProbeDriverMax]] probe-able files (`driverMax` is a knob
+    * for tests only); the driver collects ONLY the MAYBE names —
+    * bounded by true holders + fpp × #files, never O(#live files) IO.
     */
-  private[sources] def bloomPrunedFiles(fsys: FileSystem, dir: String,
-      snap: Snapshot, c: String, values: Seq[String]): Seq[String] =
-    snap.files.filter { f =>
-      snap.blooms.get(f).flatMap(_.get(c)) match {
-        case None => true // no bloom for this file/column: cannot prune
-        case Some((m, k)) =>
-          OccBloom.load(fsys, OccBloom.sidecarPath(dir, f, c), m, k) match {
-            case None => true // sidecar unreadable: degrade to unprunable
-            case Some(bits) =>
-              values.exists(v => OccBloom.maybeContains(bits, c, v, m, k))
-          }
+  private[sources] def bloomPrunedFiles(spark: SparkSession, dir: String,
+      snap: Snapshot, c: String, values: Seq[String],
+      driverMax: Int = BloomProbeDriverMax): Seq[String] = {
+    val params = snap.files.flatMap(f =>
+      snap.blooms.get(f).flatMap(_.get(c)).map(f -> _)).toMap
+    if (params.isEmpty || values.isEmpty) return snap.files
+    val maybe: Set[String] =
+      if (params.size <= driverMax) {
+        val fsys = fs(spark, dir)
+        params.collect { case (f, (m, k))
+          if probeSidecar(fsys, dir, f, c, values, m, k) => f }.toSet
+      } else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val dirStr = dir
+        val colName = c
+        val vals = values
+        val slices = math.max(1, math.min(params.size,
+          spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.parallelize(params.toSeq, slices)
+          .filter { case (f, (m, k)) =>
+            val fsysT = new Path(dirStr).getFileSystem(conf.value)
+            probeSidecar(fsysT, dirStr, f, colName, vals, m, k)
+          }.map(_._1).collect().toSet
       }
-    }
+    // preserve snapshot order: unprobeable files survive, probed files
+    // survive only on MAYBE
+    snap.files.filter(f => !params.contains(f) || maybe(f))
+  }
 
   /** Planning-time FILE SKIPPING off the log stats (X117 — Delta data
     * skipping inside the OCC table): plan only the live files whose
@@ -586,13 +606,38 @@ object OccTable {
     */
   def readPartitionPruned(spark: SparkSession, dir: String,
       pvEq: Seq[(String, String)],
-      preds: Seq[(String, Double, Double)] = Seq.empty): DataFrame = {
-    require(pvEq.nonEmpty || preds.nonEmpty,
-      "OccTable.readPartitionPruned: no predicates")
+      preds: Seq[(String, Double, Double)] = Seq.empty): DataFrame =
+    readFiltered(spark, dir, pvEq = pvEq, intervals = preds)
+
+  /** THE pruned-read core (round-17 unification): every planning-time
+    * pruning layer — log `partitionValues` equality, X117 stats
+    * intervals, X126 bloom equality — composes HERE, in one place,
+    * together with deletion-vector application and the exact residual
+    * filters, so a new verb (or a reader added later) cannot
+    * accidentally skip a layer. File survival is the conjunction:
+    * pv-match AND every-interval-intersects AND bloom-says-MAYBE;
+    * every layer is free of false negatives and the residuals keep the
+    * result identical to the unpruned scan regardless of false
+    * positives. [[readPruned]]/[[readPrunedMulti]]/
+    * [[readPartitionPruned]]/[[readEqualityPruned]] are thin aliases.
+    */
+  def readFiltered(spark: SparkSession, dir: String,
+      pvEq: Seq[(String, String)] = Seq.empty,
+      intervals: Seq[(String, Double, Double)] = Seq.empty,
+      equality: Option[(String, Seq[String])] = None): DataFrame = {
+    require(pvEq.nonEmpty || intervals.nonEmpty || equality.nonEmpty,
+      "OccTable.readFiltered: no predicates")
+    equality.foreach { case (c, vs) => require(vs.nonEmpty,
+      s"OccTable.readFiltered: no equality values for '$c'") }
     val snap = snapshot(spark, dir)
     val pvKept = partitionPrunedFiles(snap, pvEq)
-    val kept = preds.foldLeft(pvKept) { case (fs0, (c, lo, hi)) =>
+    val statsKept = intervals.foldLeft(pvKept) { case (fs0, (c, lo, hi)) =>
       prunedFiles(snap.copy(files = fs0), c, lo, hi)
+    }
+    val kept = equality match {
+      case Some((c, vs)) =>
+        bloomPrunedFiles(spark, dir, snap.copy(files = statsKept), c, vs)
+      case None => statsKept
     }
     val st = snap.schema
     val base = (st, kept) match {
@@ -611,7 +656,10 @@ object OccTable {
     val withPv = pvEq.foldLeft(base) { case (d, (k, v)) =>
       d.filter(col(k).cast("string") === lit(v))
     }
-    preds.foldLeft(withPv) { case (d, (c, lo, hi)) =>
+    val withEq = equality.fold(withPv) { case (c, vs) =>
+      withPv.filter(col(c).cast("string").isin(vs: _*))
+    }
+    intervals.foldLeft(withEq) { case (d, (c, lo, hi)) =>
       val proj = statProjection(st.getOrElse(base.schema), c)
       d.filter(proj >= lit(lo) && proj <= lit(hi))
     }
@@ -1069,7 +1117,7 @@ object OccTable {
     * lost race — surfaced as an IOException after a bounded number of
     * consecutive faults instead of spinning through version numbers.
     */
-  private def commitActions(spark: SparkSession, dir: String,
+  private[sources] def commitActions(spark: SparkSession, dir: String,
       adds: Seq[String], removes: Seq[String], readVersion: Long,
       txn: Option[(String, Long)] = None,
       newSchemaJson: Option[String] = None,
@@ -1098,8 +1146,12 @@ object OccTable {
       // validate against everything that landed since we read; a
       // version file MISSING from the window means a concurrent
       // truncation outran this writer — fail safe as a conflict (we can
-      // no longer prove our removes are clash-free)
-      if (removes.nonEmpty || newSchemaJson.nonEmpty ||
+      // no longer prove our removes are clash-free). Data-adding
+      // commits also validate: a CHECK constraint landing between this
+      // writer's enforcement and its claim must conflict (TOCTOU —
+      // Delta fails such writers with a metadata-changed conflict), or
+      // a violating batch could slip into a constrained table.
+      if (adds.nonEmpty || removes.nonEmpty || newSchemaJson.nonEmpty ||
           conflictOnAnyIntervening) {
         val intervening = ((readVersion + 1) until attempt).map { v =>
           try (v, readActions(fsys, dir, v))
@@ -1128,6 +1180,12 @@ object OccTable {
             s"OccTable: another schema change landed after read version " +
               s"$readVersion — re-resolve the evolution on the current " +
               "snapshot")
+        if (adds.nonEmpty &&
+            intervening.exists(_._2.constraintAdds.nonEmpty))
+          throw new ConcurrentWriteException(
+            s"OccTable: a CHECK constraint was added after read version " +
+              s"$readVersion — re-enforce this write's rows against the " +
+              "current snapshot's constraints")
       }
       if (claim(fsys, versionPath(dir, attempt), body)) return attempt
       if (fsys.exists(versionPath(dir, attempt))) {
@@ -1156,8 +1214,11 @@ object OccTable {
       constraints: Map[String, String], what: String): Unit = {
     if (constraints.isEmpty) return
     val named = constraints.toSeq.sortBy(_._1)
+    // coalesce: sum over an EMPTY batch is NULL — a zero-row write
+    // (delete-only CDC batch, empty micro-batch) violates nothing
     val aggs = named.zipWithIndex.map { case ((_, e), i) =>
-      sum(when(expr(e) === lit(false), 1L).otherwise(0L)).as(s"__v$i")
+      coalesce(sum(when(expr(e) === lit(false), 1L).otherwise(0L)),
+        lit(0L)).as(s"__v$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head
     val violated = named.zipWithIndex.collect {
@@ -1239,6 +1300,10 @@ object OccTable {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
           evolved = resolveSchema(snap.schemaJson, df.schema)
+          // the conflict may BE a racing addCheckConstraint — re-check
+          // the batch against the refreshed constraint set (violations
+          // propagate as ConstraintViolationException, ending the loop)
+          enforceConstraints(df, snap.constraints, "append batch")
       }
     }
     -1L // unreachable
@@ -1278,6 +1343,8 @@ object OccTable {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
           evolved = resolveSchema(snap.schemaJson, df.schema)
+          enforceConstraints(df, snap.constraints,
+            s"streaming batch $batchId")
       }
     }
     -1L // unreachable
@@ -1385,8 +1452,15 @@ object OccTable {
     * key churn on a key-clustered 100 TB table the merge rewrites
     * ~0.2% of its bytes where a naive rewrite copies all of it).
     * Discovery collects the source's distinct head-key values to the
-    * driver — the MERGE contract everywhere: the source is the SMALL
-    * side (a CDC batch), the table is the big one.
+    * driver — the MERGE contract everywhere: the source is usually
+    * the SMALL side (a CDC batch) — but only up to `maxDriverKeys`
+    * distinct keys. Above the cap (a backfill-shaped merge) discovery
+    * FALLS BACK to a distributed semi-join: candidate files admitted
+    * by the source's overall [min, max] key range are scanned with
+    * `input_file_name()` and semi-joined against the source's keys —
+    * the driver receives only matching FILE names (bounded by #files),
+    * never the keys, so a 10⁸-distinct-key merge cannot OOM the
+    * driver. Both discovery modes are free of false negatives.
     *
     * Source keys must be unique (Delta's multiple-matches refusal);
     * NULL source keys never match and are inserted as-is (SQL equality
@@ -1402,8 +1476,11 @@ object OccTable {
       maxRetries: Int = 3,
       statsColumns: Seq[String] = Seq.empty,
       bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty,
-      txn: Option[(String, Long)] = None): MergeResult = {
+      txn: Option[(String, Long)] = None,
+      maxDriverKeys: Int = 1 << 20): MergeResult = {
     require(keyCols.nonEmpty, "OccTable.merge: no key columns")
+    require(maxDriverKeys >= 1,
+      s"OccTable.merge: maxDriverKeys must be >= 1, got $maxDriverKeys")
     keyCols.foreach(c => require(source.columns.contains(c),
       s"OccTable.merge: key column '$c' not in source " +
         s"(${source.columns.mkString(", ")})"))
@@ -1425,15 +1502,34 @@ object OccTable {
       case _: NumericType => true
       case _ => false
     }
+    // collect at most cap+1 distinct keys: the +1 row is the overflow
+    // sentinel that flips discovery to the distributed fallback — the
+    // driver never materializes an unbounded key set
     val keyRows = source
       .select(col(headKey).cast("string").as("__s"),
         (if (statTyped) statProjection(source.schema, headKey)
          else lit(null).cast("double")).as("__d"))
-      .filter(col("__s").isNotNull).distinct().collect()
-    val keyStrs = keyRows.map(_.getString(0)).toSeq
-    val keyDoubles = keyRows.flatMap(r =>
-      Option(r.getAs[java.lang.Double]("__d")).map(_.doubleValue))
-      .sorted
+      .filter(col("__s").isNotNull).distinct()
+      .limit(maxDriverKeys + 1).collect()
+    val overCap = keyRows.length > maxDriverKeys
+    val keyStrs = if (overCap) Seq.empty[String]
+      else keyRows.map(_.getString(0)).toSeq
+    val keyDoubles = if (overCap) Array.empty[Double]
+      else keyRows.flatMap(r =>
+        Option(r.getAs[java.lang.Double]("__d")).map(_.doubleValue))
+        .sorted
+    // fallback pre-pruning: the source's OVERALL key range, one small
+    // aggregation — a file whose stats interval misses [srcLo, srcHi]
+    // entirely provably holds no source key
+    val srcRange: Option[(Double, Double)] =
+      if (!overCap || !statTyped) None
+      else {
+        val p = statProjection(source.schema, headKey)
+        val r = source.agg(min(p).cast("double"), max(p).cast("double"))
+          .head
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else Some((r.getDouble(0), r.getDouble(1)))
+      }
     def statsAdmit(stats: String): Boolean =
       statsFor(stats, headKey) match {
         case None => true // untracked column: cannot prune
@@ -1451,7 +1547,6 @@ object OccTable {
             i < keyDoubles.length && keyDoubles(i) <= hi
           }
       }
-    val fsys = fs(spark, dir)
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
@@ -1465,17 +1560,50 @@ object OccTable {
       }
       val sourceData = deleteCol.map(source.drop(_)).getOrElse(source)
       val evolved = resolveSchema(snap.schemaJson, sourceData.schema)
+      val srcKeys = source.select(keyCols.map(col): _*).distinct()
       val candidates =
-        if (keyStrs.isEmpty) Seq.empty[String]
+        if (overCap) {
+          // distributed discovery: range-admitted files scanned with
+          // input_file_name(), semi-joined to the source keys — two
+          // column-pruned passes over CANDIDATES only, never the full
+          // table; driver receives file names, bounded by #files
+          val admitted = snap.files.filter(f =>
+            snap.stats.get(f).forall(s => statsFor(s, headKey) match {
+              case None => true
+              case Some((None, None)) => false // all-NULL: no key matches
+              case Some((mn, mx)) => srcRange.forall { case (lo, hi) =>
+                mn.forall(_ <= hi) && mx.forall(_ >= lo) }
+            }))
+          val base = snap.schema match {
+            case Some(st) if admitted.nonEmpty => Some(spark.read
+              .schema(st)
+              .parquet(admitted.map(f => resolvePath(dir, f)): _*))
+            case None if admitted.nonEmpty => Some(spark.read
+              .parquet(admitted.map(f => resolvePath(dir, f)): _*))
+            case _ => None
+          }
+          base match {
+            // a key column absent from the table (source-side
+            // evolution) can match no target row
+            case Some(b) if keyCols.forall(b.columns.contains) =>
+              val byBase = admitted.map(f => baseName(f) -> f).toMap
+              b.select(input_file_name().as("__f") +:
+                  keyCols.map(col): _*)
+                .join(srcKeys, keyCols, "left_semi")
+                .select("__f").distinct().collect()
+                .flatMap(r => byBase.get(baseName(r.getString(0))))
+                .toSeq
+            case _ => Seq.empty[String]
+          }
+        } else if (keyStrs.isEmpty) Seq.empty[String]
         else {
           val byStats = snap.files.filter(f =>
             snap.stats.get(f).forall(statsAdmit))
-          bloomPrunedFiles(fsys, dir, snap.copy(files = byStats),
+          bloomPrunedFiles(spark, dir, snap.copy(files = byStats),
             headKey, keyStrs)
         }
-      if (keyStrs.isEmpty && evolved.isEmpty)
+      if (!overCap && keyStrs.isEmpty && evolved.isEmpty)
         return MergeResult(snap.version, 0, snap.files.size) // empty batch
-      val srcKeys = source.select(keyCols.map(col): _*).distinct()
       val touched =
         if (candidates.isEmpty) None
         else Some(readSnapshot(spark, dir,
@@ -1599,11 +1727,10 @@ object OccTable {
       statsColumns: Seq[String] = Seq.empty,
       bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty): DeleteResult = {
     require(values.nonEmpty, "OccTable.deleteEquality: no values")
-    val fsys = fs(spark, dir)
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
-      val candidates = bloomPrunedFiles(fsys, dir, snap, c, values)
+      val candidates = bloomPrunedFiles(spark, dir, snap, c, values)
       val kept = snap.files.filterNot(candidates.toSet)
       if (candidates.isEmpty)
         return DeleteResult(snap.version, 0, 0, kept.size)
@@ -1742,11 +1869,13 @@ object OccTable {
     * matching scan plus a sidecar write (Delta's deletion-vector
     * feature, re-expressed). Candidate files come from X117 stats (no
     * false negatives); rows already marked stay marked (layered
-    * deletes union); NULLs never match. [[read]]/[[readAt]] honor DVs
-    * via the `_metadata.row_index` anti-join; pruned readers, change
-    * feeds, and the tail REFUSE by name on DV-carrying snapshots —
-    * compact ([[rewriteDvFiles]] or [[rewrite]]/[[optimize]]) to
-    * materialize. Stats stay prune-SAFE (they cover a superset).
+    * deletes union); NULLs never match. [[read]]/[[readAt]], the
+    * pruned readers, and [[tableChanges]] all honor DVs via the
+    * `_metadata.row_index` anti-join; only the TAIL source classifies
+    * a delete_dv commit under its onRewrite policy (a re-added file
+    * with a new dv is churn it cannot replay row-exactly). Compact
+    * ([[purgeDvs]] or [[rewrite]]/[[optimize]]) to materialize. Stats
+    * stay prune-SAFE (they cover a superset).
     */
   def deleteRangeDv(spark: SparkSession, dir: String, c: String,
       lo: Double, hi: Double, maxRetries: Int = 3): DvDeleteResult = {
@@ -1774,7 +1903,7 @@ object OccTable {
       values: Seq[String], maxRetries: Int = 3): DvDeleteResult = {
     require(values.nonEmpty, "OccTable.deleteEqualityDv: no values")
     deleteDvCore(spark, dir,
-      snap => bloomPrunedFiles(fs(spark, dir), dir, snap, c, values),
+      snap => bloomPrunedFiles(spark, dir, snap, c, values),
       d => col(c).cast("string").isin(values: _*), maxRetries)
   }
 
@@ -1793,8 +1922,16 @@ object OccTable {
       val snap = snapshot(spark, dir)
       val marked = snap.files.filter(snap.dvs.contains)
       if (marked.isEmpty) return snap.version
-      val base = spark.read.parquet(
-        marked.map(f => resolvePath(dir, f)): _*)
+      // read with the LOG schema when one exists (mirrors
+      // [[readSnapshot]]): a DV-marked file predating an additive
+      // evolution serves the added columns as null instead of failing
+      // the select on a footer-inferred shape
+      val base = snap.schema match {
+        case Some(st) => spark.read.schema(st)
+          .parquet(marked.map(f => resolvePath(dir, f)): _*)
+        case None => spark.read.parquet(
+          marked.map(f => resolvePath(dir, f)): _*)
+      }
       val clean = snap.schema
         .map(st => applyDvs(spark, dir, snap.copy(files = marked), base)
           .select(st.fieldNames.map(col).toIndexedSeq: _*))
@@ -2027,7 +2164,11 @@ object OccTable {
     Snapshot(0L, names, Map.empty, s.schemaJson,
       s.stats.map { case (n, v) => renm(n) -> v },
       s.pvs.map { case (n, v) => renm(n) -> v },
-      Map.empty, s.constraints)
+      Map.empty, s.constraints,
+      // the committed v0 carries dv= pointers and the sidecars were
+      // copied — the returned snapshot must agree, or a caller
+      // consuming it directly would serve DV-deleted rows as live
+      s.dvs.map { case (n, v) => renm(n) -> v })
   }
 
   /** Delta `DESCRIBE HISTORY` parity (X131): the table's commit log as
@@ -2146,9 +2287,16 @@ object OccTable {
     * UNSAFE while a writer is mid-stage — run it the way every table
     * format runs vacuum: from the maintenance owner, not concurrently
     * with writers. Returns the deleted names.
+    *
+    * `dryRun = true` is Delta's `VACUUM … DRY RUN`: compute and return
+    * exactly what a real run would reclaim — same listing, same
+    * retention math — but delete NOTHING and leave the
+    * `vacuumedThrough` marker untouched, so the operator can audit the
+    * blast radius (and catch a too-short retention window) before
+    * committing to it.
     */
   def vacuum(spark: SparkSession, dir: String,
-      retainVersions: Long = 1L): Seq[String] = {
+      retainVersions: Long = 1L, dryRun: Boolean = false): Seq[String] = {
     require(retainVersions >= 1L,
       s"OccTable.vacuum: retainVersions must be >= 1, got $retainVersions")
     val fsys = fs(spark, dir)
@@ -2194,14 +2342,16 @@ object OccTable {
       if (!fsys.exists(dvDir)) Seq.empty[String]
       else fsys.listStatus(dvDir).toSeq.map(_.getPath.getName)
         .filterNot(referencedDvs)
-    garbageFiles.foreach(n => fsys.delete(new Path(dir, n), false))
-    crashedStaging.foreach(n => fsys.delete(new Path(dir, n), true))
-    orphanSidecars.foreach(n => fsys.delete(new Path(bloomDir, n), false))
-    orphanDvs.foreach(n => fsys.delete(new Path(dvDir, n), true))
-    // the marker is monotone: a later, longer-retention vacuum never
-    // re-promises history a shorter one already reclaimed
-    val through = math.max(alreadyThrough, floor - 1L)
-    if (through > alreadyThrough) writeVacuumMarker(fsys, dir, through)
+    if (!dryRun) {
+      garbageFiles.foreach(n => fsys.delete(new Path(dir, n), false))
+      crashedStaging.foreach(n => fsys.delete(new Path(dir, n), true))
+      orphanSidecars.foreach(n => fsys.delete(new Path(bloomDir, n), false))
+      orphanDvs.foreach(n => fsys.delete(new Path(dvDir, n), true))
+      // the marker is monotone: a later, longer-retention vacuum never
+      // re-promises history a shorter one already reclaimed
+      val through = math.max(alreadyThrough, floor - 1L)
+      if (through > alreadyThrough) writeVacuumMarker(fsys, dir, through)
+    }
     garbageFiles ++ crashedStaging ++
       orphanSidecars.map(n => s"${OccBloom.BloomDirName}/$n") ++
       orphanDvs.map(n => s"$DvDirName/$n")

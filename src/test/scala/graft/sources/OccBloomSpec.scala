@@ -49,7 +49,7 @@ class OccBloomSpec extends SparkSpec {
 
     // the file that truly holds u42 (id 42 lives in it) must survive;
     // the candidate set must be smaller than the table
-    val cand = OccTable.bloomPrunedFiles(fsys(dir), dir, snap,
+    val cand = OccTable.bloomPrunedFiles(spark, dir, snap,
       "user", Seq("u42"))
     val holder = snap.files.find(f =>
       OccTable.statsFor(snap.stats(f), "id").exists {
@@ -87,7 +87,7 @@ class OccBloomSpec extends SparkSpec {
     assert(snap.files.size === 5)
     assert(snap.blooms.size === 4) // the append carried no bloom
 
-    val candAbsent = OccTable.bloomPrunedFiles(fsys(dir), dir, snap,
+    val candAbsent = OccTable.bloomPrunedFiles(spark, dir, snap,
       "user", Seq("definitely-absent"))
     assert(candAbsent.size === 1) // only the bloom-free file survives
 
@@ -99,7 +99,7 @@ class OccBloomSpec extends SparkSpec {
     // correct
     val victim = snap.blooms.keys.head
     fsys(dir).delete(OccBloom.sidecarPath(dir, victim, "user"), false)
-    val cand2 = OccTable.bloomPrunedFiles(fsys(dir), dir, snap,
+    val cand2 = OccTable.bloomPrunedFiles(spark, dir, snap,
       "user", Seq("definitely-absent"))
     assert(cand2.toSet === Set(victim) ++ candAbsent)
     assert(OccTable.readEqualityPruned(spark, dir, "user", Seq("u42"))
@@ -175,6 +175,109 @@ class OccBloomSpec extends SparkSpec {
     }
   }
 
+  test("readFiltered composes pv + stats + bloom pruning in one read, result equal to the plain filter") {
+    val dir = freshDir()
+    val df = (1L to 400L).map(i =>
+        (i, s"u$i", i * 2.0, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "user", "v", "par")
+      .repartitionByRange(4, col("id"))
+    OccTable.init(df, dir, statsColumns = Seq("id"),
+      partitionBy = Seq("par"),
+      bloomColumns = Seq(OccBloom.BloomCol("user", 200L, 0.01)))
+    val snap = OccTable.snapshot(spark, dir)
+    assert(snap.files.size === 8) // 4 ranges × 2 partitions
+
+    // every layer must bite: pv halves, stats quarter, bloom points
+    val pvKept = OccTable.partitionPrunedFiles(snap,
+      Seq("par" -> "even"))
+    assert(pvKept.size === 4)
+    val statsKept = OccTable.prunedFiles(
+      snap.copy(files = pvKept), "id", 1.0, 100.0)
+    assert(statsKept.size < pvKept.size)
+    val bloomKept = OccTable.bloomPrunedFiles(spark, dir,
+      snap.copy(files = statsKept), "user", Seq("u42"))
+    assert(bloomKept.size <= statsKept.size && bloomKept.nonEmpty)
+
+    val got = OccTable.readFiltered(spark, dir,
+        pvEq = Seq("par" -> "even"),
+        intervals = Seq(("id", 1.0, 100.0)),
+        equality = Some(("user", Seq("u42", "u43"))))
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    // u43 is odd-partitioned: pv residual excludes it even though the
+    // bloom admits its file
+    assert(got === Seq((42L, 84.0)))
+
+    // DV layer composes too: mark id 42 deleted, same read drops it
+    OccTable.deleteRangeDv(spark, dir, "id", 42.0, 42.0)
+    assert(OccTable.readFiltered(spark, dir,
+      pvEq = Seq("par" -> "even"),
+      intervals = Seq(("id", 1.0, 100.0)),
+      equality = Some(("user", Seq("u42", "u43")))).count() === 0L)
+  }
+
+  test("distributed bloom probe: executor-side sidecar IO yields the same candidate set as the serial driver path") {
+    val dir = freshDir()
+    initIndexed(dir)
+    val snap = OccTable.snapshot(spark, dir)
+    for (values <- Seq(Seq("u42"), Seq("u10", "u150", "u399"),
+        Seq("definitely-absent"))) {
+      val serial = OccTable.bloomPrunedFiles(spark, dir, snap,
+        "user", values, driverMax = Int.MaxValue)
+      // driverMax = 0 forces every probe through the Spark job path
+      val distributed = OccTable.bloomPrunedFiles(spark, dir, snap,
+        "user", values, driverMax = 0)
+      assert(distributed === serial)
+    }
+    // a missing sidecar degrades to unprunable on the executor path too
+    val victim = snap.blooms.keys.head
+    fsys(dir).delete(OccBloom.sidecarPath(dir, victim, "user"), false)
+    val dist2 = OccTable.bloomPrunedFiles(spark, dir, snap,
+      "user", Seq("definitely-absent"), driverMax = 0)
+    assert(dist2 === Seq(victim))
+  }
+
+  test("merge over maxDriverKeys: join-based discovery finds the same touched files and the same result") {
+    val dir = freshDir()
+    val base = (1L to 400L).map(i => (i, s"u$i", i.toDouble))
+      .toDF("id", "user", "v").repartitionByRange(4, col("id"))
+    OccTable.init(base, dir, statsColumns = Seq("id"))
+    val pre = OccTable.snapshot(spark, dir)
+    val src = Seq(
+      (5L, "u5", 500.0, false), (7L, "u7x", 700.0, false),
+      (9L, "u9", 0.0, true), (1001L, "u1001", 1001.0, false))
+      .toDF("id", "user", "v", "__del")
+    // cap = 1 < 4 distinct keys: discovery must take the distributed
+    // semi-join fallback, never collecting the key set
+    val res = OccTable.merge(spark, dir, src, Seq("id"),
+      deleteCol = Some("__del"), statsColumns = Seq("id"),
+      maxDriverKeys = 1)
+    assert(res.totalFiles === 4)
+    // keys 5/7/9 live in file 0; 1001 matches no file — exactly one
+    // candidate, same as the under-cap stats path
+    assert(res.candidateFiles === 1)
+    val post = OccTable.snapshot(spark, dir)
+    assert(pre.files.toSet.intersect(post.files.toSet).size === 3)
+    val rows = OccTable.read(spark, dir)()
+      .select("id", "user", "v").as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.length === 400)
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(5L) === ((5L, "u5", 500.0)))
+    assert(byId(7L) === ((7L, "u7x", 700.0)))
+    assert(!byId.contains(9L))
+    assert(byId(1001L) === ((1001L, "u1001", 1001.0)))
+    assert(byId(300L) === ((300L, "u300", 300.0)))
+
+    // pure-insert batch beyond every interval: zero candidates through
+    // the fallback's range pre-prune (no file scan at all)
+    val ins = Seq((2001L, "u2001", 1.0), (2002L, "u2002", 2.0))
+      .toDF("id", "user", "v")
+    val res2 = OccTable.merge(spark, dir, ins, Seq("id"),
+      statsColumns = Seq("id"), maxDriverKeys = 1)
+    assert(res2.candidateFiles === 0)
+    assert(OccTable.read(spark, dir)().count() === 402L)
+  }
+
   test("merge: the SetTransaction fence makes a replayed micro-batch a no-op") {
     val dir = freshDir()
     OccTable.init(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), dir)
@@ -221,7 +324,7 @@ class OccBloomSpec extends SparkSpec {
     // the merged-in file is bloom-indexed too: a fresh lookup of the
     // new row prunes
     val snap = OccTable.snapshot(spark, dir)
-    val cand = OccTable.bloomPrunedFiles(fsys(dir), dir, snap,
+    val cand = OccTable.bloomPrunedFiles(spark, dir, snap,
       "user", Seq("u42"))
     assert(cand.size < snap.files.size)
     assert(OccTable.readEqualityPruned(spark, dir, "user", Seq("u42"))

@@ -81,4 +81,44 @@ class OccConstraintSpec extends SparkSpec {
     assert(ops.count(_ == "add_constraint") === 1)
     assert(ops.count(_ == "drop_constraint") === 1)
   }
+
+  test("zero-row writes pass constraint enforcement (sum-over-empty is not a violation)") {
+    val dir = freshDir()
+    OccTable.init((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"), dir)
+    OccTable.addCheckConstraint(spark, dir, "v_positive", "v > 0")
+
+    // empty append batch: enforced, passes, commits
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    OccTable.append(empty, dir)
+    assert(OccTable.read(spark, dir)().count() === 10L)
+
+    // delete-only CDC merge batch: inserts frame is EMPTY after the
+    // delete-flag filter — must delete the row, not NPE
+    val delOnly = Seq((5L, 5.0, true)).toDF("id", "v", "__del")
+    OccTable.merge(spark, dir, delOnly, Seq("id"),
+      deleteCol = Some("__del"))
+    assert(OccTable.read(spark, dir)().count() === 9L)
+    assert(OccTable.read(spark, dir)()
+      .filter(col("id") === 5L).count() === 0L)
+  }
+
+  test("a CHECK constraint landing after a writer's read conflicts the writer's commit (TOCTOU)") {
+    val dir = freshDir()
+    OccTable.init((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"), dir)
+    val staleVersion = OccTable.snapshot(spark, dir).version
+    OccTable.addCheckConstraint(spark, dir, "v_positive", "v > 0")
+    // a data-adding commit validated against the PRE-constraint
+    // snapshot must fail as a conflict so the writer re-snapshots and
+    // re-enforces — Delta's metadata-changed conflict
+    val e = intercept[OccTable.ConcurrentWriteException] {
+      OccTable.commitActions(spark, dir, Seq("part-raced.parquet"),
+        Seq.empty, staleVersion, op = Some("append"))
+    }
+    assert(e.getMessage.contains("CHECK constraint"))
+
+    // the public retry path lands valid batches and refuses violating
+    // ones against the REFRESHED constraint set
+    OccTable.append(Seq((11L, 2.0)).toDF("id", "v"), dir)
+    assert(OccTable.read(spark, dir)().count() === 11L)
+  }
 }

@@ -103,12 +103,66 @@ class OccDvSpec extends SparkSpec {
     OccTable.init((1L to 1000L).map(i => (i, i * 1.0)).toDF("id", "v")
       .repartitionByRange(4, col("id")), dir, statsColumns = Seq("id"))
     OccTable.deleteRangeDv(spark, dir, "id", 1.0, 10.0)
+    val afterDv = OccTable.snapshot(spark, dir).version
     OccTable.optimize(spark, dir)
     val snap = OccTable.snapshot(spark, dir)
+    // the rewrite APPLIED the vectors and the same commit dropped the
+    // dv= references — no file carries a DV pointer afterwards (Delta's
+    // purge-DVs-on-rewrite parity)
     assert(snap.dvs.isEmpty)
     assert(ids(dir) === (11L to 1000L))
+    // the compaction changed no logical row: the change feed across it
+    // must emit ZERO rows even though its input carried DVs
+    assert(OccTable.tableChanges(spark, dir, afterDv, snap.version,
+      Seq("id"), Seq("v")).count() === 0L)
     val ops = OccTable.history(spark, dir)
       .select("operation").as[String].collect()
     assert(ops.count(_ == "delete_dv") === 1)
+  }
+
+  test("clone's returned snapshot carries the DV map; purge under an evolved schema reads the log shape") {
+    val dir = freshDir()
+    OccTable.init((1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartitionByRange(2, col("id")), dir, statsColumns = Seq("id"))
+    OccTable.deleteRangeDv(spark, dir, "id", 1.0, 5.0)
+    val dir2 = freshDir()
+    val returned = OccTable.clone(spark, dir, dir2)
+    // a caller consuming the RETURNED snapshot (not re-folding) must
+    // see the dv pointers, or DV-deleted rows read as live
+    assert(returned.dvs.nonEmpty)
+    assert(returned.dvs.keySet === returned.files.filter(f =>
+      OccTable.snapshot(spark, dir2).dvs.contains(f)).toSet)
+
+    // additive evolution AFTER the DV mark: purge must read the
+    // DV-marked (pre-evolution) files through the LOG schema — the
+    // added column serves as null instead of a missing-column failure
+    OccTable.append(Seq((200L, 200.0, "tagged")).toDF("id", "v", "tag")
+      .coalesce(1), dir)
+    OccTable.purgeDvs(spark, dir)
+    val snap = OccTable.snapshot(spark, dir)
+    assert(snap.dvs.isEmpty)
+    val t = OccTable.read(spark, dir)()
+    assert(t.columns.toSeq === Seq("id", "v", "tag"))
+    assert(t.count() === 96L) // 100 − 5 DV-deleted + 1 appended
+    assert(t.filter(col("tag").isNull).count() === 95L)
+  }
+
+  test("vacuum DRY RUN lists exactly what a real run reclaims, deletes nothing, leaves the marker alone") {
+    val dir = freshDir()
+    OccTable.init((1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .repartitionByRange(2, col("id")), dir, statsColumns = Seq("id"))
+    OccTable.deleteRangeDv(spark, dir, "id", 1.0, 5.0)
+    OccTable.rewrite(spark, dir, d => d.withColumn("v", -col("v")))
+
+    val preview = OccTable.vacuum(spark, dir, dryRun = true).sorted
+    assert(preview.nonEmpty)
+    // nothing deleted, marker untouched, full history still readable
+    assert(OccTable.vacuumedThrough(spark, dir) === -1L)
+    assert(OccTable.readAt(spark, dir, 0L)().count() === 100L)
+
+    val real = OccTable.vacuum(spark, dir).sorted
+    assert(real === preview)
+    assert(OccTable.vacuumedThrough(spark, dir) >= 0L)
+    assert(OccTable.read(spark, dir)().count() === 95L)
   }
 }
