@@ -3272,6 +3272,134 @@ object SparkEntry {
           col("event_type"), round(col("value"), 6).as("value"))
     }),
 
+    // ---- X127 over-cap fallback: the SAME merge forced past
+    //      maxDriverKeys, so touched-file discovery runs as the
+    //      distributed semi-join (range-admitted candidates scanned
+    //      with input_file_name, keys never collected) — the result
+    //      must equal q_occ_merge's latest-wins oracle verbatim ----
+    "q_occ_merge_backfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|mergebf".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_mergebf_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val qId = maxId / 4
+      OccTable.init(ev.repartitionByRange(8, col("event_id")), t,
+        statsColumns = Seq("event_id"))
+      val upd = ev
+        .filter(col("event_id") % 10 === 0 && col("event_id") <= qId)
+        .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+        .withColumn("value", -col("value"))
+        .withColumn("deleted", col("event_id") % 100 === 0)
+      val ins = ev
+        .filter(col("event_id") % 10 === 5 && col("event_id") <= qId)
+        .withColumn("event_id", col("event_id") + maxId)
+        .withColumn("deleted", lit(false))
+      OccTable.merge(s, t, upd.unionByName(ins), Seq("event_id"),
+        deleteCol = Some("deleted"), statsColumns = Seq("event_id"),
+        maxDriverKeys = 1) // force the backfill-shaped discovery path
+      OccTable.read(s, t)()
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), round(col("value"), 6).as("value"))
+    }),
+
+    // ---- round-17 unification: ONE readFiltered composing all three
+    //      planning-time pruning layers — log partition values (X
+    //      partitionValues), ts stats intervals (X117), user-id bloom
+    //      equality (X126) — over a table built partitioned AND
+    //      ts-sliced AND bloom-indexed; residuals keep the read ≡ the
+    //      plain triple filter ----
+    "q_occ_pruned_composed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|prunedcomp".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_prc_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val q = (hi - lo) / 4
+      val blooms = Seq(OccBloom.BloomCol("user_id",
+        numItems = 100000L, fpp = 0.01))
+      val slices = (0 until 4).map { i =>
+        val a = lo + i * q
+        val z = if (i == 3) hi + 1 else lo + (i + 1) * q
+        ev.filter(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < z)
+          .coalesce(1)
+      }
+      OccTable.init(slices.head, t, statsColumns = Seq("ts"),
+        partitionBy = Seq("event_type"), bloomColumns = blooms)
+      slices.tail.foreach(sl => OccTable.append(sl, t,
+        statsColumns = Seq("ts"), partitionBy = Seq("event_type"),
+        bloomColumns = blooms))
+      val users = ev.filter(col("user_id") % 7 === 0)
+        .select(col("user_id").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      OccTable.readFiltered(s, t,
+          pvEq = Seq("event_type" -> "click"),
+          intervals = Seq(("ts", (lo + q).toDouble, (lo + 3 * q).toDouble)),
+          equality = Some(("user_id", users)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
+    // ---- VACUUM DRY RUN (Delta parity): the audit must list exactly
+    //      what the real run then reclaims, delete nothing itself, and
+    //      leave the retention marker untouched — all-integer summary
+    //      against a closed-form VALUES oracle (coalesce(1) per commit
+    //      makes the file counts deterministic) ----
+    "q_occ_vacuum_audit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|vacaudit".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_vac_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      OccTable.init(ev.filter(col("event_id") % 2 === 0).coalesce(1), t)
+      OccTable.append(ev.filter(col("event_id") % 2 === 1).coalesce(1), t)
+      OccTable.rewrite(s, t,
+        d => d.withColumn("value", -col("value")).coalesce(1))
+      val rowsBefore = OccTable.read(s, t)().count()
+      val markerBefore = OccTable.vacuumedThrough(s, t)
+      val preview = OccTable.vacuum(s, t, dryRun = true).sorted
+      val stillTravel = OccTable.readAt(s, t, 0L)().count() > 0 // audit didn't reclaim
+      val real = OccTable.vacuum(s, t).sorted
+      val markerAfter = OccTable.vacuumedThrough(s, t)
+      val rowsAfter = OccTable.read(s, t)().count()
+      import s.implicits._
+      Seq((preview.size.toLong, real.size.toLong,
+        if (preview == real) 1L else 0L,
+        if (stillTravel) 1L else 0L,
+        markerBefore, markerAfter,
+        if (rowsAfter == rowsBefore) 1L else 0L))
+        .toDF("n_preview", "n_real", "preview_equals_real",
+          "history_alive_after_audit", "marker_before", "marker_after",
+          "rows_match")
+    }),
+
     // ---- X134: DELETION VECTORS — the second ts-quarter marked
     //      deleted as sidecar row positions (zero data files
     //      rewritten), every 499th user erased through the
@@ -6560,6 +6688,62 @@ object SparkEntry {
         |SELECT event_id, ts, user_id, event_type,
         |  round(value, 6) AS value
         |FROM win WHERE NOT deleted""".stripMargin,
+    // X127 over-cap fallback: discovery mode must be invisible in the
+    // result — the forced-fallback merge faces q_occ_merge's oracle
+    // verbatim.
+    "q_occ_merge_backfill" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events),
+        |snap AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         false AS deleted, 0 AS side FROM events),
+        |upd AS (
+        |  SELECT event_id, ts + INTERVAL 60 DAY AS ts, user_id,
+        |         event_type, -value AS value,
+        |         (event_id % 100 = 0) AS deleted, 1 AS side
+        |  FROM events, mx
+        |  WHERE event_id % 10 = 0 AND event_id <= m // 4),
+        |ins AS (
+        |  SELECT event_id + m AS event_id, ts, user_id, event_type,
+        |         value, false AS deleted, 1 AS side
+        |  FROM events, mx
+        |  WHERE event_id % 10 = 5 AND event_id <= m // 4),
+        |merged AS (
+        |  SELECT * FROM snap UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |win AS (
+        |  SELECT * FROM merged QUALIFY row_number() OVER (
+        |    PARTITION BY event_id ORDER BY side DESC) = 1)
+        |SELECT event_id, ts, user_id, event_type,
+        |  round(value, 6) AS value
+        |FROM win WHERE NOT deleted""".stripMargin,
+    // Round-17 unified pruned read: all three pruning layers plus
+    // their residuals must replay as the plain triple filter.
+    "q_occ_pruned_composed" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events, b
+        |WHERE event_type = 'click'
+        |  AND epoch_us(CAST(ts AS TIMESTAMP)) >= lo + (hi - lo) // 4
+        |  AND epoch_us(CAST(ts AS TIMESTAMP)) <= lo + 3 * ((hi - lo) // 4)
+        |  AND user_id % 7 = 0
+        |GROUP BY 1""".stripMargin,
+    // VACUUM DRY RUN over the deterministic 3-commit build: the init
+    // and append files (one each, coalesce(1)) are dead after the
+    // rewrite — the audit lists exactly those 2, reclaims nothing
+    // (v0 still time-travels), and the real run matches it; the
+    // marker moves -1 → 1 (latest=2, retention=1).
+    "q_occ_vacuum_audit" ->
+      """SELECT CAST(2 AS BIGINT) AS n_preview,
+        |  CAST(2 AS BIGINT) AS n_real,
+        |  CAST(1 AS BIGINT) AS preview_equals_real,
+        |  CAST(1 AS BIGINT) AS history_alive_after_audit,
+        |  CAST(-1 AS BIGINT) AS marker_before,
+        |  CAST(1 AS BIGINT) AS marker_after,
+        |  CAST(1 AS BIGINT) AS rows_match""".stripMargin,
     // DESCRIBE DETAIL of the deterministic build is a single
     // closed-form row: 2 data files (one per coalesce(1) commit),
     // 1 dv-marked file (the point delete matches only the evens file;
