@@ -1051,7 +1051,14 @@ object Posture {
       def evTenXIds: DataFrame = (0 until 10)
         .map(i => ev.withColumn("event_id", col("event_id") + lit(i * eMax)))
         .reduce(_ unionByName _)
-      val blocks = Seq(("1x", ev, 24), ("10x", evTenXIds, 240)).map {
+      // the third decade (2,400 files) keeps the 10x DATA but shatters
+      // it into 100x FILES — planning cost is a pure function of file
+      // count, and this is the regime the r17 DISTRIBUTED bloom probe
+      // exists for: above BloomProbeDriverMax the sidecar reads run as
+      // a Spark job, so sec_lookup must stay near-flat while a serial
+      // driver loop would grow ~linearly with files
+      val blocks = Seq(("1x", ev, 24), ("10x", evTenXIds, 240),
+        ("100x_files", evTenXIds, 2400)).map {
         case (lbl, d, nFiles) =>
           val t = s"$scratch/occmaint_$lbl/t"
           OccTable.init(d.repartitionByRange(nFiles, col("event_id")), t,
@@ -1085,7 +1092,7 @@ object Posture {
              |      "merge_candidates": ${res.candidateFiles}, "merge_total": ${res.totalFiles}, "sec_merge": $secMerge%.2f}""".stripMargin
       }
       f"""  "occ_maintenance": {
-         |    "what": "X126 bloom lookup + X127 merge churn on a key-clustered OCC table whose file count grows with rows (24 -> 240): lookup_planned = files the 16-id equality read plans (bloom sidecar probes; healthy = ~holder files + fpp x total, so lookup_frac DROPS ~10x while the absolute count barely moves), merge_candidates/merge_total = files a fixed-key-range CDC merge rewrites vs the table (healthy = flat absolute candidates; everything else passes through physically). sec_merge is single-shot (a merge commits; re-running would time the post-merge table)",
+         |    "what": "X126 bloom lookup + X127 merge churn on a key-clustered OCC table across three file-count decades (24 -> 240 -> 2400; the third keeps 10x data but 100x files — planning cost is a function of FILE COUNT): lookup_planned = files the 16-id equality read plans (bloom sidecar probes; healthy = ~holder files + fpp x total, so lookup_frac DROPS while the absolute count barely moves), sec_lookup must stay near-flat into the 2400-file decade because the r17 probe distributes sidecar IO across executors above BloomProbeDriverMax (a serial driver loop would grow ~linearly with files), merge_candidates/merge_total = files a fixed-key-range CDC merge rewrites vs the table (healthy = flat absolute candidates; everything else passes through physically). sec_merge is single-shot (a merge commits; re-running would time the post-merge table)",
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 

@@ -3360,6 +3360,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // ---- X137 COLUMN MAPPING: RENAME + DROP as pure metadata (zero
+    //      bytes move), then an append in the NEW logical shape (staged
+    //      under physical names) and a stats-pruned read THROUGH the
+    //      renamed column — the rename/drop/append/prune pipeline must
+    //      replay as a plain projection + filter over the union ----
+    "q_occ_rename" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|colmap".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_cm_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      OccTable.init(ev.repartitionByRange(4, col("event_id")), t,
+        statsColumns = Seq("event_id", "value"))
+      OccTable.renameColumn(s, t, "value", "reading")
+      OccTable.dropColumn(s, t, "user_id")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val extra = ev.filter(col("event_id") % 5 === 0)
+        .select((col("event_id") + maxId).as("event_id"), col("ts"),
+          col("event_type"), (-col("value")).as("reading"))
+      OccTable.append(extra.coalesce(1), t,
+        statsColumns = Seq("event_id", "reading"))
+      // pruning translates: stats were recorded under physical 'value'
+      OccTable.readPruned(s, t, "reading", 0.0, 50.0)
+        .select(col("event_id"), col("event_type"),
+          round(col("reading"), 6).as("reading"))
+    }),
+
     // ---- VACUUM DRY RUN (Delta parity): the audit must list exactly
     //      what the real run then reclaims, delete nothing itself, and
     //      leave the retention marker untouched — all-integer summary
@@ -6731,6 +6766,18 @@ object SparkEntry {
         |  AND epoch_us(CAST(ts AS TIMESTAMP)) <= lo + 3 * ((hi - lo) // 4)
         |  AND user_id % 7 = 0
         |GROUP BY 1""".stripMargin,
+    // X137: rename + drop are metadata-only, so the mapped read
+    // replays as a plain projection over the union, the renamed
+    // column serving the original bytes.
+    "q_occ_rename" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events),
+        |u AS (
+        |  SELECT event_id, event_type, value AS reading FROM events
+        |  UNION ALL
+        |  SELECT event_id + m, event_type, -value
+        |  FROM events, mx WHERE event_id % 5 = 0)
+        |SELECT event_id, event_type, round(reading, 6) AS reading
+        |FROM u WHERE reading >= 0 AND reading <= 50""".stripMargin,
     // VACUUM DRY RUN over the deterministic 3-commit build: the init
     // and append files (one each, coalesce(1)) are dead after the
     // rewrite — the audit lists exactly those 2, reclaims nothing

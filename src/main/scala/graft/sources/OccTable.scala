@@ -81,12 +81,21 @@ object OccTable {
       pvs: Map[String, Map[String, String]] = Map.empty,
       blooms: Map[String, Map[String, (Int, Int)]] = Map.empty,
       constraints: Map[String, String] = Map.empty,
-      dvs: Map[String, String] = Map.empty) {
+      dvs: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty,
+      colTombs: Set[String] = Set.empty) {
     /** The log schema in force at this version, if the log records one
       * (v0 of every table initialized since X104 does).
       */
     def schema: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+    /** Column mapping (X137): the PHYSICAL (file-level) name a logical
+      * column's bytes live under. Identity until a rename/drop commits
+      * a mapping; unmapped columns are their own physical name.
+      */
+    def physName(logical: String): String =
+      colmap.getOrElse(logical, logical)
   }
 
   /** The parsed action set of one commit (or checkpoint) file.
@@ -106,7 +115,9 @@ object OccTable {
       op: Option[String] = None,
       constraintAdds: Seq[(String, String)] = Seq.empty,
       constraintDrops: Seq[String] = Seq.empty,
-      addDvs: Map[String, String] = Map.empty)
+      addDvs: Map[String, String] = Map.empty,
+      colmapSet: Option[Map[String, String]] = None,
+      colTombAdds: Seq[String] = Seq.empty)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
@@ -256,7 +267,18 @@ object OccTable {
       },
       lines.collect { case s if s.startsWith("dropconstraint ") =>
         s.stripPrefix("dropconstraint ") },
-      addPairs.collect { case (n, _, _, _, Some(d)) => n -> d }.toMap)
+      addPairs.collect { case (n, _, _, _, Some(d)) => n -> d }.toMap,
+      // colmap lines REPLACE the whole mapping (like the schema
+      // action); identity entries serialize too, so a rename-back
+      // still registers as a mapping commit; `colmapclear` (schema
+      // overwrite) resets to identity explicitly
+      if (lines.contains("colmapclear")) Some(Map.empty[String, String])
+      else Some(lines.collect { case s if s.startsWith("colmap ") =>
+        val Array(l, p) = s.stripPrefix("colmap ").split(" ", 2)
+        urlDec(l) -> urlDec(p)
+      }.toMap).filter(_ => lines.exists(_.startsWith("colmap "))),
+      lines.collect { case s if s.startsWith("colmaptomb ") =>
+        urlDec(s.stripPrefix("colmaptomb ")) })
   }
 
   /** Commit-log versions and their parsed actions over `(after, upTo]`
@@ -298,6 +320,16 @@ object OccTable {
       inForceAfter: Option[String]): Seq[String] =
     newSchemaJson.map(j => s"schema $j").toSeq ++
       inForceAfter.map(j => s"schemaHash ${schemaHashOf(j)}").toSeq
+
+  /** Serialize a column mapping as FULL-MAP `colmap` lines (X137).
+    * Identity entries serialize too — a mapping commit always carries
+    * one line per mapped logical column, so the fold's replace-all
+    * rule can distinguish "no mapping change" (zero lines) from a
+    * mapping that happens to be identity again after a rename-back.
+    */
+  private def colmapLines(m: Map[String, String]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (l, p) =>
+      s"colmap ${urlEnc(l)} ${urlEnc(p)}" }
 
   /** One add action line: `add <name>`, `add <name>\t<stats>` (X117,
     * the tab-extended Delta `AddFile.stats` shape), with the file's
@@ -539,8 +571,11 @@ object OccTable {
     * bounded by true holders + fpp × #files, never O(#live files) IO.
     */
   private[sources] def bloomPrunedFiles(spark: SparkSession, dir: String,
-      snap: Snapshot, c: String, values: Seq[String],
+      snap: Snapshot, cLogical: String, values: Seq[String],
       driverMax: Int = BloomProbeDriverMax): Seq[String] = {
+    // bloom params, sidecar names, AND the hash seed all use the
+    // write-time PHYSICAL column name (X137) — the build did
+    val c = snap.physName(cLogical)
     val params = snap.files.flatMap(f =>
       snap.blooms.get(f).flatMap(_.get(c)).map(f -> _)).toMap
     if (params.isEmpty || values.isEmpty) return snap.files
@@ -646,12 +681,8 @@ object OccTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case (None, Seq()) => throw new IllegalStateException(
         s"OccTable: empty pruned snapshot at $dir with no log schema")
-      case (Some(s), files) =>
-        applyDvs(spark, dir, snap,
-          spark.read.schema(s).parquet(files.map(f => resolvePath(dir, f)): _*))
-      case (None, files) =>
-        applyDvs(spark, dir, snap,
-          spark.read.parquet(files.map(f => resolvePath(dir, f)): _*))
+      case (_, files) =>
+        applyDvs(spark, dir, snap, scanFiles(spark, dir, snap, files))
     }
     val withPv = pvEq.foldLeft(base) { case (d, (k, v)) =>
       d.filter(col(k).cast("string") === lit(v))
@@ -674,7 +705,8 @@ object OccTable {
       pvEq: Seq[(String, String)]): Seq[String] =
     snap.files.filter { f =>
       pvEq.forall { case (k, v) =>
-        snap.pvs.get(f).flatMap(_.get(k)).forall(_ == v)
+        // pv keys are recorded under write-time PHYSICAL names (X137)
+        snap.pvs.get(f).flatMap(_.get(snap.physName(k))).forall(_ == v)
       }
     }
 
@@ -685,7 +717,8 @@ object OccTable {
   private[sources] def prunedFiles(snap: Snapshot, c: String,
       lo: Double, hi: Double): Seq[String] =
     snap.files.filter { f =>
-      snap.stats.get(f).flatMap(statsFor(_, c)) match {
+      // stats are keyed by write-time PHYSICAL names (X137)
+      snap.stats.get(f).flatMap(statsFor(_, snap.physName(c))) match {
         case None => true // no stats for this file/column: cannot prune
         case Some((None, None)) => false // all-NULL: interval excludes
         case Some((mn, mx)) =>
@@ -744,6 +777,143 @@ object OccTable {
       if (merged == cur) None else Some(merged.json)
   }
 
+  /** Rename a LOGICAL frame to physical column names for staging
+    * (X137): under column mapping the files carry physical names, so
+    * every writer routes its output through this just before [[stage]].
+    * Identity (and zero-cost) for unmapped tables.
+    */
+  private def toPhysical(df: DataFrame,
+      colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else colmap.foldLeft(df) { case (d, (l, p)) =>
+      if (l != p && d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+    }
+
+  /** Refuse columns an evolution would ADD whose physical name is
+    * retired or already serving another logical column (X137): after
+    * `DROP COLUMN a`, re-adding `a` would resurrect the dropped bytes
+    * in pre-drop files; after `RENAME a TO b`, adding a new `a` would
+    * read b's bytes. Delta avoids both with UUID physical names; this
+    * engine keeps physical = name-at-first-write and refuses the two
+    * collision shapes loudly instead.
+    */
+  private def checkNewColumns(snap: Snapshot,
+      evolvedJson: Option[String]): Unit = evolvedJson.foreach { j =>
+    val old = snap.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    val added = DataType.fromJson(j).asInstanceOf[StructType]
+      .fieldNames.filterNot(old)
+    added.foreach { c =>
+      require(!snap.colTombs.contains(c),
+        s"OccTable: cannot add column '$c' — its physical name was " +
+          "retired by a DROP COLUMN (pre-drop files still carry those " +
+          "bytes); pick a different name or rewrite the table")
+      val shadow = snap.colmap.find { case (l, p) => p == c && l != c }
+      require(shadow.isEmpty,
+        s"OccTable: cannot add column '$c' — that physical name " +
+          s"serves renamed column '${shadow.map(_._1).getOrElse("")}'; " +
+          "pick a different name or rewrite the table")
+    }
+  }
+
+  /** Delta-parity `ALTER TABLE RENAME COLUMN` (X137 — column mapping):
+    * a PURE METADATA commit. The logical schema renames the field in
+    * place and the commit records the full logical→physical mapping,
+    * physical names never changing — zero bytes move on a 100 TB
+    * table. Readers alias physical→logical at scan time; stats,
+    * partition values, and bloom sidecars stay keyed by physical name
+    * and every pruning lookup translates. Refused when a CHECK
+    * constraint references the old name (Delta refuses too — the
+    * expression would stop resolving); racing schema changes conflict
+    * through the standard schema-action rule, while plain appends
+    * commute (they stage under physical names, which the rename does
+    * not touch).
+    */
+  def renameColumn(spark: SparkSession, dir: String,
+      oldName: String, newName: String): Long = {
+    require(oldName != newName,
+      s"OccTable.renameColumn: '$oldName' -> itself")
+    val snap = snapshot(spark, dir)
+    val st = snap.schema.getOrElse(throw new IllegalStateException(
+      s"OccTable: legacy log at $dir records no schema — column " +
+        "mapping needs one (re-init or rewrite with a schema first)"))
+    require(st.fieldNames.contains(oldName),
+      s"OccTable.renameColumn: no column '$oldName' " +
+        s"(have: ${st.fieldNames.mkString(", ")})")
+    require(!st.fieldNames.contains(newName),
+      s"OccTable.renameColumn: column '$newName' already exists")
+    require(!snap.colTombs.contains(newName) &&
+      !snap.colmap.exists { case (l, p) => p == newName && l != oldName },
+      s"OccTable.renameColumn: '$newName' collides with a retired or " +
+        "in-use physical name — pick a different name")
+    val newSt = StructType(st.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    checkConstraintsResolve(spark, newSt, snap.constraints,
+      s"rename of '$oldName' to '$newName'")
+    val newMap = newSt.fields.map { f =>
+      f.name -> (if (f.name == newName) snap.physName(oldName)
+                 else snap.physName(f.name))
+    }.toMap
+    commitActions(spark, dir, Seq.empty, Seq.empty, snap.version,
+      newSchemaJson = Some(newSt.json),
+      schemaInForce = Some(newSt.json),
+      op = Some("rename_column"),
+      extraMeta = colmapLines(newMap))
+  }
+
+  /** Delta-parity `ALTER TABLE DROP COLUMN` (X137): a PURE METADATA
+    * commit — the logical schema loses the field, the physical bytes
+    * stay in every file, unread (readers scan by physical schema and
+    * project only logical columns). The dropped physical name is
+    * TOMBSTONED: re-adding a column with that name refuses loudly
+    * (pre-drop files would resurrect the old bytes). Refused when a
+    * CHECK constraint references the column.
+    */
+  def dropColumn(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val snap = snapshot(spark, dir)
+    val st = snap.schema.getOrElse(throw new IllegalStateException(
+      s"OccTable: legacy log at $dir records no schema — column " +
+        "mapping needs one (re-init or rewrite with a schema first)"))
+    require(st.fieldNames.contains(name),
+      s"OccTable.dropColumn: no column '$name' " +
+        s"(have: ${st.fieldNames.mkString(", ")})")
+    require(st.fields.length > 1,
+      s"OccTable.dropColumn: cannot drop the only column '$name'")
+    val newSt = StructType(st.fields.filterNot(_.name == name))
+    checkConstraintsResolve(spark, newSt, snap.constraints,
+      s"drop of column '$name'")
+    val phys = snap.physName(name)
+    val newMap = newSt.fields.map(f => f.name -> snap.physName(f.name))
+      .toMap
+    commitActions(spark, dir, Seq.empty, Seq.empty, snap.version,
+      newSchemaJson = Some(newSt.json),
+      schemaInForce = Some(newSt.json),
+      op = Some("drop_column"),
+      extraMeta = colmapLines(newMap) :+ s"colmaptomb ${urlEnc(phys)}")
+  }
+
+  /** Refuse a mapping change that would break a declared CHECK
+    * constraint: analyze each expression against the candidate schema
+    * (an empty typed frame — pure driver work) and name the first that
+    * stops resolving.
+    */
+  private def checkConstraintsResolve(spark: SparkSession,
+      st: StructType, constraints: Map[String, String],
+      what: String): Unit = {
+    if (constraints.isEmpty) return
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      try probe.filter(expr(e)).queryExecution.analyzed
+      catch {
+        case ex: Exception => throw new IllegalArgumentException(
+          s"OccTable: $what would break CHECK constraint '$n' " +
+            s"(`$e`): ${ex.getMessage.linesIterator.next()} — drop " +
+            "the constraint first")
+      }
+    }
+  }
+
   /** Current snapshot: fold the latest [[checkpoint]] (if any) plus the
     * commit tail past it. Driver-side; O(tail + #files) once a
     * checkpoint exists, instead of O(every commit since init) — the
@@ -800,11 +970,15 @@ object OccTable {
     val constraints = scala.collection.mutable.Map.empty[String, String]
     val dvs = scala.collection.mutable.Map.empty[String, String]
     var schemaJson: Option[String] = None
+    var colmap = Map.empty[String, String]
+    val colTombs = scala.collection.mutable.Set.empty[String]
     def fold(a: Actions): Unit = {
       a.removes.foreach { n =>
         live -= n; stats -= n; pvs -= n; blooms -= n; dvs -= n }
       a.constraintAdds.foreach { case (n, e) => constraints(n) = e }
       a.constraintDrops.foreach(constraints -= _)
+      a.colmapSet.foreach(m => colmap = m)
+      colTombs ++= a.colTombAdds
       a.adds.foreach { n =>
         live += n
         a.addStats.get(n) match {
@@ -833,7 +1007,8 @@ object OccTable {
     need.filter(vs.contains).sorted.foreach(v =>
       fold(readActions(fsys, dir, v)))
     Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap,
-      pvs.toMap, blooms.toMap, constraints.toMap, dvs.toMap)
+      pvs.toMap, blooms.toMap, constraints.toMap, dvs.toMap,
+      colmap, colTombs.toSet)
   }
 
   /** Delta-parity TIMESTAMP AS OF: the last version whose commit time
@@ -880,6 +1055,38 @@ object OccTable {
         s"OccTable: empty snapshot at $dir")): DataFrame =
     readSnapshot(spark, dir, snapshotAt(spark, dir, version), emptyResult)
 
+  /** The log schema with every field renamed to its PHYSICAL name —
+    * the shape the parquet files actually carry under column mapping
+    * (X137). Identity when the snapshot has no mapping.
+    */
+  private def physicalSchema(st: StructType,
+      colmap: Map[String, String]): StructType =
+    if (colmap.isEmpty) st
+    else StructType(st.fields.map(f =>
+      f.copy(name = colmap.getOrElse(f.name, f.name))))
+
+  /** Raw scan of `names` under snapshot `s`'s LOGICAL shape: reads the
+    * files with the physical schema (column-mapping aware) and aliases
+    * back to logical names. NO deletion-vector application — callers
+    * that serve rows compose [[applyDvs]] on top (the tail source
+    * deliberately does not: DV commits classify under its onRewrite
+    * policy). `names` must be non-empty; a mapped snapshot always has
+    * a log schema (the mapping verbs refuse legacy logs).
+    */
+  private[sources] def scanFiles(spark: SparkSession, dir: String,
+      s: Snapshot, names: Seq[String]): DataFrame = {
+    val paths = names.map(f => resolvePath(dir, f))
+    s.schema match {
+      case Some(st) =>
+        val base = spark.read.schema(physicalSchema(st, s.colmap))
+          .parquet(paths: _*)
+        if (s.colmap.isEmpty) base
+        else base.select(st.fields.map(f =>
+          col(s.physName(f.name)).as(f.name)).toIndexedSeq: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
   /** Plan the scan from a snapshot: explicit live-file paths with the
     * LOG schema when the log records one — pre-evolution files serve
     * the added columns as null, and an empty snapshot serves a typed
@@ -891,12 +1098,8 @@ object OccTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
     case (None, Seq()) => emptyResult
-    case (Some(st), files) =>
-      applyDvs(spark, dir, s,
-        spark.read.schema(st).parquet(files.map(f => resolvePath(dir, f)): _*))
-    case (None, files) =>
-      applyDvs(spark, dir, s,
-        spark.read.parquet(files.map(f => resolvePath(dir, f)): _*))
+    case (_, files) =>
+      applyDvs(spark, dir, s, scanFiles(spark, dir, s, files))
   }
 
   /** Materialize the current snapshot as a `v<version>.chk` file so
@@ -919,6 +1122,8 @@ object OccTable {
       snap.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn $a $v" } ++
       snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
         s"constraint $n ${urlEnc(e)}" } ++
+      colmapLines(snap.colmap) ++
+      snap.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
       schemaLines(snap.schemaJson, snap.schemaJson))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     claim(fsys, checkpointPath(dir, snap.version), body) // exists = done
@@ -1286,10 +1491,15 @@ object OccTable {
     val spark = df.sparkSession
     var snap = snapshot(spark, dir)
     var evolved = resolveSchema(snap.schemaJson, df.schema) // refuse BEFORE staging
+    checkNewColumns(snap, evolved)
     enforceConstraints(df, snap.constraints, "append batch")
-    val (names, pvs) = stagePartitioned(df, dir, partitionBy)
-    val stats = collectStats(spark, dir, names, statsColumns)
-    val blooms = collectBlooms(spark, dir, names, bloomColumns)
+    // staging writes PHYSICAL names (X137); stats/pv/bloom keys follow
+    val (names, pvs) = stagePartitioned(toPhysical(df, snap.colmap), dir,
+      partitionBy.map(snap.physName))
+    val stats = collectStats(spark, dir, names,
+      statsColumns.map(snap.physName))
+    val blooms = collectBlooms(spark, dir, names,
+      bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
     while (true) {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         newSchemaJson = evolved,
@@ -1300,6 +1510,7 @@ object OccTable {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
           evolved = resolveSchema(snap.schemaJson, df.schema)
+          checkNewColumns(snap, evolved)
           // the conflict may BE a racing addCheckConstraint — re-check
           // the batch against the refreshed constraint set (violations
           // propagate as ConstraintViolationException, ending the loop)
@@ -1331,9 +1542,11 @@ object OccTable {
     var snap = snapshot(spark, dir)
     if (snap.txns.get(appId).exists(_ >= batchId)) return snap.version
     var evolved = resolveSchema(snap.schemaJson, df.schema)
+    checkNewColumns(snap, evolved)
     enforceConstraints(df, snap.constraints, s"streaming batch $batchId")
-    val names = stage(df, dir)
-    val stats = collectStats(spark, dir, names, statsColumns)
+    val names = stage(toPhysical(df, snap.colmap), dir)
+    val stats = collectStats(spark, dir, names,
+      statsColumns.map(snap.physName))
     while (true) {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         Some((appId, batchId)), newSchemaJson = evolved,
@@ -1343,6 +1556,7 @@ object OccTable {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
           evolved = resolveSchema(snap.schemaJson, df.schema)
+          checkNewColumns(snap, evolved)
           enforceConstraints(df, snap.constraints,
             s"streaming batch $batchId")
       }
@@ -1409,16 +1623,27 @@ object OccTable {
         if (overwriteSchema)
           Some(out.schema.json).filterNot(snap.schemaJson.contains)
         else resolveSchema(snap.schemaJson, out.schema)
+      if (!overwriteSchema) checkNewColumns(snap, evolved)
       enforceConstraints(out, snap.constraints, "rewrite output")
-      val names = stage(out, dir)
-      val stats = collectStats(spark, dir, names, statsColumns)
-      val blooms = collectBlooms(spark, dir, names, bloomColumns)
+      // an OVERWRITE replaces every file, so physical = logical again:
+      // stage the new shape verbatim and CLEAR the column mapping in
+      // the same commit; a plain rewrite keeps the mapping in force
+      val effMap = if (overwriteSchema) Map.empty[String, String]
+        else snap.colmap
+      val names = stage(toPhysical(out, effMap), dir)
+      val stats = collectStats(spark, dir, names,
+        statsColumns.map(c => effMap.getOrElse(c, c)))
+      val blooms = collectBlooms(spark, dir, names,
+        bloomColumns.map(b => b.copy(col = effMap.getOrElse(b.col, b.col))))
       try return commitActions(spark, dir, names, snap.files, snap.version,
         newSchemaJson = evolved,
         schemaInForce = evolved.orElse(snap.schemaJson),
         conflictOnAnyIntervening =
           overwriteSchema && evolved.nonEmpty,
-        addStats = stats, addBlooms = blooms, op = Some("rewrite"))
+        addStats = stats, addBlooms = blooms, op = Some("rewrite"),
+        extraMeta =
+          if (overwriteSchema && snap.colmap.nonEmpty) Seq("colmapclear")
+          else Seq.empty)
       catch {
         case e: ConcurrentWriteException =>
           tries += 1
@@ -1530,8 +1755,8 @@ object OccTable {
         if (r.isNullAt(0) || r.isNullAt(1)) None
         else Some((r.getDouble(0), r.getDouble(1)))
       }
-    def statsAdmit(stats: String): Boolean =
-      statsFor(stats, headKey) match {
+    def statsAdmit(stats: String, physKey: String): Boolean =
+      statsFor(stats, physKey) match {
         case None => true // untracked column: cannot prune
         case Some((None, None)) => false // all-NULL file: no key matches
         case Some((mn, mx)) =>
@@ -1560,6 +1785,8 @@ object OccTable {
       }
       val sourceData = deleteCol.map(source.drop(_)).getOrElse(source)
       val evolved = resolveSchema(snap.schemaJson, sourceData.schema)
+      checkNewColumns(snap, evolved)
+      val physKey = snap.physName(headKey)
       val srcKeys = source.select(keyCols.map(col): _*).distinct()
       val candidates =
         if (overCap) {
@@ -1568,20 +1795,15 @@ object OccTable {
           // column-pruned passes over CANDIDATES only, never the full
           // table; driver receives file names, bounded by #files
           val admitted = snap.files.filter(f =>
-            snap.stats.get(f).forall(s => statsFor(s, headKey) match {
+            snap.stats.get(f).forall(s => statsFor(s, physKey) match {
               case None => true
               case Some((None, None)) => false // all-NULL: no key matches
               case Some((mn, mx)) => srcRange.forall { case (lo, hi) =>
                 mn.forall(_ <= hi) && mx.forall(_ >= lo) }
             }))
-          val base = snap.schema match {
-            case Some(st) if admitted.nonEmpty => Some(spark.read
-              .schema(st)
-              .parquet(admitted.map(f => resolvePath(dir, f)): _*))
-            case None if admitted.nonEmpty => Some(spark.read
-              .parquet(admitted.map(f => resolvePath(dir, f)): _*))
-            case _ => None
-          }
+          val base =
+            if (admitted.isEmpty) None
+            else Some(scanFiles(spark, dir, snap, admitted))
           base match {
             // a key column absent from the table (source-side
             // evolution) can match no target row
@@ -1598,7 +1820,7 @@ object OccTable {
         } else if (keyStrs.isEmpty) Seq.empty[String]
         else {
           val byStats = snap.files.filter(f =>
-            snap.stats.get(f).forall(statsAdmit))
+            snap.stats.get(f).forall(statsAdmit(_, physKey)))
           bloomPrunedFiles(spark, dir, snap.copy(files = byStats),
             headKey, keyStrs)
         }
@@ -1620,9 +1842,11 @@ object OccTable {
         case Some(sv) => sv.unionByName(inserts, allowMissingColumns = true)
         case None => inserts
       }
-      val names = stage(out, dir)
-      val stats = collectStats(spark, dir, names, statsColumns)
-      val blooms = collectBlooms(spark, dir, names, bloomColumns)
+      val names = stage(toPhysical(out, snap.colmap), dir)
+      val stats = collectStats(spark, dir, names,
+        statsColumns.map(snap.physName))
+      val blooms = collectBlooms(spark, dir, names,
+        bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
       try return MergeResult(
         commitActions(spark, dir, names, candidates, snap.version,
           txn = txn,
@@ -1669,9 +1893,10 @@ object OccTable {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
+      val physC = snap.physName(c)
       val classified = snap.files.map { f =>
         val verdict = snap.stats.get(f).map { s =>
-          (statsFor(s, c), statsNullsFor(s, c)) match {
+          (statsFor(s, physC), statsNullsFor(s, physC)) match {
             case (Some((None, None)), _) => "keep" // all-NULL: no match
             case (Some((Some(mn), Some(mx))), nulls) =>
               if (mx < lo || mn > hi) "keep"
@@ -1693,11 +1918,14 @@ object OccTable {
           val d = readSnapshot(spark, dir, snap.copy(files = toRewrite),
             throw new IllegalStateException("unreachable: non-empty"))
           val proj = statProjection(snap.schema.getOrElse(d.schema), c)
-          stage(d.filter(proj.isNull || proj < lit(lo) || proj > lit(hi)),
-            dir)
+          stage(toPhysical(
+            d.filter(proj.isNull || proj < lit(lo) || proj > lit(hi)),
+            snap.colmap), dir)
         }
-      val stats = collectStats(spark, dir, names, statsColumns)
-      val blooms = collectBlooms(spark, dir, names, bloomColumns)
+      val stats = collectStats(spark, dir, names,
+        statsColumns.map(snap.physName))
+      val blooms = collectBlooms(spark, dir, names,
+        bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
       try return DeleteResult(
         commitActions(spark, dir, names, dropped ++ toRewrite,
           snap.version, schemaInForce = snap.schemaJson,
@@ -1736,10 +1964,12 @@ object OccTable {
         return DeleteResult(snap.version, 0, 0, kept.size)
       val d = readSnapshot(spark, dir, snap.copy(files = candidates),
         throw new IllegalStateException("unreachable: non-empty"))
-      val names = stage(d.filter(col(c).isNull ||
-        !col(c).cast("string").isin(values: _*)), dir)
-      val stats = collectStats(spark, dir, names, statsColumns)
-      val blooms = collectBlooms(spark, dir, names, bloomColumns)
+      val names = stage(toPhysical(d.filter(col(c).isNull ||
+        !col(c).cast("string").isin(values: _*)), snap.colmap), dir)
+      val stats = collectStats(spark, dir, names,
+        statsColumns.map(snap.physName))
+      val blooms = collectBlooms(spark, dir, names,
+        bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
       try return DeleteResult(
         commitActions(spark, dir, names, candidates, snap.version,
           schemaInForce = snap.schemaJson,
@@ -1804,11 +2034,24 @@ object OccTable {
       if (cand.isEmpty)
         return DvDeleteResult(snap.version, 0L, 0, snap.files.size)
       // materialize the scan identity into REAL columns up front — a
-      // join would sever `_metadata` resolution downstream
-      val base = spark.read.parquet(
+      // join would sever `_metadata` resolution downstream. Read with
+      // the PHYSICAL schema and alias back to logical (X137) so
+      // `rowFilter`'s logical column references resolve.
+      val raw = (snap.schema match {
+        case Some(st) => spark.read
+          .schema(physicalSchema(st, snap.colmap))
+          .parquet(cand.map(f => resolvePath(dir, f)): _*)
+        case None => spark.read.parquet(
           cand.map(f => resolvePath(dir, f)): _*)
-        .withColumn("__dv_fn", col("_metadata.file_name"))
+      }).withColumn("__dv_fn", col("_metadata.file_name"))
         .withColumn("__dv_ri", col("_metadata.row_index"))
+      val base = snap.schema match {
+        case Some(st) if snap.colmap.nonEmpty =>
+          raw.select((st.fields.map(f =>
+            col(snap.physName(f.name)).as(f.name)).toSeq :+
+            col("__dv_fn") :+ col("__dv_ri")): _*)
+        case _ => raw
+      }
       val candSet = cand.toSet
       val existingPaths = snap.dvs.filter { case (f, _) => candSet(f) }
         .values.toSeq.distinct.map(n => s"$dir/$DvDirName/$n")
@@ -1882,7 +2125,7 @@ object OccTable {
     require(lo <= hi, s"OccTable.deleteRangeDv: lo=$lo > hi=$hi")
     deleteDvCore(spark, dir,
       snap => snap.files.filter { f =>
-        snap.stats.get(f).flatMap(statsFor(_, c)) match {
+        snap.stats.get(f).flatMap(statsFor(_, snap.physName(c))) match {
           case Some((None, None)) => false
           case Some((Some(mn), Some(mx))) => mx >= lo && mn <= hi
           case _ => true
@@ -1922,23 +2165,19 @@ object OccTable {
       val snap = snapshot(spark, dir)
       val marked = snap.files.filter(snap.dvs.contains)
       if (marked.isEmpty) return snap.version
-      // read with the LOG schema when one exists (mirrors
-      // [[readSnapshot]]): a DV-marked file predating an additive
-      // evolution serves the added columns as null instead of failing
-      // the select on a footer-inferred shape
-      val base = snap.schema match {
-        case Some(st) => spark.read.schema(st)
-          .parquet(marked.map(f => resolvePath(dir, f)): _*)
-        case None => spark.read.parquet(
-          marked.map(f => resolvePath(dir, f)): _*)
-      }
+      // scanFiles reads with the LOG schema (a DV-marked file predating
+      // an additive evolution serves the added columns as null) and
+      // aliases physical→logical under column mapping (X137)
+      val base = scanFiles(spark, dir, snap, marked)
+      val clean0 = applyDvs(spark, dir, snap.copy(files = marked), base)
       val clean = snap.schema
-        .map(st => applyDvs(spark, dir, snap.copy(files = marked), base)
-          .select(st.fieldNames.map(col).toIndexedSeq: _*))
-        .getOrElse(applyDvs(spark, dir, snap.copy(files = marked), base))
-      val names = stage(clean, dir)
-      val stats = collectStats(spark, dir, names, statsColumns)
-      val blooms = collectBlooms(spark, dir, names, bloomColumns)
+        .map(st => clean0.select(st.fieldNames.map(col).toIndexedSeq: _*))
+        .getOrElse(clean0)
+      val names = stage(toPhysical(clean, snap.colmap), dir)
+      val stats = collectStats(spark, dir, names,
+        statsColumns.map(snap.physName))
+      val blooms = collectBlooms(spark, dir, names,
+        bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
       try return commitActions(spark, dir, names, marked, snap.version,
         schemaInForce = snap.schemaJson,
         addStats = stats, addBlooms = blooms, op = Some("purge_dv"))
@@ -2019,14 +2258,17 @@ object OccTable {
           (bytes + targetFileBytes - 1L) / targetFileBytes)).toInt
         val dfIn = readSnapshot(spark, dir, snap.copy(files = names0),
           throw new IllegalStateException("unreachable: group non-empty"))
-        (pv, names0, stage(cluster(dfIn, nOut), dir))
+        (pv, names0,
+          stage(toPhysical(cluster(dfIn, nOut), snap.colmap), dir))
       }
       val adds = staged.flatMap(_._3)
       val removes = staged.flatMap(_._2)
       val addPvs = staged.collect { case (Some(pv), _, names) =>
         names.map(_ -> pv) }.flatten.toMap
-      val stats = collectStats(spark, dir, adds, statsColumns)
-      val blooms = collectBlooms(spark, dir, adds, bloomColumns)
+      val stats = collectStats(spark, dir, adds,
+        statsColumns.map(snap.physName))
+      val blooms = collectBlooms(spark, dir, adds,
+        bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
       try return OptimizeResult(
         commitActions(spark, dir, adds, removes, snap.version,
           schemaInForce = snap.schemaJson,
@@ -2088,12 +2330,9 @@ object OccTable {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
         case (None, Seq()) => throw new IllegalStateException(
           s"OccTable: no churned files and no log schema at $dir")
-        case (Some(st), fs0) =>
+        case (_, fs0) =>
           applyDvs(spark, dir, s.copy(files = names),
-            spark.read.schema(st).parquet(fs0.map(f => resolvePath(dir, f)): _*))
-        case (None, fs0) =>
-          applyDvs(spark, dir, s.copy(files = names),
-            spark.read.parquet(fs0.map(f => resolvePath(dir, f)): _*))
+            scanFiles(spark, dir, s, fs0))
       }
       (keyCols ++ cols).foldLeft(base) { (d, c) =>
         if (d.columns.contains(c)) d
@@ -2157,6 +2396,8 @@ object OccTable {
         None, s.dvs.get(n))) ++
         s.constraints.toSeq.sortBy(_._1).map { case (cn, e) =>
           s"constraint $cn ${urlEnc(e)}" } ++
+        colmapLines(s.colmap) ++
+        s.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
         schemaLines(s.schemaJson, s.schemaJson)))
       .mkString("", "\n", "\n")
     require(claim(fsys, versionPath(dstDir, 0L), body.getBytes("UTF-8")),
@@ -2168,7 +2409,8 @@ object OccTable {
       // the committed v0 carries dv= pointers and the sidecars were
       // copied — the returned snapshot must agree, or a caller
       // consuming it directly would serve DV-deleted rows as live
-      s.dvs.map { case (n, v) => renm(n) -> v })
+      s.dvs.map { case (n, v) => renm(n) -> v },
+      s.colmap, s.colTombs)
   }
 
   /** Delta `DESCRIBE HISTORY` parity (X131): the table's commit log as
@@ -2211,7 +2453,10 @@ object OccTable {
     val s = snapshot(spark, dir)
     val bytes = s.files.map(f =>
       fsys.getFileStatus(new Path(resolvePath(dir, f))).getLen).sum
-    val partCols = s.pvs.values.flatMap(_.keys).toSeq.distinct.sorted
+    // pv keys are physical names (X137) — report the logical view
+    val physToLogical = s.colmap.map(_.swap)
+    val partCols = s.pvs.values.flatMap(_.keys).toSeq.distinct
+      .map(p => physToLogical.getOrElse(p, p)).distinct.sorted
     import spark.implicits._
     Seq((s.version, s.files.size.toLong, bytes,
       s.dvs.size.toLong, s.blooms.size.toLong,
@@ -2257,6 +2502,14 @@ object OccTable {
     val removes = cur.files.filterNot(tgtSet)
     val schemaChange =
       if (tgt.schemaJson != cur.schemaJson) tgt.schemaJson else None
+    // restore the column mapping of the target version too (a restore
+    // can undo a rename/drop): full-map replace, or an explicit clear
+    // when the target predates the mapping. Tombstones stay — they are
+    // monotone (the dropped bytes still exist in history).
+    val colmapChange: Seq[String] =
+      if (tgt.colmap == cur.colmap) Seq.empty
+      else if (tgt.colmap.isEmpty) Seq("colmapclear")
+      else colmapLines(tgt.colmap)
     commitActions(spark, dir, adds, removes, cur.version,
       newSchemaJson = schemaChange,
       schemaInForce = tgt.schemaJson.orElse(cur.schemaJson),
@@ -2264,6 +2517,7 @@ object OccTable {
       addPvs = tgt.pvs.filter { case (n, _) => adds.contains(n) },
       addBlooms = tgt.blooms.filter { case (n, _) => adds.contains(n) },
       op = Some("restore"),
+      extraMeta = colmapChange,
       addDvs = tgt.dvs.filter { case (n, _) => adds.contains(n) })
   }
 

@@ -308,13 +308,12 @@ object OccStream {
           }
         }
         if (addFiles.nonEmpty) {
-          val data = OccTable.snapshot(spark, dir).schema match {
-            case Some(st) => spark.read.schema(st)
-              .parquet(addFiles.map(f => OccTable.resolvePath(dir, f)).toIndexedSeq: _*)
-            case None => spark.read
-              .parquet(addFiles.map(f => OccTable.resolvePath(dir, f)).toIndexedSeq: _*)
-          }
-          sink(data, batchId)
+          // scanFiles plans with the log schema AND aliases physical →
+          // logical under column mapping (X137), so a tail across a
+          // rename keeps serving the current logical shape
+          val snap = OccTable.snapshot(spark, dir)
+          sink(OccTable.scanFiles(spark, dir, snap,
+            addFiles.toIndexedSeq), batchId)
         }
         ()
       }
