@@ -215,6 +215,21 @@ class OccColumnMappingSpec extends SparkSpec {
     assert(raw.columns.toSeq === Seq("id", "value")) // physical too
   }
 
+  test("column pruning pushes through the mapping alias: a 1-column logical projection scans 1 physical column") {
+    val dir = freshDir()
+    initTable(dir)
+    OccTable.renameColumn(spark, dir, "v", "reading")
+    val plan = OccTable.read(spark, dir)().select("reading")
+      .queryExecution.executedPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // the aliasing Project must NOT defeat pruning: the scan reads
+    // exactly the one PHYSICAL column backing the logical projection —
+    // at 100 TB a full-width read here would be the whole ballgame
+    assert(scans.head.requiredSchema.fieldNames.toSeq === Seq("v"))
+  }
+
   test("deletion vectors, change feed, optimize, and the tail all compose with a mapping") {
     val dir = freshDir()
     initTable(dir) // v0
