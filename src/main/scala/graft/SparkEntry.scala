@@ -3395,6 +3395,38 @@ object SparkEntry {
           round(col("reading"), 6).as("reading"))
     }),
 
+    // ---- X138 GENERATED COLUMNS: a day-bucket rule declared over the
+    //      evens half, then the odds ingested WITHOUT the column — the
+    //      engine computes it and partitions by it; the pv-pruned read
+    //      of one bucket must replay as the plain derived filter ----
+    "q_occ_generated" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|gencol".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_gen_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val rule = "unix_micros(ts) div 86400000000"
+      OccTable.init(ev.filter(col("event_id") % 2 === 0)
+        .withColumn("day", expr(rule)), t, partitionBy = Seq("day"))
+      OccTable.addGeneratedColumn(s, t, "day", rule) // validates evens
+      // the odds arrive WITHOUT the derived key — the engine computes
+      // and partitions them
+      OccTable.append(ev.filter(col("event_id") % 2 === 1), t,
+        partitionBy = Seq("day"))
+      val b = ev.agg(min(expr(rule))).head.getLong(0) + 1
+      OccTable.readPartitionPruned(s, t, Seq("day" -> b.toString))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // ---- VACUUM DRY RUN (Delta parity): the audit must list exactly
     //      what the real run then reclaims, delete nothing itself, and
     //      leave the retention marker untouched — all-integer summary
@@ -6778,6 +6810,18 @@ object SparkEntry {
         |  FROM events, mx WHERE event_id % 5 = 0)
         |SELECT event_id, event_type, round(reading, 6) AS reading
         |FROM u WHERE reading >= 0 AND reading <= 50""".stripMargin,
+    // X138: generation must be invisible beyond its derivation — the
+    // one-bucket read replays as the plain derived filter over the
+    // whole table (evens initialized with the column, odds computed).
+    "q_occ_generated" ->
+      """WITH d AS (
+        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 1
+        |    AS b FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events, d
+        |WHERE epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 = b
+        |GROUP BY 1""".stripMargin,
     // VACUUM DRY RUN over the deterministic 3-commit build: the init
     // and append files (one each, coalesce(1)) are dead after the
     // rewrite — the audit lists exactly those 2, reclaims nothing

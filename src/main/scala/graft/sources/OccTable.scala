@@ -83,7 +83,8 @@ object OccTable {
       constraints: Map[String, String] = Map.empty,
       dvs: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
-      colTombs: Set[String] = Set.empty) {
+      colTombs: Set[String] = Set.empty,
+      gencols: Map[String, String] = Map.empty) {
     /** The log schema in force at this version, if the log records one
       * (v0 of every table initialized since X104 does).
       */
@@ -117,7 +118,9 @@ object OccTable {
       constraintDrops: Seq[String] = Seq.empty,
       addDvs: Map[String, String] = Map.empty,
       colmapSet: Option[Map[String, String]] = None,
-      colTombAdds: Seq[String] = Seq.empty)
+      colTombAdds: Seq[String] = Seq.empty,
+      gencolAdds: Seq[(String, String)] = Seq.empty,
+      gencolDrops: Seq[String] = Seq.empty)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
@@ -278,7 +281,13 @@ object OccTable {
         urlDec(l) -> urlDec(p)
       }.toMap).filter(_ => lines.exists(_.startsWith("colmap "))),
       lines.collect { case s if s.startsWith("colmaptomb ") =>
-        urlDec(s.stripPrefix("colmaptomb ")) })
+        urlDec(s.stripPrefix("colmaptomb ")) },
+      lines.collect { case s if s.startsWith("gencol ") =>
+        val Array(n, e) = s.stripPrefix("gencol ").split(" ", 2)
+        (n, urlDec(e))
+      },
+      lines.collect { case s if s.startsWith("dropgencol ") =>
+        s.stripPrefix("dropgencol ") })
   }
 
   /** Commit-log versions and their parsed actions over `(after, upTo]`
@@ -845,9 +854,12 @@ object OccTable {
       !snap.colmap.exists { case (l, p) => p == newName && l != oldName },
       s"OccTable.renameColumn: '$newName' collides with a retired or " +
         "in-use physical name — pick a different name")
+    require(!snap.gencols.contains(oldName),
+      s"OccTable.renameColumn: '$oldName' is a GENERATED column — " +
+        "drop its generation rule first (dropGeneratedColumn)")
     val newSt = StructType(st.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
-    checkConstraintsResolve(spark, newSt, snap.constraints,
+    checkDeclaredResolve(spark, newSt, snap,
       s"rename of '$oldName' to '$newName'")
     val newMap = newSt.fields.map { f =>
       f.name -> (if (f.name == newName) snap.physName(oldName)
@@ -879,8 +891,11 @@ object OccTable {
         s"(have: ${st.fieldNames.mkString(", ")})")
     require(st.fields.length > 1,
       s"OccTable.dropColumn: cannot drop the only column '$name'")
+    require(!snap.gencols.contains(name),
+      s"OccTable.dropColumn: '$name' is a GENERATED column — drop its " +
+        "generation rule first (dropGeneratedColumn)")
     val newSt = StructType(st.fields.filterNot(_.name == name))
-    checkConstraintsResolve(spark, newSt, snap.constraints,
+    checkDeclaredResolve(spark, newSt, snap,
       s"drop of column '$name'")
     val phys = snap.physName(name)
     val newMap = newSt.fields.map(f => f.name -> snap.physName(f.name))
@@ -892,26 +907,35 @@ object OccTable {
       extraMeta = colmapLines(newMap) :+ s"colmaptomb ${urlEnc(phys)}")
   }
 
-  /** Refuse a mapping change that would break a declared CHECK
-    * constraint: analyze each expression against the candidate schema
-    * (an empty typed frame — pure driver work) and name the first that
-    * stops resolving.
+  /** Refuse a schema/mapping change that would break a declared
+    * expression (CHECK constraint or GENERATED rule): analyze each
+    * against the candidate schema (an empty typed frame — pure driver
+    * work) and name the first that stops resolving.
     */
-  private def checkConstraintsResolve(spark: SparkSession,
-      st: StructType, constraints: Map[String, String],
+  private def checkExprsResolve(spark: SparkSession,
+      st: StructType, exprs: Map[String, String], kind: String,
       what: String): Unit = {
-    if (constraints.isEmpty) return
+    if (exprs.isEmpty) return
     val probe = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-    constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
-      try probe.filter(expr(e)).queryExecution.analyzed
+    exprs.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      // select, not filter: generated expressions are arbitrary-typed
+      try probe.select(expr(e)).queryExecution.analyzed
       catch {
         case ex: Exception => throw new IllegalArgumentException(
-          s"OccTable: $what would break CHECK constraint '$n' " +
+          s"OccTable: $what would break $kind '$n' " +
             s"(`$e`): ${ex.getMessage.linesIterator.next()} — drop " +
-            "the constraint first")
+            s"the $kind first")
       }
     }
+  }
+
+  /** Both declared-expression families gate the mapping verbs. */
+  private def checkDeclaredResolve(spark: SparkSession,
+      st: StructType, snap: Snapshot, what: String): Unit = {
+    checkExprsResolve(spark, st, snap.constraints, "CHECK constraint",
+      what)
+    checkExprsResolve(spark, st, snap.gencols, "generated column", what)
   }
 
   /** Current snapshot: fold the latest [[checkpoint]] (if any) plus the
@@ -972,6 +996,7 @@ object OccTable {
     var schemaJson: Option[String] = None
     var colmap = Map.empty[String, String]
     val colTombs = scala.collection.mutable.Set.empty[String]
+    val gencols = scala.collection.mutable.Map.empty[String, String]
     def fold(a: Actions): Unit = {
       a.removes.foreach { n =>
         live -= n; stats -= n; pvs -= n; blooms -= n; dvs -= n }
@@ -979,6 +1004,8 @@ object OccTable {
       a.constraintDrops.foreach(constraints -= _)
       a.colmapSet.foreach(m => colmap = m)
       colTombs ++= a.colTombAdds
+      a.gencolAdds.foreach { case (n, e) => gencols(n) = e }
+      a.gencolDrops.foreach(gencols -= _)
       a.adds.foreach { n =>
         live += n
         a.addStats.get(n) match {
@@ -1008,7 +1035,7 @@ object OccTable {
       fold(readActions(fsys, dir, v)))
     Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap,
       pvs.toMap, blooms.toMap, constraints.toMap, dvs.toMap,
-      colmap, colTombs.toSet)
+      colmap, colTombs.toSet, gencols.toMap)
   }
 
   /** Delta-parity TIMESTAMP AS OF: the last version whose commit time
@@ -1124,6 +1151,8 @@ object OccTable {
         s"constraint $n ${urlEnc(e)}" } ++
       colmapLines(snap.colmap) ++
       snap.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
+      snap.gencols.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"gencol $n ${urlEnc(e)}" } ++
       schemaLines(snap.schemaJson, snap.schemaJson))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     claim(fsys, checkpointPath(dir, snap.version), body) // exists = done
@@ -1391,6 +1420,12 @@ object OccTable {
             s"OccTable: a CHECK constraint was added after read version " +
               s"$readVersion — re-enforce this write's rows against the " +
               "current snapshot's constraints")
+        if (adds.nonEmpty &&
+            intervening.exists(_._2.gencolAdds.nonEmpty))
+          throw new ConcurrentWriteException(
+            s"OccTable: a GENERATED column was declared after read " +
+              s"version $readVersion — recompute this write against the " +
+              "current snapshot's generation rules")
       }
       if (claim(fsys, versionPath(dir, attempt), body)) return attempt
       if (fsys.exists(versionPath(dir, attempt))) {
@@ -1433,6 +1468,109 @@ object OccTable {
     if (violated.nonEmpty) throw new ConstraintViolationException(
       s"OccTable: $what violates CHECK constraint(s) " +
         violated.mkString("; "))
+  }
+
+  /** Apply a table's GENERATED-column rules to a write batch (X138 —
+    * Delta `GENERATED ALWAYS AS` semantics): a declared column the
+    * frame LACKS is COMPUTED (write-path automation — the ingest never
+    * has to carry the derived partition key), and one the frame
+    * SUPPLIES is VALIDATED row-for-row against the expression
+    * (null-safe equality; Delta refuses mismatches the same way). One
+    * aggregation validates every supplied rule. Expressions reference
+    * the table's other columns by LOGICAL name; rules apply in
+    * name-sorted order, so an expression may reference an
+    * alphabetically-earlier generated column.
+    */
+  /** The compute-only half of [[applyGenerated]]: absent generated
+    * columns added, no validation scan — what schema resolution needs.
+    */
+  private def withGenerated(df: DataFrame,
+      gencols: Map[String, String]): DataFrame =
+    gencols.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, expr(e))
+    }
+
+  private def applyGenerated(df: DataFrame,
+      gencols: Map[String, String], what: String): DataFrame = {
+    if (gencols.isEmpty) return df
+    val named = gencols.toSeq.sortBy(_._1)
+    val augmented = withGenerated(df, gencols)
+    val supplied = named.filter { case (n, _) => df.columns.contains(n) }
+    if (supplied.nonEmpty) {
+      val aggs = supplied.zipWithIndex.map { case ((n, e), i) =>
+        coalesce(sum(when(!(col(n) <=> expr(e)), 1L).otherwise(0L)),
+          lit(0L)).as(s"__g$i")
+      }
+      val row = augmented.agg(aggs.head, aggs.tail: _*).head
+      val bad = supplied.zipWithIndex.collect {
+        case ((n, e), i) if row.getLong(i) > 0 =>
+          s"$n (${row.getLong(i)} rows differ from `$e`)"
+      }
+      if (bad.nonEmpty) throw new ConstraintViolationException(
+        s"OccTable: $what violates GENERATED column(s) " +
+          bad.mkString("; "))
+    }
+    augmented
+  }
+
+  /** Delta-parity `GENERATED ALWAYS AS` declaration (X138): record a
+    * generation rule for `name` in the log. From this commit on, every
+    * append/merge/rewrite COMPUTES the column when the batch omits it
+    * and REFUSES batches that supply different values — so a reader
+    * can rely on `name = expr` for every row, which is what makes
+    * partitioning by a derived key (the classic day-bucket from a
+    * timestamp) safe to automate. Declaring over a NON-EMPTY table
+    * requires the column to already exist and match the expression
+    * (validated in one scan, like [[addCheckConstraint]]); a non-empty
+    * table whose schema lacks the column refuses — compute it with a
+    * [[rewrite]] first (this engine never rewrites data implicitly).
+    * The commit conflicts with ANY intervening commit (same TOCTOU
+    * guard as constraints).
+    */
+  def addGeneratedColumn(spark: SparkSession, dir: String, name: String,
+      sqlExpr: String): Long = {
+    require(name.nonEmpty && !name.exists(c =>
+      c == ' ' || c == '\n' || c == '\r'),
+      s"OccTable: bad generated-column name '$name'")
+    val snap = snapshot(spark, dir)
+    require(!snap.gencols.contains(name),
+      s"OccTable: generated column '$name' already declared " +
+        s"(`${snap.gencols(name)}`) — drop the rule first")
+    val st = snap.schema.getOrElse(throw new IllegalStateException(
+      s"OccTable: legacy log at $dir records no schema — generated " +
+        "columns need one"))
+    // the expression must analyze against the schema WITHOUT the
+    // generated column itself (no self-reference)
+    val others = StructType(st.fields.filterNot(_.name == name))
+    checkExprsResolve(spark, others, Map(name -> sqlExpr),
+      "generated column", s"declaration of generated column '$name'")
+    if (snap.files.nonEmpty) {
+      require(st.fieldNames.contains(name),
+        s"OccTable: table at $dir is non-empty and has no column " +
+          s"'$name' — a declaration cannot backfill it; rewrite the " +
+          "table with the computed column first")
+      applyGenerated(readSnapshot(spark, dir, snap,
+        throw new IllegalStateException("unreachable: files non-empty")),
+        Map(name -> sqlExpr), "existing table data")
+    }
+    commitActions(spark, dir, Seq.empty, Seq.empty, snap.version,
+      schemaInForce = snap.schemaJson,
+      conflictOnAnyIntervening = true,
+      op = Some("add_gencol"),
+      extraMeta = Seq(s"gencol $name ${urlEnc(sqlExpr)}"))
+  }
+
+  /** Drop a generation rule — the column stays, as a plain column. */
+  def dropGeneratedColumn(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val snap = snapshot(spark, dir)
+    require(snap.gencols.contains(name),
+      s"OccTable: no generated column '$name' to drop " +
+        s"(have: ${snap.gencols.keys.toSeq.sorted.mkString(", ")})")
+    commitActions(spark, dir, Seq.empty, Seq.empty, snap.version,
+      schemaInForce = snap.schemaJson,
+      op = Some("drop_gencol"),
+      extraMeta = Seq(s"dropgencol $name"))
   }
 
   /** Delta-parity `ALTER TABLE ADD CONSTRAINT` (X132): record a named
@@ -1490,11 +1628,15 @@ object OccTable {
       bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty): Long = {
     val spark = df.sparkSession
     var snap = snapshot(spark, dir)
-    var evolved = resolveSchema(snap.schemaJson, df.schema) // refuse BEFORE staging
+    val gencols0 = snap.gencols
+    // generated columns first (X138): absent ones computed, supplied
+    // ones validated — constraints and the schema see the final shape
+    val df2 = applyGenerated(df, snap.gencols, "append batch")
+    var evolved = resolveSchema(snap.schemaJson, df2.schema) // refuse BEFORE staging
     checkNewColumns(snap, evolved)
-    enforceConstraints(df, snap.constraints, "append batch")
+    enforceConstraints(df2, snap.constraints, "append batch")
     // staging writes PHYSICAL names (X137); stats/pv/bloom keys follow
-    val (names, pvs) = stagePartitioned(toPhysical(df, snap.colmap), dir,
+    val (names, pvs) = stagePartitioned(toPhysical(df2, snap.colmap), dir,
       partitionBy.map(snap.physName))
     val stats = collectStats(spark, dir, names,
       statsColumns.map(snap.physName))
@@ -1509,12 +1651,19 @@ object OccTable {
       catch {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
-          evolved = resolveSchema(snap.schemaJson, df.schema)
+          // the batch is ALREADY STAGED under the old generation rules
+          // — a racing rule change makes those files unrepresentable;
+          // surface it instead of committing stale bytes
+          if (snap.gencols != gencols0) throw new IllegalStateException(
+            s"OccTable: generated-column rules of $dir changed while " +
+              "this append was staged — rerun the append so the batch " +
+              "recomputes under the current rules")
+          evolved = resolveSchema(snap.schemaJson, df2.schema)
           checkNewColumns(snap, evolved)
           // the conflict may BE a racing addCheckConstraint — re-check
           // the batch against the refreshed constraint set (violations
           // propagate as ConstraintViolationException, ending the loop)
-          enforceConstraints(df, snap.constraints, "append batch")
+          enforceConstraints(df2, snap.constraints, "append batch")
       }
     }
     -1L // unreachable
@@ -1541,10 +1690,12 @@ object OccTable {
     val spark = df.sparkSession
     var snap = snapshot(spark, dir)
     if (snap.txns.get(appId).exists(_ >= batchId)) return snap.version
-    var evolved = resolveSchema(snap.schemaJson, df.schema)
+    val gencols0 = snap.gencols
+    val df2 = applyGenerated(df, snap.gencols, s"streaming batch $batchId")
+    var evolved = resolveSchema(snap.schemaJson, df2.schema)
     checkNewColumns(snap, evolved)
-    enforceConstraints(df, snap.constraints, s"streaming batch $batchId")
-    val names = stage(toPhysical(df, snap.colmap), dir)
+    enforceConstraints(df2, snap.constraints, s"streaming batch $batchId")
+    val names = stage(toPhysical(df2, snap.colmap), dir)
     val stats = collectStats(spark, dir, names,
       statsColumns.map(snap.physName))
     while (true) {
@@ -1555,9 +1706,13 @@ object OccTable {
       catch {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
-          evolved = resolveSchema(snap.schemaJson, df.schema)
+          if (snap.gencols != gencols0) throw new IllegalStateException(
+            s"OccTable: generated-column rules of $dir changed while " +
+              s"streaming batch $batchId was staged — the engine will " +
+              "re-offer the batch; it recomputes under the current rules")
+          evolved = resolveSchema(snap.schemaJson, df2.schema)
           checkNewColumns(snap, evolved)
-          enforceConstraints(df, snap.constraints,
+          enforceConstraints(df2, snap.constraints,
             s"streaming batch $batchId")
       }
     }
@@ -1617,8 +1772,17 @@ object OccTable {
       // would die in Spark with an unnamed schema error — say why
       require(snap.files.nonEmpty,
         s"OccTable: rewrite on an empty snapshot at $dir (v${snap.version})")
-      val out = transform(readSnapshot(spark, dir, snap,
+      // generation rules re-apply to the transform's output (X138):
+      // a transform that drops the generated column gets it recomputed;
+      // one that changes a source column without updating the generated
+      // one is REFUSED by the validation. An overwrite replaces the
+      // schema wholesale — the rules' columns may not even exist — so
+      // it skips generation (the escape hatch, like its schema rule).
+      val out0 = transform(readSnapshot(spark, dir, snap,
         throw new IllegalStateException("unreachable: files non-empty")))
+      val out =
+        if (overwriteSchema) out0
+        else applyGenerated(out0, snap.gencols, "rewrite output")
       val evolved =
         if (overwriteSchema)
           Some(out.schema.json).filterNot(snap.schemaJson.contains)
@@ -1784,7 +1948,10 @@ object OccTable {
           return MergeResult(snap.version, 0, snap.files.size)
       }
       val sourceData = deleteCol.map(source.drop(_)).getOrElse(source)
-      val evolved = resolveSchema(snap.schemaJson, sourceData.schema)
+      // schema resolution sees the GENERATED shape (X138): a source
+      // omitting a generated column is additive, not non-additive
+      val evolved = resolveSchema(snap.schemaJson,
+        withGenerated(sourceData, snap.gencols).schema)
       checkNewColumns(snap, evolved)
       val physKey = snap.physName(headKey)
       val srcKeys = source.select(keyCols.map(col): _*).distinct()
@@ -1833,8 +2000,10 @@ object OccTable {
           throw new IllegalStateException("unreachable: candidates non-empty")))
       val survivors = touched.map(_.join(broadcast(srcKeys),
         keyCols, "left_anti"))
-      val inserts = deleteCol.foldLeft(source)((d, c) =>
-        d.filter(!coalesce(col(c), lit(false))).drop(c))
+      val inserts = applyGenerated(
+        deleteCol.foldLeft(source)((d, c) =>
+          d.filter(!coalesce(col(c), lit(false))).drop(c)),
+        snap.gencols, "merge source")
       // survivors came from the table and addCheckConstraint validated
       // the table — only the source-derived rows need checking
       enforceConstraints(inserts, snap.constraints, "merge source")
@@ -2398,6 +2567,8 @@ object OccTable {
           s"constraint $cn ${urlEnc(e)}" } ++
         colmapLines(s.colmap) ++
         s.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
+        s.gencols.toSeq.sortBy(_._1).map { case (gn, ge) =>
+          s"gencol $gn ${urlEnc(ge)}" } ++
         schemaLines(s.schemaJson, s.schemaJson)))
       .mkString("", "\n", "\n")
     require(claim(fsys, versionPath(dstDir, 0L), body.getBytes("UTF-8")),
@@ -2410,7 +2581,7 @@ object OccTable {
       // copied — the returned snapshot must agree, or a caller
       // consuming it directly would serve DV-deleted rows as live
       s.dvs.map { case (n, v) => renm(n) -> v },
-      s.colmap, s.colTombs)
+      s.colmap, s.colTombs, s.gencols)
   }
 
   /** Delta `DESCRIBE HISTORY` parity (X131): the table's commit log as
