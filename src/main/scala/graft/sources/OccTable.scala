@@ -84,7 +84,8 @@ object OccTable {
       dvs: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
       colTombs: Set[String] = Set.empty,
-      gencols: Map[String, String] = Map.empty) {
+      gencols: Map[String, String] = Map.empty,
+      everMapped: Boolean = false) {
     /** The log schema in force at this version, if the log records one
       * (v0 of every table initialized since X104 does).
       */
@@ -922,10 +923,13 @@ object OccTable {
       // select, not filter: generated expressions are arbitrary-typed
       try probe.select(expr(e)).queryExecution.analyzed
       catch {
-        case ex: Exception => throw new IllegalArgumentException(
-          s"OccTable: $what would break $kind '$n' " +
-            s"(`$e`): ${ex.getMessage.linesIterator.next()} — drop " +
-            s"the $kind first")
+        case ex: Exception =>
+          val why = Option(ex.getMessage)
+            .flatMap(_.linesIterator.find(_.nonEmpty))
+            .getOrElse(ex.getClass.getSimpleName)
+          throw new IllegalArgumentException(
+            s"OccTable: $what would break $kind '$n' " +
+              s"(`$e`): $why — drop the $kind first")
       }
     }
   }
@@ -995,6 +999,7 @@ object OccTable {
     val dvs = scala.collection.mutable.Map.empty[String, String]
     var schemaJson: Option[String] = None
     var colmap = Map.empty[String, String]
+    var everMapped = false
     val colTombs = scala.collection.mutable.Set.empty[String]
     val gencols = scala.collection.mutable.Map.empty[String, String]
     def fold(a: Actions): Unit = {
@@ -1002,7 +1007,7 @@ object OccTable {
         live -= n; stats -= n; pvs -= n; blooms -= n; dvs -= n }
       a.constraintAdds.foreach { case (n, e) => constraints(n) = e }
       a.constraintDrops.foreach(constraints -= _)
-      a.colmapSet.foreach(m => colmap = m)
+      a.colmapSet.foreach { m => colmap = m; everMapped = true }
       colTombs ++= a.colTombAdds
       a.gencolAdds.foreach { case (n, e) => gencols(n) = e }
       a.gencolDrops.foreach(gencols -= _)
@@ -1035,7 +1040,7 @@ object OccTable {
       fold(readActions(fsys, dir, v)))
     Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap,
       pvs.toMap, blooms.toMap, constraints.toMap, dvs.toMap,
-      colmap, colTombs.toSet, gencols.toMap)
+      colmap, colTombs.toSet, gencols.toMap, everMapped)
   }
 
   /** Delta-parity TIMESTAMP AS OF: the last version whose commit time
@@ -1114,6 +1119,39 @@ object OccTable {
     }
   }
 
+  /** Read `names` — files added under era snapshot `at` — and serve
+    * them in `cur`'s LOGICAL space: each of cur's logical columns
+    * resolves to the era column backed by the SAME physical name
+    * — matched by LOGICAL name first (stable across a colmapclear
+    * overwrite, which re-bases physicals) and by PHYSICAL name second
+    * (stable across renames); the resurrection refusals guarantee
+    * neither identifier ever serves two different columns, so the two
+    * matches cannot disagree. A cur column the era had under neither
+    * identity (pre-evolution files) reads as a typed NULL; era columns
+    * cur has since dropped disappear. Identity when the eras share
+    * schema and mapping.
+    */
+  private[sources] def scanFilesAs(spark: SparkSession, dir: String,
+      at: Snapshot, cur: Snapshot, names: Seq[String]): DataFrame = {
+    val base = scanFiles(spark, dir, at, names)
+    (cur.schema, at.schema) match {
+      case (Some(curSt), Some(atSt))
+          if curSt != atSt || cur.colmap != at.colmap =>
+        val cols = curSt.fields.map { f =>
+          val phys = cur.physName(f.name)
+          val src =
+            if (atSt.fieldNames.contains(f.name)) Some(f.name)
+            else atSt.fieldNames.find(l => at.physName(l) == phys)
+          src match {
+            case Some(l) => col(l).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }
+        base.select(cols.toIndexedSeq: _*)
+      case _ => base
+    }
+  }
+
   /** Plan the scan from a snapshot: explicit live-file paths with the
     * LOG schema when the log records one — pre-evolution files serve
     * the added columns as null, and an empty snapshot serves a typed
@@ -1150,6 +1188,10 @@ object OccTable {
       snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
         s"constraint $n ${urlEnc(e)}" } ++
       colmapLines(snap.colmap) ++
+      // a cleared-but-once-mapped log keeps its history visible across
+      // checkpoint+truncation: era-aware readers key off everMapped
+      (if (snap.everMapped && snap.colmap.isEmpty) Seq("colmapclear")
+       else Seq.empty) ++
       snap.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
       snap.gencols.toSeq.sortBy(_._1).map { case (n, e) =>
         s"gencol $n ${urlEnc(e)}" } ++
@@ -1414,13 +1456,17 @@ object OccTable {
             s"OccTable: another schema change landed after read version " +
               s"$readVersion — re-resolve the evolution on the current " +
               "snapshot")
-        if (adds.nonEmpty &&
+        // schema-changing commits (rename/drop) must ALSO conflict: a
+        // constraint or generation rule declared meanwhile was
+        // validated against the schema this commit is replacing — the
+        // caller must re-resolve against it or the rule stops analyzing
+        if ((adds.nonEmpty || newSchemaJson.nonEmpty) &&
             intervening.exists(_._2.constraintAdds.nonEmpty))
           throw new ConcurrentWriteException(
             s"OccTable: a CHECK constraint was added after read version " +
-              s"$readVersion — re-enforce this write's rows against the " +
+              s"$readVersion — re-enforce this write against the " +
               "current snapshot's constraints")
-        if (adds.nonEmpty &&
+        if ((adds.nonEmpty || newSchemaJson.nonEmpty) &&
             intervening.exists(_._2.gencolAdds.nonEmpty))
           throw new ConcurrentWriteException(
             s"OccTable: a GENERATED column was declared after read " +
@@ -1783,6 +1829,11 @@ object OccTable {
       val out =
         if (overwriteSchema) out0
         else applyGenerated(out0, snap.gencols, "rewrite output")
+      // an overwrite that would leave a declared constraint or
+      // generation rule unresolvable wedges every later write — refuse
+      // up front, same gate as rename/drop (drop the rule first)
+      if (overwriteSchema)
+        checkDeclaredResolve(spark, out.schema, snap, "schema overwrite")
       val evolved =
         if (overwriteSchema)
           Some(out.schema.json).filterNot(snap.schemaJson.contains)
@@ -1802,8 +1853,11 @@ object OccTable {
       try return commitActions(spark, dir, names, snap.files, snap.version,
         newSchemaJson = evolved,
         schemaInForce = evolved.orElse(snap.schemaJson),
+        // an overwrite that clears the mapping must ALSO conflict with
+        // any intervening commit: a racing append staged under the old
+        // mapping would survive the overwrite and read as NULLs forever
         conflictOnAnyIntervening =
-          overwriteSchema && evolved.nonEmpty,
+          overwriteSchema && (evolved.nonEmpty || snap.colmap.nonEmpty),
         addStats = stats, addBlooms = blooms, op = Some("rewrite"),
         extraMeta =
           if (overwriteSchema && snap.colmap.nonEmpty) Seq("colmapclear")
@@ -2203,24 +2257,12 @@ object OccTable {
       if (cand.isEmpty)
         return DvDeleteResult(snap.version, 0L, 0, snap.files.size)
       // materialize the scan identity into REAL columns up front — a
-      // join would sever `_metadata` resolution downstream. Read with
-      // the PHYSICAL schema and alias back to logical (X137) so
-      // `rowFilter`'s logical column references resolve.
-      val raw = (snap.schema match {
-        case Some(st) => spark.read
-          .schema(physicalSchema(st, snap.colmap))
-          .parquet(cand.map(f => resolvePath(dir, f)): _*)
-        case None => spark.read.parquet(
-          cand.map(f => resolvePath(dir, f)): _*)
-      }).withColumn("__dv_fn", col("_metadata.file_name"))
+      // JOIN downstream would sever `_metadata` resolution (a Project
+      // does not: scanFiles' aliasing select is transparent to it, the
+      // same route every applyDvs call relies on)
+      val base = scanFiles(spark, dir, snap, cand)
+        .withColumn("__dv_fn", col("_metadata.file_name"))
         .withColumn("__dv_ri", col("_metadata.row_index"))
-      val base = snap.schema match {
-        case Some(st) if snap.colmap.nonEmpty =>
-          raw.select((st.fields.map(f =>
-            col(snap.physName(f.name)).as(f.name)).toSeq :+
-            col("__dv_fn") :+ col("__dv_ri")): _*)
-        case _ => raw
-      }
       val candSet = cand.toSet
       val existingPaths = snap.dvs.filter { case (f, _) => candSet(f) }
         .values.toSeq.distinct.map(n => s"$dir/$DvDirName/$n")
@@ -2500,8 +2542,12 @@ object OccTable {
         case (None, Seq()) => throw new IllegalStateException(
           s"OccTable: no churned files and no log schema at $dir")
         case (_, fs0) =>
+          // BOTH sides serve the TO-version's logical space: a column
+          // renamed between the versions compares its real bytes on
+          // the from side (physical names are stable), instead of
+          // reading as NULL and flagging every row as changed
           applyDvs(spark, dir, s.copy(files = names),
-            scanFiles(spark, dir, s, fs0))
+            scanFilesAs(spark, dir, s, sb, fs0))
       }
       (keyCols ++ cols).foldLeft(base) { (d, c) =>
         if (d.columns.contains(c)) d
@@ -2566,6 +2612,8 @@ object OccTable {
         s.constraints.toSeq.sortBy(_._1).map { case (cn, e) =>
           s"constraint $cn ${urlEnc(e)}" } ++
         colmapLines(s.colmap) ++
+        (if (s.everMapped && s.colmap.isEmpty) Seq("colmapclear")
+         else Seq.empty) ++
         s.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
         s.gencols.toSeq.sortBy(_._1).map { case (gn, ge) =>
           s"gencol $gn ${urlEnc(ge)}" } ++
@@ -2581,7 +2629,7 @@ object OccTable {
       // copied — the returned snapshot must agree, or a caller
       // consuming it directly would serve DV-deleted rows as live
       s.dvs.map { case (n, v) => renm(n) -> v },
-      s.colmap, s.colTombs, s.gencols)
+      s.colmap, s.colTombs, s.gencols, s.everMapped)
   }
 
   /** Delta `DESCRIBE HISTORY` parity (X131): the table's commit log as
@@ -2673,6 +2721,15 @@ object OccTable {
     val removes = cur.files.filterNot(tgtSet)
     val schemaChange =
       if (tgt.schemaJson != cur.schemaJson) tgt.schemaJson else None
+    // constraints and generation rules do NOT rewind (accumulate
+    // state, the X132 design) — so a restore that re-establishes a
+    // schema a CURRENT rule cannot analyze against must refuse up
+    // front, or every later write dies inside enforcement
+    schemaChange.foreach { j =>
+      checkDeclaredResolve(spark,
+        DataType.fromJson(j).asInstanceOf[StructType], cur,
+        s"restore to version $version")
+    }
     // restore the column mapping of the target version too (a restore
     // can undo a rename/drop): full-map replace, or an explicit clear
     // when the target predates the mapping. Tombstones stay — they are

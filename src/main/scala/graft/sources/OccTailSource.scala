@@ -308,12 +308,38 @@ object OccStream {
           }
         }
         if (addFiles.nonEmpty) {
-          // scanFiles plans with the log schema AND aliases physical →
-          // logical under column mapping (X137), so a tail across a
-          // rename keeps serving the current logical shape
-          val snap = OccTable.snapshot(spark, dir)
-          sink(OccTable.scanFiles(spark, dir, snap,
-            addFiles.toIndexedSeq), batchId)
+          // each version's adds read under the mapping IN FORCE WHEN
+          // THEY LANDED and translate into the CURRENT logical space
+          // (X137): a replay across a colmapclear overwrite would
+          // otherwise read pre-clear files' mapped columns as NULL.
+          // Versions the vacuum marker already covers fall back to the
+          // current era (their era fold is refused by the vacuum
+          // guard; their files survived, and any mapping clear since
+          // would have removed them — the documented skipRewrites lag
+          // hazard).
+          val cur = OccTable.snapshot(spark, dir)
+          val data =
+            if (!cur.everMapped)
+              // never-mapped log: one scan with the current schema —
+              // evolution nulls are the intended read, no era folds
+              OccTable.scanFiles(spark, dir, cur, addFiles.toIndexedSeq)
+            else {
+              val byVersion = acts.collect {
+                case (v, "add", f)
+                  if onRewrite == "ignoreRemoves" || !rewriteVs(v) =>
+                    (v, f)
+              }.groupBy(_._1).toSeq.sortBy(_._1)
+              byVersion.map { case (v, vfs) =>
+                val era =
+                  try OccTable.snapshotAt(spark, dir, v)
+                  catch {
+                    case _: OccTable.VacuumedVersionException => cur
+                  }
+                OccTable.scanFilesAs(spark, dir, era, cur,
+                  vfs.map(_._2).toIndexedSeq)
+              }.reduce(_.unionByName(_, allowMissingColumns = true))
+            }
+          sink(data, batchId)
         }
         ()
       }

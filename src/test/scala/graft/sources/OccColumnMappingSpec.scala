@@ -208,11 +208,68 @@ class OccColumnMappingSpec extends SparkSpec {
       overwriteSchema = true)
     val after = OccTable.snapshot(spark, dir)
     assert(after.colmap.isEmpty)
+    assert(after.everMapped) // the cleared history stays visible
     assert(OccTable.read(spark, dir)().columns.toSeq ===
       Seq("id", "value"))
     val raw = spark.read.parquet(
       after.files.map(f => s"$dir/$f"): _*)
     assert(raw.columns.toSeq === Seq("id", "value")) // physical too
+  }
+
+  test("a colmapclear overwrite conflicts with a racing append staged under the old mapping") {
+    val dir = freshDir()
+    initTable(dir)
+    OccTable.renameColumn(spark, dir, "v", "reading")
+    // the racing append lands BETWEEN the overwrite's read and claim
+    // (committed from inside its transform) — without the conflict the
+    // appended file would survive the clear carrying physical 'v' and
+    // serve reading = NULL forever
+    assertThrows[OccTable.ConcurrentWriteException] {
+      OccTable.rewrite(spark, dir, d => {
+        OccTable.append(Seq((999L, "u999", 1.0))
+          .toDF("id", "user", "reading").coalesce(1), dir)
+        d.coalesce(1)
+      }, overwriteSchema = true, maxRetries = 0)
+    }
+    // nothing half-applied: the append is live, the mapping intact
+    assert(OccTable.snapshot(spark, dir).colmap.nonEmpty)
+    assert(OccTable.read(spark, dir)().count() === 401L)
+    assert(OccTable.read(spark, dir)().filter(col("id") === 999L)
+      .select("reading").as[Double].collect().toSeq === Seq(1.0))
+  }
+
+  test("the tail serves real values across a rename AND across a colmapclear overwrite") {
+    val dir = freshDir()
+    OccTable.init((1L to 50L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .coalesce(1), dir)                                   // v0
+    OccTable.renameColumn(spark, dir, "v", "reading")      // v1
+    OccTable.append((51L to 100L).map(i => (i, i * 2.0))
+      .toDF("id", "reading").coalesce(1), dir)             // v2 (physical 'v')
+    OccTable.rewrite(spark, dir,
+      d => d.filter(col("id") <= 100L).coalesce(1),
+      overwriteSchema = true)                              // v3: clear, physical 'reading'
+    OccTable.append(Seq((101L, 202.0)).toDF("id", "reading")
+      .coalesce(1), dir)                                   // v4 (physical 'reading')
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    val q = OccStream.tailTo(spark, dir,
+      Files.createTempDirectory("graft_colmap_tail2").toString,
+      (batch, _) => {
+        assert(batch.columns.toSeq === Seq("id", "reading"))
+        rows ++= batch.select("id", "reading")
+          .as[(Long, Option[Double])].collect()
+        ()
+      },
+      onRewrite = "skipRewrites",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    // v0 predates the rename: its era cannot link 'v' to 'reading'
+    // (the documented replay hazard of skipRewrites across a clear);
+    // v2's era mapping links reading -> physical v, and v4 is native —
+    // both must serve REAL values, not NULLs
+    val byId = rows.toMap
+    assert(byId(60L) === Some(120.0))  // v2-era file through the mapping
+    assert(byId(101L) === Some(202.0)) // post-clear file
+    assert(rows.count(_._2.nonEmpty) >= 51)
   }
 
   test("column pruning pushes through the mapping alias: a 1-column logical projection scans 1 physical column") {
@@ -251,6 +308,14 @@ class OccColumnMappingSpec extends SparkSpec {
       Seq("id"), Seq("user")).select("id", "status")
       .as[(Long, String)].collect().sorted.toSeq
     assert(ch2 === (1L to 10L).map(i => (i, "removed")))
+    // a feed SPANNING the rename asking for the RENAMED column: the
+    // pre-rename side serves its real bytes through the stable
+    // physical name, so ONLY the DV-deleted keys surface — not an
+    // all-rows-"changed" storm from the old side reading as NULL
+    val span = OccTable.tableChanges(spark, dir, 0L, 2L,
+      Seq("id"), Seq("reading")).select("id", "status")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(span === (1L to 10L).map(i => (i, "removed")))
 
     // optimize under a mapping: purge + pack keeps logical reads and
     // stages physical columns

@@ -120,5 +120,18 @@ class OccConstraintSpec extends SparkSpec {
     // ones against the REFRESHED constraint set
     OccTable.append(Seq((11L, 2.0)).toDF("id", "v"), dir)
     assert(OccTable.read(spark, dir)().count() === 11L)
+
+    // the SCHEMA-CHANGING shape of the same race: a rename validated
+    // before the constraint landed must conflict too, or it could
+    // commit a schema the new expression no longer resolves against
+    val stale2 = OccTable.snapshot(spark, dir).version
+    OccTable.addCheckConstraint(spark, dir, "id_pos", "id > 0")
+    val e2 = intercept[OccTable.ConcurrentWriteException] {
+      OccTable.commitActions(spark, dir, Seq.empty, Seq.empty, stale2,
+        newSchemaJson = Some(OccTable.snapshot(spark, dir)
+          .schema.get.json),
+        op = Some("rename_column"))
+    }
+    assert(e2.getMessage.contains("CHECK constraint"))
   }
 }

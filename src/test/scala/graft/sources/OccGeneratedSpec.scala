@@ -136,4 +136,31 @@ class OccGeneratedSpec extends SparkSpec {
     assert(OccTable.read(spark, dir)().columns.toSeq ===
       Seq("id", "ts2", "bucket"))
   }
+
+  test("schema overwrite and restore refuse shapes a surviving rule cannot analyze against") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 1.0)).toDF("id", "b"), dir)         // v0
+    // evolution adds a AND total; v0's row reads both as NULL, which
+    // satisfies the rule null-safely (a*2 of NULL is NULL)
+    OccTable.append(Seq((2L, 2.0, 5.0, 10.0))
+      .toDF("id", "b", "a", "total").coalesce(1), dir)         // v1
+    OccTable.addGeneratedColumn(spark, dir, "total", "a * 2")  // v2
+    // an overwrite that drops the rule's source column would wedge
+    // every later write inside generation — refused by name up front
+    val e = intercept[IllegalArgumentException] {
+      OccTable.rewrite(spark, dir, d => d.select("id", "total"),
+        overwriteSchema = true)
+    }
+    assert(e.getMessage.contains("generated column"))
+    // restoring to the pre-evolution schema (no 'a', no 'total')
+    // breaks the surviving rule the same way — refused, table intact
+    assertThrows[IllegalArgumentException] {
+      OccTable.restore(spark, dir, 0L)
+    }
+    assert(OccTable.read(spark, dir)().count() === 2L)
+    // dropping the rule unblocks both
+    OccTable.dropGeneratedColumn(spark, dir, "total")
+    OccTable.restore(spark, dir, 0L)
+    assert(OccTable.read(spark, dir)().columns.toSeq === Seq("id", "b"))
+  }
 }
