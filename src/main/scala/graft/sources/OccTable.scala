@@ -85,7 +85,8 @@ object OccTable {
       colmap: Map[String, String] = Map.empty,
       colTombs: Set[String] = Set.empty,
       gencols: Map[String, String] = Map.empty,
-      everMapped: Boolean = false) {
+      everMapped: Boolean = false,
+      features: Set[String] = Set.empty) {
     /** The log schema in force at this version, if the log records one
       * (v0 of every table initialized since X104 does).
       */
@@ -121,7 +122,8 @@ object OccTable {
       colmapSet: Option[Map[String, String]] = None,
       colTombAdds: Seq[String] = Seq.empty,
       gencolAdds: Seq[(String, String)] = Seq.empty,
-      gencolDrops: Seq[String] = Seq.empty)
+      gencolDrops: Seq[String] = Seq.empty,
+      featureAdds: Seq[String] = Seq.empty)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
@@ -157,6 +159,26 @@ object OccTable {
       s"OccTable: version $version was vacuumed away (history " +
         s"reclaimed through $vacuumedThrough; earliest readable " +
         s"version is ${vacuumedThrough + 1})")
+
+  /** Thrown when the log declares a TABLE FEATURE this build does not
+    * implement (X139 — Delta's protocol/table-features contract): a
+    * reader that does not understand deletion vectors, column mapping,
+    * or any future feature must refuse BY NAME instead of silently
+    * serving deleted rows or misnamed columns.
+    */
+  final class UnsupportedTableFeatureException(
+      val unsupported: Set[String])
+    extends RuntimeException(
+      s"OccTable: the log declares table feature(s) this build does " +
+        s"not implement: ${unsupported.toSeq.sorted.mkString(", ")} — " +
+        "upgrade the engine to read this table")
+
+  /** Every table feature THIS build reads and writes correctly. A
+    * feature-declaring commit makes every older reader (one without
+    * the name in its set) refuse loudly at snapshot time.
+    */
+  val SupportedFeatures: Set[String] = Set(
+    "deletion_vectors", "column_mapping", "generated_columns")
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -288,7 +310,9 @@ object OccTable {
         (n, urlDec(e))
       },
       lines.collect { case s if s.startsWith("dropgencol ") =>
-        s.stripPrefix("dropgencol ") })
+        s.stripPrefix("dropgencol ") },
+      lines.collect { case s if s.startsWith("feature ") =>
+        s.stripPrefix("feature ") })
   }
 
   /** Commit-log versions and their parsed actions over `(after, upTo]`
@@ -870,7 +894,9 @@ object OccTable {
       newSchemaJson = Some(newSt.json),
       schemaInForce = Some(newSt.json),
       op = Some("rename_column"),
-      extraMeta = colmapLines(newMap))
+      extraMeta = colmapLines(newMap) ++
+        (if (snap.features("column_mapping")) Seq.empty
+         else Seq("feature column_mapping")))
   }
 
   /** Delta-parity `ALTER TABLE DROP COLUMN` (X137): a PURE METADATA
@@ -905,7 +931,10 @@ object OccTable {
       newSchemaJson = Some(newSt.json),
       schemaInForce = Some(newSt.json),
       op = Some("drop_column"),
-      extraMeta = colmapLines(newMap) :+ s"colmaptomb ${urlEnc(phys)}")
+      extraMeta = colmapLines(newMap) ++
+        Seq(s"colmaptomb ${urlEnc(phys)}") ++
+        (if (snap.features("column_mapping")) Seq.empty
+         else Seq("feature column_mapping")))
   }
 
   /** Refuse a schema/mapping change that would break a declared
@@ -1002,6 +1031,7 @@ object OccTable {
     var everMapped = false
     val colTombs = scala.collection.mutable.Set.empty[String]
     val gencols = scala.collection.mutable.Map.empty[String, String]
+    val features = scala.collection.mutable.Set.empty[String]
     def fold(a: Actions): Unit = {
       a.removes.foreach { n =>
         live -= n; stats -= n; pvs -= n; blooms -= n; dvs -= n }
@@ -1011,6 +1041,7 @@ object OccTable {
       colTombs ++= a.colTombAdds
       a.gencolAdds.foreach { case (n, e) => gencols(n) = e }
       a.gencolDrops.foreach(gencols -= _)
+      features ++= a.featureAdds
       a.adds.foreach { n =>
         live += n
         a.addStats.get(n) match {
@@ -1038,9 +1069,15 @@ object OccTable {
     chkAt.foreach(c => fold(parseActions(fsys, checkpointPath(dir, c))))
     need.filter(vs.contains).sorted.foreach(v =>
       fold(readActions(fsys, dir, v)))
+    // the FEATURE GATE (X139): refuse by name at plan time when the
+    // log declares a feature this build cannot read correctly — the
+    // alternative is silently serving deleted rows or misnamed columns
+    val unknown = features.toSet -- SupportedFeatures
+    if (unknown.nonEmpty)
+      throw new UnsupportedTableFeatureException(unknown)
     Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap,
       pvs.toMap, blooms.toMap, constraints.toMap, dvs.toMap,
-      colmap, colTombs.toSet, gencols.toMap, everMapped)
+      colmap, colTombs.toSet, gencols.toMap, everMapped, features.toSet)
   }
 
   /** Delta-parity TIMESTAMP AS OF: the last version whose commit time
@@ -1195,6 +1232,7 @@ object OccTable {
       snap.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
       snap.gencols.toSeq.sortBy(_._1).map { case (n, e) =>
         s"gencol $n ${urlEnc(e)}" } ++
+      snap.features.toSeq.sorted.map(f => s"feature $f") ++
       schemaLines(snap.schemaJson, snap.schemaJson))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     claim(fsys, checkpointPath(dir, snap.version), body) // exists = done
@@ -1603,7 +1641,9 @@ object OccTable {
       schemaInForce = snap.schemaJson,
       conflictOnAnyIntervening = true,
       op = Some("add_gencol"),
-      extraMeta = Seq(s"gencol $name ${urlEnc(sqlExpr)}"))
+      extraMeta = Seq(s"gencol $name ${urlEnc(sqlExpr)}") ++
+        (if (snap.features("generated_columns")) Seq.empty
+         else Seq("feature generated_columns")))
   }
 
   /** Drop a generation rule — the column stays, as a plain column. */
@@ -2304,6 +2344,11 @@ object OccTable {
           addBlooms =
             snap.blooms.filter { case (f, _) => touched.contains(f) },
           op = Some("delete_dv"),
+          // first DV commit declares the feature: pre-X134 readers
+          // would silently serve the deleted rows — refuse them (X139)
+          extraMeta =
+            if (snap.features("deletion_vectors")) Seq.empty
+            else Seq("feature deletion_vectors"),
           addDvs = touched.map(_ -> dvName).toMap),
         markedNow, touched.size, snap.files.size - touched.size)
       catch {
@@ -2617,6 +2662,7 @@ object OccTable {
         s.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
         s.gencols.toSeq.sortBy(_._1).map { case (gn, ge) =>
           s"gencol $gn ${urlEnc(ge)}" } ++
+        s.features.toSeq.sorted.map(f => s"feature $f") ++
         schemaLines(s.schemaJson, s.schemaJson)))
       .mkString("", "\n", "\n")
     require(claim(fsys, versionPath(dstDir, 0L), body.getBytes("UTF-8")),
@@ -2629,7 +2675,7 @@ object OccTable {
       // copied — the returned snapshot must agree, or a caller
       // consuming it directly would serve DV-deleted rows as live
       s.dvs.map { case (n, v) => renm(n) -> v },
-      s.colmap, s.colTombs, s.gencols, s.everMapped)
+      s.colmap, s.colTombs, s.gencols, s.everMapped, s.features)
   }
 
   /** Delta `DESCRIBE HISTORY` parity (X131): the table's commit log as

@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** X139 table-feature gate (Delta protocol/table-features parity): the
+  * first commit using deletion vectors / column mapping / generated
+  * columns declares the feature in the log, and a reader that does not
+  * implement a declared feature refuses BY NAME at snapshot time —
+  * never silently serving deleted rows or misnamed columns.
+  */
+class OccFeatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_feature").toString + "/t"
+
+  test("features accumulate on first use, survive checkpoint + truncation, ride the clone") {
+    val dir = freshDir()
+    OccTable.init((1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .coalesce(1), dir, statsColumns = Seq("id"))
+    assert(OccTable.snapshot(spark, dir).features === Set.empty)
+
+    OccTable.deleteRangeDv(spark, dir, "id", 1.0, 5.0)
+    assert(OccTable.snapshot(spark, dir).features ===
+      Set("deletion_vectors"))
+    OccTable.renameColumn(spark, dir, "v", "reading")
+    OccTable.addGeneratedColumn(spark, dir, "reading", "cast(id * 2 as double)")
+    val all = Set("deletion_vectors", "column_mapping",
+      "generated_columns")
+    assert(OccTable.snapshot(spark, dir).features === all)
+
+    // re-using a feature does NOT re-declare it (one line, ever)
+    OccTable.deleteRangeDv(spark, dir, "id", 6.0, 7.0)
+    OccTable.checkpoint(spark, dir)
+    OccTable.truncateLog(spark, dir)
+    assert(OccTable.snapshot(spark, dir).features === all)
+
+    val dir2 = freshDir()
+    assert(OccTable.clone(spark, dir, dir2).features === all)
+    assert(OccTable.snapshot(spark, dir2).features === all)
+  }
+
+  test("an undeclared future feature refuses by name; history below it stays readable") {
+    val dir = freshDir()
+    OccTable.init((1L to 10L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .coalesce(1), dir) // v0
+    OccTable.append(Seq((11L, 22.0)).toDF("id", "v").coalesce(1),
+      dir) // v1
+    // a NEWER engine commits v2 with a feature this build lacks
+    val fsys = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2 = new Path(s"$dir/_graft_occ/v${"%020d".format(2L)}")
+    val out = fsys.create(v2, false)
+    out.write("op future_verb\nfeature time_crystals\n".getBytes("UTF-8"))
+    out.close()
+
+    val e = intercept[OccTable.UnsupportedTableFeatureException] {
+      OccTable.snapshot(spark, dir)
+    }
+    assert(e.unsupported === Set("time_crystals"))
+    assert(e.getMessage.contains("time_crystals"))
+    // every read path refuses identically (they all fold the snapshot)
+    assertThrows[OccTable.UnsupportedTableFeatureException] {
+      OccTable.read(spark, dir)()
+    }
+    // time travel BELOW the declaring version still serves (the fold
+    // never reaches the feature line)
+    assert(OccTable.readAt(spark, dir, 1L)().count() === 11L)
+    assert(OccTable.readAt(spark, dir, 0L)().count() === 10L)
+  }
+}
