@@ -365,6 +365,35 @@ object OccTable {
     m.toSeq.sortBy(_._1).map { case (l, p) =>
       s"colmap ${urlEnc(l)} ${urlEnc(p)}" }
 
+  /** A snapshot's FULL declared-metadata state as log lines —
+    * constraints, column mapping (with the explicit clear marker for a
+    * once-mapped log), tombstones, generation rules, features. The ONE
+    * serializer [[checkpoint]] and [[clone]] both use, so a new kind
+    * of log state cannot be carried by one and silently dropped by the
+    * other.
+    */
+  private def metaLines(s: Snapshot): Seq[String] =
+    s.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
+      s"constraint $n ${urlEnc(e)}" } ++
+      colmapLines(s.colmap) ++
+      (if (s.everMapped && s.colmap.isEmpty) Seq("colmapclear")
+       else Seq.empty) ++
+      s.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
+      s.gencols.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"gencol $n ${urlEnc(e)}" } ++
+      s.features.toSeq.sorted.map(f => s"feature $f")
+
+  /** The `feature <name>` declaration a commit must carry on a
+    * feature's FIRST use (X139) — empty once declared. The require
+    * makes a typo'd name (which would brick the table for every
+    * reader, this build included) impossible.
+    */
+  private def declareFeature(s: Snapshot, name: String): Seq[String] = {
+    require(SupportedFeatures.contains(name),
+      s"OccTable: declaring unknown feature '$name'")
+    if (s.features(name)) Seq.empty else Seq(s"feature $name")
+  }
+
   /** One add action line: `add <name>`, `add <name>\t<stats>` (X117,
     * the tab-extended Delta `AddFile.stats` shape), with the file's
     * partition values as a `pv=k=v;…` field (Delta `AddFile
@@ -895,8 +924,7 @@ object OccTable {
       schemaInForce = Some(newSt.json),
       op = Some("rename_column"),
       extraMeta = colmapLines(newMap) ++
-        (if (snap.features("column_mapping")) Seq.empty
-         else Seq("feature column_mapping")))
+        declareFeature(snap, "column_mapping"))
   }
 
   /** Delta-parity `ALTER TABLE DROP COLUMN` (X137): a PURE METADATA
@@ -933,8 +961,7 @@ object OccTable {
       op = Some("drop_column"),
       extraMeta = colmapLines(newMap) ++
         Seq(s"colmaptomb ${urlEnc(phys)}") ++
-        (if (snap.features("column_mapping")) Seq.empty
-         else Seq("feature column_mapping")))
+        declareFeature(snap, "column_mapping"))
   }
 
   /** Refuse a schema/mapping change that would break a declared
@@ -1222,17 +1249,7 @@ object OccTable {
       addLine(n, snap.stats.get(n), snap.pvs.get(n),
         snap.blooms.get(n), snap.dvs.get(n))) ++
       snap.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn $a $v" } ++
-      snap.constraints.toSeq.sortBy(_._1).map { case (n, e) =>
-        s"constraint $n ${urlEnc(e)}" } ++
-      colmapLines(snap.colmap) ++
-      // a cleared-but-once-mapped log keeps its history visible across
-      // checkpoint+truncation: era-aware readers key off everMapped
-      (if (snap.everMapped && snap.colmap.isEmpty) Seq("colmapclear")
-       else Seq.empty) ++
-      snap.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
-      snap.gencols.toSeq.sortBy(_._1).map { case (n, e) =>
-        s"gencol $n ${urlEnc(e)}" } ++
-      snap.features.toSeq.sorted.map(f => s"feature $f") ++
+      metaLines(snap) ++
       schemaLines(snap.schemaJson, snap.schemaJson))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     claim(fsys, checkpointPath(dir, snap.version), body) // exists = done
@@ -1510,6 +1527,12 @@ object OccTable {
             s"OccTable: a GENERATED column was declared after read " +
               s"version $readVersion — recompute this write against the " +
               "current snapshot's generation rules")
+        if ((adds.nonEmpty || newSchemaJson.nonEmpty) &&
+            intervening.exists(_._2.featureAdds.nonEmpty))
+          throw new ConcurrentWriteException(
+            s"OccTable: a table FEATURE was declared after read version " +
+              s"$readVersion — re-snapshot so this writer honors (or " +
+              "refuses) the feature's write contract")
       }
       if (claim(fsys, versionPath(dir, attempt), body)) return attempt
       if (fsys.exists(versionPath(dir, attempt))) {
@@ -1642,8 +1665,7 @@ object OccTable {
       conflictOnAnyIntervening = true,
       op = Some("add_gencol"),
       extraMeta = Seq(s"gencol $name ${urlEnc(sqlExpr)}") ++
-        (if (snap.features("generated_columns")) Seq.empty
-         else Seq("feature generated_columns")))
+        declareFeature(snap, "generated_columns"))
   }
 
   /** Drop a generation rule — the column stays, as a plain column. */
@@ -2346,9 +2368,7 @@ object OccTable {
           op = Some("delete_dv"),
           // first DV commit declares the feature: pre-X134 readers
           // would silently serve the deleted rows — refuse them (X139)
-          extraMeta =
-            if (snap.features("deletion_vectors")) Seq.empty
-            else Seq("feature deletion_vectors"),
+          extraMeta = declareFeature(snap, "deletion_vectors"),
           addDvs = touched.map(_ -> dvName).toMap),
         markedNow, touched.size, snap.files.size - touched.size)
       catch {
@@ -2651,18 +2671,13 @@ object OccTable {
       spark.read.parquet(s"$srcDir/$DvDirName/$dvName")
         .write.parquet(s"$dstDir/$DvDirName/$dvName")
     }
+    // metaLines: the same serializer as [[checkpoint]] — constraints,
+    // mapping state, generation rules, and features all ride the fork
+    // (txns deliberately do NOT: a fresh table inherits no fences)
     val body = ("op clone" +:
       (s.files.map(n => addLine(renm(n), s.stats.get(n), s.pvs.get(n),
         None, s.dvs.get(n))) ++
-        s.constraints.toSeq.sortBy(_._1).map { case (cn, e) =>
-          s"constraint $cn ${urlEnc(e)}" } ++
-        colmapLines(s.colmap) ++
-        (if (s.everMapped && s.colmap.isEmpty) Seq("colmapclear")
-         else Seq.empty) ++
-        s.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
-        s.gencols.toSeq.sortBy(_._1).map { case (gn, ge) =>
-          s"gencol $gn ${urlEnc(ge)}" } ++
-        s.features.toSeq.sorted.map(f => s"feature $f") ++
+        metaLines(s) ++
         schemaLines(s.schemaJson, s.schemaJson)))
       .mkString("", "\n", "\n")
     require(claim(fsys, versionPath(dstDir, 0L), body.getBytes("UTF-8")),

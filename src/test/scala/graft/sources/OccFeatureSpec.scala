@@ -45,6 +45,25 @@ class OccFeatureSpec extends SparkSpec {
     assert(OccTable.snapshot(spark, dir2).features === all)
   }
 
+  test("a feature declared after a writer's read conflicts the writer's commit (TOCTOU)") {
+    val dir = freshDir()
+    OccTable.init((1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .coalesce(1), dir, statsColumns = Seq("id"))
+    val stale = OccTable.snapshot(spark, dir).version
+    OccTable.deleteRangeDv(spark, dir, "id", 1.0, 5.0) // declares the feature
+    // a write validated against the pre-feature snapshot must fail as
+    // a conflict so the writer re-snapshots and honors (or refuses)
+    // the feature's write contract
+    val e = intercept[OccTable.ConcurrentWriteException] {
+      OccTable.commitActions(spark, dir, Seq("part-raced.parquet"),
+        Seq.empty, stale, op = Some("append"))
+    }
+    assert(e.getMessage.contains("FEATURE"))
+    // the public retry path still lands appends afterwards
+    OccTable.append(Seq((200L, 1.0)).toDF("id", "v"), dir)
+    assert(OccTable.read(spark, dir)().count() === 96L)
+  }
+
   test("an undeclared future feature refuses by name; history below it stays readable") {
     val dir = freshDir()
     OccTable.init((1L to 10L).map(i => (i, i * 2.0)).toDF("id", "v")
