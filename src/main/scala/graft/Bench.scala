@@ -16,6 +16,42 @@ package graft
   * null — never folded into the total as a near-zero success.
   */
 object Bench {
+  /** X144 degraded-window self-defense: the sentinel floor that marks a
+    * measurement window as DEGRADED (r16 closed on a 50x-floor window,
+    * r17's driver re-run on 31x — both times a human had to re-derive
+    * "weather, not regression" by hand). `windowVerdict` stamps the
+    * artifact; `awaitQuiet` delays the run past a transient storm with
+    * BOUNDED retries instead of silently measuring through it.
+    */
+  private[graft] val DegradedFactor = 4.0
+
+  private[graft] def windowVerdict(minNoise: Option[Double],
+      floorRef: Double, factor: Double = DegradedFactor): String =
+    minNoise match {
+      case None => "unknown"
+      case Some(m) if m > floorRef * factor => "degraded"
+      case _ => "ok"
+    }
+
+  /** Probe the sentinel (best of 3) until it lands within
+    * factor x floor; between attempts, sleep (injectable for the spec).
+    * Returns (quiet?, attempts used) — a still-degraded window after
+    * `attempts` proceeds anyway, stamped, never blocks the round.
+    */
+  private[graft] def awaitQuiet(probe: () => Option[Double],
+      floorRef: Double, factor: Double = DegradedFactor,
+      attempts: Int = 3, sleepMs: Long = 20000L,
+      sleeper: Long => Unit = Thread.sleep): (Boolean, Int) = {
+    var i = 0
+    while (i < attempts) {
+      i += 1
+      val best = (1 to 3).flatMap(_ => probe().toSeq)
+      if (best.nonEmpty && best.min <= floorRef * factor) return (true, i)
+      if (i < attempts) sleeper(sleepMs)
+    }
+    (false, attempts)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -50,6 +86,9 @@ object Bench {
     // "noise" field so a reader of the artifact can tell "this run was
     // noisy, distrust isolated spikes" from the JSON alone.
     require(names.nonEmpty, s"no registered query matches ${args.mkString(",")}")
+    // the best floor observed across rounds (r9), recorded in the
+    // artifact so the normalization is reproducible
+    val SentinelFloorRef = 0.067
     // pick the sentinel among queries that SURVIVED warmup — r9's sentinel
     // was itself in the failing family, so the one run that most needed a
     // noise gauge emitted noise:null
@@ -57,6 +96,12 @@ object Bench {
       if (warmupOk.contains("q_filter_equality")) "q_filter_equality"
       else warmupOk.headOption.getOrElse(names.head)
     val noiseSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    // X144: measure the window BEFORE measuring the engine — bounded
+    // retries ride out a transient storm; a persistent one is stamped
+    val (quietWindow, probeAttempts) =
+      if (sentinel == "q_filter_equality")
+        awaitQuiet(() => timeOnce(sentinel), SentinelFloorRef)
+      else (true, 0)
     def pass(): Map[String, Option[Double]] =
       names.zipWithIndex.map { case (n, i) =>
         if (i % 8 == 0) timeOnce(sentinel).foreach(noiseSamples += _)
@@ -133,11 +178,13 @@ object Bench {
     // comparison had to hand-correct for it. SentinelFloorRef is the best
     // floor observed across rounds (r9), recorded in the artifact so the
     // normalization is reproducible.
-    val SentinelFloorRef = 0.067
     // run timestamp in the artifact: a bench_detail.json sitting beside
     // round artifacts must say WHEN it ran, so a stale or concurrent-
     // window detail file can't be mistaken for the closing run
     val ranAt = java.time.Instant.now().toString
+    val window =
+      if (sentinel != "q_filter_equality") "unknown"
+      else windowVerdict(noiseSamples.minOption.filter(_ => noiseSamples.nonEmpty), SentinelFloorRef)
     val normalizedTotal: Option[Double] =
       if (noiseSamples.isEmpty || sentinel != "q_filter_equality") None
       else Some(total * SentinelFloorRef / noiseSamples.min)
@@ -152,7 +199,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       val norm = normalizedTotal.map(fmt).getOrElse("null")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","normalized_total":$norm,"sentinel_floor_ref":$SentinelFloorRef,"ran_at":"$ranAt","classes":${classesJson(fmt)},"queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","normalized_total":$norm,"sentinel_floor_ref":$SentinelFloorRef,"window":"$window","window_probe_attempts":$probeAttempts,"ran_at":"$ranAt","classes":${classesJson(fmt)},"queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
     }
     // full precision → file (the committed history the judge can read);
     // stdout gets ONE compact line, sized to survive the harness's
@@ -181,7 +228,7 @@ object Bench {
     // even the zero-query line could otherwise exceed the budget and the
     // fallback chain would find nothing to print
     val lastResort =
-      s"""{"metric":"total","value":${sig(2)(total)},"unit":"sec","normalized_total":${normalizedTotal.map(sig(2)).getOrElse("null")},"queries":{},"omitted":${results.size},"failed_n":${failed.size},"noise":${noiseJson(sig(2))},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sig(2)(total)},"unit":"sec","normalized_total":${normalizedTotal.map(sig(2)).getOrElse("null")},"window":"$window","queries":{},"omitted":${results.size},"failed_n":${failed.size},"noise":${noiseJson(sig(2))},"sf":"$sfDir"}"""
     println((3 to 1 by -1).map(n => line(sig(n))).find(_.length <= 1900)
       .getOrElse((results.size to 0 by -1).iterator
         .map(k => line(sig(1), slowestFirst.take(k), results.size - k))

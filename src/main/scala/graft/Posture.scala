@@ -992,7 +992,17 @@ object Posture {
         OccTable.append(one, p)
         val appendMs = (System.nanoTime() - t0) / 1e6
         OccTable.checkpoint(spark, p)
-        val foldChk = foldMs(p)
+        val foldChk = foldMs(p) // X141 pointer-guided: LISTING-FREE open
+        // the same fold with the pointer REMOVED (legacy logs): pays
+        // the O(#commits) directory listing the pointer eliminates —
+        // the difference is the X141 win WITHOUT any truncation
+        val ptr = new org.apache.hadoop.fs.Path(
+          s"$p/_graft_occ/_last_checkpoint")
+        val fsysP = ptr.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fsysP.delete(ptr, false)
+        val foldChkListing = foldMs(p)
+        OccTable.checkpoint(spark, p) // idempotent; rewrites the pointer
         // the FULL maintenance trio: compaction bounds live files (the
         // checkpoint's add-list length), checkpoint bounds log reads,
         // truncation bounds the directory listing
@@ -1001,10 +1011,10 @@ object Posture {
         val foldMaint = foldMs(p)
         OccTable.truncateLog(spark, p)
         val foldTrunc = foldMs(p)
-        f""""$lbl": {"commits": ${n + 2}, "fold_ms_no_checkpoint": $foldNoChk%.1f, "fold_ms_checkpointed": $foldChk%.1f, "fold_ms_compacted_checkpointed": $foldMaint%.1f, "fold_ms_truncated": $foldTrunc%.1f, "append_ms": $appendMs%.1f}"""
+        f""""$lbl": {"commits": ${n + 2}, "fold_ms_no_checkpoint": $foldNoChk%.1f, "fold_ms_checkpointed": $foldChk%.1f, "fold_ms_checkpointed_listing": $foldChkListing%.1f, "fold_ms_compacted_checkpointed": $foldMaint%.1f, "fold_ms_truncated": $foldTrunc%.1f, "append_ms": $appendMs%.1f}"""
       }
       s"""  "occ_log": {
-         |    "what": "X103 transaction-log fold cost at 1x/10x COMMIT count (30 vs 300 one-row appends; the fold reads log files, so only log length matters): fold_ms_no_checkpoint grows with commits — the documented exposure; fold_ms_checkpointed bounds it to one .chk (whose add-list still grows with LIVE FILES — one per append in this fixture); fold_ms_compacted_checkpointed adds compaction (bounds live files) and leaves only the O(#commits) directory listing; fold_ms_truncated adds log truncation (bounds the listing) and must be ~FLAT across the 10x — the complete maintenance trio; append_ms must stay flat at every log length (stage + atomic claim never fold history)",
+         |    "what": "X103 transaction-log fold cost at 1x/10x COMMIT count (30 vs 300 one-row appends; the fold reads log files, so only log length matters): fold_ms_no_checkpoint grows with commits — the documented exposure; fold_ms_checkpointed is the X141 _last_checkpoint open (pointer read + one .chk + existence-probed tail, NO directory listing) and must be ~flat across the 10x WITHOUT truncation; fold_ms_checkpointed_listing is the same state with the pointer deleted (legacy logs) — it pays the O(#commits) listing the pointer eliminates; fold_ms_compacted_checkpointed adds compaction (bounds live files); fold_ms_truncated adds log truncation (bounds even the legacy listing); append_ms must stay flat at every log length (stage + atomic claim never fold history)",
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 

@@ -3115,6 +3115,79 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // ---- X142: the SAME pruned rollup through the registered
+    //      `graft-occ` connector — an analyst's plain WHERE over
+    //      spark.read.format(...).load(dir) file-skips automatically
+    //      (the FileIndex applies the pushed ts-range to the log
+    //      stats), no verb knowledge required; result ≡ q_occ_skip ----
+    "q_occ_dsv2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|dsv2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_dsv2_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val q = (hi - lo) / 4
+      val slices = (0 until 4).map { i =>
+        val a = lo + i * q
+        val z = if (i == 3) hi + 1 else lo + (i + 1) * q
+        ev.filter(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < z)
+          .coalesce(2)
+      }
+      val statsCols = Seq("ts", "value")
+      OccTable.init(slices.head, t, statsColumns = statsCols)
+      slices.tail.foreach(sl =>
+        OccTable.append(sl, t, statsColumns = statsCols))
+      OccTable.checkpoint(s, t)
+      // a DIRECT ts-vs-literal predicate (the pushable shape — the
+      // foldable timestamp_micros constant becomes a Literal), so the
+      // FileIndex receives it and stats-prunes at planning time
+      s.read.format("graft-occ").load(t)
+        .filter(col("ts") >= timestamp_micros(lit(lo + q)) &&
+          col("ts") <= timestamp_micros(lit(lo + 3 * q)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
+    // ---- X143: lossless TYPE WIDENING as pure metadata — gen-1 files
+    //      hold INT metrics, widenColumn(long) rewrites nothing, gen-2
+    //      appends exceed int range, and ONE flat scan serves both
+    //      generations promoted (parquet reader type promotion under
+    //      the log schema); oracle = the closed arithmetic over the
+    //      flat events table ----
+    "q_occ_widen" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|widen".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_widen_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      OccTable.init(ev.filter(col("event_id") % 2 === 0)
+        .withColumn("metric", (col("event_id") % 1000).cast("int"))
+        .coalesce(2), t, statsColumns = Seq("metric"))
+      OccTable.widenColumn(s, t, "metric",
+        org.apache.spark.sql.types.LongType)
+      OccTable.append(ev.filter(col("event_id") % 2 === 1)
+        .withColumn("metric", col("event_id") % 1000 + 3000000000L)
+        .coalesce(2), t, statsColumns = Seq("metric"))
+      OccTable.read(s, t)().select("event_id", "metric")
+    }),
+
     // ---- Delta-parity partitionValues IN THE OCC LOG: the table is
     //      written partitioned by event_type, each add action records
     //      its file's partition value, and readPartitionPruned plans
@@ -3722,6 +3795,13 @@ object SparkEntry {
     //      so the read equals the plain table ----
     "q_occ_stream_ingest" -> ((s, dir) =>
       graft.streaming.Pipeline.replayOccIngest(s, dir)),
+
+    // ---- X145: the composed lakehouse flow through the STREAMING
+    //      lane — rename → generated partition key → fenced partitioned
+    //      streaming ingest → CDC merge → pv-pruned read ⋈ change feed,
+    //      one oracled frame (see Pipeline.replayOccComposed) ----
+    "q_occ_stream_composed" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayOccComposed(s, dir)),
 
     // ---- OCC commit-log TAILING (X104, the read-side of the lakehouse
     //      loop): a live append series on a source OCC table is
@@ -6645,6 +6725,18 @@ object SparkEntry {
     "q_occ_stream_ingest" ->
       "SELECT event_id, event_type, value FROM events",
 
+    // X145: rename + generated bucket + partitioned streaming ingest +
+    // CDC merge + pv-pruned read + change feed, all closed-form — the
+    // pruned bucket is 2, the merge negated % 20 == 2 and the feed
+    // classifies exactly those keys
+    "q_occ_stream_composed" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 20 = 2 THEN -value ELSE value END AS reading,
+        |  CAST(event_id % 4 AS BIGINT) AS bucket,
+        |  CASE WHEN event_id % 20 = 2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM events WHERE event_id % 4 = 2""".stripMargin,
+
     // tailed-and-relayed OCC table is a pure passthrough: the version
     // offsets, the admission cap, the skipped compaction commit, and
     // the destination fence must all be invisible in the content
@@ -6672,6 +6764,29 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM f GROUP BY 1""".stripMargin,
+
+    // X142: the connector path must be result-identical to q_occ_skip
+    // — same slices, same middle-half range, same rollup, same oracle.
+    "q_occ_dsv2" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, value FROM events, b
+        |  WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= lo + (hi - lo) // 4
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) <= lo + 3 * ((hi - lo) // 4))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // X143: both generations (int files, long files) read through the
+    // widened schema — result ≡ the closed arithmetic, types and all.
+    "q_occ_widen" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN event_id % 1000
+        |       ELSE event_id % 1000 + 3000000000 END AS metric
+        |FROM events""".stripMargin,
 
     // X123: the change feed replays as closed-form classification —
     // appended odd keys read 'added', the rewrite's 1-in-10 negation

@@ -1,0 +1,251 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet,
+  LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+  RelationProvider}
+import org.apache.spark.sql.types._
+
+/** X142 — the OCC table as a registered Spark data source:
+  * `spark.read.format("graft-occ").load(dir)` plans the CURRENT
+  * snapshot's live files with the log schema, and an analyst's ad-hoc
+  * `WHERE` prunes files AUTOMATICALLY — the same pv ∧ stats ∧ bloom
+  * survival decision as [[OccTable.readFiltered]]
+  * ([[OccTable.pruneFileSet]] is shared), but driven by Catalyst's
+  * pushed data filters instead of a caller picking the right verb.
+  * The reference's dashboard pull (streamlit_dashboard.py:74-79 — a
+  * `ts >=` range over the telemetry table) becomes a plain filtered
+  * read that file-skips without knowing the verb exists.
+  *
+  * Integration point: a V1 [[RelationProvider]] returning a
+  * [[HadoopFsRelation]] over a log-backed [[FileIndex]] — the
+  * architecture Delta Lake uses for its own Spark reads. The relation
+  * inherits the whole file-source machinery: column pruning
+  * (`ReadSchema`), parquet predicate pushdown (`PushedFilters`),
+  * whole-stage codegen, AND planning-time file skipping via
+  * [[OccFileIndex.listFiles]], which receives the query's data
+  * filters. Every pruning layer is free of false negatives and Spark
+  * re-applies the full residual filter above the scan, so the result
+  * is identical to the unpruned scan regardless of translation gaps.
+  *
+  * Two snapshot states a plain file relation cannot serve correctly
+  * are REFUSED loudly with a pointer at the verb API rather than
+  * served wrong: deletion vectors (the scan would resurrect deleted
+  * rows) and an active column mapping (files carry physical names the
+  * relation would surface verbatim). Time travel and era reads stay
+  * on [[OccTable.readAt]]/[[OccTable.read]].
+  */
+class OccDataSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft-occ"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-occ: no table path — " +
+        "spark.read.format(\"graft-occ\").load(<table dir>)"))
+    val snap = OccTable.snapshot(spark, dir)
+    require(snap.dvs.isEmpty,
+      s"graft-occ: table at $dir carries deletion vectors — read it " +
+        "through OccTable.read/readFiltered, which apply them")
+    require(!snap.colmap.exists { case (l, p) => l != p },
+      s"graft-occ: table at $dir has an active column mapping — read " +
+        "it through OccTable.read, which translates physical names")
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"graft-occ: legacy log at $dir records no schema"))
+    HadoopFsRelation(
+      location = new OccFileIndex(spark, dir, snap, schema),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
+}
+
+/** The log-backed [[FileIndex]] behind the `graft-occ` relation: the
+  * file LIST is the snapshot (never a directory listing — staged or
+  * orphaned files are invisible by construction; one root listing only
+  * resolves sizes), and [[listFiles]] applies the
+  * [[OccTable.pruneFileSet]] survival decision to the translated data
+  * filters. `lastKept` records the most recent decision for the
+  * plan-pinning spec.
+  */
+class OccFileIndex(spark: SparkSession, dir: String,
+    snap: OccTable.Snapshot, logicalSchema: StructType)
+    extends FileIndex {
+  private val fsys = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val qualDir = fsys.makeQualified(new Path(dir))
+
+  // size/mtime metadata for the live files: ONE listing of the table
+  // root covers locally-staged names; absolute references (shallow
+  // clones, X133) are resolved individually
+  private val statusByName: Map[String, FileStatus] = {
+    val local = fsys.listStatus(qualDir).iterator
+      .filterNot(_.isDirectory).map(s => s.getPath.getName -> s).toMap
+    snap.files.map { n =>
+      val abs = new Path(n).isAbsolute || n.contains(":/")
+      n -> (if (abs) fsys.getFileStatus(new Path(n))
+            else local.getOrElse(n, fsys.getFileStatus(
+              new Path(OccTable.resolvePath(dir, n)))))
+    }.toMap
+  }
+
+  @volatile private[sources] var lastKept: Seq[String] = snap.files
+
+  override def rootPaths: Seq[Path] = Seq(qualDir)
+  override def partitionSchema: StructType = StructType(Nil)
+  override def refresh(): Unit = ()
+  override def inputFiles: Array[String] =
+    snap.files.map(n => OccTable.resolvePath(dir, n)).toArray
+  override def sizeInBytes: Long = statusByName.valuesIterator.map(_.getLen).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val (pvEq, intervals, equality) =
+      OccFilterTranslation.translate(dataFilters)
+    val kept = OccTable.pruneFileSet(spark, dir, snap, pvEq, intervals,
+      equality)
+    lastKept = kept
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.map(statusByName).toArray[FileStatus]))
+  }
+}
+
+/** Catalyst data filters → the [[OccTable.pruneFileSet]] vocabulary:
+  * stats INTERVALS (in stat-projection units: epoch micros for
+  * timestamps, epoch seconds for dates, double for numerics), BLOOM /
+  * pv EQUALITY values (in the write-time `cast("string")` form).
+  * Translation is conservative: anything not provably convertible is
+  * simply not pruned on (Spark applies the full residual filter above
+  * the scan, so skipping a conjunct can never change the result), and
+  * an In/EqualTo list is only emitted when EVERY value converts — a
+  * partial list would create false negatives.
+  */
+private[sources] object OccFilterTranslation {
+  def translate(filters: Seq[Expression])
+      : (Seq[(String, String)], Seq[(String, Double, Double)],
+         Seq[(String, Seq[String])]) = {
+    val conjuncts = filters.flatMap(splitAnd)
+    val pvEq = Seq.newBuilder[(String, String)]
+    val intervals = Seq.newBuilder[(String, Double, Double)]
+    val equality = Seq.newBuilder[(String, Seq[String])]
+    conjuncts.foreach {
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        bound(v, dt).foreach(lo =>
+          intervals += ((a.name, lo, Double.PositiveInfinity)))
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        bound(v, dt).foreach(lo =>
+          intervals += ((a.name, lo, Double.PositiveInfinity)))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        bound(v, dt).foreach(hi =>
+          intervals += ((a.name, Double.NegativeInfinity, hi)))
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        bound(v, dt).foreach(hi =>
+          intervals += ((a.name, Double.NegativeInfinity, hi)))
+      // literal-first spellings mirror with the comparison flipped
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        bound(v, dt).foreach(hi =>
+          intervals += ((a.name, Double.NegativeInfinity, hi)))
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        bound(v, dt).foreach(hi =>
+          intervals += ((a.name, Double.NegativeInfinity, hi)))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        bound(v, dt).foreach(lo =>
+          intervals += ((a.name, lo, Double.PositiveInfinity)))
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        bound(v, dt).foreach(lo =>
+          intervals += ((a.name, lo, Double.PositiveInfinity)))
+      case EqualTo(a: AttributeReference, Literal(v, dt)) if v != null =>
+        point(a.name, v, dt, pvEq, intervals, equality)
+      case EqualTo(Literal(v, dt), a: AttributeReference) if v != null =>
+        point(a.name, v, dt, pvEq, intervals, equality)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall {
+            case Literal(v, _) => v != null
+            case _ => false
+          } =>
+        val dt = vs.head.dataType
+        val raw = vs.map { case Literal(v, _) => v }
+        multi(a.name, raw, dt, intervals, equality)
+      case InSet(a: AttributeReference, vs)
+          if vs.nonEmpty && !vs.contains(null) =>
+        multi(a.name, vs.toSeq, a.dataType, intervals, equality)
+      case _ => () // not translatable: residual-only, never wrong
+    }
+    (pvEq.result(), intervals.result(), equality.result())
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  private def point(name: String, v: Any, dt: DataType,
+      pvEq: scala.collection.mutable.Builder[(String, String), _],
+      intervals:
+        scala.collection.mutable.Builder[(String, Double, Double), _],
+      equality:
+        scala.collection.mutable.Builder[(String, Seq[String]), _])
+      : Unit = {
+    bound(v, dt).foreach(d => intervals += ((name, d, d)))
+    str(v, dt).foreach { s =>
+      pvEq += ((name, s))
+      equality += ((name, Seq(s)))
+    }
+  }
+
+  private def multi(name: String, vs: Seq[Any], dt: DataType,
+      intervals:
+        scala.collection.mutable.Builder[(String, Double, Double), _],
+      equality:
+        scala.collection.mutable.Builder[(String, Seq[String]), _])
+      : Unit = {
+    val ds = vs.map(bound(_, dt))
+    if (ds.forall(_.nonEmpty)) {
+      val flat = ds.flatten
+      intervals += ((name, flat.min, flat.max))
+    }
+    val ss = vs.map(str(_, dt))
+    if (ss.forall(_.nonEmpty)) equality += ((name, ss.flatten))
+  }
+
+  /** The literal in [[OccTable.statProjection]] units — Catalyst holds
+    * timestamps as epoch MICROS (the projection's unit) and dates as
+    * epoch days (the projection uses seconds).
+    */
+  private def bound(v: Any, dt: DataType): Option[Double] = dt match {
+    case TimestampType => Some(v.asInstanceOf[Long].toDouble)
+    case DateType => Some(v.asInstanceOf[Int].toDouble * 86400.0)
+    case ByteType => Some(v.asInstanceOf[Byte].toDouble)
+    case ShortType => Some(v.asInstanceOf[Short].toDouble)
+    case IntegerType => Some(v.asInstanceOf[Int].toDouble)
+    case LongType => Some(v.asInstanceOf[Long].toDouble)
+    case FloatType => Some(v.asInstanceOf[Float].toDouble)
+    case DoubleType => Some(v.asInstanceOf[Double])
+    case _: DecimalType =>
+      Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+    case _ => None
+  }
+
+  /** The literal in the write-time `cast("string")` form — restricted
+    * to types whose Catalyst `toString` provably matches it (strings,
+    * integrals, booleans); float/timestamp formatting differences
+    * would create false negatives.
+    */
+  private def str(v: Any, dt: DataType): Option[String] = dt match {
+    case StringType => Some(v.toString)
+    case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
+    case BooleanType => Some(v.toString)
+    case _ => None
+  }
+}

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, input_file_name, lit, max, min, sum, unix_micros, when}
-import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StructField, StructType, TimestampType}
 
 /** Optimistic-concurrency MULTI-WRITER commits over a plain-parquet
   * lake — the Delta-style transaction log the maintenance family
@@ -86,7 +86,8 @@ object OccTable {
       colTombs: Set[String] = Set.empty,
       gencols: Map[String, String] = Map.empty,
       everMapped: Boolean = false,
-      features: Set[String] = Set.empty) {
+      features: Set[String] = Set.empty,
+      wfeatures: Set[String] = Set.empty) {
     /** The log schema in force at this version, if the log records one
       * (v0 of every table initialized since X104 does).
       */
@@ -123,7 +124,8 @@ object OccTable {
       colTombAdds: Seq[String] = Seq.empty,
       gencolAdds: Seq[(String, String)] = Seq.empty,
       gencolDrops: Seq[String] = Seq.empty,
-      featureAdds: Seq[String] = Seq.empty)
+      featureAdds: Seq[String] = Seq.empty,
+      wfeatureAdds: Seq[String] = Seq.empty)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
@@ -171,14 +173,15 @@ object OccTable {
     extends RuntimeException(
       s"OccTable: the log declares table feature(s) this build does " +
         s"not implement: ${unsupported.toSeq.sorted.mkString(", ")} — " +
-        "upgrade the engine to read this table")
+        "upgrade the engine to use this table")
 
   /** Every table feature THIS build reads and writes correctly. A
     * feature-declaring commit makes every older reader (one without
     * the name in its set) refuse loudly at snapshot time.
     */
   val SupportedFeatures: Set[String] = Set(
-    "deletion_vectors", "column_mapping", "generated_columns")
+    "deletion_vectors", "column_mapping", "generated_columns",
+    "type_widening", "check_constraints")
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -212,6 +215,64 @@ object OccTable {
 
   private def checkpointPath(dir: String, v: Long): Path =
     new Path(s"$dir/$LogDirName/v${"%020d".format(v)}.chk")
+
+  /** True iff no commit in (fromVersion, to.version] replaces the
+    * schema or the column mapping — i.e. every era in that window
+    * reads identically to `to` (what [[scanFilesAs]] keys on). One
+    * version-file read per window commit; the streaming tail uses it
+    * to skip per-version era folds in the steady state, where a
+    * long-lived stream over an ever-mapped table would otherwise pay
+    * O(versions) log parsing PER VERSION — O(V²) cumulative — even
+    * though no mapping change ever intervened. A truncated or missing
+    * window file proves nothing and returns false (the caller falls
+    * back to the per-version fold, whose own vacuum guard decides).
+    */
+  private[sources] def metadataStableSince(spark: SparkSession,
+      dir: String, fromVersion: Long, to: Snapshot): Boolean = {
+    val fsys = fs(spark, dir)
+    ((fromVersion + 1) to to.version).forall { v =>
+      try {
+        val a = readActions(fsys, dir, v)
+        a.schemaJson.isEmpty && a.colmapSet.isEmpty
+      } catch {
+        case _: java.io.FileNotFoundException => false
+      }
+    }
+  }
+
+  /** X141 — Delta `_last_checkpoint` parity: a one-line pointer to the
+    * latest checkpoint version, written by [[checkpoint]] so that
+    * [[snapshot]] opens LISTING-FREE: one pointer read, one checkpoint
+    * read, then direct existence probes up the commit tail — no
+    * O(#commits) directory listing on the read path, even when the log
+    * is never truncated. A missing, torn, or stale pointer degrades to
+    * the listing fold, never to a wrong answer; [[truncateLog]] bases
+    * retention on the POINTER (not the newest checkpoint file), so a
+    * commit above the pointer is never deleted and a pointer-guided
+    * tail walk can only miss files a fallback-triggering racer removed
+    * mid-fold (caught, re-listed).
+    */
+  private def lastCheckpointPath(dir: String): Path =
+    new Path(s"$dir/$LogDirName/_last_checkpoint")
+
+  private def readLastCheckpoint(fsys: FileSystem,
+      dir: String): Option[Long] =
+    try {
+      val p = lastCheckpointPath(dir)
+      if (!fsys.exists(p)) None
+      else {
+        val in = fsys.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        Some(s.toLong)
+      }
+    } catch { case _: Exception => None } // torn/corrupt: fall back to listing
+
+  private def writeLastCheckpoint(fsys: FileSystem, dir: String,
+      v: Long): Unit = {
+    val out = fsys.create(lastCheckpointPath(dir), true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+  }
 
   private def vacuumMarkerPath(dir: String): Path =
     new Path(s"$dir/$LogDirName/vacuumedThrough")
@@ -312,7 +373,9 @@ object OccTable {
       lines.collect { case s if s.startsWith("dropgencol ") =>
         s.stripPrefix("dropgencol ") },
       lines.collect { case s if s.startsWith("feature ") =>
-        s.stripPrefix("feature ") })
+        s.stripPrefix("feature ") },
+      lines.collect { case s if s.startsWith("wfeature ") =>
+        s.stripPrefix("wfeature ") })
   }
 
   /** Commit-log versions and their parsed actions over `(after, upTo]`
@@ -381,17 +444,40 @@ object OccTable {
       s.colTombs.toSeq.sorted.map(p => s"colmaptomb ${urlEnc(p)}") ++
       s.gencols.toSeq.sortBy(_._1).map { case (n, e) =>
         s"gencol $n ${urlEnc(e)}" } ++
-      s.features.toSeq.sorted.map(f => s"feature $f")
+      s.features.toSeq.sorted.map(f => s"feature $f") ++
+      s.wfeatures.toSeq.sorted.map(f => s"wfeature $f")
 
   /** The `feature <name>` declaration a commit must carry on a
     * feature's FIRST use (X139) — empty once declared. The require
     * makes a typo'd name (which would brick the table for every
     * reader, this build included) impossible.
     */
-  private def declareFeature(s: Snapshot, name: String): Seq[String] = {
+  private def declareFeature(s: Snapshot, name: String,
+      writerOnly: Boolean = false): Seq[String] = {
     require(SupportedFeatures.contains(name),
       s"OccTable: declaring unknown feature '$name'")
-    if (s.features(name)) Seq.empty else Seq(s"feature $name")
+    if (writerOnly) {
+      // X146 reader/writer split (Delta's readerFeatures vs
+      // writerFeatures): a writer-only feature constrains WRITERS
+      // (enforce the rule at commit time) but any reader serves the
+      // materialized bytes correctly — old readers keep working, old
+      // writers refuse via [[requireWritable]]
+      if (s.wfeatures(name)) Seq.empty else Seq(s"wfeature $name")
+    }
+    else if (s.features(name)) Seq.empty else Seq(s"feature $name")
+  }
+
+  /** X146 WRITER gate — the write-side half of the feature protocol:
+    * refuse to COMMIT against a table declaring writer-only features
+    * this build does not implement (an unenforced CHECK constraint or
+    * generation rule would corrupt the table's contract), while
+    * readers tolerate the same declarations (the data is materialized
+    * — Delta's reader/writer feature split). Every data- or
+    * metadata-committing verb calls this on its fresh snapshot.
+    */
+  private def requireWritable(snap: Snapshot): Unit = {
+    val unknown = snap.wfeatures -- SupportedFeatures
+    if (unknown.nonEmpty) throw new UnsupportedTableFeatureException(unknown)
   }
 
   /** One add action line: `add <name>`, `add <name>\t<stats>` (X117,
@@ -495,29 +581,104 @@ object OccTable {
   /** Per-file (rows, min, max, nulls) of `cols` over just-staged files —
     * ONE column-pruned scan of the new batch only (the append-time cost
     * Delta pays for the same stats), grouped by file. Zero-row part
-    * files simply get no stats (unprunable, safe).
+    * files simply get no stats (unprunable, safe). The stats-only form
+    * of [[validateStagedCollectStats]].
     */
   private def collectStats(spark: SparkSession, dir: String,
-      names: Seq[String], cols: Seq[String]): Map[String, String] = {
-    if (cols.isEmpty || names.isEmpty) return Map.empty
-    cols.foreach(c => require(!c.exists("|=,\t\n".contains(_)),
+      names: Seq[String], cols: Seq[String]): Map[String, String] =
+    validateStagedCollectStats(spark, dir, names, Map.empty, Map.empty,
+      Map.empty, cols, "staged batch")
+
+  /** X140 — single-pass post-stage validation + statistics (the
+    * guarantee of Delta's InvariantCheckExec, anchored on the staged
+    * bytes): the write batch's lineage executes EXACTLY ONCE — in the
+    * staging write — and every write-time contract (CHECK constraints,
+    * GENERATED-column agreement) is validated against the STAGED FILES
+    * in the same per-file scan that builds the X117 stats. This closes
+    * the validate/stage TOCTOU of the pre-X140 path, where a
+    * NONDETERMINISTIC batch (rand(), uncheckpointed sampling) could
+    * pass validation on one evaluation and stage different bytes on
+    * the next, and removes the up-to-3x re-evaluation of an expensive
+    * batch lineage (validate-gencols, validate-constraints, stage).
+    * Staged bytes live under PHYSICAL names (X137) while declared
+    * expressions speak LOGICAL names — the scan is renamed to logical
+    * space for evaluation (metadata-only projection; min/max/null
+    * stats are unaffected) and stats keys stay physical. On violation
+    * the staged part files are DELETED before the exception surfaces,
+    * so a refused write leaves no unreferenced garbage behind.
+    * Validating a COMPUTED generated column re-evaluates its
+    * expression over the staged bytes — sound because declared
+    * expressions are required deterministic (see
+    * [[requireDeterministic]]), and it upgrades "we computed it" to
+    * "the committed bytes satisfy name = expr", the X138 invariant.
+    */
+  private def validateStagedCollectStats(spark: SparkSession,
+      dir: String, names: Seq[String], colmap: Map[String, String],
+      constraints: Map[String, String], gencols: Map[String, String],
+      physStatsCols: Seq[String], what: String): Map[String, String] = {
+    val needVal = constraints.nonEmpty || gencols.nonEmpty
+    if (names.isEmpty || (!needVal && physStatsCols.isEmpty))
+      return Map.empty
+    physStatsCols.foreach(c => require(!c.exists("|=,\t\n".contains(_)),
       s"OccTable stats: column name '$c' contains a reserved character"))
-    val scan = spark.read.parquet(names.map(n => resolvePath(dir, n)): _*)
+    val raw = spark.read.parquet(names.map(n => resolvePath(dir, n)): _*)
+    val physToLog = colmap.collect {
+      case (l, p) if l != p && raw.columns.contains(p) => (p, l) }
+    val scan = physToLog.foldLeft(raw) { case (d, (p, l)) =>
+      d.withColumnRenamed(p, l) }
     val schema = scan.schema
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+    val statsCols = physStatsCols.map(p =>
+      (p, physToLog.getOrElse(p, p)))
+    val statAggs = statsCols.zipWithIndex.flatMap { case ((_, c), i) => Seq(
       min(statProjection(schema, c)).as(s"__mn$i"),
       max(statProjection(schema, c)).as(s"__mx$i"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl$i"))
     }
+    val cNamed = constraints.toSeq.sortBy(_._1)
+    // a rule whose column the staged schema lacks cannot be validated
+    // here (and cannot be violated — no bytes); callers compute absent
+    // generated columns into the batch, so this filter is a no-op on
+    // the write paths and only guards the stats-only form
+    val gNamed = gencols.toSeq.sortBy(_._1)
+      .filter { case (n, _) => schema.fieldNames.contains(n) }
+    val valAggs =
+      cNamed.zipWithIndex.map { case ((_, e), i) =>
+        coalesce(sum(when(expr(e) === lit(false), 1L).otherwise(0L)),
+          lit(0L)).as(s"__c$i") } ++
+      gNamed.zipWithIndex.map { case ((n, e), i) =>
+        coalesce(sum(when(!(col(n) <=> expr(e)), 1L).otherwise(0L)),
+          lit(0L)).as(s"__g$i") }
+    val aggs = statAggs ++ valAggs
     val rows = scan.groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .collect()
+    if (valAggs.nonEmpty) {
+      def total(pfx: String, i: Int): Long =
+        rows.map(_.getAs[Long](s"$pfx$i")).sum
+      val cBad = cNamed.zipWithIndex.collect {
+        case ((n, e), i) if total("__c", i) > 0 =>
+          s"$n (${total("__c", i)} rows violate `$e`)" }
+      val gBad = gNamed.zipWithIndex.collect {
+        case ((n, e), i) if total("__g", i) > 0 =>
+          s"$n (${total("__g", i)} rows differ from `$e`)" }
+      if (cBad.nonEmpty || gBad.nonEmpty) {
+        val fsys = fs(spark, dir)
+        names.foreach(n => fsys.delete(new Path(dir, n), false))
+        if (cBad.nonEmpty) throw new ConstraintViolationException(
+          s"OccTable: $what violates CHECK constraint(s) " +
+            cBad.mkString("; "))
+        throw new ConstraintViolationException(
+          s"OccTable: $what violates GENERATED column(s) " +
+            gBad.mkString("; "))
+      }
+    }
+    if (physStatsCols.isEmpty) return Map.empty
     rows.map { r =>
       val fname = r.getAs[String]("__f").split('/').last
-      val entries = cols.zipWithIndex.map { case (c, i) =>
+      val entries = statsCols.zipWithIndex.map { case ((p, _), i) =>
         val mn = Option(r.getAs[java.lang.Double](s"__mn$i")).map(_.doubleValue)
         val mx = Option(r.getAs[java.lang.Double](s"__mx$i")).map(_.doubleValue)
-        (c, mn, mx, r.getAs[Long](s"__nl$i"))
+        (p, mn, mx, r.getAs[Long](s"__nl$i"))
       }
       fname -> encodeStats(r.getAs[Long]("__rows"), entries)
     }.toMap
@@ -728,15 +889,8 @@ object OccTable {
     equality.foreach { case (c, vs) => require(vs.nonEmpty,
       s"OccTable.readFiltered: no equality values for '$c'") }
     val snap = snapshot(spark, dir)
-    val pvKept = partitionPrunedFiles(snap, pvEq)
-    val statsKept = intervals.foldLeft(pvKept) { case (fs0, (c, lo, hi)) =>
-      prunedFiles(snap.copy(files = fs0), c, lo, hi)
-    }
-    val kept = equality match {
-      case Some((c, vs)) =>
-        bloomPrunedFiles(spark, dir, snap.copy(files = statsKept), c, vs)
-      case None => statsKept
-    }
+    val kept = pruneFileSet(spark, dir, snap, pvEq, intervals,
+      equality.toSeq)
     val st = snap.schema
     val base = (st, kept) match {
       case (Some(s), Seq()) =>
@@ -756,6 +910,27 @@ object OccTable {
     intervals.foldLeft(withEq) { case (d, (c, lo, hi)) =>
       val proj = statProjection(st.getOrElse(base.schema), c)
       d.filter(proj >= lit(lo) && proj <= lit(hi))
+    }
+  }
+
+  /** The complete planning-time FILE-SURVIVAL decision — the one
+    * [[readFiltered]] and the `graft-occ` connector's
+    * [[OccFileIndex]] share, so connector reads skip exactly the
+    * files verb reads skip: pv-equality ∧ every-interval-intersects ∧
+    * every-bloom-says-MAYBE, each layer free of false negatives.
+    * Column names are LOGICAL; the layers translate to physical
+    * internally.
+    */
+  private[sources] def pruneFileSet(spark: SparkSession, dir: String,
+      snap: Snapshot, pvEq: Seq[(String, String)],
+      intervals: Seq[(String, Double, Double)],
+      equality: Seq[(String, Seq[String])]): Seq[String] = {
+    val pvKept = partitionPrunedFiles(snap, pvEq)
+    val statsKept = intervals.foldLeft(pvKept) { case (fs0, (c, lo, hi)) =>
+      prunedFiles(snap.copy(files = fs0), c, lo, hi)
+    }
+    equality.foldLeft(statsKept) { case (fs0, (c, vs)) =>
+      bloomPrunedFiles(spark, dir, snap.copy(files = fs0), c, vs)
     }
   }
 
@@ -896,6 +1071,7 @@ object OccTable {
     require(oldName != newName,
       s"OccTable.renameColumn: '$oldName' -> itself")
     val snap = snapshot(spark, dir)
+    requireWritable(snap)
     val st = snap.schema.getOrElse(throw new IllegalStateException(
       s"OccTable: legacy log at $dir records no schema — column " +
         "mapping needs one (re-init or rewrite with a schema first)"))
@@ -927,6 +1103,85 @@ object OccTable {
         declareFeature(snap, "column_mapping"))
   }
 
+  /** The lossless widening lattice (X143): exactly the type changes
+    * where every value of `from` is exactly representable in `to` AND
+    * Spark's parquet reader promotes the stored physical type at scan
+    * time (byte/short/int→long chain, float→double, and
+    * integer-up-to-int→double — int < 2^53 is exact in a double;
+    * long→double is NOT lossless and refuses). Mirrors Delta's type
+    * widening table feature.
+    */
+  private[sources] def isLosslessWidening(from: DataType,
+      to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  /** Delta-parity lossless TYPE WIDENING (X143 — `ALTER TABLE t ALTER
+    * COLUMN c TYPE wider`): a PURE METADATA commit replaces the
+    * column's type with a strictly wider one from
+    * [[isLosslessWidening]]'s lattice — zero bytes rewritten; files
+    * written before the widening upcast AT SCAN TIME through the
+    * parquet reader's type promotion (the log schema drives the scan,
+    * so an INT32 page reads as long), and era-crossing reads
+    * ([[scanFilesAs]]) cast explicitly. Without this, a 100 TB table
+    * whose id column outgrows int needs a full rewrite. The commit
+    * stamps the `type_widening` table FEATURE (X139), so a pre-X143
+    * reader refuses the log by name instead of dying mid-scan.
+    * Recorded X117 stats stay valid — stat projections are
+    * type-agnostic doubles. Writers with the OLD (narrower) frame
+    * type keep working: the write paths upcast additively through
+    * [[alignWidened]].
+    */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      to: DataType): Long = {
+    val snap = snapshot(spark, dir)
+    requireWritable(snap)
+    val st = snap.schema.getOrElse(throw new IllegalStateException(
+      s"OccTable: legacy log at $dir records no schema — widening " +
+        "needs one"))
+    require(st.fieldNames.contains(name),
+      s"OccTable.widenColumn: no column '$name' " +
+        s"(have: ${st.fieldNames.mkString(", ")})")
+    val from = st(name).dataType
+    require(isLosslessWidening(from, to),
+      s"OccTable.widenColumn: ${from.simpleString} -> ${to.simpleString} " +
+        "is not a lossless widening (byte/short/int->long, " +
+        "float->double, byte/short/int->double)")
+    val newSt = StructType(st.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    checkDeclaredResolve(spark, newSt, snap, s"widening of '$name'")
+    commitActions(spark, dir, Seq.empty, Seq.empty, snap.version,
+      newSchemaJson = Some(newSt.json),
+      schemaInForce = Some(newSt.json),
+      op = Some("widen_column"),
+      extraMeta = declareFeature(snap, "type_widening"))
+  }
+
+  /** Upcast a write frame's columns whose types sit strictly BELOW the
+    * log type in the widening lattice — what keeps yesterday's
+    * producers (still emitting int) writing into a widened (now long)
+    * table, Delta's write-side behavior. Non-lattice mismatches pass
+    * through untouched and refuse in [[resolveSchema]] as before.
+    */
+  private def alignWidened(df: DataFrame,
+      schemaJson: Option[String]): DataFrame = schemaJson match {
+    case None => df
+    case Some(j) =>
+      val log = DataType.fromJson(j).asInstanceOf[StructType]
+        .fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        log.get(f.name) match {
+          case Some(t) if isLosslessWidening(f.dataType, t) =>
+            d.withColumn(f.name, col(f.name).cast(t))
+          case _ => d
+        }
+      }
+  }
+
   /** Delta-parity `ALTER TABLE DROP COLUMN` (X137): a PURE METADATA
     * commit — the logical schema loses the field, the physical bytes
     * stay in every file, unread (readers scan by physical schema and
@@ -938,6 +1193,7 @@ object OccTable {
   def dropColumn(spark: SparkSession, dir: String,
       name: String): Long = {
     val snap = snapshot(spark, dir)
+    requireWritable(snap)
     val st = snap.schema.getOrElse(throw new IllegalStateException(
       s"OccTable: legacy log at $dir records no schema — column " +
         "mapping needs one (re-init or rewrite with a schema first)"))
@@ -990,6 +1246,25 @@ object OccTable {
     }
   }
 
+  /** Refuse a NONDETERMINISTIC declared expression (Delta parity —
+    * both CHECK constraints and generation expressions must be
+    * deterministic there too): X140's single-evaluation contract
+    * validates the rule against the STAGED BYTES, which is only sound
+    * when re-evaluating the expression reproduces the write-time
+    * verdict; a rule carrying rand()/uuid() can never satisfy
+    * "validated bytes = committed bytes".
+    */
+  private def requireDeterministic(spark: SparkSession, st: StructType,
+      name: String, sqlExpr: String, kind: String): Unit = {
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    val analyzed = probe.select(expr(sqlExpr)).queryExecution.analyzed
+    require(analyzed.expressions.forall(_.deterministic),
+      s"OccTable: $kind '$name' (`$sqlExpr`) is nondeterministic — " +
+        s"declared rules must evaluate to the same verdict on " +
+        "re-evaluation; use a deterministic expression")
+  }
+
   /** Both declared-expression families gate the mapping verbs. */
   private def checkDeclaredResolve(spark: SparkSession,
       st: StructType, snap: Snapshot, what: String): Unit = {
@@ -1006,6 +1281,20 @@ object OccTable {
     */
   def snapshot(spark: SparkSession, dir: String): Snapshot = {
     val fsys = fs(spark, dir)
+    // X141 listing-free fast path: pointer read + checkpoint fold +
+    // existence-probed commit tail. Probing stops at the first gap —
+    // versions are claimed sequentially, so a gap means the tail end
+    // (or a concurrent truncation, which the FileNotFound fallback
+    // re-lists). See [[lastCheckpointPath]] for why this never serves
+    // a wrong answer.
+    readLastCheckpoint(fsys, dir) match {
+      case Some(c) if fsys.exists(checkpointPath(dir, c)) =>
+        var v = c
+        while (fsys.exists(versionPath(dir, v + 1))) v += 1
+        try return foldSnapshot(fsys, dir, Some(c), (c + 1) to v, v)
+        catch { case _: java.io.FileNotFoundException => () }
+      case _ => ()
+    }
     val last = (listVersions(fsys, dir) ++ listCheckpoints(fsys, dir))
       .maxOption
     require(last.nonEmpty, s"OccTable: no log at $dir/$LogDirName — init first")
@@ -1045,6 +1334,15 @@ object OccTable {
     require(need.forall(vs.contains),
       s"OccTable: version $version is not reconstructible at $dir " +
         "(commits truncated past it, or it never existed)")
+    foldSnapshot(fsys, dir, chkAt, need.filter(vs.contains).sorted, version)
+  }
+
+  /** The log fold shared by [[snapshotAt]] (listing + reconstructibility
+    * checks first) and [[snapshot]]'s X141 pointer fast path (no
+    * listing): checkpoint at `chkAt` (if any), then `tail` in order.
+    */
+  private def foldSnapshot(fsys: FileSystem, dir: String,
+      chkAt: Option[Long], tail: Seq[Long], version: Long): Snapshot = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txns = scala.collection.mutable.Map.empty[String, Long]
     val stats = scala.collection.mutable.Map.empty[String, String]
@@ -1059,6 +1357,7 @@ object OccTable {
     val colTombs = scala.collection.mutable.Set.empty[String]
     val gencols = scala.collection.mutable.Map.empty[String, String]
     val features = scala.collection.mutable.Set.empty[String]
+    val wfeatures = scala.collection.mutable.Set.empty[String]
     def fold(a: Actions): Unit = {
       a.removes.foreach { n =>
         live -= n; stats -= n; pvs -= n; blooms -= n; dvs -= n }
@@ -1069,6 +1368,7 @@ object OccTable {
       a.gencolAdds.foreach { case (n, e) => gencols(n) = e }
       a.gencolDrops.foreach(gencols -= _)
       features ++= a.featureAdds
+      wfeatures ++= a.wfeatureAdds
       a.adds.foreach { n =>
         live += n
         a.addStats.get(n) match {
@@ -1094,17 +1394,20 @@ object OccTable {
       if (a.schemaJson.nonEmpty) schemaJson = a.schemaJson
     }
     chkAt.foreach(c => fold(parseActions(fsys, checkpointPath(dir, c))))
-    need.filter(vs.contains).sorted.foreach(v =>
-      fold(readActions(fsys, dir, v)))
+    tail.foreach(v => fold(readActions(fsys, dir, v)))
     // the FEATURE GATE (X139): refuse by name at plan time when the
     // log declares a feature this build cannot read correctly — the
     // alternative is silently serving deleted rows or misnamed columns
     val unknown = features.toSet -- SupportedFeatures
     if (unknown.nonEmpty)
       throw new UnsupportedTableFeatureException(unknown)
+    // the READER gate above refuses unknown reader features only;
+    // unknown WRITER-ONLY features are tolerated here and refused by
+    // [[requireWritable]] at the verbs that commit (X146)
     Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap,
       pvs.toMap, blooms.toMap, constraints.toMap, dvs.toMap,
-      colmap, colTombs.toSet, gencols.toMap, everMapped, features.toSet)
+      colmap, colTombs.toSet, gencols.toMap, everMapped, features.toSet,
+      wfeatures.toSet)
   }
 
   /** Delta-parity TIMESTAMP AS OF: the last version whose commit time
@@ -1137,6 +1440,28 @@ object OccTable {
       s"OccTable: timestamp $tsMillis is after the latest commit " +
         s"(v${stamped.last._1} at ${stamped.last._2})")
     eligible.last._1
+  }
+
+  /** Delta CDF `startingTimestamp` resolution (X147): the FIRST version
+    * whose commit time is at or after `tsMillis` — the subscribe-from-
+    * time complement of [[versionAsOf]] (which answers the time-travel
+    * direction: last version at or before). Refuses a timestamp after
+    * the latest commit, like Delta's change-feed read.
+    */
+  def firstVersionAtOrAfter(spark: SparkSession, dir: String,
+      tsMillis: Long): Long = {
+    val fsys = fs(spark, dir)
+    val vs = listVersions(fsys, dir)
+    require(vs.nonEmpty, s"OccTable: no commit files at $dir " +
+      "(fully truncated log has no timestamp history)")
+    val stamped = vs.map(v =>
+      (v, fsys.getFileStatus(versionPath(dir, v)).getModificationTime))
+    val eligible = stamped.filter(_._2 >= tsMillis)
+    require(eligible.nonEmpty,
+      s"OccTable: timestamp $tsMillis is after the latest commit " +
+        s"(v${stamped.last._1} at ${stamped.last._2}) — nothing to " +
+        "subscribe to")
+    eligible.head._1
   }
 
   /** [[read]] as of a wall-clock timestamp — see [[versionAsOf]]. */
@@ -1207,6 +1532,11 @@ object OccTable {
             if (atSt.fieldNames.contains(f.name)) Some(f.name)
             else atSt.fieldNames.find(l => at.physName(l) == phys)
           src match {
+            // X143: an era column narrower than cur's (pre-widening
+            // files) upcasts explicitly — the union across eras must
+            // not depend on implicit coercion
+            case Some(l) if atSt(l).dataType != f.dataType =>
+              col(l).cast(f.dataType).as(f.name)
             case Some(l) => col(l).as(f.name)
             case None => lit(null).cast(f.dataType).as(f.name)
           }
@@ -1245,6 +1575,10 @@ object OccTable {
   def checkpoint(spark: SparkSession, dir: String): Long = {
     val fsys = fs(spark, dir)
     val snap = snapshot(spark, dir)
+    // the checkpoint RE-SERIALIZES metadata it understands — folding a
+    // log whose writer-only feature carries action lines this build
+    // cannot parse would silently drop them from the checkpoint (X146)
+    requireWritable(snap)
     val body = (snap.files.map(n =>
       addLine(n, snap.stats.get(n), snap.pvs.get(n),
         snap.blooms.get(n), snap.dvs.get(n))) ++
@@ -1253,6 +1587,12 @@ object OccTable {
       schemaLines(snap.schemaJson, snap.schemaJson))
       .mkString("", "\n", "\n").getBytes("UTF-8")
     claim(fsys, checkpointPath(dir, snap.version), body) // exists = done
+    // X141: advance the `_last_checkpoint` pointer BEFORE dropping the
+    // older checkpoints — a reader holding the previous pointer value
+    // must still find its checkpoint file until the new pointer is
+    // visible (it falls back to listing once the old file is gone)
+    if (readLastCheckpoint(fsys, dir).forall(_ < snap.version))
+      writeLastCheckpoint(fsys, dir, snap.version)
     listCheckpoints(fsys, dir).filter(_ < snap.version)
       .foreach(c => fsys.delete(checkpointPath(dir, c), false))
     snap.version
@@ -1273,9 +1613,15 @@ object OccTable {
       keepLast: Int = 0): Seq[Long] = {
     require(keepLast >= 0, s"OccTable: keepLast must be >= 0, got $keepLast")
     val fsys = fs(spark, dir)
-    val chk = listCheckpoints(fsys, dir).lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"OccTable: no checkpoint at $dir — checkpoint before truncating"))
+    // X141: retention bases on the POINTER when one exists — never
+    // delete a commit above what pointer-guided readers can see (a
+    // checkpoint whose pointer write failed is newer than the pointer;
+    // truncating past it would strand those readers mid-tail)
+    val chk = readLastCheckpoint(fsys, dir)
+      .filter(c => fsys.exists(checkpointPath(dir, c)))
+      .orElse(listCheckpoints(fsys, dir).lastOption).getOrElse(
+        throw new IllegalStateException(
+          s"OccTable: no checkpoint at $dir — checkpoint before truncating"))
     val dropped = listVersions(fsys, dir)
       .filter(_ <= chk - keepLast)
     dropped.foreach(v => fsys.delete(versionPath(dir, v), false))
@@ -1528,11 +1874,27 @@ object OccTable {
               s"version $readVersion — recompute this write against the " +
               "current snapshot's generation rules")
         if ((adds.nonEmpty || newSchemaJson.nonEmpty) &&
-            intervening.exists(_._2.featureAdds.nonEmpty))
+            intervening.exists(a => a._2.featureAdds.nonEmpty ||
+              a._2.wfeatureAdds.nonEmpty))
           throw new ConcurrentWriteException(
             s"OccTable: a table FEATURE was declared after read version " +
               s"$readVersion — re-snapshot so this writer honors (or " +
               "refuses) the feature's write contract")
+        // a column-MAPPING change (rename/drop/colmapclear) landing
+        // between this writer's staging and its claim invalidates the
+        // staged files' PHYSICAL names: an append staged under the old
+        // mapping that commits past a colmapclear overwrite would read
+        // every previously-renamed column as NULL, silently and
+        // permanently. Same TOCTOU class as constraints/gencols —
+        // conflict, and let the writer's retry handler decide whether
+        // its staged bytes still match the refreshed mapping.
+        if ((adds.nonEmpty || newSchemaJson.nonEmpty) &&
+            intervening.exists(_._2.colmapSet.nonEmpty))
+          throw new ConcurrentWriteException(
+            s"OccTable: the column mapping changed after read version " +
+              s"$readVersion — files staged under the old mapping may " +
+              "carry physical names the table no longer reads; rerun " +
+              "the write on the current snapshot")
       }
       if (claim(fsys, versionPath(dir, attempt), body)) return attempt
       if (fsys.exists(versionPath(dir, attempt))) {
@@ -1640,6 +2002,7 @@ object OccTable {
       c == ' ' || c == '\n' || c == '\r'),
       s"OccTable: bad generated-column name '$name'")
     val snap = snapshot(spark, dir)
+    requireWritable(snap)
     require(!snap.gencols.contains(name),
       s"OccTable: generated column '$name' already declared " +
         s"(`${snap.gencols(name)}`) — drop the rule first")
@@ -1651,6 +2014,7 @@ object OccTable {
     val others = StructType(st.fields.filterNot(_.name == name))
     checkExprsResolve(spark, others, Map(name -> sqlExpr),
       "generated column", s"declaration of generated column '$name'")
+    requireDeterministic(spark, others, name, sqlExpr, "generated column")
     if (snap.files.nonEmpty) {
       require(st.fieldNames.contains(name),
         s"OccTable: table at $dir is non-empty and has no column " +
@@ -1665,13 +2029,14 @@ object OccTable {
       conflictOnAnyIntervening = true,
       op = Some("add_gencol"),
       extraMeta = Seq(s"gencol $name ${urlEnc(sqlExpr)}") ++
-        declareFeature(snap, "generated_columns"))
+        declareFeature(snap, "generated_columns", writerOnly = true))
   }
 
   /** Drop a generation rule — the column stays, as a plain column. */
   def dropGeneratedColumn(spark: SparkSession, dir: String,
       name: String): Long = {
     val snap = snapshot(spark, dir)
+    requireWritable(snap)
     require(snap.gencols.contains(name),
       s"OccTable: no generated column '$name' to drop " +
         s"(have: ${snap.gencols.keys.toSeq.sorted.mkString(", ")})")
@@ -1696,9 +2061,12 @@ object OccTable {
       c == ' ' || c == '\n' || c == '\r'),
       s"OccTable: bad constraint name '$name'")
     val snap = snapshot(spark, dir)
+    requireWritable(snap)
     require(!snap.constraints.contains(name),
       s"OccTable: constraint '$name' already exists " +
         s"(`${snap.constraints(name)}`) — drop it first")
+    snap.schema.foreach(st =>
+      requireDeterministic(spark, st, name, sqlExpr, "CHECK constraint"))
     if (snap.files.nonEmpty)
       enforceConstraints(readSnapshot(spark, dir, snap,
         throw new IllegalStateException("unreachable: files non-empty")),
@@ -1707,13 +2075,15 @@ object OccTable {
       schemaInForce = snap.schemaJson,
       conflictOnAnyIntervening = true,
       op = Some("add_constraint"),
-      extraMeta = Seq(s"constraint $name ${urlEnc(sqlExpr)}"))
+      extraMeta = Seq(s"constraint $name ${urlEnc(sqlExpr)}") ++
+        declareFeature(snap, "check_constraints", writerOnly = true))
   }
 
   /** Delta-parity `ALTER TABLE DROP CONSTRAINT`. */
   def dropCheckConstraint(spark: SparkSession, dir: String,
       name: String): Long = {
     val snap = snapshot(spark, dir)
+    requireWritable(snap)
     require(snap.constraints.contains(name),
       s"OccTable: no constraint '$name' to drop " +
         s"(have: ${snap.constraints.keys.toSeq.sorted.mkString(", ")})")
@@ -1736,20 +2106,27 @@ object OccTable {
       bloomColumns: Seq[OccBloom.BloomCol] = Seq.empty): Long = {
     val spark = df.sparkSession
     var snap = snapshot(spark, dir)
+    requireWritable(snap)
     val gencols0 = snap.gencols
-    // generated columns first (X138): absent ones computed, supplied
-    // ones validated — constraints and the schema see the final shape
-    val df2 = applyGenerated(df, snap.gencols, "append batch")
+    val colmap0 = snap.colmap
+    val cons0 = snap.constraints
+    // X140 stage-first: the batch lineage executes EXACTLY ONCE — in
+    // the staging write. Absent generated columns (X138) are computed
+    // INTO the staged bytes; supplied ones and CHECK constraints are
+    // validated off the STAGED FILES in the stats scan, so the
+    // validated bytes ARE the committed bytes even when the batch
+    // lineage is nondeterministic.
+    val df2 = withGenerated(alignWidened(df, snap.schemaJson), snap.gencols)
     var evolved = resolveSchema(snap.schemaJson, df2.schema) // refuse BEFORE staging
     checkNewColumns(snap, evolved)
-    enforceConstraints(df2, snap.constraints, "append batch")
     // staging writes PHYSICAL names (X137); stats/pv/bloom keys follow
     val (names, pvs) = stagePartitioned(toPhysical(df2, snap.colmap), dir,
       partitionBy.map(snap.physName))
-    val stats = collectStats(spark, dir, names,
-      statsColumns.map(snap.physName))
-    val blooms = collectBlooms(spark, dir, names,
-      bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
+    val physBlooms = bloomColumns.map(b => b.copy(col = snap.physName(b.col)))
+    val stats = validateStagedCollectStats(spark, dir, names, snap.colmap,
+      snap.constraints, snap.gencols, statsColumns.map(snap.physName),
+      "append batch")
+    val blooms = collectBlooms(spark, dir, names, physBlooms)
     while (true) {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         newSchemaJson = evolved,
@@ -1759,22 +2136,51 @@ object OccTable {
       catch {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
-          // the batch is ALREADY STAGED under the old generation rules
-          // — a racing rule change makes those files unrepresentable;
-          // surface it instead of committing stale bytes
-          if (snap.gencols != gencols0) throw new IllegalStateException(
-            s"OccTable: generated-column rules of $dir changed while " +
-              "this append was staged — rerun the append so the batch " +
-              "recomputes under the current rules")
-          evolved = resolveSchema(snap.schemaJson, df2.schema)
-          checkNewColumns(snap, evolved)
-          // the conflict may BE a racing addCheckConstraint — re-check
-          // the batch against the refreshed constraint set (violations
-          // propagate as ConstraintViolationException, ending the loop)
-          enforceConstraints(df2, snap.constraints, "append batch")
+          try {
+            // the batch is ALREADY STAGED under the old generation
+            // rules and column mapping — a racing rule or mapping
+            // change makes those bytes unrepresentable; surface it
+            // instead of committing stale bytes
+            if (snap.gencols != gencols0) throw new IllegalStateException(
+              s"OccTable: generated-column rules of $dir changed while " +
+                "this append was staged — rerun the append so the batch " +
+                "recomputes under the current rules")
+            if (snap.colmap != colmap0) throw new IllegalStateException(
+              s"OccTable: column mapping of $dir changed while this " +
+                "append was staged — the staged files' physical names " +
+                "no longer match the table's mapping; rerun the append")
+            evolved = resolveSchema(snap.schemaJson, df2.schema)
+            checkNewColumns(snap, evolved)
+            // the conflict may BE a racing addCheckConstraint — check
+            // the STAGED BYTES against constraints added meanwhile
+            // (violations propagate as ConstraintViolationException)
+            val added = snap.constraints.filterNot { case (n, e) =>
+              cons0.get(n).contains(e) }
+            if (added.nonEmpty) validateStagedCollectStats(spark, dir,
+              names, colmap0, added, Map.empty, Seq.empty, "append batch")
+          } catch {
+            case e: Throwable =>
+              discardStaged(spark, dir, names, physBlooms)
+              throw e
+          }
       }
     }
     -1L // unreachable
+  }
+
+  /** Delete an aborted write's staged part files and any bloom
+    * sidecars already built for them — a refused or unrepresentable
+    * write leaves no unreferenced bytes for [[vacuum]] to find.
+    * Idempotent (deletes of already-deleted files are no-ops).
+    */
+  private def discardStaged(spark: SparkSession, dir: String,
+      names: Seq[String], blooms: Seq[OccBloom.BloomCol]): Unit = {
+    val fsys = fs(spark, dir)
+    names.foreach { n =>
+      fsys.delete(new Path(dir, n), false)
+      blooms.foreach(b => fsys.delete(
+        OccBloom.sidecarPath(dir, baseName(n), b.col), false))
+    }
   }
 
   /** Idempotent STREAMING append — Delta's SetTransaction action: the
@@ -1792,36 +2198,60 @@ object OccTable {
     * an appId are a deployment error, same as Delta's contract.
     */
   def appendStream(df: DataFrame, dir: String, appId: String,
-      batchId: Long, statsColumns: Seq[String] = Seq.empty): Long = {
+      batchId: Long, statsColumns: Seq[String] = Seq.empty,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     require(!appId.exists(c => c == ' ' || c == '\n' || c == '\r'),
       s"OccTable: appId must not contain whitespace, got '$appId'")
     val spark = df.sparkSession
     var snap = snapshot(spark, dir)
+    requireWritable(snap)
     if (snap.txns.get(appId).exists(_ >= batchId)) return snap.version
     val gencols0 = snap.gencols
-    val df2 = applyGenerated(df, snap.gencols, s"streaming batch $batchId")
+    val colmap0 = snap.colmap
+    val cons0 = snap.constraints
+    // X140 stage-first, same contract as [[append]]: one lineage
+    // execution (the staging write), validation off the staged bytes
+    val df2 = withGenerated(alignWidened(df, snap.schemaJson), snap.gencols)
     var evolved = resolveSchema(snap.schemaJson, df2.schema)
     checkNewColumns(snap, evolved)
-    enforceConstraints(df2, snap.constraints, s"streaming batch $batchId")
-    val names = stage(toPhysical(df2, snap.colmap), dir)
-    val stats = collectStats(spark, dir, names,
-      statsColumns.map(snap.physName))
+    // partitioned staging records per-file partitionValues exactly
+    // like the batch path — a streaming ingest into a pv-pruned layout
+    // (X145); a generated partition key (X138) composes: the rule
+    // computed it into df2 above, so the ingest never carries it
+    val (names, pvs) = stagePartitioned(toPhysical(df2, snap.colmap), dir,
+      partitionBy.map(snap.physName))
+    val stats = validateStagedCollectStats(spark, dir, names, snap.colmap,
+      snap.constraints, snap.gencols, statsColumns.map(snap.physName),
+      s"streaming batch $batchId")
     while (true) {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         Some((appId, batchId)), newSchemaJson = evolved,
         schemaInForce = evolved.orElse(snap.schemaJson),
-        addStats = stats, op = Some("append_stream"))
+        addStats = stats, addPvs = pvs, op = Some("append_stream"))
       catch {
         case _: ConcurrentWriteException =>
           snap = snapshot(spark, dir)
-          if (snap.gencols != gencols0) throw new IllegalStateException(
-            s"OccTable: generated-column rules of $dir changed while " +
-              s"streaming batch $batchId was staged — the engine will " +
-              "re-offer the batch; it recomputes under the current rules")
-          evolved = resolveSchema(snap.schemaJson, df2.schema)
-          checkNewColumns(snap, evolved)
-          enforceConstraints(df2, snap.constraints,
-            s"streaming batch $batchId")
+          try {
+            if (snap.gencols != gencols0) throw new IllegalStateException(
+              s"OccTable: generated-column rules of $dir changed while " +
+                s"streaming batch $batchId was staged — the engine will " +
+                "re-offer the batch; it recomputes under the current rules")
+            if (snap.colmap != colmap0) throw new IllegalStateException(
+              s"OccTable: column mapping of $dir changed while " +
+                s"streaming batch $batchId was staged — the engine will " +
+                "re-offer the batch; it restages under the current mapping")
+            evolved = resolveSchema(snap.schemaJson, df2.schema)
+            checkNewColumns(snap, evolved)
+            val added = snap.constraints.filterNot { case (n, e) =>
+              cons0.get(n).contains(e) }
+            if (added.nonEmpty) validateStagedCollectStats(spark, dir,
+              names, colmap0, added, Map.empty, Seq.empty,
+              s"streaming batch $batchId")
+          } catch {
+            case e: Throwable =>
+              discardStaged(spark, dir, names, Seq.empty)
+              throw e
+          }
       }
     }
     -1L // unreachable
@@ -1876,56 +2306,66 @@ object OccTable {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
+      requireWritable(snap)
       // zero live files = nothing to transform, and a zero-path read
       // would die in Spark with an unnamed schema error — say why
       require(snap.files.nonEmpty,
         s"OccTable: rewrite on an empty snapshot at $dir (v${snap.version})")
-      // generation rules re-apply to the transform's output (X138):
-      // a transform that drops the generated column gets it recomputed;
-      // one that changes a source column without updating the generated
-      // one is REFUSED by the validation. An overwrite replaces the
-      // schema wholesale — the rules' columns may not even exist — so
-      // it skips generation (the escape hatch, like its schema rule).
       val out0 = transform(readSnapshot(spark, dir, snap,
         throw new IllegalStateException("unreachable: files non-empty")))
-      val out =
-        if (overwriteSchema) out0
-        else applyGenerated(out0, snap.gencols, "rewrite output")
       // an overwrite that would leave a declared constraint or
       // generation rule unresolvable wedges every later write — refuse
-      // up front, same gate as rename/drop (drop the rule first)
+      // up front, same gate as rename/drop (drop the rule first). The
+      // refusal also guarantees the generation below analyzes.
       if (overwriteSchema)
-        checkDeclaredResolve(spark, out.schema, snap, "schema overwrite")
+        checkDeclaredResolve(spark, out0.schema, snap, "schema overwrite")
+      // generation rules re-apply to the transform's output (X138),
+      // OVERWRITE INCLUDED — the rules are declared log state an
+      // overwrite keeps, so its output must keep their invariant: a
+      // transform that drops the generated column gets it recomputed;
+      // one that changes a source column without updating the
+      // generated one is REFUSED by the post-stage validation (an
+      // overwrite that truly retires the rule's columns is refused
+      // above — drop the rule first).
+      val out = withGenerated(out0, snap.gencols)
       val evolved =
         if (overwriteSchema)
           Some(out.schema.json).filterNot(snap.schemaJson.contains)
         else resolveSchema(snap.schemaJson, out.schema)
       if (!overwriteSchema) checkNewColumns(snap, evolved)
-      enforceConstraints(out, snap.constraints, "rewrite output")
       // an OVERWRITE replaces every file, so physical = logical again:
       // stage the new shape verbatim and CLEAR the column mapping in
       // the same commit; a plain rewrite keeps the mapping in force
       val effMap = if (overwriteSchema) Map.empty[String, String]
         else snap.colmap
+      // X140 stage-first: the (full-table) transform executes ONCE —
+      // in the staging write; constraints + generated-column agreement
+      // are validated off the staged bytes in the stats scan
       val names = stage(toPhysical(out, effMap), dir)
-      val stats = collectStats(spark, dir, names,
-        statsColumns.map(c => effMap.getOrElse(c, c)))
-      val blooms = collectBlooms(spark, dir, names,
-        bloomColumns.map(b => b.copy(col = effMap.getOrElse(b.col, b.col))))
-      try return commitActions(spark, dir, names, snap.files, snap.version,
-        newSchemaJson = evolved,
-        schemaInForce = evolved.orElse(snap.schemaJson),
-        // an overwrite that clears the mapping must ALSO conflict with
-        // any intervening commit: a racing append staged under the old
-        // mapping would survive the overwrite and read as NULLs forever
-        conflictOnAnyIntervening =
-          overwriteSchema && (evolved.nonEmpty || snap.colmap.nonEmpty),
-        addStats = stats, addBlooms = blooms, op = Some("rewrite"),
-        extraMeta =
-          if (overwriteSchema && snap.colmap.nonEmpty) Seq("colmapclear")
-          else Seq.empty)
-      catch {
+      val physBlooms = bloomColumns.map(b =>
+        b.copy(col = effMap.getOrElse(b.col, b.col)))
+      try {
+        val stats = validateStagedCollectStats(spark, dir, names, effMap,
+          snap.constraints, snap.gencols,
+          statsColumns.map(c => effMap.getOrElse(c, c)), "rewrite output")
+        val blooms = collectBlooms(spark, dir, names, physBlooms)
+        return commitActions(spark, dir, names, snap.files, snap.version,
+          newSchemaJson = evolved,
+          schemaInForce = evolved.orElse(snap.schemaJson),
+          // an overwrite that clears the mapping must ALSO conflict with
+          // any intervening commit: a racing append staged under the old
+          // mapping would survive the overwrite and read as NULLs forever
+          conflictOnAnyIntervening =
+            overwriteSchema && (evolved.nonEmpty || snap.colmap.nonEmpty),
+          addStats = stats, addBlooms = blooms, op = Some("rewrite"),
+          extraMeta =
+            if (overwriteSchema && snap.colmap.nonEmpty) Seq("colmapclear")
+            else Seq.empty)
+      } catch {
         case e: ConcurrentWriteException =>
+          // the lost attempt's staged files are unreferenced by any
+          // log version — delete them instead of leaving vacuum work
+          discardStaged(spark, dir, names, physBlooms)
           tries += 1
           if (tries > maxRetries) throw e
       }
@@ -2055,6 +2495,7 @@ object OccTable {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
+      requireWritable(snap)
       // SetTransaction fence ([[appendStream]]'s semantics for MERGE —
       // Delta's streaming foreachBatch-merge idiom): a replayed
       // micro-batch is skipped by reading the log it already committed
@@ -2063,7 +2504,10 @@ object OccTable {
         if (snap.txns.get(appId).exists(_ >= batchId))
           return MergeResult(snap.version, 0, snap.files.size)
       }
-      val sourceData = deleteCol.map(source.drop(_)).getOrElse(source)
+      // X143: a source still carrying the pre-widening (narrower)
+      // type upcasts additively instead of refusing
+      val alignedSrc = alignWidened(source, snap.schemaJson)
+      val sourceData = deleteCol.map(alignedSrc.drop(_)).getOrElse(alignedSrc)
       // schema resolution sees the GENERATED shape (X138): a source
       // omitting a generated column is additive, not non-additive
       val evolved = resolveSchema(snap.schemaJson,
@@ -2114,33 +2558,45 @@ object OccTable {
         else Some(readSnapshot(spark, dir,
           snap.copy(files = candidates),
           throw new IllegalStateException("unreachable: candidates non-empty")))
-      val survivors = touched.map(_.join(broadcast(srcKeys),
+      // over-cap sources must not broadcast: Spark materializes the
+      // broadcast relation's full distinct key set ON THE DRIVER, so
+      // hinting it for a backfill-shaped merge re-creates exactly the
+      // driver OOM the distributed discovery avoids — let Spark pick
+      // a shuffle join there, keep the hint for the small-CDC path
+      val srcKeysSide = if (overCap) srcKeys else broadcast(srcKeys)
+      val survivors = touched.map(_.join(srcKeysSide,
         keyCols, "left_anti"))
-      val inserts = applyGenerated(
-        deleteCol.foldLeft(source)((d, c) =>
+      val inserts = withGenerated(
+        deleteCol.foldLeft(alignedSrc)((d, c) =>
           d.filter(!coalesce(col(c), lit(false))).drop(c)),
-        snap.gencols, "merge source")
-      // survivors came from the table and addCheckConstraint validated
-      // the table — only the source-derived rows need checking
-      enforceConstraints(inserts, snap.constraints, "merge source")
+        snap.gencols)
       val out = survivors match {
         case Some(sv) => sv.unionByName(inserts, allowMissingColumns = true)
         case None => inserts
       }
+      // X140 stage-first: one execution of the merge plan (the staging
+      // write); constraints + generated-column agreement validated off
+      // the staged bytes. Survivors re-validate trivially (they came
+      // from the table, whose invariant held) — the scan is over the
+      // rewritten files only, never the untouched table.
       val names = stage(toPhysical(out, snap.colmap), dir)
-      val stats = collectStats(spark, dir, names,
-        statsColumns.map(snap.physName))
-      val blooms = collectBlooms(spark, dir, names,
-        bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
-      try return MergeResult(
-        commitActions(spark, dir, names, candidates, snap.version,
-          txn = txn,
-          newSchemaJson = evolved,
-          schemaInForce = evolved.orElse(snap.schemaJson),
-          addStats = stats, addBlooms = blooms, op = Some("merge")),
-        candidates.size, snap.files.size)
-      catch {
+      val physBlooms = bloomColumns.map(b =>
+        b.copy(col = snap.physName(b.col)))
+      try {
+        val stats = validateStagedCollectStats(spark, dir, names,
+          snap.colmap, snap.constraints, snap.gencols,
+          statsColumns.map(snap.physName), "merge source")
+        val blooms = collectBlooms(spark, dir, names, physBlooms)
+        return MergeResult(
+          commitActions(spark, dir, names, candidates, snap.version,
+            txn = txn,
+            newSchemaJson = evolved,
+            schemaInForce = evolved.orElse(snap.schemaJson),
+            addStats = stats, addBlooms = blooms, op = Some("merge")),
+          candidates.size, snap.files.size)
+      } catch {
         case e: ConcurrentWriteException =>
+          discardStaged(spark, dir, names, physBlooms)
           tries += 1
           if (tries > maxRetries) throw e
       }
@@ -2178,6 +2634,7 @@ object OccTable {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
+      requireWritable(snap)
       val physC = snap.physName(c)
       val classified = snap.files.map { f =>
         val verdict = snap.stats.get(f).map { s =>
@@ -2243,6 +2700,7 @@ object OccTable {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
+      requireWritable(snap)
       val candidates = bloomPrunedFiles(spark, dir, snap, c, values)
       val kept = snap.files.filterNot(candidates.toSet)
       if (candidates.isEmpty)
@@ -2315,6 +2773,7 @@ object OccTable {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
+      requireWritable(snap)
       val cand = candidates(snap)
       if (cand.isEmpty)
         return DvDeleteResult(snap.version, 0L, 0, snap.files.size)
@@ -2439,6 +2898,7 @@ object OccTable {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
+      requireWritable(snap)
       val marked = snap.files.filter(snap.dvs.contains)
       if (marked.isEmpty) return snap.version
       // scanFiles reads with the LOG schema (a DV-marked file predating
@@ -2515,6 +2975,7 @@ object OccTable {
     var tries = 0
     while (true) {
       val snap = snapshot(spark, dir)
+      requireWritable(snap)
       val sized = snap.files.map(f =>
         f -> fsys.getFileStatus(new Path(resolvePath(dir, f))).getLen)
       val selected =
@@ -2690,7 +3151,8 @@ object OccTable {
       // copied — the returned snapshot must agree, or a caller
       // consuming it directly would serve DV-deleted rows as live
       s.dvs.map { case (n, v) => renm(n) -> v },
-      s.colmap, s.colTombs, s.gencols, s.everMapped, s.features)
+      s.colmap, s.colTombs, s.gencols, s.everMapped, s.features,
+      s.wfeatures)
   }
 
   /** Delta `DESCRIBE HISTORY` parity (X131): the table's commit log as
@@ -2766,6 +3228,7 @@ object OccTable {
     */
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
     val cur = snapshot(spark, dir)
+    requireWritable(cur)
     require(version <= cur.version,
       s"OccTable.restore: version $version is ahead of ${cur.version}")
     if (version == cur.version) return cur.version

@@ -98,7 +98,9 @@ final class OccTailTable(options: CaseInsensitiveStringMap)
           new OccTailMicroBatchStream(dir,
             startingVersion = Option(options.get("startingVersion"))
               .getOrElse("earliest"),
-            maxVersions = options.getInt("maxVersionsPerTrigger", 0))
+            maxVersions = options.getInt("maxVersionsPerTrigger", 0),
+            startingTimestamp = Option(options.get("startingTimestamp"))
+              .map(_.toLong))
       }
     }
 }
@@ -109,13 +111,17 @@ final case class OccTailOffset(version: Long) extends Offset {
 }
 
 final class OccTailMicroBatchStream(dir: String, startingVersion: String,
-    maxVersions: Int)
+    maxVersions: Int, startingTimestamp: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   require(startingVersion == "earliest" || startingVersion == "latest" ||
     startingVersion.forall(_.isDigit),
     s"startingVersion must be 'earliest', 'latest' or a version number, " +
       s"got '$startingVersion'")
+  // X147: Delta's startingVersion/startingTimestamp exclusivity
+  require(startingTimestamp.isEmpty || startingVersion == "earliest",
+    "startingTimestamp and startingVersion are mutually exclusive — " +
+      "set one")
   require(maxVersions >= 0,
     s"maxVersionsPerTrigger must be >= 0 (0 = unbounded), got $maxVersions")
 
@@ -131,11 +137,18 @@ final class OccTailMicroBatchStream(dir: String, startingVersion: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(latest)
 
-  override def initialOffset(): Offset = OccTailOffset(startingVersion match {
-    case "earliest" => -1L
-    case "latest" => latest
-    case n => n.toLong - 1 // version n is the first delivered
-  })
+  override def initialOffset(): Offset =
+    OccTailOffset(startingTimestamp match {
+      // X147: subscribe from the first commit AT OR AFTER the
+      // timestamp — resolved against the version files' commit clock,
+      // the same clock versionAsOf time-travels by
+      case Some(ts) => OccTable.firstVersionAtOrAfter(spark, dir, ts) - 1
+      case None => startingVersion match {
+        case "earliest" => -1L
+        case "latest" => latest
+        case n => n.toLong - 1 // version n is the first delivered
+      }
+    })
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxVersions > 0) ReadLimit.maxRows(maxVersions.toLong)
@@ -223,12 +236,15 @@ object OccStream {
     */
   def feed(spark: SparkSession, dir: String,
       startingVersion: String = "earliest",
-      maxVersionsPerTrigger: Int = 0): DataFrame =
-    spark.readStream.format(OccTailSource.ShortName)
+      maxVersionsPerTrigger: Int = 0,
+      startingTimestamp: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format(OccTailSource.ShortName)
       .option("dir", dir)
       .option("startingVersion", startingVersion)
       .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
-      .load()
+    startingTimestamp.fold(r)(ts =>
+      r.option("startingTimestamp", ts.toString)).load()
+  }
 
   /** The DATA tail: subscribe to the table's appends. Each micro-batch
     * turns its version range's AddFiles into ONE incremental parquet
@@ -329,7 +345,20 @@ object OccStream {
                   if onRewrite == "ignoreRemoves" || !rewriteVs(v) =>
                     (v, f)
               }.groupBy(_._1).toSeq.sortBy(_._1)
-              byVersion.map { case (v, vfs) =>
+              // steady state: no schema/mapping commit since the
+              // batch's oldest version means every era reads
+              // identically to cur — ONE scan, zero era folds. A
+              // long-lived tail otherwise re-parses the log from the
+              // nearest checkpoint per add-carrying version, O(V²)
+              // cumulative, even when no mapping change ever landed.
+              // The check costs one version-file read per window
+              // commit (lag-bounded); the per-version fold below only
+              // runs across an actual schema/mapping-change window.
+              if (OccTable.metadataStableSince(spark, dir,
+                  byVersion.head._1, cur))
+                OccTable.scanFiles(spark, dir, cur,
+                  byVersion.flatMap(_._2.map(_._2)).toIndexedSeq)
+              else byVersion.map { case (v, vfs) =>
                 val era =
                   try OccTable.snapshotAt(spark, dir, v)
                   catch {
@@ -371,8 +400,10 @@ object OccStream {
       startingVersion: String = "earliest",
       maxVersionsPerTrigger: Int = 0,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      queryName: Option[String] = None): StreamingQuery = {
-    val writer = feed(spark, dir, startingVersion, maxVersionsPerTrigger)
+      queryName: Option[String] = None,
+      startingTimestamp: Option[Long] = None): StreamingQuery = {
+    val writer = feed(spark, dir, startingVersion, maxVersionsPerTrigger,
+      startingTimestamp)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

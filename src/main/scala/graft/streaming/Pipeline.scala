@@ -341,6 +341,79 @@ object Pipeline {
     graft.sources.OccTable.read(spark, table)()
   }
 
+  /** X145 — the COMPOSED lakehouse flow through the STREAMING ingest
+    * path, one continuous story where `q_occ_pruned_composed` pins the
+    * batch verbs: RENAME value→reading (column mapping in force BEFORE
+    * any data lands, so every staged file writes physical `value`) →
+    * declare the GENERATED partition key `bucket = event_id % 4` (the
+    * ingest never carries it; X138 computes it at the sink) → 4-slice
+    * fenced streaming ingest through the PARTITIONED appendStream
+    * (per-file partitionValues recorded under the mapping) → a CDC
+    * merge negates `reading` for event_id % 20 == 2 → the result is
+    * the pv-PRUNED bucket=2 read left-joined with the CHANGE FEED of
+    * the merge window. Partition pruning, mapped reads, generated
+    * columns, the SetTransaction fence, and CDF classification all
+    * verify in ONE oracled frame (closed-form oracle over events).
+    */
+  def replayOccComposed(spark: SparkSession, dir: String): DataFrame = {
+    val (stream, streamDir) = replayStreamSplit(spark, dir, nFiles = 4)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|composed".getBytes("UTF-8")).map("%02x".format(_))
+      .mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_occ_comp_$user", key)
+    deleteRecursively(outRoot)
+    val table = outRoot.toString + "/t"
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_occ_comp_ckpt")
+    val cols = Seq("event_id", "event_type", "value")
+    val O = graft.sources.OccTable
+    // the zero-row init still stages (empty) part files, so the
+    // declaration gate sees a non-empty table — carry the column in
+    // the v0 SCHEMA and the zero-row validation passes trivially
+    O.init(graft.sources.Tables.events(spark, dir)
+      .select(cols.map(col): _*).limit(0)
+      .withColumn("bucket", expr("cast(event_id % 4 as bigint)")), table)
+    O.renameColumn(spark, table, "value", "reading")
+    O.addGeneratedColumn(spark, table, "bucket",
+      "cast(event_id % 4 as bigint)")
+    withReplayParallelism(spark) {
+      val q = stream.select(cols.map(col): _*)
+        .withColumnRenamed("value", "reading")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          O.appendStream(batch, table, "occ_comp", batchId,
+            statsColumns = Seq("event_id"),
+            partitionBy = Seq("bucket"))
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckptDir)
+        deleteRecursively(streamDir)
+      }
+    }
+    val vIngested = O.snapshot(spark, table).version
+    val src = O.read(spark, table)()
+      .filter(col("event_id") % 20 === 2)
+      .withColumn("reading", -col("reading"))
+    O.merge(spark, table, src, Seq("event_id"))
+    val vMerged = O.snapshot(spark, table).version
+    val changes = O.tableChanges(spark, table, vIngested, vMerged,
+      Seq("event_id"), Seq("reading"))
+      .select(col("event_id"), col("status").as("chg"))
+    O.readPartitionPruned(spark, table, Seq(("bucket", "2")))
+      .join(changes, Seq("event_id"), "left")
+      .select(col("event_id"), col("reading"), col("bucket"),
+        coalesce(col("chg"), lit("unchanged")).as("status"))
+  }
+
   /** OCC commit-log TAILING replayed end-to-end (X104, the read-side
     * twin of [[replayOccIngest]]): a SOURCE OccTable receives a live
     * append series — four event slices landing as separate commits — and

@@ -29,6 +29,35 @@ class OccColumnMappingSpec extends SparkSpec {
       bloomColumns = Seq(OccBloom.BloomCol("user", 200L, 0.01)))
   }
 
+  test("widening composes with rename: mapped pre-widening files promote under the new name") {
+    val dir = freshDir()
+    // gen 1: int metric under physical name 'v'
+    OccTable.init((1L to 10L).map(i => (i, (i * 10).toInt))
+      .toDF("id", "v").withColumn("v", col("v").cast("int")).coalesce(1),
+      dir, statsColumns = Seq("v"))
+    OccTable.renameColumn(spark, dir, "v", "metric") // physical stays 'v'
+    OccTable.widenColumn(spark, dir, "metric",
+      org.apache.spark.sql.types.LongType)
+    val snap = OccTable.snapshot(spark, dir)
+    assert(snap.colmap("metric") === "v")
+    assert(snap.schema.get("metric").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // gen 2: long values beyond int range, written under physical 'v'
+    OccTable.append(Seq((11L, 3000000011L)).toDF("id", "metric")
+      .coalesce(1), dir, statsColumns = Seq("metric"))
+    val out = OccTable.read(spark, dir)().select("id", "metric")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) === 10L && out(11L) === 3000000011L && out.size === 11)
+    // stats keyed under physical 'v' still prune through rename+widen
+    assert(OccTable.pruneFileSet(spark, dir,
+      OccTable.snapshot(spark, dir), Seq.empty,
+      Seq(("metric", 3000000000.0, 4000000000.0)), Seq.empty).size === 1)
+    // rename AFTER the widening keeps serving both generations
+    OccTable.renameColumn(spark, dir, "metric", "m2")
+    assert(OccTable.read(spark, dir)().filter(col("id") === 1L)
+      .select("m2").as[Long].head === 10L)
+  }
+
   test("rename is pure metadata: same files, logical reads, stats + bloom pruning translate") {
     val dir = freshDir()
     initTable(dir)

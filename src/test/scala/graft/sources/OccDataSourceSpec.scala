@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** X142 `graft-occ` connector: `spark.read.format("graft-occ")` serves
+  * the current snapshot through a log-backed FileIndex, so an ad-hoc
+  * `WHERE` file-skips AUTOMATICALLY with exactly the
+  * [[OccTable.pruneFileSet]] survival decision the verb API uses, the
+  * scan carries parquet pushdown + column pruning, and unservable
+  * snapshot states (DVs, column mapping) refuse loudly.
+  */
+class OccDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_dsv").toString + "/t"
+
+  /** Four single-file commits of ids 0–39 with id stats + key blooms. */
+  private def buildSliced(dir: String): Unit = {
+    val blooms = Seq(OccBloom.BloomCol("key", numItems = 100L))
+    def slice(r: Range) =
+      r.map(i => (i.toLong, s"k$i", i * 1.5)).toDF("id", "key", "v")
+        .coalesce(1)
+    OccTable.init(slice(0 until 10), dir, statsColumns = Seq("id"),
+      bloomColumns = blooms)
+    Seq(10 until 20, 20 until 30, 30 until 40).foreach(r =>
+      OccTable.append(slice(r), dir, statsColumns = Seq("id"),
+        bloomColumns = blooms))
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame)
+      : FileSourceScanExec =
+    df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the plan"))
+
+  test("load() serves the snapshot; a pushed range prunes the verb's file set") {
+    val dir = freshDir()
+    buildSliced(dir)
+    val t = spark.read.format("graft-occ").load(dir)
+    assert(t.count() === 40L)
+    val q = t.filter(col("id") >= 10L && col("id") <= 19L)
+    assert(q.select("id").as[Long].collect().sorted.toSeq ===
+      (10L to 19L))
+    val snap = OccTable.snapshot(spark, dir)
+    val expected = OccTable.pruneFileSet(spark, dir, snap, Seq.empty,
+      Seq(("id", 10.0, 19.0)), Seq.empty)
+    assert(expected.size === 1 && snap.files.size === 4)
+    val idx = scanOf(q).relation.location.asInstanceOf[OccFileIndex]
+    assert(idx.lastKept.toSet === expected.toSet,
+      "the connector must skip exactly the files the verb API skips")
+    // parquet pushdown survives the relation: the scan records the
+    // pushed predicates and the projection prunes columns
+    val meta = scanOf(q).metadata
+    assert(meta("PushedFilters").contains("GreaterThanOrEqual(id,10)"))
+    val slim = t.filter(col("id") === 5L).select("key")
+    slim.collect()
+    assert(scanOf(slim).requiredSchema.fieldNames.toSet ===
+      Set("id", "key"))
+  }
+
+  test("a pushed equality probes the bloom sidecars like the verb does") {
+    val dir = freshDir()
+    buildSliced(dir)
+    val t = spark.read.format("graft-occ").load(dir)
+    val q = t.filter(col("key") === "k25")
+    assert(q.select("id").as[Long].collect().toSeq === Seq(25L))
+    val snap = OccTable.snapshot(spark, dir)
+    val expected = OccTable.pruneFileSet(spark, dir, snap,
+      Seq(("key", "k25")), Seq.empty, Seq(("key", Seq("k25"))))
+    val idx = scanOf(q).relation.location.asInstanceOf[OccFileIndex]
+    assert(idx.lastKept.toSet === expected.toSet)
+    assert(expected.size < snap.files.size,
+      "the bloom must actually skip non-holding files")
+  }
+
+  test("IN-list and date/timestamp bounds translate; untranslatable filters only widen") {
+    val dir = freshDir()
+    OccTable.init((0 until 20).map(i =>
+        (i.toLong, ts(f"2024-01-${i / 2 + 1}%02d 00:00:00")))
+      .toDF("id", "t").coalesce(1), dir, statsColumns = Seq("id", "t"))
+    OccTable.append((20 until 40).map(i =>
+        (i.toLong, ts(f"2024-02-${i % 28 + 1}%02d 00:00:00")))
+      .toDF("id", "t").coalesce(1), dir,
+      statsColumns = Seq("id", "t"))
+    val t = spark.read.format("graft-occ").load(dir)
+    val inQ = t.filter(col("id").isin(3L, 7L))
+    assert(inQ.count() === 2L)
+    val idx1 = scanOf(inQ).relation.location.asInstanceOf[OccFileIndex]
+    assert(idx1.lastKept.size === 1, "IN-list min/max must stats-prune")
+    val tsQ = t.filter(col("t") >= lit(ts("2024-02-01 00:00:00")))
+    assert(tsQ.count() === 20L)
+    val idx2 = scanOf(tsQ).relation.location.asInstanceOf[OccFileIndex]
+    assert(idx2.lastKept.size === 1, "timestamp bound must stats-prune")
+    // an untranslatable predicate widens to all files but stays exact
+    val odd = t.filter(col("id") % 2 === 1L)
+    assert(odd.count() === 20L)
+  }
+
+  test("DV-carrying and column-mapped snapshots refuse loudly") {
+    val dir = freshDir()
+    OccTable.init((0 until 10).map(i => (i.toLong, s"k$i"))
+      .toDF("id", "key").coalesce(1), dir, statsColumns = Seq("id"))
+    OccTable.deleteRangeDv(spark, dir, "id", 0.0, 2.0)
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-occ").load(dir).collect()
+    }
+    assert(e1.getMessage.contains("deletion vectors"))
+
+    val dir2 = freshDir()
+    OccTable.init((0 until 10).map(i => (i.toLong, s"k$i"))
+      .toDF("id", "key").coalesce(1), dir2)
+    OccTable.renameColumn(spark, dir2, "key", "name")
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-occ").load(dir2).collect()
+    }
+    assert(e2.getMessage.contains("column mapping"))
+  }
+}

@@ -30,19 +30,72 @@ class OccFeatureSpec extends SparkSpec {
       Set("deletion_vectors"))
     OccTable.renameColumn(spark, dir, "v", "reading")
     OccTable.addGeneratedColumn(spark, dir, "reading", "cast(id * 2 as double)")
-    val all = Set("deletion_vectors", "column_mapping",
-      "generated_columns")
+    // X146 split: generated columns are a WRITER-ONLY feature (readers
+    // serve the materialized bytes), mapping/DVs gate readers
+    val all = Set("deletion_vectors", "column_mapping")
+    val allW = Set("generated_columns")
     assert(OccTable.snapshot(spark, dir).features === all)
+    assert(OccTable.snapshot(spark, dir).wfeatures === allW)
 
     // re-using a feature does NOT re-declare it (one line, ever)
     OccTable.deleteRangeDv(spark, dir, "id", 6.0, 7.0)
     OccTable.checkpoint(spark, dir)
     OccTable.truncateLog(spark, dir)
     assert(OccTable.snapshot(spark, dir).features === all)
+    assert(OccTable.snapshot(spark, dir).wfeatures === allW)
 
     val dir2 = freshDir()
     assert(OccTable.clone(spark, dir, dir2).features === all)
     assert(OccTable.snapshot(spark, dir2).features === all)
+    assert(OccTable.snapshot(spark, dir2).wfeatures === allW)
+  }
+
+  test("writer-only features: readers tolerate, every committing verb refuses") {
+    val dir = freshDir()
+    OccTable.init((1L to 10L).map(i => (i, i * 2.0)).toDF("id", "v")
+      .coalesce(1), dir)
+    // a NEWER engine declares a writer-only feature this build lacks
+    val fsys = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = new Path(s"$dir/_graft_occ/v${"%020d".format(1L)}")
+    val out = fsys.create(v1, false)
+    out.write("op future_verb\nwfeature quantum_merge\n".getBytes("UTF-8"))
+    out.close()
+    // READS keep working — the data is materialized
+    assert(OccTable.read(spark, dir)().count() === 10L)
+    assert(OccTable.snapshot(spark, dir).wfeatures ===
+      Set("quantum_merge"))
+    // WRITES refuse by name: enforcing a contract this build cannot
+    // read would corrupt the table
+    val e = intercept[OccTable.UnsupportedTableFeatureException] {
+      OccTable.append(Seq((11L, 22.0)).toDF("id", "v"), dir)
+    }
+    assert(e.unsupported === Set("quantum_merge"))
+    assertThrows[OccTable.UnsupportedTableFeatureException] {
+      OccTable.rewrite(spark, dir, d => d)
+    }
+    assertThrows[OccTable.UnsupportedTableFeatureException] {
+      OccTable.addCheckConstraint(spark, dir, "c", "v > 0")
+    }
+    // a checkpoint would re-serialize metadata it cannot parse — refuse
+    assertThrows[OccTable.UnsupportedTableFeatureException] {
+      OccTable.checkpoint(spark, dir)
+    }
+  }
+
+  test("constraints declare the check_constraints writer feature") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, 2.0)).toDF("id", "v"), dir)
+    OccTable.addCheckConstraint(spark, dir, "v_pos", "v > 0")
+    val snap = OccTable.snapshot(spark, dir)
+    assert(snap.wfeatures === Set("check_constraints"))
+    assert(snap.features === Set.empty)
+    // second constraint does not re-declare
+    OccTable.addCheckConstraint(spark, dir, "id_pos", "id > 0")
+    OccTable.checkpoint(spark, dir)
+    OccTable.truncateLog(spark, dir)
+    assert(OccTable.snapshot(spark, dir).wfeatures ===
+      Set("check_constraints"))
   }
 
   test("a feature declared after a writer's read conflicts the writer's commit (TOCTOU)") {

@@ -223,6 +223,46 @@ class OccTailSpec extends SparkSpec {
     assert(rows.sorted === Seq((1L, 10L), (2L, 20L), (2L, 20L)))
   }
 
+  test("startingTimestamp subscribes from the first commit at or after it (X147)") {
+    val dir = freshDir("graft_occtail_ts")
+    OccTable.init(Seq((1L, 10L)).toDF("id", "v"), dir)   // v0
+    OccTable.append(Seq((2L, 20L)).toDF("id", "v"), dir) // v1
+    OccTable.append(Seq((3L, 30L)).toDF("id", "v"), dir) // v2
+    // pin the commit clock deterministically (the version files' mtime
+    // IS the clock versionAsOf and X147 resolve against)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def vp(v: Long) = new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_occ/v${"%020d".format(v)}")
+    Seq(0L -> 1000L, 1L -> 2000L, 2L -> 3000L).foreach { case (v, t) =>
+      fsys.setTimes(vp(v), t, t) }
+    assert(OccTable.firstVersionAtOrAfter(spark, dir, 1500L) === 1L)
+    assert(OccTable.firstVersionAtOrAfter(spark, dir, 2000L) === 1L)
+    val ms = new OccTailMicroBatchStream(dir, "earliest", 0,
+      startingTimestamp = Some(1500L))
+    assert(ms.initialOffset() === OccTailOffset(0L)) // v1 first delivered
+    // after the latest commit: refuse loudly (Delta's behavior)
+    assertThrows[IllegalArgumentException] {
+      OccTable.firstVersionAtOrAfter(spark, dir, 9999L)
+    }
+    // startingVersion/startingTimestamp exclusivity
+    assertThrows[IllegalArgumentException] {
+      new OccTailMicroBatchStream(dir, "latest", 0, Some(1L))
+    }
+    // end-to-end: the change feed from ts=1500 sees v1..v2 only — v0's
+    // row never classifies as an add
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = OccStream.changesTo(spark, dir,
+      Files.createTempDirectory("graft_occtail_ts_ckpt").toString,
+      Seq("id"), Seq("v"),
+      (d, _) => { rows ++= d.select("id", "status")
+        .as[(Long, String)].collect(); () },
+      startingTimestamp = Some(1500L))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows.sorted === Seq((2L, "added"), (3L, "added")))
+  }
+
   test("latestOffset honors ReadMaxRows inside a CompositeReadLimit (AvailableNow + admission options)") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val dir = freshDir("graft_occtail_composite")
