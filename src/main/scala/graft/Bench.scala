@@ -184,7 +184,13 @@ object Bench {
     val ranAt = java.time.Instant.now().toString
     val window =
       if (sentinel != "q_filter_equality") "unknown"
-      else windowVerdict(noiseSamples.minOption.filter(_ => noiseSamples.nonEmpty), SentinelFloorRef)
+      else windowVerdict(noiseSamples.minOption, SentinelFloorRef)
+    // the PROBE verdict is its own field: "probed degraded, proceeded
+    // anyway" must stay distinguishable from "retried into a quiet
+    // window" — in-run noise drives `window`, the probe explains it
+    val windowProbe =
+      if (sentinel != "q_filter_equality") "unknown"
+      else if (quietWindow) "quiet" else "degraded"
     val normalizedTotal: Option[Double] =
       if (noiseSamples.isEmpty || sentinel != "q_filter_equality") None
       else Some(total * SentinelFloorRef / noiseSamples.min)
@@ -199,7 +205,7 @@ object Bench {
       }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       val norm = normalizedTotal.map(fmt).getOrElse("null")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","normalized_total":$norm,"sentinel_floor_ref":$SentinelFloorRef,"window":"$window","window_probe_attempts":$probeAttempts,"ran_at":"$ranAt","classes":${classesJson(fmt)},"queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","normalized_total":$norm,"sentinel_floor_ref":$SentinelFloorRef,"window":"$window","window_probe":"$windowProbe","window_probe_attempts":$probeAttempts,"ran_at":"$ranAt","classes":${classesJson(fmt)},"queries":$qs$om,"failed":${failed.mkString("[", ",", "]")},"noise":${noiseJson(fmt)},"sf":"$sfDir"}"""
     }
     // full precision → file (the committed history the judge can read);
     // stdout gets ONE compact line, sized to survive the harness's

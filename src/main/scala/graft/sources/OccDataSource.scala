@@ -111,8 +111,8 @@ class OccFileIndex(spark: SparkSession, dir: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (pvEq, intervals, equality) =
-      OccFilterTranslation.translate(dataFilters)
+    val (pvEq, intervals, equality) = OccFilterTranslation.translate(
+      dataFilters, spark.sessionState.conf.sessionLocalTimeZone)
     val kept = OccTable.pruneFileSet(spark, dir, snap, pvEq, intervals,
       equality)
     lastKept = kept
@@ -132,43 +132,44 @@ class OccFileIndex(spark: SparkSession, dir: String,
   * partial list would create false negatives.
   */
 private[sources] object OccFilterTranslation {
-  def translate(filters: Seq[Expression])
+  def translate(filters: Seq[Expression], sessionTz: String)
       : (Seq[(String, String)], Seq[(String, Double, Double)],
          Seq[(String, Seq[String])]) = {
+    val zone = java.time.ZoneId.of(sessionTz)
     val conjuncts = filters.flatMap(splitAnd)
     val pvEq = Seq.newBuilder[(String, String)]
     val intervals = Seq.newBuilder[(String, Double, Double)]
     val equality = Seq.newBuilder[(String, Seq[String])]
     conjuncts.foreach {
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        bound(v, dt).foreach(lo =>
+        bound(v, dt, zone).foreach(lo =>
           intervals += ((a.name, lo, Double.PositiveInfinity)))
       case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
-        bound(v, dt).foreach(lo =>
+        bound(v, dt, zone).foreach(lo =>
           intervals += ((a.name, lo, Double.PositiveInfinity)))
       case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        bound(v, dt).foreach(hi =>
+        bound(v, dt, zone).foreach(hi =>
           intervals += ((a.name, Double.NegativeInfinity, hi)))
       case LessThan(a: AttributeReference, Literal(v, dt)) =>
-        bound(v, dt).foreach(hi =>
+        bound(v, dt, zone).foreach(hi =>
           intervals += ((a.name, Double.NegativeInfinity, hi)))
       // literal-first spellings mirror with the comparison flipped
       case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-        bound(v, dt).foreach(hi =>
+        bound(v, dt, zone).foreach(hi =>
           intervals += ((a.name, Double.NegativeInfinity, hi)))
       case GreaterThan(Literal(v, dt), a: AttributeReference) =>
-        bound(v, dt).foreach(hi =>
+        bound(v, dt, zone).foreach(hi =>
           intervals += ((a.name, Double.NegativeInfinity, hi)))
       case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-        bound(v, dt).foreach(lo =>
+        bound(v, dt, zone).foreach(lo =>
           intervals += ((a.name, lo, Double.PositiveInfinity)))
       case LessThan(Literal(v, dt), a: AttributeReference) =>
-        bound(v, dt).foreach(lo =>
+        bound(v, dt, zone).foreach(lo =>
           intervals += ((a.name, lo, Double.PositiveInfinity)))
       case EqualTo(a: AttributeReference, Literal(v, dt)) if v != null =>
-        point(a.name, v, dt, pvEq, intervals, equality)
+        point(a.name, v, dt, zone, pvEq, intervals, equality)
       case EqualTo(Literal(v, dt), a: AttributeReference) if v != null =>
-        point(a.name, v, dt, pvEq, intervals, equality)
+        point(a.name, v, dt, zone, pvEq, intervals, equality)
       case In(a: AttributeReference, vs)
           if vs.nonEmpty && vs.forall {
             case Literal(v, _) => v != null
@@ -176,10 +177,10 @@ private[sources] object OccFilterTranslation {
           } =>
         val dt = vs.head.dataType
         val raw = vs.map { case Literal(v, _) => v }
-        multi(a.name, raw, dt, intervals, equality)
+        multi(a.name, raw, dt, zone, intervals, equality)
       case InSet(a: AttributeReference, vs)
           if vs.nonEmpty && !vs.contains(null) =>
-        multi(a.name, vs.toSeq, a.dataType, intervals, equality)
+        multi(a.name, vs.toSeq, a.dataType, zone, intervals, equality)
       case _ => () // not translatable: residual-only, never wrong
     }
     (pvEq.result(), intervals.result(), equality.result())
@@ -191,13 +192,14 @@ private[sources] object OccFilterTranslation {
   }
 
   private def point(name: String, v: Any, dt: DataType,
+      zone: java.time.ZoneId,
       pvEq: scala.collection.mutable.Builder[(String, String), _],
       intervals:
         scala.collection.mutable.Builder[(String, Double, Double), _],
       equality:
         scala.collection.mutable.Builder[(String, Seq[String]), _])
       : Unit = {
-    bound(v, dt).foreach(d => intervals += ((name, d, d)))
+    bound(v, dt, zone).foreach(d => intervals += ((name, d, d)))
     str(v, dt).foreach { s =>
       pvEq += ((name, s))
       equality += ((name, Seq(s)))
@@ -205,12 +207,13 @@ private[sources] object OccFilterTranslation {
   }
 
   private def multi(name: String, vs: Seq[Any], dt: DataType,
+      zone: java.time.ZoneId,
       intervals:
         scala.collection.mutable.Builder[(String, Double, Double), _],
       equality:
         scala.collection.mutable.Builder[(String, Seq[String]), _])
       : Unit = {
-    val ds = vs.map(bound(_, dt))
+    val ds = vs.map(bound(_, dt, zone))
     if (ds.forall(_.nonEmpty)) {
       val flat = ds.flatten
       intervals += ((name, flat.min, flat.max))
@@ -221,11 +224,18 @@ private[sources] object OccFilterTranslation {
 
   /** The literal in [[OccTable.statProjection]] units — Catalyst holds
     * timestamps as epoch MICROS (the projection's unit) and dates as
-    * epoch days (the projection uses seconds).
+    * epoch days. The projection's `cast(date as timestamp)` lands on
+    * LOCAL midnight in the session timezone, so the date bound must
+    * resolve through the same zone — a fixed days*86400 would shift
+    * every bound by the zone offset and falsely prune (silently
+    * dropping rows) whenever the session is not UTC.
     */
-  private def bound(v: Any, dt: DataType): Option[Double] = dt match {
+  private def bound(v: Any, dt: DataType,
+      zone: java.time.ZoneId): Option[Double] = dt match {
     case TimestampType => Some(v.asInstanceOf[Long].toDouble)
-    case DateType => Some(v.asInstanceOf[Int].toDouble * 86400.0)
+    case DateType =>
+      Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+        .atStartOfDay(zone).toEpochSecond.toDouble)
     case ByteType => Some(v.asInstanceOf[Byte].toDouble)
     case ShortType => Some(v.asInstanceOf[Short].toDouble)
     case IntegerType => Some(v.asInstanceOf[Int].toDouble)

@@ -615,7 +615,8 @@ object OccTable {
   private def validateStagedCollectStats(spark: SparkSession,
       dir: String, names: Seq[String], colmap: Map[String, String],
       constraints: Map[String, String], gencols: Map[String, String],
-      physStatsCols: Seq[String], what: String): Map[String, String] = {
+      physStatsCols: Seq[String], what: String,
+      schemaJson: Option[String] = None): Map[String, String] = {
     val needVal = constraints.nonEmpty || gencols.nonEmpty
     if (names.isEmpty || (!needVal && physStatsCols.isEmpty))
       return Map.empty
@@ -624,8 +625,18 @@ object OccTable {
     val raw = spark.read.parquet(names.map(n => resolvePath(dir, n)): _*)
     val physToLog = colmap.collect {
       case (l, p) if l != p && raw.columns.contains(p) => (p, l) }
-    val scan = physToLog.foldLeft(raw) { case (d, (p, l)) =>
+    val renamed = physToLog.foldLeft(raw) { case (d, (p, l)) =>
       d.withColumnRenamed(p, l) }
+    // an ADDITIVE batch may legally omit nullable log columns; a
+    // declared expression referencing one must see NULL (what the
+    // committed scan will serve), not fail analysis — fill the
+    // missing log columns as typed nulls before evaluating
+    val scan = schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType].fields
+        .filterNot(f => renamed.columns.contains(f.name))
+        .foldLeft(renamed)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType))))
+      .getOrElse(renamed)
     val schema = scan.schema
     val statsCols = physStatsCols.map(p =>
       (p, physToLog.getOrElse(p, p)))
@@ -1593,6 +1604,17 @@ object OccTable {
     // visible (it falls back to listing once the old file is gone)
     if (readLastCheckpoint(fsys, dir).forall(_ < snap.version))
       writeLastCheckpoint(fsys, dir, snap.version)
+    // the pointer write is check-then-write: two RACING checkpoints
+    // can interleave so the older one lands last (a regressed
+    // pointer). Fix-forward: re-read, and if any newer checkpoint
+    // file exists, re-point at it — the regression self-heals inside
+    // the verb that caused it. (The residual window — a crash between
+    // the regressing write and this repair — costs a listing-fold
+    // fallback, never a wrong answer: the newer checkpoint's cleanup
+    // deletes the old .chk a stale pointer would name.)
+    listCheckpoints(fsys, dir).lastOption
+      .filter(c => readLastCheckpoint(fsys, dir).exists(_ < c))
+      .foreach(c => writeLastCheckpoint(fsys, dir, c))
     listCheckpoints(fsys, dir).filter(_ < snap.version)
       .foreach(c => fsys.delete(checkpointPath(dir, c), false))
     snap.version
@@ -2123,10 +2145,18 @@ object OccTable {
     val (names, pvs) = stagePartitioned(toPhysical(df2, snap.colmap), dir,
       partitionBy.map(snap.physName))
     val physBlooms = bloomColumns.map(b => b.copy(col = snap.physName(b.col)))
-    val stats = validateStagedCollectStats(spark, dir, names, snap.colmap,
-      snap.constraints, snap.gencols, statsColumns.map(snap.physName),
-      "append batch")
-    val blooms = collectBlooms(spark, dir, names, physBlooms)
+    // ANY post-stage failure — violation (already deleted its part
+    // files), analysis error from a rule referencing a column the
+    // batch legally omits, bloom IO — must leave no staged garbage
+    val (stats, blooms) =
+      try {
+        val st = validateStagedCollectStats(spark, dir, names, snap.colmap,
+          snap.constraints, snap.gencols, statsColumns.map(snap.physName),
+          "append batch", evolved.orElse(snap.schemaJson))
+        (st, collectBlooms(spark, dir, names, physBlooms))
+      } catch {
+        case e: Throwable => discardStaged(spark, dir, names, physBlooms); throw e
+      }
     while (true) {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         newSchemaJson = evolved,
@@ -2157,7 +2187,8 @@ object OccTable {
             val added = snap.constraints.filterNot { case (n, e) =>
               cons0.get(n).contains(e) }
             if (added.nonEmpty) validateStagedCollectStats(spark, dir,
-              names, colmap0, added, Map.empty, Seq.empty, "append batch")
+              names, colmap0, added, Map.empty, Seq.empty, "append batch",
+              evolved.orElse(snap.schemaJson))
           } catch {
             case e: Throwable =>
               discardStaged(spark, dir, names, physBlooms)
@@ -2220,9 +2251,14 @@ object OccTable {
     // computed it into df2 above, so the ingest never carries it
     val (names, pvs) = stagePartitioned(toPhysical(df2, snap.colmap), dir,
       partitionBy.map(snap.physName))
-    val stats = validateStagedCollectStats(spark, dir, names, snap.colmap,
-      snap.constraints, snap.gencols, statsColumns.map(snap.physName),
-      s"streaming batch $batchId")
+    val stats =
+      try validateStagedCollectStats(spark, dir, names, snap.colmap,
+        snap.constraints, snap.gencols, statsColumns.map(snap.physName),
+        s"streaming batch $batchId", evolved.orElse(snap.schemaJson))
+      catch {
+        case e: Throwable =>
+          discardStaged(spark, dir, names, Seq.empty); throw e
+      }
     while (true) {
       try return commitActions(spark, dir, names, Seq.empty, snap.version,
         Some((appId, batchId)), newSchemaJson = evolved,
@@ -2246,7 +2282,7 @@ object OccTable {
               cons0.get(n).contains(e) }
             if (added.nonEmpty) validateStagedCollectStats(spark, dir,
               names, colmap0, added, Map.empty, Seq.empty,
-              s"streaming batch $batchId")
+              s"streaming batch $batchId", evolved.orElse(snap.schemaJson))
           } catch {
             case e: Throwable =>
               discardStaged(spark, dir, names, Seq.empty)
@@ -2347,7 +2383,8 @@ object OccTable {
       try {
         val stats = validateStagedCollectStats(spark, dir, names, effMap,
           snap.constraints, snap.gencols,
-          statsColumns.map(c => effMap.getOrElse(c, c)), "rewrite output")
+          statsColumns.map(c => effMap.getOrElse(c, c)), "rewrite output",
+          evolved.orElse(snap.schemaJson))
         val blooms = collectBlooms(spark, dir, names, physBlooms)
         return commitActions(spark, dir, names, snap.files, snap.version,
           newSchemaJson = evolved,
@@ -2368,6 +2405,8 @@ object OccTable {
           discardStaged(spark, dir, names, physBlooms)
           tries += 1
           if (tries > maxRetries) throw e
+        case e: Throwable =>
+          discardStaged(spark, dir, names, physBlooms); throw e
       }
     }
     -1L // unreachable
@@ -2585,7 +2624,8 @@ object OccTable {
       try {
         val stats = validateStagedCollectStats(spark, dir, names,
           snap.colmap, snap.constraints, snap.gencols,
-          statsColumns.map(snap.physName), "merge source")
+          statsColumns.map(snap.physName), "merge source",
+          evolved.orElse(snap.schemaJson))
         val blooms = collectBlooms(spark, dir, names, physBlooms)
         return MergeResult(
           commitActions(spark, dir, names, candidates, snap.version,
@@ -2599,6 +2639,8 @@ object OccTable {
           discardStaged(spark, dir, names, physBlooms)
           tries += 1
           if (tries > maxRetries) throw e
+        case e: Throwable =>
+          discardStaged(spark, dir, names, physBlooms); throw e
       }
     }
     throw new IllegalStateException("unreachable")
@@ -3128,6 +3170,10 @@ object OccTable {
     // (deleted positions only), so copying them keeps the zero-DATA-
     // copy claim while the clone keeps serving the right rows. Sidecar
     // rows key on BASENAMES, which cloning preserves — copy verbatim.
+    // clone re-serializes the snapshot through metaLines like
+    // checkpoint does — an unknown WRITER feature's action lines would
+    // silently drop from the fork while the declaration rides (X146)
+    requireWritable(s)
     s.dvs.values.toSeq.distinct.foreach { dvName =>
       spark.read.parquet(s"$srcDir/$DvDirName/$dvName")
         .write.parquet(s"$dstDir/$DvDirName/$dvName")

@@ -102,6 +102,25 @@ class OccDataSourceSpec extends SparkSpec {
     assert(odd.count() === 20L)
   }
 
+  test("date bounds resolve through the session timezone, like the stat projection") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.types.DateType
+    val d = AttributeReference("d", DateType)()
+    val f = Seq(GreaterThanOrEqual(d, Literal(20000, DateType)))
+    val (_, utc, _) = OccFilterTranslation.translate(f, "UTC")
+    assert(utc === Seq(("d", 20000L * 86400.0, Double.PositiveInfinity)))
+    // non-UTC session: cast(date as timestamp) is LOCAL midnight — a
+    // fixed days*86400 would shift the bound by the zone offset and
+    // falsely prune
+    val (_, ny, _) = OccFilterTranslation.translate(f, "America/New_York")
+    val expect = java.time.LocalDate.ofEpochDay(20000L)
+      .atStartOfDay(java.time.ZoneId.of("America/New_York"))
+      .toEpochSecond.toDouble
+    assert(ny === Seq(("d", expect, Double.PositiveInfinity)))
+    assert(expect !== 20000L * 86400.0)
+  }
+
   test("DV-carrying and column-mapped snapshots refuse loudly") {
     val dir = freshDir()
     OccTable.init((0 until 10).map(i => (i.toLong, s"k$i"))

@@ -86,6 +86,29 @@ class OccSinglePassWriteSpec extends SparkSpec {
     assert(partFiles(dir) === before2)
   }
 
+  test("a batch omitting a nullable constrained column validates as NULL (SQL CHECK)") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, Some(2.0))).toDF("id", "v"), dir)
+    OccTable.addCheckConstraint(spark, dir, "v_pos", "v > 0")
+    // additive omission: v reads as NULL for these rows, and NULL
+    // passes CHECK — the write must succeed, not fail analysis
+    OccTable.append(Seq(2L, 3L).toDF("id"), dir)
+    val t = OccTable.read(spark, dir)()
+    assert(t.count() === 3L)
+    assert(t.filter(col("v").isNull).count() === 2L)
+    // but a constraint NULL violates (IS NOT NULL shape) refuses the
+    // omission — and leaves no staged garbage
+    val dir2 = freshDir()
+    OccTable.init(Seq((1L, Some(2.0))).toDF("id", "v"), dir2)
+    OccTable.addCheckConstraint(spark, dir2, "v_set", "v IS NOT NULL")
+    val before = partFiles(dir2)
+    assertThrows[OccTable.ConstraintViolationException] {
+      OccTable.append(Seq(4L).toDF("id"), dir2)
+    }
+    assert(partFiles(dir2) === before)
+    assert(OccTable.read(spark, dir2)().count() === 1L)
+  }
+
   test("nondeterministic declared rules are refused at declaration") {
     val dir = freshDir()
     OccTable.init(Seq((1L, 0.5)).toDF("id", "r"), dir)
