@@ -52,7 +52,18 @@ class OccDataSource extends RelationProvider with DataSourceRegister {
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-occ: no table path — " +
         "spark.read.format(\"graft-occ\").load(<table dir>)"))
-    val snap = OccTable.snapshot(spark, dir)
+    // Delta read-option parity: versionAsOf / timestampAsOf (epoch
+    // millis or ISO instant) time-travel the relation; both set is an
+    // error, like Delta
+    val verOpt = parameters.get("versionAsOf").map(_.toLong)
+    val tsOpt = parameters.get("timestampAsOf").map(v =>
+      v.toLongOption.getOrElse(java.time.Instant.parse(v).toEpochMilli))
+    require(verOpt.isEmpty || tsOpt.isEmpty,
+      "graft-occ: versionAsOf and timestampAsOf are mutually exclusive")
+    val snap = verOpt.map(OccTable.snapshotAt(spark, dir, _))
+      .orElse(tsOpt.map(t =>
+        OccTable.snapshotAt(spark, dir, OccTable.versionAsOf(spark, dir, t))))
+      .getOrElse(OccTable.snapshot(spark, dir))
     require(snap.dvs.isEmpty,
       s"graft-occ: table at $dir carries deletion vectors — read it " +
         "through OccTable.read/readFiltered, which apply them")

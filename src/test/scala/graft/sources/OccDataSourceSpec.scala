@@ -102,6 +102,28 @@ class OccDataSourceSpec extends SparkSpec {
     assert(odd.count() === 20L)
   }
 
+  test("versionAsOf / timestampAsOf time-travel the relation") {
+    val dir = freshDir()
+    OccTable.init(Seq((1L, "a")).toDF("id", "s").coalesce(1), dir) // v0
+    OccTable.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), dir) // v1
+    // pin the commit clock, then travel by version and by timestamp
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(0L -> 1000L, 1L -> 2000L).foreach { case (v, t) =>
+      fsys.setTimes(new org.apache.hadoop.fs.Path(
+        s"$dir/_graft_occ/v${"%020d".format(v)}"), t, t) }
+    assert(spark.read.format("graft-occ").load(dir).count() === 2L)
+    assert(spark.read.format("graft-occ").option("versionAsOf", "0")
+      .load(dir).count() === 1L)
+    assert(spark.read.format("graft-occ").option("timestampAsOf", "1500")
+      .load(dir).count() === 1L)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-occ").option("versionAsOf", "0")
+        .option("timestampAsOf", "1500").load(dir).collect()
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("date bounds resolve through the session timezone, like the stat projection") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
       GreaterThanOrEqual, Literal}
