@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.util
+
+import scala.collection.mutable
+
 import org.apache.hadoop.fs.{FileStatus, Path}
 
 import org.apache.spark.sql.{SparkSession, SQLContext}
@@ -7,12 +11,19 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
   EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet,
   LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.{FileIndex,
-  HadoopFsRelation, PartitionDirectory}
+  HadoopFsRelation, PartitionDirectory, PartitioningAwareFileIndex,
+  PartitionSpec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
   RelationProvider}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** X142 — the OCC table as a registered Spark data source:
   * `spark.read.format("graft-occ").load(dir)` plans the CURRENT
@@ -25,53 +36,59 @@ import org.apache.spark.sql.types._
   * `ts >=` range over the telemetry table) becomes a plain filtered
   * read that file-skips without knowing the verb exists.
   *
-  * Integration point: a V1 [[RelationProvider]] returning a
-  * [[HadoopFsRelation]] over a log-backed [[FileIndex]] — the
-  * architecture Delta Lake uses for its own Spark reads. The relation
-  * inherits the whole file-source machinery: column pruning
-  * (`ReadSchema`), parquet predicate pushdown (`PushedFilters`),
-  * whole-stage codegen, AND planning-time file skipping via
-  * [[OccFileIndex.listFiles]], which receives the query's data
-  * filters. Every pruning layer is free of false negatives and Spark
-  * re-applies the full residual filter above the scan, so the result
-  * is identical to the unpruned scan regardless of translation gaps.
+  * Two integration paths, ONE pruning brain:
+  *   - DataSource V2 (the default): [[TableProvider]] → a
+  *     `SupportsRead` table whose ScanBuilder is Spark's own
+  *     `ParquetScanBuilder` over the log-backed [[OccFileIndex]] — the
+  *     builder carries filter pushdown (`SupportsPushDownCatalystFilters`
+  *     → `pushedFilters` on the scan) and column pruning
+  *     (`readDataSchema`), and `FileScan.partitions` hands the pushed
+  *     data filters to [[OccFileIndex.listFiles]], which is where the
+  *     log-level file skipping happens.
+  *   - V1 fallback ([[RelationProvider]] → [[HadoopFsRelation]] over
+  *     the SAME index — Delta's own read architecture), selected via
+  *     `spark.sql.sources.useV1SourceList=graft-occ`. Same files, same
+  *     skipping, FileSourceScanExec plan shape.
+  * Both inherit parquet row-group pushdown and whole-stage codegen;
+  * every pruning layer is free of false negatives and Spark re-applies
+  * the full residual filter above the scan, so results are identical
+  * to the unpruned scan regardless of translation gaps.
   *
-  * Two snapshot states a plain file relation cannot serve correctly
-  * are REFUSED loudly with a pointer at the verb API rather than
-  * served wrong: deletion vectors (the scan would resurrect deleted
-  * rows) and an active column mapping (files carry physical names the
-  * relation would surface verbatim). Time travel and era reads stay
-  * on [[OccTable.readAt]]/[[OccTable.read]].
+  * Read options (Delta parity): `versionAsOf` / `timestampAsOf` (epoch
+  * millis or ISO instant) time-travel the relation; mutually
+  * exclusive. Two snapshot states a plain parquet scan cannot serve
+  * correctly REFUSE loudly with a pointer at the verb API rather than
+  * serving wrong bytes: deletion vectors (the scan would resurrect
+  * deleted rows) and an active column mapping (files carry physical
+  * names the scan would surface verbatim).
   */
-class OccDataSource extends RelationProvider with DataSourceRegister {
+class OccDataSource extends TableProvider with RelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-occ"
 
+  // --- DataSource V2 ---
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OccDataSource.resolve(SparkSession.active,
+      scala.jdk.CollectionConverters
+        .MapHasAsScala(options.asCaseSensitiveMap()).asScala.toMap)._3
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    val params = scala.jdk.CollectionConverters
+      .MapHasAsScala(properties).asScala.toMap
+    val (dir, snap, st) = OccDataSource.resolve(spark, params)
+    new OccV2Table(spark, dir, snap, st)
+  }
+
+  // --- V1 fallback (spark.sql.sources.useV1SourceList=graft-occ) ---
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val dir = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-occ: no table path — " +
-        "spark.read.format(\"graft-occ\").load(<table dir>)"))
-    // Delta read-option parity: versionAsOf / timestampAsOf (epoch
-    // millis or ISO instant) time-travel the relation; both set is an
-    // error, like Delta
-    val verOpt = parameters.get("versionAsOf").map(_.toLong)
-    val tsOpt = parameters.get("timestampAsOf").map(v =>
-      v.toLongOption.getOrElse(java.time.Instant.parse(v).toEpochMilli))
-    require(verOpt.isEmpty || tsOpt.isEmpty,
-      "graft-occ: versionAsOf and timestampAsOf are mutually exclusive")
-    val snap = verOpt.map(OccTable.snapshotAt(spark, dir, _))
-      .orElse(tsOpt.map(t =>
-        OccTable.snapshotAt(spark, dir, OccTable.versionAsOf(spark, dir, t))))
-      .getOrElse(OccTable.snapshot(spark, dir))
-    require(snap.dvs.isEmpty,
-      s"graft-occ: table at $dir carries deletion vectors — read it " +
-        "through OccTable.read/readFiltered, which apply them")
-    require(!snap.colmap.exists { case (l, p) => l != p },
-      s"graft-occ: table at $dir has an active column mapping — read " +
-        "it through OccTable.read, which translates physical names")
-    val schema = snap.schema.getOrElse(throw new IllegalStateException(
-      s"graft-occ: legacy log at $dir records no schema"))
+    val (dir, snap, schema) = OccDataSource.resolve(spark, parameters)
     HadoopFsRelation(
       location = new OccFileIndex(spark, dir, snap, schema),
       partitionSchema = StructType(Nil),
@@ -82,17 +99,71 @@ class OccDataSource extends RelationProvider with DataSourceRegister {
   }
 }
 
-/** The log-backed [[FileIndex]] behind the `graft-occ` relation: the
-  * file LIST is the snapshot (never a directory listing — staged or
+private[sources] object OccDataSource {
+  /** Shared option handling: path, time travel, refusal gates. Returns
+    * (dir, snapshot, logical schema).
+    */
+  def resolve(spark: SparkSession, parameters: Map[String, String])
+      : (String, OccTable.Snapshot, StructType) = {
+    val params = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = params.getOrElse("path",
+      throw new IllegalArgumentException("graft-occ: no table path — " +
+        "spark.read.format(\"graft-occ\").load(<table dir>)"))
+    val verOpt = params.get("versionasof").map(_.toLong)
+    val tsOpt = params.get("timestampasof").map(v =>
+      v.toLongOption.getOrElse(java.time.Instant.parse(v).toEpochMilli))
+    require(verOpt.isEmpty || tsOpt.isEmpty,
+      "graft-occ: versionAsOf and timestampAsOf are mutually exclusive")
+    val snap = verOpt.map(OccTable.snapshotAt(spark, dir, _))
+      .orElse(tsOpt.map(t =>
+        OccTable.snapshotAt(spark, dir,
+          OccTable.versionAsOf(spark, dir, t))))
+      .getOrElse(OccTable.snapshot(spark, dir))
+    require(snap.dvs.isEmpty,
+      s"graft-occ: table at $dir carries deletion vectors — read it " +
+        "through OccTable.read/readFiltered, which apply them")
+    require(!snap.colmap.exists { case (l, p) => l != p },
+      s"graft-occ: table at $dir has an active column mapping — read " +
+        "it through OccTable.read, which translates physical names")
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"graft-occ: legacy log at $dir records no schema"))
+    (dir, snap, schema)
+  }
+}
+
+/** The V2 table: Spark's own parquet ScanBuilder (filter pushdown +
+  * column pruning) over the log-backed index — the file skipping rides
+  * `FileScan.partitions` → [[OccFileIndex.listFiles]].
+  */
+final class OccV2Table(spark: SparkSession, dir: String,
+    snap: OccTable.Snapshot, logicalSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-occ($dir@v${snap.version})"
+  override def schema(): StructType = logicalSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetScanBuilder(spark,
+      new OccFileIndex(spark, dir, snap, logicalSchema),
+      logicalSchema, logicalSchema, options)
+}
+
+/** The log-backed file index behind BOTH `graft-occ` paths: the file
+  * LIST is the snapshot (never a directory listing — staged or
   * orphaned files are invisible by construction; one root listing only
   * resolves sizes), and [[listFiles]] applies the
   * [[OccTable.pruneFileSet]] survival decision to the translated data
-  * filters. `lastKept` records the most recent decision for the
-  * plan-pinning spec.
+  * filters. Extends [[PartitioningAwareFileIndex]] so Spark's V2
+  * parquet ScanBuilder accepts it; the partition spec is empty (the
+  * LOG is the source of partitioning truth — layouts stay flat, pv
+  * pruning happens here, not via directories). `lastKept` records the
+  * most recent decision for the plan-pinning spec.
   */
 class OccFileIndex(spark: SparkSession, dir: String,
     snap: OccTable.Snapshot, logicalSchema: StructType)
-    extends FileIndex {
+    extends PartitioningAwareFileIndex(spark, Map.empty,
+      Some(logicalSchema)) {
   private val fsys = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val qualDir = fsys.makeQualified(new Path(dir))
@@ -113,12 +184,20 @@ class OccFileIndex(spark: SparkSession, dir: String,
 
   @volatile private[sources] var lastKept: Seq[String] = snap.files
 
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+  override protected def leafFiles
+      : mutable.LinkedHashMap[Path, FileStatus] =
+    mutable.LinkedHashMap(snap.files.map(n =>
+      statusByName(n).getPath -> statusByName(n)): _*)
+  override protected def leafDirToChildrenFiles
+      : Map[Path, Array[FileStatus]] =
+    Map(qualDir -> snap.files.map(statusByName).toArray)
   override def rootPaths: Seq[Path] = Seq(qualDir)
-  override def partitionSchema: StructType = StructType(Nil)
   override def refresh(): Unit = ()
   override def inputFiles: Array[String] =
     snap.files.map(n => OccTable.resolvePath(dir, n)).toArray
-  override def sizeInBytes: Long = statusByName.valuesIterator.map(_.getLen).sum
+  override def sizeInBytes: Long =
+    statusByName.valuesIterator.map(_.getLen).sum
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

@@ -2,7 +2,11 @@ package graft.sources
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -10,9 +14,13 @@ import graft.SparkSpec
 /** X142 `graft-occ` connector: `spark.read.format("graft-occ")` serves
   * the current snapshot through a log-backed FileIndex, so an ad-hoc
   * `WHERE` file-skips AUTOMATICALLY with exactly the
-  * [[OccTable.pruneFileSet]] survival decision the verb API uses, the
-  * scan carries parquet pushdown + column pruning, and unservable
-  * snapshot states (DVs, column mapping) refuse loudly.
+  * [[OccTable.pruneFileSet]] survival decision the verb API uses. The
+  * default path is DataSource V2 (Spark's ParquetScanBuilder — filter
+  * pushdown + column pruning — over the index); the V1 relation
+  * fallback serves the same files under
+  * `spark.sql.sources.useV1SourceList`. Unservable snapshot states
+  * (DVs, column mapping) refuse loudly; versionAsOf/timestampAsOf
+  * time-travel.
   */
 class OccDataSourceSpec extends SparkSpec {
   import spark.implicits._
@@ -33,13 +41,24 @@ class OccDataSourceSpec extends SparkSpec {
         bloomColumns = blooms))
   }
 
-  private def scanOf(df: org.apache.spark.sql.DataFrame)
-      : FileSourceScanExec =
-    df.queryExecution.executedPlan.collectFirst {
-      case f: FileSourceScanExec => f
-    }.getOrElse(fail("no FileSourceScanExec in the plan"))
+  private def executed(df: DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+  }
 
-  test("load() serves the snapshot; a pushed range prunes the verb's file set") {
+  /** The V2 parquet scan of the executed plan. */
+  private def v2ScanOf(df: DataFrame): ParquetScan =
+    executed(df).collectLeaves().collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[ParquetScan]
+    }.getOrElse(fail("no BatchScanExec(ParquetScan) in the plan"))
+
+  private def indexOf(scan: ParquetScan): OccFileIndex =
+    scan.fileIndex.asInstanceOf[OccFileIndex]
+
+  test("V2 load() serves the snapshot; a pushed range prunes the verb's file set") {
     val dir = freshDir()
     buildSliced(dir)
     val t = spark.read.format("graft-occ").load(dir)
@@ -47,21 +66,48 @@ class OccDataSourceSpec extends SparkSpec {
     val q = t.filter(col("id") >= 10L && col("id") <= 19L)
     assert(q.select("id").as[Long].collect().sorted.toSeq ===
       (10L to 19L))
+    val scan = v2ScanOf(q)
     val snap = OccTable.snapshot(spark, dir)
     val expected = OccTable.pruneFileSet(spark, dir, snap, Seq.empty,
       Seq(("id", 10.0, 19.0)), Seq.empty)
     assert(expected.size === 1 && snap.files.size === 4)
-    val idx = scanOf(q).relation.location.asInstanceOf[OccFileIndex]
-    assert(idx.lastKept.toSet === expected.toSet,
+    assert(indexOf(scan).lastKept.toSet === expected.toSet,
       "the connector must skip exactly the files the verb API skips")
-    // parquet pushdown survives the relation: the scan records the
-    // pushed predicates and the projection prunes columns
-    val meta = scanOf(q).metadata
-    assert(meta("PushedFilters").contains("GreaterThanOrEqual(id,10)"))
+    // parquet pushdown + column pruning survive the V2 builder
+    assert(scan.pushedFilters.mkString(",")
+      .contains("GreaterThanOrEqual(id,10)"))
     val slim = t.filter(col("id") === 5L).select("key")
-    slim.collect()
-    assert(scanOf(slim).requiredSchema.fieldNames.toSet ===
-      Set("id", "key"))
+    val slimScan = v2ScanOf(slim)
+    assert(slimScan.readDataSchema.fieldNames.toSet === Set("id", "key"))
+  }
+
+  test("V1 fallback (useV1SourceList) serves the same files through HadoopFsRelation") {
+    val dir = freshDir()
+    buildSliced(dir)
+    val key = "spark.sql.sources.useV1SourceList"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft-occ")
+    try {
+      val q = spark.read.format("graft-occ").load(dir)
+        .filter(col("id") >= 10L && col("id") <= 19L)
+      assert(q.select("id").as[Long].collect().sorted.toSeq ===
+        (10L to 19L))
+      val scan = executed(q).collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f
+      }.getOrElse(fail("V1 fallback must plan a FileSourceScanExec"))
+      val idx = scan.relation.location.asInstanceOf[OccFileIndex]
+      val snap = OccTable.snapshot(spark, dir)
+      val expected = OccTable.pruneFileSet(spark, dir, snap, Seq.empty,
+        Seq(("id", 10.0, 19.0)), Seq.empty)
+      assert(idx.lastKept.toSet === expected.toSet)
+      assert(scan.metadata("PushedFilters")
+        .contains("GreaterThanOrEqual(id,10)"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("a pushed equality probes the bloom sidecars like the verb does") {
@@ -73,8 +119,7 @@ class OccDataSourceSpec extends SparkSpec {
     val snap = OccTable.snapshot(spark, dir)
     val expected = OccTable.pruneFileSet(spark, dir, snap,
       Seq(("key", "k25")), Seq.empty, Seq(("key", Seq("k25"))))
-    val idx = scanOf(q).relation.location.asInstanceOf[OccFileIndex]
-    assert(idx.lastKept.toSet === expected.toSet)
+    assert(indexOf(v2ScanOf(q)).lastKept.toSet === expected.toSet)
     assert(expected.size < snap.files.size,
       "the bloom must actually skip non-holding files")
   }
@@ -91,12 +136,12 @@ class OccDataSourceSpec extends SparkSpec {
     val t = spark.read.format("graft-occ").load(dir)
     val inQ = t.filter(col("id").isin(3L, 7L))
     assert(inQ.count() === 2L)
-    val idx1 = scanOf(inQ).relation.location.asInstanceOf[OccFileIndex]
-    assert(idx1.lastKept.size === 1, "IN-list min/max must stats-prune")
+    assert(indexOf(v2ScanOf(inQ)).lastKept.size === 1,
+      "IN-list min/max must stats-prune")
     val tsQ = t.filter(col("t") >= lit(ts("2024-02-01 00:00:00")))
     assert(tsQ.count() === 20L)
-    val idx2 = scanOf(tsQ).relation.location.asInstanceOf[OccFileIndex]
-    assert(idx2.lastKept.size === 1, "timestamp bound must stats-prune")
+    assert(indexOf(v2ScanOf(tsQ)).lastKept.size === 1,
+      "timestamp bound must stats-prune")
     // an untranslatable predicate widens to all files but stays exact
     val odd = t.filter(col("id") % 2 === 1L)
     assert(odd.count() === 20L)
@@ -106,7 +151,6 @@ class OccDataSourceSpec extends SparkSpec {
     val dir = freshDir()
     OccTable.init(Seq((1L, "a")).toDF("id", "s").coalesce(1), dir) // v0
     OccTable.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), dir) // v1
-    // pin the commit clock, then travel by version and by timestamp
     val fsys = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq(0L -> 1000L, 1L -> 2000L).foreach { case (v, t) =>
