@@ -185,13 +185,15 @@ class OccFileIndex(spark: SparkSession, dir: String,
   @volatile private[sources] var lastKept: Seq[String] = snap.files
 
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
-  override protected def leafFiles
-      : mutable.LinkedHashMap[Path, FileStatus] =
+  private lazy val leafMap: mutable.LinkedHashMap[Path, FileStatus] =
     mutable.LinkedHashMap(snap.files.map(n =>
       statusByName(n).getPath -> statusByName(n)): _*)
-  override protected def leafDirToChildrenFiles
-      : Map[Path, Array[FileStatus]] =
+  override protected def leafFiles
+      : mutable.LinkedHashMap[Path, FileStatus] = leafMap
+  private lazy val childMap: Map[Path, Array[FileStatus]] =
     Map(qualDir -> snap.files.map(statusByName).toArray)
+  override protected def leafDirToChildrenFiles
+      : Map[Path, Array[FileStatus]] = childMap
   override def rootPaths: Seq[Path] = Seq(qualDir)
   override def refresh(): Unit = ()
   override def inputFiles: Array[String] =
