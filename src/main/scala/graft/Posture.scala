@@ -996,8 +996,7 @@ object Posture {
         // the same fold with the pointer REMOVED (legacy logs): pays
         // the O(#commits) directory listing the pointer eliminates —
         // the difference is the X141 win WITHOUT any truncation
-        val ptr = new org.apache.hadoop.fs.Path(
-          s"$p/_graft_occ/_last_checkpoint")
+        val ptr = OccTable.lastCheckpointPointerPath(p)
         val fsysP = ptr.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         fsysP.delete(ptr, false)

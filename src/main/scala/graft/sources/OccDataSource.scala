@@ -69,8 +69,34 @@ class OccDataSource extends TableProvider with RelationProvider
   // --- DataSource V2 ---
   override def supportsExternalMetadata(): Boolean = false
 
+  /** ONE snapshot per read: Spark calls inferSchema then getTable on
+    * the same provider instance (instantiated fresh per read), and
+    * resolving twice would take two independent snapshots — a commit
+    * landing between them lets the resolved schema disagree with the
+    * snapshot the scan serves. The instance cache keys on the
+    * normalized options so both calls see the same (dir, snapshot,
+    * schema) triple; getTable ignores the schema argument BECAUSE it
+    * is this cache's own inferSchema result handed back.
+    */
+  @volatile private var lastResolved
+      : Option[(Map[String, String],
+                (String, OccTable.Snapshot, StructType))] = None
+
+  private def resolveCached(spark: SparkSession,
+      parameters: Map[String, String])
+      : (String, OccTable.Snapshot, StructType) = {
+    val norm = parameters.map { case (k, v) => k.toLowerCase -> v }
+    lastResolved match {
+      case Some((p, r)) if p == norm => r
+      case _ =>
+        val r = OccDataSource.resolve(spark, norm)
+        lastResolved = Some((norm, r))
+        r
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    OccDataSource.resolve(SparkSession.active,
+    resolveCached(SparkSession.active,
       scala.jdk.CollectionConverters
         .MapHasAsScala(options.asCaseSensitiveMap()).asScala.toMap)._3
 
@@ -80,7 +106,7 @@ class OccDataSource extends TableProvider with RelationProvider
     val spark = SparkSession.active
     val params = scala.jdk.CollectionConverters
       .MapHasAsScala(properties).asScala.toMap
-    val (dir, snap, st) = OccDataSource.resolve(spark, params)
+    val (dir, snap, st) = resolveCached(spark, params)
     new OccV2Table(spark, dir, snap, st)
   }
 
@@ -109,7 +135,9 @@ private[sources] object OccDataSource {
     val dir = params.getOrElse("path",
       throw new IllegalArgumentException("graft-occ: no table path — " +
         "spark.read.format(\"graft-occ\").load(<table dir>)"))
-    val verOpt = params.get("versionasof").map(_.toLong)
+    val verOpt = params.get("versionasof").map(v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-occ: versionAsOf must be a version number, got '$v'")))
     val tsOpt = params.get("timestampasof").map(v =>
       v.toLongOption.getOrElse(java.time.Instant.parse(v).toEpochMilli))
     require(verOpt.isEmpty || tsOpt.isEmpty,
@@ -168,18 +196,32 @@ class OccFileIndex(spark: SparkSession, dir: String,
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val qualDir = fsys.makeQualified(new Path(dir))
 
-  // size/mtime metadata for the live files: ONE listing of the table
-  // root covers locally-staged names; absolute references (shallow
-  // clones, X133) are resolved individually
+  // X148: file size/mtime come from the LOG (the add actions record
+  // them at commit time — Delta `AddFile.size` parity), so relation
+  // open touches the filesystem ZERO times per file: a shallow-cloned
+  // 10^6-file table opens from its v0 alone. Only size-less adds
+  // (legacy logs) fall back to one root listing plus per-file stats
+  // for absolute references.
   private val statusByName: Map[String, FileStatus] = {
-    val local = fsys.listStatus(qualDir).iterator
-      .filterNot(_.isDirectory).map(s => s.getPath.getName -> s).toMap
-    snap.files.map { n =>
-      val abs = new Path(n).isAbsolute || n.contains(":/")
-      n -> (if (abs) fsys.getFileStatus(new Path(n))
-            else local.getOrElse(n, fsys.getFileStatus(
-              new Path(OccTable.resolvePath(dir, n)))))
+    def qualify(n: String): Path =
+      fsys.makeQualified(new Path(OccTable.resolvePath(dir, n)))
+    val (known, unknown) = snap.files.partition(snap.sizes.contains)
+    val fromLog = known.map { n =>
+      val (len, mt) = snap.sizes(n)
+      n -> new FileStatus(len, false, 1, 134217728L, mt, qualify(n))
     }.toMap
+    val legacy: Map[String, FileStatus] =
+      if (unknown.isEmpty) Map.empty
+      else {
+        val local = fsys.listStatus(qualDir).iterator
+          .filterNot(_.isDirectory).map(s => s.getPath.getName -> s).toMap
+        unknown.map { n =>
+          val abs = new Path(n).isAbsolute || n.contains(":/")
+          n -> (if (abs) fsys.getFileStatus(new Path(n))
+                else local.getOrElse(n, fsys.getFileStatus(qualify(n))))
+        }.toMap
+      }
+    fromLog ++ legacy
   }
 
   @volatile private[sources] var lastKept: Seq[String] = snap.files
@@ -203,8 +245,8 @@ class OccFileIndex(spark: SparkSession, dir: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (pvEq, intervals, equality) = OccFilterTranslation.translate(
-      dataFilters, spark.sessionState.conf.sessionLocalTimeZone)
+    val (pvEq, intervals, equality) =
+      OccFilterTranslation.translate(dataFilters)
     val kept = OccTable.pruneFileSet(spark, dir, snap, pvEq, intervals,
       equality)
     lastKept = kept
@@ -224,44 +266,43 @@ class OccFileIndex(spark: SparkSession, dir: String,
   * partial list would create false negatives.
   */
 private[sources] object OccFilterTranslation {
-  def translate(filters: Seq[Expression], sessionTz: String)
+  def translate(filters: Seq[Expression])
       : (Seq[(String, String)], Seq[(String, Double, Double)],
          Seq[(String, Seq[String])]) = {
-    val zone = java.time.ZoneId.of(sessionTz)
     val conjuncts = filters.flatMap(splitAnd)
     val pvEq = Seq.newBuilder[(String, String)]
     val intervals = Seq.newBuilder[(String, Double, Double)]
     val equality = Seq.newBuilder[(String, Seq[String])]
     conjuncts.foreach {
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        bound(v, dt, zone).foreach(lo =>
+        bound(v, dt).foreach(lo =>
           intervals += ((a.name, lo, Double.PositiveInfinity)))
       case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
-        bound(v, dt, zone).foreach(lo =>
+        bound(v, dt).foreach(lo =>
           intervals += ((a.name, lo, Double.PositiveInfinity)))
       case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-        bound(v, dt, zone).foreach(hi =>
+        bound(v, dt).foreach(hi =>
           intervals += ((a.name, Double.NegativeInfinity, hi)))
       case LessThan(a: AttributeReference, Literal(v, dt)) =>
-        bound(v, dt, zone).foreach(hi =>
+        bound(v, dt).foreach(hi =>
           intervals += ((a.name, Double.NegativeInfinity, hi)))
       // literal-first spellings mirror with the comparison flipped
       case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-        bound(v, dt, zone).foreach(hi =>
+        bound(v, dt).foreach(hi =>
           intervals += ((a.name, Double.NegativeInfinity, hi)))
       case GreaterThan(Literal(v, dt), a: AttributeReference) =>
-        bound(v, dt, zone).foreach(hi =>
+        bound(v, dt).foreach(hi =>
           intervals += ((a.name, Double.NegativeInfinity, hi)))
       case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-        bound(v, dt, zone).foreach(lo =>
+        bound(v, dt).foreach(lo =>
           intervals += ((a.name, lo, Double.PositiveInfinity)))
       case LessThan(Literal(v, dt), a: AttributeReference) =>
-        bound(v, dt, zone).foreach(lo =>
+        bound(v, dt).foreach(lo =>
           intervals += ((a.name, lo, Double.PositiveInfinity)))
       case EqualTo(a: AttributeReference, Literal(v, dt)) if v != null =>
-        point(a.name, v, dt, zone, pvEq, intervals, equality)
+        point(a.name, v, dt, pvEq, intervals, equality)
       case EqualTo(Literal(v, dt), a: AttributeReference) if v != null =>
-        point(a.name, v, dt, zone, pvEq, intervals, equality)
+        point(a.name, v, dt, pvEq, intervals, equality)
       case In(a: AttributeReference, vs)
           if vs.nonEmpty && vs.forall {
             case Literal(v, _) => v != null
@@ -269,10 +310,10 @@ private[sources] object OccFilterTranslation {
           } =>
         val dt = vs.head.dataType
         val raw = vs.map { case Literal(v, _) => v }
-        multi(a.name, raw, dt, zone, intervals, equality)
+        multi(a.name, raw, dt, intervals, equality)
       case InSet(a: AttributeReference, vs)
           if vs.nonEmpty && !vs.contains(null) =>
-        multi(a.name, vs.toSeq, a.dataType, zone, intervals, equality)
+        multi(a.name, vs.toSeq, a.dataType, intervals, equality)
       case _ => () // not translatable: residual-only, never wrong
     }
     (pvEq.result(), intervals.result(), equality.result())
@@ -284,14 +325,13 @@ private[sources] object OccFilterTranslation {
   }
 
   private def point(name: String, v: Any, dt: DataType,
-      zone: java.time.ZoneId,
       pvEq: scala.collection.mutable.Builder[(String, String), _],
       intervals:
         scala.collection.mutable.Builder[(String, Double, Double), _],
       equality:
         scala.collection.mutable.Builder[(String, Seq[String]), _])
       : Unit = {
-    bound(v, dt, zone).foreach(d => intervals += ((name, d, d)))
+    bound(v, dt).foreach(d => intervals += ((name, d, d)))
     str(v, dt).foreach { s =>
       pvEq += ((name, s))
       equality += ((name, Seq(s)))
@@ -299,13 +339,12 @@ private[sources] object OccFilterTranslation {
   }
 
   private def multi(name: String, vs: Seq[Any], dt: DataType,
-      zone: java.time.ZoneId,
       intervals:
         scala.collection.mutable.Builder[(String, Double, Double), _],
       equality:
         scala.collection.mutable.Builder[(String, Seq[String]), _])
       : Unit = {
-    val ds = vs.map(bound(_, dt, zone))
+    val ds = vs.map(bound(_, dt))
     if (ds.forall(_.nonEmpty)) {
       val flat = ds.flatten
       intervals += ((name, flat.min, flat.max))
@@ -316,18 +355,16 @@ private[sources] object OccFilterTranslation {
 
   /** The literal in [[OccTable.statProjection]] units — Catalyst holds
     * timestamps as epoch MICROS (the projection's unit) and dates as
-    * epoch days. The projection's `cast(date as timestamp)` lands on
-    * LOCAL midnight in the session timezone, so the date bound must
-    * resolve through the same zone — a fixed days*86400 would shift
-    * every bound by the zone offset and falsely prune (silently
-    * dropping rows) whenever the session is not UTC.
+    * epoch days. Date stats are recorded ZONE-INDEPENDENTLY (epoch
+    * days × 86400, `unix_date` on the write side), so the bound is the
+    * same fixed arithmetic — no session zone on either side, and a
+    * writer/reader zone mismatch can no longer shift a bound and
+    * falsely prune.
     */
-  private def bound(v: Any, dt: DataType,
-      zone: java.time.ZoneId): Option[Double] = dt match {
+  private def bound(v: Any, dt: DataType): Option[Double] = dt match {
     case TimestampType => Some(v.asInstanceOf[Long].toDouble)
     case DateType =>
-      Some(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
-        .atStartOfDay(zone).toEpochSecond.toDouble)
+      Some(v.asInstanceOf[Int].toLong * 86400.0)
     case ByteType => Some(v.asInstanceOf[Byte].toDouble)
     case ShortType => Some(v.asInstanceOf[Short].toDouble)
     case IntegerType => Some(v.asInstanceOf[Int].toDouble)

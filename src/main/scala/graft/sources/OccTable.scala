@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, input_file_name, lit, max, min, sum, unix_micros, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, input_file_name, lit, max, min, sum, unix_date, unix_micros, when}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StructField, StructType, TimestampType}
 
 /** Optimistic-concurrency MULTI-WRITER commits over a plain-parquet
@@ -87,7 +87,8 @@ object OccTable {
       gencols: Map[String, String] = Map.empty,
       everMapped: Boolean = false,
       features: Set[String] = Set.empty,
-      wfeatures: Set[String] = Set.empty) {
+      wfeatures: Set[String] = Set.empty,
+      sizes: Map[String, (Long, Long)] = Map.empty) {
     /** The log schema in force at this version, if the log records one
       * (v0 of every table initialized since X104 does).
       */
@@ -100,6 +101,13 @@ object OccTable {
       */
     def physName(logical: String): String =
       colmap.getOrElse(logical, logical)
+
+    /** X148: every live file carries its log-recorded (size, modTime)
+      * — the Delta `AddFile.size` parity that lets the connector open
+      * a relation from log metadata alone (zero per-file filesystem
+      * RPCs). False for legacy logs whose adds predate the extension.
+      */
+    def sizesComplete: Boolean = files.forall(sizes.contains)
   }
 
   /** The parsed action set of one commit (or checkpoint) file.
@@ -125,7 +133,8 @@ object OccTable {
       gencolAdds: Seq[(String, String)] = Seq.empty,
       gencolDrops: Seq[String] = Seq.empty,
       featureAdds: Seq[String] = Seq.empty,
-      wfeatureAdds: Seq[String] = Seq.empty)
+      wfeatureAdds: Seq[String] = Seq.empty,
+      addFs: Map[String, (Long, Long)] = Map.empty)
 
   /** Thrown when a commit's removes conflict with an intervening
     * commit and retries are exhausted.
@@ -255,6 +264,14 @@ object OccTable {
   private def lastCheckpointPath(dir: String): Path =
     new Path(s"$dir/$LogDirName/_last_checkpoint")
 
+  /** The X141 pointer's path, for probes/tests that exercise the
+    * pointer-less fallback — kept HERE so a probe deleting "the
+    * pointer" can never drift from the path [[snapshot]] actually
+    * reads if the log layout ever changes.
+    */
+  private[graft] def lastCheckpointPointerPath(dir: String): Path =
+    lastCheckpointPath(dir)
+
   private def readLastCheckpoint(fsys: FileSystem,
       dir: String): Option[Long] =
     try {
@@ -315,9 +332,10 @@ object OccTable {
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
     // add-line fields after the name are prefix-discriminated: `pv=` =
-    // partition values, `bf=` = bloom parameters (X126), any other
-    // non-empty field = the stats payload — position-independent, so
-    // every log generation parses identically
+    // partition values, `bf=` = bloom parameters (X126), `dv=` = the
+    // deletion-vector sidecar, `fs=` = file size,modTime (X148), any
+    // other non-empty field = the stats payload — position-independent,
+    // so every log generation parses identically
     val addPairs = lines.collect {
       case s if s.startsWith("add ") => s.stripPrefix("add ")
     }.map { l =>
@@ -325,12 +343,16 @@ object OccTable {
       val name = fields.head
       val stats = fields.tail.find(f => f.nonEmpty &&
         !f.startsWith("pv=") && !f.startsWith("bf=") &&
-        !f.startsWith("dv="))
+        !f.startsWith("dv=") && !f.startsWith("fs="))
       val pv = fields.tail.find(_.startsWith("pv=")).map(parsePv)
       val bf = fields.tail.find(_.startsWith("bf=")).map(parseBf)
       val dv = fields.tail.find(_.startsWith("dv="))
         .map(f => urlDec(f.stripPrefix("dv=")))
-      (name, stats, pv, bf, dv)
+      val fsm = fields.tail.find(_.startsWith("fs=")).map { f =>
+        val Array(len, mt) = f.stripPrefix("fs=").split(",", 2)
+        (len.toLong, mt.toLong)
+      }
+      (name, stats, pv, bf, dv, fsm)
     }
     Actions(
       addPairs.map(_._1),
@@ -343,9 +365,9 @@ object OccTable {
         s.stripPrefix("schema ") },
       lines.collectFirst { case s if s.startsWith("schemaHash ") =>
         s.stripPrefix("schemaHash ") },
-      addPairs.collect { case (n, Some(s), _, _, _) => n -> s }.toMap,
-      addPairs.collect { case (n, _, Some(p), _, _) => n -> p }.toMap,
-      addPairs.collect { case (n, _, _, Some(b), _) => n -> b }.toMap,
+      addPairs.collect { case (n, Some(s), _, _, _, _) => n -> s }.toMap,
+      addPairs.collect { case (n, _, Some(p), _, _, _) => n -> p }.toMap,
+      addPairs.collect { case (n, _, _, Some(b), _, _) => n -> b }.toMap,
       lines.collectFirst { case s if s.startsWith("op ") =>
         s.stripPrefix("op ") },
       lines.collect { case s if s.startsWith("constraint ") =>
@@ -354,7 +376,7 @@ object OccTable {
       },
       lines.collect { case s if s.startsWith("dropconstraint ") =>
         s.stripPrefix("dropconstraint ") },
-      addPairs.collect { case (n, _, _, _, Some(d)) => n -> d }.toMap,
+      addPairs.collect { case (n, _, _, _, Some(d), _) => n -> d }.toMap,
       // colmap lines REPLACE the whole mapping (like the schema
       // action); identity entries serialize too, so a rename-back
       // still registers as a mapping commit; `colmapclear` (schema
@@ -375,7 +397,8 @@ object OccTable {
       lines.collect { case s if s.startsWith("feature ") =>
         s.stripPrefix("feature ") },
       lines.collect { case s if s.startsWith("wfeature ") =>
-        s.stripPrefix("wfeature ") })
+        s.stripPrefix("wfeature ") },
+      addPairs.collect { case (n, _, _, _, _, Some(f)) => n -> f }.toMap)
   }
 
   /** Commit-log versions and their parsed actions over `(after, upTo]`
@@ -483,16 +506,21 @@ object OccTable {
   /** One add action line: `add <name>`, `add <name>\t<stats>` (X117,
     * the tab-extended Delta `AddFile.stats` shape), with the file's
     * partition values as a `pv=k=v;…` field (Delta `AddFile
-    * .partitionValues` parity), and/or with the file's bloom-index
+    * .partitionValues` parity), with the file's bloom-index
     * parameters as a `bf=col:m:k;…` field (X126 — the bits live in
-    * sidecars, [[OccBloom]]). Fields after the name are
-    * PREFIX-DISCRIMINATED, not positional (`pv=`/`bf=`/anything else =
-    * stats), so every log generation parses identically.
+    * sidecars, [[OccBloom]]), and/or with the file's size and modTime
+    * as a `fs=<bytes>,<epochMillis>` field (X148 — Delta
+    * `AddFile.size`/`modificationTime` parity, what lets a reader
+    * build its FileIndex from the log alone). Fields after the name
+    * are PREFIX-DISCRIMINATED, not positional (`pv=`/`bf=`/`dv=`/
+    * `fs=`/anything else = stats), so every log generation parses
+    * identically.
     */
   private def addLine(name: String, stats: Option[String],
       pv: Option[Map[String, String]] = None,
       bf: Option[Map[String, (Int, Int)]] = None,
-      dv: Option[String] = None): String = {
+      dv: Option[String] = None,
+      fsMeta: Option[(Long, Long)] = None): String = {
     val pvField = pv.filter(_.nonEmpty).map(m =>
       "pv=" + m.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${urlEnc(k)}=${urlEnc(v)}" }.mkString(";"))
@@ -500,11 +528,27 @@ object OccTable {
       "bf=" + m.toSeq.sortBy(_._1).map { case (c, (mm, kk)) =>
         s"${urlEnc(c)}:$mm:$kk" }.mkString(";"))
     val dvField = dv.map(n => s"dv=${urlEnc(n)}")
+    val fsField = fsMeta.map { case (len, mt) => s"fs=$len,$mt" }
     val fields = stats.toSeq ++ pvField.toSeq ++ bfField.toSeq ++
-      dvField.toSeq
+      dvField.toSeq ++ fsField.toSeq
     if (fields.isEmpty) s"add $name"
     else s"add $name\t${fields.mkString("\t")}"
   }
+
+  /** X148 write-side stat: the (size, modTime) of a just-staged file,
+    * recorded in its add action so readers never pay a per-file
+    * filesystem RPC. Best-effort BY DESIGN: a name the filesystem
+    * cannot stat (a test's fabricated add, a racing delete) simply
+    * commits size-less — readers fall back to listing for exactly
+    * those files, never to a wrong answer. O(#adds) per commit, the
+    * same class as the staged-stats scan.
+    */
+  private def statFsMeta(fsys: FileSystem, dir: String,
+      name: String): Option[(Long, Long)] =
+    try {
+      val st = fsys.getFileStatus(new Path(resolvePath(dir, name)))
+      Some((st.getLen, st.getModificationTime))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def parseBf(field: String): Map[String, (Int, Int)] =
     field.stripPrefix("bf=").split(';').iterator.filter(_.nonEmpty).map {
@@ -566,13 +610,20 @@ object OccTable {
 
   /** The STAT PROJECTION of a column — what min/max are computed over
     * and what [[readPruned]]'s bounds are expressed in: timestamps as
-    * epoch micros, numerics as double. Refuses other types loudly (a
-    * silently-untracked column would read as "never prunable").
+    * epoch micros, dates as epoch days × 86400 (zone-INDEPENDENT —
+    * `cast(date as timestamp)` lands on local midnight in the writing
+    * session's zone, so a stats file written under one zone would be
+    * pruned against bounds computed under another, silently dropping
+    * rows; `unix_date` has no zone input on either side), numerics as
+    * double. Refuses other types loudly (a silently-untracked column
+    * would read as "never prunable"). Logs whose date stats predate
+    * this rule were written under the harness's pinned UTC session,
+    * where the two formulas coincide.
     */
   private def statProjection(schema: StructType, c: String): Column =
     schema(c).dataType match {
       case TimestampType => unix_micros(col(c)).cast("double")
-      case DateType => col(c).cast("timestamp").cast("long").cast("double")
+      case DateType => unix_date(col(c)).cast("double") * lit(86400.0)
       case _: NumericType => col(c).cast("double")
       case dt => throw new IllegalArgumentException(
         s"OccTable stats: unsupported type ${dt.simpleString} for column $c")
@@ -1369,9 +1420,11 @@ object OccTable {
     val gencols = scala.collection.mutable.Map.empty[String, String]
     val features = scala.collection.mutable.Set.empty[String]
     val wfeatures = scala.collection.mutable.Set.empty[String]
+    val sizes = scala.collection.mutable.Map.empty[String, (Long, Long)]
     def fold(a: Actions): Unit = {
       a.removes.foreach { n =>
-        live -= n; stats -= n; pvs -= n; blooms -= n; dvs -= n }
+        live -= n; stats -= n; pvs -= n; blooms -= n; dvs -= n
+        sizes -= n }
       a.constraintAdds.foreach { case (n, e) => constraints(n) = e }
       a.constraintDrops.foreach(constraints -= _)
       a.colmapSet.foreach { m => colmap = m; everMapped = true }
@@ -1398,6 +1451,10 @@ object OccTable {
           case Some(d) => dvs(n) = d
           case None => dvs -= n
         }
+        a.addFs.get(n) match {
+          case Some(f) => sizes(n) = f
+          case None => sizes -= n
+        }
       }
       a.txns.foreach { case (app, ver) =>
         txns(app) = math.max(ver, txns.getOrElse(app, Long.MinValue))
@@ -1418,7 +1475,7 @@ object OccTable {
     Snapshot(version, live.toSeq, txns.toMap, schemaJson, stats.toMap,
       pvs.toMap, blooms.toMap, constraints.toMap, dvs.toMap,
       colmap, colTombs.toSet, gencols.toMap, everMapped, features.toSet,
-      wfeatures.toSet)
+      wfeatures.toSet, sizes.toMap)
   }
 
   /** Delta-parity TIMESTAMP AS OF: the last version whose commit time
@@ -1592,7 +1649,7 @@ object OccTable {
     requireWritable(snap)
     val body = (snap.files.map(n =>
       addLine(n, snap.stats.get(n), snap.pvs.get(n),
-        snap.blooms.get(n), snap.dvs.get(n))) ++
+        snap.blooms.get(n), snap.dvs.get(n), snap.sizes.get(n))) ++
       snap.txns.toSeq.sortBy(_._1).map { case (a, v) => s"txn $a $v" } ++
       metaLines(snap) ++
       schemaLines(snap.schemaJson, snap.schemaJson))
@@ -1792,14 +1849,18 @@ object OccTable {
     val (names, pvs) = stagePartitioned(df, dir, partitionBy)
     val stats = collectStats(spark, dir, names, statsColumns)
     val blooms = collectBlooms(spark, dir, names, bloomColumns)
+    val sizes = names.flatMap(n =>
+      statFsMeta(fsys, dir, n).map(n -> _)).toMap
     val schemaJson = df.schema.json
     val body = ("op init" +: (names.map(n =>
-      addLine(n, stats.get(n), pvs.get(n), blooms.get(n))) ++
+      addLine(n, stats.get(n), pvs.get(n), blooms.get(n),
+        fsMeta = sizes.get(n))) ++
       schemaLines(Some(schemaJson), Some(schemaJson))))
       .mkString("", "\n", "\n")
     require(claim(fsys, versionPath(dir, 0L), body.getBytes("UTF-8")),
       s"OccTable: lost the init race at $dir — another writer initialized")
-    Snapshot(0L, names, Map.empty, Some(schemaJson), stats, pvs, blooms)
+    Snapshot(0L, names, Map.empty, Some(schemaJson), stats, pvs, blooms,
+      sizes = sizes)
   }
 
   /** Commit staged `adds`/`removes` read at `readVersion`: claim
@@ -1829,10 +1890,15 @@ object OccTable {
       extraMeta: Seq[String] = Seq.empty,
       addDvs: Map[String, String] = Map.empty): Long = {
     val fsys = fs(spark, dir)
+    // X148: every add records its staged file's (size, modTime) —
+    // best-effort (a non-stat-able name commits size-less and readers
+    // list for it), O(#adds) driver stats per commit
+    val addFs = adds.flatMap(n =>
+      statFsMeta(fsys, dir, n).map(n -> _)).toMap
     val body = (op.map(o => s"op $o").toSeq ++
       removes.map(n => s"remove $n") ++
       adds.map(n => addLine(n, addStats.get(n), addPvs.get(n),
-        addBlooms.get(n), addDvs.get(n))) ++
+        addBlooms.get(n), addDvs.get(n), addFs.get(n))) ++
       txn.map { case (app, ver) => s"txn $app $ver" }.toSeq ++
       extraMeta ++
       schemaLines(newSchemaJson, schemaInForce))
@@ -3181,9 +3247,22 @@ object OccTable {
     // metaLines: the same serializer as [[checkpoint]] — constraints,
     // mapping state, generation rules, and features all ride the fork
     // (txns deliberately do NOT: a fresh table inherits no fences)
+    // X148: the clone's v0 carries the source's recorded (size,
+    // modTime) under the renamed absolute paths — a clone-backed
+    // relation opens from log metadata alone, zero per-source-file
+    // RPCs for readers. Size-less source adds (legacy logs) stat once
+    // here, through the SOURCE filesystem, so the fork upgrades them.
+    val sizes = s.files.flatMap { n =>
+      s.sizes.get(n).orElse {
+        try {
+          val st = srcFs.getFileStatus(new Path(resolvePath(srcDir, n)))
+          Some((st.getLen, st.getModificationTime))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.map(renm(n) -> _)
+    }.toMap
     val body = ("op clone" +:
       (s.files.map(n => addLine(renm(n), s.stats.get(n), s.pvs.get(n),
-        None, s.dvs.get(n))) ++
+        None, s.dvs.get(n), sizes.get(renm(n)))) ++
         metaLines(s) ++
         schemaLines(s.schemaJson, s.schemaJson)))
       .mkString("", "\n", "\n")
@@ -3198,7 +3277,7 @@ object OccTable {
       // consuming it directly would serve DV-deleted rows as live
       s.dvs.map { case (n, v) => renm(n) -> v },
       s.colmap, s.colTombs, s.gencols, s.everMapped, s.features,
-      s.wfeatures)
+      s.wfeatures, sizes)
   }
 
   /** Delta `DESCRIBE HISTORY` parity (X131): the table's commit log as

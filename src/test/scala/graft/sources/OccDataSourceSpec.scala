@@ -168,23 +168,40 @@ class OccDataSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("mutually exclusive"))
   }
 
-  test("date bounds resolve through the session timezone, like the stat projection") {
+  test("date stats and date bounds are ZONE-INDEPENDENT end to end") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
       GreaterThanOrEqual, Literal}
     import org.apache.spark.sql.types.DateType
+    // reader side: the bound is fixed epoch-days arithmetic — no
+    // session zone input, so a writer/reader zone mismatch can never
+    // shift it and falsely prune
     val d = AttributeReference("d", DateType)()
     val f = Seq(GreaterThanOrEqual(d, Literal(20000, DateType)))
-    val (_, utc, _) = OccFilterTranslation.translate(f, "UTC")
-    assert(utc === Seq(("d", 20000L * 86400.0, Double.PositiveInfinity)))
-    // non-UTC session: cast(date as timestamp) is LOCAL midnight — a
-    // fixed days*86400 would shift the bound by the zone offset and
-    // falsely prune
-    val (_, ny, _) = OccFilterTranslation.translate(f, "America/New_York")
-    val expect = java.time.LocalDate.ofEpochDay(20000L)
-      .atStartOfDay(java.time.ZoneId.of("America/New_York"))
-      .toEpochSecond.toDouble
-    assert(ny === Seq(("d", expect, Double.PositiveInfinity)))
-    assert(expect !== 20000L * 86400.0)
+    val (_, b, _) = OccFilterTranslation.translate(f)
+    assert(b === Seq(("d", 20000L * 86400.0, Double.PositiveInfinity)))
+    // writer side: the recorded stat is the same arithmetic even when
+    // the WRITING session's zone is not UTC (the pre-fix projection,
+    // cast(date as timestamp), would have recorded local midnight)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val dir = freshDir()
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      OccTable.init(Seq(
+          (1L, java.sql.Date.valueOf("2024-09-18")), // epoch day 19984
+          (2L, java.sql.Date.valueOf("2024-09-20")))
+        .toDF("id", "day").coalesce(1), dir, statsColumns = Seq("day"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // read back under UTC: the pushed day-range must still keep (not
+    // falsely prune) the file and serve both rows
+    val q = spark.read.format("graft-occ").load(dir)
+      .filter(col("day") >= lit(java.sql.Date.valueOf("2024-09-18")))
+    assert(q.count() === 2L)
+    val snap = OccTable.snapshot(spark, dir)
+    val stats = snap.stats(snap.files.head)
+    val (mn, mx) = OccTable.statsFor(stats, "day").get
+    assert(mn.get === 19984L * 86400.0 && mx.get === 19986L * 86400.0,
+      "date stats must record epoch-days arithmetic regardless of the " +
+        "writing session's zone")
   }
 
   test("DV-carrying and column-mapped snapshots refuse loudly") {
