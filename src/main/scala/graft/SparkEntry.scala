@@ -3158,6 +3158,98 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // ---- X149: the SAME pruned rollup through the connector over a
+    //      COLUMN-MAPPED table — two columns renamed mid-history (pure
+    //      metadata, zero bytes moved), later appends staged under the
+    //      unchanged physical names, and the analyst's WHERE on the
+    //      RENAMED timestamp column still file-skips off the
+    //      physically-keyed stats; result ≡ q_occ_dsv2 modulo names ----
+    "q_occ_dsv2_mapped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|dsv2map".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_dsv2map_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val q = (hi - lo) / 4
+      val slices = (0 until 4).map { i =>
+        val a = lo + i * q
+        val z = if (i == 3) hi + 1 else lo + (i + 1) * q
+        ev.filter(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < z)
+          .coalesce(2)
+      }
+      val statsCols = Seq("ts", "value")
+      OccTable.init(slices.head, t, statsColumns = statsCols)
+      OccTable.append(slices(1), t, statsColumns = statsCols)
+      // mid-history renames: pure metadata commits; stats stay keyed
+      // by the write-time PHYSICAL names (ts, value)
+      OccTable.renameColumn(s, t, "ts", "event_ts")
+      OccTable.renameColumn(s, t, "value", "val")
+      // post-rename appends speak LOGICAL names and stage physical
+      slices.drop(2).foreach(sl =>
+        OccTable.append(sl.withColumnRenamed("ts", "event_ts")
+          .withColumnRenamed("value", "val"), t,
+          statsColumns = Seq("event_ts", "val")))
+      OccTable.checkpoint(s, t) // the mapping survives the checkpoint
+      s.read.format("graft-occ").load(t)
+        .filter(col("event_ts") >= timestamp_micros(lit(lo + q)) &&
+          col("event_ts") <= timestamp_micros(lit(lo + 3 * q)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("sum_value"))
+    }),
+
+    // ---- X148: the SAME pruned rollup through the connector over a
+    //      shallow CLONE — zero data bytes copied, the clone's v0
+    //      references the source files absolutely WITH their recorded
+    //      (size, modTime), so the relation opens from log metadata
+    //      alone and still file-skips on the pushed range ----
+    "q_occ_dsv2_clone" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|dsv2clone".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_dsv2cl_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val c = root.toString + "/fork"
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val q = (hi - lo) / 4
+      val slices = (0 until 4).map { i =>
+        val a = lo + i * q
+        val z = if (i == 3) hi + 1 else lo + (i + 1) * q
+        ev.filter(unix_micros(col("ts")) >= a && unix_micros(col("ts")) < z)
+          .coalesce(2)
+      }
+      val statsCols = Seq("ts", "value")
+      OccTable.init(slices.head, t, statsColumns = statsCols)
+      slices.tail.foreach(sl =>
+        OccTable.append(sl, t, statsColumns = statsCols))
+      OccTable.clone(s, t, c) // zero-copy fork; sizes ride the v0
+      s.read.format("graft-occ").load(c)
+        .filter(col("ts") >= timestamp_micros(lit(lo + q)) &&
+          col("ts") <= timestamp_micros(lit(lo + 3 * q)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
     // ---- X143: lossless TYPE WIDENING as pure metadata — gen-1 files
     //      hold INT metrics, widenColumn(long) rewrites nothing, gen-2
     //      appends exceed int range, and ONE flat scan serves both
@@ -6768,6 +6860,37 @@ object SparkEntry {
     // X142: the connector path must be result-identical to q_occ_skip
     // — same slices, same middle-half range, same rollup, same oracle.
     "q_occ_dsv2" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, value FROM events, b
+        |  WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= lo + (hi - lo) // 4
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) <= lo + 3 * ((hi - lo) // 4))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // X149: renames are metadata-only, so the mapped connector read is
+    // result-identical to the flat rollup — the oracle proves the
+    // mapping changed nothing about the data.
+    "q_occ_dsv2_mapped" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, value FROM events, b
+        |  WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= lo + (hi - lo) // 4
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) <= lo + 3 * ((hi - lo) // 4))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // X148: a shallow clone serves byte-identical data — the connector
+    // read of the fork matches the flat rollup.
+    "q_occ_dsv2_clone" ->
       """WITH b AS (
         |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
         |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi

@@ -14,12 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, PartitionDirectory, PartitioningAwareFileIndex,
   PartitionSpec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
   RelationProvider}
 import org.apache.spark.sql.types._
@@ -115,6 +116,13 @@ class OccDataSource extends TableProvider with RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val (dir, snap, schema) = OccDataSource.resolve(spark, parameters)
+    // the V1 relation hands files straight to ParquetFileFormat, which
+    // would surface the files' PHYSICAL names verbatim — X149's
+    // rename-above-the-scan needs the V2 lane, so mapped tables refuse
+    // here (the DEFAULT path serves them)
+    require(!snap.colmap.exists { case (l, p) => l != p },
+      s"graft-occ: table at $dir has an active column mapping — read " +
+        "it through the default V2 path or OccTable.read")
     HadoopFsRelation(
       location = new OccFileIndex(spark, dir, snap, schema),
       partitionSchema = StructType(Nil),
@@ -150,9 +158,6 @@ private[sources] object OccDataSource {
     require(snap.dvs.isEmpty,
       s"graft-occ: table at $dir carries deletion vectors — read it " +
         "through OccTable.read/readFiltered, which apply them")
-    require(!snap.colmap.exists { case (l, p) => l != p },
-      s"graft-occ: table at $dir has an active column mapping — read " +
-        "it through OccTable.read, which translates physical names")
     val schema = snap.schema.getOrElse(throw new IllegalStateException(
       s"graft-occ: legacy log at $dir records no schema"))
     (dir, snap, schema)
@@ -161,7 +166,15 @@ private[sources] object OccDataSource {
 
 /** The V2 table: Spark's own parquet ScanBuilder (filter pushdown +
   * column pruning) over the log-backed index — the file skipping rides
-  * `FileScan.partitions` → [[OccFileIndex.listFiles]].
+  * `FileScan.partitions` → [[OccFileIndex.listFiles]]. Under an active
+  * column mapping (X137/X149) the SCAN operates entirely in PHYSICAL
+  * name space — the files' bytes, the log's stats/pv/bloom keys, and
+  * the parquet row-group filters all speak physical — and only
+  * `readSchema()` renames back to logical, which is metadata-only
+  * (V2 rows are positional). Catalyst hands logical-named predicates
+  * and projections to [[OccScanBuilder]], which translates on the way
+  * in, so a pushed filter on a RENAMED column prunes the identical
+  * file set the verb API prunes.
   */
 final class OccV2Table(spark: SparkSession, dir: String,
     snap: OccTable.Snapshot, logicalSchema: StructType)
@@ -171,10 +184,86 @@ final class OccV2Table(spark: SparkSession, dir: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetScanBuilder(spark,
-      new OccFileIndex(spark, dir, snap, logicalSchema),
-      logicalSchema, logicalSchema, options)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val physSchema = OccTable.physicalSchema(logicalSchema, snap.colmap)
+    new OccScanBuilder(spark,
+      new OccFileIndex(spark, dir, snap, physSchema),
+      physSchema,
+      logicalSchema.fields.map(f =>
+        f.name -> snap.physName(f.name)).toMap,
+      options)
+  }
+}
+
+/** X149 — the logical↔physical translation layer over Spark's own
+  * `ParquetScanBuilder`: Catalyst talks LOGICAL names (the table
+  * schema), the inner builder and everything below it (parquet
+  * row-group filters, [[OccFileIndex.listFiles]] file skipping, the
+  * column-pruned read schema) talk PHYSICAL. Extends `FileScanBuilder`
+  * so the optimizer's catalyst-filter pushdown recognizes it, but
+  * delegates every decision to the inner builder; `pushFilters`
+  * returns the ORIGINAL logical filters as the residual (exactly what
+  * `FileScanBuilder` itself does — file-source pushdown is advisory),
+  * so a translation gap can only cost pruning, never correctness.
+  * Identity translation (unmapped tables) adds nothing but the
+  * [[OccParquetScan]] wrapper type.
+  */
+final class OccScanBuilder(spark: SparkSession, index: OccFileIndex,
+    physSchema: StructType, logToPhys: Map[String, String],
+    options: CaseInsensitiveStringMap)
+    extends FileScanBuilder(spark, index, physSchema) {
+  private val inner =
+    ParquetScanBuilder(spark, index, physSchema, physSchema, options)
+  private val physToLog = logToPhys.collect {
+    case (l, p) if l != p => (p, l) }
+
+  private def toPhys(e: Expression): Expression = e.transform {
+    case a: AttributeReference if logToPhys.getOrElse(a.name, a.name)
+        != a.name => a.withName(logToPhys(a.name))
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(StructType(requiredSchema.fields.map(f =>
+      f.copy(name = logToPhys.getOrElse(f.name, f.name)))))
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    inner.pushFilters(filters.map(toPhys))
+    filters // full residual in LOGICAL space, like FileScanBuilder
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def build(): Scan = {
+    val b = inner.build() // the inner builder's state, fully resolved
+    new OccParquetScan(spark, b.hadoopConf, index, physSchema,
+      b.readDataSchema, b.readPartitionSchema, b.pushedFilters, options,
+      b.partitionFilters, b.dataFilters, physToLog)
+  }
+}
+
+/** The scan both graft-occ V2 lanes produce: Spark's `ParquetScan`
+  * (whole-stage codegen, row-group pushdown, `FileScan.partitions` →
+  * the log-backed index) with `readSchema()` renamed back to LOGICAL
+  * names under a column mapping — the rows are positional, so the
+  * rename is plan-level metadata only.
+  */
+final class OccParquetScan(spark: SparkSession,
+    hadoopConf: org.apache.hadoop.conf.Configuration,
+    index: OccFileIndex, physSchema: StructType,
+    readDataSchema: StructType, readPartitionSchema: StructType,
+    pushedDataFilters: Array[org.apache.spark.sql.sources.Filter],
+    options: CaseInsensitiveStringMap,
+    partitionFiltersSeq: Seq[Expression], dataFiltersSeq: Seq[Expression],
+    physToLog: Map[String, String])
+    extends ParquetScan(spark, hadoopConf, index, physSchema,
+      readDataSchema, readPartitionSchema, pushedDataFilters, options,
+      None, partitionFiltersSeq, dataFiltersSeq) {
+  override def readSchema(): StructType =
+    if (physToLog.isEmpty) super.readSchema()
+    else StructType(super.readSchema().fields.map(f =>
+      f.copy(name = physToLog.getOrElse(f.name, f.name))))
 }
 
 /** The log-backed file index behind BOTH `graft-occ` paths: the file

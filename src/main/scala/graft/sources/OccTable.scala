@@ -1548,7 +1548,7 @@ object OccTable {
     * the shape the parquet files actually carry under column mapping
     * (X137). Identity when the snapshot has no mapping.
     */
-  private def physicalSchema(st: StructType,
+  private[sources] def physicalSchema(st: StructType,
       colmap: Map[String, String]): StructType =
     if (colmap.isEmpty) st
     else StructType(st.fields.map(f =>

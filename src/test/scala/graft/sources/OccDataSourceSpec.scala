@@ -204,7 +204,7 @@ class OccDataSourceSpec extends SparkSpec {
         "writing session's zone")
   }
 
-  test("DV-carrying and column-mapped snapshots refuse loudly") {
+  test("DV-carrying snapshots refuse loudly on the V2 path") {
     val dir = freshDir()
     OccTable.init((0 until 10).map(i => (i.toLong, s"k$i"))
       .toDF("id", "key").coalesce(1), dir, statsColumns = Seq("id"))
@@ -213,14 +213,74 @@ class OccDataSourceSpec extends SparkSpec {
       spark.read.format("graft-occ").load(dir).collect()
     }
     assert(e1.getMessage.contains("deletion vectors"))
+  }
 
-    val dir2 = freshDir()
-    OccTable.init((0 until 10).map(i => (i.toLong, s"k$i"))
-      .toDF("id", "key").coalesce(1), dir2)
-    OccTable.renameColumn(spark, dir2, "key", "name")
-    val e2 = intercept[IllegalArgumentException] {
-      spark.read.format("graft-occ").load(dir2).collect()
+  test("X149: a column-mapped table SERVES through V2 — logical names out, physical pruning in") {
+    val dir = freshDir()
+    buildSliced(dir) // 4 files, id stats + key blooms, ids 0–39
+    OccTable.renameColumn(spark, dir, "id", "ident")
+    OccTable.renameColumn(spark, dir, "key", "name")
+    // a post-rename append stages under the (unchanged) physical names
+    OccTable.append(Seq((100L, "k100", 1.0)).toDF("ident", "name", "v")
+      .coalesce(1), dir, statsColumns = Seq("ident"))
+    val t = spark.read.format("graft-occ").load(dir)
+    assert(t.columns.toSeq === Seq("ident", "name", "v"),
+      "the relation must surface LOGICAL names")
+    // result parity with the verb API, logical space end to end
+    assert(t.select("ident").as[Long].collect().sorted.toSeq ===
+      ((0L until 40L) :+ 100L))
+    // a pushed range on the RENAMED column prunes the IDENTICAL file
+    // set pruneFileSet does (stats are keyed by write-time physical)
+    val q = t.filter(col("ident") >= 10L && col("ident") <= 19L)
+    assert(q.select("ident").as[Long].collect().sorted.toSeq ===
+      (10L to 19L))
+    val snap = OccTable.snapshot(spark, dir)
+    val expectedStats = OccTable.pruneFileSet(spark, dir, snap,
+      Seq.empty, Seq(("ident", 10.0, 19.0)), Seq.empty)
+    assert(expectedStats.size === 1 && snap.files.size === 5)
+    assert(indexOf(v2ScanOf(q)).lastKept.toSet === expectedStats.toSet,
+      "a pushed filter on a RENAMED column must prune the identical " +
+        "file set the verb API prunes")
+    // parquet row-group pushdown speaks PHYSICAL names (the bytes')
+    assert(v2ScanOf(q).pushedFilters.mkString(",")
+      .contains("GreaterThanOrEqual(id,10)"))
+    // bloom pruning on the renamed string column
+    val kq = t.filter(col("name") === "k25")
+    assert(kq.select("ident").as[Long].collect().toSeq === Seq(25L))
+    val expBloom = OccTable.pruneFileSet(spark, dir, snap,
+      Seq(("name", "k25")), Seq.empty, Seq(("name", Seq("k25"))))
+    assert(indexOf(v2ScanOf(kq)).lastKept.toSet === expBloom.toSet)
+    assert(expBloom.size < snap.files.size)
+    // column pruning reaches the scan in physical space
+    val slim = t.filter(col("ident") === 5L).select("name")
+    assert(v2ScanOf(slim).readDataSchema.fieldNames.toSet ===
+      Set("id", "key"))
+    assert(slim.as[String].collect().toSeq === Seq("k5"))
+    // the V1 relation lane cannot rename above its scan — refuses
+    val key = "spark.sql.sources.useV1SourceList"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft-occ")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("graft-occ").load(dir).collect()
+      }
+      assert(e.getMessage.contains("column mapping"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-    assert(e2.getMessage.contains("column mapping"))
+  }
+
+  test("X149: rename-back and colmapclear windows still serve exact bytes") {
+    val dir = freshDir()
+    buildSliced(dir)
+    OccTable.renameColumn(spark, dir, "key", "name")
+    OccTable.renameColumn(spark, dir, "name", "key") // identity again
+    val t = spark.read.format("graft-occ").load(dir)
+    assert(t.columns.toSeq === Seq("id", "key", "v"))
+    assert(t.filter(col("key") === "k7").select("id").as[Long]
+      .collect().toSeq === Seq(7L))
   }
 }
