@@ -3895,6 +3895,14 @@ object SparkEntry {
     "q_occ_stream_composed" -> ((s, dir) =>
       graft.streaming.Pipeline.replayOccComposed(s, dir)),
 
+    // ---- X150: the reference's by-format-name streaming read
+    //      (spark_streaming.py:125-130) against the lakehouse table —
+    //      readStream.format("graft-occ") tails the commit log one
+    //      version per micro-batch and relays into a second table
+    //      through the fenced sink; dst read ≡ plain events rollup ----
+    "q_occ_stream_format" -> ((s, dir) =>
+      graft.streaming.Pipeline.replayOccFormatStream(s, dir)),
+
     // ---- OCC commit-log TAILING (X104, the read-side of the lakehouse
     //      loop): a live append series on a source OCC table is
     //      SUBSCRIBED to — offsets = log versions, one micro-batch per
@@ -6828,6 +6836,14 @@ object SparkEntry {
         |  CASE WHEN event_id % 20 = 2 THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM events WHERE event_id % 4 = 2""".stripMargin,
+
+    // X150: the format-name stream relays the whole source table
+    // through the fenced sink, so the destination rollup equals the
+    // flat events rollup.
+    "q_occ_stream_format" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     // tailed-and-relayed OCC table is a pure passthrough: the version
     // offsets, the admission cap, the skipped compaction commit, and

@@ -182,11 +182,12 @@ final class OccV2Table(spark: SparkSession, dir: String,
   override def name(): String = s"graft-occ($dir@v${snap.version})"
   override def schema(): StructType = logicalSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val physSchema = OccTable.physicalSchema(logicalSchema, snap.colmap)
-    new OccScanBuilder(spark,
+    new OccScanBuilder(spark, dir, snap,
       new OccFileIndex(spark, dir, snap, physSchema),
       physSchema,
       logicalSchema.fields.map(f =>
@@ -208,7 +209,8 @@ final class OccV2Table(spark: SparkSession, dir: String,
   * Identity translation (unmapped tables) adds nothing but the
   * [[OccParquetScan]] wrapper type.
   */
-final class OccScanBuilder(spark: SparkSession, index: OccFileIndex,
+final class OccScanBuilder(spark: SparkSession, dir: String,
+    snap: OccTable.Snapshot, index: OccFileIndex,
     physSchema: StructType, logToPhys: Map[String, String],
     options: CaseInsensitiveStringMap)
     extends FileScanBuilder(spark, index, physSchema) {
@@ -237,7 +239,7 @@ final class OccScanBuilder(spark: SparkSession, index: OccFileIndex,
 
   override def build(): Scan = {
     val b = inner.build() // the inner builder's state, fully resolved
-    new OccParquetScan(spark, b.hadoopConf, index, physSchema,
+    new OccParquetScan(spark, dir, snap, b.hadoopConf, index, physSchema,
       b.readDataSchema, b.readPartitionSchema, b.pushedFilters, options,
       b.partitionFilters, b.dataFilters, physToLog)
   }
@@ -249,7 +251,8 @@ final class OccScanBuilder(spark: SparkSession, index: OccFileIndex,
   * names under a column mapping — the rows are positional, so the
   * rename is plan-level metadata only.
   */
-final class OccParquetScan(spark: SparkSession,
+final class OccParquetScan(spark: SparkSession, dir: String,
+    snap: OccTable.Snapshot,
     hadoopConf: org.apache.hadoop.conf.Configuration,
     index: OccFileIndex, physSchema: StructType,
     readDataSchema: StructType, readPartitionSchema: StructType,
@@ -264,6 +267,21 @@ final class OccParquetScan(spark: SparkSession,
     if (physToLog.isEmpty) super.readSchema()
     else StructType(super.readSchema().fields.map(f =>
       f.copy(name = physToLog.getOrElse(f.name, f.name))))
+
+  /** X150: `readStream.format("graft-occ")` — the version-windowed
+    * incremental read over this scan's machinery; see
+    * [[OccDataMicroBatchStream]].
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream =
+    new OccDataMicroBatchStream(dir, snap, this,
+      startingVersion = Option(options.get("startingVersion"))
+        .getOrElse("earliest"),
+      startingTimestamp = Option(options.get("startingTimestamp"))
+        .map(_.toLong),
+      maxVersions = options.getInt("maxVersionsPerTrigger", 0),
+      onRewrite = Option(options.get("onRewrite")).getOrElse("fail"))
 }
 
 /** The log-backed file index behind BOTH `graft-occ` paths: the file

@@ -703,6 +703,63 @@ object Pipeline {
     * out-of-order slice whose span exceeds the watermark slack would be
     * silently dropped as late — a flaky gate).
     */
+  /** X150 replayed end-to-end: the reference's hot path —
+    * `spark.readStream.format(...)` by NAME (spark_streaming.py:125-130)
+    * — against the OCC table instead of Kafka. A source table receives
+    * four event slices as separate commits; the FORMAT-NAME stream
+    * (`readStream.format("graft-occ")`, one version per micro-batch via
+    * the admission cap) relays each batch into a second OCC table
+    * through the SetTransaction-fenced sink; the destination read must
+    * equal the plain events selection — the oracle
+    * (`q_occ_stream_format`). This pins the whole lane: version
+    * offsets, per-window incremental parquet scans, fenced
+    * exactly-once delivery.
+    */
+  def replayOccFormatStream(spark: SparkSession, dir: String): DataFrame = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|fmtstream".getBytes("UTF-8")).map("%02x".format(_))
+      .mkString
+    val outRoot = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_occ_fmt_$user", key)
+    deleteRecursively(outRoot)
+    val src = outRoot.toString + "/src"
+    val dst = outRoot.toString + "/dst"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_occ_fmt_ckpt")
+    val cols = Seq("event_id", "event_type", "value")
+    val base = graft.sources.Tables.events(spark, dir)
+      .select(cols.map(col): _*)
+    val O = graft.sources.OccTable
+    withReplayParallelism(spark) {
+      O.init(base.filter(col("event_id") % 4 === 0).coalesce(2), src)
+      (1 to 3).foreach(i =>
+        O.append(base.filter(col("event_id") % 4 === i).coalesce(2), src))
+      O.init(base.limit(0), dst)
+      val q = spark.readStream.format("graft-occ")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerTrigger", "1")
+        .load(src)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          O.appendStream(batch, dst, "occ_fmt", batchId)
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally {
+        q.stop()
+        deleteRecursively(ckpt)
+      }
+    }
+    O.read(spark, dst)()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
   private def replayStreamSplit(spark: SparkSession, dir: String,
       nFiles: Int, flushSentinels: Int = 0): (DataFrame, java.nio.file.Path) = {
     val streamDir = java.nio.file.Files
