@@ -3250,6 +3250,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    // ---- X151: the DV-delete survivors served BY FORMAT NAME through
+    //      the V1 lane — same build as q_occ_delete_dv minus the purge,
+    //      so the table still CARRIES its deletion vectors and the
+    //      relation must compose the sidecar anti-join itself; result ≡
+    //      the doubly-negated filter, deleted rows never resurrected ----
+    "q_occ_dsv2_dv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|dsv2dv".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_dsv2dv_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val q = (hi - lo) / 4
+      OccTable.init(ev.repartitionByRange(8, col("ts")), t,
+        statsColumns = Seq("ts"))
+      OccTable.deleteRangeDv(s, t, "ts",
+        (lo + q).toDouble, (lo + 2 * q).toDouble)
+      val victims = ev.filter(col("user_id") % 499 === 0)
+        .select(col("user_id").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      OccTable.deleteEqualityDv(s, t, "user_id", victims)
+      // route THIS load through the V1 lane (relation resolution is
+      // eager, so the conf only needs to cover the load call); append
+      // to the default list — replacing it would flip the plain
+      // parquet scans the anti-join builds on to V2
+      val ck = "spark.sql.sources.useV1SourceList"
+      val prevList = s.conf.get(ck)
+      s.conf.set(ck, prevList + ",graft-occ")
+      try s.read.format("graft-occ").load(t)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+      finally s.conf.set(ck, prevList)
+    }),
+
     // ---- X143: lossless TYPE WIDENING as pure metadata — gen-1 files
     //      hold INT metrics, widenColumn(long) rewrites nothing, gen-2
     //      appends exceed int range, and ONE flat scan serves both
@@ -6918,6 +6962,22 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM f GROUP BY 1""".stripMargin,
+
+    // X151: deletion vectors applied by the V1 relation must be
+    // invisible beyond their predicates — the connector read replays
+    // as the doubly-negated filter (same closed form as
+    // q_occ_delete_dv; no purge, the DVs are live at read time).
+    "q_occ_dsv2_dv" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+        |  FROM events)
+        |SELECT event_id, user_id, event_type,
+        |  round(value, 6) AS value
+        |FROM events, b
+        |WHERE NOT (epoch_us(CAST(ts AS TIMESTAMP)) >= lo + (hi - lo) // 4
+        |       AND epoch_us(CAST(ts AS TIMESTAMP)) <= lo + 2 * ((hi - lo) // 4))
+        |  AND user_id % 499 <> 0""".stripMargin,
 
     // X143: both generations (int files, long files) read through the
     // widened schema — result ≡ the closed arithmetic, types and all.

@@ -6,7 +6,8 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 
-import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
   EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet,
@@ -22,7 +23,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider}
+  PrunedFilteredScan, RelationProvider}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -115,7 +116,8 @@ class OccDataSource extends TableProvider with RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val (dir, snap, schema) = OccDataSource.resolve(spark, parameters)
+    val (dir, snap, schema) =
+      OccDataSource.resolve(spark, parameters, allowDvs = true)
     // the V1 relation hands files straight to ParquetFileFormat, which
     // would surface the files' PHYSICAL names verbatim — X149's
     // rename-above-the-scan needs the V2 lane, so mapped tables refuse
@@ -123,6 +125,12 @@ class OccDataSource extends TableProvider with RelationProvider
     require(!snap.colmap.exists { case (l, p) => l != p },
       s"graft-occ: table at $dir has an active column mapping — read " +
         "it through the default V2 path or OccTable.read")
+    // X151: a DV-carrying snapshot cannot be a plain file relation (the
+    // scan would resurrect deleted rows) — serve it through a
+    // PrunedFilteredScan that composes the SAME pruning brain with the
+    // sidecar anti-join [[OccTable.readFiltered]] applies
+    if (snap.dvs.nonEmpty)
+      return new OccDvRelation(spark, dir, snap, schema)
     HadoopFsRelation(
       location = new OccFileIndex(spark, dir, snap, schema),
       partitionSchema = StructType(Nil),
@@ -137,7 +145,8 @@ private[sources] object OccDataSource {
   /** Shared option handling: path, time travel, refusal gates. Returns
     * (dir, snapshot, logical schema).
     */
-  def resolve(spark: SparkSession, parameters: Map[String, String])
+  def resolve(spark: SparkSession, parameters: Map[String, String],
+      allowDvs: Boolean = false)
       : (String, OccTable.Snapshot, StructType) = {
     val params = parameters.map { case (k, v) => k.toLowerCase -> v }
     val dir = params.getOrElse("path",
@@ -155,9 +164,11 @@ private[sources] object OccDataSource {
         OccTable.snapshotAt(spark, dir,
           OccTable.versionAsOf(spark, dir, t))))
       .getOrElse(OccTable.snapshot(spark, dir))
-    require(snap.dvs.isEmpty,
-      s"graft-occ: table at $dir carries deletion vectors — read it " +
-        "through OccTable.read/readFiltered, which apply them")
+    require(allowDvs || snap.dvs.isEmpty,
+      s"graft-occ: table at $dir carries deletion vectors — the V2 " +
+        "parquet scan would resurrect deleted rows; read it through " +
+        "the V1 lane (spark.sql.sources.useV1SourceList=graft-occ) or " +
+        "OccTable.read/readFiltered, which apply them")
     val schema = snap.schema.getOrElse(throw new IllegalStateException(
       s"graft-occ: legacy log at $dir records no schema"))
     (dir, snap, schema)
@@ -492,6 +503,146 @@ private[sources] object OccFilterTranslation {
     case StringType => Some(v.toString)
     case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
     case BooleanType => Some(v.toString)
+    case _ => None
+  }
+}
+
+/** X151 — the DV-carrying table as a V1 relation
+  * (`spark.sql.sources.useV1SourceList=graft-occ`): a plain file
+  * relation would resurrect DV-deleted rows, so this lane builds the
+  * scan the way [[OccTable.readFiltered]] does — translate the pushed
+  * V1 filters into the pruning vocabulary, plan only the surviving
+  * files, and compose the sidecar LEFT ANTI join on
+  * (`_metadata.file_name`, `row_index`) above them. The sidecar read
+  * itself pushes an `In(file_name, …)` filter (only currently-marked
+  * files' positions apply). Expressible filters also re-apply INSIDE
+  * the scan so parquet row-group pushdown still fires; Spark
+  * re-evaluates the full predicate above regardless, so translation
+  * gaps cost pruning, never correctness.
+  */
+final class OccDvRelation(spark: SparkSession, dir: String,
+    snap: OccTable.Snapshot, logicalSchema: StructType)
+    extends BaseRelation with PrunedFilteredScan {
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def schema: StructType = logicalSchema
+  override def sizeInBytes: Long =
+    snap.files.flatMap(snap.sizes.get).map(_._1).sum max 1L
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[Row] = {
+    val (pvEq, intervals, equality) = OccV1FilterTranslation
+      .translate(filters)
+    val kept = OccTable.pruneFileSet(spark, dir, snap, pvEq, intervals,
+      equality)
+    val base: DataFrame =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], logicalSchema)
+      else OccTable.applyDvs(spark, dir, snap,
+        OccTable.scanFiles(spark, dir, snap, kept))
+    // re-apply the expressible filters inside the scan so parquet
+    // row-group pushdown fires; the engine re-applies the full
+    // predicate above this relation either way
+    val filtered = filters.flatMap(OccV1FilterTranslation.toColumn)
+      .foldLeft(base)(_ filter _)
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+}
+
+/** V1 `sources.Filter` → the [[OccTable.pruneFileSet]] vocabulary —
+  * the [[OccFilterTranslation]] twin for the lane Spark hands
+  * translated public Filter objects instead of Catalyst expressions.
+  * Same conservatism: anything not provably convertible simply does
+  * not prune.
+  */
+private[sources] object OccV1FilterTranslation {
+  import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEq,
+    Filter, GreaterThan => SGt, GreaterThanOrEqual => SGe,
+    In => SIn, IsNotNull => SNotNull, IsNull => SNull,
+    LessThan => SLt, LessThanOrEqual => SLe}
+
+  def translate(filters: Array[Filter])
+      : (Seq[(String, String)], Seq[(String, Double, Double)],
+         Seq[(String, Seq[String])]) = {
+    val pvEq = Seq.newBuilder[(String, String)]
+    val intervals = Seq.newBuilder[(String, Double, Double)]
+    val equality = Seq.newBuilder[(String, Seq[String])]
+    def walk(f: Filter): Unit = f match {
+      case SAnd(l, r) => walk(l); walk(r)
+      case SGe(a, v) => bound(v).foreach(lo =>
+        intervals += ((a, lo, Double.PositiveInfinity)))
+      case SGt(a, v) => bound(v).foreach(lo =>
+        intervals += ((a, lo, Double.PositiveInfinity)))
+      case SLe(a, v) => bound(v).foreach(hi =>
+        intervals += ((a, Double.NegativeInfinity, hi)))
+      case SLt(a, v) => bound(v).foreach(hi =>
+        intervals += ((a, Double.NegativeInfinity, hi)))
+      case SEq(a, v) if v != null =>
+        bound(v).foreach(d => intervals += ((a, d, d)))
+        str(v).foreach { sv => pvEq += ((a, sv)); equality += ((a, Seq(sv))) }
+      case SIn(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+        val ds = vs.toSeq.map(bound)
+        if (ds.forall(_.nonEmpty)) {
+          val flat = ds.flatten
+          intervals += ((a, flat.min, flat.max))
+        }
+        val ss = vs.toSeq.map(str)
+        if (ss.forall(_.nonEmpty)) equality += ((a, ss.flatten))
+      case _ => () // residual-only, never wrong
+    }
+    filters.foreach(walk)
+    (pvEq.result(), intervals.result(), equality.result())
+  }
+
+  /** The V1 filter as a Column, where losslessly expressible — lets the
+    * relation re-apply pushed predicates inside the scan (parquet
+    * row-group pushdown) without waiting for the engine's outer
+    * re-evaluation.
+    */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case SAnd(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case SEq(a, v) => Some(col(a) === lit(v))
+    case SGt(a, v) => Some(col(a) > lit(v))
+    case SGe(a, v) => Some(col(a) >= lit(v))
+    case SLt(a, v) => Some(col(a) < lit(v))
+    case SLe(a, v) => Some(col(a) <= lit(v))
+    case SIn(a, vs) if vs.nonEmpty => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case SNull(a) => Some(col(a).isNull)
+    case SNotNull(a) => Some(col(a).isNotNull)
+    case _ => None
+  }
+
+  /** JVM-object literal → stat-projection units (the V1 twin of
+    * [[OccFilterTranslation.bound]]): timestamps to epoch micros,
+    * dates to zone-independent epoch-days seconds, numerics to double.
+    */
+  private def bound(v: Any): Option[Double] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000.0 + (t.getNanos / 1000) % 1000)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay * 86400.0)
+    case d: java.time.LocalDate => Some(d.toEpochDay * 86400.0)
+    case n: java.lang.Byte => Some(n.doubleValue)
+    case n: java.lang.Short => Some(n.doubleValue)
+    case n: java.lang.Integer => Some(n.doubleValue)
+    case n: java.lang.Long => Some(n.doubleValue)
+    case n: java.lang.Float => Some(n.doubleValue)
+    case n: java.lang.Double => Some(n)
+    case n: java.math.BigDecimal => Some(n.doubleValue)
+    case n: BigDecimal => Some(n.doubleValue)
+    case _ => None
+  }
+
+  /** The literal in the write-time `cast("string")` form — same type
+    * restrictions as [[OccFilterTranslation.str]].
+    */
+  private def str(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+         _: java.lang.Long => Some(v.toString)
+    case b: java.lang.Boolean => Some(b.toString)
     case _ => None
   }
 }

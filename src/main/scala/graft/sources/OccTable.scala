@@ -2847,7 +2847,7 @@ object OccTable {
     * hold DELETED rows only, and compaction re-materializes files
     * whose DVs grow large.
     */
-  private def applyDvs(spark: SparkSession, dir: String, s: Snapshot,
+  private[sources] def applyDvs(spark: SparkSession, dir: String, s: Snapshot,
       base: DataFrame): DataFrame = {
     if (s.dvs.isEmpty) return base
     val dvPaths = s.dvs.values.toSeq.distinct

@@ -212,7 +212,55 @@ class OccDataSourceSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       spark.read.format("graft-occ").load(dir).collect()
     }
-    assert(e1.getMessage.contains("deletion vectors"))
+    assert(e1.getMessage.contains("deletion vectors") &&
+      e1.getMessage.contains("useV1SourceList"),
+      "the refusal must point at the lane that serves DVs")
+  }
+
+  test("X151: a DV-carrying table serves through the V1 lane — DVs applied, pruning intact") {
+    val dir = freshDir()
+    buildSliced(dir) // 4 files (ids 0-9 / 10-19 / 20-29 / 30-39)
+    OccTable.deleteRangeDv(spark, dir, "id", 5.0, 14.0)
+    val key = "spark.sql.sources.useV1SourceList"
+    val prev = spark.conf.getOption(key)
+    // APPEND to the default list: replacing it would flip the plain
+    // parquet reads the DV anti-join builds on to V2 mid-lane
+    spark.conf.set(key, spark.conf.get(key) + ",graft-occ")
+    try {
+      val t = spark.read.format("graft-occ").load(dir)
+      // hash-equal to the verb read: deleted positions never surface
+      assert(t.as[(Long, String, Double)].collect().toSet ===
+        OccTable.read(spark, dir)()
+          .as[(Long, String, Double)].collect().toSet)
+      assert(t.select("id").as[Long].collect().sorted.toSeq ===
+        ((0L to 4L) ++ (15L to 39L)))
+      // a pushed range composes with the DV anti-join
+      val q = t.filter(col("id") >= 10L && col("id") <= 19L)
+      assert(q.select("id").as[Long].collect().sorted.toSeq ===
+        (15L to 19L))
+      // pruning brain parity: the V1 filter translation feeds the
+      // SAME pruneFileSet decision the verb uses
+      val snap = OccTable.snapshot(spark, dir)
+      val (pv, iv, eq) = OccV1FilterTranslation.translate(Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 10L),
+        org.apache.spark.sql.sources.LessThanOrEqual("id", 19L)))
+      assert(pv.isEmpty && eq.isEmpty &&
+        iv === Seq(("id", 10.0, Double.PositiveInfinity),
+          ("id", Double.NegativeInfinity, 19.0)))
+      assert(OccTable.pruneFileSet(spark, dir, snap, pv, iv, eq).size === 1)
+      // the sidecar lookup pushes its file filter into the sidecar scan
+      val composed = OccTable.applyDvs(spark, dir, snap,
+        OccTable.scanFiles(spark, dir, snap, snap.files))
+      composed.collect()
+      assert(composed.queryExecution.executedPlan.toString
+        .contains("file_name"),
+        "the sidecar anti-join must key on the scan's file identity")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("X149: a column-mapped table SERVES through V2 — logical names out, physical pruning in") {
