@@ -137,16 +137,23 @@ object Bench {
         .map(c => s""""$c":${fmt(classTotals.getOrElse(c, 0.0))}""")
         .mkString("{", ",", "}")
     // Round-over-round diff: SPARK_GRAFT_PREV_BENCH names a prior bench
-    // JSON; when unset, default to the newest committed BENCH_r*.json so
-    // an env-less regeneration (the driver's round-close run) still
-    // carries the regression table the next verdict quotes.
-    val newestRoundBench: Option[String] = {
+    // JSON; when unset, default to the newest committed round artifact —
+    // PREFERRING the full-precision bench_detail_r<N>.json over the
+    // 1-significant-figure BENCH_r<N>.json, so a sub-quantum regression
+    // cannot hide inside stdout rounding (e.g. 14.71 s stored as 10).
+    val newestRoundNum: Option[Int] = {
       val d = new java.io.File(".")
       Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(f => f.getName.stripPrefix("BENCH_r")
-          .stripSuffix(".json").toInt)
-        .lastOption.map(_.getPath)
+        .map(_.getName).collect {
+          case n if n.matches("BENCH_r\\d+\\.json") =>
+            n.stripPrefix("BENCH_r").stripSuffix(".json").toInt
+        }.maxOption
+    }
+    val newestRoundBench: Option[String] = newestRoundNum.map { n =>
+      val detail = s"./bench_detail_r$n.json"
+      if (java.nio.file.Files.isReadable(java.nio.file.Paths.get(detail)))
+        detail
+      else s"./BENCH_r$n.json"
     }
     def jsonEscape(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -213,9 +220,15 @@ object Bench {
     // every round → the artifact's parsed field was null). Significant
     // figures shrink until it fits; 75 chars spare for sbt's epilogue.
     // The detail file additionally carries the vs-prev shift table.
+    val detailLine = line(_.toString).dropRight(1) + vsPrevJson + "}\n"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_detail.json"),
-      line(_.toString).dropRight(1) + vsPrevJson + "}\n")
+      java.nio.file.Paths.get("bench_detail.json"), detailLine)
+    // the PER-ROUND full-precision copy (this run belongs to round
+    // N+1 relative to the newest committed BENCH_r<N>): bench_detail
+    // .json is overwritten every run, so without this file the next
+    // round's vs_prev could only diff against the quantized stdout line
+    newestRoundNum.foreach(n => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"bench_detail_r${n + 1}.json"), detailLine))
     def sig(n: Int)(v: Double): String = {
       val s = BigDecimal(v)
         .round(new java.math.MathContext(n)).bigDecimal.toPlainString

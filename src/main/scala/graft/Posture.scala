@@ -1017,6 +1017,57 @@ object Posture {
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 
+    // ---- graft-occ connector relation-open posture (X148) -----------
+    // The connector's one scale exposure was the relation open:
+    // pre-X148 it listed the table root and issued one getFileStatus
+    // RPC per absolute-path file, O(#files) serial driver work on a
+    // clone. With sizes in the log, open cost must be ~flat 1x -> 10x
+    // FILES; the legacy row (fs= stamps stripped from the log) pays
+    // the listing/stat fallback the log now eliminates.
+    val occOpenJson = {
+      import graft.sources.{OccFileIndex, OccTable}
+      def openMs(dir: String): Double = {
+        val snap = OccTable.snapshot(spark, dir)
+        (1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          val idx = new OccFileIndex(spark, dir, snap, snap.schema.get)
+          idx.listFiles(Seq.empty, Seq.empty)
+          (System.nanoTime() - t0) / 1e6
+        }.min
+      }
+      val blocks = Seq(("1x", 40), ("10x", 400)).map { case (lbl, n) =>
+        val p = s"$scratch/occ_open_$lbl/t"
+        OccTable.init(spark.range(n * 10L).selectExpr("id", "id AS v")
+          .repartition(n), p)
+        val sized = openMs(p)
+        // the CLONE open: every reference absolute — the shape that was
+        // one serial RPC per file before the log carried sizes
+        val cp = s"$scratch/occ_open_$lbl/fork"
+        OccTable.clone(spark, p, cp)
+        val clone = openMs(cp)
+        // legacy log: strip the fs= stamps -> listing + per-file stats
+        val legacy = s"$scratch/occ_open_$lbl/legacy"
+        OccTable.clone(spark, p, legacy)
+        val lfs = new org.apache.hadoop.fs.Path(legacy)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val v0 = new org.apache.hadoop.fs.Path(
+          s"$legacy/_graft_occ/" + "v" + "0" * 20)
+        val in = lfs.open(v0)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        val stripped = body.linesIterator.map(
+          _.split('\t').filterNot(_.startsWith("fs=")).mkString("\t"))
+          .mkString("", "\n", "\n")
+        val out = lfs.create(v0, true)
+        try out.write(stripped.getBytes("UTF-8")) finally out.close()
+        val legacyMs = openMs(legacy)
+        f""""$lbl": {"files": $n, "open_ms_sized_log": $sized%.1f, "open_ms_clone_sized": $clone%.1f, "open_ms_clone_legacy": $legacyMs%.1f}"""
+      }
+      s"""  "occ_connector_open": {
+         |    "what": "graft-occ relation open (FileIndex build + listFiles) at 1x/10x FILE count: open_ms_sized_log and open_ms_clone_sized build from log-recorded (size, modTime) — X148, Delta AddFile.size parity — and must stay ~flat across the 10x with ZERO per-file filesystem calls (spec-pinned by OccFileMetaSpec); open_ms_clone_legacy strips the fs= stamps, paying the per-absolute-file getFileStatus loop the log eliminates — the r18 weak, kept measurable",
+         |    ${blocks.mkString(",\n    ")}}""".stripMargin
+    }
+
     // ---- file-level data-skipping posture ---------------------------
     // The sidecar's value proposition at scale: the fraction of FILES a
     // fixed-week predicate opens must stay ~week/range flat as the table
@@ -1474,6 +1525,7 @@ object Posture {
          |$layoutJson,
          |$joinJson,
          |$occJson,
+         |$occOpenJson,
          |$fileskipJson,
          |$occMaintJson,
          |$bucketedJson,

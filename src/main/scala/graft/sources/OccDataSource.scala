@@ -40,29 +40,40 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Two integration paths, ONE pruning brain:
   *   - DataSource V2 (the default): [[TableProvider]] → a
-  *     `SupportsRead` table whose ScanBuilder is Spark's own
+  *     `SupportsRead` table whose ScanBuilder wraps Spark's own
   *     `ParquetScanBuilder` over the log-backed [[OccFileIndex]] — the
   *     builder carries filter pushdown (`SupportsPushDownCatalystFilters`
   *     → `pushedFilters` on the scan) and column pruning
-  *     (`readDataSchema`), and `FileScan.partitions` hands the pushed
-  *     data filters to [[OccFileIndex.listFiles]], which is where the
-  *     log-level file skipping happens.
+  *     (`readDataSchema`), [[OccScanBuilder]] translates logical↔
+  *     physical names under a column mapping (X149), and
+  *     `FileScan.partitions` hands the pushed data filters to
+  *     [[OccFileIndex.listFiles]], which is where the log-level file
+  *     skipping happens. The scan also serves
+  *     `spark.readStream.format("graft-occ")` (X150,
+  *     [[OccDataMicroBatchStream]]).
   *   - V1 fallback ([[RelationProvider]] → [[HadoopFsRelation]] over
   *     the SAME index — Delta's own read architecture), selected via
-  *     `spark.sql.sources.useV1SourceList=graft-occ`. Same files, same
-  *     skipping, FileSourceScanExec plan shape.
+  *     `spark.sql.sources.useV1SourceList` (APPEND `graft-occ` to the
+  *     default list rather than replacing it). Same files, same
+  *     skipping, FileSourceScanExec plan shape; DV-carrying snapshots
+  *     serve HERE through [[OccDvRelation]] (X151), which composes the
+  *     sidecar anti-join a plain scan cannot.
   * Both inherit parquet row-group pushdown and whole-stage codegen;
   * every pruning layer is free of false negatives and Spark re-applies
   * the full residual filter above the scan, so results are identical
-  * to the unpruned scan regardless of translation gaps.
+  * to the unpruned scan regardless of translation gaps. File metadata
+  * (size, modTime) comes from the LOG (X148), so relation open makes
+  * zero per-file filesystem calls and `sizeInBytes` feeds join
+  * planning without touching storage.
   *
   * Read options (Delta parity): `versionAsOf` / `timestampAsOf` (epoch
   * millis or ISO instant) time-travel the relation; mutually
-  * exclusive. Two snapshot states a plain parquet scan cannot serve
-  * correctly REFUSE loudly with a pointer at the verb API rather than
-  * serving wrong bytes: deletion vectors (the scan would resurrect
-  * deleted rows) and an active column mapping (files carry physical
-  * names the scan would surface verbatim).
+  * exclusive; streaming adds `startingVersion`/`startingTimestamp`/
+  * `maxVersionsPerTrigger`/`onRewrite`. The one state a lane cannot
+  * serve correctly still refuses loudly with a pointer at the lane
+  * that can: deletion vectors on V2 (the plain parquet scan would
+  * resurrect deleted rows → the V1 lane), an active column mapping on
+  * V1 (the raw relation would surface physical names → the V2 lane).
   */
 class OccDataSource extends TableProvider with RelationProvider
     with DataSourceRegister {
@@ -525,8 +536,13 @@ final class OccDvRelation(spark: SparkSession, dir: String,
     extends BaseRelation with PrunedFilteredScan {
   override def sqlContext: SQLContext = spark.sqlContext
   override def schema: StructType = logicalSchema
+  // X148 sizes feed join planning; a size-less LEGACY log must fall
+  // back to the conservative default (huge), never to ~0 — a tiny
+  // sizeInBytes would nominate a 100 TB table for broadcast
   override def sizeInBytes: Long =
-    snap.files.flatMap(snap.sizes.get).map(_._1).sum max 1L
+    if (snap.sizesComplete)
+      snap.files.flatMap(snap.sizes.get).map(_._1).sum max 1L
+    else super.sizeInBytes
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[org.apache.spark.sql.sources.Filter])
@@ -602,7 +618,7 @@ private[sources] object OccV1FilterTranslation {
     */
   def toColumn(f: Filter): Option[Column] = f match {
     case SAnd(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
-    case SEq(a, v) => Some(col(a) === lit(v))
+    case SEq(a, v) if v != null => Some(col(a) === lit(v))
     case SGt(a, v) => Some(col(a) > lit(v))
     case SGe(a, v) => Some(col(a) >= lit(v))
     case SLt(a, v) => Some(col(a) < lit(v))

@@ -237,9 +237,19 @@ object OccTable {
     * back to the per-version fold, whose own vacuum guard decides).
     */
   private[sources] def metadataStableSince(spark: SparkSession,
-      dir: String, fromVersion: Long, to: Snapshot): Boolean = {
+      dir: String, fromVersion: Long, to: Snapshot): Boolean =
+    metadataStableBetween(spark, dir, fromVersion, to.version)
+
+  /** [[metadataStableSince]] by version bound — what the tail's
+    * era-fold CACHE keys on: if no schema/mapping commit lies in
+    * (fromVersion, toVersion], the era snapshot folded at fromVersion
+    * reads identically at toVersion, so one fold serves the whole
+    * stable stretch instead of one fold per add-carrying version.
+    */
+  private[sources] def metadataStableBetween(spark: SparkSession,
+      dir: String, fromVersion: Long, toVersion: Long): Boolean = {
     val fsys = fs(spark, dir)
-    ((fromVersion + 1) to to.version).forall { v =>
+    ((fromVersion + 1) to toVersion).forall { v =>
       try {
         val a = readActions(fsys, dir, v)
         a.schemaJson.isEmpty && a.colmapSet.isEmpty

@@ -358,15 +358,31 @@ object OccStream {
                   byVersion.head._1, cur))
                 OccTable.scanFiles(spark, dir, cur,
                   byVersion.flatMap(_._2.map(_._2)).toIndexedSeq)
-              else byVersion.map { case (v, vfs) =>
-                val era =
-                  try OccTable.snapshotAt(spark, dir, v)
-                  catch {
-                    case _: OccTable.VacuumedVersionException => cur
+              else {
+                // a batch that DOES span a schema/mapping change still
+                // folds once per STABLE STRETCH, not once per
+                // add-carrying version: consecutive versions with no
+                // metadata commit between them share an era (same
+                // schema + mapping — all scanFilesAs keys on), so the
+                // cached fold carries forward until a change breaks it.
+                // The stability check is one version-file read per gap
+                // commit — reads the per-version fold would pay anyway.
+                var cached: Option[(Long, OccTable.Snapshot)] = None
+                byVersion.map { case (v, vfs) =>
+                  val era = cached match {
+                    case Some((v0, e)) if OccTable.metadataStableBetween(
+                        spark, dir, v0, v) => e
+                    case _ =>
+                      try OccTable.snapshotAt(spark, dir, v)
+                      catch {
+                        case _: OccTable.VacuumedVersionException => cur
+                      }
                   }
-                OccTable.scanFilesAs(spark, dir, era, cur,
-                  vfs.map(_._2).toIndexedSeq)
-              }.reduce(_.unionByName(_, allowMissingColumns = true))
+                  cached = Some((v, era))
+                  OccTable.scanFilesAs(spark, dir, era, cur,
+                    vfs.map(_._2).toIndexedSeq)
+                }.reduce(_.unionByName(_, allowMissingColumns = true))
+              }
             }
           sink(data, batchId)
         }
