@@ -3947,6 +3947,36 @@ object SparkEntry {
     "q_occ_stream_format" -> ((s, dir) =>
       graft.streaming.Pipeline.replayOccFormatStream(s, dir)),
 
+    // ---- X152: the lakehouse table as a SQL catalog citizen —
+    //      CREATE TABLE … USING graft-occ, then a plain spark.sql
+    //      aggregation over it (pushdown and file skipping ride the
+    //      registered provider); result ≡ flat events rollup ----
+    "q_occ_sql" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "event_type", "value")
+      val user = sys.props.getOrElse("user.name", "anon")
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|sqlddl".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_occ_sql_$user", key)
+      val rootPath = new org.apache.hadoop.fs.Path(root.toString)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val t = root.toString + "/t"
+      OccTable.init(ev.filter(col("event_id") % 2 === 0).coalesce(2), t,
+        statsColumns = Seq("event_id"))
+      OccTable.append(ev.filter(col("event_id") % 2 === 1).coalesce(2), t,
+        statsColumns = Seq("event_id"))
+      val name = s"occ_sql_${key.take(8)}"
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.sql(s"CREATE TABLE $name USING `graft-occ` OPTIONS (path '$t')")
+      s.sql(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        round(sum(value), 2) AS sum_value
+        FROM $name GROUP BY event_type""")
+    }),
+
     // ---- OCC commit-log TAILING (X104, the read-side of the lakehouse
     //      loop): a live append series on a source OCC table is
     //      SUBSCRIBED to — offsets = log versions, one micro-batch per
@@ -6885,6 +6915,13 @@ object SparkEntry {
     // through the fenced sink, so the destination rollup equals the
     // flat events rollup.
     "q_occ_stream_format" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // X152: the SQL catalog surface changes nothing about the data —
+    // the CREATE TABLE + SELECT replays as the flat rollup.
+    "q_occ_sql" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
