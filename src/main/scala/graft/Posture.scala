@@ -1064,7 +1064,7 @@ object Posture {
         f""""$lbl": {"files": $n, "open_ms_sized_log": $sized%.1f, "open_ms_clone_sized": $clone%.1f, "open_ms_clone_legacy": $legacyMs%.1f}"""
       }
       s"""  "occ_connector_open": {
-         |    "what": "graft-occ relation open (FileIndex build + listFiles) at 1x/10x FILE count: open_ms_sized_log and open_ms_clone_sized build from log-recorded (size, modTime) — X148, Delta AddFile.size parity — and must stay ~flat across the 10x with ZERO per-file filesystem calls (spec-pinned by OccFileMetaSpec); open_ms_clone_legacy strips the fs= stamps, paying the per-absolute-file getFileStatus loop the log eliminates — the r18 weak, kept measurable",
+         |    "what": "graft-occ relation open (FileIndex build + listFiles) at 1x/10x FILE count: open_ms_sized_log and open_ms_clone_sized build from log-recorded (size, modTime) — X148, Delta AddFile.size parity — with ZERO per-file filesystem calls (spec-pinned by OccFileMetaSpec), so remaining growth is in-memory O(#files) map/prune work at ~15us/file, not I/O; open_ms_clone_legacy strips the fs= stamps, paying the per-absolute-file getFileStatus loop the log eliminates (the r18 weak, kept measurable — ~2.5x slower already on LOCAL-fs ~20us stats; on object storage at ~10-50ms per RPC the eliminated loop is the 1000x that kills a 10^6-file open)",
          |    ${blocks.mkString(",\n    ")}}""".stripMargin
     }
 
