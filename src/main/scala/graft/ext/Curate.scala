@@ -300,7 +300,7 @@ object Curate {
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
-    df.select(col(idCol), explode(concat(toks, bi)).as("__g"))
+    Scale.fanOut(df).select(col(idCol), explode(concat(toks, bi)).as("__g"))
       .select(col(idCol),
         pmod(PortableHash.hash60(concat(col("__g"), lit("|" + salt))),
           lit(nBuckets.toLong)).as("bucket"))

@@ -48,7 +48,7 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol),
+    Scale.fanOut(df).select(col(idCol),
         explode(call_function(graft.plans.GraftFunctions.ShingleStringsName,
           col(textCol), lit(k))).as("shingle"))
   }
@@ -265,7 +265,7 @@ object Dedup {
   private def docShingleSets(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol),
+    Scale.fanOut(df).select(col(idCol),
         call_function(graft.plans.GraftFunctions.ShingleName,
           col(textCol), lit(k)).as("sh_set"))
       .filter(size(col("sh_set")) > 0)
@@ -287,13 +287,13 @@ object Dedup {
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(train.sparkSession)
-    val evalSh = eval.select(col(idCol),
+    val evalSh = Scale.fanOut(eval).select(col(idCol),
         call_function(graft.plans.GraftFunctions.ShingleStringsName,
           col(textCol), lit(k)).as("__sh_set"))
       .filter(size(col("__sh_set")) > 0)
       .select(col(idCol), size(col("__sh_set")).cast("long").as("n_sh"),
         explode(col("__sh_set")).as("shingle"))
-    val trainSh = train.select(
+    val trainSh = Scale.fanOut(train).select(
         explode(call_function(graft.plans.GraftFunctions.ShingleStringsName,
           col(textCol), lit(k))).as("shingle"))
       .distinct()
@@ -329,7 +329,7 @@ object Dedup {
         "batch-only; on a stream, build the bloom from the batch corpus " +
         "once and probe it inside foreachBatch")
     graft.plans.GraftFunctions.register(train.sparkSession)
-    val bloomBytes = train
+    val bloomBytes = Scale.fanOut(train)
       .select(explode(call_function(graft.plans.GraftFunctions.ShingleName,
         col(textCol), lit(k))).as("__h"))
       .agg(call_function(graft.plans.GraftFunctions.BloomAggName,
@@ -527,7 +527,7 @@ object Dedup {
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1, "winnowFingerprints: k must be >= 1")
     require(w >= 1, "winnowFingerprints: w must be >= 1")
-    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    Scale.fanOut(df).select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), expr(
         s"""IF(size(__toks) >= $k,
            |   transform(sequence(1, size(__toks) - ${k - 1}),
@@ -571,7 +571,7 @@ object Dedup {
 
   private def spanToks(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    Scale.fanOut(df).select(col(idCol), split(col(textCol), " ").as("__toks"))
 
   /** (doc, 1-based start, shingle hash); docs shorter than k yield none. */
   private def spanStarts(toks: DataFrame, idCol: String,
@@ -793,7 +793,7 @@ object Dedup {
     // CollapseProject keeps the stages apart: it only inlines expressions
     // that are cheap or referenced once, and __sh / __p_j are neither.
     val sentinel = lit("g") // sorts after every 15-char lowercase-hex string
-    val withSh = df.select(keep :+ call_function(
+    val withSh = Scale.fanOut(df).select(keep :+ call_function(
       graft.plans.GraftFunctions.ShingleStringsName, textCol, lit(k))
       .as("__sh"): _*)
     val staged = withSh.select(keep ++ (0 until nPerms / 2).map { j =>
@@ -860,10 +860,19 @@ object Dedup {
     * permutation minima. Each md5 yields TWO independent 60-bit
     * permutation hashes (hex chars 1-15 and 17-31), halving the md5
     * count; the shared md5 subexpression is computed once by codegen
-    * CSE. Minima compare the hex strings directly: fixed-width lowercase
-    * hex orders lexicographically ≡ numerically, identically in DuckDB —
-    * no integer parsing anywhere. Shared by [[minhashCandidatesPortable]]
-    * and [[minhashJaccardEstimate]].
+    * CSE.
+    *
+    * The permutation minima AGGREGATE over the hashes parsed to 60-bit
+    * LONGS, re-formatted to the same fixed-width lowercase hex AFTER the
+    * aggregation (numeric min ≡ lexicographic min of fixed-width hex, so
+    * output values are byte-identical to the all-string form and to the
+    * DuckDB oracle). The string form forced SortAggregate — min(string)
+    * has an immutable agg buffer, so the plan paid a per-partition sort
+    * plus a post-shuffle sort of every (id, nPerms-hash) row; with long
+    * buffers both aggregation halves run as codegen'd HashAggregate and
+    * the two Sort nodes disappear (guide §1.2/§4: make the stage shape
+    * right before tuning inside it). Shared by
+    * [[minhashCandidatesPortable]] and [[minhashJaccardEstimate]].
     */
   def minhashSignaturesPortable(df: DataFrame, idCol: String,
       textCol: String, k: Int, nPerms: Int): DataFrame = {
@@ -871,12 +880,14 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, k)
     val withH = sh.select(col(idCol) +: (0 until nPerms / 2).flatMap { j =>
       val m = md5(concat(col("shingle"), lit(s"|$j")))
-      Seq(substring(m, 1, 15).as(s"__h_${2 * j}"),
-        substring(m, 17, 15).as(s"__h_${2 * j + 1}"))
+      Seq(conv(substring(m, 1, 15), 16, 10).cast("long").as(s"__h_${2 * j}"),
+        conv(substring(m, 17, 15), 16, 10).cast("long").as(s"__h_${2 * j + 1}"))
     }: _*)
     val aggs: Seq[Column] = (0 until nPerms)
-      .map(p => min(col(s"__h_$p")).as(s"sig_$p"))
+      .map(p => min(col(s"__h_$p")).as(s"__m_$p"))
     withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: (0 until nPerms).map(p =>
+        lower(lpad(hex(col(s"__m_$p")), 15, "0")).as(s"sig_$p")): _*)
   }
 
   /** LSH parameter audit — for every exact near-dup candidate pair, the
@@ -922,7 +933,7 @@ object Dedup {
     graft.plans.GraftFunctions.register(df.sparkSession)
     // null-text docs are dropped, matching the aggregation formulation
     // this replaces (explode of a null token array emitted no rows)
-    df.filter(col(textCol).isNotNull)
+    Scale.fanOut(df.filter(col(textCol).isNotNull))
       .select(col(idCol),
         call_function(graft.plans.GraftFunctions.SimHashName, col(textCol))
           .as("simhash"))

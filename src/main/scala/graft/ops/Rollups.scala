@@ -372,8 +372,24 @@ object Rollups {
     */
   def initDailyAgg(df: DataFrame, tsCol: String, key: String,
       valueCol: String, path: String): Unit =
-    dailyPartials(df, tsCol, key, valueCol)
+    clusterByDay(dailyPartials(df, tsCol, key, valueCol))
       .write.partitionBy("day").mode("overwrite").parquet(path)
+
+  /** Cluster a partials frame by its `day` partition column before a
+    * partitionBy("day") write: the aggregation upstream leaves rows
+    * key-hash-partitioned, so every write task held every day and the
+    * job emitted (#tasks × #days) files from however many tasks AQE
+    * left — measured at sf0.1 as ONE task writing ~30 day files
+    * serially (0.5 s of a 2.1 s query). Clustered, each day's rows land
+    * in one task and the write emits one file per day dir, in parallel
+    * (guide §6). The explicit count pins the exchange against AQE
+    * coalescing back to a single task; a day's partials are bounded by
+    * key cardinality — the same bound the state table itself carries —
+    * so per-task size stays bounded at any corpus scale.
+    */
+  private def clusterByDay(partials: DataFrame): DataFrame =
+    partials.repartition(
+      partials.sparkSession.sparkContext.defaultParallelism, col("day"))
 
   /** Per-(key, day) mergeable partials of one frame. */
   private def dailyPartials(df: DataFrame, tsCol: String, key: String,
@@ -394,9 +410,10 @@ object Rollups {
       val cur = spark.read.parquet(path)
         .filter(col("day").isin(days: _*))
         .select(col(key), col("day").cast("date"), col("n"), col("sum_v"))
-      cur.unionByName(inc.select(col(key), col("day"), col("n"), col("sum_v")))
-        .groupBy(col(key), col("day"))
-        .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
+      clusterByDay(
+        cur.unionByName(inc.select(col(key), col("day"), col("n"), col("sum_v")))
+          .groupBy(col(key), col("day"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v")))
         .write.partitionBy("day").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path)
@@ -432,7 +449,7 @@ object Rollups {
   def initDailyHist(df: DataFrame, tsCol: String, key: String,
       valueCol: String, lo: Double, hi: Double, bins: Int,
       path: String): Unit =
-    dailyHistPartials(df, tsCol, key, valueCol, lo, hi, bins)
+    clusterByDay(dailyHistPartials(df, tsCol, key, valueCol, lo, hi, bins))
       .write.partitionBy("day").mode("overwrite").parquet(path)
 
   /** Merge one batch into an [[initDailyHist]] state table — same
@@ -449,11 +466,12 @@ object Rollups {
         .collect().map(_.getDate(0).toString).toSeq.sorted
       if (days.isEmpty) return Seq.empty
       val cols = Seq(col(key), col("day").cast("date"), col("bin"), col("n"))
-      spark.read.parquet(path).filter(col("day").isin(days: _*))
-        .select(cols: _*)
-        .unionByName(inc.select(col(key), col("day"), col("bin"), col("n")))
-        .groupBy(col(key), col("day"), col("bin"))
-        .agg(sum(col("n")).as("n"))
+      clusterByDay(
+        spark.read.parquet(path).filter(col("day").isin(days: _*))
+          .select(cols: _*)
+          .unionByName(inc.select(col(key), col("day"), col("bin"), col("n")))
+          .groupBy(col(key), col("day"), col("bin"))
+          .agg(sum(col("n")).as("n")))
         .write.partitionBy("day").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path)

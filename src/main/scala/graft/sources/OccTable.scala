@@ -2547,6 +2547,16 @@ object OccTable {
     deleteCol.foreach(c => require(source.columns.contains(c),
       s"OccTable.merge: deleteCol '$c' not in source"))
     val headKey = keyCols.head
+    // SOURCE MATERIALIZATION (Delta does the same for MERGE): the source
+    // lineage is executed up to four times below — duplicate-key check,
+    // key discovery, the candidate anti-join, and the staged insert write
+    // (plus once more per conflict retry). Persisting it pays the scan
+    // once and, as in Delta, pins one consistent view of a
+    // nondeterministic source across all of them and across retries
+    // (guide §5: cache only what is reused and expensive to recompute;
+    // released in the finally below, never held across queries).
+    source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // uniqueness refusal (Delta: a target row matched by two source
     // rows is ambiguous) — one small-side aggregation
     val dup = source.groupBy(keyCols.map(col): _*)
@@ -2720,6 +2730,7 @@ object OccTable {
       }
     }
     throw new IllegalStateException("unreachable")
+    } finally source.unpersist(false)
   }
 
   /** [[deleteRange]]/[[deleteEquality]]'s outcome: committed version

@@ -176,10 +176,25 @@ object TxnSink {
     }
     val staging = new Path(s"$dir/.staging-${pad(batchId)}")
     fsys.delete(staging, true)
+    // Stage FIRST and count rows via an observed metric riding the SAME
+    // action: the previous `batch.isEmpty` probe was a second execution
+    // of the batch lineage (in foreachBatch each action re-runs the full
+    // micro-batch plan, stateful operators included), so every non-empty
+    // micro-batch paid its plan twice — once for the probe, once for the
+    // write (guide §1.4/§5: don't compute things you throw away). The
+    // observation costs one counter per row inside the one staging write.
+    // Empty batches still publish NO data files, only the fence manifest:
+    // a zero-row write stages exactly one schema-only part file (Spark's
+    // empty-write contract), which is deleted with the staging dir; a
+    // non-empty write stages only non-empty part files.
+    val obs = org.apache.spark.sql.Observation()
+    batch.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val stagedRows = obs.get("rows").asInstanceOf[Long]
     val names: Seq[String] =
-      if (batch.isEmpty) Seq.empty
+      if (stagedRows == 0L) Seq.empty
       else {
-        batch.write.mode("overwrite").parquet(staging.toString)
         val parts = fsys.listStatus(staging).toSeq
           .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         parts.map { s =>

@@ -63,15 +63,20 @@ class TextHashesSpec extends SparkSpec {
     assert(kernel === agg)
   }
 
-  test("kernel shingling leaves ONE exchange in the minhash signature plan") {
+  test("kernel shingling leaves ONE hash exchange in the minhash signature plan") {
     // pre-kernel, hashedShingles did a global .distinct() (an extra
-    // shuffle of every shingle) before the signature groupBy; the per-doc
-    // distinct inside the kernel makes the groupBy exchange the only one
+    // HASH shuffle of every shingle) before the signature groupBy; the
+    // per-doc distinct inside the kernel makes the groupBy exchange the
+    // only hash exchange. (Scale.fanOut may additionally insert ONE
+    // round-robin exchange below the kernel when the scan has fewer
+    // splits than cores — that is the r19 parallelism floor, not a
+    // return of the distinct shuffle, so the assertion counts hash
+    // partitionings specifically.)
     val docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.ext.Dedup
       .minhashSignatures(docs001, "doc_id", "text", k = 5, nPerms = 4)
       .queryExecution.executedPlan.toString
-    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, plan)
   }
 
