@@ -90,7 +90,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, maxDocFreq: Int = 1000): DataFrame =
-    docShingleSets(df, idCol, textCol, k)
+    docShingleSets(Scale.fanOut(df), idCol, textCol, k)
       .select(col(idCol), col("n_sh"), explode(col("sh_set")).as("sh"))
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
@@ -194,14 +194,21 @@ object Dedup {
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String = "d1",
       bCol: String = "d2", maxIters: Int = 25): (DataFrame, Int) = {
     require(!pairs.isStreaming, "connectedComponents is batch-only")
+    // LAZY localCheckpoints (same shape as Bpe.train): the eager form
+    // scheduled a separate materialization job per round before the
+    // convergence count; lazily, the count action materializes the
+    // round's labels inside its own job — one job per round, identical
+    // lineage truncation. A retired generation is unpersisted only after
+    // the count materialized its successor.
     val edges = pairs
       .select(col(aCol).as("id"), col(bCol).as("nbr"))
       .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = edges.select(col("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var retired: Option[DataFrame] = None
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIters) {
@@ -225,11 +232,15 @@ object Dedup {
           Seq("__c1"), "left")
         .select(col("id"), col("__old"),
           least(col("__c1"), coalesce(col("__cc"), col("__c1"))).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("component") < col("__old")).count()
+      // `next` is materialized now; the round-before-last can go
+      retired.foreach(_.unpersist())
+      retired = Some(labels)
       labels = next.select(col("id"), col("component"))
       round += 1
     }
+    retired.foreach(_.unpersist())
     if (changed != 0) throw new ConvergenceException(
       s"connectedComponents did not converge in $maxIters rounds — the " +
         "pair graph has a cluster of diameter > maxIters; retry with a " +
@@ -265,7 +276,12 @@ object Dedup {
   private def docShingleSets(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
-    Scale.fanOut(df).select(col(idCol),
+    // no blanket fan-out here (r19, measured): this kernel is one xxhash
+    // per shingle, and cheap-downstream callers (q_minhash_sig,
+    // q_hot_shingles) regressed under the parallelism floor's shuffle;
+    // heavy-downstream callers (the jaccard pair expansion) fan out at
+    // their own call sites instead.
+    df.select(col(idCol),
         call_function(graft.plans.GraftFunctions.ShingleName,
           col(textCol), lit(k)).as("sh_set"))
       .filter(size(col("sh_set")) > 0)
@@ -287,13 +303,17 @@ object Dedup {
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     graft.plans.GraftFunctions.register(train.sparkSession)
-    val evalSh = Scale.fanOut(eval).select(col(idCol),
+    // NOT fanned out (r19, measured): the shingle kernel here has no
+    // per-shingle md5 work, so the parallelism floor's text shuffle cost
+    // exceeded the kernel win (+0.24 s at sf0.1); the md5-permutation
+    // lanes keep the fan-out.
+    val evalSh = eval.select(col(idCol),
         call_function(graft.plans.GraftFunctions.ShingleStringsName,
           col(textCol), lit(k)).as("__sh_set"))
       .filter(size(col("__sh_set")) > 0)
       .select(col(idCol), size(col("__sh_set")).cast("long").as("n_sh"),
         explode(col("__sh_set")).as("shingle"))
-    val trainSh = Scale.fanOut(train).select(
+    val trainSh = train.select(
         explode(call_function(graft.plans.GraftFunctions.ShingleStringsName,
           col(textCol), lit(k))).as("shingle"))
       .distinct()
@@ -329,7 +349,8 @@ object Dedup {
         "batch-only; on a stream, build the bloom from the batch corpus " +
         "once and probe it inside foreachBatch")
     graft.plans.GraftFunctions.register(train.sparkSession)
-    val bloomBytes = Scale.fanOut(train)
+    // not fanned out — same measured rationale as [[contamination]]
+    val bloomBytes = train
       .select(explode(call_function(graft.plans.GraftFunctions.ShingleName,
         col(textCol), lit(k))).as("__h"))
       .agg(call_function(graft.plans.GraftFunctions.BloomAggName,

@@ -28,6 +28,13 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** NOT routed through [[Scale.fanOut]], measured deliberately (r19):
+    * unlike the text kernels (≥8 md5 evaluations per shingle — huge CPU
+    * per input byte), the vector kernels are cheap relative to their
+    * bytes, so fanning a small corpus out costs more in array<double>
+    * shuffle serialization than the kernel saves — q_semdedup's k-means
+    * iterations measured 1.8 s → 4.2 s with the fan-out in place.
+    */
   private def withDoubleVec(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__e", col(vecCol).cast("array<double>"))
 
