@@ -92,14 +92,16 @@ object Bpe {
     // dataset — measured 52 jobs / 2.0 s of driver gap for 16 merges at
     // sf0.1. Lazily, the argmax action materializes the pending
     // generation inside its own job: one job per iteration, same
-    // lineage-truncation guarantee. The retired generation is unpersisted
-    // only AFTER the argmax has materialized its successor (a lazy child
-    // reads the parent's checkpointed blocks when it materializes).
+    // lineage-truncation guarantee. Retired generations need no explicit
+    // bookkeeping: materializing a checkpoint truncates the child's
+    // lineage, the parent generation becomes unreachable, and the
+    // ContextCleaner reclaims its blocks — Dataset.unpersist cannot
+    // release localCheckpoint blocks anyway (they are RDD-level, not
+    // CacheManager entries).
     var words: Dataset[(List[String], Long)] =
       wordCounts(df, textCol).as[(String, Long)]
         .map { case (w, n) => (initialSymbols(w), n) }
         .localCheckpoint(false)
-    var retired: Option[Dataset[(List[String], Long)]] = None
     val merges = Seq.newBuilder[(Int, String, String)]
     var rank = 1
     var done = false
@@ -111,21 +113,15 @@ object Bpe {
         .toDF("a", "b", "cnt")
         .orderBy(desc("cnt"), asc("a"), asc("b"))
         .limit(1).collect()
-      // `words` is materialized now; its parent generation can go
-      retired.foreach(_.unpersist())
-      retired = None
       if (top.isEmpty || top.head.getLong(2) < 2) done = true
       else {
         val (a, b) = (top.head.getString(0), top.head.getString(1))
         merges += ((rank, a, b))
-        retired = Some(words)
         words = words.map { case (syms, n) => (applyMerge(syms, a, b), n) }
           .localCheckpoint(false)
         rank += 1
       }
     }
-    words.unpersist()
-    retired.foreach(_.unpersist())
     merges.result()
   }
 

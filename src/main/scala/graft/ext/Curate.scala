@@ -294,16 +294,19 @@ object Curate {
     * so the whole featurization replays in DuckDB.
     */
   private def hashedFeats(df: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int, salt: String): DataFrame = {
+      nBuckets: Int, salt: String,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
     val toks = split(col(textCol), " ")
     val bi = zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
-    Scale.fanOut(df).select(col(idCol), explode(concat(toks, bi)).as("__g"))
-      .select(col(idCol),
+    val keep = col(idCol) +: carryCols.map(col)
+    Scale.fanOut(df)
+      .select(keep :+ explode(concat(toks, bi)).as("__g"): _*)
+      .select(keep :+
         pmod(PortableHash.hash60(concat(col("__g"), lit("|" + salt))),
-          lit(nBuckets.toLong)).as("bucket"))
+          lit(nBuckets.toLong)).as("bucket"): _*)
   }
 
   /** DSIR-style importance weights: per raw doc, the log-likelihood ratio
@@ -324,17 +327,38 @@ object Curate {
       textCol: String, nBuckets: Int = 4096,
       salt: String = "dsir1"): DataFrame = {
     require(nBuckets > 0, "dsirWeights: nBuckets must be positive")
-    val fr = hashedFeats(raw, idCol, textCol, nBuckets, salt)
-    val ft = hashedFeats(target, idCol, textCol, nBuckets, salt)
-    val tgtC = ft.groupBy(col("bucket")).agg(count(lit(1)).as("__ct"))
-    // the raw corpus is exploded ONCE: the per-doc table is the finest
-    // grain, and the corpus-level model + total both roll up from it
-    // (map-side combinable; the shared docF exchange is AQE-reusable)
-    val docF = fr.groupBy(col(idCol), col("bucket"))
+    // BOTH corpora explode in ONE pass over their tagged union, and one
+    // (side, doc, bucket) aggregation is the single exchange everything
+    // downstream rolls up from. The previous shape built the target and
+    // raw models from separate hashedFeats lineages; the broadcast
+    // `totals` subtree then re-executed each explode a second time
+    // (exchange reuse does not cross the broadcast boundary) — measured
+    // at sf0.1 as the whole pipeline running twice. localCheckpoint cuts
+    // the lineage so the exploded aggregation is computed exactly once
+    // (guide §1.2: don't compute things twice; §5: localCheckpoint for
+    // a reused intermediate whose fault tolerance is not critical).
+    val tagged = raw
+      .select(col(idCol), col(textCol), lit(false).as("__tgt"))
+      .unionByName(target
+        .select(col(idCol), col(textCol), lit(true).as("__tgt")))
+    val grouped = hashedFeats(tagged, idCol, textCol, nBuckets, salt,
+      carryCols = Seq("__tgt"))
+      .groupBy(col("__tgt"), col(idCol), col("bucket"))
       .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(false)
+    // target model, raw per-doc counts, raw model: small rollups over
+    // the checkpointed aggregation — same integer counts as the
+    // two-lineage form (the __tgt flag keeps the corpora separate even
+    // if a doc id appeared in both)
+    val tgtC = grouped.filter(col("__tgt"))
+      .groupBy(col("bucket")).agg(sum(col("__m")).as("__ct"))
+    val docF = grouped.filter(!col("__tgt"))
+      .select(col(idCol), col("bucket"), col("__m"))
     val rawC = docF.groupBy(col("bucket")).agg(sum(col("__m")).as("__cr"))
-    val totals = tgtC.agg(coalesce(sum(col("__ct")), lit(0L)).as("__t"))
-      .crossJoin(rawC.agg(coalesce(sum(col("__cr")), lit(0L)).as("__r")))
+    // both corpus totals in ONE aggregation over the checkpointed frame
+    val totals = grouped.agg(
+      coalesce(sum(when(col("__tgt"), col("__m"))), lit(0L)).as("__t"),
+      coalesce(sum(when(!col("__tgt"), col("__m"))), lit(0L)).as("__r"))
     docF
       .join(tgtC, Seq("bucket"), "left")
       .withColumn("__ct", coalesce(col("__ct"), lit(0L)))

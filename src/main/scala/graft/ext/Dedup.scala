@@ -198,8 +198,12 @@ object Dedup {
     // scheduled a separate materialization job per round before the
     // convergence count; lazily, the count action materializes the
     // round's labels inside its own job — one job per round, identical
-    // lineage truncation. A retired generation is unpersisted only after
-    // the count materialized its successor.
+    // lineage truncation. Retired generations need no bookkeeping:
+    // materializing a round's checkpoint truncates its lineage, the
+    // previous round's labels become unreachable, and the
+    // ContextCleaner reclaims their blocks (Dataset.unpersist cannot
+    // release localCheckpoint blocks — they are RDD-level, not
+    // CacheManager entries).
     val edges = pairs
       .select(col(aCol).as("id"), col(bCol).as("nbr"))
       .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
@@ -208,7 +212,6 @@ object Dedup {
     var labels = edges.select(col("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(false)
-    var retired: Option[DataFrame] = None
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxIters) {
@@ -234,13 +237,9 @@ object Dedup {
           least(col("__c1"), coalesce(col("__cc"), col("__c1"))).as("component"))
         .localCheckpoint(false)
       changed = next.filter(col("component") < col("__old")).count()
-      // `next` is materialized now; the round-before-last can go
-      retired.foreach(_.unpersist())
-      retired = Some(labels)
       labels = next.select(col("id"), col("component"))
       round += 1
     }
-    retired.foreach(_.unpersist())
     if (changed != 0) throw new ConvergenceException(
       s"connectedComponents did not converge in $maxIters rounds — the " +
         "pair graph has a cluster of diameter > maxIters; retry with a " +

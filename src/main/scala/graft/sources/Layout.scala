@@ -14,13 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Write `df` partitioned by the date of `tsCol`. At 100 TB, add a
-    * second in-file ordering (e.g. sortWithinPartitions on the key) so
-    * row-group min/max statistics prune within a day as well.
+  /** Write `df` partitioned by the date of `tsCol`, CLUSTERED by day
+    * first (same shape as Rollups' day writes, guide §6): without the
+    * repartition every input task writes one file into every day
+    * directory it holds rows for — tasks × days small files plus as
+    * many commit renames. One exchange on `day` makes it one file per
+    * day, written in parallel, each internally ts-sorted so row-group
+    * min/max statistics prune within the day as well. Per-day volume is
+    * bounded by the day's row count — at 100 TB shard a hot day by
+    * adding a small salt to the repartition (a few files per dir)
+    * rather than returning to tasks × days.
     */
   def writeByDay(df: DataFrame, tsCol: String, path: String): Unit =
     df.withColumn("day", to_date(col(tsCol)))
-      .sortWithinPartitions(col(tsCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("day"))
+      .sortWithinPartitions(col("day"), col(tsCol))
       .write.partitionBy("day").mode("overwrite").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =

@@ -639,17 +639,6 @@ object OccTable {
         s"OccTable stats: unsupported type ${dt.simpleString} for column $c")
     }
 
-  /** Per-file (rows, min, max, nulls) of `cols` over just-staged files —
-    * ONE column-pruned scan of the new batch only (the append-time cost
-    * Delta pays for the same stats), grouped by file. Zero-row part
-    * files simply get no stats (unprunable, safe). The stats-only form
-    * of [[validateStagedCollectStats]].
-    */
-  private def collectStats(spark: SparkSession, dir: String,
-      names: Seq[String], cols: Seq[String]): Map[String, String] =
-    validateStagedCollectStats(spark, dir, names, Map.empty, Map.empty,
-      Map.empty, cols, "staged batch")
-
   /** X140 — single-pass post-stage validation + statistics (the
     * guarantee of Delta's InvariantCheckExec, anchored on the staged
     * bytes): the write batch's lineage executes EXACTLY ONCE — in the
@@ -673,16 +662,15 @@ object OccTable {
     * [[requireDeterministic]]), and it upgrades "we computed it" to
     * "the committed bytes satisfy name = expr", the X138 invariant.
     */
-  private def validateStagedCollectStats(spark: SparkSession,
-      dir: String, names: Seq[String], colmap: Map[String, String],
-      constraints: Map[String, String], gencols: Map[String, String],
-      physStatsCols: Seq[String], what: String,
-      schemaJson: Option[String] = None): Map[String, String] = {
-    val needVal = constraints.nonEmpty || gencols.nonEmpty
-    if (names.isEmpty || (!needVal && physStatsCols.isEmpty))
-      return Map.empty
-    physStatsCols.foreach(c => require(!c.exists("|=,\t\n".contains(_)),
-      s"OccTable stats: column name '$c' contains a reserved character"))
+  /** Staged files read back in LOGICAL column space: physical names
+    * renamed through the mapping, log columns the batch legally omits
+    * filled as typed nulls (so declared expressions analyze). Shared by
+    * the stats-only, validating, and fused stats+bloom passes.
+    */
+  private def stagedLogicalScan(spark: SparkSession, dir: String,
+      names: Seq[String], colmap: Map[String, String],
+      schemaJson: Option[String])
+      : (DataFrame, Map[String, String]) = {
     val raw = spark.read.parquet(names.map(n => resolvePath(dir, n)): _*)
     val physToLog = colmap.collect {
       case (l, p) if l != p && raw.columns.contains(p) => (p, l) }
@@ -698,6 +686,21 @@ object OccTable {
         .foldLeft(renamed)((d, f) =>
           d.withColumn(f.name, lit(null).cast(f.dataType))))
       .getOrElse(renamed)
+    (scan, physToLog)
+  }
+
+  private def validateStagedCollectStats(spark: SparkSession,
+      dir: String, names: Seq[String], colmap: Map[String, String],
+      constraints: Map[String, String], gencols: Map[String, String],
+      physStatsCols: Seq[String], what: String,
+      schemaJson: Option[String] = None): Map[String, String] = {
+    val needVal = constraints.nonEmpty || gencols.nonEmpty
+    if (names.isEmpty || (!needVal && physStatsCols.isEmpty))
+      return Map.empty
+    physStatsCols.foreach(c => require(!c.exists("|=,\t\n".contains(_)),
+      s"OccTable stats: column name '$c' contains a reserved character"))
+    val (scan, physToLog) = stagedLogicalScan(spark, dir, names, colmap,
+      schemaJson)
     val schema = scan.schema
     val statsCols = physStatsCols.map(p =>
       (p, physToLog.getOrElse(p, p)))
@@ -756,61 +759,156 @@ object OccTable {
     }.toMap
   }
 
-  /** Per-file BLOOM build over just-staged files (X126): ONE shuffled
-    * pass over the new batch grouped by file — each group streams its
-    * values into fixed-size bit arrays (sized by the DECLARED
-    * `numItems`/`fpp`, so no key buffering) and writes the sidecars
-    * FROM THE EXECUTORS ([[OccBloom]] layout; the bits never
-    * centralize on the driver — a bulk init committing 10^6 files
-    * would otherwise ship a terabyte of bitsets through one JVM).
-    * Returns only the per-file parameter map for the add actions.
-    * Null values are not added (an equality lookup never matches
-    * NULL). Sidecar writes are idempotent overwrites, so task retries
-    * re-emit identical bytes.
+  /** FUSED stats + validation + bloom build over just-staged files
+    * (X126 + X140; guide §1.2: don't scan the same bytes twice): when a
+    * commit wants BOTH X117 stats and X126 blooms, ONE shuffled pass
+    * over the new batch grouped by file serves both — plus any CHECK /
+    * GENERATED validation — instead of the two staged-file scans the
+    * r19 shape paid (a declarative stats pass, then a separate bloom
+    * pass). Every per-row input (stat projections, violation
+    * indicators, bloom value strings) is computed as codegen
+    * expressions BEFORE the per-file grouping; the group fold is pure
+    * numeric accumulation plus the bloom bit sets streamed into
+    * fixed-size arrays (sized by the DECLARED `numItems`/`fpp`, so no
+    * key buffering), and the sidecars are written FROM THE EXECUTORS
+    * ([[OccBloom]] layout; the bits never centralize on the driver — a
+    * bulk init committing 10^6 files would otherwise ship a terabyte of
+    * bitsets through one JVM). Null values are not added (an equality
+    * lookup never matches NULL); sidecar writes are idempotent
+    * overwrites, so task retries re-emit identical bytes. Zero-row
+    * part files get no stats and no bloom (unprunable, safe). On
+    * violation the staged part files AND the sidecars already written
+    * are deleted before the exception surfaces. With no blooms
+    * requested this delegates to the declarative stats pass
+    * (partial-aggregating — the better plan when no per-file byte
+    * arrays force full-row grouping anyway).
     */
-  private def collectBlooms(spark: SparkSession, dir: String,
-      names: Seq[String], blooms: Seq[OccBloom.BloomCol])
-      : Map[String, Map[String, (Int, Int)]] = {
-    if (blooms.isEmpty || names.isEmpty) return Map.empty
+  private def stagedStatsAndBlooms(spark: SparkSession, dir: String,
+      names: Seq[String], colmap: Map[String, String],
+      constraints: Map[String, String], gencols: Map[String, String],
+      physStatsCols: Seq[String], blooms: Seq[OccBloom.BloomCol],
+      what: String, schemaJson: Option[String] = None)
+      : (Map[String, String], Map[String, Map[String, (Int, Int)]]) = {
+    if (blooms.isEmpty)
+      return (validateStagedCollectStats(spark, dir, names, colmap,
+        constraints, gencols, physStatsCols, what, schemaJson), Map.empty)
+    if (names.isEmpty) return (Map.empty, Map.empty)
     require(blooms.map(_.col).distinct.size == blooms.size,
       s"OccTable blooms: duplicate column in ${blooms.map(_.col)}")
+    physStatsCols.foreach(c => require(!c.exists("|=,\t\n".contains(_)),
+      s"OccTable stats: column name '$c' contains a reserved character"))
+    val (scan, physToLog) = stagedLogicalScan(spark, dir, names, colmap,
+      schemaJson)
+    val schema = scan.schema
+    val statsCols = physStatsCols.map(p => (p, physToLog.getOrElse(p, p)))
+    val cNamed = constraints.toSeq.sortBy(_._1)
+    val gNamed = gencols.toSeq.sortBy(_._1)
+      .filter { case (n, _) => schema.fieldNames.contains(n) }
     val specs = blooms.map(b =>
       (b.col, OccBloom.params(b.numItems, b.fpp))).toArray
+    val statCols = statsCols.map { case (_, c) => statProjection(schema, c) }
+    val consCols = cNamed.map { case (_, e) =>
+      when(expr(e) === lit(false), 1L).otherwise(0L) }
+    val genCols = gNamed.map { case (n, e) =>
+      when(!(col(n) <=> expr(e)), 1L).otherwise(0L) }
+    val valCols = specs.toSeq.map { case (c, _) =>
+      col(physToLog.getOrElse(c, c)).cast("string") }
+    val projected = scan.select(
+      (input_file_name() +: (statCols ++ consCols ++ genCols ++ valCols))
+        .zipWithIndex.map { case (c, i) => c.as(s"__p$i") }: _*)
+    val nStats = statsCols.size
+    val nCons = cNamed.size
+    val nRules = nCons + gNamed.size
     val dirStr = dir
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val scan = spark.read.parquet(names.map(n => resolvePath(dir, n)): _*)
-    val projected = scan.select(
-      input_file_name().as("__f") +:
-        blooms.map(b => col(b.col).cast("string").as(b.col)): _*)
     import spark.implicits._
-    val built = projected
+    val perFile = projected
       .groupByKey(_.getString(0))
       .mapGroups { (fpath, rows) =>
         val fname = fpath.split('/').last
+        var n = 0L
+        val mn = new Array[Double](nStats)
+        val mnSet = new Array[Boolean](nStats)
+        val mx = new Array[Double](nStats)
+        val mxSet = new Array[Boolean](nStats)
+        val nulls = new Array[Long](nStats)
+        val viol = new Array[Long](nRules)
         val bits = specs.map { case (_, (m, _)) =>
           new Array[Byte]((m + 7) / 8) }
         rows.foreach { r =>
+          n += 1
           var i = 0
-          while (i < specs.length) {
-            val v = r.getString(i + 1)
-            if (v != null) {
-              val (c, (m, k)) = specs(i)
-              OccBloom.add(bits(i), c, v, m, k)
+          while (i < nStats) {
+            if (r.isNullAt(1 + i)) nulls(i) += 1
+            else {
+              val v = r.getDouble(1 + i)
+              if (!mnSet(i) || java.lang.Double.compare(v, mn(i)) < 0) {
+                mn(i) = v; mnSet(i) = true
+              }
+              if (!mxSet(i) || java.lang.Double.compare(v, mx(i)) > 0) {
+                mx(i) = v; mxSet(i) = true
+              }
             }
             i += 1
           }
+          var j = 0
+          while (j < nRules) {
+            viol(j) += r.getLong(1 + nStats + j)
+            j += 1
+          }
+          var b = 0
+          while (b < specs.length) {
+            val v = r.getString(1 + nStats + nRules + b)
+            if (v != null) {
+              val (c, (m, k)) = specs(b)
+              OccBloom.add(bits(b), c, v, m, k)
+            }
+            b += 1
+          }
         }
-        val fsysT = new Path(dirStr)
-          .getFileSystem(conf.value)
-        specs.zipWithIndex.foreach { case ((c, (m, k)), i) =>
+        val fsysT = new Path(dirStr).getFileSystem(conf.value)
+        specs.zipWithIndex.foreach { case ((c, (m, k)), b) =>
           OccBloom.write(fsysT,
-            OccBloom.sidecarPath(dirStr, fname, c), m, k, bits(i))
+            OccBloom.sidecarPath(dirStr, fname, c), m, k, bits(b))
         }
-        fname
+        (fname, n, mn, mnSet, mx, mxSet, nulls, viol)
       }.collect()
+    if (nRules > 0) {
+      def total(i: Int): Long = perFile.map(_._8(i)).sum
+      val cBad = cNamed.zipWithIndex.collect {
+        case ((nm, e), i) if total(i) > 0 =>
+          s"$nm (${total(i)} rows violate `$e`)" }
+      val gBad = gNamed.zipWithIndex.collect {
+        case ((nm, e), i) if total(nCons + i) > 0 =>
+          s"$nm (${total(nCons + i)} rows differ from `$e`)" }
+      if (cBad.nonEmpty || gBad.nonEmpty) {
+        val fsys = fs(spark, dir)
+        names.foreach { nm =>
+          fsys.delete(new Path(dir, nm), false)
+          blooms.foreach(b => fsys.delete(
+            OccBloom.sidecarPath(dir, baseName(nm), b.col), false))
+        }
+        if (cBad.nonEmpty) throw new ConstraintViolationException(
+          s"OccTable: $what violates CHECK constraint(s) " +
+            cBad.mkString("; "))
+        throw new ConstraintViolationException(
+          s"OccTable: $what violates GENERATED column(s) " +
+            gBad.mkString("; "))
+      }
+    }
     val paramMap = specs.map { case (c, (m, k)) => c -> ((m, k)) }.toMap
-    built.map(f => f -> paramMap).toMap
+    val bloomMap = perFile.map(t => t._1 -> paramMap).toMap
+    val statsMap =
+      if (physStatsCols.isEmpty) Map.empty[String, String]
+      else perFile.map { t =>
+        val entries = statsCols.zipWithIndex.map { case ((p, _), i) =>
+          (p, if (t._4(i)) Some(t._3(i)) else None,
+            if (t._6(i)) Some(t._5(i)) else None, t._7(i))
+        }
+        t._1 -> encodeStats(t._2, entries)
+      }.toMap
+    (statsMap, bloomMap)
   }
 
   /** Planning-time EQUALITY file skipping off the bloom index (X126):
@@ -1857,8 +1955,9 @@ object OccTable {
       s"OccTable: log already exists at $dir")
     fsys.mkdirs(new Path(s"$dir/$LogDirName"))
     val (names, pvs) = stagePartitioned(df, dir, partitionBy)
-    val stats = collectStats(spark, dir, names, statsColumns)
-    val blooms = collectBlooms(spark, dir, names, bloomColumns)
+    val (stats, blooms) = stagedStatsAndBlooms(spark, dir, names,
+      Map.empty, Map.empty, Map.empty, statsColumns, bloomColumns,
+      "staged batch")
     val sizes = names.flatMap(n =>
       statFsMeta(fsys, dir, n).map(n -> _)).toMap
     val schemaJson = df.schema.json
@@ -2225,12 +2324,10 @@ object OccTable {
     // files), analysis error from a rule referencing a column the
     // batch legally omits, bloom IO — must leave no staged garbage
     val (stats, blooms) =
-      try {
-        val st = validateStagedCollectStats(spark, dir, names, snap.colmap,
-          snap.constraints, snap.gencols, statsColumns.map(snap.physName),
-          "append batch", evolved.orElse(snap.schemaJson))
-        (st, collectBlooms(spark, dir, names, physBlooms))
-      } catch {
+      try stagedStatsAndBlooms(spark, dir, names, snap.colmap,
+        snap.constraints, snap.gencols, statsColumns.map(snap.physName),
+        physBlooms, "append batch", evolved.orElse(snap.schemaJson))
+      catch {
         case e: Throwable => discardStaged(spark, dir, names, physBlooms); throw e
       }
     while (true) {
@@ -2457,11 +2554,10 @@ object OccTable {
       val physBlooms = bloomColumns.map(b =>
         b.copy(col = effMap.getOrElse(b.col, b.col)))
       try {
-        val stats = validateStagedCollectStats(spark, dir, names, effMap,
-          snap.constraints, snap.gencols,
-          statsColumns.map(c => effMap.getOrElse(c, c)), "rewrite output",
-          evolved.orElse(snap.schemaJson))
-        val blooms = collectBlooms(spark, dir, names, physBlooms)
+        val (stats, blooms) = stagedStatsAndBlooms(spark, dir, names,
+          effMap, snap.constraints, snap.gencols,
+          statsColumns.map(c => effMap.getOrElse(c, c)), physBlooms,
+          "rewrite output", evolved.orElse(snap.schemaJson))
         return commitActions(spark, dir, names, snap.files, snap.version,
           newSchemaJson = evolved,
           schemaInForce = evolved.orElse(snap.schemaJson),
@@ -2548,22 +2644,23 @@ object OccTable {
       s"OccTable.merge: deleteCol '$c' not in source"))
     val headKey = keyCols.head
     // SOURCE MATERIALIZATION (Delta does the same for MERGE): the source
-    // lineage is executed up to four times below — duplicate-key check,
-    // key discovery, the candidate anti-join, and the staged insert write
-    // (plus once more per conflict retry). Persisting it pays the scan
-    // once and, as in Delta, pins one consistent view of a
+    // lineage is executed several times below — the fused key
+    // discovery/duplicate check, the candidate anti-join, and the staged
+    // insert write (plus once more per conflict retry). Persisting it
+    // pays the scan once and, as in Delta, pins one consistent view of a
     // nondeterministic source across all of them and across retries
     // (guide §5: cache only what is reused and expensive to recompute;
-    // released in the finally below, never held across queries).
-    source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // released in the finally below, never held across queries). The
+    // pinning is best-effort: a lost block recomputes its slice of a
+    // nondeterministic source — the caveat Delta's merge materialization
+    // carries too. A source the CALLER already cached is left alone:
+    // persisting again is a no-op but the finally's unpersist would
+    // silently drop the caller's cache (CacheManager keys on the plan).
+    val callerCached =
+      source.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!callerCached)
+      source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // uniqueness refusal (Delta: a target row matched by two source
-    // rows is ambiguous) — one small-side aggregation
-    val dup = source.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
-      .collect()
-    require(dup.isEmpty, s"OccTable.merge: source has duplicate keys " +
-      s"on (${keyCols.mkString(", ")}), e.g. ${dup.head.mkString(", ")}")
     // discovery forms of the head key: string (bloom probes — the
     // build-time cast("string")) and the stat projection (interval
     // tests), computable only for stats-typed columns
@@ -2572,22 +2669,36 @@ object OccTable {
       case _: NumericType => true
       case _ => false
     }
-    // collect at most cap+1 distinct keys: the +1 row is the overflow
-    // sentinel that flips discovery to the distributed fallback — the
-    // driver never materializes an unbounded key set
-    val keyRows = source
+    // uniqueness refusal (Delta: a target row matched by two source
+    // rows is ambiguous) AND key discovery in ONE aggregation over the
+    // persisted source (§1.2 — the previous shape paid two shuffles of
+    // the source: a dup probe and a distinct-keys pass). Collect at
+    // most cap+1 grouped keys: the +1 row is the overflow sentinel that
+    // flips discovery to the distributed fallback — the driver never
+    // materializes an unbounded key set. Under the cap the collected
+    // groups are COMPLETE, so the dup scan happens driver-side; only
+    // the over-cap (backfill-shaped) path still runs the dedicated dup
+    // probe, against the persisted source.
+    val grouped = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
       .select(col(headKey).cast("string").as("__s"),
         (if (statTyped) statProjection(source.schema, headKey)
-         else lit(null).cast("double")).as("__d"))
-      .filter(col("__s").isNotNull).distinct()
-      .limit(maxDriverKeys + 1).collect()
+         else lit(null).cast("double")).as("__d"),
+        col("__n"))
+    val keyRows = grouped.limit(maxDriverKeys + 1).collect()
     val overCap = keyRows.length > maxDriverKeys
+    val dup = keyRows.find(_.getLong(2) > 1L).orElse(
+      if (!overCap) None
+      else grouped.filter(col("__n") > 1).limit(1).collect().headOption)
+    require(dup.isEmpty, s"OccTable.merge: source has duplicate keys " +
+      s"on (${keyCols.mkString(", ")}), e.g. ${dup.map(_.mkString(", "))
+        .getOrElse("")}")
     val keyStrs = if (overCap) Seq.empty[String]
-      else keyRows.map(_.getString(0)).toSeq
+      else keyRows.flatMap(r => Option(r.getString(0))).distinct.toSeq
     val keyDoubles = if (overCap) Array.empty[Double]
-      else keyRows.flatMap(r =>
+      else keyRows.filter(!_.isNullAt(0)).flatMap(r =>
         Option(r.getAs[java.lang.Double]("__d")).map(_.doubleValue))
-        .sorted
+        .distinct.sorted
     // fallback pre-pruning: the source's OVERALL key range, one small
     // aggregation — a file whose stats interval misses [srcLo, srcHi]
     // entirely provably holds no source key
@@ -2708,11 +2819,10 @@ object OccTable {
       val physBlooms = bloomColumns.map(b =>
         b.copy(col = snap.physName(b.col)))
       try {
-        val stats = validateStagedCollectStats(spark, dir, names,
+        val (stats, blooms) = stagedStatsAndBlooms(spark, dir, names,
           snap.colmap, snap.constraints, snap.gencols,
-          statsColumns.map(snap.physName), "merge source",
+          statsColumns.map(snap.physName), physBlooms, "merge source",
           evolved.orElse(snap.schemaJson))
-        val blooms = collectBlooms(spark, dir, names, physBlooms)
         return MergeResult(
           commitActions(spark, dir, names, candidates, snap.version,
             txn = txn,
@@ -2730,7 +2840,7 @@ object OccTable {
       }
     }
     throw new IllegalStateException("unreachable")
-    } finally source.unpersist(false)
+    } finally if (!callerCached) source.unpersist(false)
   }
 
   /** [[deleteRange]]/[[deleteEquality]]'s outcome: committed version
@@ -2793,10 +2903,11 @@ object OccTable {
             d.filter(proj.isNull || proj < lit(lo) || proj > lit(hi)),
             snap.colmap), dir)
         }
-      val stats = collectStats(spark, dir, names,
-        statsColumns.map(snap.physName))
-      val blooms = collectBlooms(spark, dir, names,
-        bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
+      val (stats, blooms) = stagedStatsAndBlooms(spark, dir, names,
+        snap.colmap, Map.empty, Map.empty,
+        statsColumns.map(snap.physName),
+        bloomColumns.map(b => b.copy(col = snap.physName(b.col))),
+        "staged batch")
       try return DeleteResult(
         commitActions(spark, dir, names, dropped ++ toRewrite,
           snap.version, schemaInForce = snap.schemaJson,
@@ -2838,10 +2949,11 @@ object OccTable {
         throw new IllegalStateException("unreachable: non-empty"))
       val names = stage(toPhysical(d.filter(col(c).isNull ||
         !col(c).cast("string").isin(values: _*)), snap.colmap), dir)
-      val stats = collectStats(spark, dir, names,
-        statsColumns.map(snap.physName))
-      val blooms = collectBlooms(spark, dir, names,
-        bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
+      val (stats, blooms) = stagedStatsAndBlooms(spark, dir, names,
+        snap.colmap, Map.empty, Map.empty,
+        statsColumns.map(snap.physName),
+        bloomColumns.map(b => b.copy(col = snap.physName(b.col))),
+        "staged batch")
       try return DeleteResult(
         commitActions(spark, dir, names, candidates, snap.version,
           schemaInForce = snap.schemaJson,
@@ -2926,26 +3038,43 @@ object OccTable {
         base.join(ex, Seq("__dv_fn", "__dv_ri"), "left_anti"))
       val matching = live.filter(rowFilter(live))
         .select(col("__dv_fn").as("file_name"),
-          col("__dv_ri").as("row_index"))
+          col("__dv_ri").as("row_index"),
+          lit(true).as("__new"))
       // union with the candidates' EXISTING deleted rows — a second
       // delete layers on the first, never resurrects
       val newDv = existing.fold(matching)(ex =>
         matching.unionByName(ex.select(col("__dv_fn").as("file_name"),
-          col("__dv_ri").as("row_index"))))
-      val perFile = newDv.groupBy(col("file_name"))
+          col("__dv_ri").as("row_index"), lit(false).as("__new"))))
+      // ONE execution of the matching lineage: the sidecar write IS the
+      // action, the newly-marked count rides it as an observed metric,
+      // and the per-file tally (only needed to decide which candidates
+      // are touched) reads the just-written tiny sidecar back instead
+      // of re-running the scan + anti-join. The previous shape executed
+      // the lineage three times (per-file collect, count, write) —
+      // guide §1.2/§1.4. Every newDv row's file is a candidate by
+      // construction (matching scans candidates; existing is filtered
+      // to them), so writing it unfiltered equals the old
+      // filter-by-touched write.
+      val dvName = s"dv-${java.util.UUID.randomUUID().toString}"
+      val dvPath = s"$dir/$DvDirName/$dvName"
+      val obs = org.apache.spark.sql.Observation()
+      newDv.observe(obs, coalesce(sum(when(col("__new"), 1L)
+          .otherwise(0L)), lit(0L)).as("marked"))
+        .select(col("file_name"), col("row_index"))
+        .write.parquet(dvPath)
+      val markedNow = obs.get("marked").asInstanceOf[Long]
+      val perFile = spark.read.parquet(dvPath).groupBy(col("file_name"))
         .agg(count(lit(1)).as("__n")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       // touched = files that now carry any deleted row; a candidate
       // with zero matches and no prior DV stays untouched. perFile is
       // keyed by BASENAME (the scan's _metadata identity)
       val touched = cand.filter(f => perFile.contains(baseName(f)))
-      val markedNow = matching.count()
       if (touched.isEmpty || (markedNow == 0L &&
-          touched.forall(f => snap.dvs.contains(f))))
+          touched.forall(f => snap.dvs.contains(f)))) {
+        fs(spark, dir).delete(new Path(dvPath), true) // no-op delete: drop the unreferenced sidecar
         return DvDeleteResult(snap.version, 0L, 0, snap.files.size)
-      val dvName = s"dv-${java.util.UUID.randomUUID().toString}"
-      newDv.filter(col("file_name").isin(touched.map(baseName): _*))
-        .write.parquet(s"$dir/$DvDirName/$dvName")
+      }
       try return DvDeleteResult(
         commitActions(spark, dir, touched, touched, snap.version,
           schemaInForce = snap.schemaJson,
@@ -2961,6 +3090,9 @@ object OccTable {
         markedNow, touched.size, snap.files.size - touched.size)
       catch {
         case e: ConcurrentWriteException =>
+          // the retry re-derives and re-writes its own sidecar — drop
+          // this attempt's (previously left for vacuum to find)
+          fs(spark, dir).delete(new Path(dvPath), true)
           tries += 1
           if (tries > maxRetries) throw e
       }
@@ -3039,10 +3171,11 @@ object OccTable {
         .map(st => clean0.select(st.fieldNames.map(col).toIndexedSeq: _*))
         .getOrElse(clean0)
       val names = stage(toPhysical(clean, snap.colmap), dir)
-      val stats = collectStats(spark, dir, names,
-        statsColumns.map(snap.physName))
-      val blooms = collectBlooms(spark, dir, names,
-        bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
+      val (stats, blooms) = stagedStatsAndBlooms(spark, dir, names,
+        snap.colmap, Map.empty, Map.empty,
+        statsColumns.map(snap.physName),
+        bloomColumns.map(b => b.copy(col = snap.physName(b.col))),
+        "staged batch")
       try return commitActions(spark, dir, names, marked, snap.version,
         schemaInForce = snap.schemaJson,
         addStats = stats, addBlooms = blooms, op = Some("purge_dv"))
@@ -3131,10 +3264,11 @@ object OccTable {
       val removes = staged.flatMap(_._2)
       val addPvs = staged.collect { case (Some(pv), _, names) =>
         names.map(_ -> pv) }.flatten.toMap
-      val stats = collectStats(spark, dir, adds,
-        statsColumns.map(snap.physName))
-      val blooms = collectBlooms(spark, dir, adds,
-        bloomColumns.map(b => b.copy(col = snap.physName(b.col))))
+      val (stats, blooms) = stagedStatsAndBlooms(spark, dir, adds,
+        snap.colmap, Map.empty, Map.empty,
+        statsColumns.map(snap.physName),
+        bloomColumns.map(b => b.copy(col = snap.physName(b.col))),
+        "staged batch")
       try return OptimizeResult(
         commitActions(spark, dir, adds, removes, snap.version,
           schemaInForce = snap.schemaJson,

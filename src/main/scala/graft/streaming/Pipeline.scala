@@ -766,10 +766,18 @@ object Pipeline {
       .createTempDirectory("graft_replay_split")
     val dataDir = streamDir.resolve("data").toString
     val events = graft.sources.Tables.events(spark, dir)
-    events
+    // the sentinel anchor (max ts) rides the slice write as an observed
+    // metric — the previous separate `events.agg(max("ts"))` action was
+    // a second full pass over the table per replay (guide §1.4: one
+    // action computes everything the setup needs)
+    val obs = org.apache.spark.sql.Observation()
+    val sliced = events
       .repartitionByRange(nFiles, col("ts"))
       .sortWithinPartitions("ts")
-      .write.parquet(dataDir)
+    val toWrite =
+      if (flushSentinels > 0) sliced.observe(obs, max(col("ts")).as("mx"))
+      else sliced
+    toWrite.write.parquet(dataDir)
     // stream-close sentinels: `flushSentinels` two-row files, each its
     // own micro-batch, with ts a day+ past everything before it. A
     // bounded stream should end with watermark → ∞ (Flink's bounded
@@ -783,24 +791,37 @@ object Pipeline {
     // sides (alerts/readings) stays pinned to whichever side saw data
     // last unless the sentinel advances BOTH (measured: a one-sided
     // sentinel left a six-days-stale alert unemitted). Sentinel rows
-    // wear negative event_ids so consumers can drop them from output.
+    // wear negative event_ids so consumers can drop them from output;
+    // every other column is NULL — sentinels never join (a NULL key
+    // matches nothing) and never reach output, so only (ts, event_id,
+    // value) carry meaning. Rows are built driver-side: the previous
+    // `events.limit(1)`-based construction paid a table scan plus a
+    // write job per sentinel.
     if (flushSentinels > 0) {
-      val mxRow = events.agg(max("ts")).collect().head
-      // an empty source has no max ts to anchor sentinels on — and
-      // events.limit(1) would yield zero sentinel rows anyway, so the
-      // replay would silently never flush; fail loudly instead
-      require(!mxRow.isNullAt(0),
+      // an empty source has no max ts to anchor sentinels on — fail
+      // loudly instead of silently never flushing
+      val mxAny = obs.get("mx")
+      require(mxAny != null,
         s"replayStreamSplit: events table at $dir is empty; " +
           "cannot anchor flush sentinels")
-      val mx = mxRow.getTimestamp(0)
+      val mx = mxAny.asInstanceOf[java.sql.Timestamp]
+      val schema = events.schema
+      def sentinelRow(id: Long, at: java.sql.Timestamp, v: Double) =
+        org.apache.spark.sql.Row.fromSeq(schema.fields.toSeq.map { f =>
+          f.name match {
+            case "ts" => at
+            case "event_id" => java.lang.Long.valueOf(id)
+            case "value" => java.lang.Double.valueOf(v)
+            case _ => null
+          }
+        })
       (1 to flushSentinels).foreach { i =>
         val scratch = streamDir.resolve(s"sent$i").toString
-        val at = lit(new java.sql.Timestamp(mx.getTime + i * 86400000L))
-        val one = events.limit(1).withColumn("ts", at)
-        one.withColumn("event_id", lit(-(2L * i - 1)))
-          .withColumn("value", lit(1e9))
-          .unionByName(one.withColumn("event_id", lit(-(2L * i)))
-            .withColumn("value", lit(-1e9)))
+        val at = new java.sql.Timestamp(mx.getTime + i * 86400000L)
+        val rows = java.util.Arrays.asList(
+          sentinelRow(-(2L * i - 1), at, 1e9),
+          sentinelRow(-(2L * i), at, -1e9))
+        spark.createDataFrame(rows, schema)
           .coalesce(1).write.parquet(scratch)
         val part = new java.io.File(scratch).listFiles()
           .filter(_.getName.startsWith("part-")).head
@@ -816,8 +837,10 @@ object Pipeline {
     parts.zipWithIndex.foreach { case (f, i) =>
       f.setLastModified(base + i * 60000L)
     }
-    val schema = spark.read.parquet(dataDir).schema
-    val stream = spark.readStream.schema(schema)
+    // the slice files carry exactly the events frame's schema (written
+    // from it; sentinels are built from it) — re-inferring it with
+    // spark.read.parquet was one distributed footer-read job per replay
+    val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(dataDir)
     (stream, streamDir)
   }

@@ -185,8 +185,16 @@ object TxnSink {
     // observation costs one counter per row inside the one staging write.
     // Empty batches still publish NO data files, only the fence manifest:
     // a zero-row write stages exactly one schema-only part file (Spark's
-    // empty-write contract), which is deleted with the staging dir; a
-    // non-empty write stages only non-empty part files.
+    // empty-write contract), which is deleted with the staging dir. A
+    // non-empty write may still stage a zero-row part file for an empty
+    // task (the writer opens its file eagerly); such a file is published
+    // in the manifest — harmless to readers (zero rows contributed) and
+    // cheaper than probing every part's footer per batch. The trade the
+    // single-action staging makes: a frequently-EMPTY stream now pays a
+    // full (row-less) plan execution per empty batch where the old
+    // isEmpty probe could short-circuit — the replay gates' batches are
+    // non-empty by construction, and a non-empty batch saves a whole
+    // plan execution, which dominates.
     val obs = org.apache.spark.sql.Observation()
     batch.observe(obs, org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("rows"))

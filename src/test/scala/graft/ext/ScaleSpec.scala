@@ -46,6 +46,26 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.fanOut(df) eq df)
   }
 
+  test("medium single file that Spark splits to >= cores: identity " +
+      "(the r19 maxPartitionBytes-only estimate added a redundant shuffle)") {
+    // ~20 MB of incompressible hex: FilePartition's maxSplitBytes is
+    // max(openCost, totalBytes/cores) ≈ 6 MB here — Spark splits ONE
+    // such file into >= defaultParallelism scan partitions, so the
+    // fan-out must be the identity. The pre-r20 estimate divided by
+    // maxPartitionBytes (128 MB) only, called this 1 split, and
+    // repartitioned a scan that was already parallel.
+    val dir = Files.createTempDirectory("graft_scale").toString + "/mid"
+    spark.range(300000)
+      .select(col("id"), md5(col("id").cast("string")).as("h1"),
+        md5(concat(lit("x"), col("id").cast("string"))).as("h2"),
+        md5(concat(lit("y"), col("id").cast("string"))).as("h3"))
+      .coalesce(1).write.parquet(dir)
+    val scan = spark.read.parquet(dir)
+    assert(numParts(scan) >= spark.sparkContext.defaultParallelism,
+      s"precondition: Spark itself must split the file (got ${numParts(scan)})")
+    assert(Scale.fanOut(scan) eq scan)
+  }
+
   test("minhash signatures through the fan-out equal the 1-split plan's") {
     val dir = Files.createTempDirectory("graft_scale").toString + "/sig"
     Seq((1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "zz yy xx ww vv uu"))
